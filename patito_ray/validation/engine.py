@@ -1,0 +1,455 @@
+"""Validation orchestration: local tables and distributed Ray Datasets.
+
+Local path = exact reference semantics on one in-memory Arrow table
+(mirrors ``patito.validators.validate``,
+/root/reference/src/patito/validators.py:442-492: pandas conversion,
+alias rename, optional superfluous-drop, error accumulation, raise).
+
+Distributed path (the engine's reason to exist — SURVEY.md §3 "Ray
+translation of E1/E2") over a ``ray.data.Dataset``:
+
+1. driver-side schema checks from ``ds.schema()`` (zero data movement),
+2. optional aggregate-constraint pre-pass (per-batch partials ->
+   merged scalars -> constraint trees rewritten), two passes over the
+   data only when a model declares aggregate constraints,
+3. ONE streaming ``map_batches(batch_format="pyarrow")`` pass emitting
+   a pickled mergeable ``Partial`` per block (plus broadcast
+   referential-miss counts against ``ray.put`` key sets),
+4. a tree-merge of partials (associative monoid; repartition+merge
+   rounds keep the driver from folding millions of partials itself),
+5. per unique column, a two-phase shuffle: per-batch (key,count)
+   pre-aggregation -> ``groupby(k).sum`` -> dup-row counts
+   (reference ``is_duplicated().sum()`` semantics at cluster scale).
+
+Nothing here materializes the input; violation *counts* and bounded
+samples return to the driver, full violation rows stream to parquet
+via ``collect_violations``/``write_violations``.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Iterable, Mapping
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from patito_ray.exprs import (
+    agg_partial,
+    agg_finalize,
+    collect_agg_nodes,
+    merge_agg_partials,
+    substitute_aggs,
+    substitute_column,
+)
+from patito_ray.fields import TableSpec
+from patito_ray.validation.checks import (
+    apply_alias,
+    batch_key_counts,
+    check_batch,
+    referential_miss_mask,
+)
+from patito_ray.validation.result import (
+    Partial,
+    ValidationReport,
+    assemble_errors,
+    merge_partials,
+)
+
+# Blocks-per-merge fan-in for the partial-result tree reduce.
+_MERGE_FANIN = 64
+# Above this many partial rows the driver delegates merging to workers.
+_DRIVER_MERGE_LIMIT = 1024
+
+
+def _is_dataset(data: Any) -> bool:
+    try:
+        import ray.data
+
+        return isinstance(data, ray.data.Dataset)
+    except ImportError:
+        return False
+
+
+def _to_table(data: Any) -> pa.Table:
+    if isinstance(data, pa.Table):
+        return data
+    if isinstance(data, pa.RecordBatch):
+        return pa.Table.from_batches([data])
+    if isinstance(data, dict):
+        return pa.table(data)
+    mod = type(data).__module__
+    if mod.startswith("pandas"):
+        return pa.Table.from_pandas(data, preserve_index=False)
+    if mod.startswith("polars"):
+        return data.to_arrow()
+    raise TypeError(f"cannot validate object of type {type(data)!r}")
+
+
+def _normalize_references(
+    references: Mapping[str, Any] | None,
+) -> dict[str, pa.Array]:
+    """Normalize referential key sets to in-memory Arrow arrays (the
+    broadcast small side). Large-dimension referential checks should use
+    ``patito_ray.validation.referential.anti_join_count`` instead."""
+    out: dict[str, pa.Array] = {}
+    if not references:
+        return out
+    for colname, keys in references.items():
+        if _is_dataset(keys):
+            # small side: stream the single key column to the driver
+            arrays = []
+            for b in keys.iter_batches(batch_format="pyarrow"):
+                a = b.column(0)
+                arrays.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+            out[colname] = pa.concat_arrays(arrays)
+        elif isinstance(keys, pa.ChunkedArray):
+            out[colname] = keys.combine_chunks()
+        elif isinstance(keys, pa.Array):
+            out[colname] = keys
+        else:
+            out[colname] = pa.array(list(keys))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Local (single-table) path
+# ---------------------------------------------------------------------------
+
+
+def _validate_table(
+    table: pa.Table,
+    model: Any,
+    spec: TableSpec,
+    columns: Iterable[str] | None,
+    allow_missing_columns: bool,
+    allow_superfluous_columns: bool,
+    drop_superfluous_columns: bool,
+    collect_samples: bool,
+    references: dict[str, pa.Array],
+) -> tuple[ValidationReport, pa.Table]:
+    table = apply_alias(table, spec)
+    if drop_superfluous_columns:
+        keep = [c for c in table.column_names if c in spec.columns]
+        table = table.select(keep)
+    partial = check_batch(
+        table,
+        spec,
+        columns=columns,
+        allow_missing_columns=allow_missing_columns,
+        allow_superfluous_columns=allow_superfluous_columns,
+        collect_samples=collect_samples,
+    )
+    for colname, key_set in references.items():
+        if colname in table.column_names:
+            mask = referential_miss_mask(table, colname, key_set)
+            n = int(pc.sum(mask).as_py() or 0)
+            if n:
+                partial.ref_fail[colname] = n
+    report = _finalize(partial, model)
+    return report, table
+
+
+def _finalize(merged: Partial, model: Any) -> ValidationReport:
+    wrappers = assemble_errors(merged, list(model.columns))
+    errors = [w.as_dict() for w in wrappers]
+    return ValidationReport(
+        model_name=model.__name__,
+        row_count=merged.row_count,
+        errors=errors,
+        merged=merged,
+        ok=not errors,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed (Ray Dataset) path
+# ---------------------------------------------------------------------------
+
+
+def _prepare_aggregate_constraints(
+    ds: Any, spec: TableSpec
+) -> dict[str, list[dict[str, Any]]] | None:
+    """Resolve aggregate sub-expressions of custom constraints with a
+    dedicated partial-aggregation pass, then rewrite the constraint
+    trees so the main pass is purely row-wise.
+
+    Mirrors the reference's aggregate-constraint behaviour
+    (``tests/test_validators.py:886-894``: ``pl.col("fraction").sum()==1``
+    broadcasts over all rows) at cluster scale: per-batch partials are
+    commutative-monoid states merged on the driver (tiny: one dict per
+    block), then the scalar is substituted into the tree.
+    """
+    work: list[tuple[str, int, str, dict[str, Any]]] = []  # (col, idx, path, node)
+    substituted: dict[str, list[dict[str, Any]]] = {}
+    for name, cs in spec.columns.items():
+        if not cs.constraints:
+            continue
+        nodes = [substitute_column(n, "_", name) for n in cs.constraints]
+        substituted[name] = nodes
+        for i, node in enumerate(nodes):
+            for path, agg_node in collect_agg_nodes(node):
+                work.append((name, i, path, agg_node))
+    if not work:
+        return None
+
+    def batch_agg(batch: pa.Table) -> pa.Table:
+        states = {
+            (c, i, path): (node["fn"], agg_partial(node, batch))
+            for (c, i, path, node) in work
+        }
+        return pa.table({"state": [pickle.dumps(states)]})
+
+    rows = ds.map_batches(
+        batch_agg, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    merged: dict[tuple[str, int, str], tuple[str, dict[str, Any]]] = {}
+    for row in rows:
+        states = pickle.loads(row["state"])
+        for key, (fn, state) in states.items():
+            if key in merged:
+                merged[key] = (fn, merge_agg_partials(fn, merged[key][1], state))
+            else:
+                merged[key] = (fn, state)
+    finals: dict[tuple[str, int], dict[str, Any]] = {}
+    for (c, i, path), (fn, state) in merged.items():
+        finals.setdefault((c, i), {})[path] = agg_finalize(fn, state)
+    prepared: dict[str, list[dict[str, Any]]] = {}
+    for name, nodes in substituted.items():
+        prepared[name] = [
+            substitute_aggs(node, finals.get((name, i), {})) if (name, i) in finals else node
+            for i, node in enumerate(nodes)
+        ]
+    return prepared
+
+
+def _tree_merge_partials(partials_ds: Any) -> Partial:
+    """Merge a Dataset of pickled Partials without driver overload: while
+    too many rows remain, repartition and fold within blocks on workers
+    (associative merge => any grouping is correct)."""
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        acc = Partial()
+        for blob in batch.column("partial").to_pylist():
+            acc.merge(pickle.loads(blob))
+        return pa.table({"partial": [pickle.dumps(acc)]})
+
+    count = partials_ds.count()
+    while count > _DRIVER_MERGE_LIMIT:
+        n_blocks = max(1, count // _MERGE_FANIN)
+        partials_ds = partials_ds.repartition(n_blocks).map_batches(
+            merge_block, batch_format="pyarrow", batch_size=None
+        )
+        count = partials_ds.count()
+    rows = partials_ds.take_all()
+    return merge_partials([pickle.loads(r["partial"]) for r in rows])
+
+
+def duplicate_count_distributed(
+    ds: Any, column: str, hash_keys: bool = True
+) -> int:
+    """Two-phase distributed uniqueness check (SURVEY.md §4):
+
+    phase 1 (narrow): project to the key column and pre-aggregate each
+    batch to (key-hash, count) — collapses the duplicate-free mass so
+    the shuffle moves ~one row per distinct key per block;
+    phase 2 (wide): ``groupby(k).sum(count)`` hash shuffle — Ray Data
+    hash-partitions keys across aggregators, which is exactly the
+    salted/diffused distribution we need since ``k`` is already a
+    64-bit hash (hot *values* still concentrate, but a single hot key
+    reduces to one (k, big_count) row per block in phase 1, so skew
+    cost is bounded by #blocks, not #rows);
+    finalize: sum counts over keys with count > 1 — the reference's
+    ``is_duplicated().sum()`` row-participation semantics.
+    """
+    from ray.data.aggregate import Sum
+
+    pre = ds.select_columns([column]).map_batches(
+        lambda t: batch_key_counts(t, column, hash_keys=hash_keys),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    totals = pre.groupby("k").aggregate(Sum("count", alias_name="total"))
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        tot = batch.column("total")
+        dups = pc.sum(pc.filter(tot, pc.greater(tot, 1))).as_py() or 0
+        return pa.table({"dups": [int(dups)]})
+
+    rows = totals.map_batches(
+        dup_rows, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return int(sum(r["dups"] for r in rows))
+
+
+def _validate_dataset(
+    ds: Any,
+    model: Any,
+    spec: TableSpec,
+    columns: Iterable[str] | None,
+    allow_missing_columns: bool,
+    allow_superfluous_columns: bool,
+    drop_superfluous_columns: bool,
+    collect_samples: bool,
+    references: dict[str, pa.Array],
+    hash_unique_keys: bool = True,
+) -> tuple[ValidationReport, Any]:
+    import ray
+
+    # alias rename + superfluous drop are metadata-level plans
+    gen = spec.alias_generator
+    schema_names = ds.schema().names
+    if gen is not None:
+        mapping = {n: gen(n) for n in schema_names if gen(n) != n}
+        if mapping:
+            ds = ds.rename_columns(mapping)
+            schema_names = [mapping.get(n, n) for n in schema_names]
+    if drop_superfluous_columns:
+        keep = [c for c in schema_names if c in spec.columns]
+        ds = ds.select_columns(keep)
+
+    prepared = _prepare_aggregate_constraints(ds, spec)
+
+    ref_refs = {c: ray.put(arr) for c, arr in references.items()}
+    columns_l = list(columns) if columns is not None else None
+
+    def batch_validate(batch: pa.Table) -> pa.Table:
+        p = check_batch(
+            batch,
+            spec,
+            columns=columns_l,
+            allow_missing_columns=allow_missing_columns,
+            allow_superfluous_columns=allow_superfluous_columns,
+            skip_unique=True,
+            collect_samples=collect_samples,
+            prepared_constraints=prepared,
+        )
+        for colname, ref in ref_refs.items():
+            if colname in batch.column_names:
+                key_set = ray.get(ref)
+                mask = referential_miss_mask(batch, colname, key_set)
+                n = int(pc.sum(mask).as_py() or 0)
+                if n:
+                    p.ref_fail[colname] = n
+        return pa.table({"partial": [pickle.dumps(p)]})
+
+    partials_ds = ds.map_batches(
+        batch_validate, batch_format="pyarrow", batch_size=None
+    )
+    merged = _tree_merge_partials(partials_ds)
+
+    # uniqueness: one narrow projection + hash shuffle per unique column
+    subset = set(columns_l) if columns_l is not None else None
+    for ucol in spec.unique_columns:
+        if subset is not None and ucol not in subset:
+            continue
+        if ucol not in schema_names:
+            continue
+        n_dup = duplicate_count_distributed(ds, ucol, hash_keys=hash_unique_keys)
+        if n_dup:
+            merged.dup_counts[ucol] = n_dup
+
+    report = _finalize(merged, model)
+    return report, ds
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def validate_report(
+    data: Any,
+    model: Any,
+    columns: Iterable[str] | None = None,
+    allow_missing_columns: bool = False,
+    allow_superfluous_columns: bool = False,
+    drop_superfluous_columns: bool = False,
+    collect_samples: bool = False,
+    references: Mapping[str, Any] | None = None,
+    hash_unique_keys: bool = True,
+) -> ValidationReport:
+    """Run all checks; always return a ValidationReport (never raises)."""
+    report, _ = _validate_any(
+        data,
+        model,
+        columns,
+        allow_missing_columns,
+        allow_superfluous_columns,
+        drop_superfluous_columns,
+        collect_samples,
+        references,
+        hash_unique_keys,
+    )
+    return report
+
+
+def validate(
+    data: Any,
+    model: Any,
+    columns: Iterable[str] | None = None,
+    allow_missing_columns: bool = False,
+    allow_superfluous_columns: bool = False,
+    drop_superfluous_columns: bool = False,
+    collect_samples: bool = False,
+    references: Mapping[str, Any] | None = None,
+    hash_unique_keys: bool = True,
+) -> Any:
+    """Reference-compatible validate: raise DataFrameValidationError on
+    any failure, else return the (alias-renamed, possibly
+    superfluous-dropped) data (``validators.py:442-492``)."""
+    if drop_superfluous_columns and columns:
+        raise ValueError("Cannot specify both 'columns' and 'drop_superfluous_columns'.")
+    report, transformed = _validate_any(
+        data,
+        model,
+        columns,
+        allow_missing_columns,
+        allow_superfluous_columns,
+        drop_superfluous_columns,
+        collect_samples,
+        references,
+        hash_unique_keys,
+    )
+    report.raise_if_failed(model)
+    return transformed
+
+
+def _validate_any(
+    data: Any,
+    model: Any,
+    columns: Iterable[str] | None,
+    allow_missing_columns: bool,
+    allow_superfluous_columns: bool,
+    drop_superfluous_columns: bool,
+    collect_samples: bool,
+    references: Mapping[str, Any] | None,
+    hash_unique_keys: bool,
+) -> tuple[ValidationReport, Any]:
+    spec = model._spec()
+    refs = _normalize_references(references)
+    if _is_dataset(data):
+        return _validate_dataset(
+            data,
+            model,
+            spec,
+            columns,
+            allow_missing_columns,
+            allow_superfluous_columns,
+            drop_superfluous_columns,
+            collect_samples,
+            refs,
+            hash_unique_keys,
+        )
+    table = _to_table(data)
+    return _validate_table(
+        table,
+        model,
+        spec,
+        columns,
+        allow_missing_columns,
+        allow_superfluous_columns,
+        drop_superfluous_columns,
+        collect_samples,
+        refs,
+    )
