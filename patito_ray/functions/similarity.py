@@ -1,0 +1,218 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one float64 matmul against it and emits
+its local top-k (a few rows per query per batch); the driver folds the
+tiny partials into the global top-k. No shuffle at all: the scan is the
+only data motion, so this scales linearly with corpus size.
+
+Scale path: ``topk_cosine_lsh`` prunes each batch to rows whose
+random-hyperplane code is within a Hamming radius of some query code
+before the exact matmul — same output contract, smaller matmul.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(column: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix without per-row loops
+    (flatten + reshape; embedding dims are fixed-width)."""
+    import pyarrow.compute as pc
+
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    flat = pc.list_flatten(column).to_numpy(zero_copy_only=False)
+    lengths = pc.list_value_length(column).to_numpy(zero_copy_only=False)
+    if len(lengths) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    d = int(lengths[0])
+    if not (lengths == d).all():
+        raise ValueError("ragged embedding column")
+    return flat.astype(np.float64).reshape(len(lengths), d)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BatchTopK:
+    """Actor-pool batch scorer: broadcast query matrix loaded once per
+    actor in __init__, one matmul per batch, local top-k out."""
+
+    def __init__(self, queries_ref: Any, k: int, id_col: str, vec_col: str) -> None:
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q_ids = q["ids"]
+        self.q_unit = _unit(q["vecs"])
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _to_matrix(batch.column(self.vec_col))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        if vecs.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        sims = self.q_unit @ _unit(vecs).T  # (q, n)
+        k = min(self.k + 1, sims.shape[1])  # +1 headroom for self-match
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            cols = part[qi]
+            out_q.extend([int(self.q_ids[qi])] * len(cols))
+            out_n.extend(ids[cols].tolist())
+            out_s.extend(sims[qi, cols].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def topk_cosine(
+    ds: Any,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency: int = 4,
+) -> pa.Table:
+    """Global cosine top-k: broadcast queries, per-batch local top-k,
+    driver heap-merge of the partials. Ties break on neighbor id
+    ascending (deterministic, oracle-matchable)."""
+    import ray
+
+    ref = ray.put({"ids": np.asarray(query_ids), "vecs": np.asarray(query_vecs, dtype=np.float64)})
+    partials = ds.map_batches(
+        BatchTopK,
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
+    heaps: dict[int, list[tuple[float, int]]] = {int(q): [] for q in query_ids}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            qid, nid, sim = row["query_id"], row["neighbor_id"], row["cosine"]
+            if exclude_self and nid == qid:
+                continue
+            # heap orders by (sim, -nid) so ties keep the SMALLER id
+            heapq.heappush(heaps[qid], (sim, -nid))
+            if len(heaps[qid]) > k:
+                heapq.heappop(heaps[qid])
+    out_q, out_n, out_s, out_r = [], [], [], []
+    for qid in sorted(heaps):
+        ranked = sorted(heaps[qid], key=lambda t: (-t[0], -t[1]))
+        for rank, (sim, neg_nid) in enumerate(ranked, 1):
+            out_q.append(qid)
+            out_n.append(-neg_nid)
+            out_s.append(sim)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+        }
+    )
+
+
+def topk_cosine_lsh(
+    ds: Any,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    radius: int = 2,
+    seed: int = 9,
+    concurrency: int = 4,
+) -> pa.Table:
+    """Approximate top-k: per batch, keep only rows whose hyperplane
+    code is within ``radius`` Hamming bits of any query code, then score
+    exactly. Same output schema as ``topk_cosine`` (approximate recall)."""
+    import ray
+
+    q_vecs = np.asarray(query_vecs, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    d = q_vecs.shape[1]
+    planes = rng.standard_normal((d, n_planes))
+
+    def code(m: np.ndarray) -> np.ndarray:
+        signs = (m @ planes) > 0
+        c = np.zeros(len(m), dtype=np.uint64)
+        for b in range(n_planes):
+            c |= signs[:, b].astype(np.uint64) << np.uint64(b)
+        return c
+
+    q_codes = code(q_vecs)
+    ref = ray.put({"ids": np.asarray(query_ids), "vecs": q_vecs})
+
+    popcount = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        vecs = _to_matrix(batch.column(vec_col))
+        if vecs.size == 0:
+            return batch
+        c = code(vecs)
+        keep = np.zeros(len(c), dtype=bool)
+        for qc in q_codes:
+            x = c ^ qc
+            dist = np.zeros(len(c), dtype=np.int64)
+            for shift in range(0, 64, 8):
+                dist += popcount[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+            keep |= dist <= radius
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
+    partials = pruned.map_batches(
+        BatchTopK,
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
+    heaps: dict[int, list[tuple[float, int]]] = {int(q): [] for q in query_ids}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for row in b.to_pylist():
+            qid, nid, sim = row["query_id"], row["neighbor_id"], row["cosine"]
+            if nid == qid:
+                continue
+            heapq.heappush(heaps[qid], (sim, -nid))
+            if len(heaps[qid]) > k:
+                heapq.heappop(heaps[qid])
+    out_q, out_n, out_s, out_r = [], [], [], []
+    for qid in sorted(heaps):
+        ranked = sorted(heaps[qid], key=lambda t: (-t[0], -t[1]))
+        for rank, (sim, neg_nid) in enumerate(ranked, 1):
+            out_q.append(qid)
+            out_n.append(-neg_nid)
+            out_s.append(sim)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+            "rank": pa.array(out_r, type=pa.int64()),
+        }
+    )

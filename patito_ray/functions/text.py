@@ -1,0 +1,169 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All kernels are vectorized over Arrow batches (no per-row Python in the
+hot loop): tokenization via Arrow's whitespace splitter, per-language
+stopword membership via ``pc.is_in`` on the *flattened* token array
+with ``list_parent_indices`` scatter-adds back to rows. Designed to run
+as ``map_batches`` stages; ``LangId``/``QualityScore`` are callable
+classes (actor pools) so the stopword tables and compiled patterns are
+built once per actor.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from patito_ray.state.sketches import hash64
+
+# Compact stopword profiles (top function words; public linguistic data).
+STOPWORDS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "in", "is", "was", "that", "for", "it",
+           "with", "as", "his", "on", "be", "at", "by", "this", "had", "not"},
+    "de": {"der", "die", "und", "das", "in", "von", "zu", "den", "mit", "ist",
+           "des", "im", "nicht", "ein", "eine", "auf", "als", "auch", "es", "an"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "une",
+           "que", "est", "dans", "qui", "par", "pour", "au", "plus", "pas", "sur"},
+    "es": {"de", "la", "que", "el", "en", "y", "los", "del", "se", "las",
+           "por", "un", "con", "no", "una", "su", "para", "es", "al", "lo"},
+    "it": {"di", "e", "il", "la", "che", "in", "un", "per", "del", "con",
+           "non", "una", "le", "si", "dei", "nel", "alla", "della", "da", "lo"},
+    "pt": {"de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+           "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as"},
+}
+
+
+def token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace token count per document (count of ``\\S+`` matches)."""
+    n = pc.count_substring_regex(text, pattern=r"\S+")
+    out = pc.cast(n, pa.int64())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _tokens(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray, int]:
+    """Lowercased whitespace tokens, flattened, with row indices."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lower = pc.utf8_lower(text)
+    toks = pc.utf8_split_whitespace(lower)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    return flat, parents, len(text)
+
+
+class LangId:
+    """N-gram-free stopword-profile language identification.
+
+    Per batch: flatten tokens once, test membership against each
+    language's stopword set (one vectorized ``is_in`` per language),
+    scatter-add hits per row, argmax. Emits ``lang_pred`` plus the
+    winning hit ratio as ``lang_confidence``.
+    """
+
+    def __init__(self, languages: list[str] | None = None) -> None:
+        self.languages = languages or list(STOPWORDS)
+        self.value_sets = {
+            lang: pa.array(sorted(STOPWORDS[lang])) for lang in self.languages
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parents, n_rows = _tokens(batch.column("text"))
+        n_tokens = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(n_tokens, parents, 1)
+        scores = np.zeros((len(self.languages), n_rows), dtype=np.int64)
+        for li, lang in enumerate(self.languages):
+            hits = pc.is_in(flat, value_set=self.value_sets[lang])
+            hit_np = hits.to_numpy(zero_copy_only=False).astype(np.int64)
+            np.add.at(scores[li], parents, hit_np)
+        best = scores.argmax(axis=0)
+        best_hits = scores[best, np.arange(n_rows)]
+        conf = np.where(n_tokens > 0, best_hits / np.maximum(n_tokens, 1), 0.0)
+        pred = np.array(self.languages, dtype=object)[best]
+        pred[n_tokens == 0] = None
+        return batch.append_column(
+            "lang_pred", pa.array(pred.tolist(), type=pa.string())
+        ).append_column("lang_confidence", pa.array(conf, type=pa.float64()))
+
+
+class QualityScore:
+    """Heuristic document-quality scoring (length / punctuation /
+    stopword-density / mean-word-length features combined into [0,1])."""
+
+    def __init__(self) -> None:
+        self.en_stop = pa.array(sorted(STOPWORDS["en"]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_alpha = pc.count_substring_regex(text, pattern=r"[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        n_punct = pc.count_substring_regex(text, pattern=r"[^\w\s]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        flat, parents, n_rows = _tokens(text)
+        n_tokens = np.zeros(n_rows, dtype=np.float64)
+        np.add.at(n_tokens, parents, 1.0)
+        stop_hits = np.zeros(n_rows, dtype=np.float64)
+        hits = pc.is_in(flat, value_set=self.en_stop).to_numpy(zero_copy_only=False)
+        np.add.at(stop_hits, parents, hits.astype(np.float64))
+
+        safe_chars = np.maximum(n_chars, 1.0)
+        safe_tokens = np.maximum(n_tokens, 1.0)
+        alpha_ratio = n_alpha / safe_chars
+        punct_ratio = n_punct / safe_chars
+        stop_ratio = stop_hits / safe_tokens
+        mean_word_len = n_chars / safe_tokens
+        # smooth, monotone feature combination: each term in [0,1]
+        length_term = np.clip(np.log1p(n_chars) / np.log(5000.0), 0, 1)
+        word_len_term = np.exp(-0.5 * ((mean_word_len - 5.0) / 3.0) ** 2)
+        score = (
+            0.3 * length_term
+            + 0.25 * alpha_ratio
+            + 0.2 * np.clip(stop_ratio * 3, 0, 1)
+            + 0.15 * word_len_term
+            + 0.1 * (1 - np.clip(punct_ratio * 4, 0, 1))
+        )
+        out = batch
+        for name, arr in (
+            ("alpha_ratio", alpha_ratio),
+            ("punct_ratio", punct_ratio),
+            ("stopword_ratio", stop_ratio),
+            ("quality_score", score),
+        ):
+            out = out.append_column(name, pa.array(arr, type=pa.float64()))
+        return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic 64-bit document fingerprint over the normalized
+    text (lowercase, collapsed whitespace) — exact-dup detection key."""
+    text = batch.column(text_col)
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(text), pattern=r"\s+", replacement=" "
+    )
+    norm = pc.utf8_trim_whitespace(norm)
+    fp = hash64(norm).view(np.int64)
+    return batch.append_column("fingerprint", pa.array(fp, type=pa.int64()))
+
+
+def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column("n_tokens", token_count_array(batch.column(text_col)))
+
+
+def lang_id_dataset(ds: Any, concurrency: int = 4) -> Any:
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+    )
+
+
+def quality_dataset(ds: Any, concurrency: int = 4) -> Any:
+    return ds.map_batches(
+        QualityScore, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+    )

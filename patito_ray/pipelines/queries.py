@@ -1,0 +1,567 @@
+"""Query registry: every operator exercised over the driver testdata,
+each with a DuckDB oracle where SQL can express it.
+
+One entry per implemented pipeline/operator (SURVEY.md §2 checklist ->
+__ray_entry__.queries()/oracle_sql()). Column names in the Ray result
+and the SQL are kept identical on purpose — the driver's comparator
+hashes values after sorting columns by name. Float aggregates are
+rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Callable, Literal, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import patito_ray as pr
+from patito_ray.functions import dedup as f_dedup
+from patito_ray.functions import similarity as f_sim
+from patito_ray.functions import text as f_text
+from patito_ray.pipelines.webpage import validate_webpages
+from patito_ray.validation.engine import duplicate_count_distributed
+from patito_ray.validation.stats import column_stats
+
+
+def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> Any:
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _one_row(**cols: Any) -> pa.Table:
+    return pa.table({k: [v] for k, v in cols.items()})
+
+
+# ---------------------------------------------------------------------------
+# validation-engine queries (counters checked against SQL aggregates)
+# ---------------------------------------------------------------------------
+
+
+class LineitemNulls(pr.Model):
+    l_orderkey: int
+    l_quantity: float
+    l_shipdate: datetime.datetime
+
+
+def q_lineitem_null_counts(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_shipdate"])
+    rep = pr.validate_report(ds, LineitemNulls, allow_superfluous_columns=True)
+    nc = rep.merged.null_counts
+    return _one_row(
+        row_count=rep.row_count,
+        l_orderkey_nulls=nc.get("l_orderkey", 0),
+        l_quantity_nulls=nc.get("l_quantity", 0),
+        l_shipdate_nulls=nc.get("l_shipdate", 0),
+    )
+
+
+SQL_LINEITEM_NULLS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+       CAST(COUNT(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS l_orderkey_nulls,
+       CAST(COUNT(*) FILTER (l_quantity IS NULL) AS BIGINT) AS l_quantity_nulls,
+       CAST(COUNT(*) FILTER (l_shipdate IS NULL) AS BIGINT) AS l_shipdate_nulls
+FROM lineitem
+"""
+
+
+class LineitemBounds(pr.Model):
+    l_quantity: float = pr.Field(le=30)
+    l_discount: float = pr.Field(ge=0.02, le=0.08)
+
+
+def q_lineitem_bounds(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+    rep = pr.validate_report(ds, LineitemBounds, allow_superfluous_columns=True)
+    bf = rep.merged.bounds_fail
+    return _one_row(
+        qty_viol=bf.get("l_quantity", 0), disc_viol=bf.get("l_discount", 0)
+    )
+
+
+SQL_LINEITEM_BOUNDS = """
+SELECT CAST(COUNT(*) FILTER (NOT (l_quantity <= 30) AND l_quantity IS NOT NULL) AS BIGINT) AS qty_viol,
+       CAST(COUNT(*) FILTER (NOT (l_discount >= 0.02) AND l_discount IS NOT NULL) AS BIGINT)
+     + CAST(COUNT(*) FILTER (NOT (l_discount <= 0.08) AND l_discount IS NOT NULL) AS BIGINT) AS disc_viol
+FROM lineitem
+"""
+
+
+class LineitemFlag(pr.Model):
+    l_returnflag: Literal["A", "N"]
+
+
+def q_lineitem_enum_invalid(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag"])
+    rep = pr.validate_report(ds, LineitemFlag, allow_superfluous_columns=True)
+    vals = sorted(rep.merged.enum_invalid.get("l_returnflag", set()))
+    return pa.table({"invalid_value": pa.array(vals, type=pa.string())})
+
+
+SQL_LINEITEM_ENUM = """
+SELECT DISTINCT l_returnflag AS invalid_value
+FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')
+"""
+
+
+def q_orders_dup_custkey(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "orders", ["o_custkey"])
+    n = duplicate_count_distributed(ds, "o_custkey")
+    return _one_row(dup_rows=n)
+
+
+SQL_ORDERS_DUP = """
+SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_rows
+FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey) WHERE c > 1
+"""
+
+
+class OrdersRef(pr.Model):
+    o_custkey: int
+
+
+def q_orders_referential(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "orders", ["o_custkey"])
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 0)).select(["c_custkey"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    rep = pr.validate_report(
+        ds, OrdersRef, allow_superfluous_columns=True, references={"o_custkey": keys}
+    )
+    return _one_row(missing_keys=rep.merged.ref_fail.get("o_custkey", 0))
+
+
+SQL_ORDERS_REF = """
+SELECT CAST(COUNT(*) FILTER (o_custkey NOT IN
+       (SELECT c_custkey FROM customer WHERE c_acctbal > 0)) AS BIGINT) AS missing_keys
+FROM orders
+"""
+
+
+class Documents(pr.Model):
+    doc_id: int = pr.Field(unique=True)
+    text: str
+    lang: Literal["en", "de", "fr", "es"]
+    source: str
+    n_chars: int = pr.Field(constraints=pr.field == pr.col("text").str.len_chars())
+
+
+def q_documents_checks(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "documents")
+    rep = pr.validate_report(ds, Documents)
+    m = rep.merged
+    return _one_row(
+        row_count=rep.row_count,
+        doc_id_dups=m.dup_counts.get("doc_id", 0),
+        lang_invalid_n=len(m.enum_invalid.get("lang", set())),
+        nchars_viol=m.constraint_fail.get("n_chars", 0),
+    )
+
+
+SQL_DOCUMENTS_CHECKS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id) WHERE c > 1) AS doc_id_dups,
+       CAST(COUNT(DISTINCT lang) FILTER (lang NOT IN ('en','de','fr','es')) AS BIGINT) AS lang_invalid_n,
+       CAST(COUNT(*) FILTER (n_chars <> length(text)) AS BIGINT) AS nchars_viol
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation / processing queries
+# ---------------------------------------------------------------------------
+
+
+def q_q1(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-style grouped aggregate with per-batch partial
+    aggregation (polars within batch) + tiny final shuffle."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch)
+        out = (
+            df.with_columns(
+                disc_price=pl.col("l_extendedprice") * (1 - pl.col("l_discount")),
+            )
+            .with_columns(charge=pl.col("disc_price") * (1 + pl.col("l_tax")))
+            .group_by("l_returnflag", "l_linestatus")
+            .agg(
+                pl.col("l_quantity").sum().alias("s_qty"),
+                pl.col("l_extendedprice").sum().alias("s_price"),
+                pl.col("disc_price").sum().alias("s_disc_price"),
+                pl.col("charge").sum().alias("s_charge"),
+                pl.col("l_discount").sum().alias("s_disc"),
+                pl.len().cast(pl.Int64).alias("n"),
+            )
+        )
+        return out.to_arrow()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("s_qty", alias_name="s_qty"),
+        Sum("s_price", alias_name="s_price"),
+        Sum("s_disc_price", alias_name="s_disc_price"),
+        Sum("s_charge", alias_name="s_charge"),
+        Sum("s_disc", alias_name="s_disc"),
+        Sum("n", alias_name="n"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["n"], pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pc.round(batch["s_qty"], ndigits=2),
+                "sum_base_price": pc.round(batch["s_price"], ndigits=2),
+                "sum_disc_price": pc.round(batch["s_disc_price"], ndigits=2),
+                "sum_charge": pc.round(batch["s_charge"], ndigits=2),
+                "avg_qty": pc.round(pc.divide(batch["s_qty"], n), ndigits=4),
+                "avg_price": pc.round(pc.divide(batch["s_price"], n), ndigits=4),
+                "avg_disc": pc.round(pc.divide(batch["s_disc"], n), ndigits=4),
+                "count_order": pc.cast(batch["n"], pa.int64()),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price,
+       ROUND(SUM(l_discount) / COUNT(*), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(sf_dir: str) -> pa.Table:
+    """orders ⋈ customer revenue per market segment — broadcast join
+    (customer is the small side: ray.put once, dict-lookup per batch)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    lookup: dict[int, str] = {}
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        ck = b["c_custkey"].to_pylist()
+        seg = b["c_mktsegment"].to_pylist()
+        lookup.update(zip(ck, seg))
+    ref = ray.put(lookup)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        lk = ray.get(ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        segs = [lk.get(int(k)) for k in keys.tolist()]
+        df = pl.from_arrow(batch).with_columns(
+            c_mktsegment=pl.Series(segs, dtype=pl.String)
+        )
+        out = df.group_by("c_mktsegment").agg(
+            pl.col("o_totalprice").sum().alias("s_rev"),
+            pl.len().cast(pl.Int64).alias("n"),
+        )
+        return out.to_arrow()
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(attach, batch_format="pyarrow", batch_size=None)
+    final = partials.groupby("c_mktsegment").aggregate(
+        Sum("s_rev", alias_name="s_rev"), Sum("n", alias_name="n")
+    )
+    return final.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "revenue": pc.round(t["s_rev"], ndigits=2),
+                "n_orders": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c.c_mktsegment, ROUND(SUM(o.o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_distinct_parts(sf_dir: str) -> pa.Table:
+    """Exact distinct count via two-phase shuffle: per-batch unique ->
+    groupby(count) over distinct keys only."""
+    ds = _rp(sf_dir, "lineitem", ["l_partkey"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.unique(batch["l_partkey"].combine_chunks())})
+
+    pre = ds.map_batches(uniq, batch_format="pyarrow", batch_size=None)
+    distinct = pre.groupby("k").count().count()
+    return _one_row(distinct_parts=int(distinct))
+
+
+SQL_DISTINCT_PARTS = """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts FROM lineitem
+"""
+
+
+def q_events_daily(sf_dir: str) -> pa.Table:
+    """Tumbling 1-day window aggregate per event type (streaming-shaped
+    workload re-expressed as groupby over a derived window key)."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(day=pl.col("ts").dt.truncate("1d"))
+        return (
+            df.group_by("event_type", "day")
+            .agg(pl.col("value").sum().alias("s_value"), pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    final = partials.groupby(["event_type", "day"]).aggregate(
+        Sum("s_value", alias_name="s_value"), Sum("n", alias_name="n")
+    )
+    return final.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": t["day"],
+                "total_value": pc.round(t["s_value"], ndigits=2),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       ROUND(SUM(value), 2) AS total_value, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_documents(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    kept = f_dedup.dedup_exact_ids(ds, text_col="text", id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in kept.take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+"""
+
+
+def q_token_counts(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": f_text.token_count_array(t["text"])}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return out
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_ann_cosine(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-5 for the first 3 vectors (broadcast
+    queries, per-batch matmul, driver heap-merge)."""
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 3)),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .take_all()
+    )
+    q.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in q])
+    qvecs = np.array([r["embedding"] for r in q], dtype=np.float64)
+    top = f_sim.topk_cosine(ds, qids, qvecs, k=5)
+    return top.select(["query_id", "neighbor_id", "rank"])
+
+
+SQL_ANN_COSINE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
+# -- oracle-free operators (driver records rows-only checks) ---------------
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = f_text.lang_id_dataset(ds, concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred", "lang_confidence"])
+
+
+def q_quality(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = f_text.quality_dataset(ds, concurrency=2)
+    return out.select_columns(
+        ["doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality_score"]
+    )
+
+
+def q_fingerprints(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: f_text.fingerprint_batch(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def q_simhash(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        f_dedup.simhash_batch, batch_format="pyarrow", batch_size=None
+    )
+
+
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs_ds = f_dedup.minhash_candidate_pairs(ds)
+    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
+    verified = f_dedup.verify_pairs(ds, pairs, threshold=0.8)
+    return pa.table(
+        {
+            "a": pa.array([v[0] for v in verified], type=pa.int64()),
+            "b": pa.array([v[1] for v in verified], type=pa.int64()),
+            "jaccard": pa.array([round(v[2], 4) for v in verified], type=pa.float64()),
+        }
+    )
+
+
+def q_embedding_near_dups(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = f_dedup.embedding_near_dups(ds, threshold=0.95)
+    rows = sorted(
+        ((r["a"], r["b"], round(r["cosine"], 4)) for r in out.take_all())
+    )
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def q_column_stats(sf_dir: str) -> pa.Table:
+    ds = _rp(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_partkey"])
+    stats = column_stats(ds)
+    rows = []
+    for name in sorted(stats):
+        s = stats[name]
+        rows.append(
+            {
+                "column": name,
+                "count": s["count"],
+                "nulls": s["nulls"],
+                "min": float(s["min"]),
+                "max": float(s["max"]),
+                "approx_distinct": s["approx_distinct"],
+                "p50": round(s["p50"], 2) if s.get("p50") is not None else None,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def q_webpage_validate(sf_dir: str) -> pa.Table:
+    """Flagship: full web-page validation over the deterministic
+    synthetic corpus (scaled off the sf directory name)."""
+    from patito_ray.generate import ray_webpages
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        n = max(2000, int(600_000 * float(sf) * 0.1))
+    except ValueError:
+        n = 5000
+    ds = ray_webpages(n, blocks=8)
+    summary = validate_webpages(ds)
+    return pa.table({k: [v] for k, v in summary.items()})
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "lineitem_null_counts": (q_lineitem_null_counts, SQL_LINEITEM_NULLS),
+    "lineitem_bounds": (q_lineitem_bounds, SQL_LINEITEM_BOUNDS),
+    "lineitem_enum_invalid": (q_lineitem_enum_invalid, SQL_LINEITEM_ENUM),
+    "orders_dup_custkey": (q_orders_dup_custkey, SQL_ORDERS_DUP),
+    "orders_referential": (q_orders_referential, SQL_ORDERS_REF),
+    "documents_checks": (q_documents_checks, SQL_DOCUMENTS_CHECKS),
+    "q1": (q_q1, SQL_Q1),
+    "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "distinct_parts": (q_distinct_parts, SQL_DISTINCT_PARTS),
+    "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "lang_id": (q_lang_id, None),
+    "quality_scores": (q_quality, None),
+    "fingerprints": (q_fingerprints, None),
+    "simhash": (q_simhash, None),
+    "minhash_pairs": (q_minhash_pairs, None),
+    "embedding_near_dups": (q_embedding_near_dups, None),
+    "column_stats": (q_column_stats, None),
+    "webpage_validate": (q_webpage_validate, None),
+}

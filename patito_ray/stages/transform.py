@@ -1,0 +1,231 @@
+"""Model-aware cleanse transforms: derive / cast / fill_null / unalias / drop.
+
+Mirrors the reference's DataFrame methods
+(/root/reference/src/patito/polars.py): ``derive`` (:132-219, recursive
+derivation DAG, cast to target dtype, model-columns-first output),
+``cast`` (:279-334, non-strict keeps already-valid dtypes, forced
+dtypes always cast), ``fill_null(strategy="defaults")`` (:637-708,
+creates missing default columns), ``unalias`` (:221-277, str alias
+rename / list-of-candidates coalesce), ``drop`` (:504-543, no-arg drops
+non-model columns).
+
+Each transform has a pure-Arrow table kernel plus a Dataset wrapper
+that runs it as a stateless ``map_batches(batch_format="pyarrow")``
+stage — per-batch projections with no shuffle, the embarrassingly
+parallel part of the E2 cleanse chain (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from patito_ray import dtypes as _dt
+from patito_ray.exprs import eval_expr
+from patito_ray.fields import TableSpec
+
+
+def _as_chunked(v: Any, length: int) -> pa.ChunkedArray | pa.Array:
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v
+    if isinstance(v, pa.Scalar):
+        v = v.as_py()
+    return pa.array([v] * length)
+
+
+# ---------------------------------------------------------------------------
+# derive
+# ---------------------------------------------------------------------------
+
+
+def _derivation_order(spec: TableSpec) -> list[str]:
+    """Topological order of derived columns (a derived expr may reference
+    another derived column — reference ``polars.py:160-187`` derives
+    roots first)."""
+    derived = {n: c for n, c in spec.columns.items() if c.derived_from is not None}
+    order: list[str] = []
+    visiting: set[str] = set()
+
+    def visit(name: str) -> None:
+        if name in order or name not in derived:
+            return
+        if name in visiting:
+            raise ValueError(f"cyclic derived_from involving {name!r}")
+        visiting.add(name)
+        d = derived[name].derived_from
+        roots = {d} if isinstance(d, str) else set()
+        if isinstance(d, dict):
+            from patito_ray.exprs import _root_names
+
+            roots = _root_names(d)
+        for r in roots:
+            visit(r)
+        visiting.discard(name)
+        order.append(name)
+
+    for name in derived:
+        visit(name)
+    return order
+
+
+def derive_table(table: pa.Table, spec: TableSpec) -> pa.Table:
+    """Populate derived_from columns; output model columns first."""
+    for name in _derivation_order(spec):
+        cs = spec.columns[name]
+        d = cs.derived_from
+        if isinstance(d, str):
+            if d not in table.column_names:
+                raise ValueError(f"derived_from column {d!r} not in table")
+            value = table.column(d)
+        else:
+            value = eval_expr(d, table)  # type: ignore[arg-type]
+        value = _as_chunked(value, table.num_rows)
+        if cs.default_dtype is not None and value.type != cs.default_dtype:
+            value = pc.cast(value, cs.default_dtype, safe=False)
+        if name in table.column_names:
+            table = table.set_column(
+                table.column_names.index(name), name, value
+            )
+        else:
+            table = table.append_column(name, value)
+    # model columns first, original extras after (reference polars.py:200-218)
+    model_cols = [c for c in spec.column_names if c in table.column_names]
+    extras = [c for c in table.column_names if c not in spec.columns]
+    return table.select(model_cols + extras)
+
+
+# ---------------------------------------------------------------------------
+# cast
+# ---------------------------------------------------------------------------
+
+
+def cast_table(table: pa.Table, spec: TableSpec, strict: bool = False) -> pa.Table:
+    """Cast columns to model dtypes. Non-strict mode (default, matching
+    ``DataFrame.cast``) keeps columns whose dtype is already valid for
+    the field; forced ``Field(dtype=...)`` always casts."""
+    out = table
+    for name, cs in spec.columns.items():
+        if name not in table.column_names or cs.default_dtype is None:
+            continue
+        arr = out.column(name)
+        if arr.type == cs.default_dtype:
+            continue
+        if (
+            not strict
+            and not cs.dtype_forced
+            and cs.resolved is not None
+            and _dt.valid_dtype(cs.category, cs.resolved, arr.type)
+        ):
+            continue
+        out = out.set_column(
+            out.column_names.index(name),
+            name,
+            pc.cast(arr, cs.default_dtype, safe=False),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fill_null
+# ---------------------------------------------------------------------------
+
+
+def fill_null_table(table: pa.Table, spec: TableSpec) -> pa.Table:
+    """Fill nulls with model defaults; create missing default columns."""
+    out = table
+    for name, cs in spec.columns.items():
+        if not cs.has_default or cs.default is None:
+            continue
+        if name in out.column_names:
+            arr = out.column(name)
+            if arr.null_count:
+                out = out.set_column(
+                    out.column_names.index(name),
+                    name,
+                    pc.fill_null(arr, pa.scalar(cs.default, type=cs.default_dtype)),
+                )
+        else:
+            out = out.append_column(
+                name,
+                pa.array([cs.default] * out.num_rows, type=cs.default_dtype),
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# unalias
+# ---------------------------------------------------------------------------
+
+
+def unalias_table(table: pa.Table, spec: TableSpec) -> pa.Table:
+    """Map source columns to model names via Field(alias=...).
+
+    str alias -> rename; list alias -> coalesce the candidates in order
+    (pydantic AliasChoices semantics, reference ``polars.py:221-277``).
+    """
+    out = table
+    for name, cs in spec.columns.items():
+        if cs.alias is None or name in out.column_names:
+            continue
+        if isinstance(cs.alias, str):
+            if cs.alias in out.column_names:
+                idx = out.column_names.index(cs.alias)
+                out = out.set_column(idx, name, out.column(cs.alias))
+                out = out.rename_columns(
+                    [name if c == cs.alias else c for c in out.column_names]
+                )
+        else:
+            present = [a for a in cs.alias if a in out.column_names]
+            if not present:
+                continue
+            arrays = [out.column(a) for a in present]
+            merged = arrays[0]
+            for a in arrays[1:]:
+                merged = pc.coalesce(merged, a)
+            out = out.append_column(name, merged)
+            out = out.drop_columns(present)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# drop
+# ---------------------------------------------------------------------------
+
+
+def drop_extra_table(table: pa.Table, spec: TableSpec) -> pa.Table:
+    keep = [c for c in table.column_names if c in spec.columns]
+    return table.select(keep)
+
+
+# ---------------------------------------------------------------------------
+# Dataset wrappers — all stateless map_batches projections
+# ---------------------------------------------------------------------------
+
+
+def _map(ds: Any, fn: Any, spec: TableSpec, **kwargs: Any) -> Any:
+    return ds.map_batches(
+        lambda t: fn(t, spec, **kwargs), batch_format="pyarrow", batch_size=None
+    )
+
+
+def derive_dataset(ds: Any, spec: TableSpec) -> Any:
+    return _map(ds, derive_table, spec)
+
+
+def cast_dataset(ds: Any, spec: TableSpec, strict: bool = False) -> Any:
+    return _map(ds, cast_table, spec, strict=strict)
+
+
+def fill_null_dataset(ds: Any, spec: TableSpec) -> Any:
+    return _map(ds, fill_null_table, spec)
+
+
+def unalias_dataset(ds: Any, spec: TableSpec) -> Any:
+    return _map(ds, unalias_table, spec)
+
+
+def drop_extra_dataset(ds: Any, spec: TableSpec) -> Any:
+    keep = [c for c in ds.schema().names if c in spec.columns]
+    return ds.select_columns(keep)

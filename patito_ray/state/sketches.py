@@ -1,0 +1,175 @@
+"""Mergeable sketches for distributed column statistics.
+
+The reference computes no sketches (its stats are exact single-node
+aggregates); the north star adds HyperLogLog cardinality and t-digest
+quantiles accumulated per partition and tree-merged (BASELINE.json).
+Both implementations follow the published algorithms: HyperLogLog
+(Flajolet et al. 2007, with the HLL++ small-range linear-counting
+correction) and the merging t-digest (Dunning & Ertl,
+"Computing Extremely Accurate Quantiles Using t-Digests", 2019).
+Pure numpy; states are tiny (16 KiB / few KiB) and merge is
+associative+commutative, so they ride the same tree-reduce as the
+validation Partials.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def hash64(values: Any) -> np.ndarray:
+    """Vectorized 64-bit hash of an arrow array (polars' Rust hash with a
+    fixed seed: deterministic within one build, uniform across the
+    cluster image)."""
+    import polars as pl
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    return pl.from_arrow(values).hash(seed=42).to_numpy().astype(np.uint64)
+
+
+class HyperLogLog:
+    """HLL with 2^p registers; standard-error ~= 1.04 / sqrt(2^p)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = count-leading-zeros + 1, via highest-set-bit binary search
+        # (vectorized; float log2 is imprecise for 64-bit values)
+        hb = np.zeros(len(h), dtype=np.int64)
+        vv = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = vv >= (np.uint64(1) << np.uint64(shift))
+            hb[mask] += shift
+            vv[mask] >>= np.uint64(shift)
+        rank = (64 - hb).clip(1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        raw = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if raw <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting (small range)
+        return float(raw)
+
+    # serialization for crossing task boundaries
+    def state(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_state(cls, blob: bytes, p: int = 14) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+        return h
+
+
+class TDigest:
+    """Merging t-digest with the k1 scale function."""
+
+    __slots__ = ("delta", "means", "weights", "_buf")
+
+    def __init__(self, delta: int = 200) -> None:
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self._buf.append(v)
+        if sum(len(b) for b in self._buf) > 16384:
+            self._compress()
+
+    def _compress(self) -> None:
+        if self._buf:
+            new_means = np.concatenate([self.means] + self._buf)
+            new_weights = np.concatenate(
+                [self.weights] + [np.ones(len(b)) for b in self._buf]
+            )
+            self._buf = []
+        else:
+            new_means, new_weights = self.means, self.weights
+        if len(new_means) == 0:
+            return
+        order = np.argsort(new_means, kind="stable")
+        means = new_means[order]
+        weights = new_weights[order]
+        total = weights.sum()
+        # greedy clustering bounded by the k1 scale function
+        out_means: list[float] = []
+        out_weights: list[float] = []
+        acc_mean = means[0]
+        acc_w = weights[0]
+        w_so_far = 0.0
+
+        def k(q: float) -> float:
+            q = min(max(q, 1e-12), 1 - 1e-12)
+            return self.delta / (2 * np.pi) * np.arcsin(2 * q - 1)
+
+        limit_k = k(0.0) + 1.0
+        for i in range(1, len(means)):
+            q_new = (w_so_far + acc_w + weights[i]) / total
+            if k(q_new) <= limit_k:
+                new_w = acc_w + weights[i]
+                acc_mean = (acc_mean * acc_w + means[i] * weights[i]) / new_w
+                acc_w = new_w
+            else:
+                out_means.append(acc_mean)
+                out_weights.append(acc_w)
+                w_so_far += acc_w
+                acc_mean = means[i]
+                acc_w = weights[i]
+                limit_k = k(w_so_far / total) + 1.0
+        out_means.append(acc_mean)
+        out_weights.append(acc_w)
+        self.means = np.array(out_means)
+        self.weights = np.array(out_weights)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if len(other.means):
+            self.means = np.concatenate([self.means, other.means])
+            self.weights = np.concatenate([self.weights, other.weights])
+        for b in other._buf:
+            self._buf.append(b)
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def state(self) -> tuple[np.ndarray, np.ndarray]:
+        self._compress()
+        return self.means, self.weights
+
+    @classmethod
+    def from_state(cls, means: np.ndarray, weights: np.ndarray, delta: int = 200) -> "TDigest":
+        t = cls(delta)
+        t.means = np.asarray(means, dtype=np.float64)
+        t.weights = np.asarray(weights, dtype=np.float64)
+        return t

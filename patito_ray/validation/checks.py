@@ -316,10 +316,12 @@ def batch_key_counts(table: pa.Table, column: str, hash_keys: bool = True) -> pa
     cnts = pc.cast(counts.field("counts"), pa.int64())
     if hash_keys:
         try:
+            import numpy as np
             import polars as pl
 
-            hashed = pl.from_arrow(values).hash(seed=42).to_arrow()
-            return pa.table({"k": pc.cast(hashed, pa.uint64()), "count": cnts})
+            # int64 view: Ray groupby block building rejects uint64 > 2^63
+            hashed = pl.from_arrow(values).hash(seed=42).to_numpy().view(np.int64)
+            return pa.table({"k": pa.array(hashed, type=pa.int64()), "count": cnts})
         except ImportError:
             pass
     return pa.table({"k": values, "count": cnts})

@@ -1,0 +1,186 @@
+"""Per-column statistics: null counts, min/max/mean, HLL cardinality,
+t-digest quantiles, and distribution-drift checks.
+
+North-star component (BASELINE.json): "per-column statistics ...
+accumulated per partition by stateful actor-pool aggregators, then
+merged in a tree-reduce". Execution shape:
+
+- stage 1: ``map_batches(SketchBatch, concurrency=N)`` — a callable
+  CLASS, so Ray runs an actor pool; per-actor ``__init__`` builds the
+  column plan once (which columns are numeric, reusable buffers), and
+  each ``__call__`` emits one tiny pickled sketch-delta row per batch.
+  Per-batch deltas (instead of unbounded actor-held state) keep
+  outputs idempotent under task retry — Ray Data has no end-of-stream
+  flush for map_batches actors, and mergeable monoids make the
+  distinction irrelevant.
+- stage 2: the same associative tree-merge as validation Partials.
+
+Drift check: t-digest distance between a current profile and a
+reference profile (max CDF gap at the merged centroid support — a
+sketch-level Kolmogorov–Smirnov statistic).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from patito_ray.state.sketches import HyperLogLog, TDigest, hash64
+
+_NUMERIC = (
+    pa.types.is_integer,
+    pa.types.is_floating,
+)
+
+
+def _is_numeric(t: pa.DataType) -> bool:
+    return any(f(t) for f in _NUMERIC)
+
+
+class ColumnStats:
+    """Mergeable per-column statistic state."""
+
+    __slots__ = ("count", "nulls", "min", "max", "sum", "hll", "tdigest")
+
+    def __init__(self, numeric: bool) -> None:
+        self.count = 0
+        self.nulls = 0
+        self.min: Any = None
+        self.max: Any = None
+        self.sum = 0.0
+        self.hll = HyperLogLog()
+        self.tdigest = TDigest() if numeric else None
+
+    def update(self, arr: pa.ChunkedArray | pa.Array) -> None:
+        self.count += len(arr)
+        self.nulls += arr.null_count
+        if len(arr) == arr.null_count:
+            return
+        mn = pc.min(arr).as_py()
+        mx = pc.max(arr).as_py()
+        self.min = mn if self.min is None else min(self.min, mn)
+        self.max = mx if self.max is None else max(self.max, mx)
+        self.hll.add_hashes(hash64(arr))
+        if self.tdigest is not None:
+            vals = pc.cast(arr, pa.float64())
+            np_vals = (
+                vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            ).to_numpy(zero_copy_only=False)
+            self.sum += float(np.nansum(np_vals))
+            self.tdigest.add(np_vals)
+
+    def merge(self, other: "ColumnStats") -> "ColumnStats":
+        self.count += other.count
+        self.nulls += other.nulls
+        self.sum += other.sum
+        for attr, fn in (("min", min), ("max", max)):
+            a, b = getattr(self, attr), getattr(other, attr)
+            if a is None:
+                setattr(self, attr, b)
+            elif b is not None:
+                setattr(self, attr, fn(a, b))
+        self.hll.merge(other.hll)
+        if self.tdigest is not None and other.tdigest is not None:
+            self.tdigest.merge(other.tdigest)
+        return self
+
+    def summary(self) -> dict[str, Any]:
+        valid = self.count - self.nulls
+        out: dict[str, Any] = {
+            "count": self.count,
+            "nulls": self.nulls,
+            "min": self.min,
+            "max": self.max,
+            "approx_distinct": int(round(self.hll.estimate())) if valid else 0,
+        }
+        if self.tdigest is not None:
+            out["mean"] = self.sum / valid if valid else None
+            for q in (0.5, 0.9, 0.99):
+                out[f"p{int(q*100)}"] = self.tdigest.quantile(q) if valid else None
+        return out
+
+
+class SketchBatch:
+    """Actor-pool batch fn: one sketch-delta row per batch."""
+
+    def __init__(self, columns: list[str] | None = None) -> None:
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = self.columns or batch.column_names
+        states: dict[str, ColumnStats] = {}
+        for name in cols:
+            if name not in batch.column_names:
+                continue
+            arr = batch.column(name)
+            if pa.types.is_struct(arr.type) or pa.types.is_list(arr.type):
+                continue
+            st = ColumnStats(_is_numeric(arr.type))
+            st.update(arr)
+            states[name] = st
+        return pa.table({"stats": [pickle.dumps(states)]})
+
+
+def _merge_state_rows(rows: list[dict[str, Any]]) -> dict[str, ColumnStats]:
+    acc: dict[str, ColumnStats] = {}
+    for row in rows:
+        states = pickle.loads(row["stats"])
+        for name, st in states.items():
+            if name in acc:
+                acc[name].merge(st)
+            else:
+                acc[name] = st
+    return acc
+
+
+def column_stats(
+    ds: Any,
+    columns: list[str] | None = None,
+    concurrency: int | None = None,
+) -> dict[str, dict[str, Any]]:
+    """Distributed per-column stats over a Dataset."""
+    kwargs: dict[str, Any] = {"batch_format": "pyarrow", "batch_size": None}
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    deltas = ds.map_batches(SketchBatch(columns), **kwargs)
+
+    def merge_block(batch: pa.Table) -> pa.Table:
+        acc = _merge_state_rows(batch.to_pylist())
+        return pa.table({"stats": [pickle.dumps(acc)]})
+
+    count = deltas.count()
+    while count > 1024:
+        deltas = deltas.repartition(max(1, count // 64)).map_batches(
+            merge_block, batch_format="pyarrow", batch_size=None
+        )
+        count = deltas.count()
+    merged = _merge_state_rows(deltas.take_all())
+    return {name: st.summary() for name, st in merged.items()}
+
+
+def column_stats_table(table: pa.Table, columns: list[str] | None = None) -> dict[str, dict[str, Any]]:
+    """Local-path stats (same kernels, one batch)."""
+    row = SketchBatch(columns)(table)
+    merged = _merge_state_rows(row.to_pylist())
+    return {name: st.summary() for name, st in merged.items()}
+
+
+def drift_distance(current: TDigest, reference: TDigest) -> float:
+    """Max CDF gap between two t-digest profiles (sketch-level KS
+    statistic) — the distribution-drift check of the north star."""
+    cm, cw = current.state()
+    rm, rw = reference.state()
+    if len(cm) == 0 or len(rm) == 0:
+        return float("nan")
+    support = np.unique(np.concatenate([cm, rm]))
+
+    def cdf(means: np.ndarray, weights: np.ndarray, xs: np.ndarray) -> np.ndarray:
+        cum = np.cumsum(weights) - weights / 2
+        total = weights.sum()
+        return np.interp(xs, means, cum / total, left=0.0, right=1.0)
+
+    return float(np.abs(cdf(cm, cw, support) - cdf(rm, rw, support)).max())
