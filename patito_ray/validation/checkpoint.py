@@ -1,0 +1,196 @@
+"""Checkpointed, resumable validation runs with per-partition lineage.
+
+North-rule requirement (BASELINE.json): "resumable from checkpoint with
+per-partition lineage + metrics". Design (SURVEY.md §4/§7):
+
+- The input file list is split into deterministic shards; the shard id
+  is a content fingerprint of its file list (path + size), so a retry
+  with the same input hits the same ids and a changed input invalidates
+  only the touched shards.
+- Each shard runs the row-wise validation pass and writes, atomically
+  (tmp + rename):
+    * ``shards/<sid>.pkl``  — the shard's mergeable Partial,
+    * ``shards/<sid>.json`` — lineage manifest: input files + sizes,
+      row count, wall seconds, rows/sec, counter summary,
+    * ``unique_<col>/<sid>.parquet`` — the shard's pre-aggregated
+      (key-hash, count) rows for every unique column.
+- Resume = skip shards whose manifest exists. Global uniqueness is
+  resolved at the END from the per-shard key-count parquet (a
+  groupby-sum over pre-aggregated rows only — the full input is never
+  re-read), so duplicate detection is cross-shard correct while staying
+  resumable.
+
+Partial writes are idempotent: a shard that crashed mid-write leaves no
+manifest and reruns cleanly; rerunning a finished shard overwrites the
+same deterministic outputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pickle
+import time
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from patito_ray.fields import TableSpec
+from patito_ray.validation.checks import batch_key_counts, check_batch
+from patito_ray.validation.engine import (
+    _finalize,
+    _prepare_aggregate_constraints,
+    _tree_merge_partials,
+)
+from patito_ray.validation.result import Partial, ValidationReport
+
+
+def _shard_id(files: list[tuple[str, int]]) -> str:
+    h = hashlib.sha256()
+    for path, size in files:
+        h.update(path.encode())
+        h.update(str(size).encode())
+    return h.hexdigest()[:16]
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def plan_shards(
+    files: Iterable[str], files_per_shard: int = 8
+) -> list[tuple[str, list[str]]]:
+    """Deterministic shard plan: sorted files, fixed-size groups,
+    content-fingerprint ids."""
+    sized = [(f, os.path.getsize(f)) for f in sorted(files)]
+    shards = []
+    for i in range(0, len(sized), files_per_shard):
+        group = sized[i : i + files_per_shard]
+        shards.append((_shard_id(group), [g[0] for g in group]))
+    return shards
+
+
+def validate_files_checkpointed(
+    files: list[str],
+    model: Any,
+    checkpoint_dir: str,
+    files_per_shard: int = 8,
+    hash_unique_keys: bool = True,
+    allow_superfluous_columns: bool = False,
+) -> ValidationReport:
+    """Validate a parquet file set with shard-level checkpoint/resume."""
+    import ray.data as rd
+
+    spec: TableSpec = model._spec()
+    os.makedirs(f"{checkpoint_dir}/shards", exist_ok=True)
+    for ucol in spec.unique_columns:
+        os.makedirs(f"{checkpoint_dir}/unique_{ucol}", exist_ok=True)
+
+    shards = plan_shards(files, files_per_shard)
+    for sid, shard_files in shards:
+        manifest_path = f"{checkpoint_dir}/shards/{sid}.json"
+        if os.path.exists(manifest_path):
+            continue  # resume: shard already finished
+        t0 = time.time()
+        ds = rd.read_parquet(shard_files)
+        prepared = _prepare_aggregate_constraints(ds, spec)
+
+        def batch_validate(batch: pa.Table) -> pa.Table:
+            p = check_batch(
+                batch,
+                spec,
+                allow_superfluous_columns=allow_superfluous_columns,
+                skip_unique=True,
+                prepared_constraints=prepared,
+            )
+            return pa.table({"partial": [pickle.dumps(p)]})
+
+        partial = _tree_merge_partials(
+            ds.map_batches(batch_validate, batch_format="pyarrow", batch_size=None)
+        )
+
+        for ucol in spec.unique_columns:
+            pre = ds.select_columns([ucol]).map_batches(
+                lambda t, c=ucol: batch_key_counts(t, c, hash_keys=hash_unique_keys),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            # pre-aggregate within the shard before persisting
+            from ray.data.aggregate import Sum
+
+            shard_counts = pre.groupby("k").aggregate(Sum("count", alias_name="count"))
+            tbl = pa.concat_tables(
+                shard_counts.iter_batches(batch_format="pyarrow"),
+                promote_options="permissive",
+            ) if shard_counts.count() else pa.table(
+                {"k": pa.array([], pa.int64()), "count": pa.array([], pa.int64())}
+            )
+            tmp = f"{checkpoint_dir}/unique_{ucol}/{sid}.parquet.tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, f"{checkpoint_dir}/unique_{ucol}/{sid}.parquet")
+
+        _atomic_write(
+            f"{checkpoint_dir}/shards/{sid}.pkl", pickle.dumps(partial)
+        )
+        wall = time.time() - t0
+        manifest = {
+            "shard_id": sid,
+            "files": shard_files,
+            "sizes": [os.path.getsize(f) for f in shard_files],
+            "row_count": partial.row_count,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(partial.row_count / wall, 1) if wall else None,
+            "null_counts": partial.null_counts,
+            "bounds_fail": partial.bounds_fail,
+            "constraint_fail": partial.constraint_fail,
+            "finished_at": time.time(),
+        }
+        _atomic_write(manifest_path, json.dumps(manifest, indent=1).encode())
+
+    # ---- final merge (partials only; no input re-read) -------------------
+    merged = Partial()
+    for sid, _ in shards:
+        with open(f"{checkpoint_dir}/shards/{sid}.pkl", "rb") as f:
+            merged.merge(pickle.loads(f.read()))
+
+    for ucol in spec.unique_columns:
+        shard_paths = [
+            f"{checkpoint_dir}/unique_{ucol}/{sid}.parquet" for sid, _ in shards
+        ]
+        counts_ds = rd.read_parquet(shard_paths)
+        from ray.data.aggregate import Sum
+
+        totals = counts_ds.groupby("k").aggregate(Sum("count", alias_name="total"))
+
+        def dup_rows(batch: pa.Table) -> pa.Table:
+            tot = batch.column("total")
+            dups = pc.sum(pc.filter(tot, pc.greater(tot, 1))).as_py() or 0
+            return pa.table({"dups": [int(dups)]})
+
+        rows = totals.map_batches(
+            dup_rows, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        n = int(sum(r["dups"] for r in rows))
+        if n:
+            merged.dup_counts[ucol] = n
+
+    return _finalize(merged, model)
+
+
+def read_manifests(checkpoint_dir: str) -> list[dict[str, Any]]:
+    """All shard lineage manifests (metrics surface for monitoring)."""
+    out = []
+    shard_dir = f"{checkpoint_dir}/shards"
+    if not os.path.isdir(shard_dir):
+        return out
+    for name in sorted(os.listdir(shard_dir)):
+        if name.endswith(".json"):
+            with open(f"{shard_dir}/{name}") as f:
+                out.append(json.load(f))
+    return out

@@ -1,0 +1,108 @@
+"""Checkpoint/resume: shard lineage, skip-finished, cross-shard
+uniqueness, parity with the non-checkpointed engine."""
+
+import os
+from typing import Literal
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import patito_ray as pr
+from patito_ray.validation.checkpoint import (
+    plan_shards,
+    read_manifests,
+    validate_files_checkpointed,
+)
+
+
+class Page(pr.Model):
+    url: str = pr.Field(unique=True, pattern=r"^https?://")
+    lang: Literal["en", "de"]
+    score: float = pr.Field(ge=0)
+
+
+def _write_files(d, n_files=6, rows=300):
+    files = []
+    rng = np.random.default_rng(13)
+    for i in range(n_files):
+        urls = [f"https://x.org/{i}/{j}" for j in range(rows)]
+        if i == 2:
+            urls[5] = "https://x.org/0/7"  # cross-shard duplicate
+        lang = rng.choice(["en", "de", "xx"], rows, p=[0.6, 0.35, 0.05])
+        score = rng.random(rows)
+        score[0] = -1.0 if i == 4 else score[0]
+        t = pa.table(
+            {
+                "url": pa.array(urls),
+                "lang": pa.array(lang.tolist()),
+                "score": pa.array(score),
+            }
+        )
+        path = str(d / f"part-{i}.parquet")
+        pq.write_table(t, path)
+        files.append(path)
+    return files
+
+
+def test_plan_shards_deterministic(tmp_path):
+    files = _write_files(tmp_path)
+    a = plan_shards(files, 2)
+    b = plan_shards(list(reversed(files)), 2)
+    assert a == b  # order-insensitive
+    assert len(a) == 3
+
+
+def test_checkpoint_matches_direct(ray_session, tmp_path):
+    import ray.data as rd
+
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    files = _write_files(tmp_path / "data")
+    ck = str(tmp_path / "ckpt")
+    report = validate_files_checkpointed(files, Page, ck, files_per_shard=2)
+
+    direct = pr.validate_report(rd.read_parquet(files), Page)
+
+    def keyed(r):
+        return {(e["loc"], e["type"], e["msg"]) for e in r.errors}
+
+    assert keyed(report) == keyed(direct)
+    assert report.row_count == direct.row_count
+    # cross-shard duplicate detected
+    assert report.merged.dup_counts.get("url", 0) == 2
+
+    manifests = read_manifests(ck)
+    assert len(manifests) == 3
+    assert sum(m["row_count"] for m in manifests) == report.row_count
+    assert all("files" in m and "rows_per_sec" in m for m in manifests)
+
+
+def test_resume_skips_finished_shards(ray_session, tmp_path):
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    files = _write_files(tmp_path / "data")
+    ck = str(tmp_path / "ckpt")
+    r1 = validate_files_checkpointed(files, Page, ck, files_per_shard=2)
+    m1 = {m["shard_id"]: m["finished_at"] for m in read_manifests(ck)}
+    # rerun: all shards skipped -> manifests untouched
+    r2 = validate_files_checkpointed(files, Page, ck, files_per_shard=2)
+    m2 = {m["shard_id"]: m["finished_at"] for m in read_manifests(ck)}
+    assert m1 == m2
+    assert {(e["loc"], e["msg"]) for e in r1.errors} == {
+        (e["loc"], e["msg"]) for e in r2.errors
+    }
+    # drop one shard's manifest -> only that shard reruns
+    sid = next(iter(m1))
+    os.remove(f"{ck}/shards/{sid}.json")
+    r3 = validate_files_checkpointed(files, Page, ck, files_per_shard=2)
+    m3 = read_manifests(ck)
+    assert len(m3) == 3
+    others_unchanged = [
+        m["finished_at"] == m1[m["shard_id"]]
+        for m in m3
+        if m["shard_id"] != sid
+    ]
+    assert all(others_unchanged)
+    assert {(e["loc"], e["msg"]) for e in r3.errors} == {
+        (e["loc"], e["msg"]) for e in r1.errors
+    }

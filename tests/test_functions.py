@@ -1,0 +1,275 @@
+"""Training-data operator tests: dedup, similarity, text analysis,
+sketches, stats, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from patito_ray.functions import dedup as f_dedup
+from patito_ray.functions import multimodal as f_mm
+from patito_ray.functions import similarity as f_sim
+from patito_ray.functions import text as f_text
+from patito_ray.state.sketches import HyperLogLog, TDigest, hash64
+
+
+def _docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "the quick brown fox jumps over the lazy cat",  # near dup of 0
+        "completely different content about spark and ray data pipelines",
+        "der schnelle braune fuchs springt über den faulen hund und die katze",
+        "le renard brun rapide saute par dessus le chien paresseux et le chat",
+    ]
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_hash64_deterministic():
+    a = pa.array(["x", "y", "x"])
+    h = hash64(a)
+    assert h[0] == h[2] and h[0] != h[1]
+    assert (hash64(a) == h).all()
+
+
+def test_hll_error_bounds():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**64, 200_000, dtype=np.uint64)
+    h = HyperLogLog()
+    h.add_hashes(vals)
+    true = len(np.unique(vals))
+    assert abs(h.estimate() - true) / true < 0.05
+
+
+def test_hll_merge_equals_single_pass():
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 2**64, 100_000, dtype=np.uint64)
+    whole = HyperLogLog()
+    whole.add_hashes(vals)
+    a, b = HyperLogLog(), HyperLogLog()
+    a.add_hashes(vals[:50_000])
+    b.add_hashes(vals[50_000:])
+    a.merge(b)
+    assert (a.registers == whole.registers).all()
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(5)
+    data = rng.exponential(10, 100_000)
+    t = TDigest()
+    for chunk in np.array_split(data, 13):
+        d = TDigest()
+        d.add(chunk)
+        t.merge(d)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        true = float(np.quantile(data, q))
+        assert abs(t.quantile(q) - true) <= max(0.02 * true, 0.05), q
+
+
+def test_exact_dedup_ids(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table())
+    kept = sorted(r["doc_id"] for r in f_dedup.dedup_exact_ids(ds).take_all())
+    # doc 1 is an exact dup of doc 0 -> keep min id 0; others unique
+    assert kept == [0, 2, 3, 4, 5]
+
+
+def test_exact_dedup_full_rows(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table())
+    out = f_dedup.dedup_exact(ds)
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert ids == [0, 2, 3, 4, 5]
+
+
+def test_minhash_finds_near_dup(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table())
+    pairs_ds = f_dedup.minhash_candidate_pairs(ds, num_perm=64, bands=16)
+    pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
+    assert (0, 1) in pairs  # exact dup always collides
+    verified = f_dedup.verify_pairs(ds, sorted(pairs), threshold=0.5)
+    vpairs = {(a, b) for a, b, _ in verified}
+    assert (0, 1) in vpairs
+    # near-dup 0-2 shares 7/9 trigrams -> jaccard ~0.55
+    if (0, 2) in pairs:
+        assert (0, 2) in vpairs
+
+
+def test_ngram_jaccard():
+    assert f_dedup.ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert f_dedup.ngram_jaccard("a b c", "x y z") == 0.0
+
+
+def test_simhash_similar_docs_close():
+    t = _docs_table()
+    out = f_dedup.simhash_batch(t)
+    fp = out.column("simhash").to_pylist()
+    assert fp[0] == fp[1]  # identical docs -> identical simhash
+    d_near = f_dedup.hamming_distance(fp[0] & (2**64 - 1), fp[2] & (2**64 - 1))
+    d_far = f_dedup.hamming_distance(fp[0] & (2**64 - 1), fp[3] & (2**64 - 1))
+    assert d_near < d_far
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    base[7] = base[3] + 0.001  # near-dup pair (3, 7)
+    t = pa.table(
+        {
+            "vec_id": list(range(20)),
+            "embedding": [v.tolist() for v in base],
+        }
+    )
+    out = f_dedup.embedding_near_dups(
+        rd.from_arrow(t), threshold=0.99, n_planes=8
+    )
+    pairs = {(r["a"], r["b"]) for r in out.take_all()}
+    assert (3, 7) in pairs or (7, 3) in pairs
+
+
+def test_topk_cosine_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 24))
+    t = pa.table(
+        {"vec_id": list(range(200)), "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = rd.from_arrow(t)
+    qids = np.array([0, 1])
+    top = f_sim.topk_cosine(ds, qids, vecs[:2], k=3)
+    # exact numpy reference
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit[:2] @ unit.T
+    got = top.to_pydict()
+    for qi in (0, 1):
+        order = np.argsort(-sims[qi])
+        expect = [int(i) for i in order if i != qi][:3]
+        mine = [
+            n
+            for q, n in zip(got["query_id"], got["neighbor_id"])
+            if q == qi
+        ]
+        assert mine == expect
+
+
+def test_topk_lsh_recall(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((500, 24))
+    t = pa.table(
+        {"vec_id": list(range(500)), "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = rd.from_arrow(t)
+    qids = np.array([0])
+    exact = f_sim.topk_cosine(ds, qids, vecs[:1], k=5)
+    approx = f_sim.topk_cosine_lsh(ds, qids, vecs[:1], k=5, n_planes=8, radius=3)
+    exact_ids = set(exact.column("neighbor_id").to_pylist())
+    approx_ids = set(approx.column("neighbor_id").to_pylist())
+    # approximate: expect at least partial recall of the true top-5
+    assert len(exact_ids & approx_ids) >= 2
+
+
+def test_token_counts():
+    t = pa.table({"text": ["one two three", "  a  b ", ""]})
+    counts = f_text.token_count_array(t.column("text"))
+    assert counts.to_pylist() == [3, 2, 0]
+
+
+def test_lang_id():
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog sat on the mat with a hat",
+                "der hund und die katze sind auf der matte mit einem hut",
+                "le chien et le chat sont sur le tapis dans la maison",
+            ]
+        }
+    )
+    out = f_text.LangId()(t)
+    assert out.column("lang_pred").to_pylist() == ["en", "de", "fr"]
+
+
+def test_quality_score_ranks_sanely():
+    good = "the quick brown fox jumps over the lazy dog and runs away to the forest"
+    bad = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"
+    t = pa.table({"text": [good, bad]})
+    out = f_text.QualityScore()(t)
+    scores = out.column("quality_score").to_pylist()
+    assert scores[0] > scores[1]
+
+
+def test_fingerprint_normalization():
+    t = pa.table({"doc_id": [0, 1], "text": ["Hello   World", "hello world"]})
+    out = f_text.fingerprint_batch(t)
+    fp = out.column("fingerprint").to_pylist()
+    assert fp[0] == fp[1]  # case + whitespace normalized
+
+
+def test_multimodal_stubs(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {"image": [b"fakejpegdata1", b"fakejpegdata2"], "audio": [b"a1", b"a2"]}
+    )
+    ds = rd.from_arrow(t)
+    dec = f_mm.decode_images(ds, concurrency=1)
+    rows = dec.take_all()
+    assert all(r["width"] >= 16 and r["n_channels"] == 3 for r in rows)
+    feats = f_mm.image_features(ds, dim=8, concurrency=1).take_all()
+    assert all(len(r["features"]) == 8 for r in feats)
+    audio = f_mm.sample_audio_frames(ds, frames=3, concurrency=1).take_all()
+    assert all(len(r["frame_offsets"]) == 3 for r in audio)
+    with pytest.raises(NotImplementedError):
+        f_mm.ImageDecode(fake=False)
+
+
+def test_column_stats_local():
+    from patito_ray.validation.stats import column_stats_table
+
+    t = pa.table(
+        {
+            "x": pa.array([1.0, 2.0, 3.0, None]),
+            "s": pa.array(["a", "b", "a", "c"]),
+        }
+    )
+    stats = column_stats_table(t)
+    assert stats["x"]["nulls"] == 1
+    assert stats["x"]["min"] == 1.0 and stats["x"]["max"] == 3.0
+    assert stats["s"]["approx_distinct"] == 3
+
+
+def test_column_stats_distributed_matches_local(ray_session):
+    import ray.data as rd
+
+    from patito_ray.validation.stats import column_stats, column_stats_table
+
+    rng = np.random.default_rng(11)
+    t = pa.table({"v": rng.normal(50, 10, 20_000)})
+    local = column_stats_table(t)["v"]
+    dist = column_stats(rd.from_arrow(t).repartition(8))["v"]
+    assert dist["count"] == local["count"]
+    assert dist["min"] == local["min"] and dist["max"] == local["max"]
+    assert abs(dist["approx_distinct"] - local["approx_distinct"]) / local["approx_distinct"] < 0.05
+    assert abs(dist["p50"] - local["p50"]) < 0.5
+
+
+def test_drift_distance():
+    from patito_ray.validation.stats import drift_distance
+
+    rng = np.random.default_rng(12)
+    a, b = TDigest(), TDigest()
+    a.add(rng.normal(0, 1, 50_000))
+    b.add(rng.normal(0, 1, 50_000))
+    same = drift_distance(a, b)
+    c = TDigest()
+    c.add(rng.normal(3, 1, 50_000))
+    shifted = drift_distance(a, c)
+    assert same < 0.05
+    assert shifted > 0.5

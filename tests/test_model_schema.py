@@ -1,0 +1,235 @@
+"""Model schema views, dtype mapping, schema algebra, examples —
+mirroring reference tests/test_model.py and tests/test_dummy_data.py."""
+
+import datetime
+import enum
+from typing import Any, Literal, Optional
+
+import pyarrow as pa
+import pytest
+
+import patito_ray as pr
+
+
+class CompleteModel(pr.Model):
+    str_col: str
+    int_col: int
+    float_col: float
+    bool_col: bool
+    date_col: datetime.date
+    datetime_col: datetime.datetime
+    duration_col: datetime.timedelta
+    time_col: datetime.time
+    literal_col: Literal["a", "b", "c"]
+    null_col: None
+    list_int: list[int]
+    list_str: list[str]
+    list_opt: list[Optional[int]]
+
+
+def test_dtype_mapping():
+    # reference tests/test_model.py:190-252
+    d = CompleteModel.dtypes
+    assert d["str_col"] == pa.string()
+    assert d["int_col"] == pa.int64()
+    assert d["float_col"] == pa.float64()
+    assert d["bool_col"] == pa.bool_()
+    assert d["date_col"] == pa.date32()
+    assert d["datetime_col"] == pa.timestamp("us")
+    assert d["duration_col"] == pa.duration("us")
+    assert d["time_col"] == pa.time64("us")
+    assert d["literal_col"] == pa.string()
+    assert d["null_col"] == pa.null()
+    assert d["list_int"] == pa.list_(pa.int64())
+    assert d["list_opt"] == pa.list_(pa.int64())
+
+
+def test_forced_dtype():
+    class M(pr.Model):
+        a: int = pr.Field(dtype=pa.int8())
+        ts: datetime.datetime = pr.Field(dtype=pa.timestamp("us", tz="UTC"))
+
+    assert M.dtypes["a"] == pa.int8()
+    assert M.dtypes["ts"] == pa.timestamp("us", tz="UTC")
+
+
+def test_enum_class_annotation():
+    class Color(enum.Enum):
+        RED = "red"
+        BLUE = "blue"
+
+    class M(pr.Model):
+        c: Color
+
+    spec = M._spec().columns["c"]
+    assert spec.enum_values == ["red", "blue"]
+
+
+def test_nullability_views():
+    class M(pr.Model):
+        a: int
+        b: Optional[str] = None
+
+    assert M.non_nullable_columns == {"a"}
+    assert M.nullable_columns == {"b"}
+
+
+def test_defaults_and_unique_views():
+    class M(pr.Model):
+        a: int = pr.Field(unique=True)
+        b: int = 7
+
+    assert M.unique_columns == ["a"]
+    assert M.defaults == {"b": 7}
+
+
+def test_select_drop_rename():
+    # reference tests/test_model.py:258-383
+    class M(pr.Model):
+        a: int
+        b: str
+        c: float
+
+    assert M.select(["a", "b"]).columns == ["a", "b"]
+    assert M.drop("c").columns == ["a", "b"]
+    assert M.rename({"a": "x"}).columns == ["x", "b", "c"]
+    with pytest.raises(ValueError):
+        M.select("nope")
+    with pytest.raises(ValueError):
+        M.rename({"nope": "x"})
+
+
+def test_prefix_suffix_with_fields():
+    class M(pr.Model):
+        a: int
+
+    assert M.prefix("p_").columns == ["p_a"]
+    assert M.suffix("_s").columns == ["a_s"]
+    M2 = M.with_fields(b=str)
+    assert M2.columns == ["a", "b"]
+    assert M2.dtypes["b"] == pa.string()
+
+
+def test_join_typing():
+    # reference pydantic.py:886-953 semantics
+    class L(pr.Model):
+        k: int
+        lv: str
+
+    class R(pr.Model):
+        k: int
+        rv: float
+
+    inner = L.join(R, how="inner")
+    assert set(inner.columns) == {"k", "lv", "rv"}
+    assert inner.non_nullable_columns == {"k", "lv", "rv"}
+
+    left = L.join(R, how="left")
+    assert "rv" in left.nullable_columns
+    assert "lv" in left.non_nullable_columns
+
+    outer = L.join(R, how="outer")
+    assert outer.nullable_columns == {"k", "lv", "rv"}
+
+    assert L.join(R, how="anti") is L
+
+
+def test_example_value_honors_bounds():
+    class M(pr.Model):
+        ge_col: int = pr.Field(ge=10, le=20)
+        const_col: float = pr.Field(const=3.14)
+        lit: Literal["x", "y"]
+        s: str = pr.Field(min_length=3)
+
+    assert 10 <= M.example_value("ge_col") <= 20
+    assert M.example_value("const_col") == 3.14
+    assert M.example_value("lit") == "x"
+    assert len(M.example_value("s")) >= 3
+
+
+def test_example_regex_unsupported():
+    class M(pr.Model):
+        p: str = pr.Field(pattern=r"[A-Z]+")
+
+    with pytest.raises(NotImplementedError):
+        M.example_value("p")
+
+
+def test_examples_table():
+    # reference tests/test_dummy_data.py: uniqueness sequence 0,1,2,...
+    class M(pr.Model):
+        uid: int = pr.Field(unique=True)
+        name: str
+        price: float = pr.Field(ge=0)
+
+    t = M.examples(n=4)
+    assert t.column("uid").to_pylist() == [0, 1, 2, 3]
+    assert t.num_rows == 4
+    M.validate(t)  # generated data must self-validate
+
+
+def test_examples_with_partial_data():
+    class M(pr.Model):
+        a: int
+        b: str
+
+    t = M.examples({"a": [5, 6]})
+    assert t.num_rows == 2
+    assert t.column("a").to_pylist() == [5, 6]
+
+
+def test_examples_validates_nested_default():
+    class M(pr.Model):
+        lit: Literal["a", "b"]
+        opt: Optional[int] = None
+
+    t = M.examples(n=2)
+    M.validate(t)
+
+
+def test_union_requires_dtype():
+    with pytest.raises(TypeError):
+
+        class Bad(pr.Model):
+            u: "int | str"
+
+        Bad._spec()
+
+
+def test_any_annotation():
+    class M(pr.Model):
+        a: Any
+
+    assert M.dtypes["a"] == pa.string()
+
+
+def test_ray_examples(ray_session):
+    from patito_ray.generate import ray_examples
+
+    class M(pr.Model):
+        uid: int = pr.Field(unique=True)
+        tag: Literal["x", "y"]
+
+    ds = ray_examples(M, 1000, blocks=4)
+    M.validate(ds)  # unique over the global index -> passes
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert sorted(t.column("uid").to_pylist()) == list(range(1000))
+
+
+def test_expr_json_roundtrip():
+    # reference tests/test_validators.py:1179-1219 round-trip parity
+    e = (pr.col("a") % 2 == 0) & pr.col("b").str.contains("x")
+    e2 = pr.Expr.from_json(e.to_json())
+    assert e2.node == e.node
+    assert e2.root_names() == {"a", "b"}
+
+
+def test_from_row_and_repr():
+    class M(pr.Model):
+        a: int
+        b: str
+
+    m = M.from_row(pa.table({"a": [1], "b": ["z"]}))
+    assert m.a == 1
+    assert "a=1" in repr(m)
+    assert M(a=1, b="z") == m

@@ -1,0 +1,178 @@
+"""Cleanse-stage tests mirroring reference tests/test_polars.py."""
+
+import pyarrow as pa
+import pytest
+from typing import Optional
+
+import patito_ray as pr
+from patito_ray.frame import ModelFrame
+
+
+def test_derive_simple_and_recursive():
+    # mirrors reference tests/test_polars.py:353-421
+    class Derived(pr.Model):
+        foo: int
+        bar: int = pr.Field(derived_from="foo")
+        double_bar: int = pr.Field(derived_from=2 * pr.col("bar"))
+
+    t = pa.table({"foo": [1, 2]})
+    out = ModelFrame(t, Derived).derive().as_table()
+    assert out.column("bar").to_pylist() == [1, 2]
+    assert out.column("double_bar").to_pylist() == [2, 4]
+    assert out.column_names[:3] == ["foo", "bar", "double_bar"]
+
+
+def test_derive_regex_extract_cast():
+    # reference README.md:180-189 eurocent example
+    class Product(pr.Model):
+        name: str
+        cost: str
+        eurocent_cost: int = pr.Field(
+            derived_from=(
+                100 * pr.col("cost").str.extract(r"€(\d+\.\d+)").cast("float64")
+            ).round(2)
+        )
+
+    t = pa.table({"name": ["a"], "cost": ["€2.40"]})
+    out = ModelFrame(t, Product).derive().as_table()
+    assert out.column("eurocent_cost").to_pylist() == [240]
+
+
+def test_cast_non_strict_keeps_valid():
+    class M(pr.Model):
+        a: int  # default int64, int8 is valid
+        b: float
+
+    t = pa.table(
+        {"a": pa.array([1], type=pa.int8()), "b": pa.array([1], type=pa.int64())}
+    )
+    out = ModelFrame(t, M).cast().as_table()
+    assert out.column("a").type == pa.int8()  # valid -> untouched
+    assert out.column("b").type == pa.float64()  # invalid -> cast
+
+
+def test_cast_strict_forces_defaults():
+    class M(pr.Model):
+        a: int
+
+    t = pa.table({"a": pa.array([1], type=pa.int8())})
+    out = ModelFrame(t, M).cast(strict=True).as_table()
+    assert out.column("a").type == pa.int64()
+
+
+def test_cast_forced_dtype():
+    class M(pr.Model):
+        a: int = pr.Field(dtype=pa.int8())
+
+    t = pa.table({"a": pa.array([1], type=pa.int64())})
+    out = ModelFrame(t, M).cast().as_table()
+    assert out.column("a").type == pa.int8()
+
+
+def test_fill_null_defaults():
+    # mirrors reference tests/test_polars.py:83-134
+    class M(pr.Model):
+        name: str
+        price: int = 19
+
+    t = pa.table({"name": ["x", "y"], "price": pa.array([None, 5], type=pa.int64())})
+    out = ModelFrame(t, M).fill_null().as_table()
+    assert out.column("price").to_pylist() == [19, 5]
+    # missing default column gets created
+    t2 = pa.table({"name": ["x"]})
+    out2 = ModelFrame(t2, M).fill_null().as_table()
+    assert out2.column("price").to_pylist() == [19]
+
+
+def test_unalias_str_and_choices():
+    class M(pr.Model):
+        a: int = pr.Field(alias="src_a")
+        b: Optional[int] = pr.Field(default=None, alias=["b1", "b2"])
+
+    t = pa.table(
+        {
+            "src_a": [1, 2],
+            "b1": pa.array([None, 10], type=pa.int64()),
+            "b2": pa.array([7, 8], type=pa.int64()),
+        }
+    )
+    out = ModelFrame(t, M).unalias().as_table()
+    assert out.column("a").to_pylist() == [1, 2]
+    assert out.column("b").to_pylist() == [7, 10]  # coalesce order b1, b2
+
+
+def test_drop_extra():
+    class M(pr.Model):
+        a: int
+
+    t = pa.table({"a": [1], "junk": ["x"]})
+    out = ModelFrame(t, M).drop().as_table()
+    assert out.column_names == ["a"]
+
+
+def test_full_cleanse_chain_then_validate():
+    class Product(pr.Model):
+        product_id: int = pr.Field(unique=True)
+        cost: float = pr.Field(ge=0)
+        with_vat: float = pr.Field(derived_from=pr.col("cost") * 1.25)
+
+    t = pa.table(
+        {
+            "product_id": [1, 2],
+            "cost": pa.array([10.0, None]),
+            "junk": ["a", "b"],
+        }
+    )
+    frame = ModelFrame(t, Product).drop()
+
+    class ProductD(pr.Model):
+        product_id: int = pr.Field(unique=True)
+        cost: float = pr.Field(ge=0, default=0.0)
+        with_vat: float = pr.Field(derived_from=pr.col("cost") * 1.25)
+
+    out = (
+        ModelFrame(t, ProductD)
+        .drop()
+        .fill_null()
+        .derive()
+        .cast()
+        .validate()
+        .as_table()
+    )
+    assert out.column("with_vat").to_pylist() == [12.5, 0.0]
+
+
+def test_get_semantics():
+    class M(pr.Model):
+        a: int
+        b: str
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    row = ModelFrame(t, M).get(pr.col("a") == 2)
+    assert row.a == 2 and row.b == "y"
+    with pytest.raises(pr.RowDoesNotExist):
+        ModelFrame(t, M).get(pr.col("a") == 99)
+    with pytest.raises(pr.MultipleRowsReturned):
+        ModelFrame(t, M).get(pr.col("a") >= 1)
+
+
+def test_iter_models():
+    class M(pr.Model):
+        a: int
+        b: str
+
+    t = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    models = list(ModelFrame(t, M).iter_models())
+    assert [m.a for m in models] == [1, 2]
+
+
+def test_dataset_cleanse_chain(ray_session):
+    import ray.data as rd
+
+    class M(pr.Model):
+        a: int
+        doubled: int = pr.Field(derived_from=2 * pr.col("a"))
+
+    ds = rd.from_arrow(pa.table({"a": list(range(100))}))
+    out = ModelFrame(ds, M).derive().validate().as_table()
+    assert out.column("doubled").to_pylist()[:3] == [0, 2, 4]
