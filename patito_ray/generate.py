@@ -54,12 +54,40 @@ def _mix(indices: np.ndarray, salt: int) -> np.ndarray:
 def page_text(i: int) -> str:
     """The reference text for row index ``i`` — the per-row oracle used
     to assert byte-identical extraction. Must stay in lockstep with
-    ``webpage_batch``."""
+    ``page_texts`` (the vectorized batch version)."""
     h = _mix(np.array([i], dtype=np.uint64), 3)[0]
-    n_words = 5 + int(h % 40)
+    # NB: divisors must be uint64 — numpy silently casts uint64 % int to
+    # lossy float64, which corrupts the modulo for large hashes
+    n_words = 5 + int(h % np.uint64(40))
     idx = _mix(np.arange(n_words, dtype=np.uint64) + np.uint64(i) * np.uint64(1000003), 4)
-    words = _WORDS[(idx % len(_WORDS)).astype(np.int64)]
+    words = _WORDS[(idx % np.uint64(len(_WORDS))).astype(np.int64)]
     return f"Document {i}. " + " ".join(words.tolist())
+
+
+def page_texts(idx: np.ndarray) -> list[str]:
+    """Vectorized batch text generation, byte-identical to
+    ``page_text(i)`` for every i: word hashes for ALL rows computed in
+    one flattened mix, only the final string join is per-row."""
+    idx = idx.astype(np.uint64)
+    h = _mix(idx, 3)
+    n_words = (5 + (h % np.uint64(40)).astype(np.int64))
+    total = int(n_words.sum())
+    if total == 0:
+        return []
+    rows = np.repeat(np.arange(len(idx)), n_words)
+    offsets = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+    pos = np.arange(total, dtype=np.int64) - offsets[rows]
+    word_seed = pos.astype(np.uint64) + idx[rows] * np.uint64(1000003)
+    widx = _mix(word_seed, 4)
+    words = _WORDS[(widx % np.uint64(len(_WORDS))).astype(np.int64)]
+    out: list[str] = []
+    ends = np.cumsum(n_words)
+    starts = ends - n_words
+    ints = idx.astype(np.int64).tolist()
+    wl = words.tolist()
+    for k in range(len(idx)):
+        out.append(f"Document {ints[k]}. " + " ".join(wl[starts[k] : ends[k]]))
+    return out
 
 
 def webpage_batch(
@@ -94,7 +122,7 @@ def webpage_batch(
     span = np.int64(370_000_000) * np.int64(1_000_000)
     ts = base + (_mix(idx.astype(np.uint64), 5) % span.astype(np.uint64)).astype(np.int64)
 
-    texts = [page_text(int(i)) for i in idx.tolist()]
+    texts = page_texts(idx)
     htmls: list[bytes | None] = []
     h3 = _mix(idx.astype(np.uint64), 6)
     null_html = (h3 % np.uint64(100)) < np.uint64(5)  # 5% missing html

@@ -53,17 +53,38 @@ def extract_text_from_html(html: pa.ChunkedArray | pa.Array) -> pa.Array:
     return s
 
 
-def text_invariant_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch count of rows whose extracted text differs from the
-    ``text`` column (rows with null html are skipped — nothing to
-    extract). Emits a tiny counter row; mergeable by summation."""
-    extracted = extract_text_from_html(batch.column("html"))
-    eq = pc.equal(extracted, batch.column("text"))
+def text_invariant_counts(batch: pa.Table) -> dict[str, int]:
+    """Count rows whose extracted text differs byte-wise from ``text``
+    (null-html rows are skipped — nothing to extract). Runs INSIDE the
+    main validation pass via the engine's extra_batch_checks hook, so
+    the invariant costs zero extra scans.
+
+    Checked as ``html == "<html><body>" + text + "</body></html>"``
+    (vectorized element-wise join + equality) — byte-for-byte equivalent
+    to extract-then-compare but avoids per-row regex work."""
+    html = batch.column("html")
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    expected = pc.binary_join_element_wise(
+        pa.scalar("<html><body>"),
+        text,
+        pa.scalar("</body></html>"),
+        "",
+    )
+    eq = pc.equal(pc.cast(html, pa.string()), expected)
     mismatch = pc.sum(pc.fill_null(pc.invert(eq), False)).as_py() or 0
     checked = pc.sum(pc.is_valid(eq)).as_py() or 0
-    return pa.table(
-        {"mismatches": [int(mismatch)], "checked": [int(checked)]}
-    )
+    return {"text_mismatches": int(mismatch), "text_checked": int(checked)}
+
+
+def text_invariant_partial(batch: pa.Table) -> pa.Table:
+    """Standalone per-batch counter row (mergeable by summation) for
+    running the invariant as its own narrow pass."""
+    c = text_invariant_counts(batch)
+    return pa.table({"mismatches": [c["text_mismatches"]], "checked": [c["text_checked"]]})
 
 
 def validate_webpages(
@@ -73,12 +94,14 @@ def validate_webpages(
 ) -> dict[str, Any]:
     """Run the full web-page validation job; returns a flat summary.
 
-    One streaming pass for all row-wise checks + one narrow uniqueness
-    shuffle on url + (optionally) one extraction-invariant pass
-    (projected to html+text only — column pruning keeps the second
-    pass narrow).
+    ONE streaming pass carries every row-wise check AND the extraction
+    invariant (extra_batch_checks hook); the only other data motion is
+    the narrow two-phase uniqueness shuffle on url.
     """
-    report = pr.validate_report(ds, WebPage, hash_unique_keys=hash_unique_keys)
+    extra = [text_invariant_counts] if check_text_invariant else None
+    report = pr.validate_report(
+        ds, WebPage, hash_unique_keys=hash_unique_keys, extra_batch_checks=extra
+    )
     out: dict[str, Any] = {
         "row_count": report.row_count,
         "ok": report.ok,
@@ -90,13 +113,8 @@ def validate_webpages(
         "ts_bound_fails": report.merged.bounds_fail.get("warc_ts", 0),
     }
     if check_text_invariant:
-        rows = (
-            ds.select_columns(["html", "text"])
-            .map_batches(text_invariant_partial, batch_format="pyarrow", batch_size=None)
-            .take_all()
-        )
-        out["text_mismatches"] = int(sum(r["mismatches"] for r in rows))
-        out["text_checked"] = int(sum(r["checked"] for r in rows))
+        out["text_mismatches"] = int(report.merged.custom.get("text_mismatches", 0))
+        out["text_checked"] = int(report.merged.custom.get("text_checked", 0))
     return out
 
 

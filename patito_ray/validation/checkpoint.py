@@ -124,7 +124,9 @@ def validate_files_checkpointed(
             # pre-aggregate within the shard before persisting
             from ray.data.aggregate import Sum
 
-            shard_counts = pre.groupby("k").aggregate(Sum("count", alias_name="count"))
+            shard_counts = pre.groupby("k").aggregate(
+                Sum("count", alias_name="count")
+            ).materialize()
             tbl = pa.concat_tables(
                 shard_counts.iter_batches(batch_format="pyarrow"),
                 promote_options="permissive",

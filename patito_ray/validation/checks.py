@@ -327,6 +327,78 @@ def batch_key_counts(table: pa.Table, column: str, hash_keys: bool = True) -> pa
     return pa.table({"k": values, "count": cnts})
 
 
+def batch_key_bucket_blobs(
+    table: pa.Table, column: str, num_buckets: int = 64
+) -> pa.Table:
+    """Phase-1 of the blob-bucketed uniqueness exchange: per batch,
+    value_counts -> 64-bit key hashes -> partition keys by their top
+    hash bits into ``num_buckets`` buckets, packing each bucket's
+    (keys, counts) as two binary blobs in ONE output row.
+
+    Why blobs: a Ray groupby over millions of (key, count) rows pays
+    per-row shuffle machinery; packing the same bytes into
+    (#batches x #buckets) rows cuts the exchanged row count by ~10^4
+    while the per-bucket merge stays pure vectorized numpy. Key hashes
+    are uniform, so buckets are balanced regardless of value skew; a
+    hot VALUE collapses to one (key, count) entry per batch in the
+    value_counts, so skew cost is bounded by #batches, not #rows.
+    Bucket-memory sizing: distinct_keys x 16B / num_buckets per group —
+    raise num_buckets for larger key spaces.
+    """
+    import numpy as np
+    import polars as pl
+
+    arr = _combine(table.column(column))
+    counts = pc.value_counts(arr)
+    values = counts.field("values")
+    cnts = counts.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+    hashed = pl.from_arrow(values).hash(seed=42).to_numpy().astype(np.uint64)
+    shift = np.uint64(64 - int(num_buckets - 1).bit_length())
+    bucket = (hashed >> shift).astype(np.int64) % num_buckets
+    order = np.argsort(bucket, kind="stable")
+    hb, cb, bb = hashed[order], cnts[order], bucket[order]
+    # slice contiguous bucket runs
+    uniq, starts = np.unique(bb, return_index=True)
+    ends = np.append(starts[1:], len(bb))
+    out_bucket, out_keys, out_counts = [], [], []
+    for u, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+        out_bucket.append(u)
+        out_keys.append(hb[s:e].tobytes())
+        out_counts.append(cb[s:e].tobytes())
+    return pa.table(
+        {
+            "bucket": pa.array(out_bucket, type=pa.int32()),
+            "keys": pa.array(out_keys, type=pa.large_binary()),
+            "counts": pa.array(out_counts, type=pa.large_binary()),
+        }
+    )
+
+
+def merge_bucket_blobs(group: pa.Table) -> pa.Table:
+    """Phase-2 merge for one bucket: unpack all blobs, segment-sum
+    counts per key (sort-based, vectorized), emit the bucket's
+    duplicate-row total (patito semantics: sum of counts > 1)."""
+    import numpy as np
+
+    keys = np.concatenate(
+        [np.frombuffer(b, dtype=np.uint64) for b in group.column("keys").to_pylist()]
+    )
+    counts = np.concatenate(
+        [np.frombuffer(b, dtype=np.int64) for b in group.column("counts").to_pylist()]
+    )
+    if len(keys) == 0:
+        return pa.table({"dups": [0]})
+    order = np.argsort(keys, kind="stable")
+    k, c = keys[order], counts[order]
+    boundaries = np.empty(len(k), dtype=bool)
+    boundaries[0] = True
+    boundaries[1:] = k[1:] != k[:-1]
+    group_ids = np.cumsum(boundaries) - 1
+    totals = np.bincount(group_ids, weights=c.astype(np.float64)).astype(np.int64)
+    dups = int(totals[totals > 1].sum())
+    return pa.table({"dups": [dups]})
+
+
 def referential_miss_mask(
     table: pa.Table, column: str, key_set: pa.Array
 ) -> pa.Array:

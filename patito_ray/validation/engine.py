@@ -127,6 +127,7 @@ def _validate_table(
     drop_superfluous_columns: bool,
     collect_samples: bool,
     references: dict[str, pa.Array],
+    extra_batch_checks: list[Any] | None = None,
 ) -> tuple[ValidationReport, pa.Table]:
     table = apply_alias(table, spec)
     if drop_superfluous_columns:
@@ -146,6 +147,9 @@ def _validate_table(
             n = int(pc.sum(mask).as_py() or 0)
             if n:
                 partial.ref_fail[colname] = n
+    for extra in extra_batch_checks or ():
+        for k, v in extra(table).items():
+            partial.custom[k] = partial.custom.get(k, 0) + v
     report = _finalize(partial, model)
     return report, table
 
@@ -234,51 +238,89 @@ def _tree_merge_partials(partials_ds: Any) -> Partial:
             acc.merge(pickle.loads(blob))
         return pa.table({"partial": [pickle.dumps(acc)]})
 
+    # materialize once: the partials are tiny (one row per input block)
+    # and every count()/take_all() on a lazy Dataset re-executes the whole
+    # upstream pipeline otherwise.
+    partials_ds = partials_ds.materialize()
     count = partials_ds.count()
     while count > _DRIVER_MERGE_LIMIT:
         n_blocks = max(1, count // _MERGE_FANIN)
         partials_ds = partials_ds.repartition(n_blocks).map_batches(
             merge_block, batch_format="pyarrow", batch_size=None
-        )
+        ).materialize()
         count = partials_ds.count()
     rows = partials_ds.take_all()
     return merge_partials([pickle.loads(r["partial"]) for r in rows])
 
 
 def duplicate_count_distributed(
-    ds: Any, column: str, hash_keys: bool = True
+    ds: Any, column: str, hash_keys: bool = True, num_buckets: int = 64
 ) -> int:
     """Two-phase distributed uniqueness check (SURVEY.md §4):
 
     phase 1 (narrow): project to the key column and pre-aggregate each
-    batch to (key-hash, count) — collapses the duplicate-free mass so
-    the shuffle moves ~one row per distinct key per block;
-    phase 2 (wide): ``groupby(k).sum(count)`` hash shuffle — Ray Data
-    hash-partitions keys across aggregators, which is exactly the
-    salted/diffused distribution we need since ``k`` is already a
-    64-bit hash (hot *values* still concentrate, but a single hot key
-    reduces to one (k, big_count) row per block in phase 1, so skew
-    cost is bounded by #blocks, not #rows);
-    finalize: sum counts over keys with count > 1 — the reference's
-    ``is_duplicated().sum()`` row-participation semantics.
-    """
-    from ray.data.aggregate import Sum
+    batch to (key-hash, count) pairs — collapses the duplicate-free
+    mass — then pack them into ``num_buckets`` per-batch bucket BLOBS
+    (two binary columns) partitioned by the key hash's top bits;
+    phase 2 (wide): ``groupby(bucket)`` co-locates each bucket's blobs
+    (#batches x #buckets rows move, NOT one row per key) and a
+    vectorized numpy segment-sum per bucket emits its duplicate total;
+    finalize: sum bucket totals — the reference's
+    ``is_duplicated().sum()`` row-participation semantics
+    (validators.py:235-244).
 
-    pre = ds.select_columns([column]).map_batches(
-        lambda t: batch_key_counts(t, column, hash_keys=hash_keys),
+    Key hashes are uniform so buckets balance under value skew; a hot
+    value contributes one (key, count) entry per batch. Exact
+    (unhashed) mode falls back to a per-key groupby-sum shuffle.
+    """
+    if not hash_keys:
+        from ray.data.aggregate import Sum
+
+        pre = ds.select_columns([column]).map_batches(
+            lambda t: batch_key_counts(t, column, hash_keys=False),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        totals = pre.groupby("k").aggregate(Sum("count", alias_name="total"))
+
+        def dup_rows(batch: pa.Table) -> pa.Table:
+            tot = batch.column("total")
+            dups = pc.sum(pc.filter(tot, pc.greater(tot, 1))).as_py() or 0
+            return pa.table({"dups": [int(dups)]})
+
+        rows = totals.map_batches(
+            dup_rows, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        return int(sum(r["dups"] for r in rows))
+
+    from patito_ray.validation.checks import (
+        batch_key_bucket_blobs,
+        merge_bucket_blobs,
+    )
+
+    blobs = ds.select_columns([column]).map_batches(
+        lambda t: batch_key_bucket_blobs(t, column, num_buckets=num_buckets),
         batch_format="pyarrow",
         batch_size=None,
+    ).materialize()  # tiny: 16 bytes per distinct key per batch
+
+    # Adaptive finalize: below the threshold the pre-aggregated blobs fit
+    # comfortably on the driver (e.g. 1M distinct keys = 16 MB) and a
+    # single vectorized segment-sum beats any shuffle's fixed cost; above
+    # it, the bucket groupby exchange keeps per-task memory bounded
+    # (bucket size = distinct_keys x 16B / num_buckets).
+    DRIVER_MERGE_BYTES = 256 * 1024 * 1024
+    if blobs.size_bytes() <= DRIVER_MERGE_BYTES:
+        tables = list(blobs.iter_batches(batch_format="pyarrow", batch_size=None))
+        if not tables:
+            return 0
+        all_blobs = pa.concat_tables(tables, promote_options="permissive")
+        return int(merge_bucket_blobs(all_blobs).column("dups")[0].as_py())
+
+    per_bucket = blobs.groupby("bucket").map_groups(
+        merge_bucket_blobs, batch_format="pyarrow"
     )
-    totals = pre.groupby("k").aggregate(Sum("count", alias_name="total"))
-
-    def dup_rows(batch: pa.Table) -> pa.Table:
-        tot = batch.column("total")
-        dups = pc.sum(pc.filter(tot, pc.greater(tot, 1))).as_py() or 0
-        return pa.table({"dups": [int(dups)]})
-
-    rows = totals.map_batches(
-        dup_rows, batch_format="pyarrow", batch_size=None
-    ).take_all()
+    rows = per_bucket.take_all()
     return int(sum(r["dups"] for r in rows))
 
 
@@ -293,6 +335,7 @@ def _validate_dataset(
     collect_samples: bool,
     references: dict[str, pa.Array],
     hash_unique_keys: bool = True,
+    extra_batch_checks: list[Any] | None = None,
 ) -> tuple[ValidationReport, Any]:
     import ray
 
@@ -331,6 +374,9 @@ def _validate_dataset(
                 n = int(pc.sum(mask).as_py() or 0)
                 if n:
                     p.ref_fail[colname] = n
+        for extra in extra_batch_checks or ():
+            for k, v in extra(batch).items():
+                p.custom[k] = p.custom.get(k, 0) + v
         return pa.table({"partial": [pickle.dumps(p)]})
 
     partials_ds = ds.map_batches(
@@ -368,8 +414,15 @@ def validate_report(
     collect_samples: bool = False,
     references: Mapping[str, Any] | None = None,
     hash_unique_keys: bool = True,
+    extra_batch_checks: list[Any] | None = None,
 ) -> ValidationReport:
-    """Run all checks; always return a ValidationReport (never raises)."""
+    """Run all checks; always return a ValidationReport (never raises).
+
+    ``extra_batch_checks``: user extension hook — callables
+    ``fn(pa.Table) -> dict[str, float]`` run inside the SAME streaming
+    validation pass; their counters sum across batches and land in
+    ``report.merged.custom`` (e.g. the web-page text-extraction
+    invariant rides the main pass instead of a second scan)."""
     report, _ = _validate_any(
         data,
         model,
@@ -380,6 +433,7 @@ def validate_report(
         collect_samples,
         references,
         hash_unique_keys,
+        extra_batch_checks,
     )
     return report
 
@@ -410,6 +464,7 @@ def validate(
         collect_samples,
         references,
         hash_unique_keys,
+        None,
     )
     report.raise_if_failed(model)
     return transformed
@@ -425,6 +480,7 @@ def _validate_any(
     collect_samples: bool,
     references: Mapping[str, Any] | None,
     hash_unique_keys: bool,
+    extra_batch_checks: list[Any] | None = None,
 ) -> tuple[ValidationReport, Any]:
     spec = model._spec()
     refs = _normalize_references(references)
@@ -440,6 +496,7 @@ def _validate_any(
             collect_samples,
             refs,
             hash_unique_keys,
+            extra_batch_checks,
         )
     table = _to_table(data)
     return _validate_table(
@@ -452,4 +509,5 @@ def _validate_any(
         drop_superfluous_columns,
         collect_samples,
         refs,
+        extra_batch_checks,
     )

@@ -61,6 +61,8 @@ class Partial:
     samples: dict[tuple[str, str], list[dict[str, Any]]] = dc_field(
         default_factory=dict
     )
+    # user-defined per-batch counters (engine extension surface): summed
+    custom: dict[str, float] = dc_field(default_factory=dict)
 
     def merge(self, other: "Partial") -> "Partial":
         self.row_count += other.row_count
@@ -82,6 +84,8 @@ class Partial:
                 self.enum_invalid[k] = set(list(cur)[:MAX_INVALID_VALUES])
         self.enum_truncated |= other.enum_truncated
         self.schema_errors |= other.schema_errors
+        for k, v in other.custom.items():
+            self.custom[k] = self.custom.get(k, 0) + v
         for k, rows in other.samples.items():
             cur = self.samples.setdefault(k, [])
             if len(cur) < MAX_SAMPLES:

@@ -152,11 +152,13 @@ def column_stats(
         acc = _merge_state_rows(batch.to_pylist())
         return pa.table({"stats": [pickle.dumps(acc)]})
 
+    # materialize: deltas are tiny; avoids re-running the scan per consume
+    deltas = deltas.materialize()
     count = deltas.count()
     while count > 1024:
         deltas = deltas.repartition(max(1, count // 64)).map_batches(
             merge_block, batch_format="pyarrow", batch_size=None
-        )
+        ).materialize()
         count = deltas.count()
     merged = _merge_state_rows(deltas.take_all())
     return {name: st.summary() for name, st in merged.items()}
