@@ -1,0 +1,90 @@
+"""Model-aware sources.
+
+Mirrors the reference's model-driven ingest (``DataFrame.read_csv``,
+/root/reference/src/patito/polars.py:879-960: model dtypes as schema
+overrides, header-less name injection, then auto-``derive()``) —
+re-expressed over Ray Data readers with Arrow schemas. The primary
+production source is parquet with column projection pushdown; csv is
+the compatibility path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+
+from patito_ray.frame import ModelFrame
+from patito_ray.model import Model
+
+
+def _non_derived_schema(model: type[Model]) -> pa.Schema:
+    spec = model._spec()
+    return pa.schema(
+        [
+            pa.field(n, c.default_dtype, nullable=c.nullable)
+            for n, c in spec.columns.items()
+            if c.derived_from is None and c.default_dtype is not None
+        ]
+    )
+
+
+def read_csv(
+    paths: str | list[str],
+    model: type[Model],
+    has_header: bool = True,
+    derive: bool = True,
+    **kwargs: Any,
+) -> ModelFrame:
+    """Ray Data csv read with the model's dtypes as the Arrow convert
+    schema; header-less files get model column names injected; derived
+    columns auto-populate afterwards (reference polars.py:879-960)."""
+    import ray.data as rd
+
+    schema = _non_derived_schema(model)
+    convert = pacsv.ConvertOptions(
+        column_types={f.name: f.type for f in schema}
+    )
+    read_opts = None
+    if not has_header:
+        read_opts = pacsv.ReadOptions(column_names=schema.names)
+    parse = pacsv.ParseOptions()
+    ds = rd.read_csv(
+        paths,
+        convert_options=convert,
+        read_options=read_opts,
+        parse_options=parse,
+        **kwargs,
+    )
+    frame = ModelFrame(ds, model)
+    if derive and model._spec() and any(
+        c.derived_from is not None for c in model._spec().columns.values()
+    ):
+        frame = frame.derive()
+    return frame
+
+
+def read_parquet(
+    paths: str | list[str],
+    model: type[Model],
+    columns: list[str] | None = None,
+    derive: bool = False,
+    **kwargs: Any,
+) -> ModelFrame:
+    """Parquet read with model-driven column projection: only the model's
+    (non-derived) columns leave storage unless ``columns`` overrides."""
+    import ray.data as rd
+
+    if columns is None:
+        spec = model._spec()
+        columns = [
+            n
+            for n, c in spec.columns.items()
+            if c.derived_from is None and not c.allow_missing
+        ]
+    ds = rd.read_parquet(paths, columns=columns, **kwargs)
+    frame = ModelFrame(ds, model)
+    if derive:
+        frame = frame.derive()
+    return frame

@@ -1,0 +1,180 @@
+"""Violation-row extraction: stream the actual offending rows out.
+
+The reference raises with counts only; the north rule additionally
+wants the violation ROWS emitted. This stage re-uses the same check
+semantics as ``check_batch`` but materializes per-check boolean fail
+masks and emits the failing rows tagged with (violation_loc,
+violation_kind) — as a lazy Dataset, so violations stream straight to
+a partitioned parquet sink without ever concentrating on the driver.
+
+Uniqueness violations need the global duplicate-key set, which is the
+output of the uniqueness exchange: ``duplicate_keys_distributed``
+broadcasts the (hashed) dup-key set and filters rows whose key hash is
+in it — exact for reporting purposes (64-bit collisions are
+~n^2/2^64).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from patito_ray import dtypes as _dt
+from patito_ray.exprs import fail_mask, substitute_column
+from patito_ray.fields import TableSpec
+from patito_ray.validation.checks import _bound_check_nodes, _combine
+
+
+def violation_masks(
+    table: pa.Table, spec: TableSpec
+) -> list[tuple[str, str, pa.Array]]:
+    """(loc, kind, fail_mask) for every row-wise check that has at least
+    one failing row in this batch. Same null semantics as check_batch."""
+    out: list[tuple[str, str, pa.Array]] = []
+    names = set(table.column_names)
+    for name, cs in spec.columns.items():
+        if name not in names:
+            continue
+        arr = table.column(name)
+        if not cs.nullable and arr.null_count:
+            out.append((name, "missing_value", _combine(pc.is_null(arr))))
+        if cs.enum_values is not None and not (cs.is_struct or cs.is_list_of_struct):
+            permissible = pa.array(cs.enum_values)
+            if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+                ok = pc.is_in(_combine(arr), value_set=permissible)
+                bad = pc.and_(pc.invert(ok), pc.is_valid(arr))
+                if pc.any(bad).as_py():
+                    out.append((name, "invalid_value", _combine(bad)))
+        if cs.bounds:
+            agg = None
+            for node in _bound_check_nodes(name, cs.bounds):
+                m = fail_mask(node, table)
+                agg = m if agg is None else pc.or_(agg, m)
+            if agg is not None and pc.any(agg).as_py():
+                out.append((name, "out_of_bounds", _combine(agg)))
+        if cs.constraints:
+            agg = None
+            for node in cs.constraints:
+                node = substitute_column(node, "_", name)
+                m = fail_mask(node, table)
+                agg = m if agg is None else pc.or_(agg, m)
+            if agg is not None and pc.any(agg).as_py():
+                out.append((name, "constraint", _combine(agg)))
+    return out
+
+
+def _violations_batch(batch: pa.Table, spec: TableSpec) -> pa.Table:
+    pieces = []
+    for loc, kind, mask in violation_masks(batch, spec):
+        rows = batch.filter(mask)
+        rows = rows.append_column(
+            "violation_loc", pa.array([loc] * rows.num_rows, type=pa.string())
+        ).append_column(
+            "violation_kind", pa.array([kind] * rows.num_rows, type=pa.string())
+        )
+        pieces.append(rows)
+    if not pieces:
+        schema = batch.schema.append(pa.field("violation_loc", pa.string())).append(
+            pa.field("violation_kind", pa.string())
+        )
+        return schema.empty_table()
+    return pa.concat_tables(pieces, promote_options="permissive")
+
+
+def violations_dataset(ds: Any, model: Any) -> Any:
+    """Lazy Dataset of all row-wise-check violations, tagged per check.
+    A row failing k checks appears k times (one per tag)."""
+    spec = model._spec()
+    return ds.map_batches(
+        lambda t: _violations_batch(t, spec), batch_format="pyarrow", batch_size=None
+    )
+
+
+def duplicate_keys_distributed(
+    ds: Any, column: str, num_buckets: int = 64
+) -> pa.Array:
+    """The duplicate KEY-HASH set for one unique column (the uniqueness
+    exchange's phase-2 output, keeping keys instead of counts)."""
+    from patito_ray.validation.checks import batch_key_bucket_blobs
+
+    blobs = ds.select_columns([column]).map_batches(
+        lambda t: batch_key_bucket_blobs(t, column, num_buckets=num_buckets),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def dup_keys(group: pa.Table) -> pa.Table:
+        keys = np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64) for b in group.column("keys").to_pylist()]
+        )
+        counts = np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in group.column("counts").to_pylist()]
+        )
+        if len(keys) == 0:
+            return pa.table({"k": pa.array([], type=pa.int64())})
+        order = np.argsort(keys, kind="stable")
+        k, c = keys[order], counts[order]
+        b = np.empty(len(k), dtype=bool)
+        b[0] = True
+        b[1:] = k[1:] != k[:-1]
+        gid = np.cumsum(b) - 1
+        totals = np.bincount(gid, weights=c.astype(np.float64))
+        dup_gids = np.nonzero(totals > 1)[0]
+        firsts = np.nonzero(b)[0]
+        dup_k = k[firsts[dup_gids]]
+        return pa.table({"k": pa.array(dup_k.view(np.int64), type=pa.int64())})
+
+    out = blobs.groupby("bucket").map_groups(dup_keys, batch_format="pyarrow")
+    arrays = [
+        _combine(t.column("k"))
+        for t in out.iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not arrays:
+        return pa.array([], type=pa.int64())
+    return pa.concat_arrays(arrays)
+
+
+def duplicate_rows_dataset(ds: Any, column: str) -> Any:
+    """All rows participating in a duplicate group on ``column`` —
+    broadcast the dup-key-hash set, filter per batch (no row shuffle)."""
+    import ray
+
+    dup_keys = duplicate_keys_distributed(ds, column)
+    ref = ray.put(dup_keys)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        keys = ray.get(ref)
+        if len(keys) == 0:
+            return batch.slice(0, 0)
+        hashed = (
+            pl.from_arrow(_combine(batch.column(column)))
+            .hash(seed=42)
+            .to_numpy()
+            .view(np.int64)
+        )
+        mask = pc.is_in(pa.array(hashed, type=pa.int64()), value_set=keys)
+        return batch.filter(mask)
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def write_violations(ds: Any, model: Any, path: str) -> dict[str, int]:
+    """Stream all violation rows to a partitioned parquet directory;
+    returns per-kind counts. Resumable layout: one directory per run,
+    many part files."""
+    v = violations_dataset(ds, model)
+    v.write_parquet(path)
+    import ray.data as rd
+
+    written = rd.read_parquet(path, columns=["violation_kind"])
+    counts: dict[str, int] = {}
+    for b in written.iter_batches(batch_format="pyarrow"):
+        for kind, n in zip(*np.unique(b["violation_kind"].to_numpy(zero_copy_only=False), return_counts=True)):
+            counts[str(kind)] = counts.get(str(kind), 0) + int(n)
+    return counts

@@ -1,0 +1,141 @@
+"""Sources, join strategies, violation-row extraction."""
+
+import os
+from typing import Literal, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import patito_ray as pr
+
+
+class Item(pr.Model):
+    item_id: int
+    name: str
+    price: float = pr.Field(ge=0)
+    total: float = pr.Field(derived_from=pr.col("price") * 2)
+
+
+def test_read_csv_with_model(ray_session, tmp_path):
+    from patito_ray.sources.readers import read_csv
+
+    p = tmp_path / "items.csv"
+    p.write_text("item_id,name,price\n1,a,2.5\n2,b,3.5\n")
+    frame = read_csv(str(p), Item)
+    t = frame.as_table()
+    assert t.column("total").to_pylist() == [5.0, 7.0]
+    assert t.column("item_id").type == pa.int64()
+
+
+def test_read_csv_headerless(ray_session, tmp_path):
+    from patito_ray.sources.readers import read_csv
+
+    p = tmp_path / "items.csv"
+    p.write_text("1,a,2.5\n")
+    frame = read_csv(str(p), Item, has_header=False)
+    t = frame.as_table()
+    assert t.column("name").to_pylist() == ["a"]
+
+
+def test_read_parquet_projection(ray_session, tmp_path):
+    from patito_ray.sources.readers import read_parquet
+
+    pq.write_table(
+        pa.table({"item_id": [1], "name": ["a"], "price": [1.0], "junk": ["x"]}),
+        tmp_path / "f.parquet",
+    )
+    frame = read_parquet(str(tmp_path / "f.parquet"), Item)
+    t = frame.as_table()
+    assert set(t.column_names) == {"item_id", "name", "price"}
+
+
+def test_broadcast_join(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.join import broadcast_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 2], "v": ["a", "b", "c", "d"]}))
+    right = pa.table({"k": [1, 2], "dim": ["x", "y"]})
+    out = broadcast_join(left, right, on="k")
+    rows = sorted((r["k"], r["v"], r["dim"]) for r in out.take_all())
+    assert rows == [(1, "a", "x"), (2, "b", "y"), (2, "d", "y")]
+    out_left = broadcast_join(left, right, on="k", how="left")
+    assert out_left.count() == 4
+
+
+def test_hash_join(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.join import hash_join
+
+    left = rd.from_arrow(pa.table({"k": list(range(100)), "v": list(range(100))}))
+    right = rd.from_arrow(pa.table({"k": list(range(0, 100, 2)), "w": list(range(50))}))
+    out = hash_join(left, right, on="k", num_partitions=4)
+    assert out.count() == 50
+
+
+def test_semi_anti_join(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.join import anti_join, semi_join
+
+    ds = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": "a b c d".split()}))
+    keys = pa.table({"k": [2, 4]})
+    assert sorted(r["k"] for r in semi_join(ds, keys, on="k").take_all()) == [2, 4]
+    assert sorted(r["k"] for r in anti_join(ds, keys, on="k").take_all()) == [1, 3]
+
+
+class Page(pr.Model):
+    url: str = pr.Field(unique=True, pattern=r"^https?://")
+    lang: Literal["en", "de"]
+    score: Optional[float] = pr.Field(default=None, ge=0)
+    text: str
+
+
+def _bad_table():
+    return pa.table(
+        {
+            "url": ["https://a/1", "https://a/2", "ftp://bad", "https://a/1"],
+            "lang": ["en", "xx", "de", "en"],
+            "score": pa.array([1.0, -2.0, None, 0.5]),
+            "text": pa.array(["t1", "t2", None, "t4"]),
+        }
+    )
+
+
+def test_violation_rows_local_masks():
+    from patito_ray.validation.violations import violation_masks
+
+    masks = {(l, k): m for l, k, m in violation_masks(_bad_table(), Page._spec())}
+    assert masks[("url", "out_of_bounds")].to_pylist() == [False, False, True, False]
+    assert masks[("lang", "invalid_value")].to_pylist() == [False, True, False, False]
+    assert masks[("score", "out_of_bounds")].to_pylist() == [False, True, False, False]
+    assert masks[("text", "missing_value")].to_pylist() == [False, False, True, False]
+
+
+def test_violations_dataset_and_write(ray_session, tmp_path):
+    import ray.data as rd
+
+    from patito_ray.validation.violations import violations_dataset, write_violations
+
+    ds = rd.from_arrow(_bad_table())
+    v = violations_dataset(ds, Page)
+    rows = v.take_all()
+    tags = {(r["violation_loc"], r["violation_kind"]) for r in rows}
+    assert ("url", "out_of_bounds") in tags
+    assert ("lang", "invalid_value") in tags
+    counts = write_violations(rd.from_arrow(_bad_table()), Page, str(tmp_path / "viol"))
+    assert counts["invalid_value"] >= 1
+    assert os.path.isdir(tmp_path / "viol")
+
+
+def test_duplicate_rows_dataset(ray_session):
+    import ray.data as rd
+
+    from patito_ray.validation.violations import duplicate_rows_dataset
+
+    ds = rd.from_arrow(_bad_table())
+    dups = duplicate_rows_dataset(ds, "url").take_all()
+    assert sorted(r["url"] for r in dups) == ["https://a/1", "https://a/1"]
