@@ -456,6 +456,57 @@ def _example_value(spec: ColumnSpec) -> Any:
     raise NotImplementedError(f"no example strategy for category {cat}")
 
 
+def model_from_schema(
+    schema: pa.Schema, name: str = "DynamicModel"
+) -> type[Model]:
+    """Derive a Model class from an Arrow schema (the reference's
+    ``_pydantic_model`` dynamic-model utility, polars.py:855-873 —
+    but typed from the physical schema instead of ``Any``)."""
+    import datetime as _datetime
+    from typing import Optional
+
+    def annotation_for(t: pa.DataType) -> Any:
+        if pa.types.is_integer(t):
+            return int
+        if pa.types.is_floating(t):
+            return float
+        if pa.types.is_boolean(t):
+            return bool
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return str
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return bytes
+        if pa.types.is_timestamp(t):
+            return _datetime.datetime
+        if pa.types.is_date(t):
+            return _datetime.date
+        if pa.types.is_time(t):
+            return _datetime.time
+        if pa.types.is_duration(t):
+            return _datetime.timedelta
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return list[annotation_for(t.value_type)]  # type: ignore[misc]
+        raise TypeError(f"cannot infer annotation for arrow type {t}")
+
+    ns: dict[str, Any] = {"__annotations__": {}}
+    for field in schema:
+        ann = annotation_for(field.type)
+        if field.nullable:
+            ns["__annotations__"][field.name] = Optional[ann]
+            ns[field.name] = None
+        else:
+            ns["__annotations__"][field.name] = ann
+    model = type(name, (Model,), ns)
+    # pin forced dtypes so non-default widths (int32, tz timestamps)
+    # survive the round trip
+    for field in schema:
+        spec = model._spec().columns[field.name]
+        if spec.default_dtype != field.type:
+            spec.default_dtype = field.type
+            spec.dtype_forced = True
+    return model
+
+
 def get_row(table: pa.Table, mask: Any, model: type[Model] | None = None) -> Any:
     """Filter to exactly one row -> model instance / dict.
 

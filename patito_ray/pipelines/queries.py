@@ -368,6 +368,145 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
 """
 
 
+def q_user_sessions(sf_dir: str) -> pa.Table:
+    """Session windows (30-min inactivity gap) per user — the
+    streaming-shaped workload pattern: partition by key, order by ts
+    within the group, sessionize with vectorized diffs (ray_guide
+    'Streaming-shaped workloads'). Ordering assumption: only within
+    (user_id) groups, provided by map_groups."""
+    import pandas as pd
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        n_sessions = int(gaps.sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return out
+
+
+SQL_USER_SESSIONS = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+GROUP BY user_id
+"""
+
+
+def q_top_parts(sf_dir: str) -> pa.Table:
+    """Top-10 parts by revenue: partial per-batch aggregation -> tiny
+    groupby -> global sort+limit (the only full sort, over #parts
+    rows, not #lineitems)."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(
+            rev=pl.col("l_extendedprice") * (1 - pl.col("l_discount"))
+        )
+        return df.group_by("l_partkey").agg(pl.col("rev").sum().alias("rev")).to_arrow()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    totals = partials.groupby("l_partkey").aggregate(Sum("rev", alias_name="rev"))
+    top = totals.sort(["rev", "l_partkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "revenue": pc.round(t["rev"], ndigits=2),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+SQL_TOP_PARTS = """
+SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_partkey
+ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_partkey ASC LIMIT 10
+"""
+
+
+def q_nation_order_revenue(sf_dir: str) -> pa.Table:
+    """3-way join customer ⋈ orders ⋈ nation: small dims broadcast
+    (nation+customer), orders stream through one map_batches."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import polars as pl
+
+    nation = pa.concat_tables(
+        _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    cust = pa.concat_tables(
+        _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    cust_nation = cust.join(
+        nation, keys=["c_nationkey"], right_keys=["n_nationkey"]
+    ).select(["c_custkey", "n_name"])
+    ref = ray.put(cust_nation)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cn = ray.get(ref)
+        joined = batch.join(cn, keys=["o_custkey"], right_keys=["c_custkey"])
+        df = pl.from_arrow(joined)
+        return (
+            df.group_by("n_name")
+            .agg(pl.col("o_totalprice").sum().alias("s"), pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(attach, batch_format="pyarrow", batch_size=None)
+    final = partials.groupby("n_name").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    return final.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue": pc.round(t["s"], ndigits=2),
+                "n_orders": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+SQL_NATION_ORDER_REVENUE = """
+SELECT n.n_name, ROUND(SUM(o.o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data operators
 # ---------------------------------------------------------------------------
@@ -551,6 +690,9 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "documents_checks": (q_documents_checks, SQL_DOCUMENTS_CHECKS),
     "q1": (q_q1, SQL_Q1),
     "segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "top_parts": (q_top_parts, SQL_TOP_PARTS),
+    "nation_order_revenue": (q_nation_order_revenue, SQL_NATION_ORDER_REVENUE),
     "distinct_parts": (q_distinct_parts, SQL_DISTINCT_PARTS),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT),
