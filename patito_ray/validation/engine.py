@@ -356,7 +356,21 @@ def _validate_dataset(
     ref_refs = {c: ray.put(arr) for c, arr in references.items()}
     columns_l = list(columns) if columns is not None else None
 
+    # unique columns this run must check
+    subset = set(columns_l) if columns_l is not None else None
+    unique_cols = [
+        u
+        for u in spec.unique_columns
+        if (subset is None or u in subset) and u in schema_names
+    ]
+
+    from patito_ray.validation.checks import batch_key_bucket_blobs
+
     def batch_validate(batch: pa.Table) -> pa.Table:
+        """ONE output table per batch carrying BOTH the pickled Partial
+        (kind=0) and, when hashing is on, each unique column's bucketed
+        key-count blobs (kind=1) — fusing the uniqueness pre-aggregation
+        into the main pass so the corpus is read exactly once."""
         p = check_batch(
             batch,
             spec,
@@ -377,26 +391,133 @@ def _validate_dataset(
         for extra in extra_batch_checks or ():
             for k, v in extra(batch).items():
                 p.custom[k] = p.custom.get(k, 0) + v
-        return pa.table({"partial": [pickle.dumps(p)]})
 
-    partials_ds = ds.map_batches(
+        kinds = [0]
+        cols = [""]
+        buckets = [-1]
+        b_u = [pickle.dumps(p)]
+        b_mk = [b""]
+        b_mc = [b""]
+        if hash_unique_keys:
+            for ucol in unique_cols:
+                if ucol not in batch.column_names:
+                    continue
+                blobs = batch_key_bucket_blobs(batch, ucol)
+                kinds.extend([1] * blobs.num_rows)
+                cols.extend([ucol] * blobs.num_rows)
+                buckets.extend(blobs.column("bucket").to_pylist())
+                b_u.extend(blobs.column("u_keys").to_pylist())
+                b_mk.extend(blobs.column("m_keys").to_pylist())
+                b_mc.extend(blobs.column("m_counts").to_pylist())
+        return pa.table(
+            {
+                "kind": pa.array(kinds, type=pa.int8()),
+                "col": pa.array(cols, type=pa.string()),
+                "bucket": pa.array(buckets, type=pa.int32()),
+                "b1": pa.array(b_u, type=pa.large_binary()),
+                "b2": pa.array(b_mk, type=pa.large_binary()),
+                "b3": pa.array(b_mc, type=pa.large_binary()),
+            }
+        )
+
+    combined = ds.map_batches(
         batch_validate, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # Small-result fast path: the combined pass output is partials +
+    # pre-aggregated key blobs (16B per distinct key per batch). Below
+    # the threshold, ONE driver fetch + local merges beat several extra
+    # Ray scan/shuffle rounds of fixed latency; above it, worker-side
+    # tree-merge + bucket groupby keep driver memory bounded.
+    DRIVER_FASTPATH_BYTES = 256 * 1024 * 1024
+    if combined.size_bytes() <= DRIVER_FASTPATH_BYTES:
+        tables = list(combined.iter_batches(batch_format="pyarrow", batch_size=None))
+        all_rows = (
+            pa.concat_tables(tables, promote_options="permissive")
+            if tables
+            else None
+        )
+        merged = Partial()
+        if all_rows is not None:
+            is_partial = pc.equal(all_rows["kind"], 0)
+            for blob in all_rows.filter(is_partial).column("b1").to_pylist():
+                merged.merge(pickle.loads(blob))
+            for ucol in unique_cols:
+                if not hash_unique_keys:
+                    n_dup = duplicate_count_distributed(ds, ucol, hash_keys=False)
+                else:
+                    from patito_ray.validation.checks import merge_bucket_blobs
+
+                    sel = all_rows.filter(
+                        pc.and_(
+                            pc.equal(all_rows["kind"], 1),
+                            pc.equal(all_rows["col"], ucol),
+                        )
+                    )
+                    blob_t = pa.table(
+                        {
+                            "bucket": sel["bucket"],
+                            "u_keys": sel["b1"],
+                            "m_keys": sel["b2"],
+                            "m_counts": sel["b3"],
+                        }
+                    )
+                    n_dup = int(
+                        merge_bucket_blobs(blob_t).column("dups")[0].as_py()
+                    )
+                if n_dup:
+                    merged.dup_counts[ucol] = n_dup
+        report = _finalize(merged, model)
+        return report, ds
+
+    partials_ds = combined.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["b1"]).rename_columns(
+            ["partial"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     merged = _tree_merge_partials(partials_ds)
 
-    # uniqueness: one narrow projection + hash shuffle per unique column
-    subset = set(columns_l) if columns_l is not None else None
-    for ucol in spec.unique_columns:
-        if subset is not None and ucol not in subset:
-            continue
-        if ucol not in schema_names:
-            continue
-        n_dup = duplicate_count_distributed(ds, ucol, hash_keys=hash_unique_keys)
+    for ucol in unique_cols:
+        if hash_unique_keys:
+            blobs = combined.map_batches(
+                lambda t, c=ucol: t.filter(
+                    pc.and_(pc.equal(t["kind"], 1), pc.equal(t["col"], c))
+                )
+                .select(["bucket", "b1", "b2", "b3"])
+                .rename_columns(["bucket", "u_keys", "m_keys", "m_counts"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            n_dup = _finalize_dup_blobs(blobs)
+        else:
+            n_dup = duplicate_count_distributed(ds, ucol, hash_keys=False)
         if n_dup:
             merged.dup_counts[ucol] = n_dup
 
     report = _finalize(merged, model)
     return report, ds
+
+
+def _finalize_dup_blobs(blobs: Any) -> int:
+    """Adaptive finalize of a bucket-blob dataset (see
+    duplicate_count_distributed for the strategy rationale)."""
+    from patito_ray.validation.checks import merge_bucket_blobs
+
+    blobs = blobs.materialize()
+    DRIVER_MERGE_BYTES = 256 * 1024 * 1024
+    if blobs.size_bytes() <= DRIVER_MERGE_BYTES:
+        tables = list(blobs.iter_batches(batch_format="pyarrow", batch_size=None))
+        if not tables:
+            return 0
+        all_blobs = pa.concat_tables(tables, promote_options="permissive")
+        return int(merge_bucket_blobs(all_blobs).column("dups")[0].as_py())
+    per_bucket = blobs.groupby("bucket").map_groups(
+        merge_bucket_blobs, batch_format="pyarrow"
+    )
+    rows = per_bucket.take_all()
+    return int(sum(r["dups"] for r in rows))
 
 
 # ---------------------------------------------------------------------------

@@ -107,24 +107,15 @@ def duplicate_keys_distributed(
     )
 
     def dup_keys(group: pa.Table) -> pa.Table:
-        keys = np.concatenate(
-            [np.frombuffer(b, dtype=np.uint64) for b in group.column("keys").to_pylist()]
-        )
-        counts = np.concatenate(
-            [np.frombuffer(b, dtype=np.int64) for b in group.column("counts").to_pylist()]
-        )
+        import polars as pl
+
+        from patito_ray.validation.checks import _key_totals, unpack_bucket_blobs
+
+        keys, counts = unpack_bucket_blobs(group)
         if len(keys) == 0:
             return pa.table({"k": pa.array([], type=pa.int64())})
-        order = np.argsort(keys, kind="stable")
-        k, c = keys[order], counts[order]
-        b = np.empty(len(k), dtype=bool)
-        b[0] = True
-        b[1:] = k[1:] != k[:-1]
-        gid = np.cumsum(b) - 1
-        totals = np.bincount(gid, weights=c.astype(np.float64))
-        dup_gids = np.nonzero(totals > 1)[0]
-        firsts = np.nonzero(b)[0]
-        dup_k = k[firsts[dup_gids]]
+        totals = _key_totals(keys, counts)
+        dup_k = totals.filter(pl.col("c") > 1)["k"].to_numpy().astype(np.uint64)
         return pa.table({"k": pa.array(dup_k.view(np.int64), type=pa.int64())})
 
     out = blobs.groupby("bucket").map_groups(dup_keys, batch_format="pyarrow")
