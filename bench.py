@@ -10,9 +10,10 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "rows_per_sec": ...}
 
---scaling: reruns the headline in two fresh processes at 8 and 32 CPUs
-on the same input and reports both throughputs + scaling efficiency
-(the sandbox stand-in for N vs 4N Ray nodes).
+--scaling: reruns the headline in two fresh processes at N and 4N CPUs
+(default 2 vs 8 — see run_scaling for why not 8 vs 32 on this host) on
+the same input and reports both throughputs + scaling efficiency (the
+sandbox stand-in for N vs 4N Ray nodes).
 """
 
 from __future__ import annotations
@@ -192,11 +193,19 @@ def run_scaling() -> None:
         )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    def best_of(ncpu: int) -> dict:
-        return min((run_once(ncpu) for _ in range(trials)), key=lambda r: r["value"])
-
-    lo, hi = best_of(lo_cpus), best_of(hi_cpus)
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    # Paired trials: each (lo, hi) pair runs back-to-back so both levels
+    # see comparable host conditions (the VM has noisy neighbors); the
+    # reported efficiency is the MEDIAN pair — min-per-level would mix a
+    # lucky lo run with an unlucky hi run and measure host weather, not
+    # the engine.
+    pairs = []
+    for _ in range(trials):
+        lo = run_once(lo_cpus)
+        hi = run_once(hi_cpus)
+        eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+        pairs.append((eff, lo, hi))
+    pairs.sort(key=lambda p: p[0])
+    eff, lo, hi = pairs[len(pairs) // 2]
     print(
         json.dumps(
             {
@@ -208,6 +217,7 @@ def run_scaling() -> None:
                 f"rows_per_sec_{lo_cpus}": lo["rows_per_sec"],
                 f"rows_per_sec_{hi_cpus}": hi["rows_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "all_pair_efficiencies": [round(p[0], 3) for p in pairs],
                 "rows": lo["rows"],
             }
         )

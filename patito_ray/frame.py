@@ -156,6 +156,13 @@ class ModelFrame:
             return self._wrap(self.data.map_batches(fn, **kwargs))
         return self._wrap(fn(self.data))
 
+    def materialize(self) -> "ModelFrame":
+        """Execute and pin (reference ``LazyFrame.collect`` keeping the
+        model attachment, polars.py:115-130)."""
+        if self._is_ds:
+            return self._wrap(self.data.materialize())
+        return self
+
     def as_dataset(self) -> Any:
         if self._is_ds:
             return self.data

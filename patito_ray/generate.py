@@ -154,14 +154,15 @@ def corrupt_webpages(
 
     d = table.to_pydict()
     n = len(d["url"])
-    for k in range(min(duplicate_urls, n - 1)):
+    # disjoint index ranges so one corruption never undoes another
+    for k in range(min(duplicate_urls, n // 4)):
         d["url"][n - 1 - k] = d["url"][k]
-    for k in range(min(bad_lang, n)):
-        d["lang"][k] = "zz"
-    for k in range(min(null_text, n)):
-        d["text"][n - 1 - k] = None
-    for k in range(min(bad_url, n)):
-        d["url"][k] = f"ftp://not-a-web-url/{k}"
+    for k in range(min(bad_lang, n // 4)):
+        d["lang"][n // 4 + k] = "zz"
+    for k in range(min(null_text, n // 4)):
+        d["text"][n // 2 + k] = None
+    for k in range(min(bad_url, n // 4)):
+        d["url"][n // 4 + k] = f"ftp://not-a-web-url/{k}"
     del pc
     return pa.table(
         {name: pa.array(d[name], type=table.schema.field(name).type) for name in table.column_names}

@@ -220,6 +220,28 @@ class Model:
 
         return _vr(data, cls, **kwargs)
 
+    @classmethod
+    def validate_schema(cls) -> None:
+        """Eagerly compile the model, raising on unresolvable
+        annotations / incompatible forced dtypes (reference
+        ``pydantic.py:289-300``)."""
+        cls._spec()
+
+    @classmethod
+    def frame(cls, data: Any) -> Any:
+        """Attach this model to a table/Dataset — the reference's
+        auto-generated ``Model.DataFrame`` entry point
+        (``pydantic.py:59-91``)."""
+        from patito_ray.frame import ModelFrame
+
+        return ModelFrame(data, cls)
+
+    @classmethod
+    def pandas_examples(cls, data: Any = None, n: int | None = None) -> Any:
+        """``examples()`` as a pandas DataFrame (reference
+        ``pydantic.py:716-784``)."""
+        return cls.examples(data, n).to_pandas()
+
     # -- row objects -------------------------------------------------------
 
     @classmethod

@@ -233,3 +233,15 @@ def test_from_row_and_repr():
     assert m.a == 1
     assert "a=1" in repr(m)
     assert M(a=1, b="z") == m
+
+
+def test_frame_and_pandas_examples():
+    class M(pr.Model):
+        a: int = pr.Field(unique=True)
+        b: str
+
+    M.validate_schema()
+    df = M.pandas_examples(n=3)
+    assert list(df["a"]) == [0, 1, 2]
+    f = M.frame(pa.table({"a": [1], "b": ["x"]}))
+    assert f.validate().count() == 1

@@ -1,0 +1,98 @@
+"""Flagship web-page pipeline: generator determinism, corrupt-variant
+detection (FIXTURES.md F0 negative cases), end-to-end summary."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from patito_ray.generate import (
+    corrupt_webpages,
+    page_text,
+    page_texts,
+    ray_webpages,
+    webpage_table,
+)
+from patito_ray.pipelines.webpage import (
+    WebPage,
+    extract_text_from_html,
+    text_invariant_counts,
+    validate_webpages,
+)
+
+
+def test_generator_deterministic():
+    a = webpage_table(500)
+    b = webpage_table(500)
+    assert a.equals(b)
+    # byte-identical text per url across offsets/batches
+    c = webpage_table(10, offset=490)
+    assert c.column("text").to_pylist() == a.slice(490, 10).column("text").to_pylist()
+
+
+def test_page_text_oracle_matches_vectorized():
+    idx = np.arange(0, 3000, 13)
+    assert page_texts(idx) == [page_text(int(i)) for i in idx]
+
+
+def test_extraction_invariant_holds_on_clean_data():
+    t = webpage_table(300)
+    c = text_invariant_counts(t)
+    assert c["text_mismatches"] == 0
+    assert c["text_checked"] > 250  # ~5% html nulls skipped
+
+
+def test_extraction_invariant_catches_corruption():
+    t = webpage_table(50)
+    d = t.to_pydict()
+    d["text"][3] = d["text"][3] + "TAMPERED"
+    t2 = pa.table({k: pa.array(v, type=t.schema.field(k).type) for k, v in d.items()})
+    c = text_invariant_counts(t2)
+    assert c["text_mismatches"] == (1 if d["html"][3] is not None else 0)
+
+
+def test_extract_text_roundtrip():
+    t = webpage_table(100)
+    mask = [h is not None for h in t.column("html").to_pylist()]
+    extracted = extract_text_from_html(t.column("html"))
+    for ok, ext, txt in zip(mask, extracted.to_pylist(), t.column("text").to_pylist()):
+        if ok:
+            assert ext == txt
+
+
+def test_clean_corpus_validates(ray_session):
+    ds = ray_webpages(3000, blocks=4)
+    summary = validate_webpages(ds)
+    assert summary["ok"] is True
+    assert summary["row_count"] == 3000
+    assert summary["dup_urls"] == 0
+    assert summary["text_mismatches"] == 0
+
+
+def test_corrupt_variants_detected(ray_session):
+    import ray.data as rd
+
+    t = corrupt_webpages(
+        webpage_table(2000), duplicate_urls=5, bad_lang=3, null_text=2, bad_url=4
+    )
+    ds = rd.from_arrow(t)
+    summary = validate_webpages(ds)
+    assert summary["ok"] is False
+    assert summary["dup_urls"] == 10  # 5 pairs -> 10 participating rows
+    assert summary["bad_lang"] == 1  # one invalid value: "zz"
+    assert summary["null_text"] == 2
+    assert summary["url_bound_fails"] == 4  # ftp:// urls fail the regex
+
+
+def test_hot_domain_skew_unaffected(ray_session):
+    # 10% of rows share one domain; keys stay unique -> no dups, and the
+    # hashed bucket exchange must not mis-count under value skew
+    ds = ray_webpages(5000, blocks=8)
+    summary = validate_webpages(ds, check_text_invariant=False)
+    assert summary["dup_urls"] == 0
+
+
+def test_webpage_model_matches_generated_schema():
+    t = webpage_table(10)
+    spec = WebPage._spec()
+    for name in spec.column_names:
+        assert name in t.column_names
