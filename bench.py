@@ -89,8 +89,22 @@ def _warm_workers(num_cpus: int) -> None:
     ).materialize()
 
 
+def _pin_cpus(n: int) -> None:
+    """Hard-enforce the CPU budget with processor affinity: ray's
+    num_cpus is only a scheduling token — worker C extensions (arrow,
+    polars) would otherwise borrow extra physical cores and corrupt the
+    N-vs-4N scaling comparison. Child processes (raylet, workers)
+    inherit the affinity mask."""
+    try:
+        os.sched_setaffinity(0, set(range(n)))
+    except (AttributeError, OSError):
+        pass
+
+
 def run_bench() -> dict:
     import ray
+
+    _pin_cpus(NUM_CPUS)
 
     ray.init(
         address="local",
@@ -226,6 +240,8 @@ def run_scaling() -> None:
 
 def run_headline_only() -> None:
     import ray
+
+    _pin_cpus(NUM_CPUS)
 
     ray.init(
         address="local",
