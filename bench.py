@@ -189,8 +189,9 @@ def run_scaling() -> None:
     advertises 32 vCPUs but vmstat shows ~90% idle + steal under a
     32-way load — the host physically delivers only a handful of
     cores, so 8->32 measures host oversubscription, not our engine.
-    Each level runs best-of-N trials (noisy-neighbor guard); override
-    with GRAFT_SCALE_LO / GRAFT_SCALE_HI / GRAFT_SCALE_TRIALS.
+    Each level is affinity-pinned to its CPU budget; paired trials with
+    median-pair reporting guard against noisy neighbors. Override with
+    GRAFT_SCALE_LO / GRAFT_SCALE_HI / GRAFT_SCALE_TRIALS.
     """
     lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "8"))

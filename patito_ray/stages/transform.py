@@ -163,11 +163,20 @@ def unalias_table(table: pa.Table, spec: TableSpec) -> pa.Table:
     """Map source columns to model names via Field(alias=...).
 
     str alias -> rename; list alias -> coalesce the candidates in order
-    (pydantic AliasChoices semantics, reference ``polars.py:221-277``).
+    (pydantic AliasChoices); tuple alias ``(src, i)`` -> extract element
+    i of a list column (pydantic AliasPath). Reference
+    ``polars.py:221-277``.
     """
     out = table
     for name, cs in spec.columns.items():
         if cs.alias is None or name in out.column_names:
+            continue
+        if isinstance(cs.alias, tuple):
+            src, idx = cs.alias
+            if src in out.column_names:
+                out = out.append_column(
+                    name, pc.list_element(out.column(src), idx)
+                )
             continue
         if isinstance(cs.alias, str):
             if cs.alias in out.column_names:

@@ -141,8 +141,11 @@ def validate_files_checkpointed(
             f"{checkpoint_dir}/shards/{sid}.pkl", pickle.dumps(partial)
         )
         wall = time.time() - t0
+        from patito_ray.manifest import spec_to_json_dict
+
         manifest = {
             "shard_id": sid,
+            "model": spec_to_json_dict(spec),
             "files": shard_files,
             "sizes": [os.path.getsize(f) for f in shard_files],
             "row_count": partial.row_count,

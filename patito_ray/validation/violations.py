@@ -155,6 +155,34 @@ def duplicate_rows_dataset(ds: Any, column: str) -> Any:
     return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
 
+def partition_verdicts(ds: Any, model: Any) -> Any:
+    """Per-partition pass/fail verdict Dataset (north-rule surface): one
+    row per input block with its row count, per-kind violation counts
+    and an ``ok`` flag. Streams; no driver concentration."""
+    spec = model._spec()
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        masks = violation_masks(batch, spec)
+        n_violations = 0
+        kinds: dict[str, int] = {}
+        for _loc, kind, mask in masks:
+            n = int(pc.sum(mask).as_py() or 0)
+            n_violations += n
+            kinds[kind] = kinds.get(kind, 0) + n
+        import json as _json
+
+        return pa.table(
+            {
+                "rows": pa.array([batch.num_rows], type=pa.int64()),
+                "violations": pa.array([n_violations], type=pa.int64()),
+                "ok": pa.array([n_violations == 0], type=pa.bool_()),
+                "by_kind": pa.array([_json.dumps(kinds, sort_keys=True)], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(verdict, batch_format="pyarrow", batch_size=None)
+
+
 def write_violations(ds: Any, model: Any, path: str) -> dict[str, int]:
     """Stream all violation rows to a partitioned parquet directory;
     returns per-kind counts. Resumable layout: one directory per run,

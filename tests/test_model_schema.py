@@ -245,3 +245,81 @@ def test_frame_and_pandas_examples():
     assert list(df["a"]) == [0, 1, 2]
     f = M.frame(pa.table({"a": [1], "b": ["x"]}))
     assert f.validate().count() == 1
+
+
+def test_spec_json_roundtrip():
+    import datetime
+
+    from patito_ray.manifest import spec_from_json, spec_to_json
+
+    class M(pr.Model):
+        uid: int = pr.Field(unique=True)
+        name: str = pr.Field(min_length=2)
+        score: Optional[float] = pr.Field(default=None, ge=0)
+        lit: Literal["a", "b"]
+        ts: datetime.datetime = pr.Field(ge=datetime.datetime(2020, 1, 1))
+        vals: list[int]
+        even: int = pr.Field(constraints=pr.field % 2 == 0)
+
+    spec = M._spec()
+    restored = spec_from_json(spec_to_json(spec))
+    assert restored.column_names == spec.column_names
+    assert restored.unique_columns == ["uid"]
+    assert restored.columns["lit"].enum_values == ["a", "b"]
+    assert restored.columns["even"].constraints == spec.columns["even"].constraints
+    assert restored.columns["ts"].bounds["minimum"] == datetime.datetime(2020, 1, 1)
+    assert restored.columns["vals"].default_dtype == pa.list_(pa.int64())
+    # a restored spec still validates (check_batch works off ColumnSpec)
+    from patito_ray.validation.checks import check_batch
+
+    t = pa.table(
+        {
+            "uid": [1, 1],
+            "name": ["x", "ok"],
+            "score": pa.array([None, -1.0]),
+            "lit": ["a", "zz"],
+            "ts": pa.array([datetime.datetime(2019, 1, 1)] * 2, type=pa.timestamp("us")),
+            "vals": [[1], [2]],
+            "even": [3, 4],
+        }
+    )
+    p = check_batch(t, restored)
+    assert p.dup_counts["uid"] == 2
+    assert p.bounds_fail["name"] == 1
+    assert p.bounds_fail["score"] == 1
+    assert "zz" in p.enum_invalid["lit"]
+    assert p.bounds_fail["ts"] == 2
+    assert p.constraint_fail["even"] == 1
+
+
+def test_unalias_alias_path():
+    from patito_ray.frame import ModelFrame
+
+    class M(pr.Model):
+        first_tag: str = pr.Field(alias=("tags", 0))
+        tags: list[str]
+
+    t = pa.table({"tags": [["a", "b"], ["c"]]})
+    out = ModelFrame(t, M).unalias().as_table()
+    assert out.column("first_tag").to_pylist() == ["a", "c"]
+
+
+def test_partition_verdicts(ray_session):
+    import json
+
+    import ray.data as rd
+
+    from patito_ray.validation.violations import partition_verdicts
+
+    class M(pr.Model):
+        x: float = pr.Field(ge=0)
+
+    good = pa.table({"x": [1.0, 2.0]})
+    bad = pa.table({"x": [-1.0, 3.0]})
+    ds = rd.from_arrow([good, bad])
+    rows = partition_verdicts(ds, M).take_all()
+    assert sum(r["rows"] for r in rows) == 4
+    oks = sorted(r["ok"] for r in rows)
+    assert oks == [False, True]
+    bad_row = next(r for r in rows if not r["ok"])
+    assert json.loads(bad_row["by_kind"]) == {"out_of_bounds": 1}
