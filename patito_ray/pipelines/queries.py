@@ -310,16 +310,12 @@ GROUP BY c.c_mktsegment
 
 
 def q_distinct_parts(sf_dir: str) -> pa.Table:
-    """Exact distinct count via two-phase shuffle: per-batch unique ->
-    groupby(count) over distinct keys only."""
+    """Exact distinct count via the bucketed key-blob exchange (same
+    machinery as the uniqueness check; adaptive driver merge)."""
+    from patito_ray.validation.engine import distinct_count_distributed
+
     ds = _rp(sf_dir, "lineitem", ["l_partkey"])
-
-    def uniq(batch: pa.Table) -> pa.Table:
-        return pa.table({"k": pc.unique(batch["l_partkey"].combine_chunks())})
-
-    pre = ds.map_batches(uniq, batch_format="pyarrow", batch_size=None)
-    distinct = pre.groupby("k").count().count()
-    return _one_row(distinct_parts=int(distinct))
+    return _one_row(distinct_parts=distinct_count_distributed(ds, "l_partkey"))
 
 
 SQL_DISTINCT_PARTS = """

@@ -324,6 +324,45 @@ def duplicate_count_distributed(
     return int(sum(r["dups"] for r in rows))
 
 
+def distinct_count_distributed(
+    ds: Any, column: str, num_buckets: int = 64
+) -> int:
+    """Exact distinct count via the same bucketed blob exchange as the
+    uniqueness check (collision odds ~n^2/2^64 on the 64-bit key hash):
+    per-batch unique key hashes -> bucket blobs -> per-bucket n_unique,
+    adaptively merged driver-side when small."""
+    from patito_ray.validation.checks import (
+        batch_key_bucket_blobs,
+        unpack_bucket_blobs,
+    )
+
+    blobs = ds.select_columns([column]).map_batches(
+        lambda t: batch_key_bucket_blobs(t, column, num_buckets=num_buckets),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys, _ = unpack_bucket_blobs(group)
+        return pa.table({"n": [int(len(np.unique(keys)))]})
+
+    DRIVER_MERGE_BYTES = 256 * 1024 * 1024
+    if blobs.size_bytes() <= DRIVER_MERGE_BYTES:
+        tables = list(blobs.iter_batches(batch_format="pyarrow", batch_size=None))
+        if not tables:
+            return 0
+        allb = pa.concat_tables(tables, promote_options="permissive")
+        return int(bucket_distinct(allb).column("n")[0].as_py())
+    rows = (
+        blobs.groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+        .take_all()
+    )
+    return int(sum(r["n"] for r in rows))
+
+
 def _validate_dataset(
     ds: Any,
     model: Any,
