@@ -171,6 +171,52 @@ def column_stats_table(table: pa.Table, columns: list[str] | None = None) -> dic
     return {name: st.summary() for name, st in merged.items()}
 
 
+def profile_dataset(
+    ds: Any, columns: list[str] | None = None
+) -> dict[str, "ColumnStats"]:
+    """Full mergeable column profile (the reusable artifact for drift
+    checks): run the sketch stage, return raw ColumnStats per column.
+    Picklable — persist alongside checkpoints as the reference profile.
+    """
+    deltas = ds.map_batches(
+        SketchBatch(columns), batch_format="pyarrow", batch_size=None
+    ).materialize()
+    return _merge_state_rows(deltas.take_all())
+
+
+def drift_check(
+    ds: Any,
+    reference_profile: dict[str, "ColumnStats"],
+    columns: list[str] | None = None,
+    max_drift: float = 0.1,
+) -> dict[str, dict[str, Any]]:
+    """Distribution-drift check (north-star component): profile the
+    current dataset and compare per numeric column against a reference
+    profile via the t-digest KS distance; also reports the relative
+    cardinality shift from the HLL sketches. ``ok`` = drift below
+    ``max_drift``."""
+    current = profile_dataset(ds, columns or list(reference_profile))
+    out: dict[str, dict[str, Any]] = {}
+    for name, ref in reference_profile.items():
+        cur = current.get(name)
+        if cur is None:
+            out[name] = {"ok": False, "reason": "column missing"}
+            continue
+        entry: dict[str, Any] = {}
+        if ref.tdigest is not None and cur.tdigest is not None:
+            ks = drift_distance(cur.tdigest, ref.tdigest)
+            entry["ks_distance"] = round(ks, 4)
+            entry["ok"] = ks <= max_drift
+        else:
+            entry["ok"] = True
+        ref_card = ref.hll.estimate()
+        cur_card = cur.hll.estimate()
+        if ref_card > 0:
+            entry["cardinality_ratio"] = round(cur_card / ref_card, 4)
+        out[name] = entry
+    return out
+
+
 def drift_distance(current: TDigest, reference: TDigest) -> float:
     """Max CDF gap between two t-digest profiles (sketch-level KS
     statistic) — the distribution-drift check of the north star."""

@@ -145,3 +145,59 @@ def test_distributed_missing_and_dtype(ray_session, tmp_path):
     kinds = {(e["loc"], e["type"]) for e in report.errors}
     assert (("c",), "type_error.missingcolumns") in kinds
     assert (("a",), "type_error.columndtype") in kinds
+
+
+def test_dataset_flags_alias_subset_drop(ray_session, tmp_path):
+    import ray.data as rd
+
+    class M(pr.Model):
+        model_config = {"alias_generator": str.upper}
+        A: int
+        B: int = pr.Field(ge=0, le=10)
+
+    t = pa.table({"a": [1, 2], "b": [5, 99], "junk": [0, 0]})
+    pq.write_table(t, tmp_path / "t.parquet")
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+
+    # alias generator upper-cases data columns; junk dropped; b fails bounds
+    rep = pr.validate_report(ds, M, drop_superfluous_columns=True)
+    assert not rep.ok
+    assert rep.errors == [
+        {
+            "loc": ("B",),
+            "msg": "1 row with out of bound values.",
+            "type": "value_error.rowvalue",
+        }
+    ]
+    # column subset skips the failing column
+    rep2 = pr.validate_report(
+        ds, M, drop_superfluous_columns=True, columns=["A"]
+    )
+    assert rep2.ok
+
+
+def test_dataset_collect_samples(ray_session, tmp_path):
+    import ray.data as rd
+
+    class M(pr.Model):
+        x: float = pr.Field(ge=0)
+
+    t = pa.table({"x": [1.0, -5.0, 2.0, -7.0]})
+    pq.write_table(t, tmp_path / "s.parquet")
+    rep = pr.validate_report(
+        rd.read_parquet(str(tmp_path / "s.parquet")), M, collect_samples=True
+    )
+    samples = rep.merged.samples[("x", "bounds")]
+    assert {r["x"] for r in samples} <= {-5.0, -7.0}
+    assert len(samples) >= 1
+
+
+def test_empty_dataset(ray_session):
+    import ray.data as rd
+
+    class M(pr.Model):
+        a: int
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([], type=pa.int64())}))
+    rep = pr.validate_report(ds, M)
+    assert rep.ok and rep.row_count == 0

@@ -273,3 +273,24 @@ def test_drift_distance():
     shifted = drift_distance(a, c)
     assert same < 0.05
     assert shifted > 0.5
+
+
+def test_drift_check_pipeline(ray_session):
+    import ray.data as rd
+
+    from patito_ray.validation.stats import drift_check, profile_dataset
+
+    rng = np.random.default_rng(21)
+    ref_ds = rd.from_arrow(pa.table({"v": rng.normal(0, 1, 30_000)})).repartition(4)
+    profile = profile_dataset(ref_ds)
+
+    same = rd.from_arrow(pa.table({"v": rng.normal(0, 1, 30_000)}))
+    shifted = rd.from_arrow(pa.table({"v": rng.normal(2, 1, 30_000)}))
+
+    ok = drift_check(same, profile)
+    assert ok["v"]["ok"] and ok["v"]["ks_distance"] < 0.05
+    bad = drift_check(shifted, profile)
+    assert not bad["v"]["ok"] and bad["v"]["ks_distance"] > 0.5
+
+    missing = drift_check(rd.from_arrow(pa.table({"w": [1.0]})), profile)
+    assert missing["v"]["ok"] is False
