@@ -178,6 +178,11 @@ class ModelFrame:
             return pa.concat_tables(batches, promote_options="permissive")
         return self.data
 
+    def write_parquet(self, path: str, **kwargs: Any) -> None:
+        """Stream to a partitioned parquet directory (the preferred
+        sink: many part files, resumable layout)."""
+        self.as_dataset().write_parquet(path, **kwargs)
+
     def count(self) -> int:
         return self.data.count() if self._is_ds else self.data.num_rows
 

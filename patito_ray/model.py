@@ -175,6 +175,32 @@ class Model:
         return {n: c.default_dtype for n, c in cls._spec().columns.items()}
 
     @_ClassProperty
+    def valid_dtypes(cls) -> dict[str, str]:  # noqa: N805
+        """Human-readable allowed physical dtype family per column
+        (reference ``valid_dtypes``, pydantic.py:139-162; membership
+        itself is checked by ``dtypes.valid_dtype``)."""
+        families = {
+            "integer": "any integer width (int8..uint64)",
+            "float": "float32 | float64",
+            "bool": "bool",
+            "string": "string | large_string",
+            "binary": "binary | large_binary",
+            "date": "date32 | date64",
+            "datetime": "timestamp (any unit/tz)",
+            "time": "time32 | time64",
+            "duration": "duration (any unit)",
+            "enum": "storage of the literal values (string/int) or dictionary",
+            "list": "list | large_list of a valid item dtype",
+            "struct": "struct of the nested model's fields",
+            "null": "null",
+            "any": "any dtype",
+        }
+        return {
+            n: families.get(c.category, c.category)
+            for n, c in cls._spec().columns.items()
+        }
+
+    @_ClassProperty
     def defaults(cls) -> dict[str, Any]:  # noqa: N805
         return {
             n: c.default for n, c in cls._spec().columns.items() if c.has_default
