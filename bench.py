@@ -117,9 +117,12 @@ def run_bench() -> dict:
         # parallel across workers)
         runtime_env={"env_vars": {"POLARS_MAX_THREADS": "2"}},
     )
+    import logging
+
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     import ray.data as rd
 
@@ -157,6 +160,9 @@ def run_bench() -> dict:
         "ann_cosine",
         "simhash",
         "lang_id",
+        "user_sessions",
+        "top_parts",
+        "nation_order_revenue",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -270,6 +270,67 @@ def verify_pairs(
     return out
 
 
+def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find clustering of duplicate pairs -> {id: component_root}.
+
+    Runs on the driver: candidate-pair sets are tiny relative to the
+    corpus (the LSH bands only surface near-dups), and union-find on
+    even 10^8 pairs is seconds. If a corpus ever yields a pair set too
+    big for one machine, the same result comes from iterated min-label
+    propagation (groupby rounds over (node, label) until fixpoint).
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
+
+
+def dedup_near(
+    ds: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> Any:
+    """End-to-end near-duplicate removal: MinHash-LSH candidates ->
+    exact n-gram Jaccard verify -> union-find clusters -> keep the min
+    id per cluster. Returns the deduplicated Dataset (rows whose id is
+    not a dropped duplicate); only band keys and candidate texts move.
+    """
+    import pyarrow.compute as _pc
+
+    pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
+    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
+    verified = verify_pairs(ds, pairs, id_col, text_col, threshold, shingle_n)
+    components = cluster_pairs([(a, b) for a, b, _ in verified])
+    drop = sorted(x for x, root in components.items() if x != root)
+    if not drop:
+        return ds
+    drop_set = pa.array(drop)
+    return ds.map_batches(
+        lambda t: t.filter(
+            _pc.invert(_pc.is_in(t.column(id_col), value_set=drop_set))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

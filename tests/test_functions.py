@@ -294,3 +294,26 @@ def test_drift_check_pipeline(ray_session):
 
     missing = drift_check(rd.from_arrow(pa.table({"w": [1.0]})), profile)
     assert missing["v"]["ok"] is False
+
+
+def test_cluster_pairs_union_find():
+    comp = f_dedup.cluster_pairs([(1, 2), (2, 3), (5, 6), (9, 9)])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+
+
+def test_dedup_near_end_to_end(ray_session):
+    import ray.data as rd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog today",   # dup of 0
+        "the quick brown fox jumps over the lazy dog tonight", # near dup
+        "completely different content about ray data pipelines here",
+    ]
+    t = pa.table({"doc_id": list(range(4)), "text": texts})
+    out = f_dedup.dedup_near(rd.from_arrow(t), threshold=0.6)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert 0 in kept and 3 in kept
+    assert 1 not in kept  # exact dup removed
+    assert len(kept) <= 3

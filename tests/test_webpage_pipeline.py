@@ -96,3 +96,27 @@ def test_webpage_model_matches_generated_schema():
     spec = WebPage._spec()
     for name in spec.column_names:
         assert name in t.column_names
+
+
+def test_extreme_hot_key_duplicates(ray_session):
+    """Half the corpus duplicates ONE url: the blob exchange's skew
+    guard (per-batch value_counts collapse) must stay exact."""
+    import numpy as np
+    import ray.data as rd
+
+    n = 40_000
+    t = webpage_table(n)
+    d = t.to_pydict()
+    hot = d["url"][0]
+    for i in range(0, n, 2):
+        d["url"][i] = hot
+    t2 = pa.table({k: pa.array(v, type=t.schema.field(k).type) for k, v in d.items()})
+    ds = rd.from_arrow(t2).repartition(8)
+    from patito_ray.validation.engine import duplicate_count_distributed
+
+    # 20_000 copies of hot + the original occurrence makes one dup group
+    from patito_ray.validation.checks import local_duplicate_count
+
+    expected = local_duplicate_count(t2.column("url"))
+    assert duplicate_count_distributed(ds, "url") == expected
+    assert expected >= n // 2
