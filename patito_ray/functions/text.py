@@ -44,6 +44,21 @@ def token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
+# GPT-2-style pre-tokenizer pattern (RE2-compatible subset: no
+# lookahead, so trailing-space merging is approximated). Counts the
+# word/number/punct chunks a BPE tokenizer would split on — a much
+# closer LLM-token estimate than whitespace splitting.
+_BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Approximate BPE pre-token count per document (GPT-2-style split
+    pattern via Arrow's RE2 — vectorized, no tokenizer model needed)."""
+    n = pc.count_substring_regex(text, pattern=_BPE_SPLIT_PATTERN)
+    out = pc.cast(n, pa.int64())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def _tokens(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray, int]:
     """Lowercased whitespace tokens, flattened, with row indices."""
     if isinstance(text, pa.ChunkedArray):

@@ -11,7 +11,7 @@ rounded identically on both sides.
 from __future__ import annotations
 
 import datetime
-from typing import Any, Callable, Literal, Optional
+from typing import Any, Callable, Literal
 
 import numpy as np
 import pyarrow as pa

@@ -36,7 +36,7 @@ from patito_ray.exprs import (
     fail_mask,
     substitute_column,
 )
-from patito_ray.fields import ColumnSpec, TableSpec
+from patito_ray.fields import TableSpec
 from patito_ray.validation.result import MAX_INVALID_VALUES, MAX_SAMPLES, Partial
 
 

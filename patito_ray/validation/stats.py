@@ -145,8 +145,16 @@ def column_stats(
     """Distributed per-column stats over a Dataset."""
     kwargs: dict[str, Any] = {"batch_format": "pyarrow", "batch_size": None}
     if concurrency:
-        kwargs["concurrency"] = concurrency
-    deltas = ds.map_batches(SketchBatch(columns), **kwargs)
+        # callable CLASS -> Ray actor pool (per-actor __init__ builds the
+        # column plan once); plain instance -> stateless tasks
+        deltas = ds.map_batches(
+            SketchBatch,
+            fn_constructor_args=(columns,),
+            concurrency=concurrency,
+            **kwargs,
+        )
+    else:
+        deltas = ds.map_batches(SketchBatch(columns), **kwargs)
 
     def merge_block(batch: pa.Table) -> pa.Table:
         acc = _merge_state_rows(batch.to_pylist())

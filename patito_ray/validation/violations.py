@@ -22,7 +22,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from patito_ray import dtypes as _dt
 from patito_ray.exprs import fail_mask, substitute_column
 from patito_ray.fields import TableSpec
 from patito_ray.validation.checks import _bound_check_nodes, _combine

@@ -317,3 +317,21 @@ def test_dedup_near_end_to_end(ray_session):
     assert 0 in kept and 3 in kept
     assert 1 not in kept  # exact dup removed
     assert len(kept) <= 3
+
+
+def test_bpe_token_counts():
+    t = pa.table({"text": ["hello world", "it's 42 degrees!", ""]})
+    counts = f_text.bpe_token_count_array(t.column("text"))
+    # "hello","world" = 2; "it","'s"," 42"," degrees","!" = 5
+    assert counts.to_pylist() == [2, 5, 0]
+
+
+def test_column_stats_actor_pool(ray_session):
+    import ray.data as rd
+
+    from patito_ray.validation.stats import column_stats
+
+    t = pa.table({"v": np.arange(10_000, dtype=np.float64)})
+    stats = column_stats(rd.from_arrow(t).repartition(4), concurrency=2)
+    assert stats["v"]["count"] == 10_000
+    assert stats["v"]["min"] == 0.0 and stats["v"]["max"] == 9999.0
