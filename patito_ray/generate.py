@@ -150,8 +150,6 @@ def corrupt_webpages(
     bad_url: int = 0,
 ) -> pa.Table:
     """Inject violation classes for negative tests (FIXTURES.md F0)."""
-    import pyarrow.compute as pc
-
     d = table.to_pydict()
     n = len(d["url"])
     # disjoint index ranges so one corruption never undoes another
@@ -163,7 +161,6 @@ def corrupt_webpages(
         d["text"][n // 2 + k] = None
     for k in range(min(bad_url, n // 4)):
         d["url"][n // 4 + k] = f"ftp://not-a-web-url/{k}"
-    del pc
     return pa.table(
         {name: pa.array(d[name], type=table.schema.field(name).type) for name in table.column_names}
     )

@@ -328,7 +328,7 @@ def batch_key_counts(table: pa.Table, column: str, hash_keys: bool = True) -> pa
 
 
 def batch_key_bucket_blobs(
-    table: pa.Table, column: str, num_buckets: int = 64
+    table: pa.Table, column: str, num_buckets: int = 64, prehashed: bool = False
 ) -> pa.Table:
     """Phase-1 of the blob-bucketed uniqueness exchange: per batch,
     value_counts -> 64-bit key hashes -> partition keys by their top
@@ -352,7 +352,12 @@ def batch_key_bucket_blobs(
     counts = pc.value_counts(arr)
     values = counts.field("values")
     cnts = counts.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
-    hashed = pl.from_arrow(values).hash(seed=42).to_numpy().astype(np.uint64)
+    if prehashed:
+        # the column already holds uniform 64-bit hashes (e.g. LSH band
+        # keys): reuse them, so blob keys == original values
+        hashed = values.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    else:
+        hashed = pl.from_arrow(values).hash(seed=42).to_numpy().astype(np.uint64)
     shift = np.uint64(64 - int(num_buckets - 1).bit_length())
     bucket = (hashed >> shift).astype(np.int64) % num_buckets
     order = np.argsort(bucket, kind="stable")

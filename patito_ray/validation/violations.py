@@ -93,29 +93,50 @@ def violations_dataset(ds: Any, model: Any) -> Any:
 
 
 def duplicate_keys_distributed(
-    ds: Any, column: str, num_buckets: int = 64
+    ds: Any,
+    column: str,
+    num_buckets: int = 64,
+    prehashed: bool = False,
+    min_count: int = 2,
 ) -> pa.Array:
-    """The duplicate KEY-HASH set for one unique column (the uniqueness
-    exchange's phase-2 output, keeping keys instead of counts)."""
-    from patito_ray.validation.checks import batch_key_bucket_blobs
+    """The KEY-HASH set of keys occurring >= ``min_count`` times (the
+    uniqueness exchange's phase-2 output, keeping keys instead of
+    counts). Adaptive like the dup count: blob volumes <= 256 MB merge
+    driver-side in one multithreaded groupby, larger go through the
+    bucket exchange. ``prehashed=True`` when the column already holds
+    64-bit hashes (LSH band keys): the returned set then contains the
+    ORIGINAL values."""
+    import polars as pl
 
-    blobs = ds.select_columns([column]).map_batches(
-        lambda t: batch_key_bucket_blobs(t, column, num_buckets=num_buckets),
-        batch_format="pyarrow",
-        batch_size=None,
+    from patito_ray.validation.checks import (
+        _key_totals,
+        batch_key_bucket_blobs,
+        unpack_bucket_blobs,
     )
 
+    blobs = ds.select_columns([column]).map_batches(
+        lambda t: batch_key_bucket_blobs(
+            t, column, num_buckets=num_buckets, prehashed=prehashed
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+
     def dup_keys(group: pa.Table) -> pa.Table:
-        import polars as pl
-
-        from patito_ray.validation.checks import _key_totals, unpack_bucket_blobs
-
         keys, counts = unpack_bucket_blobs(group)
         if len(keys) == 0:
             return pa.table({"k": pa.array([], type=pa.int64())})
         totals = _key_totals(keys, counts)
-        dup_k = totals.filter(pl.col("c") > 1)["k"].to_numpy().astype(np.uint64)
+        dup_k = totals.filter(pl.col("c") >= min_count)["k"].to_numpy().astype(np.uint64)
         return pa.table({"k": pa.array(dup_k.view(np.int64), type=pa.int64())})
+
+    DRIVER_MERGE_BYTES = 256 * 1024 * 1024
+    if blobs.size_bytes() <= DRIVER_MERGE_BYTES:
+        tables = list(blobs.iter_batches(batch_format="pyarrow", batch_size=None))
+        if not tables:
+            return pa.array([], type=pa.int64())
+        allb = pa.concat_tables(tables, promote_options="permissive")
+        return _combine(dup_keys(allb).column("k"))
 
     out = blobs.groupby("bucket").map_groups(dup_keys, batch_format="pyarrow")
     arrays = [
