@@ -703,3 +703,52 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "column_stats": (q_column_stats, None),
     "webpage_validate": (q_webpage_validate, None),
 }
+
+
+def q_training_pipeline(sf_dir: str) -> pa.Table:
+    """End-to-end training-data curation pipeline over documents:
+    language-ID -> keep confident docs -> quality filter -> exact dedup
+    -> token accounting. One streaming chain; each stage is a
+    map_batches (lang-id/quality are actor pools), dedup is the only
+    shuffle. Returns the funnel counts + kept token total."""
+    from patito_ray.functions.dedup import add_content_hash
+    from ray.data.aggregate import Min
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    n_input = ds.count()
+
+    scored = f_text.quality_dataset(f_text.lang_id_dataset(ds, concurrency=2), concurrency=2)
+    kept = scored.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater(t["lang_confidence"], 0.05),
+                pc.greater(t["quality_score"], 0.3),
+            )
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    n_filtered = kept.count()
+
+    hashed = kept.map_batches(
+        lambda t: add_content_hash(t, "text").select(["h", "doc_id"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    n_unique = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id")).count()
+
+    tokens = kept.map_batches(
+        lambda t: pa.table({"n": [int(pc.sum(f_text.token_count_array(t["text"])).as_py() or 0)]}),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    n_tokens = int(sum(r["n"] for r in tokens))
+    return _one_row(
+        n_input=n_input,
+        n_after_filters=n_filtered,
+        n_after_dedup=n_unique,
+        total_tokens=n_tokens,
+    )
+
+
+QUERIES["training_pipeline"] = (q_training_pipeline, None)
