@@ -83,8 +83,18 @@ def validate_files_checkpointed(
     files_per_shard: int = 8,
     hash_unique_keys: bool = True,
     allow_superfluous_columns: bool = False,
+    collect_stats: bool = False,
 ) -> ValidationReport:
-    """Validate a parquet file set with shard-level checkpoint/resume."""
+    """Validate a parquet file set with shard-level checkpoint/resume.
+
+    ``collect_stats=True`` additionally accumulates per-shard column
+    statistics (null/min/max/HLL/t-digest sketch states) INSIDE the same
+    validation pass and persists them as ``shards/<sid>.stats.pkl`` —
+    mergeable sketches ride the checkpoint, so a resumed run recovers
+    the full-corpus profile without re-reading finished shards. A
+    summary lands in the lineage manifest; the merged profile is
+    attached to the returned report as ``report.column_stats``.
+    """
     import ray.data as rd
 
     spec: TableSpec = model._spec()
@@ -109,11 +119,39 @@ def validate_files_checkpointed(
                 skip_unique=True,
                 prepared_constraints=prepared,
             )
+            if collect_stats:
+                from patito_ray.validation.stats import SketchBatch
+
+                stats_row = SketchBatch()(batch)
+                payload = pickle.dumps(
+                    (p, stats_row.column("stats")[0].as_py())
+                )
+                return pa.table({"partial": [payload]})
             return pa.table({"partial": [pickle.dumps(p)]})
 
-        partial = _tree_merge_partials(
-            ds.map_batches(batch_validate, batch_format="pyarrow", batch_size=None)
-        )
+        if collect_stats:
+            # partial rows carry (Partial, stats-blob) tuples: merge both
+            from patito_ray.validation.stats import _merge_state_rows
+
+            rows = ds.map_batches(
+                batch_validate, batch_format="pyarrow", batch_size=None
+            ).take_all()
+            partial = Partial()
+            stats_rows = []
+            for r in rows:
+                pp, stats_blob = pickle.loads(r["partial"])
+                partial.merge(pp)
+                stats_rows.append({"stats": stats_blob})
+            shard_stats = _merge_state_rows(stats_rows)
+            _atomic_write(
+                f"{checkpoint_dir}/shards/{sid}.stats.pkl",
+                pickle.dumps(shard_stats),
+            )
+        else:
+            partial = _tree_merge_partials(
+                ds.map_batches(batch_validate, batch_format="pyarrow", batch_size=None)
+            )
+            shard_stats = None
 
         for ucol in spec.unique_columns:
             pre = ds.select_columns([ucol]).map_batches(
@@ -154,6 +192,11 @@ def validate_files_checkpointed(
             "null_counts": partial.null_counts,
             "bounds_fail": partial.bounds_fail,
             "constraint_fail": partial.constraint_fail,
+            "column_stats": (
+                {name: st.summary() for name, st in shard_stats.items()}
+                if shard_stats
+                else None
+            ),
             "finished_at": time.time(),
         }
         _atomic_write(manifest_path, json.dumps(manifest, indent=1).encode())
@@ -163,6 +206,21 @@ def validate_files_checkpointed(
     for sid, _ in shards:
         with open(f"{checkpoint_dir}/shards/{sid}.pkl", "rb") as f:
             merged.merge(pickle.loads(f.read()))
+
+    merged_stats = None
+    if collect_stats:
+        merged_stats = {}
+        for sid, _ in shards:
+            stats_path = f"{checkpoint_dir}/shards/{sid}.stats.pkl"
+            if not os.path.exists(stats_path):
+                continue  # shard finished by an older run without stats
+            with open(stats_path, "rb") as f:
+                shard_stats = pickle.loads(f.read())
+            for name, st in shard_stats.items():
+                if name in merged_stats:
+                    merged_stats[name].merge(st)
+                else:
+                    merged_stats[name] = st
 
     for ucol in spec.unique_columns:
         shard_paths = [
@@ -185,7 +243,13 @@ def validate_files_checkpointed(
         if n:
             merged.dup_counts[ucol] = n
 
-    return _finalize(merged, model)
+    report = _finalize(merged, model)
+    report.column_stats = (
+        {name: st.summary() for name, st in merged_stats.items()}
+        if merged_stats
+        else None
+    )
+    return report
 
 
 def read_manifests(checkpoint_dir: str) -> list[dict[str, Any]]:

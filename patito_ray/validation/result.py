@@ -223,6 +223,9 @@ class ValidationReport:
     errors: list[dict[str, Any]]
     merged: Partial
     ok: bool
+    # per-column stats summaries when the run collected them
+    # (checkpointed runs with collect_stats=True)
+    column_stats: dict[str, dict[str, Any]] | None = None
 
     def raise_if_failed(self, model: Any) -> None:
         if not self.ok:

@@ -106,3 +106,22 @@ def test_resume_skips_finished_shards(ray_session, tmp_path):
     assert {(e["loc"], e["msg"]) for e in r3.errors} == {
         (e["loc"], e["msg"]) for e in r1.errors
     }
+
+
+def test_checkpoint_with_stats(ray_session, tmp_path):
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    files = _write_files(tmp_path / "data")
+    ck = str(tmp_path / "ckpt")
+    report = validate_files_checkpointed(
+        files, Page, ck, files_per_shard=3, collect_stats=True
+    )
+    assert report.column_stats is not None
+    assert report.column_stats["score"]["count"] == report.row_count
+    assert report.column_stats["score"]["min"] == -1.0
+    m = read_manifests(ck)
+    assert all(mm["column_stats"] is not None for mm in m)
+    # resume preserves stats without re-reading
+    report2 = validate_files_checkpointed(
+        files, Page, ck, files_per_shard=3, collect_stats=True
+    )
+    assert report2.column_stats["score"]["count"] == report.row_count
