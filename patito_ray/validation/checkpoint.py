@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from patito_ray.fields import TableSpec
-from patito_ray.validation.checks import batch_key_counts, check_batch
+from patito_ray.validation.checks import check_batch
 from patito_ray.validation.engine import (
     _finalize,
     _prepare_aggregate_constraints,
@@ -86,6 +86,10 @@ def validate_files_checkpointed(
     collect_stats: bool = False,
 ) -> ValidationReport:
     """Validate a parquet file set with shard-level checkpoint/resume.
+
+    Note: checkpointed uniqueness always runs on 64-bit key hashes (the
+    persisted shard key files are hash-based); ``hash_unique_keys`` is
+    kept for API symmetry with the streaming engine.
 
     ``collect_stats=True`` additionally accumulates per-shard column
     statistics (null/min/max/HLL/t-digest sketch states) INSIDE the same
@@ -154,23 +158,42 @@ def validate_files_checkpointed(
             shard_stats = None
 
         for ucol in spec.unique_columns:
-            pre = ds.select_columns([ucol]).map_batches(
-                lambda t, c=ucol: batch_key_counts(t, c, hash_keys=hash_unique_keys),
+            # shard-local pre-aggregation through the bucketed blob
+            # exchange: workers emit per-batch key blobs, the driver
+            # folds them into this shard's (key-hash, count) totals with
+            # one multithreaded hash groupby — no row-level Ray groupby
+            from patito_ray.validation.checks import (
+                _key_totals,
+                batch_key_bucket_blobs,
+                unpack_bucket_blobs,
+            )
+
+            blob_ds = ds.select_columns([ucol]).map_batches(
+                lambda t, c=ucol: batch_key_bucket_blobs(t, c),
                 batch_format="pyarrow",
                 batch_size=None,
-            )
-            # pre-aggregate within the shard before persisting
-            from ray.data.aggregate import Sum
-
-            shard_counts = pre.groupby("k").aggregate(
-                Sum("count", alias_name="count")
             ).materialize()
-            tbl = pa.concat_tables(
-                shard_counts.iter_batches(batch_format="pyarrow"),
-                promote_options="permissive",
-            ) if shard_counts.count() else pa.table(
-                {"k": pa.array([], pa.int64()), "count": pa.array([], pa.int64())}
-            )
+            tables = list(blob_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+            if tables:
+                import numpy as np
+
+                keys, counts = unpack_bucket_blobs(
+                    pa.concat_tables(tables, promote_options="permissive")
+                )
+                totals = _key_totals(keys, counts)
+                tbl = pa.table(
+                    {
+                        "k": pa.array(
+                            totals["k"].to_numpy().astype(np.uint64).view(np.int64),
+                            type=pa.int64(),
+                        ),
+                        "count": pa.array(totals["c"].to_numpy(), type=pa.int64()),
+                    }
+                )
+            else:
+                tbl = pa.table(
+                    {"k": pa.array([], pa.int64()), "count": pa.array([], pa.int64())}
+                )
             tmp = f"{checkpoint_dir}/unique_{ucol}/{sid}.parquet.tmp"
             pq.write_table(tbl, tmp)
             os.replace(tmp, f"{checkpoint_dir}/unique_{ucol}/{sid}.parquet")
@@ -199,7 +222,11 @@ def validate_files_checkpointed(
             ),
             "finished_at": time.time(),
         }
-        _atomic_write(manifest_path, json.dumps(manifest, indent=1).encode())
+        # default=str: stats min/max may be datetimes/dates — the manifest
+        # is a human/monitoring artifact, ISO strings are the right shape
+        _atomic_write(
+            manifest_path, json.dumps(manifest, indent=1, default=str).encode()
+        )
 
     # ---- final merge (partials only; no input re-read) -------------------
     merged = Partial()
@@ -226,22 +253,41 @@ def validate_files_checkpointed(
         shard_paths = [
             f"{checkpoint_dir}/unique_{ucol}/{sid}.parquet" for sid, _ in shards
         ]
-        counts_ds = rd.read_parquet(shard_paths)
-        from ray.data.aggregate import Sum
+        total_bytes = sum(os.path.getsize(p) for p in shard_paths)
+        if total_bytes <= 2 * 1024 * 1024 * 1024:
+            # adaptive driver merge: shard files hold pre-aggregated
+            # (key-hash, count) rows, 16B/key — one multithreaded
+            # groupby beats a Ray shuffle until the key space outgrows
+            # driver memory
+            import polars as pl
 
-        totals = counts_ds.groupby("k").aggregate(Sum("count", alias_name="total"))
+            frames = [pl.read_parquet(p) for p in shard_paths if os.path.getsize(p)]
+            if frames:
+                totals = (
+                    pl.concat(frames).group_by("k").agg(pl.col("count").sum())
+                )
+                n = totals.filter(pl.col("count") > 1)["count"].sum()
+            else:
+                n = 0
+        else:
+            counts_ds = rd.read_parquet(shard_paths)
+            from ray.data.aggregate import Sum
 
-        def dup_rows(batch: pa.Table) -> pa.Table:
-            tot = batch.column("total")
-            dups = pc.sum(pc.filter(tot, pc.greater(tot, 1))).as_py() or 0
-            return pa.table({"dups": [int(dups)]})
+            totals_ds = counts_ds.groupby("k").aggregate(
+                Sum("count", alias_name="total")
+            )
 
-        rows = totals.map_batches(
-            dup_rows, batch_format="pyarrow", batch_size=None
-        ).take_all()
-        n = int(sum(r["dups"] for r in rows))
+            def dup_rows(batch: pa.Table) -> pa.Table:
+                tot = batch.column("total")
+                dups = pc.sum(pc.filter(tot, pc.greater(tot, 1))).as_py() or 0
+                return pa.table({"dups": [int(dups)]})
+
+            rows = totals_ds.map_batches(
+                dup_rows, batch_format="pyarrow", batch_size=None
+            ).take_all()
+            n = int(sum(r["dups"] for r in rows))
         if n:
-            merged.dup_counts[ucol] = n
+            merged.dup_counts[ucol] = int(n or 0)
 
     report = _finalize(merged, model)
     report.column_stats = (
