@@ -375,6 +375,7 @@ def _validate_dataset(
     references: dict[str, pa.Array],
     hash_unique_keys: bool = True,
     extra_batch_checks: list[Any] | None = None,
+    unique_num_buckets: int = 64,
 ) -> tuple[ValidationReport, Any]:
     import ray
 
@@ -441,7 +442,7 @@ def _validate_dataset(
             for ucol in unique_cols:
                 if ucol not in batch.column_names:
                     continue
-                blobs = batch_key_bucket_blobs(batch, ucol)
+                blobs = batch_key_bucket_blobs(batch, ucol, num_buckets=unique_num_buckets)
                 kinds.extend([1] * blobs.num_rows)
                 cols.extend([ucol] * blobs.num_rows)
                 buckets.extend(blobs.column("bucket").to_pylist())
@@ -575,8 +576,14 @@ def validate_report(
     references: Mapping[str, Any] | None = None,
     hash_unique_keys: bool = True,
     extra_batch_checks: list[Any] | None = None,
+    unique_num_buckets: int = 64,
 ) -> ValidationReport:
     """Run all checks; always return a ValidationReport (never raises).
+
+    ``unique_num_buckets`` sizes the uniqueness exchange: each bucket's
+    phase-2 merge holds ~distinct_keys x 16B / num_buckets — raise it
+    (e.g. to 16384) when the key space approaches 10^11+ so per-task
+    memory stays bounded.
 
     ``extra_batch_checks``: user extension hook — callables
     ``fn(pa.Table) -> dict[str, float]`` run inside the SAME streaming
@@ -594,6 +601,7 @@ def validate_report(
         references,
         hash_unique_keys,
         extra_batch_checks,
+        unique_num_buckets,
     )
     return report
 
@@ -641,6 +649,7 @@ def _validate_any(
     references: Mapping[str, Any] | None,
     hash_unique_keys: bool,
     extra_batch_checks: list[Any] | None = None,
+    unique_num_buckets: int = 64,
 ) -> tuple[ValidationReport, Any]:
     spec = model._spec()
     refs = _normalize_references(references)
@@ -657,6 +666,7 @@ def _validate_any(
             refs,
             hash_unique_keys,
             extra_batch_checks,
+            unique_num_buckets,
         )
     table = _to_table(data)
     return _validate_table(
