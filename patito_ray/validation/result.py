@@ -167,9 +167,13 @@ def assemble_errors(
         vals = merged.enum_invalid[loc]
         if vals:
             suffix = " (truncated)" if loc in merged.enum_truncated else ""
+            # deterministic set rendering (python set order varies by
+            # hash seed — local and distributed runs must agree)
+            rendered = "{" + ", ".join(sorted((repr(v) for v in vals))) + "}"
             errors.append(
                 ErrorWrapper(
-                    RowValueError(f"Rows with invalid values: {vals}.{suffix}"), loc
+                    RowValueError(f"Rows with invalid values: {rendered}.{suffix}"),
+                    loc,
                 )
             )
     for loc in sorted(merged.dup_counts, key=order_key):

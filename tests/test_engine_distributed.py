@@ -201,3 +201,42 @@ def test_empty_dataset(ray_session):
     ds = rd.from_arrow(pa.table({"a": pa.array([], type=pa.int64())}))
     rep = pr.validate_report(ds, M)
     assert rep.ok and rep.row_count == 0
+
+
+def test_distributed_struct_recursion(ray_session, tmp_path):
+    import ray.data as rd
+
+    class Inner(pr.Model):
+        x: int = pr.Field(gt=0)
+
+    class Outer(pr.Model):
+        s: Inner
+        items: list[Inner]
+
+    t = pa.table(
+        {
+            "s": [{"x": 1}, {"x": -3}],
+            "items": [[{"x": 2}], [{"x": -1}, {"x": 5}]],
+        }
+    )
+    pq.write_table(t, tmp_path / "s.parquet")
+    dist = pr.validate_report(rd.read_parquet(str(tmp_path / "s.parquet")), Outer)
+    local = pr.validate_report(t, Outer)
+    assert {(e["loc"], e["msg"]) for e in dist.errors} == {
+        (e["loc"], e["msg"]) for e in local.errors
+    }
+    assert (("s.x",), "1 row with out of bound values.") in {
+        (e["loc"], e["msg"]) for e in dist.errors
+    }
+
+
+def test_enum_message_deterministic():
+    # two invalid values must render sorted, independent of hash seed
+    class M2(pr.Model):
+        z: Literal["ok"]
+
+    t = pa.table({"z": ["bbb", "aaa", "ok"]})
+    try:
+        M2.validate(t)
+    except pr.DataFrameValidationError as e:
+        assert e.errors()[0]["msg"] == "Rows with invalid values: {'aaa', 'bbb'}."
