@@ -1,0 +1,173 @@
+"""Operational entry point — what a ``ray job submit`` would invoke.
+
+The north rule runs validation "via ray job submit on a fixed-size
+multi-node Ray cluster"; this CLI is that job script. On a cluster the
+same command runs under ``ray job submit -- python -m patito_ray ...``
+(ray.init() there attaches to the cluster; here it starts local mode).
+
+Models come from the built-in registry or from a JSON TableSpec
+manifest (``manifest.py`` round-trip) — the compiled constraint IR is
+the deployment artifact, no Python model class needed at the job site.
+
+Commands:
+  validate  --input GLOB --model NAME|spec.json [--checkpoint DIR]
+            [--stats] [--violations DIR] [--files-per-shard N]
+  profile   --input GLOB [--columns a,b,c]
+  dedup     --input GLOB [--text-col text] [--id-col doc_id] --output DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+from typing import Any
+
+
+def _resolve_model(name: str) -> Any:
+    if name == "webpage":
+        from patito_ray.pipelines.webpage import WebPage
+
+        return WebPage
+    if name.endswith(".json"):
+        from patito_ray.manifest import spec_from_json
+        from patito_ray.model import Model
+
+        with open(name) as f:
+            spec = spec_from_json(f.read())
+
+        shim = type(spec.model_name, (Model,), {"__annotations__": {}})
+        shim._compiled_spec = spec
+        return shim
+    raise SystemExit(f"unknown model {name!r}: use 'webpage' or a spec .json path")
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs: dict[str, Any] = {
+            "include_dashboard": False,
+            "ignore_reinit_error": True,
+            "logging_level": "ERROR",
+        }
+        if num_cpus:
+            kwargs.update(address="local", num_cpus=num_cpus)
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    model = _resolve_model(args.model)
+    files = sorted(glob.glob(args.input))
+    if not files:
+        raise SystemExit(f"no files match {args.input!r}")
+
+    if args.checkpoint:
+        from patito_ray.validation.checkpoint import validate_files_checkpointed
+
+        report = validate_files_checkpointed(
+            files,
+            model,
+            args.checkpoint,
+            files_per_shard=args.files_per_shard,
+            collect_stats=args.stats,
+        )
+    else:
+        import patito_ray as pr
+
+        ds = rd.read_parquet(files)
+        report = pr.validate_report(ds, model)
+
+    if args.violations:
+        from patito_ray.validation.violations import write_violations
+
+        counts = write_violations(rd.read_parquet(files), model, args.violations)
+        print(json.dumps({"violation_rows": counts}), file=sys.stderr)
+
+    out = {
+        "model": report.model_name,
+        "rows": report.row_count,
+        "ok": report.ok,
+        "errors": report.errors,
+    }
+    if report.column_stats:
+        out["column_stats"] = report.column_stats
+    print(json.dumps(out, default=str))
+    return 0 if report.ok else 1
+
+
+def cmd_profile(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from patito_ray.validation.stats import column_stats
+
+    files = sorted(glob.glob(args.input))
+    cols = args.columns.split(",") if args.columns else None
+    stats = column_stats(rd.read_parquet(files, columns=cols))
+    print(json.dumps(stats, default=str))
+    return 0
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import dedup_exact
+
+    files = sorted(glob.glob(args.input))
+    ds = rd.read_parquet(files)
+    before = ds.count()
+    out = dedup_exact(ds, text_col=args.text_col, id_col=args.id_col)
+    out.write_parquet(args.output)
+    after = rd.read_parquet(args.output).count()
+    print(json.dumps({"rows_in": before, "rows_out": after, "output": args.output}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="patito_ray")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    v = sub.add_parser("validate", help="validate parquet files against a model")
+    v.add_argument("--input", required=True, help="glob of parquet files")
+    v.add_argument("--model", required=True, help="'webpage' or a spec .json")
+    v.add_argument("--checkpoint", help="checkpoint dir (enables resume)")
+    v.add_argument("--stats", action="store_true", help="collect column sketches")
+    v.add_argument("--violations", help="write violation rows to this dir")
+    v.add_argument("--files-per-shard", type=int, default=8)
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("profile", help="column statistics (HLL/t-digest)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--columns", default=None)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_profile)
+
+    d = sub.add_parser("dedup", help="exact dedup to an output dir")
+    d.add_argument("--input", required=True)
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--output", required=True)
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_dedup)
+
+    args = parser.parse_args(argv)
+    code = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""CLI surface: the ray-job-submit entry point, driven as a subprocess."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import patito_ray as pr
+
+
+def run_cli(*args: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    return subprocess.run(
+        [sys.executable, "-m", "patito_ray", *args],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/root/repo",
+        env=env,
+    )
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_data")
+    n = 500
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "text": pa.array(
+                ["doc text number %d" % (i % 400) for i in range(n)]
+            ),
+            "score": pa.array(np.linspace(-1, 99, n)),
+        }
+    )
+    pq.write_table(t.slice(0, 250), d / "a.parquet")
+    pq.write_table(t.slice(250), d / "b.parquet")
+    return str(d)
+
+
+def test_cli_validate_with_json_spec(data_dir, tmp_path):
+    from typing import Optional
+
+    from patito_ray.manifest import spec_to_json
+
+    class Doc(pr.Model):
+        doc_id: int = pr.Field(unique=True)
+        text: str
+        score: float = pr.Field(ge=0)
+
+    spec_path = tmp_path / "doc_spec.json"
+    spec_path.write_text(spec_to_json(Doc._spec()))
+
+    res = run_cli(
+        "validate",
+        "--input",
+        f"{data_dir}/*.parquet",
+        "--model",
+        str(spec_path),
+        "--checkpoint",
+        str(tmp_path / "ckpt"),
+        "--stats",
+        "--num-cpus",
+        "4",
+    )
+    assert res.returncode == 1, res.stderr[-2000:]  # violations -> exit 1
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 500
+    assert out["ok"] is False
+    locs = {tuple(e["loc"]) for e in out["errors"]}
+    assert ("score",) in locs  # negative scores out of bounds
+    assert out["column_stats"]["score"]["count"] == 500
+
+
+def test_cli_profile(data_dir):
+    res = run_cli(
+        "profile", "--input", f"{data_dir}/*.parquet", "--columns", "score",
+        "--num-cpus", "4",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["score"]["count"] == 500
+
+
+def test_cli_dedup(data_dir, tmp_path):
+    res = run_cli(
+        "dedup",
+        "--input",
+        f"{data_dir}/*.parquet",
+        "--output",
+        str(tmp_path / "deduped"),
+        "--num-cpus",
+        "4",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["rows_in"] == 500
+    assert out["rows_out"] == 400  # 400 distinct texts
