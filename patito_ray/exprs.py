@@ -166,8 +166,10 @@ class Expr:
     def ceil(self) -> "Expr":
         return Expr({"op": "un", "fn": "ceil", "x": self.node})
 
-    def round(self, decimals: int = 0) -> "Expr":
-        return Expr({"op": "call", "fn": "round", "x": self.node, "args": [decimals]})
+    def round(self, decimals: int = 0, mode: str = "half_towards_infinity") -> "Expr":
+        """Round half-away-from-zero by default (polars/DuckDB ROUND
+        semantics; pyarrow's default half_to_even differs)."""
+        return Expr({"op": "call", "fn": "round", "x": self.node, "args": [decimals, mode]})
 
     def cast(self, dtype: str) -> "Expr":
         """Cast to an arrow type given by name (e.g. "float64", "int64")."""
@@ -529,7 +531,8 @@ def _eval_call(node: dict[str, Any], table: pa.Table) -> Any:
     x = eval_expr(node["x"], table)
     args = node.get("args", [])
     if fn == "round":
-        return pc.round(x, ndigits=args[0])
+        mode = args[1] if len(args) > 1 else "half_towards_infinity"
+        return pc.round(x, ndigits=args[0], round_mode=mode)
     if fn == "cast":
         return pc.cast(x, arrow_type_from_name(args[0]))
     if fn == "fill_null":

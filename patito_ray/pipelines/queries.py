@@ -752,3 +752,45 @@ def q_training_pipeline(sf_dir: str) -> pa.Table:
 
 
 QUERIES["training_pipeline"] = (q_training_pipeline, None)
+
+
+class LineitemCharge(pr.Model):
+    """Derived-column model: charge computed by the derive stage (T3).
+    Expressed in integer cents so the oracle comparison is exact —
+    float-of-rounded values can differ in the last ulp between engines
+    even when the decimal agrees."""
+
+    l_orderkey: int
+    l_linenumber: int
+    charge_cents: int = pr.Field(
+        derived_from=(
+            pr.col("l_extendedprice")
+            * (1 - pr.col("l_discount"))
+            * (1 + pr.col("l_tax"))
+            * 100
+        ).round(0)
+    )
+
+
+def q_derived_charge(sf_dir: str) -> pa.Table:
+    """Row-level derive (reference T3) checked value-by-value against
+    SQL: model-declared derived_from expression evaluated per batch."""
+    from patito_ray.frame import ModelFrame
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    frame = ModelFrame(ds, LineitemCharge).derive().drop()
+    return frame.as_dataset()
+
+
+SQL_DERIVED_CHARGE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)
+           AS charge_cents
+FROM lineitem
+"""
+
+QUERIES["derived_charge"] = (q_derived_charge, SQL_DERIVED_CHARGE)
