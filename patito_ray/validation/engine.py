@@ -8,22 +8,27 @@ alias rename, optional superfluous-drop, error accumulation, raise).
 Distributed path (the engine's reason to exist — SURVEY.md §3 "Ray
 translation of E1/E2") over a ``ray.data.Dataset``:
 
-1. driver-side schema checks from ``ds.schema()`` (zero data movement),
+1. driver-side plan transforms (alias rename, superfluous drop) from
+   ``ds.schema()`` — zero data movement,
 2. optional aggregate-constraint pre-pass (per-batch partials ->
-   merged scalars -> constraint trees rewritten), two passes over the
-   data only when a model declares aggregate constraints,
-3. ONE streaming ``map_batches(batch_format="pyarrow")`` pass emitting
-   a pickled mergeable ``Partial`` per block (plus broadcast
-   referential-miss counts against ``ray.put`` key sets),
-4. a tree-merge of partials (associative monoid; repartition+merge
-   rounds keep the driver from folding millions of partials itself),
-5. per unique column, a two-phase shuffle: per-batch (key,count)
-   pre-aggregation -> ``groupby(k).sum`` -> dup-row counts
-   (reference ``is_duplicated().sum()`` semantics at cluster scale).
+   merged scalars -> constraint trees rewritten), a second pass over
+   the data only when a model declares aggregate constraints,
+3. ONE fused streaming ``map_batches(batch_format="pyarrow")`` pass
+   emitting, per block: a pickled mergeable ``Partial`` (all row-wise
+   checks + broadcast referential-miss counts + user
+   ``extra_batch_checks`` counters) AND each unique column's bucketed
+   (key-hash, count) blobs — the input is read exactly once,
+4. partial tree-merge (associative monoid; worker-side repartition+
+   merge rounds keep the driver from folding millions of partials),
+5. uniqueness finalize per unique column over the blobs from step 3:
+   adaptive — driver-side multithreaded hash groupby below 256 MB,
+   bucket ``groupby`` exchange above (reference
+   ``is_duplicated().sum()`` row-participation semantics).
 
-Nothing here materializes the input; violation *counts* and bounded
-samples return to the driver, full violation rows stream to parquet
-via ``collect_violations``/``write_violations``.
+Nothing here materializes the raw input (only the tiny combined
+partial+blob output); violation *counts* and bounded samples return to
+the driver, full violation rows stream to parquet via
+``validation/violations.py``.
 """
 
 from __future__ import annotations
