@@ -32,7 +32,6 @@ from patito_ray import dtypes as _dt
 from patito_ray.exprs import (
     col,
     count_failures,
-    eval_expr,
     fail_mask,
     substitute_column,
 )
@@ -443,7 +442,3 @@ def referential_miss_mask(
     missing = pc.and_(pc.invert(present), pc.is_valid(arr))
     return _combine(missing)
 
-
-def eval_on_table(node: dict[str, Any], table: pa.Table) -> Any:
-    """Convenience passthrough used by stages/ (derive etc.)."""
-    return eval_expr(node, table)
