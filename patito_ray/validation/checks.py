@@ -14,8 +14,8 @@ Check inventory and the reference lines they mirror:
 - nulls inside list items            (validators.py:156-197)
 - dtype membership                   (validators.py:199-223)
 - enum / Literal allowed values      (validators.py:225-233, 407-439)
-- uniqueness (local path only; the distributed path is a groupby
-  shuffle in engine.py)              (validators.py:235-244)
+- uniqueness (local path only; distributed = the bucketed blob
+  exchange in engine.py)             (validators.py:235-244)
 - struct / list-of-struct recursion  (validators.py:246-329)
 - bounds/const/regex/length/multipleOf (validators.py:331-376)
 - custom constraints incl. "_" alias (validators.py:378-402)
