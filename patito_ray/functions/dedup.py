@@ -58,21 +58,45 @@ def dedup_exact_ids(ds: Any, text_col: str = "text", id_col: str = "doc_id") -> 
     return kept.select_columns([id_col])
 
 
-def dedup_exact(ds: Any, text_col: str = "text", id_col: str = "doc_id") -> Any:
-    """Full exact-dedup: keep one row (min id) per content hash. Wide:
-    shuffles whole rows — prefer ``dedup_exact_ids`` + downstream
-    semi-join when payloads are heavy."""
-    import pandas as pd
+def dedup_exact(
+    ds: Any,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit_bytes: int = 256 * 1024 * 1024,
+) -> Any:
+    """Full exact-dedup: keep one row (min id) per content hash.
 
-    hashed = ds.map_batches(
-        lambda t: add_content_hash(t, text_col), batch_format="pyarrow", batch_size=None
-    )
+    Two phases, neither with per-group Python (a map_groups(head) over
+    near-all-singleton hash groups would make one Python call per
+    document): (1) ``dedup_exact_ids`` computes the kept-id set with a
+    vectorized Min aggregation over narrow (hash, id) pairs; (2) the
+    payload rows are selected by kept-id — broadcast ``is_in`` filter
+    while the id set fits the object store comfortably, partitioned
+    hash join beyond that."""
+    import pyarrow.compute as _pc
+    import ray
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    kept = dedup_exact_ids(ds, text_col, id_col).materialize()
+    kept_bytes = kept.count() * 8
+    if kept_bytes <= broadcast_limit_bytes:
+        ids = pa.concat_arrays(
+            [
+                b.column(id_col).combine_chunks()
+                for b in kept.iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+        ) if kept.count() else pa.array([], type=pa.int64())
+        ref = ray.put(ids)
 
-    out = hashed.groupby("h").map_groups(keep_first, batch_format="pandas")
-    return out.drop_columns(["h"])
+        def pick(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            return batch.filter(_pc.is_in(batch.column(id_col), value_set=ks))
+
+        return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+    from patito_ray.stages.join import hash_join
+
+    return hash_join(ds, kept, on=id_col, how="inner")
 
 
 # ---------------------------------------------------------------------------
