@@ -9,6 +9,24 @@ partition-level runs. Semantics mirror JakobGM/patito (the reference at
 /root/reference) — see SURVEY.md for the line-by-line parity map.
 """
 
+import logging as _logging
+
+
+class _SchemaHashNoise(_logging.Filter):
+    """Drop Ray Data's benign per-task 'Failed to hash the schemas'
+    warning: the engine's fused pass ships pickled-Partial blob columns
+    whose schema metadata is unhashable, tripping a harmless dedup
+    fast-path in ``transform_pyarrow.unify_schemas``. Left unfiltered it
+    repeats per task and buries real warnings."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _SchemaHashNoise()
+)
+
 from patito_ray.exceptions import (
     ColumnDTypeError,
     DataFrameValidationError,

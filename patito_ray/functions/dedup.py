@@ -141,8 +141,10 @@ _MINHASH_SALTS: np.ndarray | None = None
 def _salts(num_perm: int) -> np.ndarray:
     global _MINHASH_SALTS
     if _MINHASH_SALTS is None or len(_MINHASH_SALTS) < num_perm:
+        # seeded rng: growing the table keeps every existing prefix
+        # byte-identical, so signatures are stable across num_perm
         rng = np.random.default_rng(12345)
-        _MINHASH_SALTS = rng.integers(0, 2**64, 256, dtype=np.uint64)
+        _MINHASH_SALTS = rng.integers(0, 2**64, max(256, num_perm), dtype=np.uint64)
     return _MINHASH_SALTS[:num_perm]
 
 

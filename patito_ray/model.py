@@ -60,6 +60,15 @@ def _compile_column(name: str, annotation: Any, info: FieldInfo | None) -> Colum
             f"field {name!r}: annotation {annotation!r} has no default dtype; "
             "pass Field(dtype=...)"
         )
+    if dtype_forced and not _dt.valid_dtype(resolved.category, resolved, info.dtype):
+        # compile-time guard rail mirroring the reference's
+        # validate_polars_dtype (_pydantic/dtypes/dtypes.py:58-112):
+        # a forced dtype outside the annotation's valid family is a
+        # model bug, caught eagerly instead of at first validate()
+        raise TypeError(
+            f"field {name!r}: Field(dtype={info.dtype}) is not a valid dtype "
+            f"for annotation {annotation!r}"
+        )
 
     has_default = info.default is not _MISSING
     nullable = resolved.nullable

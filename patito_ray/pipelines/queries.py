@@ -27,9 +27,9 @@ from patito_ray.validation.stats import column_stats
 
 
 def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> Any:
-    import ray.data as rd
+    from patito_ray.sources.readers import clean_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return clean_read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _one_row(**cols: Any) -> pa.Table:
@@ -256,30 +256,31 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 def q_segment_revenue(sf_dir: str) -> pa.Table:
     """orders ⋈ customer revenue per market segment — broadcast join
-    (customer is the small side: ray.put once, dict-lookup per batch)."""
+    (customer is the small side: ray.put the Arrow table once, each
+    batch does a vectorized ``Table.join`` hash join against it)."""
     import ray
     from ray.data.aggregate import Sum
 
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    lookup: dict[int, str] = {}
-    for b in cust.iter_batches(batch_format="pyarrow"):
-        ck = b["c_custkey"].to_pylist()
-        seg = b["c_mktsegment"].to_pylist()
-        lookup.update(zip(ck, seg))
-    ref = ray.put(lookup)
+    cust = pa.concat_tables(
+        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    ref = ray.put(cust)
 
     def attach(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        lk = ray.get(ref)
-        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        segs = [lk.get(int(k)) for k in keys.tolist()]
-        df = pl.from_arrow(batch).with_columns(
-            c_mktsegment=pl.Series(segs, dtype=pl.String)
+        joined = batch.join(
+            ray.get(ref), keys=["o_custkey"], right_keys=["c_custkey"]
         )
-        out = df.group_by("c_mktsegment").agg(
-            pl.col("o_totalprice").sum().alias("s_rev"),
-            pl.len().cast(pl.Int64).alias("n"),
+        out = (
+            pl.from_arrow(joined)
+            .group_by("c_mktsegment")
+            .agg(
+                pl.col("o_totalprice").sum().alias("s_rev"),
+                pl.len().cast(pl.Int64).alias("n"),
+            )
         )
         return out.to_arrow()
 

@@ -65,6 +65,29 @@ def read_csv(
     return frame
 
 
+def clean_read_parquet(
+    paths: str | list[str], columns: list[str] | None = None, **kwargs: Any
+) -> Any:
+    """``ray.data.read_parquet`` passing an explicit metadata-stripped
+    Arrow schema.
+
+    Some producers (e.g. pandas writers) attach schema metadata that
+    makes ``pyarrow.Schema`` unhashable; Ray's per-task schema-dedup
+    fast path (``transform_pyarrow.unify_schemas``) then logs a
+    'Failed to hash the schemas' warning from EVERY read task, burying
+    real warnings. Resolving the schema once on the driver and passing
+    the stripped, column-projected version removes the noise and skips
+    per-task schema unification work.
+    """
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    schema = pads.dataset(paths, format="parquet").schema.remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(paths, columns=columns, schema=schema, **kwargs)
+
+
 def read_parquet(
     paths: str | list[str],
     model: type[Model],
@@ -74,8 +97,6 @@ def read_parquet(
 ) -> ModelFrame:
     """Parquet read with model-driven column projection: only the model's
     (non-derived) columns leave storage unless ``columns`` overrides."""
-    import ray.data as rd
-
     if columns is None:
         spec = model._spec()
         columns = [
@@ -83,7 +104,7 @@ def read_parquet(
             for n, c in spec.columns.items()
             if c.derived_from is None and not c.allow_missing
         ]
-    ds = rd.read_parquet(paths, columns=columns, **kwargs)
+    ds = clean_read_parquet(paths, columns=columns, **kwargs)
     frame = ModelFrame(ds, model)
     if derive:
         frame = frame.derive()

@@ -4,9 +4,11 @@ North-rule requirement (BASELINE.json): "resumable from checkpoint with
 per-partition lineage + metrics". Design (SURVEY.md §4/§7):
 
 - The input file list is split into deterministic shards; the shard id
-  is a content fingerprint of its file list (path + size), so a retry
-  with the same input hits the same ids and a changed input invalidates
-  only the touched shards.
+  is a content fingerprint of its file list (path + size) AND of the
+  compiled model spec, so a retry with the same input+model hits the
+  same ids, a changed input invalidates only the touched shards, and a
+  changed model invalidates everything (stale Partials computed under
+  an older schema are never merged).
 - Each shard runs the row-wise validation pass and writes, atomically
   (tmp + rename):
     * ``shards/<sid>.pkl``  — the shard's mergeable Partial,
@@ -48,12 +50,25 @@ from patito_ray.validation.engine import (
 from patito_ray.validation.result import Partial, ValidationReport
 
 
-def _shard_id(files: list[tuple[str, int]]) -> str:
+def _shard_id(files: list[tuple[str, int]], fingerprint: str = "") -> str:
     h = hashlib.sha256()
+    h.update(fingerprint.encode())
     for path, size in files:
         h.update(path.encode())
         h.update(str(size).encode())
     return h.hexdigest()[:16]
+
+
+def spec_fingerprint(spec: TableSpec) -> str:
+    """Stable fingerprint of the compiled model spec. Folded into shard
+    ids so resuming a checkpoint_dir with a CHANGED model (new bounds,
+    constraints, nullability...) re-runs every shard instead of silently
+    merging Partials computed under the old schema."""
+    from patito_ray.manifest import spec_to_json_dict
+
+    return hashlib.sha256(
+        json.dumps(spec_to_json_dict(spec), sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
 
 
 def _atomic_write(path: str, data: bytes) -> None:
@@ -64,15 +79,15 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 
 def plan_shards(
-    files: Iterable[str], files_per_shard: int = 8
+    files: Iterable[str], files_per_shard: int = 8, fingerprint: str = ""
 ) -> list[tuple[str, list[str]]]:
     """Deterministic shard plan: sorted files, fixed-size groups,
-    content-fingerprint ids."""
+    content-fingerprint ids (input files + sizes + model fingerprint)."""
     sized = [(f, os.path.getsize(f)) for f in sorted(files)]
     shards = []
     for i in range(0, len(sized), files_per_shard):
         group = sized[i : i + files_per_shard]
-        shards.append((_shard_id(group), [g[0] for g in group]))
+        shards.append((_shard_id(group, fingerprint), [g[0] for g in group]))
     return shards
 
 
@@ -106,7 +121,7 @@ def validate_files_checkpointed(
     for ucol in spec.unique_columns:
         os.makedirs(f"{checkpoint_dir}/unique_{ucol}", exist_ok=True)
 
-    shards = plan_shards(files, files_per_shard)
+    shards = plan_shards(files, files_per_shard, fingerprint=spec_fingerprint(spec))
     for sid, shard_files in shards:
         manifest_path = f"{checkpoint_dir}/shards/{sid}.json"
         if os.path.exists(manifest_path):

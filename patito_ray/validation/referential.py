@@ -23,6 +23,13 @@ from patito_ray.validation.checks import batch_key_bucket_blobs
 
 def _tagged_blobs(ds: Any, column: str, side: int, num_buckets: int) -> Any:
     def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null keys are not referential failures (same semantics as the
+        # engine's broadcast referential_miss_mask): drop them before
+        # hashing, else value_counts' null group hashes to a constant
+        # absent from the dim side and miscounts as a miss
+        batch = batch.filter(pc.is_valid(batch.column(column)))
         blobs = batch_key_bucket_blobs(batch, column, num_buckets=num_buckets)
         return blobs.append_column(
             "side", pa.array([side] * blobs.num_rows, type=pa.int8())

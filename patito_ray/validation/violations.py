@@ -206,14 +206,27 @@ def partition_verdicts(ds: Any, model: Any) -> Any:
 def write_violations(ds: Any, model: Any, path: str) -> dict[str, int]:
     """Stream all violation rows to a partitioned parquet directory;
     returns per-kind counts. Resumable layout: one directory per run,
-    many part files."""
-    v = violations_dataset(ds, model)
-    v.write_parquet(path)
-    import ray.data as rd
+    many part files.
 
-    written = rd.read_parquet(path, columns=["violation_kind"])
+    One input pass: the violations dataset is materialized (violation
+    rows only — a small fraction of the input), the sink writes from the
+    pinned blocks, and per-kind counts come from tiny per-batch
+    value_counts partials over the SAME blocks — the parquet output is
+    never re-read and the input is never re-validated."""
+    v = violations_dataset(ds, model).materialize()
+    v.write_parquet(path)
+
+    def kind_counts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("violation_kind").combine_chunks())
+        return pa.table(
+            {"kind": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
     counts: dict[str, int] = {}
-    for b in written.iter_batches(batch_format="pyarrow"):
-        for kind, n in zip(*np.unique(b["violation_kind"].to_numpy(zero_copy_only=False), return_counts=True)):
+    partials = v.select_columns(["violation_kind"]).map_batches(
+        kind_counts, batch_format="pyarrow", batch_size=None
+    )
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for kind, n in zip(b["kind"].to_pylist(), b["n"].to_pylist()):
             counts[str(kind)] = counts.get(str(kind), 0) + int(n)
     return counts

@@ -125,3 +125,28 @@ def test_checkpoint_with_stats(ray_session, tmp_path):
         files, Page, ck, files_per_shard=3, collect_stats=True
     )
     assert report2.column_stats["score"]["count"] == report.row_count
+
+
+def test_changed_model_invalidates_resume(ray_session, tmp_path):
+    """Resuming a checkpoint dir with a CHANGED model must re-run shards
+    (stale Partials under the old schema are never merged)."""
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    files = _write_files(tmp_path / "data")
+    ck = str(tmp_path / "ckpt")
+    r1 = validate_files_checkpointed(files, Page, ck, files_per_shard=2)
+    assert any(e["loc"] == ("score",) for e in r1.errors)  # ge=0 violated once
+
+    class PageStricter(pr.Model):
+        url: str = pr.Field(unique=True, pattern=r"^https?://")
+        lang: Literal["en", "de"]
+        score: float = pr.Field(ge=0.5)  # tightened bound
+
+    r2 = validate_files_checkpointed(files, PageStricter, ck, files_per_shard=2)
+    # the stricter bound fails on ~half the rows: only possible if the
+    # shards were recomputed rather than resumed from Page's partials
+    stricter_fail = [e for e in r2.errors if e["loc"] == ("score",)]
+    assert stricter_fail and "missing value" not in stricter_fail[0]["msg"]
+    assert r2.merged.bounds_fail["score"] > r1.merged.bounds_fail["score"] * 100
+    # shard ids differ between the two models
+    s1 = {m["shard_id"] for m in read_manifests(ck)}
+    assert len(s1) == 6  # 3 shards per model fingerprint

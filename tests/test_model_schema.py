@@ -323,3 +323,37 @@ def test_partition_verdicts(ray_session):
     assert oks == [False, True]
     bad_row = next(r for r in rows if not r["ok"])
     assert json.loads(bad_row["by_kind"]) == {"out_of_bounds": 1}
+
+
+def test_forced_dtype_compat_rejected():
+    """Field(dtype=...) outside the annotation's valid family raises at
+    compile time (reference validate_polars_dtype, dtypes.py:58-112)."""
+    import pytest
+
+    class BadInt(pr.Model):
+        x: int = pr.Field(dtype=pa.string())
+
+    with pytest.raises(TypeError, match="not a valid dtype"):
+        BadInt.validate_schema()
+
+    class BadFloat(pr.Model):
+        x: float = pr.Field(dtype=pa.int64())
+
+    with pytest.raises(TypeError, match="not a valid dtype"):
+        BadFloat.validate_schema()
+
+    class BadList(pr.Model):
+        x: list[int] = pr.Field(dtype=pa.list_(pa.string()))
+
+    with pytest.raises(TypeError, match="not a valid dtype"):
+        BadList.validate_schema()
+
+    # compatible forcings still compile
+    class Good(pr.Model):
+        a: int = pr.Field(dtype=pa.uint16())
+        b: str = pr.Field(dtype=pa.large_string())
+        c: datetime.datetime = pr.Field(dtype=pa.timestamp("ns", tz="UTC"))
+        d: list[int] = pr.Field(dtype=pa.large_list(pa.int32()))
+
+    Good.validate_schema()
+    assert Good.dtypes["a"] == pa.uint16()

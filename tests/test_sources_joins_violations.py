@@ -165,3 +165,17 @@ def test_anti_join_count_large_dims(ray_session):
         references={"fk": list(range(50))},
     )
     assert rep.merged.ref_fail["fk"] == 3
+
+
+def test_anti_join_count_ignores_null_fact_keys(ray_session):
+    """Null fact keys are the null-check's business, not referential
+    misses — both referential paths agree on that semantics."""
+    import ray.data as rd
+
+    from patito_ray.validation.referential import anti_join_count
+
+    fact = rd.from_arrow(
+        pa.table({"fk": pa.array([1, None, 99, None, 2], type=pa.int64())})
+    ).repartition(2)
+    dim = rd.from_arrow(pa.table({"pk": list(range(10))}))
+    assert anti_join_count(fact, "fk", dim, "pk") == 1  # only 99
