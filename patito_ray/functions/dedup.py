@@ -17,7 +17,7 @@ Execution shapes (the ray_guide / SURVEY.md §4 patterns):
 
 from __future__ import annotations
 
-import itertools
+import logging
 from typing import Any
 
 import numpy as np
@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from patito_ray.state.sketches import hash64
+
+_LOG = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -112,14 +114,23 @@ def _shingle_hashes(
     Returns (flat_shingle_hashes, row_index_per_shingle, n_rows).
     Shingle hash = combination of the n token hashes (rolling mix) —
     all vectorized over the flattened token array.
+
+    Short-doc fallback: a doc with 1..n-1 tokens yields no full n-gram,
+    which would leave its signature at the all-max sentinel and make
+    every short doc collide with every other one (and ngram-verify as
+    jaccard 1.0). Such docs instead get ONE shingle — the hash of their
+    full normalized token sequence — so two DIFFERENT short docs hash
+    apart while identical ones still collide. Zero-token docs keep the
+    sentinel signature and are excluded from banding entirely.
     """
     lower = pc.utf8_lower(text)
     toks = pc.utf8_split_whitespace(lower)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     th = hash64(flat)
+    n_rows = len(text)
     if len(th) == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64), len(text)
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n_rows
     # rolling n-gram combine: h_i = mix(th_i, th_{i+1}, ..., th_{i+n-1})
     # only valid where all n tokens share the same row
     m = th.copy()
@@ -132,7 +143,16 @@ def _shingle_hashes(
     if n > 1:
         # np.roll wraps: the last n-1 positions peeked at the array head
         valid[len(th) - (n - 1) :] = False
-    return m[valid], parents[valid], len(text)
+    shingles, rows = m[valid], parents[valid]
+    n_tokens = np.bincount(parents, minlength=n_rows)
+    short = (n_tokens > 0) & (n_tokens < n)
+    if short.any():
+        idx = np.nonzero(short)[0]
+        joined = pc.binary_join(toks, " ")
+        jh = hash64(joined.take(pa.array(idx)))
+        shingles = np.concatenate([shingles, jh])
+        rows = np.concatenate([rows, idx.astype(np.int64)])
+    return shingles, rows, n_rows
 
 
 _MINHASH_SALTS: np.ndarray | None = None
@@ -188,8 +208,15 @@ def band_rows(
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     sig = minhash_signatures(text, num_perm)
-    r = num_perm // bands
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    # zero-shingle docs (empty/whitespace-only) keep the all-max
+    # sentinel signature; banding them would make every empty doc
+    # collide with every other. They cannot be near-dups of anything
+    # with content, so they simply don't participate in LSH.
+    live = sig[:, 0] != np.iinfo(np.uint64).max
+    if not live.all():
+        sig, ids = sig[live], ids[live]
+    r = num_perm // bands
     out_band = np.repeat(np.arange(bands, dtype=np.int32), len(ids))
     out_id = np.tile(ids, bands)
     hashes = np.empty(bands * len(ids), dtype=np.uint64)
@@ -215,29 +242,33 @@ def minhash_candidate_pairs(
     num_perm: int = 128,
     bands: int = 16,
     max_bucket: int = 200,
-    max_collision_keys: int = 1_000_000,
+    max_collision_keys: int = 10_000_000,
 ) -> Any:
-    """MinHash-LSH candidate pairs.
+    """MinHash-LSH candidate pairs -> Dataset[a, b] (a < b, distinct).
 
     Execution shape (scale-critical): almost every LSH bucket is a
-    singleton, so per-bucket Python (``map_groups``) would make millions
-    of calls doing nothing. Instead:
+    singleton, so per-bucket Python (``map_groups``) over ALL buckets
+    would make millions of calls doing nothing. Instead:
 
     1. band rows with a combined int64 bucket key (one row per doc per
        band — the only wide data);
-    2. ONE vectorized ``groupby(key).count()`` finds colliding keys
-       (count >= 2) — the rare case;
+    2. ONE bucketed-blob exchange finds colliding keys (count >= 2) —
+       the rare case;
     3. the colliding-key set broadcasts; band rows filter against it
-       per batch (no second shuffle), and the surviving rows (tiny)
-       pair up on the driver.
+       per batch (no shuffle of non-colliding rows);
+    4. pairs form WORKER-side: ``groupby(key).map_groups`` over the
+       colliding subset only emits each bucket's id combinations, and
+       one tiny groupby dedups pairs that collided in several bands.
+       Nothing pair-shaped ever concentrates on the driver, so a
+       duplicate-heavy crawl (collision set O(corpus)) streams through.
 
-    ``max_bucket`` caps pairs per bucket (hot-bucket guard);
-    ``max_collision_keys`` bounds the broadcast (truncation logged via
-    the returned dataset's provenance, not silent: an assert guards it).
+    ``max_bucket`` caps ids per bucket (hot-bucket guard: a bucket of k
+    ids emits k(k-1)/2 pairs); ``max_collision_keys`` bounds the
+    broadcast key set. Both caps LOG a warning with the dropped volume
+    when they truncate — never silent.
     """
     import pyarrow.compute as _pc
     import ray
-    import ray.data as rd
 
     def keyed_rows(t: pa.Table) -> pa.Table:
         rows = band_rows(t, id_col, text_col, num_perm, bands)
@@ -258,6 +289,14 @@ def minhash_candidate_pairs(
 
     key_set = duplicate_keys_distributed(rows, "key", prehashed=True, min_count=2)
     if len(key_set) > max_collision_keys:
+        _LOG.warning(
+            "minhash_candidate_pairs: %d colliding band keys exceed "
+            "max_collision_keys=%d; dropping %d keys (candidate recall "
+            "reduced). Raise max_collision_keys or bands to cover.",
+            len(key_set),
+            max_collision_keys,
+            len(key_set) - max_collision_keys,
+        )
         key_set = key_set.slice(0, max_collision_keys)
     ref = ray.put(key_set)
 
@@ -266,38 +305,232 @@ def minhash_candidate_pairs(
         return batch.filter(_pc.is_in(batch["key"], value_set=ks))
 
     hits = rows.map_batches(pick, batch_format="pyarrow", batch_size=None)
-    by_key: dict[int, list[int]] = {}
-    for b in hits.iter_batches(batch_format="pyarrow"):
-        for k, d in zip(b["key"].to_pylist(), b[id_col].to_pylist()):
-            by_key.setdefault(k, []).append(d)
-    pairs: set[tuple[int, int]] = set()
-    for ids in by_key.values():
-        uniq = sorted(set(ids))[:max_bucket]
-        pairs.update(itertools.combinations(uniq, 2))
-    out = sorted(pairs)
-    return rd.from_arrow(
-        pa.table(
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        uniq = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
+        if len(uniq) > max_bucket:
+            _LOG.warning(
+                "minhash_candidate_pairs: LSH bucket with %d ids capped "
+                "at max_bucket=%d (%d ids dropped from pairing)",
+                len(uniq),
+                max_bucket,
+                len(uniq) - max_bucket,
+            )
+            uniq = uniq[:max_bucket]
+        if len(uniq) < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        ai, bi = np.triu_indices(len(uniq), k=1)
+        return pa.table(
             {
-                "a": pa.array([p[0] for p in out], type=pa.int64()),
-                "b": pa.array([p[1] for p in out], type=pa.int64()),
+                "a": pa.array(uniq[ai], type=pa.int64()),
+                "b": pa.array(uniq[bi], type=pa.int64()),
             }
         )
+
+    pairs = hits.groupby("key").map_groups(emit_pairs, batch_format="pyarrow")
+    # dedup pairs that collided in several bands: tiny shuffle over the
+    # pair rows only
+    from ray.data.aggregate import Count
+
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
     )
 
 
+def _grams(s: str, n: int) -> set[str]:
+    """Word-n-gram set; docs with 1..n-1 tokens contribute ONE gram
+    (their full token sequence) so distinct short texts never compare as
+    identical; empty/whitespace texts have no grams."""
+    toks = s.lower().split()
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    if toks:
+        return {" ".join(toks)}
+    return set()
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
-    """Exact word-n-gram Jaccard similarity (the verify step)."""
+    """Exact word-n-gram Jaccard similarity (the verify step).
 
-    def grams(s: str) -> set[tuple[str, ...]]:
-        toks = s.lower().split()
-        return {tuple(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))}
-
-    ga, gb = grams(a), grams(b)
+    Both sides empty of grams (whitespace-only texts) -> 1.0; exactly
+    one side empty -> 0.0 (they cannot share content)."""
+    ga, gb = _grams(a, n), _grams(b, n)
     if not ga and not gb:
         return 1.0
     if not ga or not gb:
         return 0.0
     return len(ga & gb) / len(ga | gb)
+
+
+def verify_pairs_dataset(
+    ds: Any,
+    pairs: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_partitions: int = 32,
+) -> Any:
+    """Distributed candidate-pair verification -> Dataset[a, b, jaccard]
+    (pairs whose exact n-gram Jaccard >= threshold).
+
+    Scale shape: candidate TEXTS never touch the driver. Only the
+    candidate id set (8 B/id) is collected to broadcast a semi-join
+    filter over the corpus. Texts then meet their pairs through two
+    bucketed exchanges (the same tagged-union + ``groupby(part)``
+    co-location pattern as the large-dim referential check — Ray's
+    native join operator currently chokes on empty blocks):
+
+    1. key by DOC: pair-side rows (one per pair per side) and candidate
+       text rows co-partition on ``hash(doc_id) % P``; one vectorized
+       arrow join per partition attaches each side's text;
+    2. key by PAIR: the two text-carrying sides of each pair
+       co-partition on ``hash(a,b) % P``; the exact Jaccard kernel runs
+       per pair inside the partition task.
+
+    Both exchanges move candidate/pair rows only — never the corpus —
+    and do P Python calls total, each vectorized inside.
+    """
+    import ray
+
+    ids_a: set[int] = set()
+    for b in pairs.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
+        ids_a.update(b["a"].to_pylist())
+        ids_a.update(b["b"].to_pylist())
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if not ids_a:
+        return rd.from_arrow(empty)
+    id_set = pa.array(sorted(ids_a), type=pa.int64())
+    id_ref = ray.put(id_set)
+    P = np.int64(num_partitions)
+
+    text_type = pa.large_string()
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name == text_col:
+            text_type = typ
+    union_schema = pa.schema(
+        [
+            ("part", pa.int64()),
+            ("key", pa.int64()),
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("side", pa.int8()),
+            ("text", text_type),
+        ]
+    )
+
+    def _part_of(keys: np.ndarray) -> pa.Array:
+        return pa.array(
+            (_splitmix(keys.astype(np.int64).view(np.uint64)) % np.uint64(P)).view(
+                np.int64
+            ),
+            type=pa.int64(),
+        )
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
+        return pa.table(
+            {
+                "part": _part_of(key),
+                "key": pa.array(key, type=pa.int64()),
+                "a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+                "b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                "side": pa.array(
+                    np.repeat(np.array([0, 1], np.int8), len(a)), type=pa.int8()
+                ),
+                "text": pa.nulls(2 * len(a), type=text_type),
+            },
+            schema=union_schema,
+        )
+
+    def pick_texts(batch: pa.Table) -> pa.Table:
+        ks = ray.get(id_ref)
+        hit = batch.filter(pc.is_in(batch.column(id_col), value_set=ks))
+        key = hit.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": _part_of(key),
+                "key": pa.array(key, type=pa.int64()),
+                "a": pa.nulls(len(key), type=pa.int64()),
+                "b": pa.nulls(len(key), type=pa.int64()),
+                "side": pa.array(np.full(len(key), -1, np.int8), type=pa.int8()),
+                "text": pc.cast(hit.column(text_col).combine_chunks(), text_type),
+            },
+            schema=union_schema,
+        )
+
+    pair_rows = pairs.map_batches(explode_pairs, batch_format="pyarrow", batch_size=None)
+    text_rows = ds.map_batches(pick_texts, batch_format="pyarrow", batch_size=None)
+
+    def attach_text(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        texts = group.filter(pa.array(side == -1)).select(["key", "text"])
+        prows = group.filter(pa.array(side >= 0)).select(["key", "a", "b", "side"])
+        joined = prows.join(texts, keys=["key"], join_type="inner")
+        a = joined.column("a").to_numpy(zero_copy_only=False)
+        b = joined.column("b").to_numpy(zero_copy_only=False)
+        pkey = (
+            _splitmix(a.view(np.uint64) ^ _splitmix(b.view(np.uint64)))
+            % np.uint64(P)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "part2": pa.array(pkey, type=pa.int64()),
+                "a": joined.column("a"),
+                "b": joined.column("b"),
+                "side": joined.column("side"),
+                "text": joined.column("text"),
+            }
+        )
+
+    sided = (
+        pair_rows.union(text_rows)
+        .groupby("part")
+        .map_groups(attach_text, batch_format="pyarrow")
+    )
+
+    def score_group(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        t0 = group.filter(pa.array(side == 0)).select(["a", "b", "text"])
+        t0 = t0.rename_columns(["a", "b", "text_a"])
+        t1 = group.filter(pa.array(side == 1)).select(["a", "b", "text"])
+        t1 = t1.rename_columns(["a", "b", "text_b"])
+        j = t0.join(t1, keys=["a", "b"], join_type="inner")
+        out_a, out_b, out_j = [], [], []
+        for ai, bi, x, y in zip(
+            j.column("a").to_pylist(),
+            j.column("b").to_pylist(),
+            j.column("text_a").to_pylist(),
+            j.column("text_b").to_pylist(),
+        ):
+            jac = ngram_jaccard(x, y, shingle_n)
+            if jac >= threshold:
+                out_a.append(ai)
+                out_b.append(bi)
+                out_j.append(jac)
+        return pa.table(
+            {
+                "a": pa.array(out_a, type=pa.int64()),
+                "b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    return sided.groupby("part2").map_groups(score_group, batch_format="pyarrow")
 
 
 def verify_pairs(
@@ -308,34 +541,25 @@ def verify_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
 ) -> list[tuple[int, int, float]]:
-    """Verify candidate pairs with exact n-gram Jaccard.
-
-    Gathers only the candidate docs (broadcast id-set filter — candidate
-    sets are tiny relative to the corpus); at larger candidate volumes
-    this becomes a repartition-by-pair join, same verify kernel.
-    """
+    """Driver-side convenience wrapper over ``verify_pairs_dataset`` for
+    small, already-listed candidate sets (tests / notebooks). Production
+    paths should stay on the Dataset form."""
     if not pairs:
         return []
-    wanted = sorted({i for p in pairs for i in p})
-    id_set = pa.array(wanted)
-    texts_ds = ds.map_batches(
-        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=id_set)).select(
-            [id_col, text_col]
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
+    import ray.data as rd
+
+    pairs_ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+            }
+        )
     )
-    lookup: dict[int, str] = {}
-    for b in texts_ds.iter_batches(batch_format="pyarrow"):
-        for row in b.to_pylist():
-            lookup[row[id_col]] = row[text_col]
-    out = []
-    for a, b in pairs:
-        if a in lookup and b in lookup:
-            j = ngram_jaccard(lookup[a], lookup[b], shingle_n)
-            if j >= threshold:
-                out.append((a, b, j))
-    return out
+    out = verify_pairs_dataset(
+        ds, pairs_ds, id_col, text_col, threshold, shingle_n
+    ).take_all()
+    return sorted((r["a"], r["b"], r["jaccard"]) for r in out)
 
 
 def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -378,14 +602,21 @@ def dedup_near(
     """End-to-end near-duplicate removal: MinHash-LSH candidates ->
     exact n-gram Jaccard verify -> union-find clusters -> keep the min
     id per cluster. Returns the deduplicated Dataset (rows whose id is
-    not a dropped duplicate); only band keys and candidate texts move.
+    not a dropped duplicate). Candidate discovery, pair formation AND
+    verification all run worker-side; only the verified duplicate id
+    pairs (16 B each) reach the driver for union-find.
     """
     import pyarrow.compute as _pc
 
     pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
-    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
-    verified = verify_pairs(ds, pairs, id_col, text_col, threshold, shingle_n)
-    components = cluster_pairs([(a, b) for a, b, _ in verified])
+    verified_ds = verify_pairs_dataset(
+        ds, pairs_ds, id_col, text_col, threshold, shingle_n
+    )
+    verified = [
+        (r["a"], r["b"])
+        for r in verified_ds.select_columns(["a", "b"]).take_all()
+    ]
+    components = cluster_pairs(verified)
     drop = sorted(x for x, root in components.items() if x != root)
     if not drop:
         return ds

@@ -611,17 +611,57 @@ def q_simhash(sf_dir: str) -> pa.Table:
 
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH near-dup pairs, fully distributed (worker-side pair
+    formation + distributed exact-Jaccard verify). bands=32 (r=4) puts
+    candidate recall at >1-1e-12 for j>=0.8, so the verified set equals
+    the oracle's exhaustive >=0.8 scan."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    pairs_ds = f_dedup.minhash_candidate_pairs(ds)
-    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
-    verified = f_dedup.verify_pairs(ds, pairs, threshold=0.8)
+    pairs_ds = f_dedup.minhash_candidate_pairs(ds, num_perm=128, bands=32)
+    verified = f_dedup.verify_pairs_dataset(ds, pairs_ds, threshold=0.8)
+    rows = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 4)) for r in verified.take_all()
+    )
     return pa.table(
         {
-            "a": pa.array([v[0] for v in verified], type=pa.int64()),
-            "b": pa.array([v[1] for v in verified], type=pa.int64()),
-            "jaccard": pa.array([round(v[2], 4) for v in verified], type=pa.float64()),
+            "a": pa.array([v[0] for v in rows], type=pa.int64()),
+            "b": pa.array([v[1] for v in rows], type=pa.int64()),
+            "jaccard": pa.array([v[2] for v in rows], type=pa.float64()),
         }
     )
+
+
+SQL_MINHASH_PAIRS = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i, len(ts) AS n
+  FROM tok
+),
+g3 AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram,
+         i, n
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+long_grams AS (
+  SELECT doc_id, list(DISTINCT gram) AS gs FROM g3 WHERE i + 2 <= n GROUP BY doc_id
+),
+grams AS (
+  SELECT t.doc_id,
+         COALESCE(lg.gs,
+                  CASE WHEN len(t.ts) >= 1 THEN [array_to_string(t.ts, ' ')]
+                       ELSE [] END) AS gs
+  FROM tok t LEFT JOIN long_grams lg ON t.doc_id = lg.doc_id
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs)) AS ni,
+         len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS nu
+  FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+)
+SELECT a, b, ROUND(CAST(ni AS DOUBLE) / nu, 4) AS jaccard
+FROM cand WHERE nu > 0 AND CAST(ni AS DOUBLE) / nu >= 0.8
+"""
 
 
 def q_embedding_near_dups(sf_dir: str) -> pa.Table:
@@ -699,7 +739,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "quality_scores": (q_quality, None),
     "fingerprints": (q_fingerprints, None),
     "simhash": (q_simhash, None),
-    "minhash_pairs": (q_minhash_pairs, None),
+    "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "embedding_near_dups": (q_embedding_near_dups, None),
     "column_stats": (q_column_stats, None),
     "webpage_validate": (q_webpage_validate, None),

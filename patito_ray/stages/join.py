@@ -56,17 +56,29 @@ def hash_join(
     on: str | tuple[str, ...],
     how: str = "inner",
     num_partitions: int | None = None,
+    right_on: str | tuple[str, ...] | None = None,
 ) -> Any:
     """Both sides large: Ray Data's partitioned hash join (an explicit
     all-to-all exchange on the key)."""
     on_t = (on,) if isinstance(on, str) else tuple(on)
+    right_t = None
+    if right_on is not None:
+        right_t = (right_on,) if isinstance(right_on, str) else tuple(right_on)
     if num_partitions is None:
-        num_partitions = 64
+        # each partition is a 1-CPU aggregator actor; chained joins keep
+        # two generations alive at once, so cap well below cluster CPUs
+        # or the actor pool deadlocks waiting for CPUs that map tasks /
+        # the other join hold
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        num_partitions = max(2, min(64, cpus // 4))
     return left.join(
         right,
         join_type=how,
         num_partitions=num_partitions,
         on=on_t,
+        right_on=right_t,
     )
 
 

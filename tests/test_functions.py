@@ -335,3 +335,53 @@ def test_column_stats_actor_pool(ray_session):
     stats = column_stats(rd.from_arrow(t).repartition(4), concurrency=2)
     assert stats["v"]["count"] == 10_000
     assert stats["v"]["min"] == 0.0 and stats["v"]["max"] == 9999.0
+
+
+def test_short_doc_dedup_semantics(ray_session):
+    """ADVICE r1 (high): distinct short docs (< shingle_n tokens) must
+    NOT be treated as duplicates of each other."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["hello", "completely different", "hello", "   ", "hello"],
+        }
+    )
+    ds = rd.from_arrow(t)
+    pairs = {(r["a"], r["b"]) for r in f_dedup.minhash_candidate_pairs(ds).take_all()}
+    assert pairs == {(0, 2), (0, 4), (2, 4)}  # only the identical shorts collide
+    kept = sorted(r["doc_id"] for r in f_dedup.dedup_near(ds).take_all())
+    assert kept == [0, 1, 3]  # two "hello" dups dropped; distinct shorts kept
+    # gram-level semantics
+    assert f_dedup.ngram_jaccard("hello", "completely different") == 0.0
+    assert f_dedup.ngram_jaccard("hello", "hello") == 1.0
+    assert f_dedup.ngram_jaccard("one two", "one two") == 1.0
+    assert f_dedup.ngram_jaccard("", "   ") == 1.0  # both empty of grams
+    assert f_dedup.ngram_jaccard("hello", "") == 0.0  # one side empty
+
+
+def test_verify_pairs_dataset_distributed(ray_session):
+    import ray.data as rd
+
+    texts = (
+        ["the quick brown fox jumps over the lazy dog"] * 2
+        + ["an unrelated document full of other words entirely"]
+    )
+    ds = rd.from_arrow(pa.table({"doc_id": [10, 20, 30], "text": texts}))
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([10, 10], type=pa.int64()), "b": pa.array([20, 30], type=pa.int64())})
+    )
+    out = f_dedup.verify_pairs_dataset(ds, pairs, threshold=0.8).take_all()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in out] == [(10, 20, 1.0)]
+    # empty pair set -> empty result, not an error
+    empty = rd.from_arrow(pa.table({"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}))
+    assert f_dedup.verify_pairs_dataset(ds, empty).take_all() == []
+
+
+def test_minhash_num_perm_over_256():
+    sig = f_dedup.minhash_signatures(pa.array(["one two three four five six"]), num_perm=300)
+    assert sig.shape == (1, 300)
+    # prefix stability: first 128 permutations unchanged by the larger table
+    sig128 = f_dedup.minhash_signatures(pa.array(["one two three four five six"]), num_perm=128)
+    assert (sig[:, :128] == sig128).all()
