@@ -283,16 +283,27 @@ def minhash_candidate_pairs(
         )
 
     rows = ds.map_batches(keyed_rows, batch_format="pyarrow", batch_size=None).materialize()
-    # colliding band keys via the bucketed blob exchange (prehashed:
-    # the keys are already uniform 64-bit hashes) — no row-level groupby
+    hits = _colliding_subset(rows, max_collision_keys)
+    return _bucket_pairs(hits, id_col, max_bucket)
+
+
+def _colliding_subset(rows: Any, max_collision_keys: int) -> Any:
+    """Dataset[key, id] -> the subset whose key occurs >= 2 times.
+    Colliding keys found via the bucketed blob exchange (prehashed: LSH
+    keys are already uniform 64-bit hashes) — no row-level groupby; the
+    key set broadcasts and rows filter per batch (no shuffle of the
+    overwhelmingly-singleton remainder)."""
+    import pyarrow.compute as _pc
+    import ray
+
     from patito_ray.validation.violations import duplicate_keys_distributed
 
     key_set = duplicate_keys_distributed(rows, "key", prehashed=True, min_count=2)
     if len(key_set) > max_collision_keys:
         _LOG.warning(
-            "minhash_candidate_pairs: %d colliding band keys exceed "
-            "max_collision_keys=%d; dropping %d keys (candidate recall "
-            "reduced). Raise max_collision_keys or bands to cover.",
+            "%d colliding LSH keys exceed max_collision_keys=%d; dropping "
+            "%d keys (candidate recall reduced). Raise max_collision_keys "
+            "or the banding parameters to cover.",
             len(key_set),
             max_collision_keys,
             len(key_set) - max_collision_keys,
@@ -304,14 +315,21 @@ def minhash_candidate_pairs(
         ks = ray.get(ref)
         return batch.filter(_pc.is_in(batch["key"], value_set=ks))
 
-    hits = rows.map_batches(pick, batch_format="pyarrow", batch_size=None)
+    return rows.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def _bucket_pairs(hits: Any, id_col: str, max_bucket: int) -> Any:
+    """Colliding LSH rows (key, id) -> distinct candidate Dataset[a, b]
+    (a < b). Pairs form WORKER-side: one ``map_groups`` per colliding
+    key (the rare subset), then a tiny groupby dedups pairs that
+    collided under several keys."""
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         uniq = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
         if len(uniq) > max_bucket:
             _LOG.warning(
-                "minhash_candidate_pairs: LSH bucket with %d ids capped "
-                "at max_bucket=%d (%d ids dropped from pairing)",
+                "LSH bucket with %d ids capped at max_bucket=%d "
+                "(%d ids dropped from pairing)",
                 len(uniq),
                 max_bucket,
                 len(uniq) - max_bucket,
@@ -330,8 +348,6 @@ def minhash_candidate_pairs(
         )
 
     pairs = hits.groupby("key").map_groups(emit_pairs, batch_format="pyarrow")
-    # dedup pairs that collided in several bands: tiny shuffle over the
-    # pair rows only
     from ray.data.aggregate import Count
 
     return (
@@ -366,60 +382,62 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return len(ga & gb) / len(ga | gb)
 
 
-def verify_pairs_dataset(
+def pair_payload_join(
     ds: Any,
     pairs: Any,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.8,
-    shingle_n: int = 3,
+    id_col: str,
+    val_col: str,
     num_partitions: int = 32,
 ) -> Any:
-    """Distributed candidate-pair verification -> Dataset[a, b, jaccard]
-    (pairs whose exact n-gram Jaccard >= threshold).
+    """Attach each candidate pair's two payloads -> Dataset[a, b, val_a,
+    val_b]. The shared spine of every pair-verification operator (n-gram
+    Jaccard over texts, exact cosine over embeddings, ...).
 
-    Scale shape: candidate TEXTS never touch the driver. Only the
-    candidate id set (8 B/id) is collected to broadcast a semi-join
-    filter over the corpus. Texts then meet their pairs through two
-    bucketed exchanges (the same tagged-union + ``groupby(part)``
-    co-location pattern as the large-dim referential check — Ray's
-    native join operator currently chokes on empty blocks):
+    Scale shape: payloads never touch the driver. Only the candidate id
+    set (8 B/id) is collected to broadcast a semi-join filter over the
+    corpus. Payloads then meet their pairs through two bucketed
+    exchanges (the same tagged-union + ``groupby(part)`` co-location
+    pattern as the large-dim referential check — Ray's native join
+    operator currently chokes on empty blocks):
 
     1. key by DOC: pair-side rows (one per pair per side) and candidate
-       text rows co-partition on ``hash(doc_id) % P``; one vectorized
-       arrow join per partition attaches each side's text;
-    2. key by PAIR: the two text-carrying sides of each pair
-       co-partition on ``hash(a,b) % P``; the exact Jaccard kernel runs
-       per pair inside the partition task.
+       payload rows co-partition on ``hash(id) % P``; one vectorized
+       arrow join per partition attaches each side's payload;
+    2. key by PAIR: the two payload-carrying sides of each pair
+       co-partition on ``hash(a,b) % P`` and join vectorized.
 
     Both exchanges move candidate/pair rows only — never the corpus —
     and do P Python calls total, each vectorized inside.
     """
     import ray
+    import ray.data as rd
 
     ids_a: set[int] = set()
     for b in pairs.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
         ids_a.update(b["a"].to_pylist())
         ids_a.update(b["b"].to_pylist())
-    import ray.data as rd
 
-    empty = pa.table(
-        {
-            "a": pa.array([], type=pa.int64()),
-            "b": pa.array([], type=pa.int64()),
-            "jaccard": pa.array([], type=pa.float64()),
-        }
-    )
+    val_type = None
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name == val_col:
+            val_type = typ
+    assert val_type is not None, f"{val_col!r} not in dataset schema"
+
     if not ids_a:
-        return rd.from_arrow(empty)
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("a", pa.int64()),
+                    ("b", pa.int64()),
+                    ("val_a", val_type),
+                    ("val_b", val_type),
+                ]
+            ).empty_table()
+        )
     id_set = pa.array(sorted(ids_a), type=pa.int64())
     id_ref = ray.put(id_set)
     P = np.int64(num_partitions)
 
-    text_type = pa.large_string()
-    for name, typ in zip(ds.schema().names, ds.schema().types):
-        if name == text_col:
-            text_type = typ
     union_schema = pa.schema(
         [
             ("part", pa.int64()),
@@ -427,7 +445,7 @@ def verify_pairs_dataset(
             ("a", pa.int64()),
             ("b", pa.int64()),
             ("side", pa.int8()),
-            ("text", text_type),
+            ("val", val_type),
         ]
     )
 
@@ -452,12 +470,12 @@ def verify_pairs_dataset(
                 "side": pa.array(
                     np.repeat(np.array([0, 1], np.int8), len(a)), type=pa.int8()
                 ),
-                "text": pa.nulls(2 * len(a), type=text_type),
+                "val": pa.nulls(2 * len(a), type=val_type),
             },
             schema=union_schema,
         )
 
-    def pick_texts(batch: pa.Table) -> pa.Table:
+    def pick_vals(batch: pa.Table) -> pa.Table:
         ks = ray.get(id_ref)
         hit = batch.filter(pc.is_in(batch.column(id_col), value_set=ks))
         key = hit.column(id_col).to_numpy(zero_copy_only=False)
@@ -468,19 +486,25 @@ def verify_pairs_dataset(
                 "a": pa.nulls(len(key), type=pa.int64()),
                 "b": pa.nulls(len(key), type=pa.int64()),
                 "side": pa.array(np.full(len(key), -1, np.int8), type=pa.int8()),
-                "text": pc.cast(hit.column(text_col).combine_chunks(), text_type),
+                "val": pc.cast(hit.column(val_col).combine_chunks(), val_type),
             },
             schema=union_schema,
         )
 
     pair_rows = pairs.map_batches(explode_pairs, batch_format="pyarrow", batch_size=None)
-    text_rows = ds.map_batches(pick_texts, batch_format="pyarrow", batch_size=None)
+    val_rows = ds.map_batches(pick_vals, batch_format="pyarrow", batch_size=None)
 
-    def attach_text(group: pa.Table) -> pa.Table:
+    def attach_val(group: pa.Table) -> pa.Table:
+        # polars joins (not acero): payloads may be list-typed
+        # (embeddings), which arrow's hash join rejects as non-key fields
+        import polars as pl
+
         side = group.column("side").to_numpy(zero_copy_only=False)
-        texts = group.filter(pa.array(side == -1)).select(["key", "text"])
+        vals = group.filter(pa.array(side == -1)).select(["key", "val"])
         prows = group.filter(pa.array(side >= 0)).select(["key", "a", "b", "side"])
-        joined = prows.join(texts, keys=["key"], join_type="inner")
+        joined = (
+            pl.from_arrow(prows).join(pl.from_arrow(vals), on="key", how="inner")
+        ).to_arrow()
         a = joined.column("a").to_numpy(zero_copy_only=False)
         b = joined.column("b").to_numpy(zero_copy_only=False)
         pkey = (
@@ -493,29 +517,55 @@ def verify_pairs_dataset(
                 "a": joined.column("a"),
                 "b": joined.column("b"),
                 "side": joined.column("side"),
-                "text": joined.column("text"),
+                "val": joined.column("val"),
             }
         )
 
     sided = (
-        pair_rows.union(text_rows)
+        pair_rows.union(val_rows)
         .groupby("part")
-        .map_groups(attach_text, batch_format="pyarrow")
+        .map_groups(attach_val, batch_format="pyarrow")
     )
 
-    def score_group(group: pa.Table) -> pa.Table:
+    def join_sides(group: pa.Table) -> pa.Table:
+        import polars as pl
+
         side = group.column("side").to_numpy(zero_copy_only=False)
-        t0 = group.filter(pa.array(side == 0)).select(["a", "b", "text"])
-        t0 = t0.rename_columns(["a", "b", "text_a"])
-        t1 = group.filter(pa.array(side == 1)).select(["a", "b", "text"])
-        t1 = t1.rename_columns(["a", "b", "text_b"])
-        j = t0.join(t1, keys=["a", "b"], join_type="inner")
+        t0 = group.filter(pa.array(side == 0)).select(["a", "b", "val"])
+        t0 = t0.rename_columns(["a", "b", "val_a"])
+        t1 = group.filter(pa.array(side == 1)).select(["a", "b", "val"])
+        t1 = t1.rename_columns(["a", "b", "val_b"])
+        return (
+            pl.from_arrow(t0)
+            .join(pl.from_arrow(t1), on=["a", "b"], how="inner")
+            .to_arrow()
+        )
+
+    return sided.groupby("part2").map_groups(join_sides, batch_format="pyarrow")
+
+
+def verify_pairs_dataset(
+    ds: Any,
+    pairs: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_partitions: int = 32,
+) -> Any:
+    """Distributed candidate-pair verification -> Dataset[a, b, jaccard]
+    (pairs whose exact word-n-gram Jaccard >= threshold). Pair payloads
+    co-locate via ``pair_payload_join`` (no driver-side text lookup);
+    the exact kernel runs per pair inside map_batches."""
+    joined = pair_payload_join(ds, pairs, id_col, text_col, num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
         for ai, bi, x, y in zip(
-            j.column("a").to_pylist(),
-            j.column("b").to_pylist(),
-            j.column("text_a").to_pylist(),
-            j.column("text_b").to_pylist(),
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("val_a").to_pylist(),
+            batch.column("val_b").to_pylist(),
         ):
             jac = ngram_jaccard(x, y, shingle_n)
             if jac >= threshold:
@@ -530,7 +580,7 @@ def verify_pairs_dataset(
             }
         )
 
-    return sided.groupby("part2").map_groups(score_group, batch_format="pyarrow")
+    return joined.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
 def verify_pairs(
@@ -676,55 +726,104 @@ def hamming_distance(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+_PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _hyperplanes(seed: int, dim: int, total: int) -> np.ndarray:
+    """Deterministic (dim, total) hyperplane matrix, cached per process —
+    every worker derives the identical planes from the seed, so nothing
+    needs broadcasting."""
+    key = (seed, dim, total)
+    if key not in _PLANE_CACHE:
+        rng = np.random.default_rng(seed)
+        _PLANE_CACHE[key] = rng.standard_normal((dim, total))
+    return _PLANE_CACHE[key]
+
+
 def embedding_near_dups(
     ds: Any,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 32,
     seed: int = 9,
+    max_bucket: int = 1000,
+    max_collision_keys: int = 10_000_000,
+    num_partitions: int = 32,
 ) -> Any:
-    """Near-duplicate detection on an embedding column via random-
-    hyperplane LSH: bucket by sign pattern, exact cosine within bucket.
-    Only (bucket, id, vec) rows of bucketed vectors shuffle."""
-    import pandas as pd
+    """Near-duplicate pairs on an embedding column -> Dataset[a, b,
+    cosine] (exact cosine >= threshold).
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+    Random-hyperplane LSH with ``n_tables`` independent tables of
+    ``n_planes`` bits each: a pair at cosine c collides in one table
+    with prob (1 - acos(c)/pi)^n_planes, so 32 tables x 8 planes puts
+    recall at ~1-2e-8 for c>=0.95 (a single 16-bit table — the naive
+    design — would recall only ~18%). Candidate discovery reuses the
+    MinHash spine: (key, id) rows only, colliding keys via the bucketed
+    blob exchange, worker-side pair formation with a LOUD ``max_bucket``
+    cap, then exact cosine verification through ``pair_payload_join``
+    — one vectorized row-wise kernel per batch, never an O(k^2)
+    within-bucket matmul and never a per-row ``to_pylist`` conversion.
+    """
+    from patito_ray.functions.similarity import _to_matrix, _unit
+
+    table_salts = _splitmix(
+        np.arange(1, n_tables + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+
+    def code_rows(batch: pa.Table) -> pa.Table:
+        vecs = _to_matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         if vecs.size == 0:
-            return pa.table({"bucket": pa.array([], type=pa.int64()),
-                             id_col: pa.array([], type=pa.int64()),
-                             vec_col: batch.column(vec_col)})
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((vecs.shape[1], n_planes))
-        signs = (vecs @ planes) > 0
-        bucket = np.zeros(len(vecs), dtype=np.uint64)
-        for b in range(n_planes):
-            bucket |= signs[:, b].astype(np.uint64) << np.uint64(b)
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
+        planes = _hyperplanes(seed, vecs.shape[1], n_planes * n_tables)
+        signs = (vecs @ planes) > 0  # (n, n_tables*n_planes)
+        n = len(ids)
+        keys = np.empty(n_tables * n, dtype=np.uint64)
+        for t in range(n_tables):
+            sl = signs[:, t * n_planes : (t + 1) * n_planes]
+            bucket = np.zeros(n, dtype=np.uint64)
+            for b in range(n_planes):
+                bucket |= sl[:, b].astype(np.uint64) << np.uint64(b)
+            keys[t * n : (t + 1) * n] = _splitmix(bucket ^ table_salts[t])
         return pa.table(
             {
-                "bucket": pa.array(bucket.view(np.int64), type=pa.int64()),
-                id_col: batch.column(id_col),
-                vec_col: batch.column(vec_col),
+                "key": pa.array(keys.view(np.int64), type=pa.int64()),
+                id_col: pa.array(np.tile(ids, n_tables)),
             }
         )
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None)
+    rows = ds.map_batches(code_rows, batch_format="pyarrow", batch_size=None).materialize()
+    hits = _colliding_subset(rows, max_collision_keys)
+    pairs = _bucket_pairs(hits, id_col, max_bucket)
 
-    def within_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.asarray(g[vec_col].tolist(), dtype=np.float64)
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
-                {"a": "int64", "b": "int64", "cosine": "float64"}
+    joined = pair_payload_join(ds, pairs, id_col, vec_col, num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
             )
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = vecs / np.maximum(norms, 1e-12)
-        sims = unit @ unit.T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        keep = sims[ai, bi] >= threshold
-        return pd.DataFrame(
-            {"a": ids[ai[keep]], "b": ids[bi[keep]], "cosine": sims[ai, bi][keep]}
+        va = _unit(_to_matrix(batch.column("val_a")))
+        vb = _unit(_to_matrix(batch.column("val_b")))
+        sims = np.einsum("ij,ij->i", va, vb)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "a": batch.column("a").filter(pa.array(keep)),
+                "b": batch.column("b").filter(pa.array(keep)),
+                "cosine": pa.array(sims[keep], type=pa.float64()),
+            }
         )
 
-    return bucketed.groupby("bucket").map_groups(within_bucket, batch_format="pandas")
+    return joined.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -665,6 +665,10 @@ FROM cand WHERE nu > 0 AND CAST(ni AS DOUBLE) / nu >= 0.8
 
 
 def q_embedding_near_dups(sf_dir: str) -> pa.Table:
+    """Embedding near-dup pairs (multi-table hyperplane LSH + exact
+    cosine verify). The driver corpus has no planted near-dups (max
+    pairwise cosine ~0.51), so the oracle checks the no-false-positive
+    side exactly; recall is covered by planted-pair pytests."""
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = f_dedup.embedding_near_dups(ds, threshold=0.95)
     rows = sorted(
@@ -677,6 +681,15 @@ def q_embedding_near_dups(sf_dir: str) -> pa.Table:
             "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
         }
     )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
 
 
 def q_column_stats(sf_dir: str) -> pa.Table:
@@ -740,7 +753,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "fingerprints": (q_fingerprints, None),
     "simhash": (q_simhash, None),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
-    "embedding_near_dups": (q_embedding_near_dups, None),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "column_stats": (q_column_stats, None),
     "webpage_validate": (q_webpage_validate, None),
 }

@@ -385,3 +385,35 @@ def test_minhash_num_perm_over_256():
     # prefix stability: first 128 permutations unchanged by the larger table
     sig128 = f_dedup.minhash_signatures(pa.array(["one two three four five six"]), num_perm=128)
     assert (sig[:, :128] == sig128).all()
+
+
+def test_embedding_near_dups_planted(ray_session):
+    """Multi-table hyperplane LSH + exact cosine verify: recall AND
+    precision against the brute-force truth on planted near-dups."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 32))
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(32)
+    vecs[11] = vecs[10] + 0.02 * rng.standard_normal(32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    out = f_dedup.embedding_near_dups(ds, threshold=0.95).take_all()
+    found = sorted((r["a"], r["b"]) for r in out)
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = u @ u.T
+    ai, bi = np.triu_indices(200, k=1)
+    truth = sorted(
+        (int(x), int(y)) for x, y in zip(ai[s[ai, bi] >= 0.95], bi[s[ai, bi] >= 0.95])
+    )
+    assert found == truth == [(0, 1), (10, 11)]
+    for r in out:
+        a, b = r["a"], r["b"]
+        assert abs(r["cosine"] - s[a, b]) < 1e-9  # exact verify, not LSH estimate
