@@ -67,14 +67,32 @@ class ModelFrame:
             return self._wrap(_t.cast_dataset(self.data, self._spec, strict=strict))
         return self._wrap(_t.cast_table(self.data, self._spec, strict=strict))
 
-    def fill_null(self, strategy: str = "defaults") -> "ModelFrame":
-        if strategy != "defaults":
-            raise ValueError(
-                "only strategy='defaults' is model-aware; use native ops otherwise"
-            )
+    def fill_null(
+        self,
+        strategy: str | None = "defaults",
+        value: Any = None,
+        limit: int | None = None,
+    ) -> "ModelFrame":
+        """Model-default fill (strategy="defaults") or passthrough fill
+        (reference polars.py:637-708 delegates non-"defaults" strategies
+        to polars). On the Dataset path, order-free strategies
+        (value / zero / one / min / max / mean) distribute; forward /
+        backward raise (no total row order)."""
+        if value is not None and strategy == "defaults":
+            strategy = None
+        if strategy == "defaults":
+            if self._is_ds:
+                return self._wrap(_t.fill_null_dataset(self.data, self._spec))
+            return self._wrap(_t.fill_null_table(self.data, self._spec))
         if self._is_ds:
-            return self._wrap(_t.fill_null_dataset(self.data, self._spec))
-        return self._wrap(_t.fill_null_table(self.data, self._spec))
+            return self._wrap(
+                _t.fill_null_strategy_dataset(self.data, strategy=strategy, value=value)
+            )
+        return self._wrap(
+            _t.fill_null_strategy_table(
+                self.data, strategy=strategy, value=value, limit=limit
+            )
+        )
 
     def drop(self) -> "ModelFrame":
         """No-arg drop: remove all non-model columns (reference
@@ -123,17 +141,37 @@ class ModelFrame:
             )
         return self.model(**{k: v[0] for k, v in table.to_pydict().items()})
 
-    def iter_models(self, batch_size: int = 4096) -> Iterator[Model]:
+    def iter_models(
+        self, batch_size: int = 4096, validate_model: bool = False
+    ) -> Iterator[Model]:
         """Yield one model instance per row (driver-side utility — not
-        for full-scale datasets; reference polars.py:792-853)."""
-        if self._is_ds:
-            for batch in self.data.iter_batches(
-                batch_size=batch_size, batch_format="pyarrow"
-            ):
-                for row in batch.to_pylist():
-                    yield self.model(**row)
-        else:
-            for row in self.data.to_pylist():
+        for full-scale datasets; reference polars.py:792-853).
+
+        ``validate_model=True`` runs the model's row-wise checks on each
+        streamed batch BEFORE constructing instances (reference
+        pydantic.py:479-496 validates each row object) — the first
+        failing batch raises DataFrameValidationError."""
+
+        def batches() -> Iterator[pa.Table]:
+            if self._is_ds:
+                yield from self.data.iter_batches(
+                    batch_size=batch_size, batch_format="pyarrow"
+                )
+            else:
+                yield self.data
+
+        spec = self._spec
+        for batch in batches():
+            if validate_model:
+                from patito_ray.validation.checks import check_batch
+                from patito_ray.validation.result import assemble_errors
+                from patito_ray.exceptions import DataFrameValidationError
+
+                partial = check_batch(batch, spec)
+                errors = assemble_errors(partial, list(self.model.columns))
+                if errors:
+                    raise DataFrameValidationError(errors, self.model)
+            for row in batch.to_pylist():
                 yield self.model(**row)
 
     # -- passthrough -------------------------------------------------------

@@ -271,6 +271,34 @@ class Model:
 
         return ModelFrame(data, cls)
 
+    @_ClassProperty
+    def DataFrame(cls) -> type:  # noqa: N805, N802
+        """Typed frame class bound to this model: ``Product.DataFrame(x)``
+        mirrors the reference's auto-generated ``<Model>DataFrame``
+        subclasses (``pydantic.py:59-91``). Cached per model class."""
+        cached = cls.__dict__.get("_frame_class")
+        if cached is not None:
+            return cached
+        from patito_ray.frame import ModelFrame
+
+        model = cls
+
+        class _BoundFrame(ModelFrame):
+            def __init__(self, data: Any) -> None:
+                super().__init__(data, model)
+
+        _BoundFrame.__name__ = f"{cls.__name__}DataFrame"
+        _BoundFrame.__qualname__ = _BoundFrame.__name__
+        _BoundFrame.model = model
+        cls._frame_class = _BoundFrame
+        return _BoundFrame
+
+    @_ClassProperty
+    def LazyFrame(cls) -> type:  # noqa: N805, N802
+        """Alias of ``DataFrame`` — every ModelFrame over a Dataset is
+        already lazy (reference ``<Model>LazyFrame``)."""
+        return cls.DataFrame
+
     @classmethod
     def pandas_examples(cls, data: Any = None, n: int | None = None) -> Any:
         """``examples()`` as a pandas DataFrame (reference
@@ -302,15 +330,41 @@ class Model:
 
     @classmethod
     def examples(
-        cls, data: dict[str, list[Any]] | None = None, n: int | None = None
+        cls,
+        data: Any = None,
+        n: int | None = None,
+        columns: list[str] | None = None,
     ) -> pa.Table:
         """Build a valid table from partial data / dummy values.
 
-        Unique columns are filled with the running sequence 0,1,2,...
-        (reference ``pydantic.py:786-884`` uses ``cum_count``). For a
-        distributed variant see ``patito_ray.generate.ray_examples``.
+        ``data`` accepts a dict of columns OR an iterable of rows
+        (dicts, or sequences paired with ``columns=`` — reference
+        ``pydantic.py:786-884``). Unique columns are filled with the
+        running sequence 0,1,2,... (the reference uses ``cum_count``).
+        For a distributed variant see ``patito_ray.generate.ray_examples``.
         """
         spec = cls._spec()
+        if data is not None and not isinstance(data, dict):
+            rows = list(data)
+            col_data: dict[str, list[Any]] = {}
+            for row in rows:
+                if isinstance(row, dict):
+                    for k, v in row.items():
+                        col_data.setdefault(k, []).append(v)
+                else:
+                    seq = list(row)
+                    names = columns if columns is not None else cls.columns[: len(seq)]
+                    if len(names) != len(seq):
+                        raise ValueError(
+                            f"row has {len(seq)} values but {len(names)} "
+                            "columns were named"
+                        )
+                    for k, v in zip(names, seq):
+                        col_data.setdefault(k, []).append(v)
+            lengths = {len(v) for v in col_data.values()}
+            if len(lengths) > 1:
+                raise ValueError("ragged example rows: columns differ in length")
+            data = col_data
         data = dict(data or {})
         height = n
         for v in data.values():

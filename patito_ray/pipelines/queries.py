@@ -367,28 +367,47 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
 
 def q_user_sessions(sf_dir: str) -> pa.Table:
     """Session windows (30-min inactivity gap) per user — the
-    streaming-shaped workload pattern: partition by key, order by ts
-    within the group, sessionize with vectorized diffs (ray_guide
-    'Streaming-shaped workloads'). Ordering assumption: only within
-    (user_id) groups, provided by map_groups."""
-    import pandas as pd
+    streaming-shaped workload pattern, at scale: hash-partition by
+    user (NOT one group per user — 10^8 users would mean 10^8 Python
+    calls), sort each partition by (user_id, ts) locally, and
+    sessionize the WHOLE partition with one vectorized shift/diff pass;
+    session starts are rows where the user changes or the gap exceeds
+    30 min. One polars call per partition, P partitions total; the only
+    exchange is the partition groupby, each sort is local and P-times
+    smaller than a global sort."""
+    import polars as pl
 
+    P = 32
     ds = _rp(sf_dir, "events", ["user_id", "ts"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff() > pd.Timedelta(minutes=30)
-        n_sessions = int(gaps.sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
-        )
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = uid.view(np.uint64)
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        part = (h % np.uint64(P)).view(np.int64)
+        return t.append_column("part", pa.array(part, type=pa.int64()))
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
-    return out
+    def sessionize_part(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["user_id", "ts"])).sort(["user_id", "ts"])
+        df = df.with_columns(
+            new_sess=(
+                (pl.col("user_id") != pl.col("user_id").shift(1))
+                | ((pl.col("ts") - pl.col("ts").shift(1)) > pl.duration(minutes=30))
+            )
+            .fill_null(True)
+            .cast(pl.Int64)
+        )
+        out = df.group_by("user_id").agg(
+            pl.len().cast(pl.Int64).alias("n_events"),
+            pl.col("new_sess").sum().alias("n_sessions"),
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(sessionize_part, batch_format="pyarrow")
+    )
 
 
 SQL_USER_SESSIONS = """

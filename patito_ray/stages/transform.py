@@ -231,6 +231,98 @@ def fill_null_dataset(ds: Any, spec: TableSpec) -> Any:
     return _map(ds, fill_null_table, spec)
 
 
+def fill_null_strategy_table(
+    table: pa.Table,
+    strategy: str | None = None,
+    value: Any = None,
+    limit: int | None = None,
+) -> pa.Table:
+    """Non-"defaults" fill_null on an in-memory table: passthrough to
+    polars, mirroring the reference (polars.py:637-708) which delegates
+    every strategy other than "defaults" to polars."""
+    import polars as pl
+
+    df = pl.from_arrow(table)
+    return df.fill_null(value=value, strategy=strategy, limit=limit).to_arrow()
+
+
+def fill_null_strategy_dataset(
+    ds: Any, strategy: str | None = None, value: Any = None
+) -> Any:
+    """Non-"defaults" fill_null over a Dataset.
+
+    Distribution-safe strategies only:
+    - explicit ``value`` / "zero" / "one": elementwise, per batch;
+    - "min" / "max" / "mean": ONE global aggregation pass over the
+      numeric columns, then a broadcast per-batch fill.
+    "forward"/"backward" are rejected: they depend on a total row order
+    a distributed dataset does not define — sort to a single partition
+    (or use the in-memory table path) first.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if strategy in ("forward", "backward"):
+        raise ValueError(
+            f"fill_null strategy {strategy!r} needs a defined global row "
+            "order; materialize to a table (ModelFrame.as_table) or sort "
+            "first — a distributed Dataset has no total order"
+        )
+
+    if strategy in ("min", "max", "mean"):
+        from ray.data.aggregate import Max, Mean, Min
+
+        agg_cls = {"min": Min, "max": Max, "mean": Mean}[strategy]
+        names = ds.schema().names
+        types = ds.schema().types
+        num_cols = [
+            n
+            for n, t in zip(names, types)
+            if pa.types.is_integer(t) or pa.types.is_floating(t)
+        ]
+        if not num_cols:
+            return ds
+        row = ds.aggregate(*[agg_cls(c, alias_name=c) for c in num_cols])
+        fills = {c: row[c] for c in num_cols if row.get(c) is not None}
+
+        def fill_stats(t: pa.Table) -> pa.Table:
+            out = t
+            for c, v in fills.items():
+                arr = out.column(c)
+                if arr.null_count:
+                    out = out.set_column(
+                        out.column_names.index(c),
+                        c,
+                        pc.fill_null(arr, pa.scalar(v).cast(arr.type)),
+                    )
+            return out
+
+        return ds.map_batches(fill_stats, batch_format="pyarrow", batch_size=None)
+
+    def fill_elem(t: pa.Table) -> pa.Table:
+        out = t
+        for i, c in enumerate(t.column_names):
+            arr = out.column(c)
+            if not arr.null_count:
+                continue
+            typ = arr.type
+            if value is not None:
+                try:
+                    fv = pa.scalar(value, type=typ)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    continue
+            elif strategy in ("zero", "one"):
+                if not (pa.types.is_integer(typ) or pa.types.is_floating(typ)):
+                    continue
+                fv = pa.scalar(0 if strategy == "zero" else 1, type=typ)
+            else:
+                continue
+            out = out.set_column(i, c, pc.fill_null(arr, fv))
+        return out
+
+    return ds.map_batches(fill_elem, batch_format="pyarrow", batch_size=None)
+
+
 def unalias_dataset(ds: Any, spec: TableSpec) -> Any:
     return _map(ds, unalias_table, spec)
 

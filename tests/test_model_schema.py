@@ -357,3 +357,99 @@ def test_forced_dtype_compat_rejected():
 
     Good.validate_schema()
     assert Good.dtypes["a"] == pa.uint16()
+
+
+def test_examples_iterable_and_columns_forms():
+    class Prod(pr.Model):
+        product_id: int = pr.Field(unique=True)
+        name: str
+        temp: float = -270.0
+
+    # iterable of dict rows
+    t = Prod.examples([{"name": "a"}, {"name": "b"}])
+    assert t.column("name").to_pylist() == ["a", "b"]
+    assert t.column("product_id").to_pylist() == [0, 1]  # unique sequence
+    assert t.column("temp").to_pylist() == [-270.0, -270.0]
+    # iterable of sequences + columns=
+    t = Prod.examples([(1, "x"), (2, "y")], columns=["product_id", "name"])
+    assert t.column("product_id").to_pylist() == [1, 2]
+    assert t.column("name").to_pylist() == ["x", "y"]
+    with pytest.raises(ValueError, match="columns were named"):
+        Prod.examples([(1, "x", 3.0, 4)], columns=["product_id", "name"])
+
+
+def test_typed_dataframe_classes():
+    class Prod(pr.Model):
+        product_id: int = pr.Field(unique=True)
+        name: str
+
+    df_cls = Prod.DataFrame
+    assert df_cls.__name__ == "ProdDataFrame"
+    assert Prod.DataFrame is df_cls  # cached
+    assert Prod.LazyFrame is df_cls
+    frame = df_cls(pa.table({"product_id": [1], "name": ["a"]}))
+    assert frame.model is Prod
+    assert frame.count() == 1
+
+
+def test_iter_models_validate_model():
+    class Prod(pr.Model):
+        product_id: int = pr.Field(ge=0)
+        name: str
+
+    good = pa.table({"product_id": [1, 2], "name": ["a", "b"]})
+    out = list(Prod.DataFrame(good).iter_models(validate_model=True))
+    assert [m.product_id for m in out] == [1, 2]
+    bad = pa.table({"product_id": [1, -5], "name": ["a", "b"]})
+    models = Prod.DataFrame(bad).iter_models(validate_model=True)
+    with pytest.raises(pr.DataFrameValidationError):
+        list(models)
+    # without validation it constructs anyway (reference model_construct path)
+    assert len(list(Prod.DataFrame(bad).iter_models())) == 2
+
+
+def test_fill_null_strategies_table():
+    class M(pr.Model):
+        x: Optional[int] = None
+        y: Optional[float] = None
+
+    t = pa.table(
+        {
+            "x": pa.array([1, None, 3], pa.int64()),
+            "y": pa.array([None, 2.0, None], pa.float64()),
+        }
+    )
+    f = M.DataFrame(t)
+    assert f.fill_null(strategy="zero").as_table().column("x").to_pylist() == [1, 0, 3]
+    assert f.fill_null(strategy="one").as_table().column("y").to_pylist() == [1.0, 2.0, 1.0]
+    assert f.fill_null(strategy="forward").as_table().column("x").to_pylist() == [1, 1, 3]
+    assert f.fill_null(strategy="backward").as_table().column("y").to_pylist() == [2.0, 2.0, None]
+    assert f.fill_null(strategy="mean").as_table().column("x").to_pylist() == [1, 2, 3]
+    assert f.fill_null(value=9).as_table().column("x").to_pylist() == [1, 9, 3]
+
+
+def test_fill_null_strategies_dataset(ray_session):
+    import ray.data as rd
+
+    class M(pr.Model):
+        x: Optional[int] = None
+        y: Optional[float] = None
+
+    t = pa.table(
+        {
+            "x": pa.array([1, None, 3, None], pa.int64()),
+            "y": pa.array([None, 2.0, None, 4.0], pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    f = M.DataFrame(ds)
+    out = f.fill_null(strategy="zero").as_table()
+    assert sorted(out.column("x").to_pylist()) == [0, 0, 1, 3]
+    out = f.fill_null(strategy="mean").as_table()
+    assert sorted(out.column("y").to_pylist()) == [2.0, 3.0, 3.0, 4.0]
+    out = f.fill_null(strategy="max").as_table()
+    assert sorted(out.column("x").to_pylist()) == [1, 3, 3, 3]
+    out = f.fill_null(value=7).as_table()
+    assert sorted(out.column("x").to_pylist()) == [1, 3, 7, 7]
+    with pytest.raises(ValueError, match="order"):
+        f.fill_null(strategy="forward")
