@@ -156,6 +156,34 @@ class QualityScore:
         return out
 
 
+def quality_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact integer quality features per document — the countable core
+    of ``QualityScore`` (char / alpha / punct / token / stopword-hit
+    counts), emitted as int64 so a SQL oracle can compare them without
+    float-rounding hazards. All vectorized RE2 / token kernels."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, pattern=r"[A-Za-z]"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, pattern=r"[^\w\s]"), pa.int64())
+    flat, parents, n_rows = _tokens(text)
+    n_tokens = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(n_tokens, parents, 1)
+    stop_hits = np.zeros(n_rows, dtype=np.int64)
+    hits = pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS["en"]))).to_numpy(
+        zero_copy_only=False
+    )
+    np.add.at(stop_hits, parents, hits.astype(np.int64))
+    out = batch
+    out = out.append_column("n_chars", n_chars)
+    out = out.append_column("n_alpha", n_alpha)
+    out = out.append_column("n_punct", n_punct)
+    out = out.append_column("n_tokens", pa.array(n_tokens, type=pa.int64()))
+    out = out.append_column("stop_hits", pa.array(stop_hits, type=pa.int64()))
+    return out
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic 64-bit document fingerprint over the normalized
     text (lowercase, collapsed whitespace) — exact-dup detection key."""

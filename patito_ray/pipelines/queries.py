@@ -596,6 +596,66 @@ FROM ranked WHERE rn <= 5
 """
 
 
+def q_quality_counts(sf_dir: str) -> pa.Table:
+    """Exact integer quality features (char/alpha/punct/token/stopword
+    counts) — the countable core of the quality scorer, oracle-checked
+    value-by-value (the float score itself stays rows-only: rounding-
+    boundary comparisons across engines are not stable)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: f_text.quality_counts_batch(t).select(
+            ["doc_id", "n_chars", "n_alpha", "n_punct", "n_tokens", "stop_hits"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return out
+
+
+SQL_QUALITY_COUNTS = """
+WITH tok AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(ts, t -> t IN
+            ('the','and','of','to','in','is','was','that','for','it',
+             'with','as','his','on','be','at','by','this','had','not')))
+            AS BIGINT) AS stop_hits
+FROM tok
+"""
+
+
+def q_stats_exact(sf_dir: str) -> pa.Table:
+    """The exact counters of the sketch pass (count / nulls / min / max
+    per column) against SQL aggregates — verifies the fused stats
+    accumulators on their deterministic outputs (HLL/t-digest stay
+    rows-only in ``column_stats``)."""
+    ds = _rp(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+    stats = column_stats(ds)
+    q, e = stats["l_quantity"], stats["l_extendedprice"]
+    return _one_row(
+        q_count=int(q["count"]),
+        q_nulls=int(q["nulls"]),
+        q_min=float(q["min"]),
+        q_max=float(q["max"]),
+        e_min=float(e["min"]),
+        e_max=float(e["max"]),
+    )
+
+
+SQL_STATS_EXACT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS q_count,
+       CAST(COUNT(*) FILTER (l_quantity IS NULL) AS BIGINT) AS q_nulls,
+       MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max,
+       MIN(l_extendedprice) AS e_min, MAX(l_extendedprice) AS e_max
+FROM lineitem
+"""
+
+
 # -- oracle-free operators (driver records rows-only checks) ---------------
 
 
@@ -774,6 +834,8 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "column_stats": (q_column_stats, None),
+    "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
+    "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "webpage_validate": (q_webpage_validate, None),
 }
 
