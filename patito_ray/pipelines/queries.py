@@ -596,6 +596,39 @@ FROM ranked WHERE rn <= 5
 """
 
 
+def q_asof_last_order(sf_dir: str) -> pa.Table:
+    """As-of join execution (reference types how="asof" only): for each
+    event, the user's most recent order date at-or-before the event
+    time. Ties on (custkey, orderdate) make the matched ROW ambiguous
+    across engines, so the oracle compares the matched DATE (identical
+    for every tie choice)."""
+    from patito_ray.stages.join import asof_join
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    orders2 = orders.map_batches(
+        lambda t: t.append_column("last_order_ts", t.column("o_orderdate")),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = asof_join(
+        events,
+        orders2,
+        on="ts",
+        right_on="o_orderdate",
+        by="user_id",
+        right_by="o_custkey",
+    )
+    return out.select_columns(["event_id", "user_id", "last_order_ts"])
+
+
+SQL_ASOF_LAST_ORDER = """
+SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_ts
+FROM events e
+ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 def q_quality_counts(sf_dir: str) -> pa.Table:
     """Exact integer quality features (char/alpha/punct/token/stopword
     counts) — the countable core of the quality scorer, oracle-checked
@@ -836,6 +869,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "column_stats": (q_column_stats, None),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
+    "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),
     "webpage_validate": (q_webpage_validate, None),
 }
 

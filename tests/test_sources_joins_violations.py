@@ -179,3 +179,49 @@ def test_anti_join_count_ignores_null_fact_keys(ray_session):
     ).repartition(2)
     dim = rd.from_arrow(pa.table({"pk": list(range(10))}))
     assert anti_join_count(fact, "fk", dim, "pk") == 1  # only 99
+
+
+def test_asof_join(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from patito_ray.stages.join import asof_join
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "eid": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([ts(1), ts(5), ts(9), ts(2)], pa.timestamp("us")),
+                "uid": pa.array([7, 7, 7, 8], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "okey": pa.array([100, 101, 102], pa.int64()),
+                "ots": pa.array([ts(0), ts(4), ts(3)], pa.timestamp("us")),
+                "ouid": pa.array([7, 7, 9], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    out = asof_join(left, right, on="ts", right_on="ots", by="uid", right_by="ouid")
+    rows = {r["eid"]: r["okey"] for r in out.take_all()}
+    # uid 7: event@1h -> order@0h(100); @5h -> order@4h(101); @9h -> 101
+    # uid 8: no orders -> null (left-join semantics)
+    assert rows == {1: 100, 2: 101, 3: 101, 4: None}
+
+    fwd = asof_join(
+        left, right, on="ts", right_on="ots", by="uid", right_by="ouid",
+        direction="forward",
+    )
+    rows = {r["eid"]: r["okey"] for r in fwd.take_all()}
+    assert rows == {1: 101, 2: None, 3: None, 4: None}
+
+    clash = rd.from_arrow(pa.table({"eid": pa.array([1], pa.int64()), "z": [1.0]}))
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(left, clash, on="ts", by="uid", right_by="eid")
