@@ -365,6 +365,62 @@ FROM events GROUP BY event_type, date_trunc('day', ts)
 """
 
 
+def q_events_sliding(sf_dir: str) -> pa.Table:
+    """7-day sliding-window sum per event type. Scale shape: the wide
+    input collapses through the same per-batch partial + tiny groupby
+    as the tumbling window; the sliding frame then runs VECTORIZED over
+    the small (type, day) aggregate — one searchsorted/cumsum pass per
+    event type, never a window over raw events."""
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).with_columns(day=pl.col("ts").dt.truncate("1d"))
+        return (
+            df.group_by("event_type", "day")
+            .agg(pl.col("value").sum().alias("v"))
+            .to_arrow()
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("v", alias_name="v"))
+    )
+
+    def sliding(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group).sort("day")
+        days = df["day"].dt.epoch("d").to_numpy()
+        v = df["v"].to_numpy()
+        csum = np.concatenate([[0.0], np.cumsum(v)])
+        left = np.searchsorted(days, days - 6, side="left")
+        sliding_v = csum[np.arange(1, len(v) + 1)] - csum[left]
+        return pa.table(
+            {
+                "event_type": group.column("event_type"),
+                "day": df["day"].to_arrow(),
+                "sliding_value": pa.array(np.round(sliding_v, 2), type=pa.float64()),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(sliding, batch_format="pyarrow")
+
+
+SQL_EVENTS_SLIDING = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       ROUND(SUM(v) OVER (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+           AS sliding_value
+FROM daily
+"""
+
+
 def q_user_sessions(sf_dir: str) -> pa.Table:
     """Session windows (30-min inactivity gap) per user — the
     streaming-shaped workload pattern, at scale: hash-partition by
@@ -857,6 +913,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "nation_order_revenue": (q_nation_order_revenue, SQL_NATION_ORDER_REVENUE),
     "distinct_parts": (q_distinct_parts, SQL_DISTINCT_PARTS),
     "events_daily": (q_events_daily, SQL_EVENTS_DAILY),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
