@@ -808,13 +808,14 @@ def embedding_near_dups(
     the miss probabilities (a single 16-bit table — the naive design —
     would recall only ~18% at c=0.95).
 
-    ``n_planes=None`` auto-sizes to ``~log2(n)``: bucket count must
+    ``n_planes=None`` auto-sizes to ``log2(n)+2``: bucket count must
     scale WITH the corpus, else every bucket holds n/2^planes vectors
     and the candidate set blows up O(n^2/2^planes) (measured: 8 fixed
     planes at just 5k random vectors -> 1.7M candidate pairs). At
-    log2(n) planes the expected candidate volume is O(n x n_tables)
-    while recall at c>=0.95 stays >=0.98 up to ~10^6 rows per table
-    set; raise ``n_tables`` for higher recall at larger n.
+    log2(n)+2 planes the expected random-collision candidate volume is
+    ~4n x n_tables/8 pairs, and recall is ~0.97 at c=0.95 / ~1.0 at
+    c>=0.99 up to ~10^6 rows; raise ``n_tables`` (or pass a smaller
+    ``n_planes``) for higher recall at looser thresholds.
 
     Candidate discovery reuses the MinHash spine: (key, id) rows only,
     colliding keys via the bucketed blob exchange, worker-side pair
@@ -829,7 +830,7 @@ def embedding_near_dups(
         import math
 
         n = max(2, ds.count())
-        n_planes = max(8, min(28, math.ceil(math.log2(n))))
+        n_planes = max(8, min(28, math.ceil(math.log2(n)) + 2))
 
     table_salts = _splitmix(
         np.arange(1, n_tables + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
