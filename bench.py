@@ -167,6 +167,10 @@ def run_bench() -> dict:
         "user_sessions",
         "top_parts",
         "nation_order_revenue",
+        "events_sliding",
+        "asof_last_order",
+        "quality_counts",
+        "minhash_pairs",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
