@@ -685,6 +685,57 @@ ASOF LEFT JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
 
 
+def q_range_join_events(sf_dir: str) -> pa.Table:
+    """Range (interval) join execution — a self-join: every ordered
+    pair of events of the same user within a 30-minute window
+    (event co-occurrence, the 'what else happened right before'
+    primitive). Inner semantics; one inequality join per co-partition."""
+    from patito_ray.stages.join import range_join
+
+    left = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def rename_r(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .rename({"event_id": "r_event_id", "ts": "r_ts", "user_id": "r_user_id"})
+            .with_columns(r_end=pl.col("r_ts") + pl.duration(minutes=30))
+            .to_arrow()
+        )
+
+    right = _rp(sf_dir, "events", ["event_id", "ts", "user_id"]).map_batches(
+        rename_r, batch_format="pyarrow", batch_size=None
+    )
+    out = range_join(
+        left,
+        right,
+        on="ts",
+        right_lo="r_ts",
+        right_hi="r_end",
+        by="user_id",
+        right_by="r_user_id",
+    )
+    out = out.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("event_id"), t.column("r_event_id"))
+        ).select(["event_id", "r_event_id"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return out
+
+
+SQL_RANGE_JOIN_EVENTS = """
+SELECT e.event_id, r.event_id AS r_event_id
+FROM events e JOIN events r
+  ON e.user_id = r.user_id
+ AND e.ts >= r.ts
+ AND e.ts < r.ts + INTERVAL 30 MINUTE
+ AND e.event_id <> r.event_id
+"""
+
+
 def q_quality_counts(sf_dir: str) -> pa.Table:
     """Exact integer quality features (char/alpha/punct/token/stopword
     counts) — the countable core of the quality scorer, oracle-checked
@@ -927,6 +978,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),
+    "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "webpage_validate": (q_webpage_validate, None),
 }
 

@@ -82,39 +82,21 @@ def hash_join(
     )
 
 
-def asof_join(
+def copartition_apply(
     left: Any,
     right: Any,
-    on: str,
-    right_on: str | None = None,
-    by: str | None = None,
-    right_by: str | None = None,
-    direction: str = "backward",
+    by: str,
+    right_by: str,
+    part_fn: Any,
     num_partitions: int = 32,
 ) -> Any:
-    """Distributed as-of join: for each left row, the closest right row
-    at-or-before (``backward``) / at-or-after (``forward``) its ``on``
-    value, matched within the ``by`` key (left-join semantics).
-
-    The reference only *types* asof joins (pydantic.py:886-953, how=
-    "asof"); here they execute. Scale shape: both sides co-partition on
-    ``hash(by) % P`` through one tagged-union exchange (Ray's native
-    join operator is avoided — it breaks on empty blocks), then ONE
-    vectorized ``polars.join_asof`` runs per partition: P Python calls
-    total, each a sort + merge over that partition's rows only. Column
-    names must be disjoint across the two sides (rename first).
-    Requires an integer ``by`` key (hash-partitionable); without ``by``
-    the join needs a global order — use a single partition for that.
-    """
+    """Co-partition two Datasets on ``hash(by) % P`` through ONE
+    tagged-union exchange and run ``part_fn(left_table, right_table)``
+    once per partition — the spine of every custom two-sided operator
+    here (as-of join, range join, pair-payload verify). Ray's native
+    join operator is avoided: it breaks on empty blocks. P Python calls
+    total, each vectorized inside; column names must be disjoint."""
     import numpy as np
-    import polars as pl
-
-    right_on = right_on or on
-    right_by = right_by or by
-    assert by is not None and right_by is not None, (
-        "asof_join without a by-key needs a total order; repartition to "
-        "one partition and join in-memory instead"
-    )
 
     l_names = list(left.schema().names)
     l_types = list(left.schema().types)
@@ -122,7 +104,7 @@ def asof_join(
     r_types = list(right.schema().types)
     clash = set(l_names) & set(r_names)
     if clash:
-        raise ValueError(f"asof_join column name clash: {sorted(clash)}")
+        raise ValueError(f"co-partition column name clash: {sorted(clash)}")
     union_schema = pa.schema(
         [("part", pa.int64()), ("side", pa.int8())]
         + list(zip(l_names, l_types))
@@ -161,14 +143,54 @@ def asof_join(
         )
     )
 
-    out_names = l_names + [n for n in r_names if n not in (right_on, right_by)]
-
     def do_part(group: pa.Table) -> pa.Table:
-        import warnings
+        import numpy as np
 
         side = group.column("side").to_numpy(zero_copy_only=False)
         lt = group.filter(pa.array(side == 0)).select(l_names)
         rt = group.filter(pa.array(side == 1)).select(r_names)
+        return part_fn(lt, rt)
+
+    return tagged.groupby("part").map_groups(do_part, batch_format="pyarrow")
+
+
+def asof_join(
+    left: Any,
+    right: Any,
+    on: str,
+    right_on: str | None = None,
+    by: str | None = None,
+    right_by: str | None = None,
+    direction: str = "backward",
+    num_partitions: int = 32,
+) -> Any:
+    """Distributed as-of join: for each left row, the closest right row
+    at-or-before (``backward``) / at-or-after (``forward``) its ``on``
+    value, matched within the ``by`` key (left-join semantics).
+
+    The reference only *types* asof joins (pydantic.py:886-953, how=
+    "asof"); here they execute. Scale shape: ``copartition_apply`` + ONE
+    vectorized ``polars.join_asof`` per partition (sort + merge over
+    that partition's rows only). Requires a hash-partitionable ``by``
+    key; without one the join needs a total order — use a single
+    partition / in-memory polars for that.
+    """
+    import polars as pl
+
+    right_on = right_on or on
+    right_by = right_by or by
+    assert by is not None and right_by is not None, (
+        "asof_join without a by-key needs a total order; repartition to "
+        "one partition and join in-memory instead"
+    )
+
+    l_names = list(left.schema().names)
+    r_names = list(right.schema().names)
+    out_names = l_names + [n for n in r_names if n not in (right_on, right_by)]
+
+    def part_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        import warnings
+
         pl_l = pl.from_arrow(lt).sort(on)
         pl_r = pl.from_arrow(rt).sort(right_on)
         # both frames ARE sorted (the line above); polars just cannot
@@ -186,7 +208,48 @@ def asof_join(
         )
         return out.select([n for n in out_names if n in out.columns]).to_arrow()
 
-    return tagged.groupby("part").map_groups(do_part, batch_format="pyarrow")
+    return copartition_apply(left, right, by, right_by, part_fn, num_partitions)
+
+
+def range_join(
+    left: Any,
+    right: Any,
+    on: str,
+    right_lo: str,
+    right_hi: str,
+    by: str | None = None,
+    right_by: str | None = None,
+    num_partitions: int = 32,
+) -> Any:
+    """Distributed range (interval) join: every (left, right) pair with
+    the same ``by`` key where ``right_lo <= left.on < right_hi``
+    (inner-join semantics; a left row matching k intervals emits k
+    rows).
+
+    Scale shape: ``copartition_apply`` + ONE vectorized
+    ``polars.join_where`` inequality join per partition — the
+    cross-product is bounded per partition and pruned by polars, never
+    formed globally. Requires a hash-partitionable ``by`` key.
+    """
+    import polars as pl
+
+    right_by = right_by or by
+    assert by is not None and right_by is not None, (
+        "range_join needs a by-key to partition on; for a global "
+        "interval join repartition to one partition and use polars "
+        "join_where in-memory"
+    )
+
+    def part_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        out = pl.from_arrow(lt).join_where(
+            pl.from_arrow(rt),
+            pl.col(by) == pl.col(right_by),
+            pl.col(on) >= pl.col(right_lo),
+            pl.col(on) < pl.col(right_hi),
+        )
+        return out.to_arrow()
+
+    return copartition_apply(left, right, by, right_by, part_fn, num_partitions)
 
 
 def _key_set(ds_or_table: Any, column: str) -> pa.Array:

@@ -225,3 +225,40 @@ def test_asof_join(ray_session):
     clash = rd.from_arrow(pa.table({"eid": pa.array([1], pa.int64()), "z": [1.0]}))
     with pytest.raises(ValueError, match="clash"):
         asof_join(left, clash, on="ts", by="uid", right_by="eid")
+
+
+def test_range_join(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from patito_ray.stages.join import range_join
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "eid": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array([ts(1), ts(5), ts(3)], pa.timestamp("us")),
+                "uid": pa.array([7, 7, 8], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "okey": pa.array([100, 101], pa.int64()),
+                "lo": pa.array([ts(0), ts(4)], pa.timestamp("us")),
+                "hi": pa.array([ts(2), ts(6)], pa.timestamp("us")),
+                "ouid": pa.array([7, 7], pa.int64()),
+            }
+        )
+    )
+    out = range_join(
+        left, right, on="ts", right_lo="lo", right_hi="hi", by="uid", right_by="ouid"
+    )
+    pairs = sorted((r["eid"], r["okey"]) for r in out.take_all())
+    # eid1@1h in [0,2) of okey100; eid2@5h in [4,6) of okey101; eid3 uid 8 no match
+    assert pairs == [(1, 100), (2, 101)]
