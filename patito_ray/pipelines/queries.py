@@ -736,6 +736,29 @@ FROM events e JOIN events r
 """
 
 
+def q_top_orders_per_cust(sf_dir: str) -> pa.Table:
+    """Grouped top-k: each customer's top-3 orders by price (per-batch
+    prune to k, hash-partition by group, one vectorized final top-k per
+    partition — never per-group Python)."""
+    from patito_ray.stages.topk import grouped_top_k
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_top_k(
+        orders, group="o_custkey", value="o_totalprice", k=3, tie="o_orderkey"
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "o_totalprice", "rank"])
+
+
+SQL_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
 def q_quality_counts(sf_dir: str) -> pa.Table:
     """Exact integer quality features (char/alpha/punct/token/stopword
     counts) — the countable core of the quality scorer, oracle-checked
@@ -979,6 +1002,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
+    "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS_PER_CUST),
     "webpage_validate": (q_webpage_validate, None),
 }
 

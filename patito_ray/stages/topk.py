@@ -1,0 +1,71 @@
+"""Grouped top-k: the per-key top-n rows by a value column.
+
+Scale shape (the partial-aggregation pattern, SURVEY.md §4):
+
+1. per-batch PRUNE: each batch keeps at most k rows per group it sees
+   (vectorized polars sort+head per batch) — output is bounded by
+   groups_in_batch x k regardless of row count;
+2. hash-partition the pruned rows by group key and take the final
+   per-group top-k with ONE vectorized call per partition — never one
+   Python call per group (10^8 users means 10^8 groups).
+
+Ties break on the ``tie`` column ascending so results are deterministic
+and oracle-comparable (SQL ROW_NUMBER OVER (ORDER BY value DESC, tie)).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+
+def grouped_top_k(
+    ds: Any,
+    group: str,
+    value: str,
+    k: int,
+    tie: str | None = None,
+    descending: bool = True,
+    num_partitions: int = 32,
+) -> Any:
+    """Top-``k`` rows per ``group`` ordered by ``value`` (desc by
+    default; ``tie`` column ascending breaks equal values). Returns the
+    selected rows plus an int64 ``rank`` column (1-based)."""
+    import polars as pl
+
+    sort_cols = [value] + ([tie] if tie else [])
+    sort_desc = [descending] + ([False] if tie else [])
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.sort(sort_cols, descending=sort_desc)
+            .group_by(group, maintain_order=True)
+            .head(k)
+        )
+        return out.to_arrow()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t.column(group).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g.view(np.uint64)
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        part = (h % np.uint64(num_partitions)).view(np.int64)
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def final_topk(group_table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group_table.drop_columns(["part"]))
+        out = (
+            df.sort(sort_cols, descending=sort_desc)
+            .group_by(group, maintain_order=True)
+            .head(k)
+            .with_columns(
+                rank=pl.col(value).cum_count().over(group).cast(pl.Int64)
+            )
+        )
+        return out.to_arrow()
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow", batch_size=None)
+    parted = pruned.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby("part").map_groups(final_topk, batch_format="pyarrow")

@@ -176,3 +176,22 @@ def test_dataset_cleanse_chain(ray_session):
     ds = rd.from_arrow(pa.table({"a": list(range(100))}))
     out = ModelFrame(ds, M).derive().validate().as_table()
     assert out.column("doubled").to_pylist()[:3] == [0, 2, 4]
+
+
+def test_grouped_top_k(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.topk import grouped_top_k
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "v": pa.array([5.0, 9.0, 7.0, 9.0, 1.0, 2.0, 4.0]),
+            "id": pa.array([10, 11, 12, 13, 20, 21, 30], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    out = grouped_top_k(ds, group="g", value="v", k=2, tie="id")
+    rows = sorted((r["g"], r["rank"], r["id"]) for r in out.take_all())
+    # g=1: 9.0 tie -> id 11 then 13; g=2: 2.0 then 1.0; g=3: single row
+    assert rows == [(1, 1, 11), (1, 2, 13), (2, 1, 21), (2, 2, 20), (3, 1, 30)]
