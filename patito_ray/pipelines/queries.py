@@ -584,11 +584,12 @@ GROUP BY n.n_name
 # ---------------------------------------------------------------------------
 
 
-def q_dedup_exact_documents(sf_dir: str) -> pa.Table:
+def q_dedup_exact_documents(sf_dir: str) -> Any:
+    """Kept-id set of exact dedup — returned as the lazy Dataset (the
+    driver's comparator canonicalizes row order; no driver-side sort of
+    what is a corpus-sized id list at scale)."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    kept = f_dedup.dedup_exact_ids(ds, text_col="text", id_col="doc_id")
-    ids = sorted(r["doc_id"] for r in kept.take_all())
-    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    return f_dedup.dedup_exact_ids(ds, text_col="text", id_col="doc_id")
 
 
 SQL_DEDUP_EXACT = """
@@ -1020,31 +1021,32 @@ def q_training_pipeline(sf_dir: str) -> pa.Table:
     n_input = ds.count()
 
     scored = f_text.quality_dataset(f_text.lang_id_dataset(ds, concurrency=2), concurrency=2)
-    kept = scored.map_batches(
-        lambda t: t.filter(
+
+    def narrow(t: pa.Table) -> pa.Table:
+        # filter + content-hash + token-count in ONE pass, then drop the
+        # text payload: what gets pinned for the multi-consumer tail is
+        # 24 B/doc (h, doc_id, n_tok), never the corpus itself
+        kept = t.filter(
             pc.and_(
                 pc.greater(t["lang_confidence"], 0.05),
                 pc.greater(t["quality_score"], 0.3),
             )
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()
+        )
+        hashed = add_content_hash(kept, "text")
+        return pa.table(
+            {
+                "h": hashed.column("h"),
+                "doc_id": hashed.column("doc_id"),
+                "n_tok": f_text.token_count_array(hashed.column("text")),
+            }
+        )
+
+    kept = scored.map_batches(narrow, batch_format="pyarrow", batch_size=None).materialize()
     n_filtered = kept.count()
+    from ray.data.aggregate import Sum
 
-    hashed = kept.map_batches(
-        lambda t: add_content_hash(t, "text").select(["h", "doc_id"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    n_unique = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id")).count()
-
-    tokens = kept.map_batches(
-        lambda t: pa.table({"n": [int(pc.sum(f_text.token_count_array(t["text"])).as_py() or 0)]}),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).take_all()
-    n_tokens = int(sum(r["n"] for r in tokens))
+    n_tokens = int(kept.aggregate(Sum("n_tok", alias_name="n"))["n"] or 0)
+    n_unique = kept.groupby("h").aggregate(Min("doc_id", alias_name="doc_id")).count()
     return _one_row(
         n_input=n_input,
         n_after_filters=n_filtered,
