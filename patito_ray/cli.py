@@ -13,7 +13,7 @@ Commands:
   validate  --input GLOB --model NAME|spec.json [--checkpoint DIR]
             [--stats] [--violations DIR] [--files-per-shard N]
   profile   --input GLOB [--columns a,b,c]
-  dedup     --input GLOB [--text-col text] [--id-col doc_id] --output DIR
+  dedup     --input GLOB [--text-col text] [--id-col doc_id] [--near [--threshold 0.8]] --output DIR
 """
 
 from __future__ import annotations
@@ -120,15 +120,32 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from patito_ray.functions.dedup import dedup_exact
+    from patito_ray.functions.dedup import dedup_exact, dedup_near
 
     files = sorted(glob.glob(args.input))
     ds = rd.read_parquet(files)
     before = ds.count()
-    out = dedup_exact(ds, text_col=args.text_col, id_col=args.id_col)
+    if args.near:
+        out = dedup_near(
+            ds,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            threshold=args.threshold,
+        )
+    else:
+        out = dedup_exact(ds, text_col=args.text_col, id_col=args.id_col)
     out.write_parquet(args.output)
     after = rd.read_parquet(args.output).count()
-    print(json.dumps({"rows_in": before, "rows_out": after, "output": args.output}))
+    print(
+        json.dumps(
+            {
+                "mode": "near" if args.near else "exact",
+                "rows_in": before,
+                "rows_out": after,
+                "output": args.output,
+            }
+        )
+    )
     return 0
 
 
@@ -152,11 +169,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_profile)
 
-    d = sub.add_parser("dedup", help="exact dedup to an output dir")
+    d = sub.add_parser("dedup", help="exact or near (MinHash-LSH) dedup to an output dir")
     d.add_argument("--input", required=True)
     d.add_argument("--text-col", default="text")
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--output", required=True)
+    d.add_argument("--near", action="store_true", help="MinHash-LSH near-dup removal")
+    d.add_argument("--threshold", type=float, default=0.8, help="near-dup jaccard threshold")
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)
 

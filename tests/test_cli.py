@@ -101,3 +101,24 @@ def test_cli_dedup(data_dir, tmp_path):
     out = json.loads(res.stdout.strip().splitlines()[-1])
     assert out["rows_in"] == 500
     assert out["rows_out"] == 400  # 400 distinct texts
+
+
+def test_cli_dedup_near(data_dir, tmp_path):
+    res = run_cli(
+        "dedup",
+        "--input",
+        f"{data_dir}/*.parquet",
+        "--output",
+        str(tmp_path / "near_deduped"),
+        "--near",
+        "--threshold",
+        "0.8",
+        "--num-cpus",
+        "4",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["mode"] == "near"
+    assert out["rows_in"] == 500
+    # near-dedup removes at least the exact duplicates
+    assert out["rows_out"] <= 400
