@@ -659,6 +659,90 @@ def verify_pairs(
     return sorted((r["a"], r["b"], r["jaccard"]) for r in out)
 
 
+def cluster_pairs_distributed(
+    pairs: Any, num_partitions: int = 64, max_iters: int = 50
+) -> Any:
+    """Distributed connected components over a pair Dataset[a, b] ->
+    Dataset[node, root] (root = min node id of the component).
+
+    Iterated min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors (one co-partitioned
+    join + one groupby-Min over the EDGE set — never anything
+    driver-side). Labels are monotonically non-increasing, so the global
+    label sum is a convergence certificate: unchanged sum == fixpoint.
+    Near-dup clusters are star-like (diameter ~2-4), so this converges
+    in a handful of rounds; the worst case is the component diameter.
+
+    Use over ``cluster_pairs`` (driver union-find) when the verified
+    pair set itself is too large for one machine — the O(corpus)
+    duplicate volume of a crawl-scale dedup.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from patito_ray.stages.join import copartition_apply
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(
+        both_dirs, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"lnode": t.column("src"), "label": t.column("src")}),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("lnode")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def attach(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        # lt = edges (src, dst); rt = labels (lnode, label)
+        import polars as pl
+
+        out = (
+            pl.from_arrow(lt)
+            .join(pl.from_arrow(rt), left_on="src", right_on="lnode", how="inner")
+            .select(
+                pl.col("dst").alias("lnode"),
+                pl.col("label"),
+            )
+        )
+        return out.to_arrow()
+
+    prev_sum: int | None = None
+    for _ in range(max_iters):
+        neigh = copartition_apply(
+            edges, labels, by="src", right_by="lnode", part_fn=attach,
+            num_partitions=num_partitions,
+        )
+        labels = (
+            neigh.union(labels)
+            .groupby("lnode")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        s = int(labels.aggregate(Sum("label", alias_name="s"))["s"] or 0)
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("lnode"), "root": t.column("label")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def cluster_pairs(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find clustering of duplicate pairs -> {id: component_root}.
 
@@ -695,35 +779,67 @@ def dedup_near(
     num_perm: int = 128,
     bands: int = 16,
     shingle_n: int = 3,
+    driver_cluster_limit: int = 10_000_000,
 ) -> Any:
     """End-to-end near-duplicate removal: MinHash-LSH candidates ->
-    exact n-gram Jaccard verify -> union-find clusters -> keep the min
+    exact n-gram Jaccard verify -> connected components -> keep the min
     id per cluster. Returns the deduplicated Dataset (rows whose id is
     not a dropped duplicate). Candidate discovery, pair formation AND
-    verification all run worker-side; only the verified duplicate id
-    pairs (16 B each) reach the driver for union-find.
+    verification all run worker-side. Clustering adapts: verified pair
+    sets below ``driver_cluster_limit`` use driver union-find + a
+    broadcast drop-set filter; larger sets (a crawl's duplicate volume
+    is O(corpus)) run the distributed min-label propagation
+    (``cluster_pairs_distributed``) and an anti-co-partition filter —
+    nothing O(duplicates) ever lands on the driver.
     """
     import pyarrow.compute as _pc
 
     pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
     verified_ds = verify_pairs_dataset(
         ds, pairs_ds, id_col, text_col, threshold, shingle_n
-    )
-    verified = [
-        (r["a"], r["b"])
-        for r in verified_ds.select_columns(["a", "b"]).take_all()
-    ]
-    components = cluster_pairs(verified)
-    drop = sorted(x for x, root in components.items() if x != root)
-    if not drop:
+    ).materialize()
+
+    n_pairs = verified_ds.count()
+    if n_pairs == 0:
         return ds
-    drop_set = pa.array(drop)
-    return ds.map_batches(
+    if n_pairs <= driver_cluster_limit:
+        verified = [
+            (r["a"], r["b"])
+            for r in verified_ds.select_columns(["a", "b"]).take_all()
+        ]
+        components = cluster_pairs(verified)
+        drop = sorted(x for x, root in components.items() if x != root)
+        if not drop:
+            return ds
+        drop_set = pa.array(drop)
+        return ds.map_batches(
+            lambda t: t.filter(
+                _pc.invert(_pc.is_in(t.column(id_col), value_set=drop_set))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    # crawl-scale path: distributed components, co-partitioned anti filter
+    from patito_ray.stages.join import copartition_apply
+
+    comp = cluster_pairs_distributed(verified_ds)
+    drops = comp.map_batches(
         lambda t: t.filter(
-            _pc.invert(_pc.is_in(t.column(id_col), value_set=drop_set))
-        ),
+            _pc.not_equal(t.column("node"), t.column("root"))
+        ).select(["node"]),
         batch_format="pyarrow",
         batch_size=None,
+    )
+
+    def anti(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        keep = _pc.invert(
+            _pc.is_in(lt.column(id_col), value_set=rt.column("node").combine_chunks())
+        )
+        return lt.filter(keep)
+
+    return copartition_apply(
+        ds, drops, by=id_col, right_by="node", part_fn=anti, num_partitions=64
     )
 
 

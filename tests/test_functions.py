@@ -417,3 +417,53 @@ def test_embedding_near_dups_planted(ray_session):
     for r in out:
         a, b = r["a"], r["b"]
         assert abs(r["cosine"] - s[a, b]) < 1e-9  # exact verify, not LSH estimate
+
+
+def test_cluster_pairs_distributed_matches_union_find(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    # random clustered graph: 40 components of 1-6 nodes, chain edges
+    pairs = []
+    nid = 0
+    for _ in range(40):
+        size = int(rng.integers(1, 7))
+        nodes = list(range(nid, nid + size))
+        nid += size + int(rng.integers(0, 3))  # gaps between id ranges
+        rng.shuffle(nodes)
+        for x, y in zip(nodes, nodes[1:]):
+            pairs.append((min(x, y), max(x, y)) if x != y else None)
+    pairs = [p for p in pairs if p]
+    truth = f_dedup.cluster_pairs(pairs)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    got = {
+        r["node"]: r["root"]
+        for r in f_dedup.cluster_pairs_distributed(ds, num_partitions=8).take_all()
+    }
+    assert got == truth
+
+
+def test_dedup_near_distributed_cluster_path(ray_session):
+    """Force the crawl-scale clustering path (driver_cluster_limit=0)
+    and check it matches the driver union-find path."""
+    import ray.data as rd
+
+    texts = (
+        ["the quick brown fox jumps over the lazy dog"] * 3
+        + ["completely different text about ray data engines here now"] * 2
+        + ["a unique document with many different tokens present"]
+    )
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    kept_small = sorted(r["doc_id"] for r in f_dedup.dedup_near(ds).take_all())
+    kept_big = sorted(
+        r["doc_id"]
+        for r in f_dedup.dedup_near(ds, driver_cluster_limit=0).take_all()
+    )
+    assert kept_small == kept_big == [0, 3, 5]
