@@ -884,6 +884,93 @@ def hamming_distance(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def simhash_near_dups(
+    ds: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    max_collision_keys: int = 10_000_000,
+    num_partitions: int = 32,
+) -> Any:
+    """SimHash near-duplicate pairs -> Dataset[a, b, hamming] (pairs
+    whose 64-bit SimHash fingerprints differ in <= ``max_hamming``
+    bits).
+
+    Banding gives GUARANTEED recall by pigeonhole: splitting 64 bits
+    into ``bands`` equal slices, two fingerprints within hamming
+    distance < bands must agree exactly on at least one slice — with
+    the default 4 bands every pair at hamming <= 3 collides in some
+    band, deterministically (no probabilistic recall like MinHash).
+    Candidate discovery and pair formation reuse the LSH spine
+    (bucketed blob exchange + partition-level pair emission); the exact
+    hamming verify runs vectorized over ``pair_payload_join`` of the
+    fingerprints (8 B payloads — the texts never move).
+    """
+    assert 64 % bands == 0, "bands must divide 64"
+    width = 64 // bands
+
+    # ONE simhash pass; the pinned (id, fp) projection is 16 B/doc and
+    # feeds both the banding and the verify side
+    fps = ds.map_batches(
+        lambda t: simhash_batch(t, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+
+    def keyed_rows(t: pa.Table) -> pa.Table:
+        fp = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        keys = np.empty(bands * n, dtype=np.uint64)
+        mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        for b in range(bands):
+            slice_bits = (fp >> np.uint64(b * width)) & mask
+            keys[b * n : (b + 1) * n] = _splitmix(
+                slice_bits ^ _splitmix(np.full(n, b + 1, dtype=np.uint64))
+            )
+        return pa.table(
+            {
+                "key": pa.array(keys.view(np.int64), type=pa.int64()),
+                id_col: pa.array(np.tile(ids, bands)),
+            }
+        )
+
+    rows = fps.map_batches(keyed_rows, batch_format="pyarrow", batch_size=None).materialize()
+    hits = _colliding_subset(rows, max_collision_keys)
+    pairs = _bucket_pairs(hits, id_col, max_bucket)
+    joined = pair_payload_join(fps, pairs, id_col, "simhash", num_partitions)
+
+    _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        va = batch.column("val_a").to_numpy(zero_copy_only=False).view(np.uint64)
+        vb = batch.column("val_b").to_numpy(zero_copy_only=False).view(np.uint64)
+        x = va ^ vb
+        dist = np.zeros(len(x), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            dist += _POP[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+        keep = dist <= max_hamming
+        return pa.table(
+            {
+                "a": batch.column("a").filter(pa.array(keep)),
+                "b": batch.column("b").filter(pa.array(keep)),
+                "hamming": pa.array(dist[keep], type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -846,6 +846,22 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
     )
 
 
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    """Banded SimHash near-dup pairs (guaranteed recall at
+    hamming <= 3 by pigeonhole; exact vectorized hamming verify).
+    Rows-only: the simhash fingerprint is not SQL-expressible."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = f_dedup.simhash_near_dups(ds, max_hamming=3)
+    rows = sorted((r["a"], r["b"], r["hamming"]) for r in out.take_all())
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def q_simhash(sf_dir: str) -> pa.Table:
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -996,6 +1012,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "quality_scores": (q_quality, None),
     "fingerprints": (q_fingerprints, None),
     "simhash": (q_simhash, None),
+    "simhash_pairs": (q_simhash_pairs, None),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "column_stats": (q_column_stats, None),

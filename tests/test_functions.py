@@ -467,3 +467,37 @@ def test_dedup_near_distributed_cluster_path(ray_session):
         for r in f_dedup.dedup_near(ds, driver_cluster_limit=0).take_all()
     )
     assert kept_small == kept_big == [0, 3, 5]
+
+
+def test_simhash_near_dups(ray_session):
+    """Banded SimHash near-dup: pigeonhole guarantees every pair at
+    hamming <= bands-1 is found; exact hamming verify is vectorized."""
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [
+        base,                                 # 0
+        base,                                 # 1 identical -> hamming 0
+        base + " slightly",                   # 2 near
+        "a completely unrelated text with other words in every position",  # 3
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ds = rd.from_arrow(t).repartition(2)
+    out = f_dedup.simhash_near_dups(ds, max_hamming=3).take_all()
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in out}
+    assert pairs.get((0, 1)) == 0
+    # exact hamming values match the driver-side reference kernel
+    fp = {
+        r["doc_id"]: r["simhash"] & (2**64 - 1)
+        for r in rd.from_arrow(t)
+        .map_batches(f_dedup.simhash_batch, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    }
+    for (a, b), h in pairs.items():
+        assert f_dedup.hamming_distance(fp[a], fp[b]) == h <= 3
+    # every <=3-hamming pair is present (pigeonhole guarantee)
+    import itertools as it
+
+    for a, b in it.combinations(range(4), 2):
+        if f_dedup.hamming_distance(fp[a], fp[b]) <= 3:
+            assert (a, b) in pairs
