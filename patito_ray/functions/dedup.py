@@ -435,34 +435,32 @@ def pair_payload_join(
     id_col: str,
     val_col: str,
     num_partitions: int = 32,
+    broadcast_id_limit: int = 32_000_000,
 ) -> Any:
     """Attach each candidate pair's two payloads -> Dataset[a, b, val_a,
     val_b]. The shared spine of every pair-verification operator (n-gram
     Jaccard over texts, exact cosine over embeddings, ...).
 
-    Scale shape: payloads never touch the driver. Only the candidate id
-    set (8 B/id) is collected to broadcast a semi-join filter over the
-    corpus. Payloads then meet their pairs through two bucketed
-    exchanges (the same tagged-union + ``groupby(part)`` co-location
-    pattern as the large-dim referential check — Ray's native join
-    operator currently chokes on empty blocks):
+    Scale shape: payloads never touch the driver. The corpus side is
+    pruned adaptively: while the candidate id set stays under
+    ``broadcast_id_limit`` ids (~256 MB), it is collected (8 B/id) and
+    broadcast as a semi-join filter; on a duplicate-heavy crawl where
+    candidates are O(corpus), NOTHING is collected — every corpus row
+    simply rides the exchange and non-candidates fall out of the inner
+    join. Payloads then meet their pairs through two bucketed exchanges
+    (the tagged-union + ``groupby(part)`` co-location pattern — Ray's
+    native join operator currently chokes on empty blocks):
 
-    1. key by DOC: pair-side rows (one per pair per side) and candidate
-       payload rows co-partition on ``hash(id) % P``; one vectorized
-       arrow join per partition attaches each side's payload;
+    1. key by DOC: pair-side rows (one per pair per side) and payload
+       rows co-partition on ``hash(id) % P``; one vectorized join per
+       partition attaches each side's payload;
     2. key by PAIR: the two payload-carrying sides of each pair
        co-partition on ``hash(a,b) % P`` and join vectorized.
 
-    Both exchanges move candidate/pair rows only — never the corpus —
-    and do P Python calls total, each vectorized inside.
+    P Python calls total, each vectorized inside.
     """
     import ray
     import ray.data as rd
-
-    ids_a: set[int] = set()
-    for b in pairs.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
-        ids_a.update(b["a"].to_pylist())
-        ids_a.update(b["b"].to_pylist())
 
     val_type = None
     for name, typ in zip(ds.schema().names, ds.schema().types):
@@ -470,7 +468,8 @@ def pair_payload_join(
             val_type = typ
     assert val_type is not None, f"{val_col!r} not in dataset schema"
 
-    if not ids_a:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(
             pa.schema(
                 [
@@ -481,8 +480,15 @@ def pair_payload_join(
                 ]
             ).empty_table()
         )
-    id_set = pa.array(sorted(ids_a), type=pa.int64())
-    id_ref = ray.put(id_set)
+    id_ref = None
+    if 2 * n_pairs <= broadcast_id_limit:
+        ids_a: set[int] = set()
+        for b in pairs.select_columns(["a", "b"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            ids_a.update(b["a"].to_pylist())
+            ids_a.update(b["b"].to_pylist())
+        id_ref = ray.put(pa.array(sorted(ids_a), type=pa.int64()))
     P = np.int64(num_partitions)
 
     union_schema = pa.schema(
@@ -523,8 +529,11 @@ def pair_payload_join(
         )
 
     def pick_vals(batch: pa.Table) -> pa.Table:
-        ks = ray.get(id_ref)
-        hit = batch.filter(pc.is_in(batch.column(id_col), value_set=ks))
+        if id_ref is not None:
+            ks = ray.get(id_ref)
+            hit = batch.filter(pc.is_in(batch.column(id_col), value_set=ks))
+        else:
+            hit = batch  # candidates ~ corpus: skip the prune, ride the exchange
         key = hit.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {

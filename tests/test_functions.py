@@ -501,3 +501,23 @@ def test_simhash_near_dups(ray_session):
     for a, b in it.combinations(range(4), 2):
         if f_dedup.hamming_distance(fp[a], fp[b]) <= 3:
             assert (a, b) in pairs
+
+
+def test_pair_payload_join_no_broadcast_path(ray_session):
+    """broadcast_id_limit=0 forces the crawl-scale path (no driver id
+    collection, corpus rides the exchange) — same result."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": ["aa bb cc", "aa bb cc", "zz"]})
+    ).repartition(2)
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([1], pa.int64()), "b": pa.array([2], pa.int64())})
+    )
+    for limit in (32_000_000, 0):
+        out = f_dedup.pair_payload_join(
+            ds, pairs, "doc_id", "text", broadcast_id_limit=limit
+        ).take_all()
+        assert [(r["a"], r["b"], r["val_a"], r["val_b"]) for r in out] == [
+            (1, 2, "aa bb cc", "aa bb cc")
+        ]
