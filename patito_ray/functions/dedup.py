@@ -96,9 +96,26 @@ def dedup_exact(
 
         return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
-    from patito_ray.stages.join import hash_join
+    # kept-id set too large to broadcast: co-partitioned semi filter
+    # (robust to the empty-block failure mode of Ray's native join)
+    from patito_ray.stages.join import copartition_apply
 
-    return hash_join(ds, kept, on=id_col, how="inner")
+    kept2 = kept.map_batches(
+        lambda t: t.rename_columns(["_kept_id"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def semi(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        return lt.filter(
+            _pc.is_in(
+                lt.column(id_col), value_set=rt.column("_kept_id").combine_chunks()
+            )
+        )
+
+    return copartition_apply(
+        ds, kept2, by=id_col, right_by="_kept_id", part_fn=semi, num_partitions=64
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -468,6 +485,10 @@ def pair_payload_join(
             val_type = typ
     assert val_type is not None, f"{val_col!r} not in dataset schema"
 
+    # pairs are consumed up to three times (count, id collection,
+    # explode); pin the 16 B/pair rows so the candidate pipeline that
+    # produced them runs exactly once
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return rd.from_arrow(

@@ -521,3 +521,23 @@ def test_pair_payload_join_no_broadcast_path(ray_session):
         assert [(r["a"], r["b"], r["val_a"], r["val_b"]) for r in out] == [
             (1, 2, "aa bb cc", "aa bb cc")
         ]
+
+
+def test_dedup_exact_copartition_fallback(ray_session):
+    """Force the big-corpus path (broadcast_limit_bytes=0): the
+    co-partitioned semi filter must match the broadcast path."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": list(range(6)),
+            "text": ["x y", "x y", "a b", "c d", "a  B", "unique here"],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    small = sorted(r["doc_id"] for r in f_dedup.dedup_exact(ds).take_all())
+    big = sorted(
+        r["doc_id"]
+        for r in f_dedup.dedup_exact(ds, broadcast_limit_bytes=0).take_all()
+    )
+    assert small == big == [0, 2, 3, 5]  # "a  B" normalizes to "a b"
