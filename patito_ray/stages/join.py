@@ -98,10 +98,18 @@ def copartition_apply(
     total, each vectorized inside; column names must be disjoint."""
     import numpy as np
 
-    l_names = list(left.schema().names)
-    l_types = list(left.schema().types)
-    r_names = list(right.schema().names)
-    r_types = list(right.schema().types)
+    l_schema = left.schema()
+    r_schema = right.schema()
+    if l_schema is None or r_schema is None:
+        raise ValueError(
+            "co-partition requires known schemas on both sides; an empty "
+            "dataset with no blocks has none — pass it as from_arrow(...) "
+            "of an empty typed table instead"
+        )
+    l_names = list(l_schema.names)
+    l_types = list(l_schema.types)
+    r_names = list(r_schema.names)
+    r_types = list(r_schema.types)
     clash = set(l_names) & set(r_names)
     if clash:
         raise ValueError(f"co-partition column name clash: {sorted(clash)}")

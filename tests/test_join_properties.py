@@ -1,0 +1,199 @@
+"""Property-based tests for the co-partitioned custom operators:
+asof_join / range_join / grouped_top_k must match their single-machine
+polars / numpy references on arbitrary inputs, regardless of block
+boundaries or partition counts — the invariant that makes the
+copartition_apply execution correct.
+"""
+
+import datetime as dt
+
+import hypothesis.strategies as st
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: int) -> dt.datetime:
+    return BASE + dt.timedelta(minutes=int(minutes))
+
+
+left_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=0, max_value=500),  # minutes
+    ),
+    min_size=0,
+    max_size=25,
+)
+right_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=500),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left_rows, right_rows)
+def test_asof_join_matches_polars_reference(ray_session, lrows, rrows):
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.join import asof_join
+
+    lt = pa.table(
+        {
+            "lid": pa.array(range(len(lrows)), pa.int64()),
+            "ts": pa.array([_ts(m) for _k, m in lrows], pa.timestamp("us")),
+            "k": pa.array([k for k, _m in lrows], pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "rid": pa.array(range(len(rrows)), pa.int64()),
+            "rts": pa.array([_ts(m) for _k, m in rrows], pa.timestamp("us")),
+            "rk": pa.array([k for k, _m in rrows], pa.int64()),
+        }
+    )
+    if lt.num_rows == 0 or rt.num_rows == 0:
+        return  # empty sides lose their schema through repartition
+    got = asof_join(
+        rd.from_arrow(lt).repartition(3),
+        rd.from_arrow(rt).repartition(2),
+        on="ts",
+        right_on="rts",
+        by="k",
+        right_by="rk",
+        num_partitions=4,
+    ).take_all()
+    # reference: single-machine polars join_asof. rid can be ambiguous
+    # when two right rows share (key, ts) — compare the matched TS only.
+    ref = (
+        pl.from_arrow(lt)
+        .sort("ts")
+        .join_asof(
+            pl.from_arrow(rt).sort("rts"),
+            left_on="ts",
+            right_on="rts",
+            by_left="k",
+            by_right="rk",
+            strategy="backward",
+        )
+    )
+    ref_ts = {r["lid"]: r["rts"] for r in ref.to_dicts()}
+    got_map = {}
+    for r in got:
+        rrid = r["rid"]
+        got_map[r["lid"]] = None if rrid is None else rt.column("rts")[rrid].as_py()
+    assert set(got_map) == set(ref_ts)
+    for lid, ts in ref_ts.items():
+        assert got_map[lid] == ts
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(left_rows, right_rows)
+def test_range_join_matches_bruteforce(ray_session, lrows, rrows):
+    import ray.data as rd
+
+    from patito_ray.stages.join import range_join
+
+    lt = pa.table(
+        {
+            "lid": pa.array(range(len(lrows)), pa.int64()),
+            "ts": pa.array([_ts(m) for _k, m in lrows], pa.timestamp("us")),
+            "k": pa.array([k for k, _m in lrows], pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "rid": pa.array(range(len(rrows)), pa.int64()),
+            "lo": pa.array([_ts(m) for _k, m in rrows], pa.timestamp("us")),
+            "hi": pa.array([_ts(m + 60) for _k, m in rrows], pa.timestamp("us")),
+            "rk": pa.array([k for k, _m in rrows], pa.int64()),
+        }
+    )
+    if lt.num_rows == 0 or rt.num_rows == 0:
+        return
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(
+            rd.from_arrow(lt).repartition(3),
+            rd.from_arrow(rt).repartition(2),
+            on="ts",
+            right_lo="lo",
+            right_hi="hi",
+            by="k",
+            right_by="rk",
+            num_partitions=4,
+        ).take_all()
+    )
+    truth = sorted(
+        (li, ri)
+        for li, (lk, lm) in enumerate(lrows)
+        for ri, (rk, rm) in enumerate(rrows)
+        if lk == rk and rm <= lm < rm + 60
+    )
+    assert got == truth
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_grouped_top_k_matches_reference(ray_session, rows, k):
+    import ray.data as rd
+
+    from patito_ray.stages.topk import grouped_top_k
+
+    t = pa.table(
+        {
+            "g": pa.array([g for g, _v in rows], pa.int64()),
+            "v": pa.array([float(v) for _g, v in rows]),
+            "id": pa.array(range(len(rows)), pa.int64()),
+        }
+    )
+    got = sorted(
+        (r["g"], r["rank"], r["id"])
+        for r in grouped_top_k(
+            rd.from_arrow(t).repartition(3),
+            group="g",
+            value="v",
+            k=k,
+            tie="id",
+            num_partitions=4,
+        ).take_all()
+    )
+    truth = []
+    by_g: dict[int, list[tuple[float, int]]] = {}
+    for i, (g, v) in enumerate(rows):
+        by_g.setdefault(g, []).append((float(v), i))
+    for g, vals in by_g.items():
+        ranked = sorted(vals, key=lambda p: (-p[0], p[1]))[:k]
+        for rank, (_v, i) in enumerate(ranked, 1):
+            truth.append((g, rank, i))
+    assert got == sorted(truth)
