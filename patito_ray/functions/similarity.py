@@ -92,7 +92,7 @@ def topk_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> pa.Table:
     """Global cosine top-k: broadcast queries, per-batch local top-k,
     driver heap-merge of the partials. Ties break on neighbor id
@@ -100,13 +100,24 @@ def topk_cosine(
     import ray
 
     ref = ray.put({"ids": np.asarray(query_ids), "vecs": np.asarray(query_vecs, dtype=np.float64)})
-    partials = ds.map_batches(
-        BatchTopK,
-        fn_constructor_args=(ref, k, id_col, vec_col),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
-    )
+    if concurrency:
+        # actor pool: per-actor __init__ loads/normalizes the query
+        # matrix once — worth it when the matrix is large
+        partials = ds.map_batches(
+            BatchTopK,
+            fn_constructor_args=(ref, k, id_col, vec_col),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+        )
+    else:
+        # stateless tasks (default): the broadcast ref is a zero-copy
+        # object-store read per task; skips actor-pool startup latency
+        partials = ds.map_batches(
+            BatchTopK(ref, k, id_col, vec_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     heaps: dict[int, list[tuple[float, int]]] = {int(q): [] for q in query_ids}
     for b in partials.iter_batches(batch_format="pyarrow"):
         for row in b.to_pylist():
@@ -145,7 +156,7 @@ def topk_cosine_lsh(
     n_planes: int = 12,
     radius: int = 2,
     seed: int = 9,
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> pa.Table:
     """Approximate top-k: per batch, keep only rows whose hyperplane
     code is within ``radius`` Hamming bits of any query code, then score
@@ -184,13 +195,20 @@ def topk_cosine_lsh(
         return batch.filter(pa.array(keep))
 
     pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
-    partials = pruned.map_batches(
-        BatchTopK,
-        fn_constructor_args=(ref, k, id_col, vec_col),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
-    )
+    if concurrency:
+        partials = pruned.map_batches(
+            BatchTopK,
+            fn_constructor_args=(ref, k, id_col, vec_col),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+        )
+    else:
+        partials = pruned.map_batches(
+            BatchTopK(ref, k, id_col, vec_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     heaps: dict[int, list[tuple[float, int]]] = {int(q): [] for q in query_ids}
     for b in partials.iter_batches(batch_format="pyarrow"):
         for row in b.to_pylist():
