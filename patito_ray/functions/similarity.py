@@ -18,6 +18,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _to_matrix(column: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -143,6 +144,94 @@ def topk_cosine(
             "cosine": pa.array(out_s, type=pa.float64()),
             "rank": pa.array(out_r, type=pa.int64()),
         }
+    )
+
+
+def ivf_build(
+    ds: Any,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 17,
+) -> tuple[np.ndarray, Any]:
+    """Build an IVF (inverted-file) index: k-means coarse centroids from
+    a corpus sample + the corpus re-keyed by nearest-centroid id.
+
+    Returns ``(centroids, assigned)`` where ``centroids`` is a
+    (n_centroids, d) unit matrix and ``assigned`` is the input Dataset
+    with an int64 ``_ivf_list`` column — write it with
+    ``assigned.write_parquet(path, partition_cols=["_ivf_list"])`` so a
+    later search only READS the probed lists (partition pruning), the
+    way a 100 TB index must work.
+
+    Scale shape: k-means runs on a bounded uniform sample on the
+    driver (numpy — centroids are tiny); assignment is one vectorized
+    matmul per batch. Spherical k-means (cosine geometry): vectors and
+    centroids are unit-normalized, assignment maximizes dot product.
+    """
+    n = max(1, ds.count())
+    frac = min(1.0, sample_size / n)
+    sample_rows = []
+    for b in (
+        ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    ).iter_batches(batch_format="pyarrow"):
+        m = _to_matrix(b.column(vec_col))
+        if m.size:
+            sample_rows.append(m)
+    sample = _unit(np.concatenate(sample_rows))
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    cref_holder = centroids.copy()
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(vec_col))
+        if m.size == 0:
+            return batch.append_column("_ivf_list", pa.array([], type=pa.int64()))
+        lists = np.argmax(_unit(m) @ cref_holder.T, axis=1).astype(np.int64)
+        return batch.append_column("_ivf_list", pa.array(lists, type=pa.int64()))
+
+    assigned = ds.map_batches(assign_batch, batch_format="pyarrow", batch_size=None)
+    return centroids, assigned
+
+
+def topk_cosine_ivf(
+    assigned: Any,
+    centroids: np.ndarray,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF search: each query probes its ``n_probe`` nearest centroid
+    lists; only rows in probed lists are exactly scored (when
+    ``assigned`` is a partitioned-parquet read, that pruning happens at
+    the STORAGE layer). Same output contract as ``topk_cosine``;
+    approximate recall controlled by n_probe/n_centroids."""
+    q_vecs = _unit(np.asarray(query_vecs, dtype=np.float64))
+    sims_qc = q_vecs @ centroids.T  # (q, c)
+    n_probe = min(n_probe, centroids.shape[0])
+    probe = np.argpartition(-sims_qc, n_probe - 1, axis=1)[:, :n_probe]
+    wanted = pa.array(sorted({int(c) for row in probe for c in row}), type=pa.int64())
+
+    pruned = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("_ivf_list"), value_set=wanted)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return topk_cosine(
+        pruned, query_ids, query_vecs, k=k, id_col=id_col, vec_col=vec_col
     )
 
 

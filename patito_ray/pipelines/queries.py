@@ -820,6 +820,26 @@ FROM lineitem
 """
 
 
+def q_ann_cosine_ivf(sf_dir: str) -> pa.Table:
+    """IVF ANN: k-means coarse lists + probed exact scoring (rows-only:
+    the narrow-probe result is approximate by design; full-probe parity
+    with brute force is pytest-verified)."""
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 3)),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    q.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in q])
+    qvecs = np.array([r["embedding"] for r in q], dtype=np.float64)
+    centroids, assigned = f_sim.ivf_build(ds, n_centroids=16, sample_size=1000)
+    top = f_sim.topk_cosine_ivf(
+        assigned.materialize(), centroids, qids, qvecs, k=5, n_probe=4
+    )
+    return top.select(["query_id", "neighbor_id", "rank"])
+
+
 # -- oracle-free operators (driver records rows-only checks) ---------------
 
 
@@ -1008,6 +1028,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "dedup_exact_documents": (q_dedup_exact_documents, SQL_DEDUP_EXACT),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "ann_cosine_ivf": (q_ann_cosine_ivf, None),
     "lang_id": (q_lang_id, None),
     "quality_scores": (q_quality, None),
     "fingerprints": (q_fingerprints, None),

@@ -541,3 +541,43 @@ def test_dedup_exact_copartition_fallback(ray_session):
         for r in f_dedup.dedup_exact(ds, broadcast_limit_bytes=0).take_all()
     )
     assert small == big == [0, 2, 3, 5]  # "a  B" normalizes to "a b"
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF index build + probed search: high recall vs brute force on
+    clustered vectors (the IVF-favorable regime), exact on full probe."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    # 8 well-separated clusters of 100 vectors each
+    centers = rng.standard_normal((8, 32)) * 6
+    vecs = np.concatenate(
+        [c + rng.standard_normal((100, 32)) for c in centers]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    centroids, assigned = f_sim.ivf_build(ds, n_centroids=16, sample_size=800)
+    assigned = assigned.materialize()
+    qids = np.array([0, 250, 700])
+    qvecs = vecs[qids]
+    exact = f_sim.topk_cosine(ds, qids, qvecs, k=5)
+    # full probe == exact
+    full = f_sim.topk_cosine_ivf(
+        assigned, centroids, qids, qvecs, k=5, n_probe=16
+    )
+    assert full.column("neighbor_id").to_pylist() == exact.column("neighbor_id").to_pylist()
+    # narrow probe: high recall on clustered data
+    approx = f_sim.topk_cosine_ivf(
+        assigned, centroids, qids, qvecs, k=5, n_probe=2
+    )
+    got = set(zip(approx.column("query_id").to_pylist(), approx.column("neighbor_id").to_pylist()))
+    want = set(zip(exact.column("query_id").to_pylist(), exact.column("neighbor_id").to_pylist()))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, recall
