@@ -184,6 +184,71 @@ def quality_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def winnow_fingerprints_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> pa.Table:
+    """Winnowing fingerprints (the MOSS scheme): token k-gram rolling
+    hashes per document, then the minimum hash of every w-length window
+    — any shared token run of length >= w+k-1 between two documents is
+    GUARANTEED to yield a shared fingerprint. Output: one
+    (id, fingerprint) row per distinct selected hash per doc.
+
+    Fully vectorized across the batch: rolling k-gram hashes come from
+    the flattened-token machinery, the sliding-window min runs on a
+    strided view of the flat hash array, and windows crossing document
+    boundaries are masked — no per-document Python.
+    """
+    from patito_ray.functions.dedup import _shingle_hashes
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    hashes, rows, n_rows = _shingle_hashes(text, k)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    if len(hashes) == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "fingerprint": pa.array([], type=pa.int64()),
+            }
+        )
+    # rows is sorted for the rolling part; the short-doc fallback
+    # appends out-of-order rows — re-sort once
+    order = np.argsort(rows, kind="stable")
+    rows, hashes = rows[order], hashes[order]
+    if len(hashes) < w:
+        sel_rows, sel_hash = rows, hashes
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+        mins = win.min(axis=1)
+        same_doc = rows[: len(mins)] == rows[w - 1 :]
+        sel_rows = rows[: len(mins)][same_doc]
+        sel_hash = mins[same_doc]
+        # docs with fewer than w k-grams still contribute: take their
+        # global min (their whole sequence is one short window)
+        n_grams = np.bincount(rows, minlength=n_rows)
+        short = np.nonzero((n_grams > 0) & (n_grams < w))[0]
+        if len(short):
+            present, starts = np.unique(rows, return_index=True)
+            short_min = np.minimum.reduceat(hashes, starts)
+            pick = np.isin(present, short)
+            sel_rows = np.concatenate([sel_rows, present[pick]])
+            sel_hash = np.concatenate([sel_hash, short_min[pick]])
+    # dedupe (doc, hash) pairs
+    pair = np.stack([sel_rows.astype(np.int64), sel_hash.view(np.int64)], axis=1)
+    uniq = np.unique(pair, axis=0)
+    return pa.table(
+        {
+            id_col: pa.array(ids[uniq[:, 0]], type=pa.int64()),
+            "fingerprint": pa.array(uniq[:, 1], type=pa.int64()),
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic 64-bit document fingerprint over the normalized
     text (lowercase, collapsed whitespace) — exact-dup detection key."""

@@ -866,6 +866,16 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
     )
 
 
+def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing (MOSS) rolling-hash fingerprints: any shared token run
+    of length >= w+k-1 yields a shared fingerprint. Rows-only (the
+    winnow selection is not SQL-expressible)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        f_text.winnow_fingerprints_batch, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
     """Banded SimHash near-dup pairs (guaranteed recall at
     hamming <= 3 by pigeonhole; exact vectorized hamming verify).
@@ -1032,6 +1042,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "lang_id": (q_lang_id, None),
     "quality_scores": (q_quality, None),
     "fingerprints": (q_fingerprints, None),
+    "winnow_fingerprints": (q_winnow_fingerprints, None),
     "simhash": (q_simhash, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),

@@ -581,3 +581,29 @@ def test_ivf_topk_recall(ray_session):
     want = set(zip(exact.column("query_id").to_pylist(), exact.column("neighbor_id").to_pylist()))
     recall = len(got & want) / len(want)
     assert recall >= 0.8, recall
+
+
+def test_winnow_fingerprints_guarantee():
+    """Winnowing guarantee: shared token runs >= w+k-1 produce a shared
+    fingerprint; disjoint texts share nothing; short docs contribute."""
+    base = "a b c d e f g h i j k l m n o p"
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                base,
+                base,
+                "zz " + base,  # shifted copy
+                "totally different words here now for sure ok fine",
+                "x y",  # shorter than k tokens -> fallback shingle
+            ],
+        }
+    )
+    out = f_text.winnow_fingerprints_batch(t)
+    fps: dict[int, set] = {}
+    for r in out.to_pylist():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[0] == fps[1]
+    assert len(fps[0] & fps[2]) > 0  # shifted copy still overlaps
+    assert not (fps[0] & fps[3])
+    assert len(fps[4]) == 1
