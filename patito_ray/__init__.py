@@ -38,8 +38,12 @@ from patito_ray.exceptions import (
     RowValueError,
     SuperfluousColumnsError,
 )
+from patito_ray import exceptions
 from patito_ray.exprs import Expr, col, field, lit
 from patito_ray.fields import Field
+from patito_ray.frame import ModelFrame
+from patito_ray.frame import ModelFrame as DataFrame
+from patito_ray.frame import ModelFrame as LazyFrame
 from patito_ray.model import Model
 from patito_ray.validation.engine import validate, validate_report
 from patito_ray.validation.result import ValidationReport
@@ -49,6 +53,10 @@ __version__ = "0.1.0"
 __all__ = [
     "Model",
     "Field",
+    "DataFrame",
+    "LazyFrame",
+    "ModelFrame",
+    "exceptions",
     "col",
     "lit",
     "field",
