@@ -85,6 +85,12 @@ class ModelFrame:
                 return self._wrap(_t.fill_null_dataset(self.data, self._spec))
             return self._wrap(_t.fill_null_table(self.data, self._spec))
         if self._is_ds:
+            if limit is not None:
+                raise ValueError(
+                    "fill_null(limit=...) counts filled rows in order — "
+                    "undefined over a distributed Dataset; use the table "
+                    "path (as_table) for limited fills"
+                )
             return self._wrap(
                 _t.fill_null_strategy_dataset(self.data, strategy=strategy, value=value)
             )

@@ -503,13 +503,15 @@ def pair_payload_join(
         )
     id_ref = None
     if 2 * n_pairs <= broadcast_id_limit:
-        ids_a: set[int] = set()
+        # stay in Arrow: Python-int sets cost ~10x the documented
+        # 8 B/id bound
+        chunks = []
         for b in pairs.select_columns(["a", "b"]).iter_batches(
             batch_format="pyarrow"
         ):
-            ids_a.update(b["a"].to_pylist())
-            ids_a.update(b["b"].to_pylist())
-        id_ref = ray.put(pa.array(sorted(ids_a), type=pa.int64()))
+            chunks.append(b.column("a").combine_chunks())
+            chunks.append(b.column("b").combine_chunks())
+        id_ref = ray.put(pc.unique(pa.concat_arrays(chunks)))
     P = np.int64(num_partitions)
 
     union_schema = pa.schema(
@@ -751,6 +753,7 @@ def cluster_pairs_distributed(
         return out.to_arrow()
 
     prev_sum: int | None = None
+    converged = False
     for _ in range(max_iters):
         neigh = copartition_apply(
             edges, labels, by="src", right_by="lnode", part_fn=attach,
@@ -764,8 +767,17 @@ def cluster_pairs_distributed(
         )
         s = int(labels.aggregate(Sum("label", alias_name="s"))["s"] or 0)
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        _LOG.warning(
+            "cluster_pairs_distributed: label propagation did NOT converge "
+            "within max_iters=%d (a component's diameter exceeds it); "
+            "labels are an over-segmentation — some duplicates will be "
+            "kept. Raise max_iters.",
+            max_iters,
+        )
     return labels.map_batches(
         lambda t: pa.table({"node": t.column("lnode"), "root": t.column("label")}),
         batch_format="pyarrow",
@@ -1059,6 +1071,10 @@ def embedding_near_dups(
     """
     from patito_ray.functions.similarity import _to_matrix, _unit
 
+    # the corpus is consumed by plane sizing, LSH coding AND payload
+    # attachment: pin it once so an unmaterialized upstream pipeline
+    # (read -> embed) doesn't execute three times
+    ds = ds.materialize()
     if n_planes is None:
         import math
 

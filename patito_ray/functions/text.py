@@ -220,24 +220,28 @@ def winnow_fingerprints_batch(
     # appends out-of-order rows — re-sort once
     order = np.argsort(rows, kind="stable")
     rows, hashes = rows[order], hashes[order]
-    if len(hashes) < w:
-        sel_rows, sel_hash = rows, hashes
-    else:
+    # windowed minima (empty when the whole batch has < w grams — the
+    # per-doc result must NOT depend on batch composition, so the short
+    # branch below handles every doc with < w grams identically)
+    if len(hashes) >= w:
         win = np.lib.stride_tricks.sliding_window_view(hashes, w)
         mins = win.min(axis=1)
         same_doc = rows[: len(mins)] == rows[w - 1 :]
         sel_rows = rows[: len(mins)][same_doc]
         sel_hash = mins[same_doc]
-        # docs with fewer than w k-grams still contribute: take their
-        # global min (their whole sequence is one short window)
-        n_grams = np.bincount(rows, minlength=n_rows)
-        short = np.nonzero((n_grams > 0) & (n_grams < w))[0]
-        if len(short):
-            present, starts = np.unique(rows, return_index=True)
-            short_min = np.minimum.reduceat(hashes, starts)
-            pick = np.isin(present, short)
-            sel_rows = np.concatenate([sel_rows, present[pick]])
-            sel_hash = np.concatenate([sel_hash, short_min[pick]])
+    else:
+        sel_rows = np.empty(0, dtype=rows.dtype)
+        sel_hash = np.empty(0, dtype=hashes.dtype)
+    # docs with fewer than w k-grams still contribute: their global min
+    # (the whole sequence is one short window)
+    n_grams = np.bincount(rows, minlength=n_rows)
+    short = np.nonzero((n_grams > 0) & (n_grams < w))[0]
+    if len(short):
+        present, starts = np.unique(rows, return_index=True)
+        short_min = np.minimum.reduceat(hashes, starts)
+        pick = np.isin(present, short)
+        sel_rows = np.concatenate([sel_rows, present[pick]])
+        sel_hash = np.concatenate([sel_hash, short_min[pick]])
     # dedupe (doc, hash) pairs
     pair = np.stack([sel_rows.astype(np.int64), sel_hash.view(np.int64)], axis=1)
     uniq = np.unique(pair, axis=0)

@@ -345,12 +345,14 @@ class Model:
         """
         spec = cls._spec()
         if data is not None and not isinstance(data, dict):
+            # iterable of rows: keep ROW identity — a dict row missing a
+            # key marks that CELL missing (filled per-row below), it
+            # must not collapse onto another row's value
             rows = list(data)
-            col_data: dict[str, list[Any]] = {}
+            normalized: list[dict[str, Any]] = []
             for row in rows:
                 if isinstance(row, dict):
-                    for k, v in row.items():
-                        col_data.setdefault(k, []).append(v)
+                    normalized.append(dict(row))
                 else:
                     seq = list(row)
                     names = columns if columns is not None else cls.columns[: len(seq)]
@@ -359,12 +361,15 @@ class Model:
                             f"row has {len(seq)} values but {len(names)} "
                             "columns were named"
                         )
-                    for k, v in zip(names, seq):
-                        col_data.setdefault(k, []).append(v)
-            lengths = {len(v) for v in col_data.values()}
-            if len(lengths) > 1:
-                raise ValueError("ragged example rows: columns differ in length")
-            data = col_data
+                    normalized.append(dict(zip(names, seq)))
+            keys: list[str] = []
+            for row in normalized:
+                for k in row:
+                    if k not in keys:
+                        keys.append(k)
+            data = {
+                k: [row.get(k, _MISSING) for row in normalized] for k in keys
+            }
         data = dict(data or {})
         height = n
         for v in data.values():
@@ -372,10 +377,33 @@ class Model:
             break
         if height is None:
             height = 1
+
+        def _fill_cells(values: list[Any], colspec: ColumnSpec | None) -> list[Any]:
+            if not any(v is _MISSING for v in values):
+                return values
+            if colspec is not None and colspec.unique:
+                fill_seq = iter(range(height))
+                used = {v for v in values if v is not _MISSING}
+                out = []
+                for v in values:
+                    if v is not _MISSING:
+                        out.append(v)
+                    else:
+                        nxt = next(fill_seq)
+                        while nxt in used:
+                            nxt = next(fill_seq)
+                        used.add(nxt)
+                        out.append(nxt)
+                return out
+            fill = _example_value(colspec) if colspec is not None else None
+            return [fill if v is _MISSING else v for v in values]
+
         arrays: dict[str, pa.Array] = {}
         for name, colspec in spec.columns.items():
             if name in data:
-                arrays[name] = pa.array(data[name], type=colspec.default_dtype)
+                arrays[name] = pa.array(
+                    _fill_cells(list(data[name]), colspec), type=colspec.default_dtype
+                )
             elif colspec.unique:
                 seq = list(range(height))
                 arrays[name] = pa.array(seq, type=colspec.default_dtype)
@@ -384,7 +412,7 @@ class Model:
                 arrays[name] = pa.array([v] * height, type=colspec.default_dtype)
         extra = set(data) - set(spec.columns)
         for name in sorted(extra):
-            arrays[name] = pa.array(data[name])
+            arrays[name] = pa.array(_fill_cells(list(data[name]), None))
         return pa.table(arrays)
 
     # -- schema algebra (reference pydantic.py:886-1163) --------------------

@@ -202,18 +202,22 @@ def asof_join(
         pl_l = pl.from_arrow(lt).sort(on)
         pl_r = pl.from_arrow(rt).sort(right_on)
         # both frames ARE sorted (the line above); polars just cannot
-        # prove it per by-group and warns on every partition task
-        warnings.filterwarnings(
-            "ignore", message="Sortedness of columns cannot be checked"
-        )
-        out = pl_l.join_asof(
-            pl_r,
-            left_on=on,
-            right_on=right_on,
-            by_left=by,
-            by_right=right_by,
-            strategy=direction,
-        )
+        # prove it per by-group and warns on every partition task.
+        # catch_warnings scopes the suppression to this call — a bare
+        # filterwarnings would grow the worker's global filter list and
+        # mute the message for unrelated code
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", message="Sortedness of columns cannot be checked"
+            )
+            out = pl_l.join_asof(
+                pl_r,
+                left_on=on,
+                right_on=right_on,
+                by_left=by,
+                by_right=right_by,
+                strategy=direction,
+            )
         return out.select([n for n in out_names if n in out.columns]).to_arrow()
 
     return copartition_apply(left, right, by, right_by, part_fn, num_partitions)

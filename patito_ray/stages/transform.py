@@ -268,6 +268,11 @@ def fill_null_strategy_dataset(
             "order; materialize to a table (ModelFrame.as_table) or sort "
             "first — a distributed Dataset has no total order"
         )
+    if strategy not in (None, "zero", "one", "min", "max", "mean"):
+        raise ValueError(
+            f"unknown fill_null strategy {strategy!r}; the Dataset path "
+            "supports value / zero / one / min / max / mean"
+        )
 
     if strategy in ("min", "max", "mean"):
         from ray.data.aggregate import Max, Mean, Min
@@ -290,10 +295,12 @@ def fill_null_strategy_dataset(
             for c, v in fills.items():
                 arr = out.column(c)
                 if arr.null_count:
+                    # safe=False: a non-integral mean truncates into an
+                    # int column (polars semantics on the table path)
                     out = out.set_column(
                         out.column_names.index(c),
                         c,
-                        pc.fill_null(arr, pa.scalar(v).cast(arr.type)),
+                        pc.fill_null(arr, pa.scalar(v).cast(arr.type, safe=False)),
                     )
             return out
 

@@ -607,3 +607,29 @@ def test_winnow_fingerprints_guarantee():
     assert len(fps[0] & fps[2]) > 0  # shifted copy still overlaps
     assert not (fps[0] & fps[3])
     assert len(fps[4]) == 1
+
+
+def test_winnow_fingerprints_batch_invariant():
+    """Per-doc fingerprints must not depend on which other docs share
+    the batch (round-2 review finding: block boundaries changed short
+    batches' output)."""
+    short = "a b c d"  # 2 trigram hashes < w=4
+    alone = f_text.winnow_fingerprints_batch(
+        pa.table({"doc_id": [7], "text": [short]})
+    )
+    together = f_text.winnow_fingerprints_batch(
+        pa.table(
+            {
+                "doc_id": [7, 8],
+                "text": [short, "p q r s t u v w x y z a b c p q r s"],
+            }
+        )
+    )
+    fp_alone = sorted(
+        r["fingerprint"] for r in alone.to_pylist() if r["doc_id"] == 7
+    )
+    fp_together = sorted(
+        r["fingerprint"] for r in together.to_pylist() if r["doc_id"] == 7
+    )
+    assert fp_alone == fp_together
+    assert len(fp_alone) == 1  # short doc -> its global min only

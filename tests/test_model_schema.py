@@ -453,3 +453,41 @@ def test_fill_null_strategies_dataset(ray_session):
     assert sorted(out.column("x").to_pylist()) == [1, 3, 7, 7]
     with pytest.raises(ValueError, match="order"):
         f.fill_null(strategy="forward")
+
+
+def test_examples_dict_rows_disjoint_keys():
+    """Rows with disjoint key sets must stay separate rows with per-row
+    defaults — never merge (round-2 review finding)."""
+
+    class Prod(pr.Model):
+        product_id: int = pr.Field(unique=True)
+        name: str = "noname"
+        temp: float = -270.0
+
+    t = Prod.examples([{"name": "a"}, {"temp": 1.0}])
+    assert t.num_rows == 2
+    assert t.column("name").to_pylist() == ["a", "noname"]
+    assert t.column("temp").to_pylist() == [-270.0, 1.0]
+    assert sorted(t.column("product_id").to_pylist()) == [0, 1]
+    # explicit unique values are respected; fill avoids collisions
+    t2 = Prod.examples([{"product_id": 1}, {"name": "x"}])
+    ids = t2.column("product_id").to_pylist()
+    assert ids[0] == 1 and ids[1] != 1
+
+
+def test_fill_null_dataset_divergences(ray_session):
+    """Dataset-path fill_null: mean into int truncates (not crash),
+    unknown strategies raise, limit raises (round-2 review findings)."""
+    import ray.data as rd
+
+    class M(pr.Model):
+        x: Optional[int] = None
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1, 2, None], pa.int64())}))
+    f = M.DataFrame(ds)
+    out = f.fill_null(strategy="mean").as_table()  # mean 1.5 -> truncates to 1
+    assert sorted(out.column("x").to_pylist()) == [1, 1, 2]
+    with pytest.raises(ValueError, match="unknown fill_null strategy"):
+        f.fill_null(strategy="mena")
+    with pytest.raises(ValueError, match="limit"):
+        f.fill_null(value=0, limit=1)
