@@ -755,3 +755,21 @@ def count_failures(check_node: dict[str, Any], table: pa.Table) -> int:
     mask = fail_mask(check_node, table)
     s = pc.sum(mask).as_py()
     return int(s or 0)
+
+
+def collect_col_refs(node: dict[str, Any]) -> set[str]:
+    """All column names referenced anywhere in an IR tree."""
+    out: set[str] = set()
+
+    def walk(n: Any) -> None:
+        if isinstance(n, dict):
+            if n.get("op") == "col":
+                out.add(n["name"])
+            for v in n.values():
+                walk(v)
+        elif isinstance(n, (list, tuple)):
+            for v in n:
+                walk(v)
+
+    walk(node)
+    return out

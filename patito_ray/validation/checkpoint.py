@@ -121,14 +121,37 @@ def validate_files_checkpointed(
     for ucol in spec.unique_columns:
         os.makedirs(f"{checkpoint_dir}/unique_{ucol}", exist_ok=True)
 
-    shards = plan_shards(files, files_per_shard, fingerprint=spec_fingerprint(spec))
+    fp = spec_fingerprint(spec)
+    shards = plan_shards(files, files_per_shard, fingerprint=fp)
+
+    # Aggregate constraints (e.g. col("fraction").sum() == 1) must be
+    # resolved against the WHOLE corpus — a per-shard resolution would
+    # compare each shard's local sum, diverging from the streaming
+    # engine and the reference. One global pre-pass runs before the
+    # shard loop; the resolved constraint trees are persisted under the
+    # model fingerprint so a RESUMED run substitutes the identical
+    # scalars instead of recomputing them from a partial corpus view.
+    agg_path = f"{checkpoint_dir}/aggregates_{fp}.pkl"
+    if os.path.exists(agg_path):
+        with open(agg_path, "rb") as f:
+            prepared = pickle.loads(f.read())
+    else:
+        full_ds = rd.read_parquet(sorted(files))
+        prepared = _prepare_aggregate_constraints(full_ds, spec)
+        _atomic_write(agg_path, pickle.dumps(prepared))
+
     for sid, shard_files in shards:
         manifest_path = f"{checkpoint_dir}/shards/{sid}.json"
         if os.path.exists(manifest_path):
             continue  # resume: shard already finished
         t0 = time.time()
         ds = rd.read_parquet(shard_files)
-        prepared = _prepare_aggregate_constraints(ds, spec)
+
+        # ONE fused read per shard: validation partial, optional stats
+        # sketches AND every unique column's key blobs ride the same
+        # map_batches pass (the engine's fused-pass design; the old
+        # layout re-read each shard once per unique column)
+        from patito_ray.validation.checks import batch_key_bucket_blobs
 
         def batch_validate(batch: pa.Table) -> pa.Table:
             p = check_batch(
@@ -138,57 +161,50 @@ def validate_files_checkpointed(
                 skip_unique=True,
                 prepared_constraints=prepared,
             )
+            stats_blob = None
             if collect_stats:
                 from patito_ray.validation.stats import SketchBatch
 
-                stats_row = SketchBatch()(batch)
-                payload = pickle.dumps(
-                    (p, stats_row.column("stats")[0].as_py())
-                )
-                return pa.table({"partial": [payload]})
-            return pa.table({"partial": [pickle.dumps(p)]})
+                stats_blob = SketchBatch()(batch).column("stats")[0].as_py()
+            blob_tables = {
+                u: batch_key_bucket_blobs(batch, u)
+                for u in spec.unique_columns
+                if u in batch.column_names
+            }
+            return pa.table(
+                {"partial": [pickle.dumps((p, stats_blob, blob_tables))]}
+            )
 
+        rows = ds.map_batches(
+            batch_validate, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        partial = Partial()
+        stats_rows = []
+        ucol_blobs: dict[str, list[pa.Table]] = {u: [] for u in spec.unique_columns}
+        for r in rows:
+            pp, stats_blob, blob_tables = pickle.loads(r["partial"])
+            partial.merge(pp)
+            if stats_blob is not None:
+                stats_rows.append({"stats": stats_blob})
+            for u, t in blob_tables.items():
+                ucol_blobs[u].append(t)
         if collect_stats:
-            # partial rows carry (Partial, stats-blob) tuples: merge both
             from patito_ray.validation.stats import _merge_state_rows
 
-            rows = ds.map_batches(
-                batch_validate, batch_format="pyarrow", batch_size=None
-            ).take_all()
-            partial = Partial()
-            stats_rows = []
-            for r in rows:
-                pp, stats_blob = pickle.loads(r["partial"])
-                partial.merge(pp)
-                stats_rows.append({"stats": stats_blob})
             shard_stats = _merge_state_rows(stats_rows)
             _atomic_write(
                 f"{checkpoint_dir}/shards/{sid}.stats.pkl",
                 pickle.dumps(shard_stats),
             )
         else:
-            partial = _tree_merge_partials(
-                ds.map_batches(batch_validate, batch_format="pyarrow", batch_size=None)
-            )
             shard_stats = None
 
         for ucol in spec.unique_columns:
-            # shard-local pre-aggregation through the bucketed blob
-            # exchange: workers emit per-batch key blobs, the driver
-            # folds them into this shard's (key-hash, count) totals with
-            # one multithreaded hash groupby — no row-level Ray groupby
-            from patito_ray.validation.checks import (
-                _key_totals,
-                batch_key_bucket_blobs,
-                unpack_bucket_blobs,
-            )
+            # fold this shard's per-batch key blobs into (key-hash,
+            # count) totals with one multithreaded hash groupby
+            from patito_ray.validation.checks import _key_totals, unpack_bucket_blobs
 
-            blob_ds = ds.select_columns([ucol]).map_batches(
-                lambda t, c=ucol: batch_key_bucket_blobs(t, c),
-                batch_format="pyarrow",
-                batch_size=None,
-            ).materialize()
-            tables = list(blob_ds.iter_batches(batch_format="pyarrow", batch_size=None))
+            tables = ucol_blobs[ucol]
             if tables:
                 import numpy as np
 

@@ -186,7 +186,9 @@ def check_batch(
             invalid = actual_values - permissible
             if invalid:
                 cur = p.enum_invalid.setdefault(loc, set())
-                cur |= set(list(invalid)[:MAX_INVALID_VALUES])
+                # smallest-by-repr subset: deterministic under hash-seed
+                # and merge-order variation (associativity invariant)
+                cur |= set(sorted(invalid, key=repr)[:MAX_INVALID_VALUES])
                 if len(invalid) > MAX_INVALID_VALUES:
                     p.enum_truncated.add(loc)
 
@@ -442,3 +444,33 @@ def referential_miss_mask(
     missing = pc.and_(pc.invert(present), pc.is_valid(arr))
     return _combine(missing)
 
+
+
+def adaptive_bucket_results(
+    blobs: Any,
+    per_bucket_fn: Any,
+    driver_merge_bytes: int = 256 * 1024 * 1024,
+) -> list[pa.Table]:
+    """Finalize a bucket-blob Dataset adaptively — the shared strategy
+    of every blob-exchange consumer (duplicate counts, distinct counts,
+    dup-key sets): below ``driver_merge_bytes`` the pre-aggregated
+    blobs fit comfortably on the driver (1M distinct keys = 16 MB) and
+    ONE vectorized merge beats any shuffle's fixed cost; above it, the
+    ``groupby(bucket)`` exchange keeps per-task memory bounded (bucket
+    size = distinct_keys x 16 B / num_buckets).
+
+    ``per_bucket_fn(table) -> table`` must be bucket-agnostic (correct
+    when handed the concatenation of ALL buckets). Returns the list of
+    result tables for the caller to fold.
+    """
+    blobs = blobs.materialize()
+    if blobs.size_bytes() <= driver_merge_bytes:
+        tables = list(blobs.iter_batches(batch_format="pyarrow", batch_size=None))
+        if not tables:
+            return []
+        allb = pa.concat_tables(tables, promote_options="permissive")
+        return [per_bucket_fn(allb)]
+    out = blobs.groupby("bucket").map_groups(per_bucket_fn, batch_format="pyarrow")
+    return [
+        t for t in out.iter_batches(batch_format="pyarrow") if t.num_rows
+    ]

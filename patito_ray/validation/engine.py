@@ -102,12 +102,27 @@ def _normalize_references(
         return out
     for colname, keys in references.items():
         if _is_dataset(keys):
-            # small side: stream the single key column to the driver
+            # small side: stream the single key column to the driver.
+            # Require an unambiguous key column — silently taking
+            # column 0 of a multi-column dimension builds the key set
+            # from the wrong values
+            schema = keys.schema()
+            names = list(schema.names) if schema is not None else []
+            if len(names) > 1:
+                if colname in names:
+                    keys = keys.select_columns([colname])
+                else:
+                    raise ValueError(
+                        f"references[{colname!r}]: dimension dataset has "
+                        f"columns {names}; select the key column first"
+                    )
             arrays = []
             for b in keys.iter_batches(batch_format="pyarrow"):
                 a = b.column(0)
                 arrays.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
-            out[colname] = pa.concat_arrays(arrays)
+            out[colname] = (
+                pa.concat_arrays(arrays) if arrays else pa.array([], type=pa.null())
+            )
         elif isinstance(keys, pa.ChunkedArray):
             out[colname] = keys.combine_chunks()
         elif isinstance(keys, pa.Array):
@@ -189,6 +204,10 @@ def _prepare_aggregate_constraints(
     commutative-monoid states merged on the driver (tiny: one dict per
     block), then the scalar is substituted into the tree.
     """
+    from patito_ray.exprs import collect_col_refs
+
+    schema = ds.schema()
+    present = set(schema.names) if schema is not None else set()
     work: list[tuple[str, int, str, dict[str, Any]]] = []  # (col, idx, path, node)
     substituted: dict[str, list[dict[str, Any]]] = {}
     for name, cs in spec.columns.items():
@@ -198,6 +217,12 @@ def _prepare_aggregate_constraints(
         substituted[name] = nodes
         for i, node in enumerate(nodes):
             for path, agg_node in collect_agg_nodes(node):
+                if present and not collect_col_refs(agg_node) <= present:
+                    # the aggregate references a column the dataset
+                    # lacks: skip resolution — the main pass's
+                    # missing-column check reports it instead of this
+                    # pre-pass crashing with a worker KeyError
+                    continue
                 work.append((name, i, path, agg_node))
     if not work:
         return None
@@ -309,24 +334,7 @@ def duplicate_count_distributed(
         batch_size=None,
     ).materialize()  # tiny: 16 bytes per distinct key per batch
 
-    # Adaptive finalize: below the threshold the pre-aggregated blobs fit
-    # comfortably on the driver (e.g. 1M distinct keys = 16 MB) and a
-    # single vectorized segment-sum beats any shuffle's fixed cost; above
-    # it, the bucket groupby exchange keeps per-task memory bounded
-    # (bucket size = distinct_keys x 16B / num_buckets).
-    DRIVER_MERGE_BYTES = 256 * 1024 * 1024
-    if blobs.size_bytes() <= DRIVER_MERGE_BYTES:
-        tables = list(blobs.iter_batches(batch_format="pyarrow", batch_size=None))
-        if not tables:
-            return 0
-        all_blobs = pa.concat_tables(tables, promote_options="permissive")
-        return int(merge_bucket_blobs(all_blobs).column("dups")[0].as_py())
-
-    per_bucket = blobs.groupby("bucket").map_groups(
-        merge_bucket_blobs, batch_format="pyarrow"
-    )
-    rows = per_bucket.take_all()
-    return int(sum(r["dups"] for r in rows))
+    return _finalize_dup_blobs(blobs)
 
 
 def distinct_count_distributed(
@@ -353,19 +361,10 @@ def distinct_count_distributed(
         keys, _ = unpack_bucket_blobs(group)
         return pa.table({"n": [int(len(np.unique(keys)))]})
 
-    DRIVER_MERGE_BYTES = 256 * 1024 * 1024
-    if blobs.size_bytes() <= DRIVER_MERGE_BYTES:
-        tables = list(blobs.iter_batches(batch_format="pyarrow", batch_size=None))
-        if not tables:
-            return 0
-        allb = pa.concat_tables(tables, promote_options="permissive")
-        return int(bucket_distinct(allb).column("n")[0].as_py())
-    rows = (
-        blobs.groupby("bucket")
-        .map_groups(bucket_distinct, batch_format="pyarrow")
-        .take_all()
-    )
-    return int(sum(r["n"] for r in rows))
+    from patito_ray.validation.checks import adaptive_bucket_results
+
+    tables = adaptive_bucket_results(blobs, bucket_distinct)
+    return int(sum(pc.sum(t.column("n")).as_py() or 0 for t in tables))
 
 
 def _validate_dataset(
@@ -399,7 +398,10 @@ def _validate_dataset(
     prepared = _prepare_aggregate_constraints(ds, spec)
 
     ref_refs = {c: ray.put(arr) for c, arr in references.items()}
-    columns_l = list(columns) if columns is not None else None
+    # falsy semantics match check_batch / the reference: columns=[]
+    # means "all columns", not "none" — local and distributed paths
+    # must agree
+    columns_l = list(columns) if columns else None
 
     # unique columns this run must check
     subset = set(columns_l) if columns_l is not None else None
@@ -546,23 +548,15 @@ def _validate_dataset(
 
 
 def _finalize_dup_blobs(blobs: Any) -> int:
-    """Adaptive finalize of a bucket-blob dataset (see
-    duplicate_count_distributed for the strategy rationale)."""
-    from patito_ray.validation.checks import merge_bucket_blobs
-
-    blobs = blobs.materialize()
-    DRIVER_MERGE_BYTES = 256 * 1024 * 1024
-    if blobs.size_bytes() <= DRIVER_MERGE_BYTES:
-        tables = list(blobs.iter_batches(batch_format="pyarrow", batch_size=None))
-        if not tables:
-            return 0
-        all_blobs = pa.concat_tables(tables, promote_options="permissive")
-        return int(merge_bucket_blobs(all_blobs).column("dups")[0].as_py())
-    per_bucket = blobs.groupby("bucket").map_groups(
-        merge_bucket_blobs, batch_format="pyarrow"
+    """Adaptive finalize of a bucket-blob dataset (strategy in
+    ``checks.adaptive_bucket_results``)."""
+    from patito_ray.validation.checks import (
+        adaptive_bucket_results,
+        merge_bucket_blobs,
     )
-    rows = per_bucket.take_all()
-    return int(sum(r["dups"] for r in rows))
+
+    tables = adaptive_bucket_results(blobs, merge_bucket_blobs)
+    return int(sum(pc.sum(t.column("dups")).as_py() or 0 for t in tables))
 
 
 # ---------------------------------------------------------------------------

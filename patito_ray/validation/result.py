@@ -80,8 +80,14 @@ class Partial:
             cur = self.enum_invalid.setdefault(k, set())
             cur |= vals
             if len(cur) > MAX_INVALID_VALUES:
+                # keep the SMALLEST values (by deterministic repr order):
+                # an arbitrary set slice depends on hash seed and merge
+                # order, breaking merge associativity — local and
+                # distributed reports must render identically
                 self.enum_truncated.add(k)
-                self.enum_invalid[k] = set(list(cur)[:MAX_INVALID_VALUES])
+                self.enum_invalid[k] = set(
+                    sorted(cur, key=repr)[:MAX_INVALID_VALUES]
+                )
         self.enum_truncated |= other.enum_truncated
         self.schema_errors |= other.schema_errors
         for k, v in other.custom.items():

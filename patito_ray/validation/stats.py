@@ -117,7 +117,12 @@ class SketchBatch:
             if name not in batch.column_names:
                 continue
             arr = batch.column(name)
-            if pa.types.is_struct(arr.type) or pa.types.is_list(arr.type):
+            if (
+                pa.types.is_struct(arr.type)
+                or pa.types.is_list(arr.type)
+                or pa.types.is_large_list(arr.type)
+                or pa.types.is_fixed_size_list(arr.type)
+            ):
                 continue
             st = ColumnStats(_is_numeric(arr.type))
             st.update(arr)

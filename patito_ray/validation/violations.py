@@ -27,33 +27,97 @@ from patito_ray.fields import TableSpec
 from patito_ray.validation.checks import _bound_check_nodes, _combine
 
 
+def _scatter_any(
+    flags: np.ndarray, parents: np.ndarray, n_rows: int
+) -> pa.Array:
+    acc = np.zeros(n_rows, dtype=bool)
+    np.logical_or.at(acc, parents, flags)
+    return pa.array(acc)
+
+
 def violation_masks(
-    table: pa.Table, spec: TableSpec
+    table: pa.Table, spec: TableSpec, loc_prefix: str = ""
 ) -> list[tuple[str, str, pa.Array]]:
     """(loc, kind, fail_mask) for every row-wise check that has at least
-    one failing row in this batch. Same null semantics as check_batch."""
+    one failing row in this batch — same check semantics and null
+    handling as ``check_batch``, including list-typed enums and
+    struct / list-of-struct recursion (nested failures mark the PARENT
+    row, locs carry the ``parent.child`` prefix)."""
     out: list[tuple[str, str, pa.Array]] = []
     names = set(table.column_names)
     for name, cs in spec.columns.items():
         if name not in names:
             continue
+        loc = loc_prefix + name
         arr = table.column(name)
         if not cs.nullable and arr.null_count:
-            out.append((name, "missing_value", _combine(pc.is_null(arr))))
+            out.append((loc, "missing_value", _combine(pc.is_null(arr))))
         if cs.enum_values is not None and not (cs.is_struct or cs.is_list_of_struct):
             permissible = pa.array(cs.enum_values)
-            if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
-                ok = pc.is_in(_combine(arr), value_set=permissible)
-                bad = pc.and_(pc.invert(ok), pc.is_valid(arr))
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                flat = pc.list_flatten(_combine(arr))
+                if pa.types.is_dictionary(flat.type):
+                    flat = pc.cast(flat, flat.type.value_type)
+                bad_items = pc.and_(
+                    pc.invert(pc.is_in(flat, value_set=permissible)),
+                    pc.is_valid(flat),
+                )
+                parents = pc.list_parent_indices(_combine(arr)).to_numpy(
+                    zero_copy_only=False
+                )
+                mask = _scatter_any(
+                    bad_items.to_numpy(zero_copy_only=False),
+                    parents,
+                    table.num_rows,
+                )
+                if not cs.nullable and arr.null_count:
+                    mask = pc.or_(mask, pc.fill_null(pc.is_null(arr), False))
+                if pc.any(mask).as_py():
+                    out.append((loc, "invalid_value", _combine(mask)))
+            else:
+                vals = _combine(arr)
+                if pa.types.is_dictionary(vals.type):
+                    vals = pc.cast(vals, vals.type.value_type)
+                ok = pc.is_in(vals, value_set=permissible)
+                bad = pc.and_(pc.invert(ok), pc.is_valid(vals))
                 if pc.any(bad).as_py():
-                    out.append((name, "invalid_value", _combine(bad)))
+                    out.append((loc, "invalid_value", _combine(bad)))
+        if cs.is_struct and cs.nested is not None and pa.types.is_struct(arr.type):
+            from patito_ray.validation.checks import _struct_subtable
+
+            sub = _struct_subtable(arr)
+            for sub_loc, kind, sub_mask in violation_masks(
+                sub, cs.nested, loc_prefix=loc + "."
+            ):
+                out.append((sub_loc, kind, sub_mask))
+        if (
+            cs.is_list_of_struct
+            and cs.nested is not None
+            and (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type))
+        ):
+            from patito_ray.validation.checks import _struct_subtable
+
+            flat_structs = pc.list_flatten(_combine(arr))
+            parents = pc.list_parent_indices(_combine(arr)).to_numpy(
+                zero_copy_only=False
+            )
+            sub = _struct_subtable(flat_structs)
+            for sub_loc, kind, sub_mask in violation_masks(
+                sub, cs.nested, loc_prefix=loc + "."
+            ):
+                parent_mask = _scatter_any(
+                    pc.fill_null(sub_mask, False).to_numpy(zero_copy_only=False),
+                    parents,
+                    table.num_rows,
+                )
+                out.append((sub_loc, kind, parent_mask))
         if cs.bounds:
             agg = None
             for node in _bound_check_nodes(name, cs.bounds):
                 m = fail_mask(node, table)
                 agg = m if agg is None else pc.or_(agg, m)
             if agg is not None and pc.any(agg).as_py():
-                out.append((name, "out_of_bounds", _combine(agg)))
+                out.append((loc, "out_of_bounds", _combine(agg)))
         if cs.constraints:
             agg = None
             for node in cs.constraints:
@@ -61,7 +125,7 @@ def violation_masks(
                 m = fail_mask(node, table)
                 agg = m if agg is None else pc.or_(agg, m)
             if agg is not None and pc.any(agg).as_py():
-                out.append((name, "constraint", _combine(agg)))
+                out.append((loc, "constraint", _combine(agg)))
     return out
 
 
@@ -130,20 +194,10 @@ def duplicate_keys_distributed(
         dup_k = totals.filter(pl.col("c") >= min_count)["k"].to_numpy().astype(np.uint64)
         return pa.table({"k": pa.array(dup_k.view(np.int64), type=pa.int64())})
 
-    DRIVER_MERGE_BYTES = 256 * 1024 * 1024
-    if blobs.size_bytes() <= DRIVER_MERGE_BYTES:
-        tables = list(blobs.iter_batches(batch_format="pyarrow", batch_size=None))
-        if not tables:
-            return pa.array([], type=pa.int64())
-        allb = pa.concat_tables(tables, promote_options="permissive")
-        return _combine(dup_keys(allb).column("k"))
+    from patito_ray.validation.checks import adaptive_bucket_results
 
-    out = blobs.groupby("bucket").map_groups(dup_keys, batch_format="pyarrow")
-    arrays = [
-        _combine(t.column("k"))
-        for t in out.iter_batches(batch_format="pyarrow")
-        if t.num_rows
-    ]
+    tables = adaptive_bucket_results(blobs, dup_keys)
+    arrays = [_combine(t.column("k")) for t in tables if t.num_rows]
     if not arrays:
         return pa.array([], type=pa.int64())
     return pa.concat_arrays(arrays)

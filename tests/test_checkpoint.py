@@ -150,3 +150,33 @@ def test_changed_model_invalidates_resume(ray_session, tmp_path):
     # shard ids differ between the two models
     s1 = {m["shard_id"] for m in read_manifests(ck)}
     assert len(s1) == 6  # 3 shards per model fingerprint
+
+
+def test_checkpoint_aggregate_constraint_is_global(ray_session, tmp_path):
+    """Aggregate constraints resolve against the WHOLE corpus, not per
+    shard (round-2 review finding): fractions summing to 1 globally but
+    not per shard must validate clean, matching the streaming engine."""
+
+    class Frac(pr.Model):
+        fid: int
+        fraction: float = pr.Field(constraints=pr.col("fraction").sum() == 1)
+
+    os.makedirs(tmp_path / "fdata", exist_ok=True)
+    files = []
+    # 4 files x 32 rows of 1/128 -> per-file sum 0.25, global sum
+    # exactly 1.0 (binary-exact so the == comparison is meaningful)
+    for i in range(4):
+        t = pa.table(
+            {
+                "fid": pa.array(range(i * 32, (i + 1) * 32), pa.int64()),
+                "fraction": pa.array([1.0 / 128.0] * 32),
+            }
+        )
+        path = str(tmp_path / "fdata" / f"f{i}.parquet")
+        pq.write_table(t, path)
+        files.append(path)
+    rep = validate_files_checkpointed(files, Frac, str(tmp_path / "fck"), files_per_shard=1)
+    assert rep.merged.constraint_fail.get("fraction", 0) == 0, rep.errors
+    # resume reuses the persisted global aggregate
+    rep2 = validate_files_checkpointed(files, Frac, str(tmp_path / "fck"), files_per_shard=1)
+    assert rep2.merged.constraint_fail.get("fraction", 0) == 0

@@ -262,3 +262,46 @@ def test_range_join(ray_session):
     pairs = sorted((r["eid"], r["okey"]) for r in out.take_all())
     # eid1@1h in [0,2) of okey100; eid2@5h in [4,6) of okey101; eid3 uid 8 no match
     assert pairs == [(1, 100), (2, 101)]
+
+
+def test_violation_masks_nested_parity():
+    """violation_masks covers list enums and struct / list-of-struct
+    recursion like check_batch (round-2 review finding: these were
+    silently omitted from the violation-row sink)."""
+    from patito_ray.validation.violations import violation_masks
+
+    class Inner(pr.Model):
+        v: int = pr.Field(ge=0)
+        tag: Literal["a", "b"]
+
+    class M(pr.Model):
+        tags: list[Literal["a", "b"]]
+        s: Inner
+        items: list[Inner]
+
+    t = pa.table(
+        {
+            "tags": pa.array([["a"], ["a", "zzz"], ["b"]]),
+            "s": pa.array(
+                [
+                    {"v": 1, "tag": "a"},
+                    {"v": -5, "tag": "a"},
+                    {"v": 2, "tag": "q"},
+                ]
+            ),
+            "items": pa.array(
+                [
+                    [{"v": 1, "tag": "a"}],
+                    [],
+                    [{"v": -9, "tag": "a"}, {"v": 3, "tag": "b"}],
+                ]
+            ),
+        }
+    )
+    masks = {
+        (loc, kind): m.to_pylist() for loc, kind, m in violation_masks(t, M._spec())
+    }
+    assert masks[("tags", "invalid_value")] == [False, True, False]
+    assert masks[("s.v", "out_of_bounds")] == [False, True, False]
+    assert masks[("s.tag", "invalid_value")] == [False, False, True]
+    assert masks[("items.v", "out_of_bounds")] == [False, False, True]
