@@ -88,7 +88,12 @@ def resolve_annotation(annotation: Any) -> ResolvedType:
     if isinstance(annotation, type) and issubclass(annotation, enum.Enum):
         values = [member.value for member in annotation]
         return _enum_resolved(values, nullable)
-    if origin in (list, tuple):
+    if origin in (list, tuple) or annotation in (list, tuple):
+        if not get_args(annotation):
+            raise TypeError(
+                f"unparameterized {annotation!r} has no item type; "
+                "use list[T]"
+            )
         (item_ann,) = get_args(annotation)[:1]
         item = resolve_annotation(item_ann)
         if item.default is None:
@@ -110,8 +115,17 @@ def resolve_annotation(annotation: Any) -> ResolvedType:
         members = [resolve_annotation(a) for a in get_args(annotation)]
         cats = {m.category for m in members}
         if len(cats) == 1:
-            one = members[0]
-            one.nullable = nullable
+            import dataclasses
+
+            # COPY the head member before attaching union_members:
+            # members[0] must stay member-shaped (no self-reference) for
+            # the valid_dtype recursion over the member list
+            one = dataclasses.replace(members[0], nullable=nullable)
+            if len(members) > 1:
+                # keep every member's validity set: Union[list[int],
+                # list[str]] must accept BOTH physical list types, not
+                # silently collapse onto the first member's
+                one.union_members = members
             return one
         return ResolvedType(
             ANY, None, nullable=nullable, union_members=members
@@ -139,6 +153,10 @@ def resolve_annotation(annotation: Any) -> ResolvedType:
 
 def _enum_resolved(values: list[Any], nullable: bool) -> ResolvedType:
     kinds = {type(v) for v in values}
+    if kinds == {bool}:
+        # Literal[True, False] / bool-valued enums: a plain bool column
+        # (note: bool is a subclass of int, so check it FIRST)
+        return ResolvedType(BOOL, pa.bool_(), nullable=nullable)
     if kinds == {str}:
         default = pa.string()
     elif kinds <= {int}:
@@ -157,6 +175,12 @@ def valid_dtype(category: str, resolved: ResolvedType, actual: pa.DataType) -> b
     float32/64, enum accepts dictionary-encoded or plain storage, etc.
     """
     t = pa.types
+    if resolved.union_members and category != ANY:
+        # same-category union (e.g. Union[list[int], list[str]]): a
+        # physical dtype valid for ANY member is acceptable
+        return any(
+            valid_dtype(m.category, m, actual) for m in resolved.union_members
+        )
     if category == INTEGER:
         return t.is_integer(actual)
     if category == FLOAT:

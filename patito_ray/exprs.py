@@ -107,8 +107,24 @@ class Expr:
     def __pow__(self, o: Any) -> "Expr":
         return self._bin("pow", o)
 
+    def __rpow__(self, o: Any) -> "Expr":
+        return self._bin("pow", o, True)
+
+    def __rfloordiv__(self, o: Any) -> "Expr":
+        return self._bin("floordiv", o, True)
+
     def __neg__(self) -> "Expr":
         return Expr({"op": "un", "fn": "neg", "x": self.node})
+
+    def __bool__(self) -> bool:
+        # Python chained comparisons (1 < col('x') < 5) call bool() on
+        # the first comparison and would SILENTLY drop it; raise like
+        # polars so the constraint bug is caught at model-definition
+        # time instead of validating nothing
+        raise TypeError(
+            "the truth value of an Expr is ambiguous; use (a < x) & (x < b) "
+            "instead of a chained comparison, and & | ~ instead of and/or/not"
+        )
 
     # -- comparisons ------------------------------------------------------
     def __eq__(self, o: Any) -> "Expr":  # type: ignore[override]
@@ -328,18 +344,9 @@ def _wrap(value: Any) -> Expr:
 
 
 def _root_names(node: dict[str, Any]) -> set[str]:
-    out: set[str] = set()
-    stack = [node]
-    while stack:
-        n = stack.pop()
-        op = n["op"]
-        if op == "col":
-            out.add(n["name"])
-        elif op == "bin":
-            stack.extend((n["l"], n["r"]))
-        elif op in ("un", "call", "agg"):
-            stack.append(n["x"])
-    return out
+    # delegate to the generic tree walk so new IR node kinds cannot
+    # silently diverge between the two extractors
+    return collect_col_refs(node)
 
 
 def _has_agg(node: dict[str, Any]) -> bool:
@@ -538,7 +545,12 @@ def _eval_call(node: dict[str, Any], table: pa.Table) -> Any:
     if fn == "fill_null":
         return pc.fill_null(x, args[0])
     if fn == "is_in":
-        return pc.is_in(_as_array(x), value_set=pa.array(args[0]))
+        arr = _as_array(x)
+        hit = pc.is_in(arr, value_set=pa.array(args[0]))
+        # pc.is_in maps null inputs to False; every other kernel here
+        # propagates null (null is neither pass nor fail for the
+        # null-safe constraint masks) — restore that contract
+        return pc.if_else(pc.is_valid(arr), hit, pa.scalar(None, type=pa.bool_()))
     if fn == "is_between":
         lo, hi = args
         return pc.and_kleene(pc.greater_equal(x, lo), pc.less_equal(x, hi))

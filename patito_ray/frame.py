@@ -122,6 +122,7 @@ class ModelFrame:
         if self._is_ds:
             ds = self.data
             if predicate is not None:
+                _reject_agg_predicate(predicate)
                 node = predicate.node
                 ds = ds.map_batches(
                     lambda t: t.filter(_bool_mask(node, t)),
@@ -185,6 +186,7 @@ class ModelFrame:
     def filter(self, predicate: Expr) -> "ModelFrame":
         node = predicate.node
         if self._is_ds:
+            _reject_agg_predicate(predicate)
             return self._wrap(
                 self.data.map_batches(
                     lambda t: t.filter(_bool_mask(node, t)),
@@ -229,6 +231,17 @@ class ModelFrame:
 
     def count(self) -> int:
         return self.data.count() if self._is_ds else self.data.num_rows
+
+
+def _reject_agg_predicate(predicate: Expr) -> None:
+    if predicate.has_agg():
+        raise ValueError(
+            "predicate contains an aggregate (e.g. col('x').mean()): over "
+            "a distributed Dataset it would evaluate PER BLOCK and the "
+            "result would depend on block boundaries. Compute the "
+            "aggregate first (validate()'s two-pass machinery, or "
+            "Dataset.aggregate) and filter on the resolved scalar."
+        )
 
 
 def _bool_mask(node: dict, table: pa.Table) -> Any:

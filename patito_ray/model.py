@@ -382,7 +382,9 @@ class Model:
             if not any(v is _MISSING for v in values):
                 return values
             if colspec is not None and colspec.unique:
-                fill_seq = iter(range(height))
+                fill_seq = (
+                    _unique_value(colspec, i) for i in range(2 * height + 1)
+                )
                 used = {v for v in values if v is not _MISSING}
                 out = []
                 for v in values:
@@ -405,7 +407,7 @@ class Model:
                     _fill_cells(list(data[name]), colspec), type=colspec.default_dtype
                 )
             elif colspec.unique:
-                seq = list(range(height))
+                seq = [_unique_value(colspec, i) for i in range(height)]
                 arrays[name] = pa.array(seq, type=colspec.default_dtype)
             else:
                 v = _example_value(colspec)
@@ -519,6 +521,36 @@ class Model:
         return cls._derive(f"{cls.__name__}{other.__name__}", merged)
 
 
+def _unique_value(spec: ColumnSpec, i: int) -> Any:
+    """The i-th value of a type-appropriate unique sequence (the
+    reference's cum_count semantics generalized beyond integers)."""
+    cat = spec.category
+    if cat == _dt.INTEGER:
+        return i
+    if cat == _dt.FLOAT:
+        return float(i)
+    if cat in (_dt.STRING, _dt.ANY):
+        return f"dummy_{i}"
+    if cat == _dt.BINARY:
+        return i.to_bytes(8, "big")
+    if cat == _dt.DATE:
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=i)
+    if cat == _dt.DATETIME:
+        tz = getattr(spec.default_dtype, "tz", None)
+        base = (
+            datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            if tz
+            else datetime.datetime(1970, 1, 1)
+        )
+        return base + datetime.timedelta(seconds=i)
+    if cat == _dt.DURATION:
+        return datetime.timedelta(seconds=i)
+    raise TypeError(
+        f"cannot generate a unique example sequence for category {cat!r}; "
+        "provide the column's values explicitly"
+    )
+
+
 def _example_value(spec: ColumnSpec) -> Any:
     """A single dummy value satisfying the column's constraints
     (reference ``pydantic.py:498-662``)."""
@@ -541,14 +573,21 @@ def _example_value(spec: ColumnSpec) -> Any:
             v = max(0, v)
         if "multipleOf" in b:
             m = b["multipleOf"]
+            # smallest multiple >= v, but never past an upper bound —
+            # prefer the largest multiple <= hi when rounding up busts it
             v = ((v + m - 1) // m) * m if v else 0
+            if hi is not None and v > hi:
+                v = (hi // m) * m
         return int(v)
     if cat == _dt.FLOAT:
+        lo = b.get("minimum", b.get("exclusiveMinimum"))
+        hi = b.get("maximum", b.get("exclusiveMaximum"))
+        if lo is not None and hi is not None:
+            # midpoint satisfies both bounds whether inclusive or not
+            return (float(lo) + float(hi)) / 2
         if "minimum" in b:
             return float(b["minimum"])
         if "exclusiveMinimum" in b:
-            if "maximum" in b:
-                return (b["exclusiveMinimum"] + b["maximum"]) / 2
             return float(b["exclusiveMinimum"]) + 1.0
         if "maximum" in b:
             return float(b["maximum"])

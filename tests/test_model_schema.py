@@ -491,3 +491,91 @@ def test_fill_null_dataset_divergences(ray_session):
         f.fill_null(strategy="mena")
     with pytest.raises(ValueError, match="limit"):
         f.fill_null(value=0, limit=1)
+
+
+def test_expr_chained_comparison_raises():
+    """1 < col('x') < 5 would silently drop the first bound (Python
+    chaining calls bool()); it must raise like polars."""
+    with pytest.raises(TypeError, match="ambiguous"):
+        1 < pr.col("x") < 5  # noqa: B015
+    # the explicit form works
+    e = (1 < pr.col("x")) & (pr.col("x") < 5)
+    assert e.root_names() == {"x"}
+
+
+def test_expr_is_in_null_semantics():
+    from patito_ray.exprs import fail_mask
+
+    class M(pr.Model):
+        s: Optional[str] = pr.Field(default=None, constraints=pr.field.is_in(["a", "b"]))
+
+    t = pa.table({"s": pa.array(["a", "zzz", None])})
+    rep = M.validate_report(t)
+    # null is neither pass nor fail: only "zzz" violates
+    assert rep.merged.constraint_fail.get("s") == 1
+
+
+def test_expr_reflected_pow_floordiv():
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    from patito_ray.exprs import eval_expr
+
+    assert eval_expr((2 ** pr.col("x")).node, t).to_pylist() == [2, 4, 8]
+    assert eval_expr((12 // pr.col("x")).node, t).to_pylist() == [12, 6, 4]
+
+
+def test_unique_examples_typed_sequences():
+    class M(pr.Model):
+        sid: str = pr.Field(unique=True)
+        ts: datetime.datetime = pr.Field(unique=True)
+        v: int
+
+    t = M.examples(n=3)
+    assert len(set(t.column("sid").to_pylist())) == 3
+    assert len(set(t.column("ts").to_pylist())) == 3
+
+
+def test_example_values_respect_bounds():
+    class M(pr.Model):
+        a: int = pr.Field(le=10, multiple_of=7)
+        b: float = pr.Field(gt=0.0, lt=0.5)
+
+    row = M.example()
+    assert row.a % 7 == 0 and row.a <= 10
+    assert 0.0 < row.b < 0.5
+    # generated examples pass the model's own validation
+    M.validate(M.examples(n=2))
+
+
+def test_bool_literal_and_union_dtypes():
+    class M(pr.Model):
+        flag: Literal[True, False]
+
+    assert M.dtypes["flag"] == pa.bool_()
+    M.validate(pa.table({"flag": pa.array([True, False])}))
+
+    from patito_ray.dtypes import resolve_annotation, valid_dtype
+    from typing import Union
+
+    r = resolve_annotation(Union[list[int], list[str]])
+    assert valid_dtype(r.category, r, pa.list_(pa.int64()))
+    assert valid_dtype(r.category, r, pa.list_(pa.string()))
+    assert not valid_dtype(r.category, r, pa.list_(pa.float64()))
+
+    with pytest.raises(TypeError, match="unparameterized"):
+        resolve_annotation(list)
+
+
+def test_dataset_filter_rejects_aggregate_predicate(ray_session):
+    import ray.data as rd
+
+    class M(pr.Model):
+        x: float
+
+    ds = rd.from_arrow(pa.table({"x": [1.0, 2.0, 3.0]}))
+    with pytest.raises(ValueError, match="aggregate"):
+        pr.DataFrame(ds, M).filter(pr.col("x") > pr.col("x").mean())
+    # table path still computes the global aggregate
+    out = pr.DataFrame(pa.table({"x": [1.0, 2.0, 3.0]}), M).filter(
+        pr.col("x") > pr.col("x").mean()
+    )
+    assert out.as_table().column("x").to_pylist() == [3.0]
