@@ -144,6 +144,12 @@ def _shingle_hashes(
     toks = pc.utf8_split_whitespace(lower)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    # drop arrow's empty tokens (leading/trailing/multi whitespace):
+    # python .split() — the exact-verify tokenizer — never emits them
+    keep = pc.fill_null(pc.not_equal(flat, ""), False)
+    if not pc.all(keep).as_py():
+        parents = parents[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
     th = hash64(flat)
     n_rows = len(text)
     if len(th) == 0:
@@ -165,7 +171,11 @@ def _shingle_hashes(
     short = (n_tokens > 0) & (n_tokens < n)
     if short.any():
         idx = np.nonzero(short)[0]
-        joined = pc.binary_join(toks, " ")
+        # normalize like _grams' " ".join(text.split()): collapse all
+        # whitespace runs to single spaces and trim
+        joined = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(lower, r"\s+", " ")
+        )
         jh = hash64(joined.take(pa.array(idx)))
         shingles = np.concatenate([shingles, jh])
         rows = np.concatenate([rows, idx.astype(np.int64)])
@@ -905,6 +915,10 @@ def simhash_batch(
     toks = pc.utf8_split_whitespace(lower)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.fill_null(pc.not_equal(flat, ""), False)
+    if not pc.all(keep).as_py():
+        parents = parents[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
     th = hash64(flat)
     n_rows = len(text)
     fp = np.zeros(n_rows, dtype=np.uint64)

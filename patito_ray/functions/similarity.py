@@ -28,6 +28,11 @@ def _to_matrix(column: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
     if isinstance(column, pa.ChunkedArray):
         column = column.combine_chunks()
+    if column.null_count:
+        raise ValueError(
+            f"embedding column contains {column.null_count} null row(s); "
+            "filter or impute nulls before similarity/dedup operators"
+        )
     flat = pc.list_flatten(column).to_numpy(zero_copy_only=False)
     lengths = pc.list_value_length(column).to_numpy(zero_copy_only=False)
     if len(lengths) == 0:
@@ -284,42 +289,14 @@ def topk_cosine_lsh(
         return batch.filter(pa.array(keep))
 
     pruned = ds.map_batches(prune, batch_format="pyarrow", batch_size=None)
-    if concurrency:
-        partials = pruned.map_batches(
-            BatchTopK,
-            fn_constructor_args=(ref, k, id_col, vec_col),
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=concurrency,
-        )
-    else:
-        partials = pruned.map_batches(
-            BatchTopK(ref, k, id_col, vec_col),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-    heaps: dict[int, list[tuple[float, int]]] = {int(q): [] for q in query_ids}
-    for b in partials.iter_batches(batch_format="pyarrow"):
-        for row in b.to_pylist():
-            qid, nid, sim = row["query_id"], row["neighbor_id"], row["cosine"]
-            if nid == qid:
-                continue
-            heapq.heappush(heaps[qid], (sim, -nid))
-            if len(heaps[qid]) > k:
-                heapq.heappop(heaps[qid])
-    out_q, out_n, out_s, out_r = [], [], [], []
-    for qid in sorted(heaps):
-        ranked = sorted(heaps[qid], key=lambda t: (-t[0], -t[1]))
-        for rank, (sim, neg_nid) in enumerate(ranked, 1):
-            out_q.append(qid)
-            out_n.append(-neg_nid)
-            out_s.append(sim)
-            out_r.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, type=pa.int64()),
-            "neighbor_id": pa.array(out_n, type=pa.int64()),
-            "cosine": pa.array(out_s, type=pa.float64()),
-            "rank": pa.array(out_r, type=pa.int64()),
-        }
+    # identical scoring/merge/tie-break contract as the exact path —
+    # delegate instead of duplicating the heap-merge block
+    return topk_cosine(
+        pruned,
+        query_ids,
+        query_vecs,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        concurrency=concurrency,
     )

@@ -60,13 +60,25 @@ def bpe_token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def _tokens(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray, int]:
-    """Lowercased whitespace tokens, flattened, with row indices."""
+    """Lowercased whitespace tokens, flattened, with row indices.
+
+    Arrow's ``utf8_split_whitespace`` emits EMPTY tokens for leading /
+    trailing / consecutive whitespace (python ``str.split()`` does
+    not); they are masked out here — otherwise an empty document counts
+    1 token, language-ID confidence and quality ratios skew, and the
+    token-based kernels disagree with their ``\\S+``-based SQL oracles.
+    """
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     lower = pc.utf8_lower(text)
     toks = pc.utf8_split_whitespace(lower)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.fill_null(pc.not_equal(flat, ""), False)
+    if not pc.all(keep).as_py():
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        parents = parents[keep_np]
     return flat, parents, len(text)
 
 

@@ -205,12 +205,26 @@ def ray_examples(model: type[Model], n: int, blocks: int | None = None) -> Any:
             consts[name] = _example_value(cs)
 
     def fill(batch: dict[str, np.ndarray]) -> pa.Table:
+        from patito_ray.model import _unique_value
+
         ids = batch["id"]
         height = len(ids)
         arrays: dict[str, pa.Array] = {}
         for name, cs in spec.columns.items():
             if name in uniques:
-                arrays[name] = pa.array(ids, type=cs.default_dtype)
+                import pyarrow.types as pt
+
+                if cs.default_dtype is not None and pt.is_integer(
+                    cs.default_dtype
+                ):
+                    arrays[name] = pa.array(ids, type=cs.default_dtype)
+                else:
+                    # non-integer unique columns (str/date/...): the
+                    # type-appropriate sequence keyed by the GLOBAL id
+                    arrays[name] = pa.array(
+                        [_unique_value(cs, int(i)) for i in ids],
+                        type=cs.default_dtype,
+                    )
             else:
                 arrays[name] = pa.array([consts[name]] * height, type=cs.default_dtype)
         return pa.table(arrays)

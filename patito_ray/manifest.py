@@ -119,6 +119,14 @@ def _value_to_json(v: Any) -> Any:
         return {"$dt": v.isoformat()}
     if isinstance(v, datetime.date):
         return {"$d": v.isoformat()}
+    if isinstance(v, datetime.time):
+        return {"$t": v.isoformat()}
+    if isinstance(v, datetime.timedelta):
+        return {"$td": v.total_seconds()}
+    if isinstance(v, bytes):
+        import base64
+
+        return {"$b": base64.b64encode(v).decode()}
     return v
 
 
@@ -128,6 +136,14 @@ def _value_from_json(v: Any) -> Any:
             return datetime.datetime.fromisoformat(v["$dt"])
         if "$d" in v:
             return datetime.date.fromisoformat(v["$d"])
+        if "$t" in v:
+            return datetime.time.fromisoformat(v["$t"])
+        if "$td" in v:
+            return datetime.timedelta(seconds=v["$td"])
+        if "$b" in v:
+            import base64
+
+            return base64.b64decode(v["$b"])
     return v
 
 
@@ -146,7 +162,12 @@ def column_spec_to_json(cs: ColumnSpec) -> dict[str, Any]:
         "bounds": {k: _value_to_json(v) for k, v in cs.bounds.items()},
         "constraints": cs.constraints,
         "derived_from": cs.derived_from,
-        "alias": list(cs.alias) if isinstance(cs.alias, tuple) else cs.alias,
+        # a TUPLE alias is an AliasPath (element extraction) while a
+        # LIST alias is AliasChoices (coalesce): tag tuples so the
+        # round trip cannot silently turn extraction into coalescing
+        "alias": (
+            {"$path": list(cs.alias)} if isinstance(cs.alias, tuple) else cs.alias
+        ),
         "item_nullable": cs.item_nullable,
         "nested": spec_to_json_dict(cs.nested) if cs.nested else None,
     }
@@ -167,7 +188,11 @@ def column_spec_from_json(d: dict[str, Any]) -> ColumnSpec:
         bounds={k: _value_from_json(v) for k, v in d["bounds"].items()},
         constraints=d["constraints"],
         derived_from=d["derived_from"],
-        alias=d["alias"],
+        alias=(
+            tuple(d["alias"]["$path"])
+            if isinstance(d["alias"], dict) and "$path" in d["alias"]
+            else d["alias"]
+        ),
         item_nullable=d["item_nullable"],
         nested=spec_from_json_dict(d["nested"]) if d["nested"] else None,
         resolved=None,  # rebuilt lazily below
@@ -178,11 +203,21 @@ def spec_to_json_dict(spec: TableSpec) -> dict[str, Any]:
     return {
         "model_name": spec.model_name,
         "allow_extra": spec.allow_extra,
+        # a callable cannot serialize; RECORD that one existed so a
+        # round trip refuses loudly instead of silently validating
+        # without the V1 alias rename
+        "has_alias_generator": spec.alias_generator is not None,
         "columns": [column_spec_to_json(c) for c in spec.columns.values()],
     }
 
 
 def spec_from_json_dict(d: dict[str, Any]) -> TableSpec:
+    if d.get("has_alias_generator"):
+        raise ValueError(
+            "spec was compiled with an alias_generator (a Python "
+            "callable) which cannot round-trip through JSON; deploy the "
+            "model class itself, or rename columns before validation"
+        )
     cols = {}
     for cd in d["columns"]:
         cs = column_spec_from_json(cd)

@@ -98,11 +98,19 @@ def read_parquet(
     """Parquet read with model-driven column projection: only the model's
     (non-derived) columns leave storage unless ``columns`` overrides."""
     if columns is None:
+        import pyarrow.dataset as pads
+
         spec = model._spec()
+        file_cols = set(pads.dataset(paths, format="parquet").schema.names)
+        # project to the model columns the FILE actually has:
+        # allow_missing columns that exist must still be read (excluding
+        # them silently dropped real optional data), and required
+        # columns the file lacks are left to validation's
+        # MissingColumnsError instead of a raw reader KeyError
         columns = [
             n
             for n, c in spec.columns.items()
-            if c.derived_from is None and not c.allow_missing
+            if c.derived_from is None and n in file_cols
         ]
     ds = clean_read_parquet(paths, columns=columns, **kwargs)
     frame = ModelFrame(ds, model)

@@ -180,11 +180,9 @@ def unalias_table(table: pa.Table, spec: TableSpec) -> pa.Table:
             continue
         if isinstance(cs.alias, str):
             if cs.alias in out.column_names:
+                # set_column installs the column under its NEW name
                 idx = out.column_names.index(cs.alias)
                 out = out.set_column(idx, name, out.column(cs.alias))
-                out = out.rename_columns(
-                    [name if c == cs.alias else c for c in out.column_names]
-                )
         else:
             present = [a for a in cs.alias if a in out.column_names]
             if not present:

@@ -633,3 +633,25 @@ def test_winnow_fingerprints_batch_invariant():
     )
     assert fp_alone == fp_together
     assert len(fp_alone) == 1  # short doc -> its global min only
+
+
+def test_tokens_ignore_empty_whitespace_artifacts():
+    """Arrow's split_whitespace emits empty tokens for irregular
+    whitespace; all token kernels must agree with python .split() /
+    SQL \\S+ (round-2 review finding)."""
+    from patito_ray.functions.text import LangId, quality_counts_batch
+
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["", "the  of ", " a  b "]})
+    qc = quality_counts_batch(t)
+    assert qc.column("n_tokens").to_pylist() == [0, 2, 2]
+    out = LangId()(t)
+    assert out.column("lang_pred").to_pylist()[0] is None  # empty doc
+    assert out.column("lang_confidence").to_pylist()[1] == 1.0  # both stopwords
+    # padded texts hash like their normalized forms in minhash space
+    sig_a = f_dedup.minhash_signatures(pa.array(["a b c d"]), 16)
+    sig_b = f_dedup.minhash_signatures(pa.array([" a  b c   d "]), 16)
+    assert (sig_a == sig_b).all()
+    fp = f_dedup.simhash_batch(
+        pa.table({"doc_id": [0, 1], "text": ["x y z", "  x  y z  "]})
+    ).column("simhash").to_pylist()
+    assert fp[0] == fp[1]
