@@ -51,6 +51,12 @@ def ensure_corpus(n: int) -> str:
     if not os.path.exists(marker):
         from patito_ray.generate import write_webpages
 
+        if os.path.isdir(path):
+            # an interrupted generation left partial files; writing into
+            # the same dir would APPEND a second copy of the corpus
+            import shutil
+
+            shutil.rmtree(path)
         os.makedirs(BENCH_TMP, exist_ok=True)
         write_webpages(path, n, blocks=64)
         with open(marker, "w") as f:
@@ -212,14 +218,26 @@ def run_scaling() -> None:
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # OVERRIDE the polars cap (the parent's module-level setdefault
+        # already exported 32, which the child's setdefault would keep —
+        # a 2-CPU run must not borrow a 32-thread driver polars pool)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            POLARS_MAX_THREADS=str(ncpu),
+        )
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
         )
+        if res.returncode != 0:
+            sys.stderr.write(res.stderr[-4000:])
+            raise RuntimeError(
+                f"--headline-only child (num_cpus={ncpu}) exited "
+                f"{res.returncode}; its stderr is above"
+            )
         return json.loads(res.stdout.strip().splitlines()[-1])
 
     # Paired trials: each (lo, hi) pair runs back-to-back so both levels

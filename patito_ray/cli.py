@@ -123,6 +123,16 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     from patito_ray.functions.dedup import dedup_exact, dedup_near
 
     files = sorted(glob.glob(args.input))
+    import os
+
+    if os.path.isdir(args.output) and os.listdir(args.output):
+        print(
+            f"error: output dir {args.output!r} is not empty — parquet "
+            "writes APPEND, so a rerun would mix two corpora; point at a "
+            "fresh directory or clear it first",
+            file=sys.stderr,
+        )
+        return 2
     ds = rd.read_parquet(files)
     before = ds.count()
     if args.near:

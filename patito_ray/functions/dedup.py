@@ -37,8 +37,12 @@ _LOG = logging.getLogger(__name__)
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit normalized-content hash column ``h`` (vectorized)."""
     text = batch.column(text_col)
-    norm = pc.utf8_trim_whitespace(
-        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+    # trim only ' ' (like SQL trim()): after the RE2 \s+ collapse the
+    # edge runs are single spaces; unicode-trim would additionally strip
+    # chars outside RE2 \s (\x0b, NBSP) that the oracle keeps
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " "),
+        characters=" ",
     )
     # int64 view of the hash: Ray groupby keys must fit int64
     return batch.append_column(
@@ -431,11 +435,27 @@ def _bucket_pairs(
     )
 
 
+_RE2_TOKEN = None
+
+
+def _re2_tokens(s: str) -> list[str]:
+    """RE2-\S tokenization (\s = [\t\n\f\r ] in RE2, used by both
+    Arrow and DuckDB) — python ``str.split()`` additionally splits on
+    \x0b and unicode whitespace, which would diverge from the SQL
+    oracle's regexp_extract_all('\S+') on exotic whitespace."""
+    global _RE2_TOKEN
+    if _RE2_TOKEN is None:
+        import re
+
+        _RE2_TOKEN = re.compile(r"[^\t\n\f\r ]+")
+    return _RE2_TOKEN.findall(s)
+
+
 def _grams(s: str, n: int) -> set[str]:
     """Word-n-gram set; docs with 1..n-1 tokens contribute ONE gram
     (their full token sequence) so distinct short texts never compare as
     identical; empty/whitespace texts have no grams."""
-    toks = s.lower().split()
+    toks = _re2_tokens(s.lower())
     if len(toks) >= n:
         return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
     if toks:

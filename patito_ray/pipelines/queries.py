@@ -35,6 +35,21 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> Any:
 def _one_row(**cols: Any) -> pa.Table:
     return pa.table({k: [v] for k, v in cols.items()})
 
+def _r(arr: Any, nd: int) -> Any:
+    """DuckDB-compatible rounding: ROUND on DOUBLE is half-AWAY-from-
+    zero, while pc.round/np.round default to half-to-even — a dyadic
+    midpoint (e.g. an avg with a power-of-two count) would differ in
+    the last digit and hash-mismatch the oracle."""
+    return pc.round(arr, ndigits=nd, round_mode="half_towards_infinity")
+
+
+def _rf(v: float, nd: int) -> float:
+    import math
+
+    f = 10.0 ** nd
+    return math.copysign(math.floor(abs(v) * f + 0.5), v) / f
+
+
 
 # ---------------------------------------------------------------------------
 # validation-engine queries (counters checked against SQL aggregates)
@@ -226,13 +241,13 @@ def q_q1(sf_dir: str) -> pa.Table:
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "sum_qty": pc.round(batch["s_qty"], ndigits=2),
-                "sum_base_price": pc.round(batch["s_price"], ndigits=2),
-                "sum_disc_price": pc.round(batch["s_disc_price"], ndigits=2),
-                "sum_charge": pc.round(batch["s_charge"], ndigits=2),
-                "avg_qty": pc.round(pc.divide(batch["s_qty"], n), ndigits=4),
-                "avg_price": pc.round(pc.divide(batch["s_price"], n), ndigits=4),
-                "avg_disc": pc.round(pc.divide(batch["s_disc"], n), ndigits=4),
+                "sum_qty": _r(batch["s_qty"], 2),
+                "sum_base_price": _r(batch["s_price"], 2),
+                "sum_disc_price": _r(batch["s_disc_price"], 2),
+                "sum_charge": _r(batch["s_charge"], 2),
+                "avg_qty": _r(pc.divide(batch["s_qty"], n), 4),
+                "avg_price": _r(pc.divide(batch["s_price"], n), 4),
+                "avg_disc": _r(pc.divide(batch["s_disc"], n), 4),
                 "count_order": pc.cast(batch["n"], pa.int64()),
             }
         )
@@ -293,7 +308,7 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
         lambda t: pa.table(
             {
                 "c_mktsegment": t["c_mktsegment"],
-                "revenue": pc.round(t["s_rev"], ndigits=2),
+                "revenue": _r(t["s_rev"], 2),
                 "n_orders": pc.cast(t["n"], pa.int64()),
             }
         ),
@@ -349,7 +364,7 @@ def q_events_daily(sf_dir: str) -> pa.Table:
             {
                 "event_type": t["event_type"],
                 "day": t["day"],
-                "total_value": pc.round(t["s_value"], ndigits=2),
+                "total_value": _r(t["s_value"], 2),
                 "n": pc.cast(t["n"], pa.int64()),
             }
         ),
@@ -401,7 +416,7 @@ def q_events_sliding(sf_dir: str) -> pa.Table:
             {
                 "event_type": group.column("event_type"),
                 "day": df["day"].to_arrow(),
-                "sliding_value": pa.array(np.round(sliding_v, 2), type=pa.float64()),
+                "sliding_value": pa.array(_r(pa.array(sliding_v), 2), type=pa.float64()),
             }
         )
 
@@ -503,7 +518,7 @@ def q_top_parts(sf_dir: str) -> pa.Table:
         lambda t: pa.table(
             {
                 "l_partkey": t["l_partkey"],
-                "revenue": pc.round(t["rev"], ndigits=2),
+                "revenue": _r(t["rev"], 2),
             }
         ),
         batch_format="pyarrow",
@@ -560,7 +575,7 @@ def q_nation_order_revenue(sf_dir: str) -> pa.Table:
         lambda t: pa.table(
             {
                 "n_name": t["n_name"],
-                "revenue": pc.round(t["s"], ndigits=2),
+                "revenue": _r(t["s"], 2),
                 "n_orders": pc.cast(t["n"], pa.int64()),
             }
         ),
@@ -908,7 +923,7 @@ def q_minhash_pairs(sf_dir: str) -> pa.Table:
     pairs_ds = f_dedup.minhash_candidate_pairs(ds, num_perm=128, bands=32)
     verified = f_dedup.verify_pairs_dataset(ds, pairs_ds, threshold=0.8)
     rows = sorted(
-        (r["a"], r["b"], round(r["jaccard"], 4)) for r in verified.take_all()
+        (r["a"], r["b"], _rf(r["jaccard"], 4)) for r in verified.take_all()
     )
     return pa.table(
         {
@@ -961,7 +976,7 @@ def q_embedding_near_dups(sf_dir: str) -> pa.Table:
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = f_dedup.embedding_near_dups(ds, threshold=0.95)
     rows = sorted(
-        ((r["a"], r["b"], round(r["cosine"], 4)) for r in out.take_all())
+        ((r["a"], r["b"], _rf(r["cosine"], 4)) for r in out.take_all())
     )
     return pa.table(
         {

@@ -57,6 +57,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if ONLY:
+        unknown = [n for n in ONLY if n not in qs]
+        if unknown:
+            print(f"FAIL unknown query name(s): {unknown}; known: {sorted(qs)}")
+            return 2
     failures = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
