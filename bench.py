@@ -218,14 +218,13 @@ def run_scaling() -> None:
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
 
     def run_once(ncpu: int) -> dict:
-        # OVERRIDE the polars cap (the parent's module-level setdefault
-        # already exported 32, which the child's setdefault would keep —
-        # a 2-CPU run must not borrow a 32-thread driver polars pool)
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            POLARS_MAX_THREADS=str(ncpu),
-        )
+        # BOTH levels get the same driver polars thread count (the
+        # parent's exported POLARS_MAX_THREADS): the scaling criterion
+        # models N vs 4N CLUSTER nodes with a fixed-size driver — the
+        # driver machine does not shrink with the cluster. The affinity
+        # pin in the child bounds the WORKER budget; driver threads
+        # created after the pin share the pinned cores either way.
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,
