@@ -287,6 +287,21 @@ class Model:
             def __init__(self, data: Any) -> None:
                 super().__init__(data, model)
 
+            @classmethod
+            def read_csv(cls_, paths: Any, **kwargs: Any) -> "ModelFrame":
+                """Model-driven csv ingest (reference
+                ``Model.DataFrame.read_csv``, polars.py:879-960)."""
+                from patito_ray.sources.readers import read_csv as _read_csv
+
+                return _read_csv(paths, model, **kwargs)
+
+            @classmethod
+            def read_parquet(cls_, paths: Any, **kwargs: Any) -> "ModelFrame":
+                """Model-projected parquet ingest (engine addition)."""
+                from patito_ray.sources.readers import read_parquet as _read_pq
+
+                return _read_pq(paths, model, **kwargs)
+
         _BoundFrame.__name__ = f"{cls.__name__}DataFrame"
         _BoundFrame.__qualname__ = _BoundFrame.__name__
         _BoundFrame.model = model

@@ -775,6 +775,29 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
 """
 
 
+class DocSource(pr.Model):
+    """Regex-extraction derive (reference T3's string path, README
+    `str.extract` idiom): pull the numeric suffix out of source ids."""
+
+    doc_id: int
+    src_num: int = pr.Field(
+        derived_from=pr.col("source").str.extract(r"src(\d+)", 1).cast("int64")
+    )
+
+
+def q_derived_regex(sf_dir: str) -> pa.Table:
+    from patito_ray.frame import ModelFrame
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    return ModelFrame(ds, DocSource).derive().drop().as_dataset()
+
+
+SQL_DERIVED_REGEX = """
+SELECT doc_id, CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS src_num
+FROM documents
+"""
+
+
 def q_quality_counts(sf_dir: str) -> pa.Table:
     """Exact integer quality features (char/alpha/punct/token/stopword
     counts) — the countable core of the quality scorer, oracle-checked
@@ -1068,6 +1091,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS_PER_CUST),
+    "derived_regex": (q_derived_regex, SQL_DERIVED_REGEX),
     "webpage_validate": (q_webpage_validate, None),
 }
 

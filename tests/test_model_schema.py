@@ -579,3 +579,25 @@ def test_dataset_filter_rejects_aggregate_predicate(ray_session):
         pr.col("x") > pr.col("x").mean()
     )
     assert out.as_table().column("x").to_pylist() == [3.0]
+
+
+def test_bound_frame_read_csv_parquet(ray_session, tmp_path):
+    """Model.DataFrame.read_csv / read_parquet entry points (reference
+    E3 flow: Model.DataFrame.read_csv(path))."""
+    import pyarrow.parquet as pq
+
+    class Prod(pr.Model):
+        product_id: int
+        name: str
+
+    csv_path = tmp_path / "p.csv"
+    csv_path.write_text("product_id,name\n1,a\n2,b\n")
+    frame = Prod.DataFrame.read_csv(str(csv_path))
+    assert frame.model is Prod
+    assert sorted(frame.as_table().column("product_id").to_pylist()) == [1, 2]
+
+    pq_path = tmp_path / "p.parquet"
+    pq.write_table(pa.table({"product_id": [3], "name": ["c"], "junk": [0]}), str(pq_path))
+    frame = Prod.DataFrame.read_parquet(str(pq_path))
+    t = frame.as_table()
+    assert t.column_names == ["product_id", "name"]  # projection pushdown
