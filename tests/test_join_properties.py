@@ -197,3 +197,51 @@ def test_grouped_top_k_matches_reference(ray_session, rows, k):
         for rank, (_v, i) in enumerate(ranked, 1):
             truth.append((g, rank, i))
     assert got == sorted(truth)
+
+
+words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+docs = st.lists(
+    st.lists(words, min_size=0, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(docs, st.floats(min_value=0.1, max_value=0.9))
+def test_verify_pairs_dataset_matches_bruteforce(ray_session, texts, threshold):
+    """The two-exchange pair verification must equal a direct
+    ngram_jaccard over every submitted pair, for any texts (including
+    short and empty docs) and any partitioning."""
+    import itertools as it
+
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import ngram_jaccard, verify_pairs_dataset
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(3)
+    all_pairs = list(it.combinations(range(len(texts)), 2))
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in all_pairs], pa.int64()),
+                "b": pa.array([p[1] for p in all_pairs], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in verify_pairs_dataset(ds, pairs, threshold=threshold).take_all()
+    }
+    want = {
+        (a, b): ngram_jaccard(texts[a], texts[b])
+        for a, b in all_pairs
+        if ngram_jaccard(texts[a], texts[b]) >= threshold
+    }
+    assert got == want
