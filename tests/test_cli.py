@@ -122,3 +122,15 @@ def test_cli_dedup_near(data_dir, tmp_path):
     assert out["rows_in"] == 500
     # near-dedup removes at least the exact duplicates
     assert out["rows_out"] <= 400
+
+
+def test_cli_dedup_refuses_dirty_output(data_dir, tmp_path):
+    out = tmp_path / "dirty"
+    out.mkdir()
+    (out / "stale.parquet").write_bytes(b"x")
+    res = run_cli(
+        "dedup", "--input", f"{data_dir}/*.parquet", "--output", str(out),
+        "--num-cpus", "4",
+    )
+    assert res.returncode == 2
+    assert "not empty" in res.stderr
