@@ -128,13 +128,20 @@ def dedup_exact(
 
 
 def _shingle_hashes(
-    text: pa.Array, n: int = 3
+    text: pa.Array, n: int = 3, ascii_ws: bool = False
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Word n-gram shingle hashes per doc, flattened.
 
     Returns (flat_shingle_hashes, row_index_per_shingle, n_rows).
     Shingle hash = combination of the n token hashes (rolling mix) —
     all vectorized over the flattened token array.
+
+    ``ascii_ws=True`` tokenizes with RE2 \\s semantics ([\\t\\n\\f\\r ]
+    only) so the hash-set grams are EXACTLY ``_grams``/``_re2_tokens``
+    under hashing — the mode the exact-verify kernel needs to agree
+    with the SQL oracle's regexp_extract_all('\\S+') on exotic
+    whitespace (\\x0b, NBSP stay inside tokens). The default unicode
+    splitter is fine for the recall-only signature/banding paths.
 
     Short-doc fallback: a doc with 1..n-1 tokens yields no full n-gram,
     which would leave its signature at the all-max sentinel and make
@@ -145,7 +152,10 @@ def _shingle_hashes(
     sentinel signature and are excluded from banding entirely.
     """
     lower = pc.utf8_lower(text)
-    toks = pc.utf8_split_whitespace(lower)
+    if ascii_ws:
+        toks = pc.split_pattern_regex(lower, pattern=r"[\t\n\f\r ]+")
+    else:
+        toks = pc.utf8_split_whitespace(lower)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     # drop arrow's empty tokens (leading/trailing/multi whitespace):
@@ -175,10 +185,16 @@ def _shingle_hashes(
     short = (n_tokens > 0) & (n_tokens < n)
     if short.any():
         idx = np.nonzero(short)[0]
-        # normalize like _grams' " ".join(text.split()): collapse all
-        # whitespace runs to single spaces and trim
-        joined = pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(lower, r"\s+", " ")
+        # normalize like _grams' " ".join(tokens): collapse all
+        # whitespace runs to single spaces and trim. In ascii_ws mode
+        # trim ONLY ' ' — after the RE2 \s+ collapse the edge runs are
+        # single spaces, and a unicode trim would strip chars (\x0b,
+        # NBSP) that _re2_tokens keeps inside tokens.
+        collapsed = pc.replace_substring_regex(lower, r"\s+", " ")
+        joined = (
+            pc.utf8_trim(collapsed, characters=" ")
+            if ascii_ws
+            else pc.utf8_trim_whitespace(collapsed)
         )
         jh = hash64(joined.take(pa.array(idx)))
         shingles = np.concatenate([shingles, jh])
@@ -653,6 +669,30 @@ def pair_payload_join(
     return sided.groupby("part2").map_groups(join_sides, batch_format="pyarrow")
 
 
+def _gram_hash_sets(
+    text: pa.ChunkedArray | pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deduped word-n-gram hash SET per row — the vectorized counterpart
+    of ``_grams`` (RE2-exact tokenization via ``ascii_ws=True``).
+
+    Returns (row_idx, gram_hashes, set_size_per_row) where (row_idx,
+    gram_hashes) is sorted and duplicate grams within a row are removed,
+    so set-intersection sizes reduce to adjacent-equality counts."""
+    flat, rows, n_rows = _shingle_hashes(text, n, ascii_ws=True)
+    if len(flat) == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.uint64),
+            np.zeros(n_rows, np.int64),
+        )
+    order = np.lexsort((flat, rows))
+    rows, flat = rows[order], flat[order]
+    keep = np.ones(len(rows), dtype=bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (flat[1:] != flat[:-1])
+    rows, flat = rows[keep], flat[keep]
+    return rows, flat, np.bincount(rows, minlength=n_rows)
+
+
 def verify_pairs_dataset(
     ds: Any,
     pairs: Any,
@@ -664,28 +704,53 @@ def verify_pairs_dataset(
 ) -> Any:
     """Distributed candidate-pair verification -> Dataset[a, b, jaccard]
     (pairs whose exact word-n-gram Jaccard >= threshold). Pair payloads
-    co-locate via ``pair_payload_join`` (no driver-side text lookup);
-    the exact kernel runs per pair inside map_batches."""
+    co-locate via ``pair_payload_join`` (no driver-side text lookup).
+
+    The exact kernel is fully vectorized: both payload columns' gram
+    hash SETS are built once per batch (``_gram_hash_sets``), per-pair
+    intersection sizes fall out of one lexsort + adjacent-equality
+    bincount, union = |A| + |B| - inter. Jaccard over 64-bit gram hashes
+    equals the string-set Jaccard of ``ngram_jaccard`` up to hash
+    collisions (~|grams|²/2⁶⁴ per pair — negligible; the hypothesis
+    property test compares the two directly)."""
     joined = pair_payload_join(ds, pairs, id_col, text_col, num_partitions)
 
     def score(batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for ai, bi, x, y in zip(
-            batch.column("a").to_pylist(),
-            batch.column("b").to_pylist(),
-            batch.column("val_a").to_pylist(),
-            batch.column("val_b").to_pylist(),
-        ):
-            jac = ngram_jaccard(x, y, shingle_n)
-            if jac >= threshold:
-                out_a.append(ai)
-                out_b.append(bi)
-                out_j.append(jac)
+        n = batch.num_rows
+        va = batch.column("val_a")
+        vb = batch.column("val_b")
+        null_payloads = va.null_count + vb.null_count
+        if null_payloads:
+            raise ValueError(
+                f"text column {text_col!r} contains {null_payloads} null "
+                "payload row(s) among candidate pairs; filter or impute "
+                "nulls before near-dup verification"
+            )
+        ra, ha, ca = _gram_hash_sets(va, shingle_n)
+        rb, hb, cb = _gram_hash_sets(vb, shingle_n)
+        # both sides deduped per row -> an adjacent equal (row, hash)
+        # run in the combined sort has length exactly 2 == intersection
+        r = np.concatenate([ra, rb])
+        h = np.concatenate([ha, hb])
+        order = np.lexsort((h, r))
+        r, h = r[order], h[order]
+        dup = (r[1:] == r[:-1]) & (h[1:] == h[:-1])
+        inter = np.bincount(r[1:][dup], minlength=n)
+        union = ca + cb - inter
+        # empty-gram semantics match ngram_jaccard: both sides empty
+        # (whitespace-only texts) -> 1.0; exactly one empty -> 0.0
+        both_empty = (ca == 0) & (cb == 0)
+        jac = np.where(
+            both_empty,
+            1.0,
+            inter / np.maximum(union, 1),
+        )
+        keep = jac >= threshold
         return pa.table(
             {
-                "a": pa.array(out_a, type=pa.int64()),
-                "b": pa.array(out_b, type=pa.int64()),
-                "jaccard": pa.array(out_j, type=pa.float64()),
+                "a": batch.column("a").filter(pa.array(keep)),
+                "b": batch.column("b").filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
             }
         )
 

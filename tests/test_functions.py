@@ -379,6 +379,23 @@ def test_verify_pairs_dataset_distributed(ray_session):
     assert f_dedup.verify_pairs_dataset(ds, empty).take_all() == []
 
 
+def test_verify_pairs_rejects_null_payloads(ray_session):
+    """A null text reaching a candidate pair must fail with a clear
+    message (mirrors similarity._to_matrix's null-embedding error),
+    not an opaque kernel crash."""
+    import ray.data as rd
+    import ray.exceptions
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": pa.array(["hello there", None])})
+    )
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([1], type=pa.int64()), "b": pa.array([2], type=pa.int64())})
+    )
+    with pytest.raises(Exception, match="null payload"):
+        f_dedup.verify_pairs_dataset(ds, pairs).take_all()
+
+
 def test_minhash_num_perm_over_256():
     sig = f_dedup.minhash_signatures(pa.array(["one two three four five six"]), num_perm=300)
     assert sig.shape == (1, 300)

@@ -199,7 +199,12 @@ def test_grouped_top_k_matches_reference(ray_session, rows, k):
     assert got == sorted(truth)
 
 
-words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+# includes tokens with non-RE2 whitespace (\x0b, NBSP): python
+# str.split() and arrow's unicode splitter would break them apart,
+# _re2_tokens (and the vectorized verify kernel) must keep them intact
+words = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta".split() + ["a\x0bb", "n\u00a0b", "\x0b"]
+)
 docs = st.lists(
     st.lists(words, min_size=0, max_size=8).map(" ".join),
     min_size=2,
