@@ -50,6 +50,31 @@ def _rf(v: float, nd: int) -> float:
     return math.copysign(math.floor(abs(v) * f + 0.5), v) / f
 
 
+def _lazy_norm(ds: Any, schema: pa.Schema, round_col: str | None = None, nd: int = 4) -> Any:
+    """Normalize a pair-result Dataset to a canonical schema
+    (optionally rounding one float column like the oracle), block by
+    block — never a driver loop over the pairs. The result is
+    materialized (blocks stay in the OBJECT STORE, not driver heap);
+    a 0-row outcome returns a typed empty Table because
+    ``Dataset.to_pandas()`` loses column names on any empty dataset."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        cols = {}
+        for f in schema:
+            c = pc.cast(t[f.name].combine_chunks(), f.type)
+            if f.name == round_col:
+                c = _r(c, nd)
+            cols[f.name] = c
+        return pa.table(cols, schema=schema)
+
+    out = ds.map_batches(fn, batch_format="pyarrow", batch_size=None).materialize()
+    if out.count() == 0:
+        return schema.empty_table()
+    return out
+
+
 
 # ---------------------------------------------------------------------------
 # validation-engine queries (counters checked against SQL aggregates)
@@ -919,14 +944,12 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     hamming <= 3 by pigeonhole; exact vectorized hamming verify).
     Rows-only: the simhash fingerprint is not SQL-expressible."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    out = f_dedup.simhash_near_dups(ds, max_hamming=3)
-    rows = sorted((r["a"], r["b"], r["hamming"]) for r in out.take_all())
-    return pa.table(
-        {
-            "a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "hamming": pa.array([r[2] for r in rows], type=pa.int64()),
-        }
+    # returned lazily (like q_dedup_exact_documents): the comparator
+    # canonicalizes order, and a driver-side sort of what is an
+    # O(corpus) pair set at crawl scale is the wrong pattern
+    return _lazy_norm(
+        f_dedup.simhash_near_dups(ds, max_hamming=3),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]),
     )
 
 
@@ -945,15 +968,12 @@ def q_minhash_pairs(sf_dir: str) -> pa.Table:
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     pairs_ds = f_dedup.minhash_candidate_pairs(ds, num_perm=128, bands=32)
     verified = f_dedup.verify_pairs_dataset(ds, pairs_ds, threshold=0.8)
-    rows = sorted(
-        (r["a"], r["b"], _rf(r["jaccard"], 4)) for r in verified.take_all()
-    )
-    return pa.table(
-        {
-            "a": pa.array([v[0] for v in rows], type=pa.int64()),
-            "b": pa.array([v[1] for v in rows], type=pa.int64()),
-            "jaccard": pa.array([v[2] for v in rows], type=pa.float64()),
-        }
+    # lazy result; oracle rounding (half-away like DuckDB ROUND) is a
+    # vectorized per-batch kernel, never a driver loop
+    return _lazy_norm(
+        verified,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
+        round_col="jaccard",
     )
 
 
@@ -998,15 +1018,10 @@ def q_embedding_near_dups(sf_dir: str) -> pa.Table:
     side exactly; recall is covered by planted-pair pytests."""
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = f_dedup.embedding_near_dups(ds, threshold=0.95)
-    rows = sorted(
-        ((r["a"], r["b"], _rf(r["cosine"], 4)) for r in out.take_all())
-    )
-    return pa.table(
-        {
-            "a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
-        }
+    return _lazy_norm(
+        out,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]),
+        round_col="cosine",
     )
 
 
