@@ -497,7 +497,7 @@ def pair_payload_join(
     pairs: Any,
     id_col: str,
     val_col: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     broadcast_id_limit: int = 32_000_000,
 ) -> Any:
     """Attach each candidate pair's two payloads -> Dataset[a, b, val_a,
@@ -558,6 +558,10 @@ def pair_payload_join(
             chunks.append(b.column("a").combine_chunks())
             chunks.append(b.column("b").combine_chunks())
         id_ref = ray.put(pc.unique(pa.concat_arrays(chunks)))
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
     P = np.int64(num_partitions)
 
     union_schema = pa.schema(
@@ -700,7 +704,7 @@ def verify_pairs_dataset(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_n: int = 3,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> Any:
     """Distributed candidate-pair verification -> Dataset[a, b, jaccard]
     (pairs whose exact word-n-gram Jaccard >= threshold). Pair payloads
@@ -1033,7 +1037,7 @@ def simhash_near_dups(
     bands: int = 4,
     max_bucket: int = 1000,
     max_collision_keys: int = 10_000_000,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> Any:
     """SimHash near-duplicate pairs -> Dataset[a, b, hamming] (pairs
     whose 64-bit SimHash fingerprints differ in <= ``max_hamming``
@@ -1141,7 +1145,7 @@ def embedding_near_dups(
     seed: int = 9,
     max_bucket: int = 1000,
     max_collision_keys: int = 10_000_000,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> Any:
     """Near-duplicate pairs on an embedding column -> Dataset[a, b,
     cosine] (exact cosine >= threshold).

@@ -48,20 +48,33 @@ def _unit(m: np.ndarray) -> np.ndarray:
 
 
 class BatchTopK:
-    """Actor-pool batch scorer: broadcast query matrix loaded once per
-    actor in __init__, one matmul per batch, local top-k out."""
+    """Batch scorer: broadcast query matrix resolved LAZILY on the first
+    batch — the pickled callable (task spec / actor constructor args)
+    carries only the ObjectRef, so the matrix travels through the object
+    store exactly once per worker regardless of task count (round-2
+    advice: resolving in ``__init__`` on the driver pickled the full
+    matrix into every stateless task spec)."""
 
     def __init__(self, queries_ref: Any, k: int, id_col: str, vec_col: str) -> None:
-        import ray
-
-        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.q_ids = q["ids"]
-        self.q_unit = _unit(q["vecs"])
+        self._ref = queries_ref
+        self.q_ids: np.ndarray | None = None
+        self.q_unit: np.ndarray | None = None
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
+    def _resolve(self) -> None:
+        if self.q_ids is None:
+            import ray
+
+            q = self._ref
+            if not isinstance(q, dict):
+                q = ray.get(q)
+            self.q_ids = np.asarray(q["ids"])
+            self.q_unit = _unit(np.asarray(q["vecs"], dtype=np.float64))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._resolve()
         vecs = _to_matrix(batch.column(self.vec_col))
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         if vecs.size == 0:
@@ -74,13 +87,10 @@ class BatchTopK:
             )
         sims = self.q_unit @ _unit(vecs).T  # (q, n)
         k = min(self.k + 1, sims.shape[1])  # +1 headroom for self-match
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_n, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            cols = part[qi]
-            out_q.extend([int(self.q_ids[qi])] * len(cols))
-            out_n.extend(ids[cols].tolist())
-            out_s.extend(sims[qi, cols].tolist())
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # (q, k)
+        out_q = np.repeat(self.q_ids.astype(np.int64), part.shape[1])
+        out_n = ids[part.ravel()].astype(np.int64)
+        out_s = np.take_along_axis(sims, part, axis=1).ravel()
         return pa.table(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
@@ -88,6 +98,12 @@ class BatchTopK:
                 "cosine": pa.array(out_s, type=pa.float64()),
             }
         )
+
+
+#: Above this many queries the driver heap-merge (a Python loop over
+#: #blocks x #queries x k partial rows) loses to a distributed
+#: grouped-top-k exchange over the tiny partials.
+_DISTRIBUTED_FINALIZE_QUERIES = 1024
 
 
 def topk_cosine(
@@ -99,10 +115,18 @@ def topk_cosine(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     concurrency: int | None = None,
+    finalize: str = "auto",
 ) -> pa.Table:
     """Global cosine top-k: broadcast queries, per-batch local top-k,
-    driver heap-merge of the partials. Ties break on neighbor id
-    ascending (deterministic, oracle-matchable)."""
+    then merge the partials. Ties break on neighbor id ascending
+    (deterministic, oracle-matchable).
+
+    ``finalize``: ``"driver"`` heap-merges partial rows on the driver
+    (fastest for few queries — partials are #blocks x #queries x k tiny
+    rows); ``"distributed"`` runs ``stages.topk.grouped_top_k`` over
+    ``(query_id, cosine)`` so the merge itself scales with query count;
+    ``"auto"`` picks distributed at ≥1024 queries. Both paths share the
+    exact ordering contract (cosine desc, neighbor_id asc)."""
     import ray
 
     ref = ray.put({"ids": np.asarray(query_ids), "vecs": np.asarray(query_vecs, dtype=np.float64)})
@@ -124,6 +148,40 @@ def topk_cosine(
             batch_format="pyarrow",
             batch_size=None,
         )
+    if finalize == "distributed" or (
+        finalize == "auto" and len(query_ids) >= _DISTRIBUTED_FINALIZE_QUERIES
+    ):
+        from patito_ray.stages.topk import grouped_top_k
+
+        flt = partials
+        if exclude_self:
+            flt = flt.map_batches(
+                lambda t: t.filter(
+                    pc.not_equal(t.column("neighbor_id"), t.column("query_id"))
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        topk_ds = grouped_top_k(
+            flt, group="query_id", value="cosine", k=k, tie="neighbor_id"
+        )
+        tables = [
+            t.select(["query_id", "neighbor_id", "cosine", "rank"])
+            for t in topk_ds.iter_batches(batch_format="pyarrow")
+            if t.num_rows
+        ]
+        if not tables:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        out = pa.concat_tables(tables)
+        return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
     heaps: dict[int, list[tuple[float, int]]] = {int(q): [] for q in query_ids}
     for b in partials.iter_batches(batch_format="pyarrow"):
         for row in b.to_pylist():
@@ -185,6 +243,11 @@ def ivf_build(
         m = _to_matrix(b.column(vec_col))
         if m.size:
             sample_rows.append(m)
+    if not sample_rows:
+        raise ValueError(
+            "cannot build an IVF index over an empty dataset (the sample "
+            f"yielded no '{vec_col}' rows); check the input and vec_col"
+        )
     sample = _unit(np.concatenate(sample_rows))
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(sample))

@@ -82,20 +82,60 @@ def hash_join(
     )
 
 
+def default_num_partitions() -> int:
+    """~4x cluster CPUs (the read path's granularity rule, CLAUDE.md):
+    partition count tracks cluster size instead of a constant, so the
+    same pipeline neither starves a big cluster nor drowns a small one
+    in per-task overhead."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    return max(8, 4 * cpus)
+
+
+def _partition_key_class(typ: pa.DataType) -> str:
+    """Which partition-hash family a by-key type uses. Int-like types
+    mix through the canonical int64 view (so int32-vs-int64 sides
+    co-partition); string/binary use the vectorized Rust hash. Anything
+    else (floats, lists, structs) is rejected up front with a clear
+    error instead of an obscure numpy cast failure deep inside a Ray
+    task (round-2 advice)."""
+    if pa.types.is_integer(typ) or pa.types.is_temporal(typ) or pa.types.is_boolean(typ):
+        return "int"
+    if (
+        pa.types.is_string(typ)
+        or pa.types.is_large_string(typ)
+        or pa.types.is_binary(typ)
+        or pa.types.is_large_binary(typ)
+    ):
+        return "str"
+    raise TypeError(
+        f"unsupported co-partition key type {typ}: use an integer, "
+        "temporal, boolean, string or binary key (float keys compare "
+        "unreliably; derive an int64 key instead)"
+    )
+
+
 def copartition_apply(
     left: Any,
     right: Any,
     by: str,
     right_by: str,
     part_fn: Any,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> Any:
     """Co-partition two Datasets on ``hash(by) % P`` through ONE
     tagged-union exchange and run ``part_fn(left_table, right_table)``
     once per partition — the spine of every custom two-sided operator
     here (as-of join, range join, pair-payload verify). Ray's native
     join operator is avoided: it breaks on empty blocks. P Python calls
-    total, each vectorized inside; column names must be disjoint."""
+    total, each vectorized inside; column names must be disjoint.
+
+    ``num_partitions`` defaults to ~4x cluster CPUs (like the read
+    path) so partition granularity tracks cluster size instead of a
+    fixed 32."""
     import numpy as np
 
     l_schema = left.schema()
@@ -118,18 +158,38 @@ def copartition_apply(
         + list(zip(l_names, l_types))
         + list(zip(r_names, r_types))
     )
+    l_key_class = _partition_key_class(l_schema.types[l_names.index(by)])
+    r_key_class = _partition_key_class(r_schema.types[r_names.index(right_by)])
+    if l_key_class != r_key_class:
+        raise TypeError(
+            f"co-partition key classes differ: {by!r} is {l_key_class}, "
+            f"{right_by!r} is {r_key_class} — equal values would land in "
+            "different partitions"
+        )
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
     P = num_partitions
 
-    def _part_of(keys: Any) -> pa.Array:
-        h = keys.astype(np.int64).view(np.uint64)
-        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    def _part_of(col: Any, key_class: str) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if key_class == "int":
+            keys = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+            h = keys.astype(np.int64).view(np.uint64)
+            h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        else:
+            from patito_ray.state.sketches import hash64
+
+            # canonical bytes: string/large_string/binary sides of the
+            # same value must land in the same partition
+            h = hash64(pc.cast(col, pa.large_binary()))
         return pa.array((h % np.uint64(P)).view(np.int64), type=pa.int64())
 
-    def _tag(side: int, key_col: str, names: list[str]):
+    def _tag(side: int, key_col: str, names: list[str], key_class: str):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
             cols: dict[str, Any] = {
-                "part": _part_of(t.column(key_col).to_numpy(zero_copy_only=False)),
+                "part": _part_of(t.column(key_col), key_class),
                 "side": pa.array(np.full(n, side, np.int8), type=pa.int8()),
             }
             for f in union_schema:
@@ -144,10 +204,12 @@ def copartition_apply(
         return fn
 
     tagged = left.map_batches(
-        _tag(0, by, l_names), batch_format="pyarrow", batch_size=None
+        _tag(0, by, l_names, l_key_class), batch_format="pyarrow", batch_size=None
     ).union(
         right.map_batches(
-            _tag(1, right_by, r_names), batch_format="pyarrow", batch_size=None
+            _tag(1, right_by, r_names, r_key_class),
+            batch_format="pyarrow",
+            batch_size=None,
         )
     )
 
@@ -170,7 +232,7 @@ def asof_join(
     by: str | None = None,
     right_by: str | None = None,
     direction: str = "backward",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> Any:
     """Distributed as-of join: for each left row, the closest right row
     at-or-before (``backward``) / at-or-after (``forward``) its ``on``
@@ -231,7 +293,7 @@ def range_join(
     right_hi: str,
     by: str | None = None,
     right_by: str | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> Any:
     """Distributed range (interval) join: every (left, right) pair with
     the same ``by`` key where ``right_lo <= left.on < right_hi``

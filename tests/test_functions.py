@@ -158,6 +158,40 @@ def test_topk_cosine_matches_bruteforce(ray_session):
         assert mine == expect
 
 
+def test_topk_cosine_distributed_finalize_parity(ray_session):
+    """The grouped-top-k finalize (auto at >=1024 queries; forced here)
+    must emit exactly the driver heap-merge's rows, ranks and order."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 16))
+    t = pa.table(
+        {"vec_id": list(range(300)), "embedding": [v.tolist() for v in vecs]}
+    )
+    ds = rd.from_arrow(t)
+    qids = np.arange(20)
+    driver = f_sim.topk_cosine(ds, qids, vecs[:20], k=4, finalize="driver")
+    dist = f_sim.topk_cosine(ds, qids, vecs[:20], k=4, finalize="distributed")
+    assert driver.column("query_id").to_pylist() == dist.column("query_id").to_pylist()
+    assert driver.column("neighbor_id").to_pylist() == dist.column("neighbor_id").to_pylist()
+    assert driver.column("rank").to_pylist() == dist.column("rank").to_pylist()
+    np.testing.assert_allclose(
+        driver.column("cosine").to_numpy(), dist.column("cosine").to_numpy()
+    )
+
+
+def test_ivf_build_empty_raises(ray_session):
+    import ray.data as rd
+
+    empty = rd.from_arrow(
+        pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))]
+        ).empty_table()
+    )
+    with pytest.raises(ValueError, match="empty"):
+        f_sim.ivf_build(empty, n_centroids=4)
+
+
 def test_topk_lsh_recall(ray_session):
     import ray.data as rd
 

@@ -250,3 +250,82 @@ def test_verify_pairs_dataset_matches_bruteforce(ray_session, texts, threshold):
         if ngram_jaccard(texts[a], texts[b]) >= threshold
     }
     assert got == want
+
+
+def test_copartition_string_keys(ray_session):
+    """String by-keys co-partition through the canonical-bytes Rust
+    hash: an inner join per partition must equal the global join."""
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.join import copartition_apply
+
+    lt = pa.table(
+        {
+            "dom": pa.array([f"site-{i % 7}.org" for i in range(40)]),
+            "lval": pa.array(range(40), pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "rdom": pa.array([f"site-{i}.org" for i in range(7)]),
+            "rval": pa.array(range(7), pa.int64()),
+        }
+    )
+
+    def part_join(l, r):
+        return (
+            pl.from_arrow(l)
+            .join(pl.from_arrow(r), left_on="dom", right_on="rdom", how="inner")
+            .to_arrow()
+        )
+
+    out = copartition_apply(
+        rd.from_arrow(lt).repartition(3),
+        rd.from_arrow(rt),
+        by="dom",
+        right_by="rdom",
+        part_fn=part_join,
+        num_partitions=5,
+    )
+    got = sorted(
+        (r["dom"], r["lval"], r["rval"]) for r in out.take_all()
+    )
+    want = sorted(
+        (f"site-{i % 7}.org", i, i % 7) for i in range(40)
+    )
+    assert got == want
+
+
+def test_copartition_rejects_float_keys(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.join import copartition_apply
+
+    lt = pa.table({"fk": pa.array([1.0, 2.0]), "x": pa.array([1, 2], pa.int64())})
+    rt = pa.table({"rfk": pa.array([1.0]), "y": pa.array([9], pa.int64())})
+    with pytest.raises(TypeError, match="key type"):
+        copartition_apply(
+            rd.from_arrow(lt),
+            rd.from_arrow(rt),
+            by="fk",
+            right_by="rfk",
+            part_fn=lambda l, r: l,
+        )
+
+
+def test_copartition_rejects_mismatched_key_classes(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.join import copartition_apply
+
+    lt = pa.table({"k": pa.array(["a"]), "x": pa.array([1], pa.int64())})
+    rt = pa.table({"rk": pa.array([1], pa.int64()), "y": pa.array([9], pa.int64())})
+    with pytest.raises(TypeError, match="classes differ"):
+        copartition_apply(
+            rd.from_arrow(lt),
+            rd.from_arrow(rt),
+            by="k",
+            right_by="rk",
+            part_fn=lambda l, r: l,
+        )
