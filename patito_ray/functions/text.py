@@ -37,6 +37,11 @@ STOPWORDS: dict[str, set[str]] = {
 }
 
 
+#: hoisted once (round-2 review: quality_counts_batch rebuilt this
+#: value-set per batch)
+_EN_STOP_ARRAY = pa.array(sorted(STOPWORDS["en"]))
+
+
 def token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Whitespace token count per document (count of ``\\S+`` matches)."""
     n = pc.count_substring_regex(text, pattern=r"\S+")
@@ -82,22 +87,197 @@ def _tokens(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray, int
     return flat, parents, len(text)
 
 
-class LangId:
-    """N-gram-free stopword-profile language identification.
+def _char_ngram_buckets(
+    text: pa.ChunkedArray | pa.Array, n: int, n_buckets: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Hashed byte-``n``-gram features per row, fully vectorized over
+    the Arrow string buffer: (row_idx, bucket_idx, n_rows). Lowercased;
+    nulls count as empty. Grams never cross document boundaries."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    arr = pc.cast(pc.fill_null(pc.utf8_lower(text), ""), pa.large_string())
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n_rows = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n_rows + 1
+    ].copy()
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+        offsets[0] : offsets[-1]
+    ]
+    offsets -= offsets[0]
+    if len(data) < n:
+        return np.empty(0, np.int64), np.empty(0, np.int64), n_rows
+    starts = np.arange(len(data) - n + 1, dtype=np.int64)
+    rows = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + n <= offsets[rows + 1]
+    starts, rows = starts[valid], rows[valid]
+    g = data[starts].astype(np.uint64)
+    for j in range(1, n):
+        g = (g << np.uint64(8)) | data[starts + j]
+    # splitmix64 finalizer spreads the 8n-bit gram id over the buckets
+    g = (g ^ (g >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    g = (g ^ (g >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    g ^= g >> np.uint64(31)
+    buckets = (g % np.uint64(n_buckets)).astype(np.int64)
+    return rows, buckets, n_rows
 
-    Per batch: flatten tokens once, test membership against each
-    language's stopword set (one vectorized ``is_in`` per language),
-    scatter-add hits per row, argmax. Emits ``lang_pred`` plus the
-    winning hit ratio as ``lang_confidence``.
+
+class NgramLangModel:
+    """Hashed byte-n-gram multinomial Naive Bayes language profile
+    (Cavnar & Trenkle 1994 n-gram categorization + standard NB; public
+    techniques). State is tiny (#langs x n_buckets float32, <1 MB) and
+    the training counts are a commutative monoid, so the model trains
+    with per-batch partials merged by '+' — the same tree-merge shape
+    as every other sketch here."""
+
+    __slots__ = ("langs", "n", "n_buckets", "log_prob", "log_prior")
+
+    def __init__(
+        self,
+        langs: list[str],
+        counts: np.ndarray,
+        doc_counts: np.ndarray,
+        n: int,
+        n_buckets: int,
+        alpha: float = 1.0,
+    ) -> None:
+        self.langs = langs
+        self.n = n
+        self.n_buckets = n_buckets
+        smoothed = counts.astype(np.float64) + alpha
+        self.log_prob = np.log(
+            smoothed / smoothed.sum(axis=1, keepdims=True)
+        ).astype(np.float32)
+        total_docs = max(1, int(doc_counts.sum()))
+        self.log_prior = np.log(
+            np.maximum(doc_counts, 1e-9) / total_docs
+        ).astype(np.float32)
+
+
+def train_lang_ngram_model(
+    data: Any,
+    labels: Any = None,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+    n_buckets: int = 1 << 15,
+    alpha: float = 1.0,
+) -> NgramLangModel:
+    """Train an :class:`NgramLangModel` from labeled text.
+
+    ``data`` is either a list of texts (with ``labels`` the parallel
+    language list) or a Ray Dataset with ``text_col``/``lang_col`` —
+    the Dataset path streams per-batch (lang x bucket) count partials
+    (dense, <2 MB) and merges them by summation on the driver, so the
+    corpus is never materialized.
+    """
+    import pickle
+
+    lang_ids: dict[str, int] = {}
+    count_blocks: list[tuple[list[str], np.ndarray, np.ndarray]] = []
+
+    def count_table(t: pa.Table) -> tuple[list[str], np.ndarray, np.ndarray]:
+        langs_col = t.column(lang_col)
+        if isinstance(langs_col, pa.ChunkedArray):
+            langs_col = langs_col.combine_chunks()
+        uniq = [v for v in pc.unique(langs_col).to_pylist() if v is not None]
+        order = {v: i for i, v in enumerate(uniq)}
+        lang_idx = np.array(
+            [order.get(v, -1) for v in langs_col.to_pylist()], dtype=np.int64
+        )
+        rows, buckets, n_rows = _char_ngram_buckets(
+            t.column(text_col), n, n_buckets
+        )
+        counts = np.zeros((len(uniq), n_buckets), dtype=np.int64)
+        keep = lang_idx[rows] >= 0
+        np.add.at(counts, (lang_idx[rows[keep]], buckets[keep]), 1)
+        docs = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(docs, lang_idx[lang_idx >= 0], 1)
+        return uniq, counts, docs
+
+    if labels is not None:
+        t = pa.table({text_col: pa.array(list(data)), lang_col: pa.array(list(labels))})
+        count_blocks.append(count_table(t))
+    else:
+
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table({"blob": [pickle.dumps(count_table(t))]})
+
+        for b in data.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            for blob in b.column("blob").to_pylist():
+                count_blocks.append(pickle.loads(blob))
+
+    for uniq, _c, _d in count_blocks:
+        for lang in uniq:
+            lang_ids.setdefault(lang, len(lang_ids))
+    # alphabetical: model identity must not depend on block arrival order
+    langs = sorted(lang_ids)
+    lang_ids = {lang: i for i, lang in enumerate(langs)}
+    counts = np.zeros((len(langs), n_buckets), dtype=np.int64)
+    docs = np.zeros(len(langs), dtype=np.int64)
+    for uniq, c, d in count_blocks:
+        for i, lang in enumerate(uniq):
+            counts[lang_ids[lang]] += c[i]
+            docs[lang_ids[lang]] += d[i]
+    return NgramLangModel(langs, counts, docs, n, n_buckets, alpha)
+
+
+class LangId:
+    """Language identification: stopword-profile scoring by default, or
+    multinomial n-gram Naive Bayes when a trained ``model``
+    (:func:`train_lang_ngram_model`) is supplied.
+
+    Stopword path, per batch: flatten tokens once, test membership
+    against each language's stopword set (one vectorized ``is_in`` per
+    language), scatter-add hits per row, argmax. NB path: hashed byte
+    trigram features, one ``bincount`` per language. Both emit
+    ``lang_pred`` plus ``lang_confidence``.
     """
 
-    def __init__(self, languages: list[str] | None = None) -> None:
+    def __init__(
+        self,
+        languages: list[str] | None = None,
+        model: NgramLangModel | None = None,
+    ) -> None:
+        self.model = model
         self.languages = languages or list(STOPWORDS)
         self.value_sets = {
             lang: pa.array(sorted(STOPWORDS[lang])) for lang in self.languages
         }
 
+    def _call_ngram(self, batch: pa.Table) -> pa.Table:
+        m = self.model
+        rows, buckets, n_rows = _char_ngram_buckets(
+            batch.column("text"), m.n, m.n_buckets
+        )
+        scores = np.tile(
+            m.log_prior.astype(np.float64)[:, None], (1, n_rows)
+        )
+        for li in range(len(m.langs)):
+            scores[li] += np.bincount(
+                rows,
+                weights=m.log_prob[li][buckets].astype(np.float64),
+                minlength=n_rows,
+            )
+        best = scores.argmax(axis=0)
+        # posterior of the winning language (softmax, numerically stable)
+        shifted = scores - scores.max(axis=0, keepdims=True)
+        post = np.exp(shifted)
+        conf = post[best, np.arange(n_rows)] / post.sum(axis=0)
+        n_grams = np.bincount(rows, minlength=n_rows)
+        pred = np.array(m.langs, dtype=object)[best]
+        pred[n_grams == 0] = None
+        conf = np.where(n_grams == 0, 0.0, conf)
+        return batch.append_column(
+            "lang_pred", pa.array(pred.tolist(), type=pa.string())
+        ).append_column("lang_confidence", pa.array(conf, type=pa.float64()))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.model is not None:
+            return self._call_ngram(batch)
         flat, parents, n_rows = _tokens(batch.column("text"))
         n_tokens = np.zeros(n_rows, dtype=np.int64)
         np.add.at(n_tokens, parents, 1)
@@ -121,7 +301,7 @@ class QualityScore:
     stopword-density / mean-word-length features combined into [0,1])."""
 
     def __init__(self) -> None:
-        self.en_stop = pa.array(sorted(STOPWORDS["en"]))
+        self.en_stop = _EN_STOP_ARRAY
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -183,9 +363,7 @@ def quality_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_tokens = np.zeros(n_rows, dtype=np.int64)
     np.add.at(n_tokens, parents, 1)
     stop_hits = np.zeros(n_rows, dtype=np.int64)
-    hits = pc.is_in(flat, value_set=pa.array(sorted(STOPWORDS["en"]))).to_numpy(
-        zero_copy_only=False
-    )
+    hits = pc.is_in(flat, value_set=_EN_STOP_ARRAY).to_numpy(zero_copy_only=False)
     np.add.at(stop_hits, parents, hits.astype(np.int64))
     out = batch
     out = out.append_column("n_chars", n_chars)
@@ -281,9 +459,17 @@ def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", token_count_array(batch.column(text_col)))
 
 
-def lang_id_dataset(ds: Any, concurrency: int = 4) -> Any:
+def lang_id_dataset(
+    ds: Any, concurrency: int = 4, model: NgramLangModel | None = None
+) -> Any:
+    """Actor-pool language-ID stage; pass a trained ``model`` to use
+    the n-gram Naive-Bayes kernel (built once per actor in __init__)."""
     return ds.map_batches(
-        LangId, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+        LangId,
+        fn_constructor_kwargs={"model": model},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
     )
 
 

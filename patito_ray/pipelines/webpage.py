@@ -38,19 +38,20 @@ class WebPage(pr.Model):
 
 
 def extract_text_from_html(html: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Vectorized text extraction from the html payload.
+    """Text extraction from the html payload.
 
-    The synthetic corpus wraps text as ``<html><body>TEXT</body></html>``;
-    extraction strips the wrapper with Arrow kernels (cast utf8 +
-    regex replace). A real-world HTML parser would be an actor-pool
-    stage (lxml per actor); the invariant-check plumbing is identical.
-    """
-    if isinstance(html, pa.ChunkedArray):
-        html = html.combine_chunks()
-    s = pc.cast(html, pa.string())
-    s = pc.replace_substring_regex(s, pattern=r"^<html><body>", replacement="")
-    s = pc.replace_substring_regex(s, pattern=r"</body></html>$", replacement="")
-    return s
+    Two-tier (functions/htmltext.py): rows shaped like the plain
+    synthetic wrapper ``<html><body>TEXT</body></html>`` (no nested
+    tags/entities) strip the wrapper with vectorized Arrow kernels and
+    return the inner text BYTE-EXACT (the flagship invariant's
+    contract); rows with real markup go through the stdlib
+    ``html.parser`` extractor (entities decoded, script/style dropped,
+    whitespace collapsed). On the synthetic corpus the parser never
+    runs; on a real crawl use ``htmltext.extract_text_stage`` to run
+    the same kernel as an actor-pool stage."""
+    from patito_ray.functions.htmltext import ExtractHtmlText
+
+    return ExtractHtmlText().extract_array(html)
 
 
 def text_invariant_counts(batch: pa.Table) -> dict[str, int]:

@@ -230,6 +230,53 @@ def test_lang_id():
     assert out.column("lang_pred").to_pylist() == ["en", "de", "fr"]
 
 
+def _multilingual_corpus(reps: int):
+    """Deterministic labeled sentences assembled from the public
+    stopword profiles (rotated so every rep differs)."""
+    texts, labels = [], []
+    for lang, words in sorted(f_text.STOPWORDS.items()):
+        ws = sorted(words)
+        for r in range(reps):
+            rot = ws[r % len(ws) :] + ws[: r % len(ws)]
+            texts.append(" ".join(rot[: 12 + (r % 5)]))
+            labels.append(lang)
+    return texts, labels
+
+
+def test_ngram_langid_trains_and_predicts():
+    """The NB kernel learns the language profiles from labeled text and
+    classifies held-out sentences; confidence is a proper posterior."""
+    train_x, train_y = _multilingual_corpus(reps=8)
+    model = f_text.train_lang_ngram_model(train_x, train_y)
+    test_x, test_y = _multilingual_corpus(reps=11)
+    test_x, test_y = test_x[10::11], test_y[10::11]  # held-out rotations
+    out = f_text.LangId(model=model)(pa.table({"text": test_x}))
+    pred = out.column("lang_pred").to_pylist()
+    acc = sum(p == y for p, y in zip(pred, test_y)) / len(test_y)
+    assert acc >= 0.8, (pred, test_y)
+    conf = out.column("lang_confidence").to_pylist()
+    assert all(0.0 <= c <= 1.0 for c in conf)
+    # empty document -> no prediction
+    out2 = f_text.LangId(model=model)(pa.table({"text": ["", None]}))
+    assert out2.column("lang_pred").to_pylist() == [None, None]
+
+
+def test_ngram_langid_dataset_training_matches_local(ray_session):
+    """The Dataset training path (streamed mergeable count partials)
+    produces the same model as local training on the same rows."""
+    import ray.data as rd
+
+    train_x, train_y = _multilingual_corpus(reps=6)
+    local = f_text.train_lang_ngram_model(train_x, train_y)
+    ds = rd.from_arrow(
+        pa.table({"text": train_x, "lang": train_y})
+    ).repartition(4)
+    dist = f_text.train_lang_ngram_model(ds)
+    assert local.langs == dist.langs
+    np.testing.assert_allclose(local.log_prob, dist.log_prob)
+    np.testing.assert_allclose(local.log_prior, dist.log_prior)
+
+
 def test_quality_score_ranks_sanely():
     good = "the quick brown fox jumps over the lazy dog and runs away to the forest"
     bad = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"

@@ -120,3 +120,74 @@ def test_extreme_hot_key_duplicates(ray_session):
     expected = local_duplicate_count(t2.column("url"))
     assert duplicate_count_distributed(ds, "url") == expected
     assert expected >= n // 2
+
+
+def test_extract_real_html():
+    """Nested/entity-laden HTML goes through the stdlib parser path:
+    entities decode, script/style/noscript drop, whitespace collapses."""
+    from patito_ray.functions.htmltext import extract_html_text
+
+    doc = (
+        "<html><head><title>T&amp;Co</title>"
+        "<style>body { color: red; }</style></head>"
+        "<body><h1>Hello &amp; welcome</h1>\n"
+        "<script>var x = '<p>not text</p>';</script>"
+        "<div><p>nested <b>bold</b> text</p>\n\n  spaced</div>"
+        "<noscript>skip me</noscript>"
+        "&#x27;quoted&#x27;</body></html>"
+    )
+    assert (
+        extract_html_text(doc)
+        == "T&Co Hello & welcome nested bold text spaced 'quoted'"
+    )
+    assert extract_html_text(None) is None
+    assert extract_html_text(b"<p>from bytes</p>") == "from bytes"
+
+
+def test_extract_mixed_batch_routes_correctly():
+    """One batch mixing wrapper rows (vectorized byte-exact path) and
+    real-markup rows (parser path), plus a null."""
+    from patito_ray.pipelines.webpage import extract_text_from_html
+
+    html = pa.array(
+        [
+            b"<html><body>plain  inner text</body></html>",  # fast: verbatim
+            b"<html><body>has <b>tags</b> inside</body></html>",  # parser
+            None,
+            b"<html><body>a &amp; b</body></html>",  # entity -> parser
+        ],
+        type=pa.binary(),
+    )
+    out = extract_text_from_html(html).to_pylist()
+    assert out[0] == "plain  inner text"  # byte-exact, double space kept
+    assert out[1] == "has tags inside"
+    assert out[2] is None
+    assert out[3] == "a & b"
+
+
+def test_extract_text_stage_dataset(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.htmltext import extract_text_stage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "html": pa.array(
+                [
+                    b"<html><body>wrapped</body></html>",
+                    b"<div>real <i>markup</i>&nbsp;here</div>",
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = extract_text_stage(rd.from_arrow(t)).take_all()
+    got = {r["doc_id"]: r["extracted_text"] for r in out}
+    assert got[1] == "wrapped"
+    # NBSP survives (it is not ASCII whitespace); tag-boundary chunks
+    # join with one ASCII space
+    assert got[2] == "real markup \xa0here"
+    # actor-pool form produces the same rows
+    out2 = extract_text_stage(rd.from_arrow(t), concurrency=2).take_all()
+    assert {r["doc_id"]: r["extracted_text"] for r in out2} == got
