@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Any, Union
 
+from .reprs import Representation
+
 Loc = tuple[Union[int, str], ...]
 
 
@@ -65,7 +67,7 @@ def _exc_type_string(cls: type[Exception]) -> str:
     return f"{base}.{code}"
 
 
-class ErrorWrapper:
+class ErrorWrapper(Representation):
     """An exception tagged with the column location it applies to."""
 
     __slots__ = ("exc", "_loc")
@@ -79,6 +81,9 @@ class ErrorWrapper:
             return self._loc
         return (self._loc,)
 
+    def __repr_args__(self) -> list[tuple[Union[str, None], Any]]:
+        return [("exc", self.exc), ("loc", self.loc_tuple())]
+
     def as_dict(self) -> dict[str, Any]:
         d: dict[str, Any] = {
             "loc": self.loc_tuple(),
@@ -90,19 +95,23 @@ class ErrorWrapper:
             d["ctx"] = ctx
         return d
 
-    def __repr__(self) -> str:
-        return f"ErrorWrapper(exc={self.exc!r}, loc={self.loc_tuple()!r})"
+def _display_type_and_ctx(e: dict[str, Any]) -> str:
+    t = "type=" + e["type"]
+    ctx = e.get("ctx")
+    if ctx:
+        return t + "".join(f"; {k}={v}" for k, v in ctx.items())
+    return t
 
 
 def display_errors(errors: list[dict[str, Any]]) -> str:
     lines = []
     for e in errors:
         loc = " -> ".join(str(part) for part in e["loc"])
-        lines.append(f"{loc}\n  {e['msg']} (type={e['type']})")
+        lines.append(f"{loc}\n  {e['msg']} ({_display_type_and_ctx(e)})")
     return "\n".join(lines)
 
 
-class DataFrameValidationError(ValueError):
+class DataFrameValidationError(Representation, ValueError):
     """Aggregate of all validation failures for one table vs one model."""
 
     def __init__(self, errors: list[ErrorWrapper], model: Any) -> None:
@@ -123,3 +132,7 @@ class DataFrameValidationError(ValueError):
             f"{n} validation error{'' if n == 1 else 's'} for {name}\n"
             f"{display_errors(errs)}"
         )
+
+    def __repr_args__(self) -> list[tuple[Union[str, None], Any]]:
+        name = getattr(self.model, "__name__", str(self.model))
+        return [("model", name), ("errors", self.errors())]

@@ -23,6 +23,7 @@ from patito_ray import dtypes as _dt
 from patito_ray.exceptions import MultipleRowsReturned, RowDoesNotExist
 from patito_ray.exprs import Expr
 from patito_ray.fields import _MISSING, ColumnSpec, Field, FieldInfo, TableSpec
+from patito_ray.reprs import display_as_type
 
 __all__ = ["Model", "Field"]
 
@@ -57,8 +58,8 @@ def _compile_column(name: str, annotation: Any, info: FieldInfo | None) -> Colum
     default_dtype = info.dtype if dtype_forced else resolved.default
     if default_dtype is None and not dtype_forced:
         raise TypeError(
-            f"field {name!r}: annotation {annotation!r} has no default dtype; "
-            "pass Field(dtype=...)"
+            f"field {name!r}: annotation {display_as_type(annotation)} has no "
+            "default dtype; pass Field(dtype=...)"
         )
     if dtype_forced and not _dt.valid_dtype(resolved.category, resolved, info.dtype):
         # compile-time guard rail mirroring the reference's
@@ -67,7 +68,7 @@ def _compile_column(name: str, annotation: Any, info: FieldInfo | None) -> Colum
         # model bug, caught eagerly instead of at first validate()
         raise TypeError(
             f"field {name!r}: Field(dtype={info.dtype}) is not a valid dtype "
-            f"for annotation {annotation!r}"
+            f"for annotation {display_as_type(annotation)}"
         )
 
     has_default = info.default is not _MISSING

@@ -601,3 +601,40 @@ def test_bound_frame_read_csv_parquet(ray_session, tmp_path):
     frame = Prod.DataFrame.read_parquet(str(pq_path))
     t = frame.as_table()
     assert t.column_names == ["product_id", "name"]  # projection pushdown
+
+
+def test_pydantic_style_reprs():
+    """Representation mixin parity (reference _pydantic/repr.py:46-131):
+    ErrorWrapper / DataFrameValidationError repr, __pretty__, __rich_repr__,
+    and display_as_type annotation rendering."""
+    from patito_ray.exceptions import DataFrameValidationError, ErrorWrapper
+    from patito_ray.reprs import display_as_type
+
+    class M(pr.Model):
+        a: int
+
+    w = ErrorWrapper(ValueError("bad"), loc="a")
+    assert repr(w) == "ErrorWrapper(exc=ValueError('bad'), loc=('a',))"
+    assert str(w) == "exc=ValueError('bad') loc=('a',)"
+    assert list(w.__rich_repr__()) == [("exc", w.exc), ("loc", ("a",))]
+    pretty = list(w.__pretty__(lambda v: v))
+    assert pretty[0] == "ErrorWrapper(" and pretty[-1] == ")"
+    assert "exc=" in pretty and "loc=" in pretty
+
+    err = DataFrameValidationError([w], M)
+    assert repr(err).startswith("DataFrameValidationError(model='M', errors=[")
+    assert "1 validation error for M" in str(err)
+    # ctx appended to the type display like the reference's
+    # _display_error_type_and_ctx
+    class Limit(ValueError):
+        def __init__(self, limit):
+            super().__init__(f"over {limit}")
+            self.limit = limit
+
+    err2 = DataFrameValidationError([ErrorWrapper(Limit(5), loc="a")], M)
+    assert "(type=value_error.limit; limit=5)" in str(err2)
+
+    assert display_as_type(Optional[int]) == "Union[int, None]"
+    assert display_as_type(list[str]) == "list[str]"
+    assert display_as_type(Literal["a", "b"]) == "Literal['a', 'b']"
+    assert display_as_type(int) == "int"
