@@ -105,10 +105,29 @@ class ExtractHtmlText:
         self.html_col = html_col
         self.out_col = out_col
 
+    @staticmethod
+    def _as_string(html: pa.Array) -> pa.Array:
+        """Binary -> string. ``pc.cast`` validates UTF-8 and raises on a
+        single bad byte sequence (routine in real crawl HTML); fall back
+        to a lenient per-row ``errors='replace'`` decode only for the
+        batch that actually contains one."""
+        if pa.types.is_string(html.type) or pa.types.is_large_string(html.type):
+            return html
+        try:
+            return pc.cast(html, pa.string())
+        except pa.ArrowInvalid:
+            return pa.array(
+                (
+                    None if b is None else b.decode("utf-8", errors="replace")
+                    for b in html.to_pylist()
+                ),
+                type=pa.string(),
+            )
+
     def extract_array(self, html: pa.ChunkedArray | pa.Array) -> pa.Array:
         if isinstance(html, pa.ChunkedArray):
             html = html.combine_chunks()
-        s = pc.cast(html, pa.string())
+        s = self._as_string(html)
         fast_mask = pc.fill_null(pc.match_substring_regex(s, _WRAPPER_RE), False)
         stripped = pc.replace_substring_regex(
             pc.replace_substring_regex(s, pattern=r"^<html><body>", replacement=""),
@@ -118,11 +137,16 @@ class ExtractHtmlText:
         n_slow = len(s) - (pc.sum(fast_mask).as_py() or 0) - s.null_count
         if n_slow == 0:
             return stripped
+        # parse ONLY the marked-up rows; fast/null rows never leave Arrow
         mask_np = fast_mask.to_numpy(zero_copy_only=False)
-        out = stripped.to_pylist()
-        for i in np.flatnonzero(~mask_np):
-            out[i] = extract_html_text(s[i].as_py())
-        return pa.array(out, type=pa.string())
+        null_np = pc.is_null(s).to_numpy(zero_copy_only=False)
+        slow_np = ~mask_np & ~null_np
+        slow_idx = np.flatnonzero(slow_np)
+        parsed = pa.array(
+            [extract_html_text(v) for v in s.take(pa.array(slow_idx)).to_pylist()],
+            type=pa.string(),
+        )
+        return pc.replace_with_mask(stripped, pa.array(slow_np), parsed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         extracted = self.extract_array(batch.column(self.html_col))

@@ -174,6 +174,12 @@ def copartition_apply(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if key_class == "int":
+            if pa.types.is_temporal(col.type):
+                # date32/time32/date64/timestamp/duration: Arrow cannot
+                # cast date32->int64 directly; view the physical storage
+                # (same byte width, validity preserved) then widen
+                storage = pa.int32() if col.type.bit_width == 32 else pa.int64()
+                col = col.view(storage)
             keys = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
             h = keys.astype(np.int64).view(np.uint64)
             h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)

@@ -28,12 +28,21 @@ def grouped_top_k(
     k: int,
     tie: str | None = None,
     descending: bool = True,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> Any:
     """Top-``k`` rows per ``group`` ordered by ``value`` (desc by
     default; ``tie`` column ascending breaks equal values). Returns the
-    selected rows plus an int64 ``rank`` column (1-based)."""
+    selected rows plus an int64 ``rank`` column (1-based).
+
+    ``num_partitions`` defaults to ~4x cluster CPUs (same rule as
+    ``stages.join.default_num_partitions``) so the final exchange
+    tracks cluster size instead of a fixed 32."""
     import polars as pl
+
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
 
     sort_cols = [value] + ([tie] if tie else [])
     sort_desc = [descending] + ([False] if tie else [])

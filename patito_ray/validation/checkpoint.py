@@ -43,18 +43,13 @@ import pyarrow.parquet as pq
 from patito_ray.fields import TableSpec
 from patito_ray.validation.checks import check_batch
 from patito_ray.validation.engine import (
+    _DRIVER_FASTPATH_BYTES,
     _DRIVER_MERGE_LIMIT,
     _MERGE_FANIN,
     _finalize,
     _prepare_aggregate_constraints,
 )
 from patito_ray.validation.result import Partial, ValidationReport
-
-#: Same threshold as the engine's fused-pass fast path
-#: (engine.py:479): below it the shard's combined output (pickled
-#: partials + 16 B/distinct-key/batch blobs) is fetched once and merged
-#: with vectorized local kernels; above it everything stays worker-side.
-_SHARD_DRIVER_FASTPATH_BYTES = 256 * 1024 * 1024
 
 
 def _shard_id(files: list[tuple[str, int]], fingerprint: str = "") -> str:
@@ -161,7 +156,7 @@ def _finalize_shard(
     combined: Any,
     spec: TableSpec,
     collect_stats: bool,
-    driver_fastpath_bytes: int = _SHARD_DRIVER_FASTPATH_BYTES,
+    driver_fastpath_bytes: int = _DRIVER_FASTPATH_BYTES,
 ) -> tuple[Partial, dict[str, Any] | None, dict[str, Iterable[pa.Table]]]:
     """Adaptive finalize of one shard's fused-pass output, mirroring the
     streaming engine's strategy (engine.py:474-545): below the threshold
@@ -284,7 +279,7 @@ def validate_files_checkpointed(
     hash_unique_keys: bool = True,
     allow_superfluous_columns: bool = False,
     collect_stats: bool = False,
-    driver_fastpath_bytes: int = _SHARD_DRIVER_FASTPATH_BYTES,
+    driver_fastpath_bytes: int = _DRIVER_FASTPATH_BYTES,
 ) -> ValidationReport:
     """Validate a parquet file set with shard-level checkpoint/resume.
 

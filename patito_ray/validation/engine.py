@@ -65,6 +65,12 @@ from patito_ray.validation.result import (
 _MERGE_FANIN = 64
 # Above this many partial rows the driver delegates merging to workers.
 _DRIVER_MERGE_LIMIT = 1024
+# Below this many bytes of combined pass output (pickled partials +
+# 16 B/distinct-key/batch blobs), ONE driver fetch + local merges beat
+# several extra Ray scan/shuffle rounds of fixed latency; above it,
+# worker-side tree-merge + bucket groupby keep driver memory bounded.
+# Shared by the engine fast path and the checkpoint shard finalize.
+_DRIVER_FASTPATH_BYTES = 256 * 1024 * 1024
 
 
 def _is_dataset(data: Any) -> bool:
@@ -471,13 +477,9 @@ def _validate_dataset(
         batch_validate, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    # Small-result fast path: the combined pass output is partials +
-    # pre-aggregated key blobs (16B per distinct key per batch). Below
-    # the threshold, ONE driver fetch + local merges beat several extra
-    # Ray scan/shuffle rounds of fixed latency; above it, worker-side
-    # tree-merge + bucket groupby keep driver memory bounded.
-    DRIVER_FASTPATH_BYTES = 256 * 1024 * 1024
-    if combined.size_bytes() <= DRIVER_FASTPATH_BYTES:
+    # Small-result fast path (threshold shared with the checkpoint
+    # shard finalize — see _DRIVER_FASTPATH_BYTES).
+    if combined.size_bytes() <= _DRIVER_FASTPATH_BYTES:
         tables = list(combined.iter_batches(batch_format="pyarrow", batch_size=None))
         all_rows = (
             pa.concat_tables(tables, promote_options="permissive")

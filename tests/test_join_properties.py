@@ -329,3 +329,56 @@ def test_copartition_rejects_mismatched_key_classes(ray_session):
             right_by="rk",
             part_fn=lambda l, r: l,
         )
+
+
+def test_asof_join_date32_by_key(ray_session):
+    """Temporal by-keys (date32/time32 are 32-bit storage — Arrow cannot
+    cast them to int64 directly) must co-partition without crashing and
+    match a local polars join_asof (round-3 review regression)."""
+    import datetime as dt
+
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.join import asof_join
+
+    d0 = dt.date(2024, 1, 1)
+    lt = pa.table(
+        {
+            "day": pa.array([d0 + dt.timedelta(days=i % 5) for i in range(30)], pa.date32()),
+            "t": pa.array([i * 7 % 40 for i in range(30)], pa.int64()),
+            "lv": pa.array(range(30), pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "rday": pa.array([d0 + dt.timedelta(days=i % 5) for i in range(15)], pa.date32()),
+            "rt": pa.array([i * 3 % 40 for i in range(15)], pa.int64()),
+            "rv": pa.array(range(15), pa.int64()),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(lt).repartition(3),
+        rd.from_arrow(rt),
+        on="t",
+        right_on="rt",
+        by="day",
+        right_by="rday",
+        num_partitions=4,
+    ).take_all()
+    want = (
+        pl.from_arrow(lt)
+        .sort("t")
+        .join_asof(
+            pl.from_arrow(rt).sort("rt"),
+            left_on="t",
+            right_on="rt",
+            by_left="day",
+            by_right="rday",
+            strategy="backward",
+        )
+        .to_dicts()
+    )
+    got = sorted((r["day"], r["t"], r["lv"], r["rv"]) for r in out)
+    exp = sorted((r["day"], r["t"], r["lv"], r["rv"]) for r in want)
+    assert got == exp

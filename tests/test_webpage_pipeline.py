@@ -191,3 +191,59 @@ def test_extract_text_stage_dataset(ray_session):
     # actor-pool form produces the same rows
     out2 = extract_text_stage(rd.from_arrow(t), concurrency=2).take_all()
     assert {r["doc_id"]: r["extracted_text"] for r in out2} == got
+
+
+def test_extract_malformed_utf8_bytes():
+    """A single non-UTF-8 byte sequence in a binary html column must not
+    kill the batch (pc.cast validates UTF-8 and raises); the lenient
+    per-row decode routes it through errors='replace' (round-3 review
+    regression)."""
+    from patito_ray.functions.htmltext import ExtractHtmlText
+
+    stage = ExtractHtmlText(html_col="html", out_col="txt")
+    batch = pa.table(
+        {
+            "html": pa.array(
+                [
+                    b"<html><body>plain ok</body></html>",
+                    b"<p>caf\xe9 latin-1</p>",  # invalid UTF-8
+                    None,
+                    b"<html><body>second ok</body></html>",
+                ],
+                type=pa.binary(),
+            )
+        }
+    )
+    out = stage(batch).column("txt").to_pylist()
+    assert out[0] == "plain ok"
+    assert out[1] == "caf� latin-1"
+    assert out[2] is None
+    assert out[3] == "second ok"
+
+
+def test_extract_slow_rows_only_parse_marked_up():
+    """Mixed batch: fast wrapper rows stay byte-exact from the Arrow
+    kernel path while only marked-up rows go through the parser, and
+    nulls survive (scatter via replace_with_mask)."""
+    from patito_ray.functions.htmltext import ExtractHtmlText
+
+    stage = ExtractHtmlText(html_col="html", out_col="txt")
+    batch = pa.table(
+        {
+            "html": pa.array(
+                [
+                    "<html><body>  raw  spacing kept </body></html>",
+                    "<div><script>x=1</script><p>A &amp; B</p></div>",
+                    None,
+                    "<html><body>w2</body></html>",
+                    "<b>bold</b> tail",
+                ]
+            )
+        }
+    )
+    out = stage(batch).column("txt").to_pylist()
+    assert out[0] == "  raw  spacing kept "  # fast path: byte-exact inner
+    assert out[1] == "A & B"
+    assert out[2] is None
+    assert out[3] == "w2"
+    assert out[4] == "bold tail"
