@@ -953,6 +953,38 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_media_decode(sf_dir: str) -> pa.Table:
+    """Multimodal decode pipeline with REAL codecs (no external data:
+    payloads are deterministic PNG/WAV bytes synthesized from doc ids
+    in-pipeline, then decoded back by the pure-stdlib PNG/WAV decoders
+    through the actor-pool stages). Rows-only: binary codecs are not
+    SQL-expressible. Output is fully deterministic: exact dimensions,
+    luma, duration, sample rate per doc."""
+    from patito_ray.functions import multimodal as f_mm
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    media = ds.map_batches(
+        f_mm.synth_media_batch, batch_format="pyarrow", batch_size=256
+    )
+    decoded = f_mm.sample_audio_frames(
+        f_mm.decode_images(media, concurrency=2, fake=False),
+        frames=2,
+        concurrency=2,
+        fake=False,
+    )
+    return decoded.select_columns(
+        [
+            "doc_id",
+            "width",
+            "height",
+            "n_channels",
+            "mean_luma",
+            "duration_sec",
+            "sample_rate",
+        ]
+    )
+
+
 def q_simhash(sf_dir: str) -> pa.Table:
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -1108,6 +1140,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "top_orders_per_cust": (q_top_orders_per_cust, SQL_TOP_ORDERS_PER_CUST),
     "derived_regex": (q_derived_regex, SQL_DERIVED_REGEX),
     "webpage_validate": (q_webpage_validate, None),
+    "media_decode": (q_media_decode, None),
 }
 
 

@@ -307,8 +307,130 @@ def test_multimodal_stubs(ray_session):
     assert all(len(r["features"]) == 8 for r in feats)
     audio = f_mm.sample_audio_frames(ds, frames=3, concurrency=1).take_all()
     assert all(len(r["frame_offsets"]) == 3 for r in audio)
-    with pytest.raises(NotImplementedError):
-        f_mm.ImageDecode(fake=False)
+    # JPEG genuinely needs an external codec: clear error at decode time
+    jpeg = pa.table({"image": [b"\xff\xd8\xff\xe0fakejpeg"]})
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        f_mm.ImageDecode(fake=False)(jpeg)
+
+
+def test_multimodal_real_decode(ray_session):
+    """fake=False is a REAL decode for PNG/BMP/WAV (pure-stdlib codecs):
+    exact dimensions, luma, duration and sample rate from actual bytes,
+    end-to-end through the actor-pool map_batches stages."""
+    import ray.data as rd
+
+    from patito_ray.functions import codecs as cx
+
+    rng = np.random.default_rng(3)
+    png_img = rng.integers(0, 256, (12, 20, 3), dtype=np.uint8)
+    bmp_img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    t = pa.table(
+        {
+            "image": pa.array(
+                [cx.encode_png(png_img), cx.encode_bmp(bmp_img), None],
+                type=pa.binary(),
+            )
+        }
+    )
+    rows = f_mm.decode_images(rd.from_arrow(t), concurrency=1, fake=False).take_all()
+    by_w = {r["width"]: r for r in rows if r["width"] is not None}
+    assert by_w[20]["height"] == 12 and by_w[20]["n_channels"] == 3
+    assert by_w[5]["height"] == 7
+    expect_luma = float(cx.to_gray(png_img).mean())
+    assert abs(by_w[20]["mean_luma"] - expect_luma) < 1e-9
+    assert any(r["width"] is None for r in rows)  # null payload -> null meta
+
+    feats = f_mm.image_features(
+        rd.from_arrow(t), dim=16, concurrency=1, fake=False
+    ).take_all()
+    got = [r["features"] for r in feats]
+    assert sum(f is None for f in got) == 1
+    ref = cx.resize_bilinear(cx.to_gray(png_img), 4, 4).reshape(-1)
+    assert any(
+        f is not None and np.allclose(f, ref, atol=1e-5) for f in got
+    )
+
+    wav = cx.encode_wav(
+        (np.sin(np.linspace(0, 100, 8000)) * 20000).astype(np.int16), 8000
+    )
+    at = pa.table({"audio": pa.array([wav, None], type=pa.binary())})
+    audio = f_mm.sample_audio_frames(
+        rd.from_arrow(at), frames=4, concurrency=1, fake=False
+    ).take_all()
+    real = next(r for r in audio if r["duration_sec"] is not None)
+    assert real["duration_sec"] == 1.0 and real["sample_rate"] == 8000
+    assert len(real["frame_offsets"]) == 4 and len(real["frame_rms"]) == 4
+    assert all(0.1 < v < 1.0 for v in real["frame_rms"])  # real signal energy
+
+
+def test_codec_roundtrips_and_filters():
+    """PNG/BMP/WAV encode-decode byte-exact round trips, including PNG
+    filter types 1-4 (hand-filtered scanlines must invert exactly)."""
+    import struct
+    import zlib
+
+    from patito_ray.functions import codecs as cx
+
+    rng = np.random.default_rng(7)
+    for shape in [(13, 9, 3), (6, 6, 4), (5, 7)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = cx.decode_png(cx.encode_png(img))
+        assert np.array_equal(dec, img if img.ndim == 3 else img[:, :, None])
+    img = rng.integers(0, 256, (11, 4, 3), dtype=np.uint8)
+    assert np.array_equal(cx.decode_bmp(cx.encode_bmp(img)), img)
+    s = rng.integers(-32768, 32767, (500, 2)).astype(np.int16)
+    dec_s, rate = cx.decode_wav(cx.encode_wav(s, 16000))
+    assert rate == 16000 and np.array_equal(dec_s, s)
+
+    # forward-filter an RGB image with each PNG filter type; decode
+    # must invert (the encoder itself only emits filter 0)
+    src = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    h, w, c = src.shape
+    for fts in [[1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4, 3]]:
+        out = bytearray()
+        prev = np.zeros(w * c, np.uint8)
+        for y, ft in enumerate(fts):
+            line = src[y].reshape(-1)
+            px = line.reshape(w, c).astype(np.int16)
+            left = np.vstack([np.zeros((1, c), np.int16), px[:-1]])
+            up = prev.reshape(w, c).astype(np.int16)
+            if ft == 0:
+                filt = line
+            elif ft == 1:
+                filt = ((px - left) % 256).astype(np.uint8).reshape(-1)
+            elif ft == 2:
+                filt = (line.astype(np.int16) - prev).astype(np.uint8)
+            elif ft == 3:
+                filt = ((px - (left + up) // 2) % 256).astype(np.uint8).reshape(-1)
+            else:
+                fl = np.empty((w, c), np.uint8)
+                pl = np.zeros(c, np.uint8)
+                pu = np.zeros(c, np.uint8)
+                pxu8 = line.reshape(w, c)
+                upu8 = prev.reshape(w, c)
+                for x in range(w):
+                    fl[x] = pxu8[x] - cx._paeth(pl, upu8[x], pu)
+                    pl, pu = pxu8[x], upu8[x]
+                filt = fl.reshape(-1)
+            out += bytes([ft]) + filt.tobytes()
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d))
+                + t
+                + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            cx._PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(cx.decode_png(payload), src), f"filters {fts}"
 
 
 def test_column_stats_local():
