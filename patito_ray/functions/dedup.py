@@ -28,6 +28,12 @@ from patito_ray.state.sketches import hash64
 
 _LOG = logging.getLogger(__name__)
 
+# Target pairs per co-partition task in the pair-payload exchange: each
+# task is one vectorized join, so partition count adapts down when the
+# pair set is small (Ray's fixed per-task latency otherwise dominates)
+# and up to ~4x cluster CPUs at crawl scale.
+_PAIRS_PER_PARTITION = 4096
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -335,16 +341,17 @@ def minhash_candidate_pairs(
         )
 
     rows = ds.map_batches(keyed_rows, batch_format="pyarrow", batch_size=None).materialize()
-    hits = _colliding_subset(rows, max_collision_keys)
-    return _bucket_pairs(hits, id_col, max_bucket)
+    hits, n_keys = _colliding_subset(rows, max_collision_keys)
+    return _bucket_pairs(hits, id_col, max_bucket, n_keys_hint=n_keys)
 
 
-def _colliding_subset(rows: Any, max_collision_keys: int) -> Any:
-    """Dataset[key, id] -> the subset whose key occurs >= 2 times.
-    Colliding keys found via the bucketed blob exchange (prehashed: LSH
-    keys are already uniform 64-bit hashes) — no row-level groupby; the
-    key set broadcasts and rows filter per batch (no shuffle of the
-    overwhelmingly-singleton remainder)."""
+def _colliding_subset(rows: Any, max_collision_keys: int) -> tuple[Any, int]:
+    """Dataset[key, id] -> (subset whose key occurs >= 2 times, number
+    of colliding keys). Colliding keys found via the bucketed blob
+    exchange (prehashed: LSH keys are already uniform 64-bit hashes) —
+    no row-level groupby; the key set broadcasts and rows filter per
+    batch (no shuffle of the overwhelmingly-singleton remainder). The
+    key count feeds ``_bucket_pairs``'s adaptive partition count."""
     import pyarrow.compute as _pc
     import ray
 
@@ -367,11 +374,22 @@ def _colliding_subset(rows: Any, max_collision_keys: int) -> Any:
         ks = ray.get(ref)
         return batch.filter(_pc.is_in(batch["key"], value_set=ks))
 
-    return rows.map_batches(pick, batch_format="pyarrow", batch_size=None)
+    picked = rows.map_batches(pick, batch_format="pyarrow", batch_size=None)
+    return picked, len(key_set)
+
+
+# Target colliding keys per pair-formation task: each task is one
+# vectorized sort + run scan, so thousands of keys amortize Ray's fixed
+# per-task latency; at crawl scale the ~4x-CPU ceiling takes over.
+_KEYS_PER_PARTITION = 2048
 
 
 def _bucket_pairs(
-    hits: Any, id_col: str, max_bucket: int, num_partitions: int = 64
+    hits: Any,
+    id_col: str,
+    max_bucket: int,
+    num_partitions: int | None = None,
+    n_keys_hint: int | None = None,
 ) -> Any:
     """Colliding LSH rows (key, id) -> distinct candidate Dataset[a, b]
     (a < b).
@@ -384,6 +402,14 @@ def _bucket_pairs(
     overwhelming majority of dup clusters) in one shot, and loops only
     over the rare >=3-sized runs. A tiny groupby then dedups pairs that
     collided under several band keys."""
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        cap = default_num_partitions()
+        if n_keys_hint is not None:
+            num_partitions = min(cap, max(1, -(-n_keys_hint // _KEYS_PER_PARTITION)))
+        else:
+            num_partitions = cap
 
     P = np.uint64(num_partitions)
 
@@ -561,7 +587,13 @@ def pair_payload_join(
     if num_partitions is None:
         from patito_ray.stages.join import default_num_partitions
 
-        num_partitions = default_num_partitions()
+        # clamp by the (already counted) pair volume: each partition
+        # task is one vectorized join, so thousands of pairs per task
+        # amortize Ray's per-task latency; 4x-CPU partitions for 256
+        # pairs would be 100+ near-empty map_groups calls. At crawl
+        # scale n_pairs is O(corpus) and the clamp is inactive.
+        by_size = max(1, -(-n_pairs // _PAIRS_PER_PARTITION))
+        num_partitions = min(default_num_partitions(), by_size)
     P = np.int64(num_partitions)
 
     union_schema = pa.schema(
@@ -1083,8 +1115,8 @@ def simhash_near_dups(
         )
 
     rows = fps.map_batches(keyed_rows, batch_format="pyarrow", batch_size=None).materialize()
-    hits = _colliding_subset(rows, max_collision_keys)
-    pairs = _bucket_pairs(hits, id_col, max_bucket)
+    hits, n_keys = _colliding_subset(rows, max_collision_keys)
+    pairs = _bucket_pairs(hits, id_col, max_bucket, n_keys_hint=n_keys)
     joined = pair_payload_join(fps, pairs, id_col, "simhash", num_partitions)
 
     _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -1216,8 +1248,8 @@ def embedding_near_dups(
         )
 
     rows = ds.map_batches(code_rows, batch_format="pyarrow", batch_size=None).materialize()
-    hits = _colliding_subset(rows, max_collision_keys)
-    pairs = _bucket_pairs(hits, id_col, max_bucket)
+    hits, n_keys = _colliding_subset(rows, max_collision_keys)
+    pairs = _bucket_pairs(hits, id_col, max_bucket, n_keys_hint=n_keys)
 
     joined = pair_payload_join(ds, pairs, id_col, vec_col, num_partitions)
 
