@@ -23,7 +23,7 @@ from patito_ray.functions import similarity as f_sim
 from patito_ray.functions import text as f_text
 from patito_ray.pipelines.webpage import validate_webpages
 from patito_ray.validation.engine import duplicate_count_distributed
-from patito_ray.validation.stats import column_stats
+from patito_ray.validation.stats import column_stats, drift_check, profile_dataset
 
 
 def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> Any:
@@ -1086,6 +1086,82 @@ def q_column_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def q_drift_events(sf_dir: str) -> pa.Table:
+    """Distribution-drift check (north-star component): profile
+    ``events.value`` on the even-``event_id`` half as the reference
+    corpus, drift-check the odd half against it through the mergeable
+    sketch profiles (t-digest KS + HLL cardinality shift). The
+    deterministic counters of both profiles (count / nulls / min / max
+    / mean) are exact against SQL; the KS verdict is compared as a
+    boolean — the oracle computes the EXACT empirical two-sample KS
+    with a window CDF, and both halves sample the same generator, so
+    sketch and exact decisions sit far below the 0.1 threshold."""
+    base = _rp(sf_dir, "events", ["event_id", "value"])
+
+    def _half(parity: int) -> Any:
+        return base.map_batches(
+            lambda t, p=parity: t.filter(
+                pc.equal(pc.bit_wise_and(t["event_id"], 1), p)
+            ).select(["value"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    ref_prof = profile_dataset(_half(0), ["value"])
+    cur_prof = profile_dataset(_half(1), ["value"])
+    report = drift_check(None, ref_prof, max_drift=0.1, current_profile=cur_prof)
+    rv, cv = ref_prof["value"], cur_prof["value"]
+    return _one_row(
+        ref_count=int(rv.count),
+        ref_nulls=int(rv.nulls),
+        cur_count=int(cv.count),
+        cur_nulls=int(cv.nulls),
+        ref_min=_rf(float(rv.min), 4),
+        ref_max=_rf(float(rv.max), 4),
+        cur_min=_rf(float(cv.min), 4),
+        cur_max=_rf(float(cv.max), 4),
+        ref_mean=_rf(rv.sum / (rv.count - rv.nulls), 2),
+        cur_mean=_rf(cv.sum / (cv.count - cv.nulls), 2),
+        drift_ok=bool(report["value"]["ok"]),
+    )
+
+
+SQL_DRIFT_EVENTS = """
+WITH pts AS (
+  SELECT value, (event_id % 2 = 0) AS is_ref FROM events
+), agg AS (
+  SELECT
+    CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS ref_count,
+    CAST(COUNT(*) FILTER (is_ref AND value IS NULL) AS BIGINT) AS ref_nulls,
+    CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS cur_count,
+    CAST(COUNT(*) FILTER (NOT is_ref AND value IS NULL) AS BIGINT) AS cur_nulls,
+    ROUND(MIN(value) FILTER (is_ref), 4) AS ref_min,
+    ROUND(MAX(value) FILTER (is_ref), 4) AS ref_max,
+    ROUND(MIN(value) FILTER (NOT is_ref), 4) AS cur_min,
+    ROUND(MAX(value) FILTER (NOT is_ref), 4) AS cur_max,
+    ROUND(AVG(value) FILTER (is_ref), 2) AS ref_mean,
+    ROUND(AVG(value) FILTER (NOT is_ref), 2) AS cur_mean
+  FROM pts
+), nn AS (
+  SELECT value, is_ref FROM pts WHERE value IS NOT NULL
+), tot AS (
+  SELECT CAST(COUNT(*) FILTER (is_ref) AS DOUBLE) AS na,
+         CAST(COUNT(*) FILTER (NOT is_ref) AS DOUBLE) AS nb
+  FROM nn
+), cdf AS (
+  SELECT
+    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) OVER w AS DOUBLE) AS ca,
+    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) OVER w AS DOUBLE) AS cb
+  FROM nn
+  WINDOW w AS (ORDER BY value RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), ks AS (
+  SELECT MAX(ABS(ca / (SELECT na FROM tot) - cb / (SELECT nb FROM tot))) AS ks
+  FROM cdf
+)
+SELECT agg.*, (SELECT ks FROM ks) <= 0.1 AS drift_ok FROM agg
+"""
+
+
 def q_webpage_validate(sf_dir: str) -> pa.Table:
     """Flagship: full web-page validation over the deterministic
     synthetic corpus (scaled off the sf directory name)."""
@@ -1133,6 +1209,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "minhash_pairs": (q_minhash_pairs, SQL_MINHASH_PAIRS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "column_stats": (q_column_stats, None),
+    "drift_events": (q_drift_events, SQL_DRIFT_EVENTS),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),

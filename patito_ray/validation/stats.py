@@ -202,13 +202,20 @@ def drift_check(
     reference_profile: dict[str, "ColumnStats"],
     columns: list[str] | None = None,
     max_drift: float = 0.1,
+    current_profile: dict[str, "ColumnStats"] | None = None,
 ) -> dict[str, dict[str, Any]]:
     """Distribution-drift check (north-star component): profile the
     current dataset and compare per numeric column against a reference
     profile via the t-digest KS distance; also reports the relative
     cardinality shift from the HLL sketches. ``ok`` = drift below
-    ``max_drift``."""
-    current = profile_dataset(ds, columns or list(reference_profile))
+    ``max_drift``. Pass ``current_profile`` (e.g. one already computed
+    by the same sketch pass that produced the reference) to skip
+    re-profiling — profiles are the mergeable artifact, the check is
+    pure sketch arithmetic."""
+    if current_profile is not None:
+        current = current_profile
+    else:
+        current = profile_dataset(ds, columns or list(reference_profile))
     out: dict[str, dict[str, Any]] = {}
     for name, ref in reference_profile.items():
         cur = current.get(name)

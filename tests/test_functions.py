@@ -498,6 +498,12 @@ def test_drift_check_pipeline(ray_session):
     missing = drift_check(rd.from_arrow(pa.table({"w": [1.0]})), profile)
     assert missing["v"]["ok"] is False
 
+    # precomputed current_profile path == re-profiling path (no ds read)
+    same_prof = profile_dataset(same)
+    via_profile = drift_check(None, profile, current_profile=same_prof)
+    assert via_profile["v"]["ok"]
+    assert via_profile["v"]["ks_distance"] == ok["v"]["ks_distance"]
+
 
 def test_cluster_pairs_union_find():
     comp = f_dedup.cluster_pairs([(1, 2), (2, 3), (5, 6), (9, 9)])
