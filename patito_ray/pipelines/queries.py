@@ -1162,6 +1162,49 @@ SELECT agg.*, (SELECT ks FROM ks) <= 0.1 AS drift_ok FROM agg
 """
 
 
+def q_resumable_write(sf_dir: str) -> pa.Table:
+    """Resumable partitioned sink driven end-to-end: filter documents
+    by length through the sink's shard loop (write → manifest →
+    read-back); a repeated run skips every finished shard. The output
+    dir is keyed by the corpus fingerprint so each sf gets its own
+    plan; exact oracle on the read-back rows."""
+    import glob
+    import os
+
+    from patito_ray.sinks import read_output, resumable_write_parquet
+    from patito_ray.validation.checkpoint import _shard_id
+
+    files = sorted(glob.glob(f"{sf_dir}/documents.parquet"))
+    fp = _shard_id([(f, os.path.getsize(f)) for f in files], "doclen>=200 v1")
+    out_dir = f"/tmp/patito_ray_sink/{fp}"
+
+    def keep_long(ds: Any) -> Any:
+        def fn(t: pa.Table) -> pa.Table:
+            n = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+            keep = pc.fill_null(pc.greater_equal(n, 200), False)
+            return t.append_column("n_chars", n).filter(keep).select(
+                ["doc_id", "n_chars"]
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+    resumable_write_parquet(
+        files,
+        out_dir,
+        keep_long,
+        transform_fingerprint="doclen>=200 v1",
+        columns=["doc_id", "text"],
+    )
+    return read_output(out_dir)
+
+
+SQL_RESUMABLE_WRITE = """
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE LENGTH(text) >= 200
+"""
+
+
 def q_webpage_validate(sf_dir: str) -> pa.Table:
     """Flagship: full web-page validation over the deterministic
     synthetic corpus (scaled off the sf directory name)."""
@@ -1210,6 +1253,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "column_stats": (q_column_stats, None),
     "drift_events": (q_drift_events, SQL_DRIFT_EVENTS),
+    "resumable_write": (q_resumable_write, SQL_RESUMABLE_WRITE),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),

@@ -1,0 +1,167 @@
+"""Resumable partitioned Parquet output.
+
+A 100-TB transform job must be restartable without redoing finished
+work: output is laid out as one directory per input shard
+(``out_dir/shard=<sid>/``) with a lineage manifest written atomically
+AFTER the shard's data lands. A re-run skips every shard whose
+manifest exists and re-executes only unfinished ones; a crash
+mid-shard leaves a ``.tmp_<sid>`` directory that the next run discards
+and rewrites. Shard ids fingerprint the input (path, size) list plus a
+caller-supplied transform fingerprint, so changing either the corpus
+or the transform re-runs exactly the affected shards — the same
+contract as the validation checkpoints (validation/checkpoint.py).
+
+Each shard executes as its own streaming Dataset pipeline (read →
+transform → write), so the cluster parallelizes WITHIN a shard; size
+``files_per_shard`` so one shard's blocks saturate the cluster (the
+shard loop itself is sequential, deliberately: one manifest per
+completed unit keeps resume trivially correct).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import time
+from typing import Any, Callable
+
+from patito_ray.validation.checkpoint import _atomic_write, plan_shards
+
+_LOG = logging.getLogger(__name__)
+
+
+def resumable_write_parquet(
+    files: list[str],
+    out_dir: str,
+    transform: Callable[[Any], Any] | None = None,
+    files_per_shard: int = 8,
+    transform_fingerprint: str = "",
+    columns: list[str] | None = None,
+) -> dict[str, Any]:
+    """Transform + write ``files`` to partitioned parquet, resumably.
+
+    ``transform`` maps a lazy ``ray.data.Dataset`` to a lazy Dataset
+    (identity when None); ``columns`` prunes the read so only the
+    needed columns leave storage. Returns a summary dict with per-run
+    shard counts and total rows written (finished + new). Output rows
+    land in ``out_dir/shard=<sid>/``; manifests in
+    ``out_dir/_manifests/``.
+    """
+    import ray.data as rd
+
+    os.makedirs(f"{out_dir}/_manifests", exist_ok=True)
+    shards = plan_shards(files, files_per_shard, fingerprint=transform_fingerprint)
+    # The current plan is the reader's source of truth: a changed corpus
+    # or transform re-plans to NEW shard ids, and read_output must not
+    # mix the previous plan's orphaned shard dirs into the result.
+    _atomic_write(
+        f"{out_dir}/_plan.json",
+        json.dumps(
+            {
+                "transform_fingerprint": transform_fingerprint,
+                "shards": [sid for sid, _ in shards],
+            }
+        ).encode(),
+    )
+
+    written = skipped = 0
+    total_rows = 0
+    for sid, shard_files in shards:
+        manifest_path = f"{out_dir}/_manifests/{sid}.json"
+        shard_dir = f"{out_dir}/shard={sid}"
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                total_rows += json.load(f)["rows"]
+            skipped += 1
+            continue
+        tmp_dir = f"{out_dir}/.tmp_{sid}"
+        for stale in (tmp_dir, shard_dir):  # crash leftovers, no manifest
+            if os.path.exists(stale):
+                _LOG.warning("sink: discarding incomplete %s", stale)
+                shutil.rmtree(stale)
+
+        t0 = time.time()
+        ds = rd.read_parquet(shard_files, columns=columns)
+        if transform is not None:
+            ds = transform(ds)
+        ds.write_parquet(tmp_dir)
+        rows = _parquet_dir_rows(tmp_dir)
+        os.replace(tmp_dir, shard_dir)
+        _atomic_write(
+            manifest_path,
+            json.dumps(
+                {
+                    "shard": sid,
+                    "inputs": shard_files,
+                    "rows": rows,
+                    "seconds": round(time.time() - t0, 3),
+                    "transform_fingerprint": transform_fingerprint,
+                }
+            ).encode(),
+        )
+        total_rows += rows
+        written += 1
+
+    return {
+        "shards": len(shards),
+        "written": written,
+        "skipped": skipped,
+        "rows": total_rows,
+        "out_dir": out_dir,
+    }
+
+
+def _parquet_dir_rows(path: str) -> int:
+    """Row count from parquet footers only — no data read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(f"{path}/{name}").metadata.num_rows
+    return total
+
+
+def read_output(out_dir: str) -> Any:
+    """Read a resumable sink's completed shards back as one Dataset —
+    only shards of the CURRENT plan (orphans from a superseded corpus /
+    transform fingerprint are ignored with a warning)."""
+    import ray.data as rd
+
+    with open(f"{out_dir}/_plan.json") as f:
+        plan = set(json.load(f)["shards"])
+    on_disk = {d[len("shard=") :] for d in os.listdir(out_dir) if d.startswith("shard=")}
+    orphans = on_disk - plan
+    if orphans:
+        _LOG.warning(
+            "sink: ignoring %d orphaned shard dir(s) from a superseded plan under %s",
+            len(orphans),
+            out_dir,
+        )
+    # pass the concrete file list: ray.data.read_parquet does not expand
+    # a LIST of directories, and the "shard=" naming would otherwise
+    # trigger hive-partition inference
+    paths = sorted(
+        f"{out_dir}/shard={sid}/{name}"
+        for sid in on_disk & plan
+        for name in os.listdir(f"{out_dir}/shard={sid}")
+        if name.endswith(".parquet")
+    )
+    if not paths:
+        raise FileNotFoundError(f"no completed shards of the current plan under {out_dir}")
+    # partitioning=None: the shard id is lineage, not a data column —
+    # default hive inference would inject a "shard" column from the dir
+    return rd.read_parquet(paths, partitioning=None)
+
+
+def output_manifests(out_dir: str) -> list[dict[str, Any]]:
+    """Lineage manifests of every completed shard, sorted by shard id."""
+    mdir = f"{out_dir}/_manifests"
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(f"{mdir}/{name}") as f:
+                out.append(json.load(f))
+    return out

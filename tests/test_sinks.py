@@ -1,0 +1,96 @@
+"""Resumable partitioned parquet sink: skip-finished-shards resume,
+crash cleanup, plan supersession, lineage manifests."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from patito_ray.sinks import output_manifests, read_output, resumable_write_parquet
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    files = []
+    for i in range(4):
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(i * 10, i * 10 + 10), type=pa.int64()),
+                "val": pa.array([float(j) for j in range(10)]),
+            }
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        files.append(p)
+    return files
+
+
+def _keep_even(ds):
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def test_write_resume_and_manifests(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    s1 = resumable_write_parquet(corpus, out, _keep_even, files_per_shard=2)
+    assert s1["shards"] == 2 and s1["written"] == 2 and s1["skipped"] == 0
+    assert s1["rows"] == 20  # half of 40
+
+    got = sorted(read_output(out).take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in got] == list(range(0, 40, 2))
+
+    # resume over identical inputs: nothing re-runs, rows identical
+    s2 = resumable_write_parquet(corpus, out, _keep_even, files_per_shard=2)
+    assert s2["written"] == 0 and s2["skipped"] == 2 and s2["rows"] == 20
+
+    mans = output_manifests(out)
+    assert len(mans) == 2 and all(m["rows"] == 10 for m in mans)
+    assert {f for m in mans for f in m["inputs"]} == set(corpus)
+
+
+def test_partial_resume_rewrites_only_missing_shard(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    resumable_write_parquet(corpus, out, _keep_even, files_per_shard=2)
+    sid = output_manifests(out)[0]["shard"]
+    os.remove(f"{out}/_manifests/{sid}.json")
+    shutil.rmtree(f"{out}/shard={sid}")
+
+    s = resumable_write_parquet(corpus, out, _keep_even, files_per_shard=2)
+    assert s["written"] == 1 and s["skipped"] == 1 and s["rows"] == 20
+
+
+def test_crash_leftover_tmp_discarded(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    resumable_write_parquet(corpus, out, _keep_even, files_per_shard=2)
+    sid = output_manifests(out)[0]["shard"]
+    # simulate a crash mid-shard: data dir (partial) + tmp present, no manifest
+    os.remove(f"{out}/_manifests/{sid}.json")
+    os.makedirs(f"{out}/.tmp_{sid}")
+    with open(f"{out}/.tmp_{sid}/garbage.parquet", "w") as f:
+        f.write("not parquet")
+
+    s = resumable_write_parquet(corpus, out, _keep_even, files_per_shard=2)
+    assert s["written"] == 1 and s["rows"] == 20
+    assert not os.path.exists(f"{out}/.tmp_{sid}")
+    assert len(read_output(out).take_all()) == 20
+
+
+def test_changed_transform_supersedes_plan(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    resumable_write_parquet(corpus, out, _keep_even, files_per_shard=2, transform_fingerprint="even")
+    s = resumable_write_parquet(corpus, out, None, files_per_shard=2, transform_fingerprint="identity")
+    # new fingerprint -> new shard ids -> full re-run
+    assert s["written"] == 2 and s["skipped"] == 0 and s["rows"] == 40
+    # reader follows the current plan only (old shards are orphans)
+    assert len(read_output(out).take_all()) == 40
+    plan = json.load(open(f"{out}/_plan.json"))
+    assert plan["transform_fingerprint"] == "identity"
