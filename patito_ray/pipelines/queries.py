@@ -642,7 +642,11 @@ def q_token_counts(sf_dir: str) -> pa.Table:
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(
         lambda t: pa.table(
-            {"doc_id": t["doc_id"], "n_tokens": f_text.token_count_array(t["text"])}
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": f_text.token_count_array(t["text"]),
+                "n_bpe_tokens": f_text.bpe_token_count_array(t["text"]),
+            }
         ),
         batch_format="pyarrow",
         batch_size=None,
@@ -650,8 +654,14 @@ def q_token_counts(sf_dir: str) -> pa.Table:
     return out
 
 
+# the BPE-ish pattern is RE2 on both sides (pyarrow count_substring_regex
+# and DuckDB regexp_extract_all), so the pre-token counts match exactly
 SQL_TOKEN_COUNTS = """
-SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text,
+            '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+            AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
 
