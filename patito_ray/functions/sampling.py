@@ -1,0 +1,97 @@
+"""Deterministic (shard-stable) sampling for training-data pipelines.
+
+Membership depends only on (key, seed) — never on partitioning, block
+order, or cluster size — so a resumed or re-partitioned run samples the
+IDENTICAL subset, and two pipelines sampling the same table agree row
+for row. The decision is one vectorized splitmix64 per row with a
+uint64 threshold compare: embarrassingly parallel, no shuffle, no
+state.
+
+The hash is the public splitmix64 finalizer (Steele et al., "Fast
+splittable pseudorandom number generators", OOPSLA 2014) — simple
+enough to re-implement exactly in SQL, which is how the DuckDB oracle
+verifies cross-engine parity bit for bit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from patito_ray.functions.dedup import _splitmix
+
+_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _threshold(fraction: float) -> np.uint64:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    # 2^64 * fraction, saturating: fraction=1.0 keeps everything
+    if fraction >= 1.0:
+        return _U64
+    return np.uint64(int(fraction * 2.0**64))
+
+
+def _key_hashes(batch: pa.Table, key_col: str, seed: int) -> np.ndarray:
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if not pa.types.is_integer(keys.type):
+        raise TypeError(
+            f"deterministic sampling needs an integer key column, got "
+            f"{key_col!r}: {keys.type} (hash string keys to int64 first)"
+        )
+    k = keys.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    return _splitmix(k ^ np.uint64(seed))
+
+
+def sample_batch(
+    batch: pa.Table, key_col: str, fraction: float, seed: int = 0
+) -> pa.Table:
+    """Keep rows where splitmix64(key ^ seed) < fraction * 2^64."""
+    h = _key_hashes(batch, key_col, seed)
+    return batch.filter(pa.array(h < _threshold(fraction)))
+
+
+def deterministic_sample(
+    ds: Any, key_col: str, fraction: float, seed: int = 0
+) -> Any:
+    """Shard-stable Bernoulli(fraction) sample of a Dataset by key."""
+    _threshold(fraction)  # validate on the driver, not inside tasks
+    return ds.map_batches(
+        lambda t: sample_batch(t, key_col, fraction, seed),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def stratified_sample(
+    ds: Any,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> Any:
+    """Per-stratum deterministic sampling (e.g. keep 100% of low-resource
+    languages, 10% of English). Rows whose stratum is not in
+    ``fractions`` sample at ``default_fraction``. One vectorized
+    index_in + threshold gather per batch — no shuffle, no groupby."""
+    strata = list(fractions)
+    thresholds = np.array(
+        [_threshold(fractions[s]) for s in strata] + [_threshold(default_fraction)],
+        dtype=np.uint64,
+    )
+    value_set = pa.array(strata, type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _key_hashes(batch, key_col, seed)
+        idx = pc.index_in(batch.column(strata_col), value_set=value_set)
+        # unmatched strata (null index) -> the trailing default slot
+        slot = pc.fill_null(idx, len(strata)).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(h < thresholds[slot]))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -1172,6 +1172,56 @@ SELECT agg.*, (SELECT ks FROM ks) <= 0.1 AS drift_ok FROM agg
 """
 
 
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Shard-stable stratified sampling (downsample English to 25 %,
+    keep 50 % of everything else, deterministically by doc_id). The
+    oracle re-implements the splitmix64 finalizer in SQL with 32-bit
+    partial products (a full 64x64 multiply overflows HUGEINT), proving
+    the sample membership is engine-independent bit for bit."""
+    from patito_ray.functions.sampling import stratified_sample
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds, "doc_id", "lang", {"en": 0.25}, default_fraction=0.5, seed=0
+    )
+
+
+def _sql_mul64(ch: int, cl: int) -> str:
+    """(z * c) mod 2^64 in DuckDB HUGEINT via 32-bit partial products."""
+    return (
+        f"CAST(( (CAST(z AS HUGEINT) % 4294967296) * {cl}"
+        f" + ((( (CAST(z AS HUGEINT) % 4294967296) * {ch}"
+        f"      + (CAST(z AS HUGEINT) // 4294967296) * {cl}) % 4294967296)"
+        f"    * 4294967296)"
+        f" ) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+# splitmix64 over doc_id (seed 0), thresholds = fraction * 2^64
+SQL_STRATIFIED_SAMPLE = f"""
+WITH z0 AS (
+  SELECT doc_id, lang,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), x1 AS (
+  SELECT doc_id, lang, xor(z, z >> 30) AS z FROM z0
+), z1 AS (
+  SELECT doc_id, lang, {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (
+  SELECT doc_id, lang, xor(z, z >> 27) AS z FROM z1
+), z2 AS (
+  SELECT doc_id, lang, {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), h AS (
+  SELECT doc_id, lang, CAST(xor(z, z >> 31) AS HUGEINT) AS h64 FROM z2
+)
+SELECT doc_id, lang FROM h
+WHERE h64 < CASE WHEN lang = 'en'
+                 THEN CAST(4611686018427387904 AS HUGEINT)
+                 ELSE CAST(9223372036854775808 AS HUGEINT) END
+"""
+
+
 def q_resumable_write(sf_dir: str) -> pa.Table:
     """Resumable partitioned sink driven end-to-end: filter documents
     by length through the sink's shard loop (write → manifest →
@@ -1264,6 +1314,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "column_stats": (q_column_stats, None),
     "drift_events": (q_drift_events, SQL_DRIFT_EVENTS),
     "resumable_write": (q_resumable_write, SQL_RESUMABLE_WRITE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),

@@ -3,6 +3,7 @@ sketches, stats, multimodal plumbing."""
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from patito_ray.functions import dedup as f_dedup
@@ -533,6 +534,67 @@ def test_bpe_token_counts():
     counts = f_text.bpe_token_count_array(t.column("text"))
     # "hello","world" = 2; "it","'s"," 42"," degrees","!" = 5
     assert counts.to_pylist() == [2, 5, 0]
+
+
+def test_deterministic_sample_shard_stable(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.sampling import deterministic_sample, sample_batch
+
+    t = pa.table({"doc_id": pa.array(np.arange(10_000, dtype=np.int64))})
+    ds = rd.from_arrow(t)
+    kept1 = sorted(r["doc_id"] for r in deterministic_sample(ds, "doc_id", 0.3).take_all())
+    # same keys, different partitioning -> identical membership
+    kept2 = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(ds.repartition(7), "doc_id", 0.3).take_all()
+    )
+    assert kept1 == kept2
+    # local single-batch path agrees too
+    local = sorted(sample_batch(t, "doc_id", 0.3)["doc_id"].to_pylist())
+    assert kept1 == local
+    # fraction is approximately honored (uniform hash)
+    assert 0.25 < len(kept1) / 10_000 < 0.35
+    # seed changes membership, fraction 1.0 keeps all, 0.0 keeps none
+    kept_s1 = sorted(r["doc_id"] for r in deterministic_sample(ds, "doc_id", 0.3, seed=1).take_all())
+    assert kept_s1 != kept1
+    assert len(sample_batch(t, "doc_id", 1.0)) == 10_000
+    assert len(sample_batch(t, "doc_id", 0.0)) == 0
+    with pytest.raises(ValueError):
+        sample_batch(t, "doc_id", 1.5)
+    with pytest.raises(TypeError):
+        sample_batch(pa.table({"doc_id": ["a"]}), "doc_id", 0.5)
+
+
+def test_stratified_sample(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.sampling import sample_batch, stratified_sample
+
+    n = 9_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array((["en", "de", "xx"] * (n // 3))),
+        }
+    )
+    out = stratified_sample(
+        rd.from_arrow(t).repartition(5),
+        "doc_id",
+        "lang",
+        {"en": 0.1, "de": 1.0},
+        default_fraction=0.0,
+    ).take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert "xx" not in by_lang  # default 0.0 drops unlisted strata
+    assert len(by_lang["de"]) == n // 3  # fraction 1.0 keeps every row
+    assert 0.05 < len(by_lang["en"]) / (n // 3) < 0.16
+    # per-stratum membership equals the plain sampler on that stratum
+    en_only = t.filter(pc.equal(t["lang"], "en"))
+    expect_en = sorted(sample_batch(en_only, "doc_id", 0.1)["doc_id"].to_pylist())
+    assert sorted(by_lang["en"]) == expect_en
 
 
 def test_column_stats_actor_pool(ray_session):
