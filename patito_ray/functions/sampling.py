@@ -44,6 +44,14 @@ def _key_hashes(batch: pa.Table, key_col: str, seed: int) -> np.ndarray:
             f"deterministic sampling needs an integer key column, got "
             f"{key_col!r}: {keys.type} (hash string keys to int64 first)"
         )
+    if keys.null_count:
+        # to_numpy would silently route the whole batch through float64
+        # (NaN for nulls), corrupting every key above 2^53 — membership
+        # would then depend on which batch a null landed in
+        raise ValueError(
+            f"sampling key column {key_col!r} contains {keys.null_count} "
+            "null(s); sample membership must be a pure function of the key"
+        )
     k = keys.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     return _splitmix(k ^ np.uint64(seed))
 
@@ -52,6 +60,11 @@ def sample_batch(
     batch: pa.Table, key_col: str, fraction: float, seed: int = 0
 ) -> pa.Table:
     """Keep rows where splitmix64(key ^ seed) < fraction * 2^64."""
+    _threshold(fraction)  # validate even on the short-circuit path
+    if fraction >= 1.0:
+        # the strict '<' against the saturated threshold 2^64-1 would
+        # drop the one key per seed whose hash is exactly 2^64-1
+        return batch
     h = _key_hashes(batch, key_col, seed)
     return batch.filter(pa.array(h < _threshold(fraction)))
 
@@ -87,11 +100,18 @@ def stratified_sample(
     )
     value_set = pa.array(strata, type=pa.string())
 
+    # strict '<' against the saturated 2^64-1 threshold would drop the
+    # one key per seed hashing to exactly 2^64-1: keep-all strata
+    # (fraction >= 1.0) bypass the hash compare entirely
+    keep_all = np.array(
+        [fractions[s] >= 1.0 for s in strata] + [default_fraction >= 1.0]
+    )
+
     def fn(batch: pa.Table) -> pa.Table:
         h = _key_hashes(batch, key_col, seed)
         idx = pc.index_in(batch.column(strata_col), value_set=value_set)
         # unmatched strata (null index) -> the trailing default slot
         slot = pc.fill_null(idx, len(strata)).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(h < thresholds[slot]))
+        return batch.filter(pa.array(keep_all[slot] | (h < thresholds[slot])))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

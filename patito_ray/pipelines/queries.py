@@ -23,7 +23,11 @@ from patito_ray.functions import similarity as f_sim
 from patito_ray.functions import text as f_text
 from patito_ray.pipelines.webpage import validate_webpages
 from patito_ray.validation.engine import duplicate_count_distributed
-from patito_ray.validation.stats import column_stats, drift_check, profile_dataset
+from patito_ray.validation.stats import (
+    column_stats,
+    drift_check,
+    profile_dataset_split,
+)
 
 
 def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> Any:
@@ -1107,18 +1111,12 @@ def q_drift_events(sf_dir: str) -> pa.Table:
     with a window CDF, and both halves sample the same generator, so
     sketch and exact decisions sit far below the 0.1 threshold."""
     base = _rp(sf_dir, "events", ["event_id", "value"])
-
-    def _half(parity: int) -> Any:
-        return base.map_batches(
-            lambda t, p=parity: t.filter(
-                pc.equal(pc.bit_wise_and(t["event_id"], 1), p)
-            ).select(["value"]),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-
-    ref_prof = profile_dataset(_half(0), ["value"])
-    cur_prof = profile_dataset(_half(1), ["value"])
+    # ONE scan profiles both halves: per-batch sketch deltas tagged by
+    # event_id parity, merged per tag (profile_dataset_split)
+    profs = profile_dataset_split(
+        base, lambda t: pc.bit_wise_and(t["event_id"], 1), ["value"]
+    )
+    ref_prof, cur_prof = profs[0], profs[1]
     report = drift_check(None, ref_prof, max_drift=0.1, current_profile=cur_prof)
     rv, cv = ref_prof["value"], cur_prof["value"]
     return _one_row(
@@ -1231,12 +1229,10 @@ def q_resumable_write(sf_dir: str) -> pa.Table:
     import glob
     import os
 
-    from patito_ray.sinks import read_output, resumable_write_parquet
-    from patito_ray.validation.checkpoint import _shard_id
+    from patito_ray.sinks import plan_id, read_output, resumable_write_parquet
 
     files = sorted(glob.glob(f"{sf_dir}/documents.parquet"))
-    fp = _shard_id([(f, os.path.getsize(f)) for f in files], "doclen>=200 v1")
-    out_dir = f"/tmp/patito_ray_sink/{fp}"
+    out_dir = f"/tmp/patito_ray_sink/{plan_id(files, 'doclen>=200 v1')}"
 
     def keep_long(ds: Any) -> Any:
         def fn(t: pa.Table) -> pa.Table:

@@ -27,9 +27,18 @@ import shutil
 import time
 from typing import Any, Callable
 
-from patito_ray.validation.checkpoint import _atomic_write, plan_shards
+from patito_ray.validation.checkpoint import _atomic_write, _shard_id, plan_shards
 
 _LOG = logging.getLogger(__name__)
+
+
+def plan_id(files: list[str], transform_fingerprint: str = "") -> str:
+    """Stable fingerprint of a sink plan: the sorted (path, size) input
+    list plus the transform fingerprint — the same identity the shard
+    ids are derived from. Callers keying caches/output dirs on 'this
+    exact job' should use this instead of re-hashing file lists."""
+    pairs = sorted((f, os.path.getsize(f)) for f in files)
+    return _shard_id(pairs, fingerprint=transform_fingerprint)
 
 
 def resumable_write_parquet(
@@ -87,6 +96,10 @@ def resumable_write_parquet(
         if transform is not None:
             ds = transform(ds)
         ds.write_parquet(tmp_dir)
+        # a shard whose transform filters out EVERY row writes no files
+        # and may not even create the directory — still a completed
+        # shard (rows=0), not a crash
+        os.makedirs(tmp_dir, exist_ok=True)
         rows = _parquet_dir_rows(tmp_dir)
         os.replace(tmp_dir, shard_dir)
         _atomic_write(
@@ -124,14 +137,34 @@ def _parquet_dir_rows(path: str) -> int:
     return total
 
 
-def read_output(out_dir: str) -> Any:
+def read_output(out_dir: str, allow_partial: bool = False) -> Any:
     """Read a resumable sink's completed shards back as one Dataset —
     only shards of the CURRENT plan (orphans from a superseded corpus /
-    transform fingerprint are ignored with a warning)."""
+    transform fingerprint are ignored with a warning).
+
+    A plan whose write has not finished raises by default — silently
+    returning 3 of 10 shards to a consumer that believes it has the
+    full output is the one failure mode a resumable sink must not
+    have. Pass ``allow_partial=True`` to read whatever has landed."""
     import ray.data as rd
 
     with open(f"{out_dir}/_plan.json") as f:
         plan = set(json.load(f)["shards"])
+    # completion is judged by MANIFESTS (written after the data), not
+    # shard dirs: a renamed-but-unmanifested dir is still incomplete
+    mdir = f"{out_dir}/_manifests"
+    done = {
+        name[: -len(".json")]
+        for name in (os.listdir(mdir) if os.path.isdir(mdir) else [])
+        if name.endswith(".json")
+    }
+    missing = plan - done
+    if missing and not allow_partial:
+        raise RuntimeError(
+            f"sink output under {out_dir} is incomplete: {len(missing)} of "
+            f"{len(plan)} planned shard(s) have no manifest yet — finish the "
+            "write (resumable_write_parquet) or pass allow_partial=True"
+        )
     on_disk = {d[len("shard=") :] for d in os.listdir(out_dir) if d.startswith("shard=")}
     orphans = on_disk - plan
     if orphans:
@@ -145,12 +178,15 @@ def read_output(out_dir: str) -> Any:
     # trigger hive-partition inference
     paths = sorted(
         f"{out_dir}/shard={sid}/{name}"
-        for sid in on_disk & plan
+        for sid in on_disk & plan & done
         for name in os.listdir(f"{out_dir}/shard={sid}")
         if name.endswith(".parquet")
     )
     if not paths:
-        raise FileNotFoundError(f"no completed shards of the current plan under {out_dir}")
+        raise FileNotFoundError(
+            f"no completed shard produced any parquet file under {out_dir} "
+            "(every row may have been filtered by the transform)"
+        )
     # partitioning=None: the shard id is lineage, not a data column —
     # default hive inference would inject a "shard" column from the dir
     return rd.read_parquet(paths, partitioning=None)

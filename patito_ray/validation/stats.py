@@ -197,6 +197,46 @@ def profile_dataset(
     return _merge_state_rows(deltas.take_all())
 
 
+def profile_dataset_split(
+    ds: Any,
+    split: "Any",
+    columns: list[str] | None = None,
+) -> dict[Any, dict[str, "ColumnStats"]]:
+    """Profile disjoint row groups of ONE dataset in a single scan.
+
+    ``split`` maps a pyarrow batch to a per-row group-label array; each
+    batch emits one pickled sketch-delta row per label present, and the
+    tiny deltas merge per label on the driver. One pass over the input
+    replaces one full scan per group — the drift check's
+    reference/current halves are the canonical caller.
+    """
+    kern = SketchBatch(columns)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        labels = split(batch)
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        groups: list[Any] = []
+        blobs: list[bytes] = []
+        for lab in pc.unique(labels).to_pylist():
+            mask = pc.is_null(labels) if lab is None else pc.equal(labels, lab)
+            sub = batch.filter(mask)
+            groups.append(lab)
+            blobs.append(kern(sub).column("stats")[0].as_py())
+        return pa.table(
+            {
+                "group": pa.array(groups, type=labels.type),
+                "stats": pa.array(blobs, type=pa.binary()),
+            }
+        )
+
+    deltas = ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    by_group: dict[Any, list[dict[str, Any]]] = {}
+    for row in deltas.take_all():
+        by_group.setdefault(row["group"], []).append(row)
+    return {lab: _merge_state_rows(rows) for lab, rows in by_group.items()}
+
+
 def drift_check(
     ds: Any,
     reference_profile: dict[str, "ColumnStats"],

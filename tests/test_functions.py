@@ -566,6 +566,66 @@ def test_deterministic_sample_shard_stable(ray_session):
         sample_batch(pa.table({"doc_id": ["a"]}), "doc_id", 0.5)
 
 
+def test_sample_edge_cases():
+    from patito_ray.functions.sampling import sample_batch, stratified_sample
+
+    # 3558559446808474027 is the splitmix64 preimage of 2^64-1 at seed
+    # 0: a strict '<' against the saturated threshold would drop it
+    extreme = pa.table(
+        {"doc_id": pa.array([3558559446808474027, 1], type=pa.int64())}
+    )
+    assert len(sample_batch(extreme, "doc_id", 1.0)) == 2
+    # keep-all strata must bypass the hash compare the same way
+    import ray.data as rd
+
+    t = extreme.append_column("lang", pa.array(["de", "de"]))
+    out = stratified_sample(
+        rd.from_arrow(t), "doc_id", "lang", {"de": 1.0}, default_fraction=0.0
+    ).take_all()
+    assert len(out) == 2
+    # a null key would silently route the batch through float64 (key
+    # corruption above 2^53) — reject loudly instead
+    with pytest.raises(ValueError, match="null"):
+        sample_batch(
+            pa.table({"doc_id": pa.array([1, None], type=pa.int64())}),
+            "doc_id",
+            0.5,
+        )
+
+
+def test_profile_dataset_split_single_pass(ray_session):
+    import ray.data as rd
+
+    from patito_ray.validation.stats import profile_dataset, profile_dataset_split
+
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(4000, dtype=np.int64)),
+            "value": pa.array(np.arange(4000, dtype=np.float64) * 0.5),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    profs = profile_dataset_split(
+        ds, lambda b: pc.bit_wise_and(b["event_id"], 1), ["value"]
+    )
+    assert set(profs) == {0, 1}
+    for parity in (0, 1):
+        half = rd.from_arrow(
+            t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), parity)).select(
+                ["value"]
+            )
+        )
+        expect = profile_dataset(half, ["value"])["value"]
+        got = profs[parity]["value"]
+        assert (got.count, got.nulls, got.min, got.max, got.sum) == (
+            expect.count,
+            expect.nulls,
+            expect.min,
+            expect.max,
+            expect.sum,
+        )
+
+
 def test_stratified_sample(ray_session):
     import ray.data as rd
 

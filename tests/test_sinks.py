@@ -84,6 +84,35 @@ def test_crash_leftover_tmp_discarded(ray_session, corpus, tmp_path):
     assert len(read_output(out).take_all()) == 20
 
 
+def test_filter_all_shard_completes_with_zero_rows(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out")
+
+    def drop_all(ds):
+        return ds.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow", batch_size=None
+        )
+
+    # a shard whose transform filters out every row must still COMPLETE
+    # (manifest rows=0), not crash — and must stay skipped on resume
+    s = resumable_write_parquet(corpus, out, drop_all, files_per_shard=2)
+    assert s["written"] == 2 and s["rows"] == 0
+    s2 = resumable_write_parquet(corpus, out, drop_all, files_per_shard=2)
+    assert s2["written"] == 0 and s2["skipped"] == 2 and s2["rows"] == 0
+    with pytest.raises(FileNotFoundError, match="filtered"):
+        read_output(out)
+
+
+def test_read_output_rejects_partial_plan(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    resumable_write_parquet(corpus, out, _keep_even, files_per_shard=2)
+    sid = output_manifests(out)[0]["shard"]
+    os.remove(f"{out}/_manifests/{sid}.json")
+    with pytest.raises(RuntimeError, match="incomplete"):
+        read_output(out)
+    # explicit opt-in reads only the finished shard
+    assert len(read_output(out, allow_partial=True).take_all()) == 10
+
+
 def test_changed_transform_supersedes_plan(ray_session, corpus, tmp_path):
     out = str(tmp_path / "out")
     resumable_write_parquet(corpus, out, _keep_even, files_per_shard=2, transform_fingerprint="even")
