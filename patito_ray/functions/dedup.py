@@ -34,6 +34,11 @@ _LOG = logging.getLogger(__name__)
 # and up to ~4x cluster CPUs at crawl scale.
 _PAIRS_PER_PARTITION = 4096
 
+# Memory ceiling per pair-exchange partition task: the per-partition
+# polars join holds both sides' payloads in heap, so partition count
+# must grow with payload volume regardless of cluster size.
+_PAYLOAD_BYTES_PER_PARTITION = 128 * 1024 * 1024
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -594,6 +599,20 @@ def pair_payload_join(
         # scale n_pairs is O(corpus) and the clamp is inactive.
         by_size = max(1, -(-n_pairs // _PAIRS_PER_PARTITION))
         num_partitions = min(default_num_partitions(), by_size)
+        # memory bound (dominates both other rules when it bites): each
+        # partition task holds ~2 payloads per pair in heap during its
+        # join, so partitions must scale UP with payload volume or a
+        # dup-heavy crawl with fat payloads OOMs a fixed 4x-CPU fan-out.
+        # Only a materialized corpus knows its size without triggering
+        # execution; the explicit num_partitions arg remains the
+        # escape hatch otherwise.
+        import ray.data as _rd
+
+        if isinstance(ds, _rd.dataset.MaterializedDataset):
+            n_rows = max(1, ds.count())
+            volume = 2 * n_pairs * max(1, ds.size_bytes() // n_rows)
+            by_bytes = -(-volume // _PAYLOAD_BYTES_PER_PARTITION)
+            num_partitions = int(max(num_partitions, by_bytes))
     P = np.int64(num_partitions)
 
     union_schema = pa.schema(
@@ -1275,3 +1294,82 @@ def embedding_near_dups(
         )
 
     return joined.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def benchmark_gram_hashes(
+    texts: "pa.Array | pa.ChunkedArray | list[str]", n: int = 3
+) -> np.ndarray:
+    """Sorted unique word-n-gram hash set of a benchmark corpus —
+    the broadcast side of ``contamination_flags``. Benchmark/eval sets
+    are small (MBs) by construction; the gram set is a few million
+    uint64s at most, well inside ``ray.put`` broadcast territory."""
+    if isinstance(texts, list):
+        texts = pa.array(texts, type=pa.string())
+    _, flat, _ = _gram_hash_sets(texts, n)
+    return np.unique(flat)
+
+
+def contamination_flags(
+    ds: Any,
+    benchmark: "pa.Array | pa.ChunkedArray | list[str] | np.ndarray",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Any:
+    """Train/test decontamination: flag corpus docs sharing any word
+    n-gram with a benchmark set (the standard membership check run
+    before training to keep eval data out of the training corpus).
+
+    -> Dataset[id_col, n_grams, n_hits, contaminated] with one row per
+    input doc: ``n_grams`` = the doc's distinct-gram count, ``n_hits``
+    = how many of those grams appear in the benchmark, ``contaminated``
+    = n_hits > 0.
+
+    Execution shape: the benchmark's unique gram hashes are broadcast
+    ONCE via ``ray.put`` (an eval set is MBs — broadcasting it beats
+    any shuffle by orders of magnitude); each batch builds its docs'
+    deduped gram-hash sets vectorized (``_gram_hash_sets``, RE2-exact
+    tokenization) and counts membership with one ``np.searchsorted``
+    against the sorted benchmark array — no shuffle, no state, stream
+    to the end. For a benchmark too large to broadcast (not a real
+    eval-set regime), co-partition doc grams and benchmark grams by
+    gram hash instead.
+
+    Hash-set membership equals string-gram membership up to 64-bit
+    collisions (~|bench|·|grams|/2**64 false-hit probability — the SQL
+    oracle compares gram STRINGS and agrees exactly on the test
+    corpora). Short docs (1..n-1 tokens) contribute their whole
+    normalized token sequence as one gram, zero-token docs have no
+    grams — same semantics on both sides (``_shingle_hashes``).
+    """
+    import ray
+
+    bench = (
+        np.asarray(benchmark, dtype=np.uint64)
+        if isinstance(benchmark, np.ndarray)
+        else benchmark_gram_hashes(benchmark, n)
+    )
+    bench_ref = ray.put(np.sort(bench))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench_sorted = ray.get(bench_ref)  # zero-copy object-store read
+        rows, flat, sizes = _gram_hash_sets(batch.column(text_col), n)
+        if len(bench_sorted):
+            pos = np.searchsorted(bench_sorted, flat)
+            # clamp the one-past-the-end positions (flat > max(bench),
+            # so the compare below is False for them regardless)
+            pos[pos == len(bench_sorted)] = 0
+            hit = bench_sorted[pos] == flat
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+        n_hits = np.bincount(rows[hit], minlength=batch.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_grams": pa.array(sizes, type=pa.int64()),
+                "n_hits": pa.array(n_hits, type=pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)

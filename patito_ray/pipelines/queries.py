@@ -1220,6 +1220,68 @@ WHERE h64 < CASE WHEN lang = 'en'
 """
 
 
+def q_contamination(sf_dir: str) -> Any:
+    """Train/test decontamination: every 100th document plays the
+    benchmark/eval set; flag all docs sharing any word-3-gram with it.
+    The benchmark gram-hash set broadcasts once via ray.put; the flag
+    pass is one shuffle-free vectorized membership scan. Exact oracle:
+    the SQL side builds the same distinct 3-gram sets (incl. the
+    short-doc whole-text fallback) and joins on gram STRINGS — hash
+    collisions would surface as a value mismatch."""
+    from patito_ray.functions.dedup import contamination_flags
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def pick_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 100 == 0)).select(["text"])
+
+    bench_texts = [
+        r["text"]
+        for r in ds.map_batches(
+            pick_bench, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    ]
+    return contamination_flags(ds, bench_texts, n=3)
+
+
+SQL_CONTAMINATION = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i, len(ts) AS n
+  FROM tok
+),
+g3 AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram,
+         i, n
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+long_grams AS (
+  SELECT doc_id, list(DISTINCT gram) AS gs FROM g3 WHERE i + 2 <= n GROUP BY doc_id
+),
+grams AS (
+  SELECT t.doc_id,
+         COALESCE(lg.gs,
+                  CASE WHEN len(t.ts) >= 1 THEN [array_to_string(t.ts, ' ')]
+                       ELSE [] END) AS gs
+  FROM tok t LEFT JOIN long_grams lg ON t.doc_id = lg.doc_id
+),
+docg AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+bench AS (SELECT DISTINCT gram FROM docg WHERE doc_id % 100 = 0),
+hits AS (
+  SELECT d.doc_id, COUNT(*) AS n_hits
+  FROM docg d JOIN bench b USING (gram) GROUP BY d.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.gs) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+"""
+
+
 def q_resumable_write(sf_dir: str) -> pa.Table:
     """Resumable partitioned sink driven end-to-end: filter documents
     by length through the sink's shard loop (write → manifest →
@@ -1311,6 +1373,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "drift_events": (q_drift_events, SQL_DRIFT_EVENTS),
     "resumable_write": (q_resumable_write, SQL_RESUMABLE_WRITE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),

@@ -566,6 +566,43 @@ def test_deterministic_sample_shard_stable(ray_session):
         sample_batch(pa.table({"doc_id": ["a"]}), "doc_id", 0.5)
 
 
+def test_contamination_flags(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import benchmark_gram_hashes, contamination_flags
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog",
+                    "a completely different document about ray data engines",
+                    "the quick brown fox appears here too with more words",
+                    "tiny doc",
+                ]
+            ),
+        }
+    )
+    bench = ["the quick brown fox jumps", "tiny doc"]
+    ds = rd.from_arrow(docs).repartition(3)
+    out = {r["doc_id"]: r for r in contamination_flags(ds, bench).take_all()}
+    # doc 0 shares all 3 benchmark 3-grams; doc 2 shares the first two
+    assert out[0]["contaminated"] and out[0]["n_hits"] == 3
+    assert not out[1]["contaminated"] and out[1]["n_hits"] == 0
+    assert out[2]["contaminated"] and out[2]["n_hits"] == 2
+    # 2-token doc: whole-text fallback gram matches the benchmark's own
+    # fallback gram for the identical short text
+    assert out[3]["contaminated"] and out[3]["n_grams"] == 1
+    # empty benchmark -> nothing contaminated; precomputed-hash path agrees
+    clean = contamination_flags(ds, [], n=3).take_all()
+    assert not any(r["contaminated"] for r in clean)
+    pre = contamination_flags(ds, benchmark_gram_hashes(bench, 3)).take_all()
+    assert {r["doc_id"]: r["n_hits"] for r in pre} == {
+        k: v["n_hits"] for k, v in out.items()
+    }
+
+
 def test_sample_edge_cases():
     from patito_ray.functions.sampling import sample_batch, stratified_sample
 
