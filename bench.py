@@ -177,6 +177,9 @@ def run_bench() -> dict:
         "asof_last_order",
         "quality_counts",
         "minhash_pairs",
+        "contamination",
+        "stratified_sample",
+        "drift_events",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
