@@ -90,10 +90,20 @@ def dedup_exact(
     payload rows are selected by kept-id — broadcast ``is_in`` filter
     while the id set fits the object store comfortably, partitioned
     hash join beyond that."""
+    kept = dedup_exact_ids(ds, text_col, id_col)
+    return _select_rows_by_ids(ds, kept, id_col, broadcast_limit_bytes)
+
+
+def _select_rows_by_ids(
+    ds: Any, kept: Any, id_col: str, broadcast_limit_bytes: int
+) -> Any:
+    """Select ``ds`` rows whose id is in the (narrow) ``kept`` Dataset:
+    broadcast ``is_in`` filter while the id set fits the object store
+    comfortably, co-partitioned semi filter beyond that."""
     import pyarrow.compute as _pc
     import ray
 
-    kept = dedup_exact_ids(ds, text_col, id_col).materialize()
+    kept = kept.materialize()
     kept_bytes = kept.count() * 8
     if kept_bytes <= broadcast_limit_bytes:
         ids = pa.concat_arrays(
@@ -131,6 +141,78 @@ def dedup_exact(
     return copartition_apply(
         ds, kept2, by=id_col, right_by="_kept_id", part_fn=semi, num_partitions=64
     )
+
+
+
+def content_hashes(ds: Any, text_col: str = "text") -> Any:
+    """Narrow Dataset[h] of a corpus's normalized-content hashes — the
+    8 B/doc artifact a dedup run persists (``write_parquet``) so the
+    NEXT crawl can dedup incrementally against it without re-reading
+    the previous corpus."""
+    return ds.map_batches(
+        lambda t: add_content_hash(t, text_col).select(["h"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def dedup_exact_incremental(
+    ds: Any,
+    prev_hashes: Any,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit_bytes: int = 256 * 1024 * 1024,
+) -> Any:
+    """Cross-run exact dedup: keep one row (min id) per content hash,
+    dropping every doc whose hash already appeared in a PREVIOUS corpus
+    (``prev_hashes``: a Dataset with column ``h`` — typically
+    ``content_hashes`` parquet written by the prior run, read back
+    lazily).
+
+    The previous corpus rides the SAME narrow Min-groupby exchange as
+    within-corpus dedup: its hashes enter as (h, id=-1) sentinel rows,
+    the sentinel wins every Min against real (non-negative) ids, and
+    kept ids are the survivors >= 0. No broadcast of the previous
+    corpus, no driver materialization — at 100 TB the prior-crawl hash
+    set is itself billions of rows and must stream through the shuffle
+    like everything else. Requires non-negative ids (checked per batch).
+    """
+    from ray.data.aggregate import Min
+
+    def new_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        if pc.min(ids).as_py() is not None and pc.min(ids).as_py() < 0:
+            raise ValueError(
+                f"dedup_exact_incremental requires non-negative {id_col!r} "
+                "(−1 is the already-seen sentinel)"
+            )
+        return add_content_hash(t, text_col).select(["h", id_col])
+
+    def prev_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": pc.cast(t.column("h").combine_chunks(), pa.int64()),
+                id_col: pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    pre = ds.map_batches(new_rows, batch_format="pyarrow", batch_size=None).union(
+        prev_hashes.map_batches(prev_rows, batch_format="pyarrow", batch_size=None)
+    )
+    kept = (
+        pre.groupby("h")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column(id_col), 0)
+            ).select([id_col]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return _select_rows_by_ids(ds, kept, id_col, broadcast_limit_bytes)
 
 
 # ---------------------------------------------------------------------------

@@ -1220,6 +1220,42 @@ WHERE h64 < CASE WHEN lang = 'en'
 """
 
 
+def q_dedup_incremental(sf_dir: str) -> Any:
+    """Cross-run exact dedup: docs with doc_id % 10 == 7 play the
+    PREVIOUS crawl (only their content hashes survive it, as a lazy
+    narrow Dataset); the full corpus then dedups against them — any doc
+    whose normalized text appeared in the previous crawl drops, and one
+    min-id representative survives per remaining distinct text. The
+    previous corpus is never broadcast or driver-materialized: its
+    hashes ride the same Min-groupby exchange as within-corpus dedup
+    behind a -1 sentinel id."""
+    from patito_ray.functions.dedup import content_hashes, dedup_exact_incremental
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def pick_prev(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 7))
+
+    prev = content_hashes(
+        ds.map_batches(pick_prev, batch_format="pyarrow", batch_size=None)
+    )
+    kept = dedup_exact_incremental(ds, prev)
+    return kept.select_columns(["doc_id"])
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  FROM documents
+),
+prev AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 10 = 7)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM norm WHERE nt NOT IN (SELECT nt FROM prev)
+GROUP BY nt
+"""
+
+
 def q_contamination(sf_dir: str) -> Any:
     """Train/test decontamination: every 100th document plays the
     benchmark/eval set; flag all docs sharing any word-3-gram with it.
@@ -1374,6 +1410,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "resumable_write": (q_resumable_write, SQL_RESUMABLE_WRITE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),

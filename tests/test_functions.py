@@ -566,6 +566,55 @@ def test_deterministic_sample_shard_stable(ray_session):
         sample_batch(pa.table({"doc_id": ["a"]}), "doc_id", 0.5)
 
 
+def test_dedup_exact_incremental(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import content_hashes, dedup_exact_incremental
+
+    prev = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], type=pa.int64()),
+                "text": pa.array(["Seen  Before", "gone"]),
+            }
+        )
+    )
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+                # 0: dup of prev (normalization collapses case/ws)
+                # 1,3: dups of each other (min id 1 survives)
+                # 2: fresh; 4: dup of prev
+                "text": pa.array(
+                    ["seen before", "fresh a", "fresh b", "FRESH  A", "GONE"]
+                ),
+            }
+        )
+    ).repartition(3)
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_exact_incremental(new, content_hashes(prev)).take_all()
+    )
+    assert kept == [1, 2]
+    # empty previous corpus degrades to plain within-corpus dedup
+    empty_prev = content_hashes(
+        rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                                "text": pa.array([], type=pa.string())}))
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in dedup_exact_incremental(new, empty_prev).take_all()
+    )
+    assert kept2 == [0, 1, 2, 4]
+    # negative ids collide with the sentinel -> loud error
+    bad = rd.from_arrow(
+        pa.table({"doc_id": pa.array([-5], type=pa.int64()), "text": ["x"]})
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        dedup_exact_incremental(bad, content_hashes(prev)).take_all()
+
+
 def test_contamination_flags(ray_session):
     import ray.data as rd
 
