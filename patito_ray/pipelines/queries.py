@@ -1318,6 +1318,17 @@ FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
 """
 
 
+def q_quantile_filter(sf_dir: str) -> Any:
+    """Keep the top ~10% of events by value (the 'train on the
+    best-scoring slice' curation step). Rows-only: the cut comes from
+    the t-digest quantile (approximate in rank by design); the filter
+    itself is an exact vectorized threshold."""
+    from patito_ray.validation.stats import quantile_filter
+
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    return quantile_filter(ds, "value", keep_fraction=0.1, side="top")
+
+
 def q_resumable_write(sf_dir: str) -> pa.Table:
     """Resumable partitioned sink driven end-to-end: filter documents
     by length through the sink's shard loop (write → manifest →
@@ -1411,6 +1422,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "quantile_filter": (q_quantile_filter, None),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),

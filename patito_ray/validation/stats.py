@@ -197,6 +197,52 @@ def profile_dataset(
     return _merge_state_rows(deltas.take_all())
 
 
+def quantile_threshold(ds: Any, column: str, q: float) -> float:
+    """Approximate q-quantile of a numeric column via the mergeable
+    t-digest sketch pass (one scan, tiny deltas to the driver)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile must be in [0, 1], got {q}")
+    prof = profile_dataset(ds, [column]).get(column)
+    if prof is None or prof.tdigest is None or prof.count - prof.nulls == 0:
+        raise ValueError(
+            f"cannot compute a quantile of {column!r}: column missing, "
+            "non-numeric, or all-null"
+        )
+    return float(prof.tdigest.quantile(q))
+
+
+def quantile_filter(
+    ds: Any, column: str, keep_fraction: float, side: str = "top"
+) -> Any:
+    """Keep approximately the top (or bottom) ``keep_fraction`` of rows
+    by a numeric column — the 'train on the best-scoring X% of the
+    corpus' curation step.
+
+    Two streaming passes, no shuffle: (1) the t-digest sketch pass
+    finds the cut value, (2) a vectorized threshold filter applies it.
+    The CUT is approximate (t-digest quantile error, typically <<1% in
+    rank); the FILTER is exact — every kept row's value beats every
+    dropped row's (nulls always drop). The threshold is returned on the
+    Dataset as ``.quantile_cut`` for reporting."""
+    if side not in ("top", "bottom"):
+        raise ValueError(f"side must be 'top' or 'bottom', got {side!r}")
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(
+            f"keep_fraction must be in (0, 1], got {keep_fraction}"
+        )
+    q = 1.0 - keep_fraction if side == "top" else keep_fraction
+    cut = quantile_threshold(ds, column, q)
+    op = pc.greater_equal if side == "top" else pc.less_equal
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(op(batch.column(column), cut), False)
+        return batch.filter(mask)
+
+    out = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    out.quantile_cut = cut
+    return out
+
+
 def profile_dataset_split(
     ds: Any,
     split: "Any",

@@ -679,6 +679,37 @@ def test_sample_edge_cases():
         )
 
 
+def test_quantile_filter(ray_session):
+    import ray.data as rd
+
+    from patito_ray.validation.stats import quantile_filter, quantile_threshold
+
+    n = 50_000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "score": pa.array((np.arange(n, dtype=np.float64) * 7919) % n),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    out = quantile_filter(ds, "score", keep_fraction=0.2, side="top")
+    kept = out.take_all()
+    # cut is t-digest-approximate in rank, filter exact: fraction lands
+    # near 20% and every kept score clears the reported cut
+    assert 0.18 < len(kept) / n < 0.22
+    assert min(r["score"] for r in kept) >= out.quantile_cut
+    assert abs(out.quantile_cut - 0.8 * n) / n < 0.02
+    bottom = quantile_filter(ds, "score", keep_fraction=0.1, side="bottom").take_all()
+    assert 0.08 < len(bottom) / n < 0.12
+    assert max(r["score"] for r in bottom) <= 0.12 * n
+    with pytest.raises(ValueError):
+        quantile_filter(ds, "score", 0.0)
+    with pytest.raises(ValueError):
+        quantile_filter(ds, "score", 0.5, side="middle")
+    with pytest.raises(ValueError):
+        quantile_threshold(ds, "missing_col", 0.5)
+
+
 def test_profile_dataset_split_single_pass(ray_session):
     import ray.data as rd
 
