@@ -1318,6 +1318,71 @@ FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
 """
 
 
+def q_url_canonical(sf_dir: str) -> Any:
+    """URL canonicalization parity: both engines synthesize the
+    IDENTICAL messy URL per doc_id (mixed-case scheme/host, default and
+    non-default ports crossed against both schemes, fragments) and
+    canonicalize — lowercased scheme+authority, fragment dropped,
+    default ports removed, path case preserved. Exact value oracle."""
+    from patito_ray.functions.urls import canonicalize_url_array
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = pc.cast(t.column("doc_id"), pa.string())
+        scheme = pa.array(np.where(ids % 2 == 0, "HTTP://", "hTTps://"))
+        host = pc.binary_join_element_wise(
+            pa.array(np.full(len(ids), "ExAmple", dtype=object)),
+            pc.cast(pa.array(ids % 7), pa.string()),
+            pa.array(np.full(len(ids), ".COM", dtype=object)),
+            "",
+        )
+        port = pa.array(
+            np.choose(ids % 4, [":80", ":443", ":8080", ""]).astype(object)
+        )
+        frag = pa.array(np.where(ids % 3 == 0, "#Frag", "").astype(object))
+        url = pc.binary_join_element_wise(
+            scheme, host, port, pa.array(np.full(len(ids), "/Path/", dtype=object)),
+            s, frag, "",
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "canon_url": canonicalize_url_array(url),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=None)
+
+
+SQL_URL_CANONICAL = """
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'hTTps://' END)
+    || 'ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+    || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+        WHEN 2 THEN ':8080' ELSE '' END)
+    || '/Path/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '#Frag' ELSE '' END) AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1)) AS head,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^#]*)', 1) AS tail
+  FROM u
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(head, '^(http://[^:]*):80$', '\\1'),
+    '^(https://[^:]*):443$', '\\1') || tail AS canon_url
+FROM p
+"""
+
+
 def q_quantile_filter(sf_dir: str) -> Any:
     """Keep the top ~10% of events by value (the 'train on the
     best-scoring slice' curation step). Rows-only: the cut comes from
@@ -1423,6 +1488,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "quantile_filter": (q_quantile_filter, None),
+    "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),
     "asof_last_order": (q_asof_last_order, SQL_ASOF_LAST_ORDER),

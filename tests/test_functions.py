@@ -566,6 +566,35 @@ def test_deterministic_sample_shard_stable(ray_session):
         sample_batch(pa.table({"doc_id": ["a"]}), "doc_id", 0.5)
 
 
+def test_canonicalize_urls():
+    from patito_ray.functions.urls import canonicalize_url_array
+
+    urls = pa.array(
+        [
+            "HTTP://Example.COM:80/Path/To?Q=1#Frag",
+            "https://EXAMPLE.com:443/",
+            "http://example.com:8080/a",  # non-default port: keep
+            "https://example.com:80/a",  # :80 is only default for http
+            "HtTpS://A.B:443",  # empty path
+            "not a url",  # passthrough, never corrupted
+            "ftp://Host:21/File",  # other scheme: authority lowered only
+            None,
+            "http://h#frag#2",  # everything after the first # drops
+        ]
+    )
+    assert canonicalize_url_array(urls).to_pylist() == [
+        "http://example.com/Path/To?Q=1",
+        "https://example.com/",
+        "http://example.com:8080/a",
+        "https://example.com:80/a",
+        "https://a.b",
+        "not a url",
+        "ftp://host:21/File",
+        None,
+        "http://h",
+    ]
+
+
 def test_dedup_exact_incremental(ray_session):
     import ray.data as rd
 
