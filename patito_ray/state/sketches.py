@@ -98,10 +98,12 @@ class TDigest:
         v = v[~np.isnan(v)]
         if len(v):
             self._buf.append(v)
-        if sum(len(b) for b in self._buf) > 16384:
+        if sum(len(b) for b in self._buf) > 65536:
             self._compress()
 
     def _compress(self) -> None:
+        import math
+
         if self._buf:
             new_means = np.concatenate([self.means] + self._buf)
             new_weights = np.concatenate(
@@ -110,41 +112,45 @@ class TDigest:
             self._buf = []
         else:
             new_means, new_weights = self.means, self.weights
-        if len(new_means) == 0:
+        n = len(new_means)
+        if n == 0:
             return
         order = np.argsort(new_means, kind="stable")
         means = new_means[order]
         weights = new_weights[order]
-        total = weights.sum()
-        # greedy clustering bounded by the k1 scale function
-        out_means: list[float] = []
-        out_weights: list[float] = []
-        acc_mean = means[0]
-        acc_w = weights[0]
-        w_so_far = 0.0
+        # greedy k1 clustering, but looping over CLUSTERS (<= ~delta of
+        # them), never points: each cluster's end index comes from one
+        # searchsorted against the inclusive cumulative weight at the
+        # inverse scale function's q bound — identical grouping to the
+        # point-loop greedy form (monotone k: "k(q_incl) <= k(q_left)+1"
+        # == "q_incl <= k_inv(k(q_left)+1)"), ~100x less Python
+        cum = np.cumsum(weights)
+        total = cum[-1]
+        d = float(self.delta)
+        two_pi = 2.0 * math.pi
 
-        def k(q: float) -> float:
-            q = min(max(q, 1e-12), 1 - 1e-12)
-            return self.delta / (2 * np.pi) * np.arcsin(2 * q - 1)
+        def _k(q: float) -> float:
+            q = min(max(q, 1e-12), 1.0 - 1e-12)
+            return d / two_pi * math.asin(2.0 * q - 1.0)
 
-        limit_k = k(0.0) + 1.0
-        for i in range(1, len(means)):
-            q_new = (w_so_far + acc_w + weights[i]) / total
-            if k(q_new) <= limit_k:
-                new_w = acc_w + weights[i]
-                acc_mean = (acc_mean * acc_w + means[i] * weights[i]) / new_w
-                acc_w = new_w
-            else:
-                out_means.append(acc_mean)
-                out_weights.append(acc_w)
-                w_so_far += acc_w
-                acc_mean = means[i]
-                acc_w = weights[i]
-                limit_k = k(w_so_far / total) + 1.0
-        out_means.append(acc_mean)
-        out_weights.append(acc_w)
-        self.means = np.array(out_means)
-        self.weights = np.array(out_weights)
+        k_hi = _k(1.0)
+        starts = [0]
+        i = 0
+        while True:
+            q_left = float(cum[i - 1] / total) if i else 0.0
+            y = _k(q_left) + 1.0
+            if y >= k_hi:
+                break  # the final cluster swallows the remainder
+            q_bound = (math.sin(two_pi * y / d) + 1.0) / 2.0
+            end = int(np.searchsorted(cum, q_bound * total, side="right"))
+            i = max(i + 1, end)
+            if i >= n:
+                break
+            starts.append(i)
+        starts_arr = np.asarray(starts, dtype=np.int64)
+        wsum = np.add.reduceat(weights, starts_arr)
+        self.means = np.add.reduceat(means * weights, starts_arr) / wsum
+        self.weights = wsum
 
     def merge(self, other: "TDigest") -> "TDigest":
         if len(other.means):
