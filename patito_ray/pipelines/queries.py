@@ -22,6 +22,7 @@ from patito_ray.functions import dedup as f_dedup
 from patito_ray.functions import similarity as f_sim
 from patito_ray.functions import text as f_text
 from patito_ray.pipelines.webpage import validate_webpages
+from patito_ray.stages.agg import merge_partial_sums
 from patito_ray.validation.engine import duplicate_count_distributed
 from patito_ray.validation.stats import (
     column_stats,
@@ -38,6 +39,14 @@ def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> Any:
 
 def _one_row(**cols: Any) -> pa.Table:
     return pa.table({k: [v] for k, v in cols.items()})
+
+
+def _apply(final: Any, fn: Callable[[pa.Table], pa.Table]) -> Any:
+    """Apply a finishing batch fn to an adaptive-merge result (local
+    pa.Table from the driver path, lazy Dataset from the shuffle path)."""
+    if isinstance(final, pa.Table):
+        return fn(final)
+    return final.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 def _r(arr: Any, nd: int) -> Any:
     """DuckDB-compatible rounding: ROUND on DOUBLE is half-AWAY-from-
@@ -255,13 +264,10 @@ def q_q1(sf_dir: str) -> pa.Table:
         return out.to_arrow()
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("s_qty", alias_name="s_qty"),
-        Sum("s_price", alias_name="s_price"),
-        Sum("s_disc_price", alias_name="s_disc_price"),
-        Sum("s_charge", alias_name="s_charge"),
-        Sum("s_disc", alias_name="s_disc"),
-        Sum("n", alias_name="n"),
+    final = merge_partial_sums(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        ["s_qty", "s_price", "s_disc_price", "s_charge", "s_disc", "n"],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -281,7 +287,7 @@ def q_q1(sf_dir: str) -> pa.Table:
             }
         )
 
-    return final.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    return _apply(final, finish)
 
 
 SQL_Q1 = """
@@ -330,10 +336,9 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
 
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partials = orders.map_batches(attach, batch_format="pyarrow", batch_size=None)
-    final = partials.groupby("c_mktsegment").aggregate(
-        Sum("s_rev", alias_name="s_rev"), Sum("n", alias_name="n")
-    )
-    return final.map_batches(
+    final = merge_partial_sums(partials, ["c_mktsegment"], ["s_rev", "n"])
+    return _apply(
+        final,
         lambda t: pa.table(
             {
                 "c_mktsegment": t["c_mktsegment"],
@@ -341,8 +346,6 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
                 "n_orders": pc.cast(t["n"], pa.int64()),
             }
         ),
-        batch_format="pyarrow",
-        batch_size=None,
     )
 
 
@@ -385,10 +388,9 @@ def q_events_daily(sf_dir: str) -> pa.Table:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    final = partials.groupby(["event_type", "day"]).aggregate(
-        Sum("s_value", alias_name="s_value"), Sum("n", alias_name="n")
-    )
-    return final.map_batches(
+    final = merge_partial_sums(partials, ["event_type", "day"], ["s_value", "n"])
+    return _apply(
+        final,
         lambda t: pa.table(
             {
                 "event_type": t["event_type"],
@@ -397,8 +399,6 @@ def q_events_daily(sf_dir: str) -> pa.Table:
                 "n": pc.cast(t["n"], pa.int64()),
             }
         ),
-        batch_format="pyarrow",
-        batch_size=None,
     )
 
 
@@ -428,10 +428,10 @@ def q_events_sliding(sf_dir: str) -> pa.Table:
             .to_arrow()
         )
 
-    daily = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(["event_type", "day"])
-        .aggregate(Sum("v", alias_name="v"))
+    daily = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day"],
+        ["v"],
     )
 
     def sliding(group: pa.Table) -> pa.Table:
@@ -449,6 +449,15 @@ def q_events_sliding(sf_dir: str) -> pa.Table:
             }
         )
 
+    if isinstance(daily, pa.Table):
+        # driver-merged daily aggregate: the frame runs locally per type
+        import polars as pl
+
+        groups = [
+            sliding(g.to_arrow())
+            for _k, g in pl.from_arrow(daily).group_by("event_type")
+        ]
+        return pa.concat_tables(groups)
     return daily.groupby("event_type").map_groups(sliding, batch_format="pyarrow")
 
 
@@ -541,17 +550,24 @@ def q_top_parts(sf_dir: str) -> pa.Table:
         return df.group_by("l_partkey").agg(pl.col("rev").sum().alias("rev")).to_arrow()
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    totals = partials.groupby("l_partkey").aggregate(Sum("rev", alias_name="rev"))
-    top = totals.sort(["rev", "l_partkey"], descending=[True, False]).limit(10)
-    return top.map_batches(
+    totals = merge_partial_sums(partials, ["l_partkey"], ["rev"])
+    if isinstance(totals, pa.Table):
+        top: Any = (
+            pl.from_arrow(totals)
+            .sort(["rev", "l_partkey"], descending=[True, False])
+            .head(10)
+            .to_arrow()
+        )
+    else:
+        top = totals.sort(["rev", "l_partkey"], descending=[True, False]).limit(10)
+    return _apply(
+        top,
         lambda t: pa.table(
             {
                 "l_partkey": t["l_partkey"],
                 "revenue": _r(t["rev"], 2),
             }
         ),
-        batch_format="pyarrow",
-        batch_size=None,
     )
 
 
@@ -597,10 +613,9 @@ def q_nation_order_revenue(sf_dir: str) -> pa.Table:
 
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partials = orders.map_batches(attach, batch_format="pyarrow", batch_size=None)
-    final = partials.groupby("n_name").aggregate(
-        Sum("s", alias_name="s"), Sum("n", alias_name="n")
-    )
-    return final.map_batches(
+    final = merge_partial_sums(partials, ["n_name"], ["s", "n"])
+    return _apply(
+        final,
         lambda t: pa.table(
             {
                 "n_name": t["n_name"],
@@ -608,8 +623,6 @@ def q_nation_order_revenue(sf_dir: str) -> pa.Table:
                 "n_orders": pc.cast(t["n"], pa.int64()),
             }
         ),
-        batch_format="pyarrow",
-        batch_size=None,
     )
 
 

@@ -1,0 +1,58 @@
+"""Adaptive finalize for partial (per-batch) aggregates.
+
+The partial-aggregation pattern (combine inside ``map_batches``, then
+merge the per-batch partials) leaves a merge input of
+O(#distinct keys x #blocks) rows — usually megabytes even when the
+scanned input is huge. Ray's native sort-based ``groupby().aggregate``
+pays seconds of per-block shuffle overhead on that tiny remainder
+(measured: 4.8 s for a 478k-row partial merge whose driver-side polars
+groupby takes 0.15 s). So, exactly like the uniqueness-blob finalize in
+``validation/engine.py``: while the partial volume is bounded
+(``limit_bytes``), pull the narrow partial rows to the driver ONCE and
+merge with one multithreaded polars groupby; past the bound, fall back
+to Ray's distributed groupby exchange. The bound keeps the driver path
+safe — a high-cardinality key on a big cluster overflows the limit and
+takes the shuffle, which is then worth its overhead.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+_DRIVER_MERGE_BYTES = 256 * 1024 * 1024
+
+
+def merge_partial_sums(
+    partials: Any,
+    keys: list[str],
+    sums: list[str],
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> pa.Table | Any:
+    """Merge per-batch partial aggregates by summing ``sums`` per
+    ``keys`` group (counts merge as sums too).
+
+    Returns a local ``pa.Table`` when the partial volume fits
+    ``limit_bytes`` (driver polars merge), else a lazy Ray ``Dataset``
+    (distributed groupby). Callers must handle both — a local table
+    sorts/limits locally, a Dataset through Ray.
+    """
+    import polars as pl
+    import ray
+    from ray.data.aggregate import Sum
+
+    m = partials.materialize()
+    if m.size_bytes() <= limit_bytes:
+        tabs = ray.get(m.to_arrow_refs())
+        if not tabs:
+            schema = getattr(m.schema(), "base_schema", None)
+            return pa.Table.from_pylist([], schema=schema)
+        t = pa.concat_tables(tabs)
+        return (
+            pl.from_arrow(t)
+            .group_by(keys)
+            .agg([pl.col(c).sum().alias(c) for c in sums])
+            .to_arrow()
+        )
+    return m.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in sums])
