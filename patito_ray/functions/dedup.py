@@ -181,7 +181,8 @@ def dedup_exact_incremental(
 
     def new_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col)
-        if pc.min(ids).as_py() is not None and pc.min(ids).as_py() < 0:
+        lo = pc.min(ids).as_py()
+        if lo is not None and lo < 0:
             raise ValueError(
                 f"dedup_exact_incremental requires non-negative {id_col!r} "
                 "(−1 is the already-seen sentinel)"

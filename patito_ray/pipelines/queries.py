@@ -236,7 +236,6 @@ def q_q1(sf_dir: str) -> pa.Table:
     """TPC-H-Q1-style grouped aggregate with per-batch partial
     aggregation (polars within batch) + tiny final shuffle."""
     import polars as pl
-    from ray.data.aggregate import Sum
 
     ds = _rp(
         sf_dir,
@@ -309,7 +308,6 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
     (customer is the small side: ray.put the Arrow table once, each
     batch does a vectorized ``Table.join`` hash join against it)."""
     import ray
-    from ray.data.aggregate import Sum
 
     cust = pa.concat_tables(
         _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
@@ -375,7 +373,6 @@ def q_events_daily(sf_dir: str) -> pa.Table:
     """Tumbling 1-day window aggregate per event type (streaming-shaped
     workload re-expressed as groupby over a derived window key)."""
     import polars as pl
-    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -416,7 +413,6 @@ def q_events_sliding(sf_dir: str) -> pa.Table:
     the small (type, day) aggregate — one searchsorted/cumsum pass per
     event type, never a window over raw events."""
     import polars as pl
-    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -451,12 +447,18 @@ def q_events_sliding(sf_dir: str) -> pa.Table:
 
     if isinstance(daily, pa.Table):
         # driver-merged daily aggregate: the frame runs locally per type
-        import polars as pl
-
         groups = [
             sliding(g.to_arrow())
             for _k, g in pl.from_arrow(daily).group_by("event_type")
         ]
+        if not groups:  # empty input: concat_tables([]) would raise
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "day": pa.array([], type=daily.schema.field("day").type),
+                    "sliding_value": pa.array([], type=pa.float64()),
+                }
+            )
         return pa.concat_tables(groups)
     return daily.groupby("event_type").map_groups(sliding, batch_format="pyarrow")
 
@@ -539,7 +541,6 @@ def q_top_parts(sf_dir: str) -> pa.Table:
     groupby -> global sort+limit (the only full sort, over #parts
     rows, not #lineitems)."""
     import polars as pl
-    from ray.data.aggregate import Sum
 
     ds = _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
@@ -582,7 +583,6 @@ def q_nation_order_revenue(sf_dir: str) -> pa.Table:
     """3-way join customer ⋈ orders ⋈ nation: small dims broadcast
     (nation+customer), orders stream through one map_batches."""
     import ray
-    from ray.data.aggregate import Sum
 
     import polars as pl
 

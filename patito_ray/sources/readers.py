@@ -96,12 +96,12 @@ def clean_read_parquet(
         import ray
 
         try:
-            total_bytes = sum(
-                pd_ds.filesystem.get_file_info(f).size for f in pd_ds.files
-            )
+            # one batched metadata call, not one RPC per file
+            infos = pd_ds.filesystem.get_file_info(list(pd_ds.files))
+            total_bytes = sum(i.size or 0 for i in infos)
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
             by_bytes = max(1, total_bytes // (256 * 1024))
-            kwargs["override_num_blocks"] = int(min(4 * cpus, by_bytes))
+            kwargs["override_num_blocks"] = int(max(1, min(4 * cpus, by_bytes)))
         except Exception:
             pass  # unknown size (e.g. exotic filesystem): Ray's default
     return rd.read_parquet(paths, columns=columns, schema=schema, **kwargs)

@@ -44,10 +44,12 @@ def merge_partial_sums(
 
     m = partials.materialize()
     if m.size_bytes() <= limit_bytes:
-        tabs = ray.get(m.to_arrow_refs())
+        tabs = [t for t in ray.get(m.to_arrow_refs()) if t.num_rows]
         if not tabs:
-            schema = getattr(m.schema(), "base_schema", None)
-            return pa.Table.from_pylist([], schema=schema)
+            # no partial rows at all: hand back the (empty) Dataset so
+            # callers' finishing map_batches produce an empty result,
+            # exactly like the distributed path on empty input
+            return m
         t = pa.concat_tables(tabs)
         return (
             pl.from_arrow(t)

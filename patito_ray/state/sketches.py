@@ -101,6 +101,17 @@ class TDigest:
         if sum(len(b) for b in self._buf) > 65536:
             self._compress()
 
+    def __getstate__(self) -> tuple:
+        # compress before pickling: a sketch DELTA must stay a few KiB
+        # of centroids, never a raw-value buffer — these travel from
+        # every batch to the merge stage
+        self._compress()
+        return (self.delta, self.means, self.weights)
+
+    def __setstate__(self, st: tuple) -> None:
+        self.delta, self.means, self.weights = st
+        self._buf = []
+
     def _compress(self) -> None:
         import math
 

@@ -208,7 +208,14 @@ def quantile_threshold(ds: Any, column: str, q: float) -> float:
             f"cannot compute a quantile of {column!r}: column missing, "
             "non-numeric, or all-null"
         )
-    return float(prof.tdigest.quantile(q))
+    cut = float(prof.tdigest.quantile(q))
+    if np.isnan(cut):
+        # all-NaN float columns pass the null-count guard but leave the
+        # digest empty; a NaN cut would silently drop every row
+        raise ValueError(
+            f"cannot compute a quantile of {column!r}: no non-NaN values"
+        )
+    return cut
 
 
 def quantile_filter(

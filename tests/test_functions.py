@@ -739,6 +739,49 @@ def test_quantile_filter(ray_session):
         quantile_threshold(ds, "missing_col", 0.5)
 
 
+def test_quantile_threshold_all_nan_raises(ray_session):
+    import ray.data as rd
+
+    from patito_ray.validation.stats import quantile_threshold
+
+    ds = rd.from_arrow(
+        pa.table({"x": pa.array([float("nan")] * 100, type=pa.float64())})
+    )
+    with pytest.raises(ValueError, match="non-NaN"):
+        quantile_threshold(ds, "x", 0.5)
+
+
+def test_merge_partial_sums_paths(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", "a", "b", "a"]),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    # driver path: small volume -> local table
+    out = merge_partial_sums(rd.from_arrow(t).repartition(3), ["k"], ["v"])
+    assert isinstance(out, pa.Table)
+    got = {r["k"]: r["v"] for r in out.to_pylist()}
+    assert got == {"a": 9.0, "b": 6.0}
+    # distributed path: force via limit_bytes=0 -> lazy Dataset
+    out2 = merge_partial_sums(
+        rd.from_arrow(t).repartition(3), ["k"], ["v"], limit_bytes=0
+    )
+    assert not isinstance(out2, pa.Table)
+    got2 = {r["k"]: r["v"] for r in out2.take_all()}
+    assert got2 == got
+    # empty partials -> a Dataset whose downstream map produces nothing
+    empty = merge_partial_sums(
+        rd.from_arrow(t.slice(0, 0)).repartition(2), ["k"], ["v"]
+    )
+    assert not isinstance(empty, pa.Table)
+    assert empty.count() == 0
+
+
 def test_profile_dataset_split_single_pass(ray_session):
     import ray.data as rd
 
