@@ -115,3 +115,50 @@ def stratified_sample(
         return batch.filter(pa.array(keep_all[slot] | (h < thresholds[slot])))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def cap_per_key(
+    ds: Any,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    broadcast_limit_bytes: int = 256 * 1024 * 1024,
+) -> Any:
+    """Keep at most ``k`` rows per key — the 'no domain may contribute
+    more than K documents' anti-spam cap. Selection within a key is the
+    ``k`` smallest ``splitmix64(id ^ seed)`` values: a deterministic,
+    shard-stable, unbiased size-k sample of each key's rows (a crawl
+    re-run keeps the SAME representatives), with ties broken by id.
+
+    Scale shape: only narrow (key, id, hash) rows ride the grouped
+    top-k exchange (which prunes to k per key inside every batch before
+    the shuffle); payload rows are then selected by kept id via the
+    shared broadcast-or-copartition filter. A hot key costs k rows in
+    the exchange, not its full row count.
+    """
+    from patito_ray.functions.dedup import _select_rows_by_ids
+    from patito_ray.stages.topk import grouped_top_k
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def narrow(t: pa.Table) -> pa.Table:
+        h = _key_hashes(t, id_col, seed)
+        # flip the sign bit: int64 ascending order == uint64 ascending
+        # order, so engines sorting the signed view agree with the SQL
+        # oracle's unsigned ordering
+        flipped = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                id_col: t.column(id_col),
+                "_h": pa.array(flipped, type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+    kept = grouped_top_k(
+        rows, group=key_col, value="_h", k=k, tie=id_col, descending=False
+    ).select_columns([id_col])
+    return _select_rows_by_ids(ds, kept, id_col, broadcast_limit_bytes)

@@ -1269,6 +1269,43 @@ GROUP BY nt
 """
 
 
+def q_cap_per_source(sf_dir: str) -> Any:
+    """Per-key cap: at most 3 documents per source, chosen as the 3
+    smallest splitmix64(doc_id) within each source (shard-stable
+    unbiased per-key sample). The oracle re-implements the hash in SQL
+    (32-bit partial products) and ranks with ROW_NUMBER over the
+    unsigned hash — bit-exact selection parity."""
+    from patito_ray.functions.sampling import cap_per_key
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    return cap_per_key(ds, "source", k=3, id_col="doc_id")
+
+
+SQL_CAP_PER_SOURCE = f"""
+WITH z0 AS (
+  SELECT doc_id, source,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), x1 AS (
+  SELECT doc_id, source, xor(z, z >> 30) AS z FROM z0
+), z1 AS (
+  SELECT doc_id, source, {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (
+  SELECT doc_id, source, xor(z, z >> 27) AS z FROM z1
+), z2 AS (
+  SELECT doc_id, source, {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), hh AS (
+  SELECT doc_id, source, CAST(xor(z, z >> 31) AS HUGEINT) AS h64 FROM z2
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h64, doc_id) AS rn
+  FROM hh
+)
+SELECT doc_id, source FROM r WHERE rn <= 3
+"""
+
+
 def q_contamination(sf_dir: str) -> Any:
     """Train/test decontamination: every 100th document plays the
     benchmark/eval set; flag all docs sharing any word-3-gram with it.
@@ -1501,6 +1538,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "quantile_filter": (q_quantile_filter, None),
+    "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),

@@ -19,6 +19,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def grouped_top_k(
@@ -57,9 +58,30 @@ def grouped_top_k(
         return out.to_arrow()
 
     def add_part(t: pa.Table) -> pa.Table:
-        g = t.column(group).to_numpy(zero_copy_only=False).astype(np.int64)
-        h = g.view(np.uint64)
-        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        col = t.column(group)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if (
+            pa.types.is_integer(col.type)
+            or pa.types.is_temporal(col.type)
+            or pa.types.is_boolean(col.type)
+        ):
+            if pa.types.is_temporal(col.type):
+                # view physical storage (date32 cannot cast directly)
+                storage = pa.int32() if col.type.bit_width == 32 else pa.int64()
+                col = col.view(storage)
+            g = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+            h = g.astype(np.int64).view(np.uint64)
+            h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            from patito_ray.state.sketches import hash64
+
+            h = hash64(pc.cast(col, pa.large_binary()))
+        else:
+            raise TypeError(
+                f"grouped_top_k group column {group!r} has unsupported "
+                f"dtype {col.type} (int/temporal/bool/string/binary only)"
+            )
         part = (h % np.uint64(num_partitions)).view(np.int64)
         return t.append_column("part", pa.array(part, type=pa.int64()))
 

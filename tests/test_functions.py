@@ -566,6 +566,33 @@ def test_deterministic_sample_shard_stable(ray_session):
         sample_batch(pa.table({"doc_id": ["a"]}), "doc_id", 0.5)
 
 
+def test_cap_per_key(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.sampling import cap_per_key
+
+    n = 3000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([f"s{i % 5}" for i in range(n)]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)
+    out = cap_per_key(ds, "source", k=4, id_col="doc_id").take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(out) == 20 and all(len(v) == 4 for v in by_src.values())
+    # shard-stable: a different partitioning keeps the SAME representatives
+    out2 = cap_per_key(ds.repartition(3), "source", k=4, id_col="doc_id").take_all()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # k >= group size keeps everything; bad k raises
+    assert len(cap_per_key(ds, "source", k=n, id_col="doc_id").take_all()) == n
+    with pytest.raises(ValueError):
+        cap_per_key(ds, "source", k=0)
+
+
 def test_canonicalize_urls():
     from patito_ray.functions.urls import canonicalize_url_array
 
