@@ -1456,3 +1456,120 @@ def contamination_flags(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+def explode_chunks(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> pa.Table:
+    """Vectorized passage explode: each doc's RE2-whitespace tokens in
+    fixed windows of ``chunk_tokens`` -> one row per (doc, chunk_idx)
+    with the chunk text re-joined by single spaces. The flat_map
+    primitive of passage-level dedup; no Python per row."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(text, pattern=r"[\t\n\f\r ]+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.fill_null(pc.not_equal(flat, ""), False)
+    if not pc.all(keep).as_py():
+        parents = parents[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
+    if len(flat) == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "chunk": pa.array([], type=pa.string()),
+            }
+        )
+    # position within row without any per-row loop: global index minus
+    # the index where the row's run starts
+    n = len(parents)
+    idx = np.arange(n, dtype=np.int64)
+    run_start = np.zeros(n, dtype=np.int64)
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = parents[1:] != parents[:-1]
+    run_start[new_run] = idx[new_run]
+    np.maximum.accumulate(run_start, out=run_start)
+    chunk_idx = (idx - run_start) // chunk_tokens
+    starts = np.zeros(n, dtype=bool)
+    starts[0] = True
+    starts[1:] = new_run[1:] | (chunk_idx[1:] != chunk_idx[:-1])
+    start_pos = np.nonzero(starts)[0]
+    offsets = np.concatenate([start_pos, [n]]).astype(np.int64)
+    chunks = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()).cast(pa.int32()), flat),
+        " ",
+    )
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            id_col: pa.array(ids[parents[start_pos]], type=pa.int64()),
+            "chunk_idx": pa.array(chunk_idx[start_pos], type=pa.int64()),
+            "chunk": chunks,
+        }
+    )
+
+
+def dedup_chunks(
+    ds: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> Any:
+    """Passage-level exact dedup: keep the FIRST occurrence (smallest
+    (doc_id, chunk_idx)) of every distinct ``chunk_tokens``-token
+    window across the corpus -> Dataset[id_col, chunk_idx].
+
+    Scale shape mirrors ``dedup_exact_ids``: only narrow
+    (chunk_hash, order_key) pairs ride the one groupby exchange —
+    16 B per chunk, never the chunk text. The order key packs
+    (doc_id << 20) | chunk_idx so one int64 Min picks the
+    lexicographically-first occurrence; ids must fit 43 bits and docs
+    must stay under 2^20 chunks (checked loudly).
+    """
+    from ray.data.aggregate import Min
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ex = explode_chunks(t, id_col, text_col, chunk_tokens)
+        ids = ex.column(id_col).to_numpy(zero_copy_only=False)
+        ci = ex.column("chunk_idx").to_numpy(zero_copy_only=False)
+        if len(ids):
+            if ids.max() >= (1 << 43) or ids.min() < 0:
+                raise ValueError(
+                    f"dedup_chunks packs {id_col} into 43 bits; ids must "
+                    "be in [0, 2^43)"
+                )
+            if ci.max() >= (1 << 20):
+                raise ValueError(
+                    "dedup_chunks supports at most 2^20 chunks per doc"
+                )
+        h = hash64(ex.column("chunk")).view(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h, type=pa.int64()),
+                "ok": pa.array((ids << np.int64(20)) | ci, type=pa.int64()),
+            }
+        )
+
+    kept = (
+        ds.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .aggregate(Min("ok", alias_name="ok"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        ok = t.column("ok").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ok >> np.int64(20), type=pa.int64()),
+                "chunk_idx": pa.array(ok & np.int64((1 << 20) - 1), type=pa.int64()),
+            }
+        )
+
+    return kept.map_batches(decode, batch_format="pyarrow", batch_size=None)

@@ -1269,6 +1269,40 @@ GROUP BY nt
 """
 
 
+def q_chunk_dedup(sf_dir: str) -> Any:
+    """Passage-level dedup: explode every document into 10-token
+    windows (vectorized flat_map), keep the first occurrence of each
+    distinct window corpus-wide. Only 16 B (hash, packed order key)
+    rows ride the exchange. Exact oracle: SQL rebuilds the same windows
+    with string_agg over token buckets and ranks on the chunk STRING."""
+    from patito_ray.functions.dedup import dedup_chunks
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_chunks(ds, chunk_tokens=10)
+
+
+SQL_CHUNK_DEDUP = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) - 1 AS i
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, i // 10 AS chunk_idx,
+         string_agg(tok, ' ' ORDER BY i) AS chunk
+  FROM flat GROUP BY doc_id, i // 10
+),
+r AS (
+  SELECT doc_id, chunk_idx,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx FROM r WHERE rn = 1
+"""
+
+
 def q_cap_per_source(sf_dir: str) -> Any:
     """Per-key cap: at most 3 documents per source, chosen as the 3
     smallest splitmix64(doc_id) within each source (shard-stable
@@ -1539,6 +1573,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "quantile_filter": (q_quantile_filter, None),
     "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
+    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),

@@ -566,6 +566,48 @@ def test_deterministic_sample_shard_stable(ray_session):
         sample_batch(pa.table({"doc_id": ["a"]}), "doc_id", 0.5)
 
 
+def test_explode_and_dedup_chunks(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import dedup_chunks, explode_chunks
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e",  # windows: "a b c", "d e"
+                    "a b c d e f",  # "a b c" dup of doc 0; "d e f" fresh
+                    "",  # no tokens -> no windows
+                    "d e",  # dup of doc 0's second window
+                ]
+            ),
+        }
+    )
+    ex = explode_chunks(t, chunk_tokens=3).to_pylist()
+    assert [(r["doc_id"], r["chunk_idx"], r["chunk"]) for r in ex] == [
+        (0, 0, "a b c"),
+        (0, 1, "d e"),
+        (1, 0, "a b c"),
+        (1, 1, "d e f"),
+        (3, 0, "d e"),
+    ]
+    kept = sorted(
+        (r["doc_id"], r["chunk_idx"])
+        for r in dedup_chunks(
+            rd.from_arrow(t).repartition(3), chunk_tokens=3
+        ).take_all()
+    )
+    # first occurrence survives: doc0 both windows, doc1 only "d e f"
+    assert kept == [(0, 0), (0, 1), (1, 1)]
+    # id out of the 43-bit packing range fails loudly
+    bad = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1 << 43], type=pa.int64()), "text": ["x"]})
+    )
+    with pytest.raises(Exception, match="43 bits"):
+        dedup_chunks(bad).take_all()
+
+
 def test_cap_per_key(ray_session):
     import ray.data as rd
 
