@@ -180,6 +180,10 @@ def run_bench() -> dict:
         "contamination",
         "stratified_sample",
         "drift_events",
+        "dedup_incremental",
+        "cap_per_source",
+        "chunk_dedup",
+        "url_canonical",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
