@@ -1468,9 +1468,16 @@ def explode_chunks(
     fixed windows of ``chunk_tokens`` -> one row per (doc, chunk_idx)
     with the chunk text re-joined by single spaces. The flat_map
     primitive of passage-level dedup; no Python per row."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    if pa.types.is_large_string(text.type):
+        # polars round-trips emit large_string; binary_join has no
+        # kernel for list<large_string> (fine under Ray's ~128 MB
+        # block sizing — a single column never nears the 2 GB offsets)
+        text = pc.cast(text, pa.string())
     toks = pc.split_pattern_regex(text, pattern=r"[\t\n\f\r ]+")
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)

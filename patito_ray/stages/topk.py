@@ -61,12 +61,26 @@ def grouped_top_k(
         col = t.column(group)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        fixed_temporal = (
+            pa.types.is_date(col.type)
+            or pa.types.is_time(col.type)
+            or pa.types.is_timestamp(col.type)
+            or pa.types.is_duration(col.type)
+        )  # NOT is_temporal: interval types are 128-bit and unviewable
         if (
             pa.types.is_integer(col.type)
-            or pa.types.is_temporal(col.type)
+            or fixed_temporal
             or pa.types.is_boolean(col.type)
         ):
-            if pa.types.is_temporal(col.type):
+            if col.null_count:
+                # a null key would route the batch through float64 NaN,
+                # whose int cast is platform-dependent — null rows could
+                # land in different partitions and emit up to k rows EACH
+                raise ValueError(
+                    f"grouped_top_k group column {group!r} contains "
+                    f"{col.null_count} null(s); filter or fill them first"
+                )
+            if fixed_temporal:
                 # view physical storage (date32 cannot cast directly)
                 storage = pa.int32() if col.type.bit_width == 32 else pa.int64()
                 col = col.view(storage)

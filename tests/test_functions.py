@@ -606,6 +606,20 @@ def test_explode_and_dedup_chunks(ray_session):
     )
     with pytest.raises(Exception, match="43 bits"):
         dedup_chunks(bad).take_all()
+    # non-positive window size fails loudly, never divides by zero
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        explode_chunks(t, chunk_tokens=0)
+    # large_string input (what polars round-trips emit) works
+    lt = pa.table(
+        {
+            "doc_id": pa.array([7], type=pa.int64()),
+            "text": pa.array(["a b c d"], type=pa.large_string()),
+        }
+    )
+    assert [r["chunk"] for r in explode_chunks(lt, chunk_tokens=3).to_pylist()] == [
+        "a b c",
+        "d",
+    ]
 
 
 def test_cap_per_key(ray_session):
