@@ -65,6 +65,39 @@ def read_csv(
     return frame
 
 
+def read_json(
+    paths: str | list[str],
+    model: type[Model],
+    derive: bool = True,
+    **kwargs: Any,
+) -> ModelFrame:
+    """Ray Data JSON-lines read typed by the model: each block parses
+    with the model's non-derived columns as the explicit Arrow schema
+    (no cross-block type inference drift — a column of all-null lines
+    in one shard cannot silently infer a different dtype), then derived
+    columns auto-populate. Mirrors ``read_csv``; the web-crawl
+    interchange format (one JSON object per line, e.g. CC-style WET/
+    WARC sidecars) reads straight into a validated pipeline."""
+    import pyarrow.json as pajson
+    import ray.data as rd
+
+    # all-nullable read schema: the read's job is dtype coercion only —
+    # a null in a non-nullable model column must surface as a clean
+    # validate() error, not an ArrowInvalid inside a read task (which
+    # Ray's json fallback then turns into an opaque KeyError)
+    schema = pa.schema(
+        [pa.field(f.name, f.type) for f in _non_derived_schema(model)]
+    )
+    parse = pajson.ParseOptions(explicit_schema=schema)
+    ds = rd.read_json(paths, parse_options=parse, **kwargs)
+    frame = ModelFrame(ds, model)
+    if derive and model._spec() and any(
+        c.derived_from is not None for c in model._spec().columns.values()
+    ):
+        frame = frame.derive()
+    return frame
+
+
 def clean_read_parquet(
     paths: str | list[str], columns: list[str] | None = None, **kwargs: Any
 ) -> Any:

@@ -40,6 +40,27 @@ def test_read_csv_headerless(ray_session, tmp_path):
     assert t.column("name").to_pylist() == ["a"]
 
 
+def test_read_json_with_model(ray_session, tmp_path):
+    from patito_ray.sources.readers import read_json
+
+    p = tmp_path / "items.jsonl"
+    p.write_text(
+        '{"item_id": 1, "name": "a", "price": 2.5}\n'
+        '{"item_id": 2, "name": "b", "price": 3.5}\n'
+    )
+    frame = read_json(str(p), Item)
+    t = frame.as_table()
+    assert sorted(t.column("total").to_pylist()) == [5.0, 7.0]
+    assert t.column("item_id").type == pa.int64()
+    # explicit schema pins dtypes even when a shard is all-null for a
+    # column (no cross-block inference drift)
+    p2 = tmp_path / "items2.jsonl"
+    p2.write_text('{"item_id": 3, "name": null, "price": 1.0}\n')
+    t2 = read_json([str(p), str(p2)], Item).as_table()
+    assert t2.column("name").type in (pa.string(), pa.large_string())
+    assert t2.num_rows == 3
+
+
 def test_read_parquet_projection(ray_session, tmp_path):
     from patito_ray.sources.readers import read_parquet
 
