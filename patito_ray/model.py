@@ -303,6 +303,13 @@ class Model:
 
                 return _read_pq(paths, model, **kwargs)
 
+            @classmethod
+            def read_json(cls_, paths: Any, **kwargs: Any) -> "ModelFrame":
+                """Model-typed JSON-lines ingest (engine addition)."""
+                from patito_ray.sources.readers import read_json as _read_json
+
+                return _read_json(paths, model, **kwargs)
+
         _BoundFrame.__name__ = f"{cls.__name__}DataFrame"
         _BoundFrame.__qualname__ = _BoundFrame.__name__
         _BoundFrame.model = model

@@ -602,6 +602,13 @@ def test_bound_frame_read_csv_parquet(ray_session, tmp_path):
     t = frame.as_table()
     assert t.column_names == ["product_id", "name"]  # projection pushdown
 
+    jl_path = tmp_path / "p.jsonl"
+    jl_path.write_text('{"product_id": 4, "name": "d"}\n')
+    frame = Prod.DataFrame.read_json(str(jl_path))
+    t = frame.as_table()
+    assert t.column("product_id").to_pylist() == [4]
+    assert t.column("product_id").type == pa.int64()
+
 
 def test_pydantic_style_reprs():
     """Representation mixin parity (reference _pydantic/repr.py:46-131):
