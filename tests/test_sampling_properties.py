@@ -1,0 +1,74 @@
+"""Property tests for the sampling / chunk operators: the vectorized
+kernels must equal straightforward pure-Python references on arbitrary
+inputs, and membership/selection must be independent of batch
+boundaries (the distributed-correctness invariant)."""
+
+import hypothesis.strategies as st
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+
+from patito_ray.functions.dedup import _splitmix, explode_chunks
+from patito_ray.functions.sampling import sample_batch
+
+# texts over a tiny alphabet with RE2-relevant whitespace (\x0b is
+# unicode-space but NOT RE2 \s — it must stay inside tokens)
+texts = st.lists(
+    st.text(alphabet="ab \t\n\x0b", max_size=24), min_size=0, max_size=8
+)
+
+
+def _ref_chunks(texts_list, n):
+    out = []
+    for i, t in enumerate(texts_list):
+        toks = [x for x in __import__("re").split(r"[\t\n\f\r ]+", t) if x]
+        for j in range(0, len(toks), n):
+            out.append((i, j // n, " ".join(toks[j : j + n])))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=texts, n=st.integers(min_value=1, max_value=4))
+def test_explode_chunks_matches_python_reference(texts, n):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in explode_chunks(t, chunk_tokens=n).to_pylist()
+    ]
+    assert got == _ref_chunks(texts, n)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=0, max_size=60
+    ),
+    frac_millis=st.integers(min_value=0, max_value=1000),
+    seed=st.integers(min_value=0, max_value=2**32),
+    split=st.integers(min_value=0, max_value=60),
+)
+def test_sample_membership_batch_independent(keys, frac_millis, seed, split):
+    frac = frac_millis / 1000.0
+    t = pa.table({"k": pa.array(keys, type=pa.int64())})
+    whole = set(sample_batch(t, "k", frac, seed)["k"].to_pylist())
+    split = min(split, len(keys))
+    a = sample_batch(t.slice(0, split), "k", frac, seed)["k"].to_pylist()
+    b = sample_batch(t.slice(split), "k", frac, seed)["k"].to_pylist()
+    assert set(a) | set(b) == whole
+    # membership equals the definitional per-key predicate
+    if frac < 1.0:
+        thr = np.uint64(int(frac * 2.0**64))
+        expect = {
+            k
+            for k in keys
+            if _splitmix(np.array([k], dtype=np.uint64) ^ np.uint64(seed))[0]
+            < thr
+        }
+    else:
+        expect = set(keys)
+    assert whole == expect
