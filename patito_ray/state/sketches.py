@@ -109,8 +109,17 @@ class TDigest:
         return (self.delta, self.means, self.weights)
 
     def __setstate__(self, st: tuple) -> None:
-        self.delta, self.means, self.weights = st
-        self._buf = []
+        if len(st) == 3:
+            self.delta, self.means, self.weights = st
+            self._buf = []
+            return
+        # legacy checkpoint pickles used the default __slots__ protocol
+        # state (None, slots_dict) — keep old stats.pkl files resumable
+        _, slots = st
+        self.delta = slots["delta"]
+        self.means = slots["means"]
+        self.weights = slots["weights"]
+        self._buf = list(slots.get("_buf", []))
 
     def _compress(self) -> None:
         import math
