@@ -1467,6 +1467,30 @@ FROM p
 """
 
 
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Frequent-items sketch over documents.source. The corpus has
+    fewer distinct sources than the sketch capacity, so the summary is
+    provably EXACT (error_bound()==0, asserted) and the oracle is a
+    plain GROUP BY count."""
+    from patito_ray.validation.stats import frequent_items
+
+    ds = _rp(sf_dir, "documents", ["source"])
+    mg = frequent_items(ds, "source", capacity=64)
+    assert mg.error_bound() == 0, "capacity exceeded: summary not exact"
+    items = mg.items()
+    return pa.table(
+        {
+            "source": pa.array([v for v, _lo, _hi in items], type=pa.string()),
+            "n": pa.array([lo for _v, lo, _hi in items], type=pa.int64()),
+        }
+    )
+
+
+SQL_HEAVY_HITTERS = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+"""
+
+
 def q_quantile_filter(sf_dir: str) -> Any:
     """Keep the top ~10% of events by value (the 'train on the
     best-scoring slice' curation step). Rows-only: the cut comes from
@@ -1574,6 +1598,7 @@ QUERIES: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "quantile_filter": (q_quantile_filter, None),
     "cap_per_source": (q_cap_per_source, SQL_CAP_PER_SOURCE),
     "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "quality_counts": (q_quality_counts, SQL_QUALITY_COUNTS),
     "stats_exact": (q_stats_exact, SQL_STATS_EXACT),

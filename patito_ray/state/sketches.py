@@ -199,3 +199,82 @@ class TDigest:
         t.means = np.asarray(means, dtype=np.float64)
         t.weights = np.asarray(weights, dtype=np.float64)
         return t
+
+
+class MisraGries:
+    """Misra-Gries frequent-items (heavy-hitter) summary with capacity
+    ``k`` — the skew-diagnostic sketch ("which keys would melt a
+    groupby partition?").
+
+    Guarantees (standard; Misra & Gries 1982, merge form per Agarwal et
+    al., "Mergeable summaries", PODS 2012): after summarizing n total
+    occurrences, every stored estimate undercounts its item's true
+    frequency by at most ``error_bound() = floor(n / (k+1))``, every
+    item with true frequency above that bound is present, and two
+    summaries merge (counter-wise add, then decrement all by the
+    (k+1)-th largest and drop non-positives) with the bounds adding.
+    When the column's distinct count never exceeds ``k``, the summary
+    is EXACT — which is what the oracle-checked query exploits.
+    """
+
+    __slots__ = ("k", "counts", "decremented")
+
+    def __init__(self, k: int = 64) -> None:
+        if k < 1:
+            raise ValueError(f"capacity must be >= 1, got {k}")
+        self.k = k
+        self.counts: dict[Any, int] = {}
+        # total amount subtracted by decrement steps: the uniform
+        # undercount of every surviving counter (and the upper bound on
+        # any evicted item's true count)
+        self.decremented = 0
+
+    def add(self, values: Any) -> None:
+        """Absorb an arrow array / numpy array / sequence of hashable
+        values (nulls skipped). Vectorized pre-aggregation: one
+        value_counts per batch, then at most one decrement step."""
+        import pyarrow as pa
+
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            vc = values.value_counts()
+            if isinstance(vc, pa.ChunkedArray):
+                vc = vc.combine_chunks()
+            items = zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+        else:
+            uniq, cnt = np.unique(np.asarray(values), return_counts=True)
+            items = zip(uniq.tolist(), cnt.tolist())
+        for v, c in items:
+            if v is None:
+                continue
+            self.counts[v] = self.counts.get(v, 0) + int(c)
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        # decrement all by the (k+1)-th largest count, drop non-positive
+        cs = sorted(self.counts.values(), reverse=True)
+        d = cs[self.k]
+        self.decremented += d
+        self.counts = {v: c - d for v, c in self.counts.items() if c - d > 0}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.decremented += other.decremented
+        self._shrink()
+        return self
+
+    def error_bound(self) -> int:
+        """Max undercount of any stored estimate (0 => summary exact)."""
+        return self.decremented
+
+    def items(self) -> list[tuple[Any, int, int]]:
+        """(value, count_lower, count_upper) sorted by estimate desc;
+        true count is within [lower, upper]."""
+        return [
+            (v, c, c + self.decremented)
+            for v, c in sorted(
+                self.counts.items(), key=lambda kv: (-kv[1], str(kv[0]))
+            )
+        ]

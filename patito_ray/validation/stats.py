@@ -197,6 +197,29 @@ def profile_dataset(
     return _merge_state_rows(deltas.take_all())
 
 
+def frequent_items(
+    ds: Any, column: str, capacity: int = 64
+) -> "MisraGries":
+    """Distributed heavy-hitter summary of a column (skew diagnostics:
+    which keys would melt a groupby partition?). One streaming pass of
+    per-batch Misra-Gries deltas — each a few KiB — merged on the
+    driver; bounds per ``MisraGries`` (exact when the column's distinct
+    count stays within ``capacity``)."""
+    from patito_ray.state.sketches import MisraGries
+
+    def delta(batch: pa.Table) -> pa.Table:
+        mg = MisraGries(capacity)
+        mg.add(batch.column(column))
+        return pa.table({"mg": pa.array([pickle.dumps(mg)], type=pa.binary())})
+
+    acc = MisraGries(capacity)
+    for row in ds.map_batches(
+        delta, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        acc.merge(pickle.loads(row["mg"]))
+    return acc
+
+
 def quantile_threshold(ds: Any, column: str, q: float) -> float:
     """Approximate q-quantile of a numeric column via the mergeable
     t-digest sketch pass (one scan, tiny deltas to the driver)."""

@@ -72,3 +72,35 @@ def test_sample_membership_batch_independent(keys, frac_millis, seed, split):
     else:
         expect = set(keys)
     assert whole == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=400),
+    k=st.integers(min_value=2, max_value=16),
+    cuts=st.lists(st.integers(min_value=0, max_value=400), max_size=4),
+)
+def test_misra_gries_guarantees(data, k, cuts):
+    from collections import Counter
+
+    from patito_ray.state.sketches import MisraGries
+
+    # arbitrary split into chunks, merged pairwise -> same guarantees
+    bounds = sorted({min(c, len(data)) for c in cuts} | {0, len(data)})
+    acc = MisraGries(k)
+    for a, b in zip(bounds, bounds[1:]):
+        part = MisraGries(k)
+        part.add(np.array(data[a:b], dtype=np.int64))
+        acc.merge(part)
+    true = Counter(data)
+    n = len(data)
+    assert acc.error_bound() * (k + 1) <= n
+    est = {v: (lo, hi) for v, lo, hi in acc.items()}
+    for v, (lo, hi) in est.items():
+        assert lo <= true[v] <= hi  # bounds always bracket truth
+    for v, c in true.items():
+        if c > acc.error_bound():
+            assert v in est  # every sufficiently-frequent item survives
+    if len(true) <= k:
+        assert acc.error_bound() == 0
+        assert {v: lo for v, lo, _ in acc.items()} == dict(true)
