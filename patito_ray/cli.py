@@ -112,6 +112,17 @@ def cmd_profile(args: argparse.Namespace) -> int:
     files = sorted(glob.glob(args.input))
     cols = args.columns.split(",") if args.columns else None
     stats = column_stats(rd.read_parquet(files, columns=cols))
+    if args.heavy_hitters:
+        from patito_ray.validation.stats import frequent_items
+
+        for col in args.heavy_hitters.split(","):
+            mg = frequent_items(
+                rd.read_parquet(files, columns=[col]), col, args.hh_capacity
+            )
+            stats.setdefault(col, {})["heavy_hitters"] = {
+                "items": mg.items()[:20],
+                "error_bound": mg.error_bound(),
+            }
     print(json.dumps(stats, default=str))
     return 0
 
@@ -176,6 +187,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("profile", help="column statistics (HLL/t-digest)")
     p.add_argument("--input", required=True)
     p.add_argument("--columns", default=None)
+    p.add_argument(
+        "--heavy-hitters",
+        default=None,
+        help="comma-separated columns to summarize with the Misra-Gries "
+        "frequent-items sketch (skew diagnostics)",
+    )
+    p.add_argument("--hh-capacity", type=int, default=64)
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_profile)
 

@@ -87,6 +87,21 @@ def test_cli_profile(data_dir):
     assert stats["score"]["count"] == 500
 
 
+def test_cli_profile_heavy_hitters(data_dir):
+    res = run_cli(
+        "profile", "--input", f"{data_dir}/*.parquet",
+        "--columns", "text", "--heavy-hitters", "text",
+        "--num-cpus", "4",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    hh = stats["text"]["heavy_hitters"]
+    # 400 distinct texts, capacity 64: approximate but bounds must hold
+    assert len(hh["items"]) <= 20 and hh["error_bound"] >= 0
+    top_val, lo, hi = hh["items"][0]
+    assert lo <= hi and isinstance(top_val, str)
+
+
 def test_cli_dedup(data_dir, tmp_path):
     res = run_cli(
         "dedup",
