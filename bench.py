@@ -184,6 +184,8 @@ def run_bench() -> dict:
         "cap_per_source",
         "chunk_dedup",
         "url_canonical",
+        "heavy_hitters",
+        "quantile_filter",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

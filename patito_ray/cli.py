@@ -113,12 +113,34 @@ def cmd_profile(args: argparse.Namespace) -> int:
     cols = args.columns.split(",") if args.columns else None
     stats = column_stats(rd.read_parquet(files, columns=cols))
     if args.heavy_hitters:
-        from patito_ray.validation.stats import frequent_items
+        import pickle
 
-        for col in args.heavy_hitters.split(","):
-            mg = frequent_items(
-                rd.read_parquet(files, columns=[col]), col, args.hh_capacity
-            )
+        import pyarrow as pa
+
+        from patito_ray.state.sketches import MisraGries
+
+        hh_cols = args.heavy_hitters.split(",")
+        cap = args.hh_capacity
+
+        def delta(batch: "pa.Table") -> "pa.Table":
+            # ONE scan covers every requested column: per-batch deltas
+            # for all of them ride in a single pickled row
+            mgs = {}
+            for col in hh_cols:
+                mg = MisraGries(cap)
+                mg.add(batch.column(col))
+                mgs[col] = mg
+            return pa.table({"mg": pa.array([pickle.dumps(mgs)], type=pa.binary())})
+
+        accs = {col: MisraGries(cap) for col in hh_cols}
+        for row in (
+            rd.read_parquet(files, columns=hh_cols)
+            .map_batches(delta, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        ):
+            for col, mg in pickle.loads(row["mg"]).items():
+                accs[col].merge(mg)
+        for col, mg in accs.items():
             stats.setdefault(col, {})["heavy_hitters"] = {
                 "items": mg.items()[:20],
                 "error_bound": mg.error_bound(),

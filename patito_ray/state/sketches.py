@@ -241,10 +241,15 @@ class MisraGries:
                 vc = vc.combine_chunks()
             items = zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
         else:
-            uniq, cnt = np.unique(np.asarray(values), return_counts=True)
-            items = zip(uniq.tolist(), cnt.tolist())
+            # object arrays with None crash np.unique's sort; NaN != NaN
+            # would fragment one value over many counters across merges.
+            # Both count as null: skipped (like the arrow-null path).
+            from collections import Counter
+
+            seq = values.tolist() if isinstance(values, np.ndarray) else values
+            items = Counter(v for v in seq if v is not None and v == v).items()
         for v, c in items:
-            if v is None:
+            if v is None or v != v:  # arrow path: null / NaN rows
                 continue
             self.counts[v] = self.counts.get(v, 0) + int(c)
         self._shrink()

@@ -88,18 +88,20 @@ def test_cli_profile(data_dir):
 
 
 def test_cli_profile_heavy_hitters(data_dir):
+    # capacity 512 >= the 400 distinct texts -> provably exact summary,
+    # independent of Ray block layout (capacity 64 would legitimately
+    # return an empty item list here: no text exceeds the MG bound)
     res = run_cli(
         "profile", "--input", f"{data_dir}/*.parquet",
         "--columns", "text", "--heavy-hitters", "text",
-        "--num-cpus", "4",
+        "--hh-capacity", "512", "--num-cpus", "4",
     )
     assert res.returncode == 0, res.stderr[-2000:]
     stats = json.loads(res.stdout.strip().splitlines()[-1])
     hh = stats["text"]["heavy_hitters"]
-    # 400 distinct texts, capacity 64: approximate but bounds must hold
-    assert len(hh["items"]) <= 20 and hh["error_bound"] >= 0
+    assert hh["error_bound"] == 0
     top_val, lo, hi = hh["items"][0]
-    assert lo <= hi and isinstance(top_val, str)
+    assert (lo, hi) == (2, 2) and isinstance(top_val, str)
 
 
 def test_cli_dedup(data_dir, tmp_path):
