@@ -1701,3 +1701,80 @@ FROM lineitem
 """
 
 QUERIES["derived_charge"] = (q_derived_charge, SQL_DERIVED_CHARGE)
+
+
+def q_pii_redact(sf_dir: str) -> Any:
+    """PII scrub parity: both engines synthesize the IDENTICAL
+    PII-laden sentence per doc_id (an email, a dotted-quad, a phone on
+    every third row, plus a 'v1.2' decoy), then count matches per rule
+    on the original text and redact sequentially (email -> ipv4 ->
+    phone, the order contract in functions/pii.py). Arrow and DuckDB
+    both run RE2, so counts AND redacted bytes must match exactly."""
+    from patito_ray.functions.pii import pii_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = pc.cast(t.column("doc_id"), pa.string())
+
+        def const(v: str) -> pa.Array:
+            return pa.array(np.full(len(ids), v, dtype=object))
+
+        d = pc.cast(pa.array(ids % 10), pa.string())
+        phone = pc.if_else(
+            pa.array(ids % 3 == 0),
+            pc.binary_join_element_wise(
+                const("+1 (20"), d, const(") 555-01"), d, ""
+            ),
+            const("none"),
+        )
+        text = pc.binary_join_element_wise(
+            const("Contact user"), s, const("@ex"),
+            pc.cast(pa.array(ids % 5), pa.string()), const(".COM at "),
+            pc.cast(pa.array(ids % 250), pa.string()), const("."),
+            pc.cast(pa.array(ids % 7), pa.string()), const(".0."),
+            pc.cast(pa.array(ids % 100), pa.string()), const(" phone "),
+            phone, const(" end v1.2"), "",
+        )
+        return pii_batch(
+            pa.table({"doc_id": t.column("doc_id"), "text": text})
+        ).drop_columns(["text"])
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=None)
+
+
+SQL_PII_REDACT = r"""
+WITH t AS (
+  SELECT doc_id,
+    'Contact user' || CAST(doc_id AS VARCHAR)
+    || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.COM at '
+    || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST(doc_id % 7 AS VARCHAR)
+    || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+    || ' phone '
+    || (CASE WHEN doc_id % 3 = 0
+        THEN '+1 (20' || CAST(doc_id % 10 AS VARCHAR) || ') 555-01'
+             || CAST(doc_id % 10 AS VARCHAR)
+        ELSE 'none' END)
+    || ' end v1.2' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\+[0-9][0-9 ()\-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM t
+"""
+
+QUERIES["pii_redact"] = (q_pii_redact, SQL_PII_REDACT)

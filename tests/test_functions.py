@@ -1275,3 +1275,55 @@ def test_tokens_ignore_empty_whitespace_artifacts():
         pa.table({"doc_id": [0, 1], "text": ["x y z", "  x  y z  "]})
     ).column("simhash").to_pylist()
     assert fp[0] == fp[1]
+
+
+def test_pii_redaction_rules_and_order():
+    """PII scrub: counts on the original text, sequential redaction in
+    the email -> ipv4 -> phone order so a digit-laden email local-part
+    is never half-eaten by the phone rule."""
+    from patito_ray.functions.pii import pii_batch, redact_pii_array
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "mail a@b.co and c.d@e-f.org today",
+                "server 10.0.0.1 proxy 192.168.1.255.",
+                "call +1 (206) 555-0100 now",
+                None,
+                "+4712345678@weird.example.com",  # phone-shaped local part
+            ],
+        }
+    )
+    out = pii_batch(t)
+    assert out.column("n_email").to_pylist() == [2, 0, 0, None, 1]
+    assert out.column("n_ipv4").to_pylist() == [0, 2, 0, None, 0]
+    assert out.column("n_phone").to_pylist() == [0, 0, 1, None, 1]
+    red = out.column("redacted").to_pylist()
+    assert red[0] == "mail <EMAIL> and <EMAIL> today"
+    assert red[1] == "server <IP> proxy <IP>."
+    assert red[2] == "call <PHONE> now"
+    assert red[3] is None
+    # rule order: the email rule consumed the whole address, so the
+    # phone rule finds nothing left to mangle
+    assert red[4] == "<EMAIL>"
+    # version strings are not dotted quads
+    assert redact_pii_array(pa.array(["v1.2 release"])).to_pylist() == [
+        "v1.2 release"
+    ]
+
+
+def test_redact_pii_dataset_stage():
+    import ray.data as rd
+
+    from patito_ray.functions.pii import redact_pii
+
+    ds = rd.from_arrow(
+        pa.table({"text": ["write x@y.io", "nothing here"]})
+    )
+    rows = redact_pii(ds).take_all()
+    assert [r["redacted"] for r in rows] == [
+        "write <EMAIL>",
+        "nothing here",
+    ]
+    assert [r["n_email"] for r in rows] == [1, 0]
