@@ -1778,3 +1778,39 @@ FROM t
 """
 
 QUERIES["pii_redact"] = (q_pii_redact, SQL_PII_REDACT)
+
+
+def q_repetition(sf_dir: str) -> Any:
+    """Gopher-style repetition stats: per document, exact counts of
+    duplicate token occurrences and the characters they cover (the
+    primitive behind duplicate-line / duplicated-word corpus filters).
+    One Arrow group-by per batch, no shuffle; integer counts so the
+    DuckDB comparison is bit-exact (fractions would differ in ulps)."""
+    from patito_ray.functions.repetition import repetition_counts_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))  # mirror SQL WHERE
+        return repetition_counts_batch(t).drop_columns(["text"])
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
+
+
+SQL_REPETITION = """
+WITH u AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), g AS (
+  SELECT doc_id, tok, COUNT(*) AS c, len(tok) AS L
+  FROM u GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_units,
+  CAST(SUM(c - 1) AS BIGINT) AS n_dup_units,
+  CAST(SUM(c * L) AS BIGINT) AS total_chars,
+  CAST(SUM((c - 1) * L) AS BIGINT) AS dup_chars
+FROM g GROUP BY doc_id
+"""
+
+QUERIES["repetition"] = (q_repetition, SQL_REPETITION)

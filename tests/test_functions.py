@@ -1327,3 +1327,45 @@ def test_redact_pii_dataset_stage():
         "nothing here",
     ]
     assert [r["n_email"] for r in rows] == [1, 0]
+
+
+def test_repetition_counts_match_string_split_semantics():
+    """Duplicate-unit counts follow DuckDB string_split exactly:
+    literal separator, consecutive separators yield empty units, empty
+    doc is one empty unit, nulls stay null."""
+    from patito_ray.functions.repetition import repetition_counts_batch
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["a b a", "", "x  x", None, "ab ab ab"],
+        }
+    )
+    out = repetition_counts_batch(t)
+    assert out.column("n_units").to_pylist() == [3, 1, 3, None, 3]
+    assert out.column("n_dup_units").to_pylist() == [1, 0, 1, None, 2]
+    assert out.column("total_chars").to_pylist() == [3, 0, 2, None, 6]
+    assert out.column("dup_chars").to_pylist() == [1, 0, 1, None, 4]
+    # line mode: same kernel, '\n' separator
+    lines = repetition_counts_batch(
+        pa.table({"text": ["nav\nbody\nnav\nfooter"]}), sep="\n"
+    )
+    assert lines.column("n_dup_units").to_pylist() == [1]
+    assert lines.column("dup_chars").to_pylist() == [3]
+
+
+def test_repetition_filter_drops_degenerate_docs():
+    import ray.data as rd
+
+    from patito_ray.functions.repetition import repetition_filter
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["spam spam spam spam spam", "a fresh sentence", None],
+            }
+        )
+    )
+    kept = repetition_filter(ds, max_dup_unit_frac=0.5).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]  # null text kept
