@@ -1814,3 +1814,66 @@ FROM g GROUP BY doc_id
 """
 
 QUERIES["repetition"] = (q_repetition, SQL_REPETITION)
+
+
+def q_warc_ingest(sf_dir: str) -> Any:
+    """WARC ingest end-to-end: each batch of documents is framed into
+    a real gzipped WARC/1.0 file (one file per batch, the Common-Crawl
+    decomposition), then read back through `sources.warc.read_warc`.
+    The SQL oracle recomputes url/timestamp/byte-length from doc_id —
+    any framing, gzip, Content-Length or HTTP-head-stripping bug shows
+    up as a value mismatch."""
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from patito_ray.sources.warc import read_warc, write_warc
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    tmpdir = tempfile.mkdtemp(prefix="warc_ingest_")
+
+    def frame_batch(t: pa.Table) -> pa.Table:
+        epoch = datetime(2024, 1, 1)
+        rows = t.to_pylist()
+        if not rows:
+            return pa.table({"n": pa.array([], type=pa.int64())})
+        pages = [
+            (
+                f"https://crawl.example/{r['doc_id']}",
+                epoch + timedelta(seconds=int(r["doc_id"])),
+                f"<html><body>doc {r['doc_id']} {r['text']}</body></html>".encode(),
+            )
+            for r in rows
+        ]
+        path = os.path.join(tmpdir, f"part-{os.getpid()}-{rows[0]['doc_id']}.warc.gz")
+        write_warc(path, pages)
+        return pa.table({"n": [len(pages)]})
+
+    # consume to force all files out, then read them back
+    ds.map_batches(frame_batch, batch_format="pyarrow").count()
+    pages_ds = read_warc(tmpdir)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "n_bytes": pc.cast(
+                    pc.binary_length(t.column("html")), pa.int64()
+                ),
+            }
+        )
+
+    return pages_ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
+SQL_WARC_INGEST = """
+SELECT 'https://crawl.example/' || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2024-01-01' + to_seconds(doc_id) AS warc_ts,
+       CAST(octet_length(encode(
+         '<html><body>doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+         || '</body></html>')) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+QUERIES["warc_ingest"] = (q_warc_ingest, SQL_WARC_INGEST)
