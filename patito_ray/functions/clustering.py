@@ -1,0 +1,170 @@
+"""Distributed k-means over embedding columns.
+
+Clustering is the backbone of several public curation techniques
+(SemDeDup's cluster-then-dedup, cluster-balanced sampling, topic
+pruning): group a corpus's embeddings into k buckets, then operate
+per bucket. This is Lloyd's algorithm expressed Ray-Data-first:
+
+- **Assignment** is a per-batch float64 matmul against a centroid
+  matrix broadcast ONCE per iteration via ``ray.put`` (k x d floats —
+  KBs), never reshipped per batch: workers read it zero-copy from the
+  object store.
+- **Update** is a classic partial-aggregate: each batch emits one
+  (k x d sum, k count) pair — k*(d+1) floats regardless of batch size
+  — and the driver folds them. No shuffle at any step; per iteration
+  the corpus is scanned once, streaming.
+
+At 100 TB the per-iteration cost is exactly one pass over the
+embedding column (pruned at the read) plus a per-batch k x d partial;
+the driver's fold is O(#batches * k * d) floats. That is the same
+shape the public large-scale implementations use.
+
+Determinism contract (what the exact SQL oracle relies on):
+initial centroids are the vectors of the k smallest ids, distances
+are squared L2 computed in float64 on the float32 values' exact
+float64 images, ties broken by smallest cluster id, and an empty
+cluster keeps its previous centroid.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from patito_ray.functions.similarity import _to_matrix
+
+
+def _assign(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Argmin squared-L2 cluster per row; ties -> smallest cluster id
+    (np.argmin picks the first maximum, which is the smallest index)."""
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; the ||x||^2 term is
+    # constant per row and drops out of the argmin
+    scores = vecs @ centroids.T * -2.0 + (centroids * centroids).sum(axis=1)
+    return np.argmin(scores, axis=1)
+
+
+def _exact_dists(vecs: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, k) squared distances via the exact per-pair formula — used
+    by the parity query so the float64 arithmetic mirrors the SQL
+    oracle's sum((x_i-c_i)^2) form term-for-term."""
+    diff = vecs[:, None, :] - centroids[None, :, :]
+    return (diff * diff).sum(axis=2)
+
+
+def initial_centroids(
+    ds: Any, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic seed: the vectors of the k smallest ids."""
+    import pyarrow.compute as pc
+
+    rows = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column(id_col), k)).select(
+            [id_col, vec_col]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    if len(rows) < k:
+        raise ValueError(
+            f"kmeans: need ids 0..{k - 1} present to seed {k} centroids, "
+            f"found {len(rows)}"
+        )
+    rows.sort(key=lambda r: r[id_col])
+    return np.asarray(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows[:k]]
+    )
+
+
+def kmeans_fit(
+    ds: Any,
+    k: int,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: np.ndarray | None = None,
+    exact_dists: bool = False,
+) -> np.ndarray:
+    """Lloyd's iterations; returns the final (k, d) centroid matrix.
+
+    ``exact_dists=True`` uses the expanded per-pair distance form for
+    bit-level parity with the SQL oracle; the default matmul form is
+    the fast path (identical assignments away from exact ties).
+    """
+    import ray
+
+    centroids = initial_centroids(ds, k, id_col, vec_col) if init is None else init
+
+    for _ in range(n_iter):
+        ref = ray.put(centroids)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            vecs = _to_matrix(t.column(vec_col)).astype(np.float64)
+            if not len(vecs):
+                kk, d = c.shape
+                return pa.table(
+                    {
+                        "cid": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
+                        "vsum": pa.array([], type=pa.list_(pa.float64())),
+                    }
+                )
+            if exact_dists:
+                assign = np.argmin(_exact_dists(vecs, c), axis=1)
+            else:
+                assign = _assign(vecs, c)
+            kk, d = c.shape
+            counts = np.bincount(assign, minlength=kk)
+            sums = np.zeros((kk, d))
+            np.add.at(sums, assign, vecs)
+            live = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cid": pa.array(live, type=pa.int64()),
+                    "n": pa.array(counts[live], type=pa.int64()),
+                    "vsum": pa.array(list(sums[live])),
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        kk, d = centroids.shape
+        counts = np.zeros(kk, dtype=np.int64)
+        sums = np.zeros((kk, d))
+        for row in parts:
+            counts[row["cid"]] += row["n"]
+            sums[row["cid"]] += np.asarray(row["vsum"])
+        live = counts > 0
+        centroids = centroids.copy()
+        centroids[live] = sums[live] / counts[live, None]
+    return centroids
+
+
+def kmeans_assign(
+    ds: Any,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+    exact_dists: bool = False,
+) -> Any:
+    """Append the nearest-centroid id per row (broadcast centroids,
+    per-batch matmul — the streaming scoring stage)."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def score(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vecs = _to_matrix(t.column(vec_col)).astype(np.float64)
+        if not len(vecs):
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        if exact_dists:
+            assign = np.argmin(_exact_dists(vecs, c), axis=1)
+        else:
+            assign = _assign(vecs, c)
+        return t.append_column(out_col, pa.array(assign, type=pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -1877,3 +1877,70 @@ FROM documents
 """
 
 QUERIES["warc_ingest"] = (q_warc_ingest, SQL_WARC_INGEST)
+
+
+def q_kmeans(sf_dir: str) -> Any:
+    """Distributed k-means (SemDeDup-style curation clustering): seed
+    with the vectors of ids 0..3, run ONE Lloyd update (assign + mean),
+    then count the second assignment's cluster sizes. Both engines
+    compute squared-L2 in float64 on the float32 values' exact images
+    with ties to the smallest cluster id, so the per-cluster counts
+    match exactly (assignment gaps are O(0.1) vs fp noise O(1e-12)).
+    `exact_dists=True` mirrors the SQL sum((x_i-c_i)^2) form; the fast
+    matmul path is property-tested equal in pytest."""
+    from patito_ray.functions.clustering import kmeans_assign, kmeans_fit
+    from ray.data.aggregate import Count
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    c1 = kmeans_fit(ds, k=4, n_iter=1, exact_dists=True)
+    assigned = kmeans_assign(ds, c1, exact_dists=True)
+    out = assigned.groupby("cluster_id").aggregate(
+        Count(alias_name="n_members")
+    )
+    return out
+
+
+SQL_KMEANS = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+d1 AS (
+  SELECT e.vec_id, c0.cid,
+    list_sum(list_transform(list_zip(e.v, c0.cv), p -> (p[1]-p[2])^2)) AS dist
+  FROM e CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS x
+  FROM a1 JOIN e USING (vec_id)
+),
+c1 AS (
+  SELECT cid, list(mx ORDER BY i) AS cv
+  FROM (SELECT cid, i, SUM(x) / COUNT(*) AS mx FROM m1 GROUP BY cid, i)
+  GROUP BY cid
+),
+d2 AS (
+  SELECT e.vec_id, c1.cid,
+    list_sum(list_transform(list_zip(e.v, c1.cv), p -> (p[1]-p[2])^2)) AS dist
+  FROM e CROSS JOIN c1
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM a2 GROUP BY cid
+"""
+
+QUERIES["kmeans"] = (q_kmeans, SQL_KMEANS)

@@ -1369,3 +1369,56 @@ def test_repetition_filter_drops_degenerate_docs():
     )
     kept = repetition_filter(ds, max_dup_unit_frac=0.5).take_all()
     assert sorted(r["doc_id"] for r in kept) == [1, 2]  # null text kept
+
+
+def test_kmeans_fast_path_matches_exact_and_converges(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from patito_ray.functions.clustering import (
+        _assign,
+        _exact_dists,
+        initial_centroids,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    # three well-separated blobs
+    blobs = np.concatenate(
+        [rng.normal(c, 0.05, size=(40, 8)) for c in (-2.0, 0.0, 2.0)]
+    )
+    order = rng.permutation(len(blobs))
+    vecs = blobs[order].astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [list(map(float, v)) for v in vecs],
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    # matmul argmin == expanded-form argmin on float data
+    cents = initial_centroids(ds, 3)
+    v64 = vecs.astype(np.float64)
+    assert (
+        _assign(v64, cents) == np.argmin(_exact_dists(v64, cents), axis=1)
+    ).all()
+
+    fit = kmeans_fit(ds, k=3, n_iter=8)
+    got = kmeans_assign(ds, fit).take_all()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    # converged: 3 clusters of 40, each pure w.r.t. the generating blob
+    assert sorted(len(v) for v in by_cluster.values()) == [40, 40, 40]
+    for members in by_cluster.values():
+        blob_of = {int(m): int(order[m] // 40) for m in members}
+        assert len(set(blob_of.values())) == 1
+
+    # seeding needs ids 0..k-1
+    import pytest as _pytest
+
+    small = rd.from_arrow(t.filter(pa.array([i >= 2 for i in range(len(vecs))])))
+    with _pytest.raises(ValueError, match="seed"):
+        kmeans_fit(small, k=3, n_iter=1)
