@@ -143,6 +143,64 @@ def kmeans_fit(
     return centroids
 
 
+def semantic_dedup(
+    ds: Any,
+    cluster_col: str = "cluster_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> Any:
+    """SemDeDup (public technique): flag semantic near-duplicates
+    WITHIN each cluster — a row is dropped when some same-cluster row
+    with a smaller id has cosine similarity above ``threshold``. The
+    predicate is order-independent (no sequential greedy), so results
+    are deterministic under any partitioning and SQL-expressible.
+
+    Partitioning assumption (the one SemDeDup itself makes): ``k`` is
+    sized so a single cluster's vectors fit one worker — the per-group
+    cost is O(|c|^2) dot products as a single matmul. Pair this with
+    ``kmeans_fit(k ~ corpus/expected_cluster_size)``; clusters are the
+    unit of parallelism via the groupby exchange.
+
+    Returns (id_col, cluster_col, kept) — the caller joins/filters.
+    """
+    import pyarrow.compute as pc
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        vecs = _to_matrix(group.column(vec_col)).astype(np.float64)[order]
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cos defined as 0
+        unit = vecs / norms[:, None]
+        g = unit @ unit.T
+        # earlier-id neighbor above threshold -> dropped
+        dup = (np.tril(g, k=-1) > threshold).any(axis=1)
+        kept = np.empty(len(ids), dtype=bool)
+        kept[order] = ~dup
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                cluster_col: group.column(cluster_col),
+                "kept": pa.array(kept),
+            }
+        )
+
+    # int64 group keys (Ray block-building invariant)
+    ds = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index(cluster_col),
+            cluster_col,
+            pc.cast(t.column(cluster_col), pa.int64()),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return ds.groupby(cluster_col).map_groups(
+        prune, batch_format="pyarrow"
+    )
+
+
 def kmeans_assign(
     ds: Any,
     centroids: np.ndarray,

@@ -1944,3 +1944,43 @@ FROM a2 GROUP BY cid
 """
 
 QUERIES["kmeans"] = (q_kmeans, SQL_KMEANS)
+
+
+def q_semantic_dedup(sf_dir: str) -> Any:
+    """SemDeDup within precomputed clusters (the `label` column plays
+    the cluster id so the oracle needs no kmeans re-derivation): a row
+    is dropped when a smaller-id same-cluster row has cosine > 0.3.
+    Order-independent predicate -> deterministic under any
+    partitioning; one O(|c|^2) matmul per cluster group. Exact SQL
+    parity on every (vec_id, kept) verdict."""
+    from patito_ray.functions.clustering import semantic_dedup
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return semantic_dedup(
+        ds, cluster_col="label", threshold=0.3
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+  FROM e
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM n a JOIN n b ON a.label = b.label AND b.vec_id < a.vec_id
+  WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))
+        / (a.nrm * b.nrm) > 0.3
+)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       d.vec_id IS NULL AS kept
+FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+"""
+
+QUERIES["semantic_dedup"] = (q_semantic_dedup, SQL_SEMANTIC_DEDUP)

@@ -1422,3 +1422,35 @@ def test_kmeans_fast_path_matches_exact_and_converges(ray_session):
     small = rd.from_arrow(t.filter(pa.array([i >= 2 for i in range(len(vecs))])))
     with _pytest.raises(ValueError, match="seed"):
         kmeans_fit(small, k=3, n_iter=1)
+
+
+def test_semantic_dedup_within_clusters(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from patito_ray.functions.clustering import semantic_dedup
+
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    rows = {
+        # cluster 0: 1 and 2 are near-dups of 0; 3 is orthogonal
+        0: [base, base * 3.0, base + 1e-3, np.array([0.0, 1.0, 0.0, 0.0])],
+        # cluster 1: same direction as cluster-0 dups but different
+        # cluster -> untouched across cluster boundaries
+        1: [base * 2.0],
+    }
+    ids, clusters, vecs = [], [], []
+    i = 0
+    for c, vs in rows.items():
+        for v in vs:
+            ids.append(i)
+            clusters.append(c)
+            vecs.append([float(x) for x in v])
+            i += 1
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "cluster_id": clusters, "embedding": vecs})
+    )
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(ds, threshold=0.99).take_all()
+    }
+    assert got == {0: True, 1: False, 2: False, 3: True, 4: True}
