@@ -186,6 +186,10 @@ def run_bench() -> dict:
         "url_canonical",
         "heavy_hitters",
         "quantile_filter",
+        "pii_redact",
+        "repetition",
+        "kmeans",
+        "semantic_dedup",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -168,15 +168,25 @@ def semantic_dedup(
 
     def prune(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
         order = np.argsort(ids, kind="stable")
         vecs = _to_matrix(group.column(vec_col)).astype(np.float64)[order]
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors: cos defined as 0
         unit = vecs / norms[:, None]
-        g = unit @ unit.T
-        # earlier-id neighbor above threshold -> dropped
-        dup = (np.tril(g, k=-1) > threshold).any(axis=1)
-        kept = np.empty(len(ids), dtype=bool)
+        # earlier-id neighbor above threshold -> dropped. Only the
+        # strict lower triangle is ever inspected, so compute it in
+        # row chunks: half the flops of a full gram matrix and O(CH*n)
+        # peak memory instead of O(n^2).
+        dup = np.zeros(n, dtype=bool)
+        CH = 1024
+        for s in range(1, n, CH):
+            e = min(s + CH, n)
+            block = unit[s:e] @ unit[:e].T  # rows s..e vs cols 0..e
+            hit = block > threshold
+            hit &= np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            dup[s:e] = hit.any(axis=1)
+        kept = np.empty(n, dtype=bool)
         kept[order] = ~dup
         return pa.table(
             {
