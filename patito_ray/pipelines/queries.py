@@ -1984,3 +1984,51 @@ FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
 """
 
 QUERIES["semantic_dedup"] = (q_semantic_dedup, SQL_SEMANTIC_DEDUP)
+
+
+def q_lm_score(sf_dir: str) -> Any:
+    """Unigram LM quality scoring (the CCNet-style cheap perplexity
+    signal): train token statistics over the corpus in one distributed
+    pass (partial Arrow group-bys -> adaptive merge), broadcast the
+    model once, score every doc's average token log-probability per
+    batch via one C++ hash probe per token. Self-scored corpus -> no
+    OOV, so DuckDB reproduces the exact Laplace-smoothed numbers;
+    rounded to 1e-6 (fp sum/ln noise is ~1e-12)."""
+    from patito_ray.functions.lm import score_unigram, train_unigram
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    model = train_unigram(ds)
+    scored = score_unigram(ds, model)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n_lm_tokens"), 0))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_lm_tokens": t.column("n_lm_tokens"),
+                "lm_logprob": _r(t.column("lm_logprob"), 6),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_LM_SCORE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab),
+lp AS (
+  SELECT tok, ln((c + 1) / CAST(n + v + 1 AS DOUBLE)) AS lp
+  FROM vocab, tot
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lm_tokens,
+       ROUND(AVG(l.lp), 6) AS lm_logprob
+FROM tok t JOIN lp l USING (tok)
+GROUP BY t.doc_id
+"""
+
+QUERIES["lm_score"] = (q_lm_score, SQL_LM_SCORE)

@@ -1454,3 +1454,42 @@ def test_semantic_dedup_within_clusters(ray_session):
         for r in semantic_dedup(ds, threshold=0.99).take_all()
     }
     assert got == {0: True, 1: False, 2: False, 3: True, 4: True}
+
+
+def test_unigram_lm_train_score_and_oov(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from patito_ray.functions.lm import score_unigram, train_unigram
+
+    corpus = rd.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": ["a a b", "b c"]})
+    )
+    m = train_unigram(corpus)
+    # counts: a=2 b=2 c=1, N=5, V=3 -> denom 9
+    assert m["n_tokens"] == 5 and m["vocab"] == 3
+    lp = dict(zip(list(m["tokens"]), list(m["logp"])))
+    assert abs(lp["a"] - math.log(3 / 9)) < 1e-12
+    assert abs(lp["c"] - math.log(2 / 9)) < 1e-12
+    assert abs(m["oov_logp"] - math.log(1 / 9)) < 1e-12
+
+    probe = rd.from_arrow(
+        pa.table(
+            {"doc_id": [0, 1, 2, 3], "text": ["a zzz", "", None, "A\tB"]}
+        )
+    )
+    rows = {r["doc_id"]: r for r in score_unigram(probe, m).take_all()}
+    # 'a zzz': known + OOV averaged
+    want = (math.log(3 / 9) + math.log(1 / 9)) / 2
+    assert abs(rows[0]["lm_logprob"] - want) < 1e-12
+    assert rows[1]["n_lm_tokens"] == 0 and rows[1]["lm_logprob"] == 0.0
+    assert rows[2]["lm_logprob"] is None  # null text stays null
+    # lowercased + RE2 tab whitespace
+    want3 = (math.log(3 / 9) + math.log(3 / 9)) / 2
+    assert abs(rows[3]["lm_logprob"] - want3) < 1e-12
+
+    # max_vocab prunes to top-K by (count desc, token asc): a,b stay
+    m2 = train_unigram(corpus, max_vocab=2)
+    assert sorted(m2["tokens"]) == ["a", "b"]
+    assert m2["vocab"] == 2 and m2["n_tokens"] == 5
