@@ -1,0 +1,239 @@
+"""Corpus term statistics and TF-IDF retrieval over a text column.
+
+The classic IR pair every webtext curation stack needs:
+
+- ``term_counts`` / ``top_terms``: exact corpus-wide term frequencies
+  via the partial-aggregation pattern — each batch emits its own
+  (token, count) table (``pyarrow.compute.value_counts`` on the
+  flattened RE2-token array, no Python loop), the tiny remainder merges
+  through :func:`patito_ray.stages.agg.merge_partial_sums` (driver
+  polars below 256 MB, Ray groupby beyond). Shuffle volume is
+  O(vocabulary x blocks), never O(corpus).
+- ``tfidf_topk``: score documents against a small query-term set with
+  smoothed TF-IDF (``idf = ln((N+1)/(df+1)) + 1``, the scikit-learn
+  ``smooth_idf`` formula — public technique) and return the global
+  top-k. Two streaming passes: a document-frequency pass restricted to
+  the query terms (partial rows are |terms| per batch), then a scoring
+  pass where the |terms|-sized idf table rides the task closure (a few
+  floats — broadcasting via the object store would cost more than it
+  saves). The global top-k prunes per batch to k rows before the
+  driver merge, so the driver sees O(k x blocks) rows.
+
+Tokenization is RE2-exact (``\\s+`` split via Arrow, empty boundary
+tokens masked), byte-identical to DuckDB ``regexp_extract_all(text,
+'\\S+')`` — verified for exotic whitespace (\\x0b, NBSP) in tests.
+
+Reference scope note: JakobGM/patito has no IR surface; this extends
+the engine for LLM-corpus analytics (SURVEY.md §2d).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from patito_ray.stages.agg import merge_partial_sums
+
+
+def re2_split_tokens(
+    text: pa.ChunkedArray | pa.Array,
+) -> tuple[pa.Array, np.ndarray, int]:
+    """``\\S+`` tokens (original case), flattened with row indices.
+
+    RE2 semantics exactly: splits on ASCII ``\\s+`` and masks the empty
+    tokens Arrow emits at leading/trailing whitespace, so the result
+    per row equals DuckDB ``regexp_extract_all(text, '\\S+')``. Null
+    rows contribute no tokens.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(text, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.fill_null(pc.not_equal(flat, ""), False)
+    if not pc.all(keep).as_py():
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        parents = parents[keep_np]
+    return flat, parents, len(text)
+
+
+def term_counts(ds: Any, text_col: str = "text") -> Any:
+    """Exact corpus-wide (tok, cnt) term frequencies.
+
+    Returns a local ``pa.Table`` when the merged vocabulary fits the
+    driver budget, else a lazy Ray ``Dataset`` (same contract as
+    ``merge_partial_sums``).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = re2_split_tokens(t.column(text_col))
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {"tok": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return merge_partial_sums(partials, ["tok"], ["cnt"])
+
+
+def _local_topk(t: pa.Table, k: int, value: str, tie: str) -> pa.Table:
+    idx = pc.sort_indices(
+        t, sort_keys=[(value, "descending"), (tie, "ascending")]
+    )[:k]
+    return t.take(idx)
+
+
+def _global_topk(
+    result: Any, k: int, value: str, tie: str, empty_schema: pa.Schema | None = None
+) -> pa.Table:
+    """Global top-k over a Table-or-Dataset: per-block prune to k rows,
+    then one driver sort over the O(k x blocks) remainder.
+
+    ``empty_schema`` types the 0-row outcome (``Dataset.schema()`` is
+    None once every block is empty)."""
+    if isinstance(result, pa.Table):
+        return _local_topk(result, k, value, tie)
+    pruned = result.map_batches(
+        lambda t: _local_topk(t, k, value, tie),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    import ray
+
+    tabs = [t for t in ray.get(pruned.materialize().to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        if empty_schema is None:
+            empty_schema = pa.schema([(value, pa.float64()), (tie, pa.int64())])
+        return empty_schema.empty_table()
+    return _local_topk(pa.concat_tables(tabs).combine_chunks(), k, value, tie)
+
+
+def top_terms(ds: Any, k: int = 20, text_col: str = "text") -> pa.Table:
+    """The k most frequent terms (count desc, token asc on ties)."""
+    return _global_topk(
+        term_counts(ds, text_col),
+        k,
+        "cnt",
+        "tok",
+        empty_schema=pa.schema([("tok", pa.string()), ("cnt", pa.int64())]),
+    )
+
+
+def doc_frequencies(ds: Any, terms: list[str], text_col: str = "text") -> dict[str, int]:
+    """Document frequency of each query term (documents containing it
+    at least once). Partial rows are at most ``len(terms)`` per batch."""
+    term_arr = pa.array(sorted(set(terms)), pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, parents, _ = re2_split_tokens(t.column(text_col))
+        hit = pc.is_in(flat, value_set=term_arr).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        sub = flat.filter(pa.array(hit))
+        sub_parents = parents[hit]
+        # unique (doc, term) pairs within the batch -> df contribution
+        codes = pc.index_in(sub, value_set=term_arr).to_numpy(zero_copy_only=False)
+        pair = sub_parents.astype(np.int64) * len(term_arr) + codes
+        uniq = np.unique(pair)
+        term_idx = (uniq % len(term_arr)).astype(np.int64)
+        counts = np.bincount(term_idx, minlength=len(term_arr)).astype(np.int64)
+        return pa.table({"term": term_arr, "df": pa.array(counts, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, ["term"], ["df"])
+    if not isinstance(merged, pa.Table):
+        merged = pa.concat_tables(
+            [t for t in _iter_tables(merged)] or [pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})]
+        )
+    out = {t: 0 for t in set(terms)}
+    for term, df in zip(merged["term"].to_pylist(), merged["df"].to_pylist()):
+        out[term] = df
+    return out
+
+
+def _iter_tables(ds: Any):
+    import ray
+
+    for ref in ds.materialize().to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            yield t
+
+
+def smooth_idf(n_docs: int, df: int) -> float:
+    """scikit-learn ``smooth_idf``: ln((N+1)/(df+1)) + 1 — never zero,
+    never divides by zero on unseen terms."""
+    return math.log((n_docs + 1.0) / (df + 1.0)) + 1.0
+
+
+def tfidf_scores(
+    ds: Any,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
+) -> Any:
+    """Per-document smoothed TF-IDF score against ``terms`` (documents
+    with score 0 are dropped). Lazy Dataset of (id_col, score)."""
+    if n_docs is None:
+        n_docs = ds.count()
+    dfs = doc_frequencies(ds, terms, text_col)
+    uniq_terms = sorted(dfs)
+    term_arr = pa.array(uniq_terms, pa.string())
+    # |terms| floats: rides the serialized task closure; an object-store
+    # broadcast would cost more than it moves.
+    idf = np.array([smooth_idf(n_docs, dfs[t]) for t in uniq_terms], dtype=np.float64)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, parents, n_rows = re2_split_tokens(t.column(text_col))
+        codes = pc.index_in(flat, value_set=term_arr)
+        hit = pc.is_valid(codes).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {id_col: pa.array([], t.schema.field(id_col).type), "score": pa.array([], pa.float64())}
+        )
+        if len(flat) == 0 or not hit.any():
+            return empty
+        code_np = codes.to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+        par = parents[hit].astype(np.int64)
+        # exact integer tf per (doc, term), then sum tf*idf in term order
+        pair = par * len(uniq_terms) + code_np
+        uniq, tf = np.unique(pair, return_counts=True)
+        doc_idx = uniq // len(uniq_terms)
+        term_idx = uniq % len(uniq_terms)
+        scores = np.zeros(n_rows, dtype=np.float64)
+        np.add.at(scores, doc_idx, tf.astype(np.float64) * idf[term_idx])
+        mask = scores > 0
+        return pa.table(
+            {
+                id_col: t.column(id_col).combine_chunks().filter(pa.array(mask)),
+                "score": pa.array(scores[mask], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def tfidf_topk(
+    ds: Any,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Global top-k documents by TF-IDF score (score desc, id asc)."""
+    scored = tfidf_scores(ds, terms, id_col=id_col, text_col=text_col)
+    id_type = ds.schema().base_schema.field(id_col).type
+    return _global_topk(
+        scored,
+        k,
+        "score",
+        id_col,
+        empty_schema=pa.schema([(id_col, id_type), ("score", pa.float64())]),
+    )

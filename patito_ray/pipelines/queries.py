@@ -2032,3 +2032,74 @@ GROUP BY t.doc_id
 """
 
 QUERIES["lm_score"] = (q_lm_score, SQL_LM_SCORE)
+
+
+def q_vocab_topk(sf_dir: str) -> pa.Table:
+    """Corpus-wide exact term frequencies, top-20: per-batch Arrow
+    ``value_counts`` over RE2 tokens (partial-agg pattern — shuffle is
+    O(vocab x blocks), never O(corpus)), adaptive merge, per-block
+    prune-to-k before the driver's final sort."""
+    from patito_ray.functions.tfidf import top_terms
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    return top_terms(ds, k=20)
+
+
+SQL_VOCAB_TOPK = r"""
+WITH u AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM u GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20
+"""
+
+QUERIES["vocab_topk"] = (q_vocab_topk, SQL_VOCAB_TOPK)
+
+
+_TFIDF_TERMS = ["spark", "window", "hash", "join", "vector"]
+
+
+def q_tfidf_search(sf_dir: str) -> pa.Table:
+    """TF-IDF retrieval: top-10 documents for a 5-term query. Two
+    streaming passes (df restricted to the query terms, then scoring
+    with the |terms|-float idf table riding the closure); scores are
+    rounded to 1e-6 BEFORE ranking so both engines rank identical
+    values (fp-sum order noise is ~1e-15)."""
+    from patito_ray.functions.tfidf import _global_topk, tfidf_scores
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    scored = tfidf_scores(ds, _TFIDF_TERMS)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"), "score": _r(t.column("score"), 6)})
+
+    rounded = scored.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+    return _global_topk(rounded, 10, "score", "doc_id")
+
+
+SQL_TFIDF_SEARCH = r"""
+WITH u AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+q AS (SELECT unnest(['spark','window','hash','join','vector']) AS term),
+tf AS (
+  SELECT u.doc_id, u.tok AS term, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM u JOIN q ON u.tok = q.term GROUP BY u.doc_id, u.tok
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS d
+  FROM (SELECT DISTINCT u.doc_id, u.tok AS term
+        FROM u JOIN q ON u.tok = q.term) GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT tf.doc_id,
+       ROUND(SUM(tf.c * (ln((n.n + 1) / (df.d + 1)) + 1)), 6) AS score
+FROM tf JOIN df USING (term), n
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 10
+"""
+
+QUERIES["tfidf_search"] = (q_tfidf_search, SQL_TFIDF_SEARCH)

@@ -1,0 +1,134 @@
+"""TF-IDF / term-statistics operators vs pure-Python + DuckDB references."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+from patito_ray.functions.tfidf import (
+    doc_frequencies,
+    re2_split_tokens,
+    smooth_idf,
+    term_counts,
+    tfidf_topk,
+    top_terms,
+)
+
+EXOTIC = [
+    "a b  c",
+    " lead",
+    "trail ",
+    "",
+    None,
+    "x\x0by",          # \x0b is NOT RE2 \s
+    "nb\xa0sp",        # NBSP is NOT RE2 \s
+    "tab\tsep\nnl\rcr\fff",
+    "  ",
+]
+
+
+def _duck_tokens(texts):
+    import duckdb
+
+    con = duckdb.connect()
+    out = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = con.execute(
+            "SELECT regexp_extract_all(?, '\\S+')", [t]
+        ).fetchone()[0]
+        out.extend((i, tok) for tok in toks)
+    return out
+
+
+def test_re2_split_tokens_matches_duckdb_on_exotic_whitespace():
+    flat, parents, n = re2_split_tokens(pa.array(EXOTIC))
+    got = list(zip(parents.tolist(), flat.to_pylist()))
+    assert got == _duck_tokens(EXOTIC)
+    assert n == len(EXOTIC)
+
+
+def _mk_ds(texts, ids=None):
+    import ray.data as rd
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array(ids if ids is not None else range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    return rd.from_arrow(tab).repartition(3)
+
+
+def test_term_counts_and_top_terms(ray_session):
+    texts = ["a b a", "b c", None, "", "a  a\t b", "z"]
+    ds = _mk_ds(texts)
+    expect = Counter()
+    for t in texts:
+        if t:
+            expect.update(t.split())
+    merged = term_counts(ds)
+    assert isinstance(merged, pa.Table)
+    got = dict(zip(merged["tok"].to_pylist(), merged["cnt"].to_pylist()))
+    assert got == dict(expect)
+
+    top = top_terms(ds, k=3)
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(top["tok"].to_pylist(), top["cnt"].to_pylist())) == ranked
+
+
+def test_doc_frequencies_includes_absent_terms(ray_session):
+    ds = _mk_ds(["a b a", "b c", "c c c", None])
+    dfs = doc_frequencies(ds, ["a", "c", "missing"])
+    assert dfs == {"a": 1, "c": 2, "missing": 0}
+
+
+def _py_tfidf(texts, ids, terms, k):
+    n = len(texts)
+    df = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        present = set(t.split()) & set(terms)
+        df.update(present)
+    scores = []
+    for i, t in zip(ids, texts):
+        if t is None:
+            continue
+        tf = Counter(w for w in t.split() if w in terms)
+        s = sum(c * smooth_idf(n, df[w]) for w, c in sorted(tf.items()))
+        if s > 0:
+            scores.append((i, s))
+    scores.sort(key=lambda kv: (-kv[1], kv[0]))
+    return scores[:k]
+
+
+def test_tfidf_topk_matches_reference(ray_session):
+    texts = [
+        "spark join spark",
+        "window hash",
+        "noise words only",
+        "spark",
+        None,
+        "join join join window",
+    ]
+    ids = [10, 20, 30, 40, 50, 60]
+    terms = ["spark", "join", "window"]
+    ds = _mk_ds(texts, ids)
+    got = tfidf_topk(ds, terms, k=4)
+    expect = _py_tfidf(texts, ids, terms, 4)
+    got_pairs = list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist()))
+    assert [i for i, _ in got_pairs] == [i for i, _ in expect]
+    for (_, a), (_, b) in zip(got_pairs, expect):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_tfidf_empty_and_no_hits(ray_session):
+    ds = _mk_ds(["nothing here", None])
+    out = tfidf_topk(ds, ["absent"], k=5)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "score"]
