@@ -2103,3 +2103,66 @@ LIMIT 10
 """
 
 QUERIES["tfidf_search"] = (q_tfidf_search, SQL_TFIDF_SEARCH)
+
+
+def q_cum_spend(sf_dir: str) -> Any:
+    """Per-customer window functions (SQL `OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey)`): ONE hash exchange on the key,
+    one vectorized polars window pass per partition. Cumulative sums
+    rounded to 1e-2 (DuckDB computes windowed SUM via a segment tree —
+    different fp association than a sequential cum_sum)."""
+    from patito_ray.stages.window import window_over
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = window_over(
+        ds,
+        by="o_custkey",
+        order=["o_orderdate", "o_orderkey"],
+        cols={
+            "cum_spend": ("cum_sum", "o_totalprice"),
+            "order_seq": ("row_number", None),
+            "prev_price": ("lag", "o_totalprice"),
+            "max_so_far": ("cum_max", "o_totalprice"),
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return _CUM_SPEND_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "cum_spend": _r(t.column("cum_spend"), 2),
+                "order_seq": t.column("order_seq"),
+                "prev_price": t.column("prev_price"),
+                "max_so_far": t.column("max_so_far"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+_CUM_SPEND_SCHEMA = pa.schema(
+    [
+        ("o_custkey", pa.int64()),
+        ("o_orderkey", pa.int64()),
+        ("cum_spend", pa.float64()),
+        ("order_seq", pa.int64()),
+        ("prev_price", pa.float64()),
+        ("max_so_far", pa.float64()),
+    ]
+)
+
+
+SQL_CUM_SPEND = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS cum_spend,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+       LAG(o_totalprice) OVER w AS prev_price,
+       MAX(o_totalprice) OVER w AS max_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+QUERIES["cum_spend"] = (q_cum_spend, SQL_CUM_SPEND)

@@ -58,45 +58,11 @@ def grouped_top_k(
         return out.to_arrow()
 
     def add_part(t: pa.Table) -> pa.Table:
-        col = t.column(group)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        fixed_temporal = (
-            pa.types.is_date(col.type)
-            or pa.types.is_time(col.type)
-            or pa.types.is_timestamp(col.type)
-            or pa.types.is_duration(col.type)
-        )  # NOT is_temporal: interval types are 128-bit and unviewable
-        if (
-            pa.types.is_integer(col.type)
-            or fixed_temporal
-            or pa.types.is_boolean(col.type)
-        ):
-            if col.null_count:
-                # a null key would route the batch through float64 NaN,
-                # whose int cast is platform-dependent — null rows could
-                # land in different partitions and emit up to k rows EACH
-                raise ValueError(
-                    f"grouped_top_k group column {group!r} contains "
-                    f"{col.null_count} null(s); filter or fill them first"
-                )
-            if fixed_temporal:
-                # view physical storage (date32 cannot cast directly)
-                storage = pa.int32() if col.type.bit_width == 32 else pa.int64()
-                col = col.view(storage)
-            g = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
-            h = g.astype(np.int64).view(np.uint64)
-            h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type) or pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
-            from patito_ray.state.sketches import hash64
+        from patito_ray.stages.exchange import hash_partition_ids
 
-            h = hash64(pc.cast(col, pa.large_binary()))
-        else:
-            raise TypeError(
-                f"grouped_top_k group column {group!r} has unsupported "
-                f"dtype {col.type} (int/temporal/bool/string/binary only)"
-            )
-        part = (h % np.uint64(num_partitions)).view(np.int64)
+        part = hash_partition_ids(
+            t.column(group), num_partitions, f"grouped_top_k group column {group!r}"
+        )
         return t.append_column("part", pa.array(part, type=pa.int64()))
 
     def final_topk(group_table: pa.Table) -> pa.Table:

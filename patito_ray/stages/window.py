@@ -1,0 +1,103 @@
+"""Distributed per-key window functions (SQL ``... OVER (PARTITION BY
+key ORDER BY order_cols)``).
+
+Scale shape: ONE hash exchange on the partition key — each batch tags
+rows with ``hash(key) % P`` (vectorized, shared
+:func:`patito_ray.stages.exchange.hash_partition_ids` kernel), then
+``groupby(part).map_groups`` runs one vectorized polars window pass per
+partition (sort + ``.over(key)`` expressions; P Python calls total,
+never one per group). Skewed keys cost their own row count, nothing
+more — a window is per-key sequential by definition, so this is the
+minimum possible data movement (same exchange the reference-free asof /
+range joins use).
+
+The reference (JakobGM/patito) delegates window functions to polars on
+one machine; this is the distributed equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+#: op name -> polars expression builder (src column, order direction)
+_SUPPORTED_OPS = (
+    "cum_sum",
+    "cum_max",
+    "cum_min",
+    "row_number",
+    "rank_min",
+    "lag",
+    "lead",
+)
+
+
+def window_over(
+    ds: Any,
+    by: str,
+    order: list[str],
+    cols: dict[str, tuple[str, str | None]],
+    descending: bool = False,
+    num_partitions: int | None = None,
+) -> Any:
+    """Append window columns computed per ``by`` group in ``order``.
+
+    ``cols`` maps output column name -> ``(op, src)`` where op is one
+    of ``cum_sum | cum_max | cum_min | row_number | rank_min | lag |
+    lead`` (``row_number`` needs no src; ``rank_min`` ranks by its src
+    ascending with SQL RANK ties). Rows keep all input columns; output
+    row order is partition-internal (canonicalize downstream when
+    comparing). NULL ``by`` keys are rejected (SQL puts them in one
+    partition; filter or fill first — same contract as grouped_top_k).
+    """
+    import polars as pl
+
+    for name, (op, _src) in cols.items():
+        if op not in _SUPPORTED_OPS:
+            raise ValueError(
+                f"window op {op!r} for column {name!r} not in {_SUPPORTED_OPS}"
+            )
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        part = hash_partition_ids(
+            t.column(by), num_partitions, f"window_over key column {by!r}"
+        )
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    sort_cols = [by] + list(order)
+
+    def run_windows(group_table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group_table.drop_columns(["part"]))
+        df = df.sort(
+            sort_cols,
+            descending=[False] + [descending] * len(order),
+            maintain_order=True,
+        )
+        exprs = []
+        for name, (op, src) in cols.items():
+            if op == "cum_sum":
+                e = pl.col(src).cum_sum()
+            elif op == "cum_max":
+                e = pl.col(src).cum_max()
+            elif op == "cum_min":
+                e = pl.col(src).cum_min()
+            elif op == "row_number":
+                e = pl.int_range(1, pl.len() + 1, dtype=pl.Int64)
+            elif op == "rank_min":
+                e = pl.col(src).rank("min", descending=descending).cast(pl.Int64)
+            elif op == "lag":
+                e = pl.col(src).shift(1)
+            else:  # lead
+                e = pl.col(src).shift(-1)
+            exprs.append(e.over(by).alias(name))
+        return df.with_columns(exprs).to_arrow()
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby("part").map_groups(run_windows, batch_format="pyarrow")

@@ -1,0 +1,99 @@
+"""window_over vs a single-machine polars reference under arbitrary
+inputs and partitioning."""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from patito_ray.stages.window import window_over
+
+COLS = {
+    "cs": ("cum_sum", "v"),
+    "cmax": ("cum_max", "v"),
+    "cmin": ("cum_min", "v"),
+    "rn": ("row_number", None),
+    "rk": ("rank_min", "v"),
+    "lag1": ("lag", "v"),
+    "lead1": ("lead", "v"),
+}
+
+
+def _reference(tab: pa.Table) -> pl.DataFrame:
+    df = pl.from_arrow(tab).sort(["k", "o"], maintain_order=True)
+    return df.with_columns(
+        [
+            pl.col("v").cum_sum().over("k").alias("cs"),
+            pl.col("v").cum_max().over("k").alias("cmax"),
+            pl.col("v").cum_min().over("k").alias("cmin"),
+            pl.int_range(1, pl.len() + 1, dtype=pl.Int64).over("k").alias("rn"),
+            pl.col("v").rank("min").over("k").cast(pl.Int64).alias("rk"),
+            pl.col("v").shift(1).over("k").alias("lag1"),
+            pl.col("v").shift(-1).over("k").alias("lead1"),
+        ]
+    ).sort(["k", "o"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),                      # key
+            st.integers(-1000, 1000),               # value
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    num_parts=st.integers(1, 7),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_window_over_matches_polars(ray_session, rows, num_parts, seed):
+    import ray.data as rd
+
+    n = len(rows)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n).astype(np.int64)  # unique order col
+    tab = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "o": pa.array(order, pa.int64()),
+            "v": pa.array([float(r[1]) for r in rows], pa.float64()),
+        }
+    )
+    if n == 0:
+        return
+    ds = rd.from_arrow(tab).repartition(min(3, max(1, n)))
+    got = window_over(
+        ds, by="k", order=["o"], cols=COLS, num_partitions=num_parts
+    )
+    got_tabs = [t for t in got.to_arrow_refs()]
+    import ray
+
+    tabs = [t for t in ray.get(got_tabs) if t.num_rows]
+    got_df = (
+        pl.from_arrow(pa.concat_tables([t.select(["k", "o", "v", *COLS]) for t in tabs]))
+        .sort(["k", "o"])
+    )
+    ref = _reference(tab)
+    assert got_df.equals(ref.select(got_df.columns))
+
+
+def test_window_null_key_rejected(ray_session):
+    import ray.data as rd
+
+    tab = pa.table({"k": pa.array([1, None], pa.int64()), "o": [1, 2], "v": [1.0, 2.0]})
+    ds = rd.from_arrow(tab)
+    with pytest.raises(Exception, match="null key"):
+        window_over(ds, "k", ["o"], {"cs": ("cum_sum", "v")}).materialize()
+
+
+def test_window_unknown_op_rejected(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"k": [1], "o": [1], "v": [1.0]}))
+    with pytest.raises(ValueError, match="window op"):
+        window_over(ds, "k", ["o"], {"x": ("median", "v")})
