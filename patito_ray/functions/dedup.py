@@ -1580,3 +1580,168 @@ def dedup_chunks(
         )
 
     return kept.map_batches(decode, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# Driver/broadcast ceiling for the flagged-line hash set: lines that
+# appear >= min_count times are at most total_lines/min_count distinct
+# values, 8 B each — a crawl's boilerplate set (nav bars, cookie
+# notices) is MBs. Beyond this, broadcasting is the wrong shape; see
+# remove_frequent_lines' docstring for the co-partition alternative.
+_LINE_BROADCAST_BYTES = 512 * 1024 * 1024
+
+
+def _flat_lines(
+    text: "pa.Array | pa.ChunkedArray", sep: str
+) -> tuple[pa.Array, np.ndarray]:
+    """Literal-separator split of a string column -> (flat line values,
+    per-line parent row indices). Null texts are treated as '' (one
+    empty line) so parent indices cover every row. Matches DuckDB
+    string_split semantics exactly: empty strings between consecutive
+    separators are kept, '' splits to ['']."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if pa.types.is_large_string(text.type):
+        # binary_join lacks a list<large_string> kernel (explode_chunks
+        # has the same cast; fine under Ray's ~128 MB block sizing)
+        text = pc.cast(text, pa.string())
+    text = pc.fill_null(text, "")
+    lines = pc.split_pattern(text, pattern=sep)
+    flat = pc.list_flatten(lines)
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    return flat, parents
+
+
+def frequent_line_hashes(
+    ds: Any,
+    min_count: int = 2,
+    text_col: str = "text",
+    sep: str = "\n",
+    broadcast_limit_bytes: int = _LINE_BROADCAST_BYTES,
+) -> np.ndarray:
+    """Corpus-wide line frequency: hash every line of every doc, count
+    occurrences, return the sorted uint64 hash set of lines appearing
+    >= min_count times (the boilerplate set).
+
+    Execution shape: one streaming map_batches emits per-batch partial
+    (line_hash, cnt) pairs (np.unique pre-aggregation — 16 B per
+    DISTINCT line per batch, never one row per line), merged by the
+    adaptive partial-sum finalize (driver polars <= 256 MB, distributed
+    groupby beyond). Only the >= min_count subset is pulled to the
+    driver, with a hard size guard."""
+    from patito_ray.stages.agg import merge_partial_sums
+
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_lines(batch.column(text_col), sep)
+        uniq, cnt = np.unique(hash64(flat), return_counts=True)
+        return pa.table(
+            {
+                # int64 view: Ray block building rejects uint64 > 2^63
+                "lh": pa.array(uniq.view(np.int64), type=pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, ["lh"], ["cnt"])
+    if isinstance(merged, pa.Table):
+        hot = merged.filter(
+            pc.greater_equal(merged.column("cnt"), min_count)
+        ).column("lh")
+        lh = hot.to_numpy(zero_copy_only=False)
+    else:
+        import ray
+
+        def keep_hot(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.greater_equal(t.column("cnt"), min_count)
+            ).select(["lh"])
+
+        flagged = merged.map_batches(
+            keep_hot, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        if flagged.size_bytes() > broadcast_limit_bytes:
+            raise ValueError(
+                f"flagged line set is {flagged.size_bytes()} bytes "
+                f"(> {broadcast_limit_bytes}): too large to broadcast. "
+                "Raise min_count, or co-partition (doc_id, line_idx, "
+                "line_hash) rows against the flagged hashes by hash "
+                "instead of broadcasting."
+            )
+        tabs = [t for t in ray.get(flagged.to_arrow_refs()) if t.num_rows]
+        lh = (
+            pa.concat_tables(tabs).column("lh").to_numpy(zero_copy_only=False)
+            if tabs
+            else np.array([], dtype=np.int64)
+        )
+    return np.sort(np.ascontiguousarray(lh, dtype=np.int64).view(np.uint64))
+
+
+def remove_frequent_lines(
+    ds: Any,
+    min_count: int = 2,
+    text_col: str = "text",
+    sep: str = "\n",
+    hot_hashes: "np.ndarray | None" = None,
+    removed_col: str = "n_removed",
+) -> Any:
+    """CCNet-style boilerplate removal: delete every line that appears
+    >= min_count times across the corpus (nav bars, cookie banners,
+    footers), keeping each doc's remaining lines in original order.
+
+    -> the input dataset with text_col replaced by the cleaned text and
+    an appended ``removed_col`` (int64 count of removed lines per doc).
+
+    Two streaming passes, no shuffle: pass 1 counts line hashes
+    (``frequent_line_hashes`` — adaptive partial-sum merge); pass 2
+    broadcasts the sorted flagged set ONCE via ray.put and rebuilds
+    each doc vectorized (split -> hash -> searchsorted membership ->
+    offset-rebuilt list -> binary_join). Line membership is by 64-bit
+    hash — equal to string membership up to ~n/2**64 collision odds
+    (the SQL oracle compares line STRINGS and agrees exactly on the
+    test corpora). A line set too big to broadcast raises loudly
+    rather than silently materializing (see frequent_line_hashes)."""
+    import ray
+
+    if hot_hashes is None:
+        hot_hashes = frequent_line_hashes(ds, min_count, text_col, sep)
+    ref = ray.put(np.sort(np.asarray(hot_hashes, dtype=np.uint64)))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        hot = ray.get(ref)  # zero-copy object-store read per task
+        flat, parents = _flat_lines(batch.column(text_col), sep)
+        n = batch.num_rows
+        h = hash64(flat)
+        if len(hot):
+            pos = np.searchsorted(hot, h)
+            pos[pos == len(hot)] = 0
+            member = hot[pos] == h
+        else:
+            member = np.zeros(len(h), dtype=bool)
+        keep = ~member
+        total = np.bincount(parents, minlength=n)
+        kept_cnt = np.bincount(parents[keep], minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_cnt, out=offsets[1:])
+        kept_flat = flat.filter(pa.array(keep))
+        clean_col = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()).cast(pa.int32()), kept_flat
+            ),
+            sep,
+        )
+        out = batch.set_column(
+            batch.schema.get_field_index(text_col), text_col, clean_col
+        )
+        return out.append_column(
+            removed_col,
+            pa.array((total - kept_cnt).astype(np.int64), type=pa.int64()),
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow", batch_size=None)

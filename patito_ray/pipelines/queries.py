@@ -1780,6 +1780,53 @@ FROM t
 QUERIES["pii_redact"] = (q_pii_redact, SQL_PII_REDACT)
 
 
+def q_line_dedup(sf_dir: str) -> Any:
+    """CCNet-style cross-document line dedup (boilerplate removal):
+    lines appearing >= 40 times across the corpus are deleted from
+    every doc, remaining lines keep their original order. Both engines
+    synthesize the IDENTICAL multi-line corpus (every token becomes a
+    line via replace(' ', chr(10)) — the synthetic texts have no
+    newlines), so frequent word-lines are removed and rare number-lines
+    survive. Ray counts/filters by 64-bit line hash, the oracle by line
+    STRING — equal up to hash collisions, exact on these corpora."""
+    from patito_ray.functions.dedup import remove_frequent_lines
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pc.replace_substring(t.column("text"), " ", "\n"),
+        )
+
+    multi = ds.map_batches(to_lines, batch_format="pyarrow", batch_size=None)
+    return remove_frequent_lines(multi, min_count=40)
+
+
+SQL_LINE_DEDUP = """
+WITH m AS (
+  SELECT doc_id,
+         string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS i
+  FROM m
+),
+c AS (SELECT line, count(*) AS cnt FROM l GROUP BY line)
+SELECT l.doc_id,
+       coalesce(
+         string_agg(l.line, chr(10) ORDER BY l.i)
+           FILTER (WHERE c.cnt < 40), '') AS text,
+       CAST(count(*) FILTER (WHERE c.cnt >= 40) AS BIGINT) AS n_removed
+FROM l JOIN c USING (line)
+GROUP BY l.doc_id
+"""
+
+QUERIES["line_dedup"] = (q_line_dedup, SQL_LINE_DEDUP)
+
+
 def q_repetition(sf_dir: str) -> Any:
     """Gopher-style repetition stats: per document, exact counts of
     duplicate token occurrences and the characters they cover (the
