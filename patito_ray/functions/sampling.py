@@ -162,3 +162,98 @@ def cap_per_key(
         rows, group=key_col, value="_h", k=k, tie=id_col, descending=False
     ).select_columns([id_col])
     return _select_rows_by_ids(ds, kept, id_col, broadcast_limit_bytes)
+
+
+def source_counts(
+    ds: Any, source_col: str, sources: "list[str] | None" = None
+) -> dict[str, int]:
+    """Exact row counts per source value (optionally restricted to
+    ``sources``) via per-batch value_counts partials and the adaptive
+    partial-sum merge. The result is one (string, int) pair per mixture
+    component — mixing weights name tens of sources, so restricting to
+    them keeps the driver pull tiny even over a high-cardinality
+    column."""
+    from patito_ray.stages.agg import merge_partial_sums
+
+    value_set = pa.array(sources, type=pa.string()) if sources is not None else None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(source_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if value_set is not None:
+            col = col.filter(pc.is_in(col, value_set=value_set))
+        vc = pc.value_counts(col)
+        return pa.table(
+            {
+                source_col: vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, [source_col], ["n"])
+    if not isinstance(merged, pa.Table):
+        import ray
+
+        tabs = [t for t in ray.get(merged.materialize().to_arrow_refs()) if t.num_rows]
+        merged = (
+            pa.concat_tables(tabs)
+            if tabs
+            else pa.table({source_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        )
+    return dict(
+        zip(
+            merged.column(source_col).to_pylist(),
+            merged.column("n").to_pylist(),
+        )
+    )
+
+
+def mix_fractions(
+    counts: Mapping[str, int],
+    weights: Mapping[str, float],
+    target_rows: int,
+) -> dict[str, float]:
+    """Per-source keep fractions realizing a target mixture: source s
+    should contribute ~``target_rows * weights[s]`` rows, capped at
+    availability (fraction saturates at 1.0 — an under-represented
+    source cannot be upsampled by a filter; callers wanting oversampling
+    need repetition, a different operator). Weights are taken as given,
+    NOT renormalized: expected output size is
+    sum(min(target*w, n_s)) <= target_rows."""
+    if target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    fractions: dict[str, float] = {}
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+        n = counts.get(s, 0)
+        if n > 0:
+            # literal op order mirrors the SQL oracle: (target * w) / n
+            fractions[s] = min(1.0, (float(target_rows) * w) / float(n))
+    return fractions
+
+
+def mix_sources(
+    ds: Any,
+    key_col: str,
+    source_col: str,
+    weights: Mapping[str, float],
+    target_rows: int,
+    seed: int = 0,
+) -> Any:
+    """Data mixing: deterministic shard-stable downsample of a corpus to
+    a target source distribution (e.g. 60% web / 30% wiki / 10% books at
+    ~N total rows). Two stages, no shuffle: one tiny streaming count
+    pass over the weighted sources (``source_counts``), then a pure
+    per-batch ``stratified_sample`` with the derived fractions —
+    membership depends only on (key, seed), so re-runs, resumes and
+    re-partitions keep the identical subset. Sources without a weight
+    are dropped (default_fraction=0)."""
+    fractions = mix_fractions(
+        source_counts(ds, source_col, sources=list(weights)), weights, target_rows
+    )
+    return stratified_sample(
+        ds, key_col, source_col, fractions, default_fraction=0.0, seed=seed
+    )

@@ -1827,6 +1827,68 @@ GROUP BY l.doc_id
 QUERIES["line_dedup"] = (q_line_dedup, SQL_LINE_DEDUP)
 
 
+def q_mix_sources(sf_dir: str) -> Any:
+    """Data mixing to a target source distribution: ~60 rows at weights
+    src0=0.5 / src1=0.25 / src2=0.25, all other sources dropped. At the
+    sf0.01 gate src0's demand (30) exceeds its supply (25), exercising
+    the saturated keep-all branch alongside sub-1.0 fractions. The SQL
+    oracle recomputes the per-source counts, the IEEE-double fraction
+    arithmetic in the same literal op order, the floor(f*2^64)
+    threshold, and the splitmix64 membership hash bit for bit."""
+    from patito_ray.functions.sampling import mix_sources
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    return mix_sources(
+        ds,
+        key_col="doc_id",
+        source_col="source",
+        weights={"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        target_rows=60,
+    )
+
+
+# splitmix64 over doc_id (seed 0); fractions derived from live counts,
+# thresholds = floor(fraction * 2^64) (int() truncation == floor for
+# non-negative doubles)
+SQL_MIX_SOURCES = f"""
+WITH cnt AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY source
+), fr AS (
+  SELECT source,
+    LEAST(1.0, (60.0 * CASE source
+        WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        WHEN 'src2' THEN 0.25 ELSE 0.0 END) / n) AS f
+  FROM cnt
+  WHERE source IN ('src0', 'src1', 'src2')
+), thr AS (
+  SELECT source, f,
+    CAST(floor(f * 18446744073709551616.0) AS HUGEINT) AS t
+  FROM fr
+), z0 AS (
+  SELECT doc_id, source,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), x1 AS (
+  SELECT doc_id, source, xor(z, z >> 30) AS z FROM z0
+), z1 AS (
+  SELECT doc_id, source, {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (
+  SELECT doc_id, source, xor(z, z >> 27) AS z FROM z1
+), z2 AS (
+  SELECT doc_id, source, {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), h AS (
+  SELECT doc_id, source, CAST(xor(z, z >> 31) AS HUGEINT) AS h64 FROM z2
+)
+SELECT h.doc_id, h.source
+FROM h JOIN thr USING (source)
+WHERE thr.f >= 1.0 OR h.h64 < thr.t
+"""
+
+QUERIES["mix_sources"] = (q_mix_sources, SQL_MIX_SOURCES)
+
+
 def q_repetition(sf_dir: str) -> Any:
     """Gopher-style repetition stats: per document, exact counts of
     duplicate token occurrences and the characters they cover (the

@@ -104,3 +104,54 @@ def test_misra_gries_guarantees(data, k, cuts):
     if len(true) <= k:
         assert acc.error_bound() == 0
         assert {v: lo for v, lo, _ in acc.items()} == dict(true)
+
+
+def test_mix_fractions_semantics():
+    import pytest
+
+    from patito_ray.functions.sampling import mix_fractions
+
+    counts = {"a": 100, "b": 10, "c": 0}
+    fr = mix_fractions(counts, {"a": 0.5, "b": 0.5, "c": 0.1, "d": 1.0}, 40)
+    assert fr["a"] == (40.0 * 0.5) / 100.0  # sub-1 fraction
+    assert fr["b"] == 1.0  # demand 20 > supply 10 -> saturate
+    assert "c" not in fr and "d" not in fr  # absent/empty sources skipped
+    with pytest.raises(ValueError, match="weight"):
+        mix_fractions(counts, {"a": -0.1}, 10)
+    with pytest.raises(ValueError, match="target_rows"):
+        mix_fractions(counts, {"a": 0.5}, -1)
+
+
+def test_mix_sources_deterministic_and_partition_stable(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import _splitmix as sm
+    from patito_ray.functions.sampling import mix_sources
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    srcs = ["web", "wiki", "book", "junk"]
+    src = [srcs[i % 4] for i in range(n)]
+    tab = pa.table({"doc_id": ids, "source": src})
+    weights = {"web": 0.6, "wiki": 0.3, "book": 0.1}
+    target = 120
+
+    got = {}
+    for blocks in (1, 7):
+        ds = rd.from_arrow(tab).repartition(blocks)
+        rows = mix_sources(ds, "doc_id", "source", weights, target).take_all()
+        got[blocks] = sorted((r["doc_id"], r["source"]) for r in rows)
+    assert got[1] == got[7]  # membership independent of partitioning
+
+    # local reference: same fractions, same splitmix threshold rule
+    h = sm(ids.view(np.uint64))
+    want = []
+    for i in range(n):
+        s = src[i]
+        if s not in weights:
+            continue
+        f = min(1.0, (float(target) * weights[s]) / 100.0)
+        if f >= 1.0 or h[i] < np.uint64(int(f * 2.0**64)):
+            want.append((int(ids[i]), s))
+    assert got[1] == sorted(want)
+    assert all(s != "junk" for _, s in got[1])  # unweighted source dropped
