@@ -1889,6 +1889,49 @@ WHERE thr.f >= 1.0 OR h.h64 < thr.t
 QUERIES["mix_sources"] = (q_mix_sources, SQL_MIX_SOURCES)
 
 
+def q_quality_classifier(sf_dir: str) -> Any:
+    """Model-based quality filter, fastText-style: weak labels from a
+    lexicon rule (doc contains the token 'dup'), hashed unigram+bigram
+    features, full-batch Adagrad logistic regression trained via
+    broadcast-weights/partial-gradient rounds (driver fast-path at this
+    scale — identical math), then one streaming scoring pass over the
+    corpus. Iterative training is not SQL-expressible -> rows-only;
+    learnability is asserted by pytest (separable synthetic vocab ->
+    100% train accuracy; distributed-vs-driver weight parity)."""
+    from patito_ray.functions.classifier import (
+        featurize,
+        score_logreg,
+        train_logreg,
+    )
+
+    dim = 1 << 14
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        has = pc.match_substring_regex(t.column("text"), r"(^| )dup( |$)")
+        return t.append_column("y01", pc.cast(has, pa.int8()))
+
+    lds = ds.map_batches(lab, batch_format="pyarrow", batch_size=None)
+    w = train_logreg(featurize(lds, "text", "y01", dim=dim), dim=dim)
+    scored = score_logreg(lds, w, "text", dim=dim)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "y01": t.column("y01"),
+                "pred": pc.cast(
+                    pc.greater(t.column("score"), 0.5), pa.int8()
+                ),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["quality_classifier"] = (q_quality_classifier, None)
+
+
 def q_repetition(sf_dir: str) -> Any:
     """Gopher-style repetition stats: per document, exact counts of
     duplicate token occurrences and the characters they cover (the
