@@ -190,6 +190,12 @@ def run_bench() -> dict:
         "repetition",
         "kmeans",
         "semantic_dedup",
+        "lm_score",
+        "tfidf_search",
+        "cum_spend",
+        "line_dedup",
+        "mix_sources",
+        "quality_classifier",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -42,24 +42,25 @@ def hashed_gram_features(
     dim: int = 1 << 16,
     ngrams: int = 2,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    """Per-doc L2-normalized hashed token-[1..ngrams]-gram counts in
-    flat CSR-ish form -> (parent_row, col, val, n_docs), sorted by
-    (parent_row, col). One RE2 split, one flat hash pass per gram
-    order, one global lexsort + run-length dedup — no per-doc Python."""
+    """Per-doc L2-normalized hashed token-gram counts (unigrams, plus
+    bigrams when ngrams=2) in flat CSR-ish form -> (parent_row, col,
+    val, n_docs), sorted by (parent_row, col). One RE2 split, one flat
+    hash pass per gram order, one global lexsort + run-length dedup —
+    no per-doc Python."""
+    if ngrams not in (1, 2):
+        raise ValueError(
+            f"ngrams must be 1 or 2, got {ngrams} (higher orders are "
+            "not implemented — rejecting rather than silently capping)"
+        )
+    from patito_ray.functions.tfidf import re2_split_tokens
+
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     if pa.types.is_large_string(text.type):
         text = pc.cast(text, pa.string())
-    toks = pc.split_pattern_regex(
-        pc.fill_null(text, ""), pattern=r"[\t\n\f\r ]+"
-    )
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    keep = pc.fill_null(pc.not_equal(flat, ""), False)
-    if not pc.all(keep).as_py():
-        parents = parents[keep.to_numpy(zero_copy_only=False)]
-        flat = flat.filter(keep)
-    n_docs = len(text)
+    # the shared RE2-exact tokenizer (CLAUDE.md tokenization invariant:
+    # one kernel, not per-module copies that can drift)
+    flat, parents, n_docs = re2_split_tokens(pc.fill_null(text, ""))
     h1 = hash64(flat)
     feats_idx = [h1 % np.uint64(dim)]
     feats_parent = [parents]

@@ -66,14 +66,18 @@ def initial_centroids(
         batch_format="pyarrow",
         batch_size=None,
     ).take_all()
-    if len(rows) < k:
+    distinct = {int(r[id_col]) for r in rows}
+    if distinct != set(range(k)) or len(rows) != k:
+        # a raw row-count check would pass with duplicate ids below k
+        # and silently seed identical (or order-dependent) centroids
         raise ValueError(
-            f"kmeans: need ids 0..{k - 1} present to seed {k} centroids, "
-            f"found {len(rows)}"
+            f"kmeans: need ids 0..{k - 1} present exactly once to seed "
+            f"{k} centroids, found {len(rows)} rows over ids "
+            f"{sorted(distinct)}"
         )
     rows.sort(key=lambda r: r[id_col])
     return np.asarray(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in rows[:k]]
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
     )
 
 

@@ -1656,7 +1656,6 @@ def frequent_line_hashes(
         ).column("lh")
         lh = hot.to_numpy(zero_copy_only=False)
     else:
-        import ray
 
         def keep_hot(t: pa.Table) -> pa.Table:
             return t.filter(
@@ -1674,12 +1673,11 @@ def frequent_line_hashes(
                 "line_hash) rows against the flagged hashes by hash "
                 "instead of broadcasting."
             )
-        tabs = [t for t in ray.get(flagged.to_arrow_refs()) if t.num_rows]
-        lh = (
-            pa.concat_tables(tabs).column("lh").to_numpy(zero_copy_only=False)
-            if tabs
-            else np.array([], dtype=np.int64)
-        )
+        from patito_ray.stages.agg import collect_table
+
+        lh = collect_table(
+            flagged, pa.schema([("lh", pa.int64())])
+        ).column("lh").to_numpy(zero_copy_only=False)
     return np.sort(np.ascontiguousarray(lh, dtype=np.int64).view(np.uint64))
 
 

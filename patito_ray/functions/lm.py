@@ -46,13 +46,13 @@ def train_unigram(
     oov_logp: float, n_tokens: int, vocab: int}."""
 
     def partial(t: pa.Table) -> pa.Table:
+        from patito_ray.functions.tfidf import re2_split_tokens
+
         text = t.column(text_col)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         low = pc.utf8_lower(pc.fill_null(text, ""))
-        toks = pc.split_pattern_regex(low, pattern=r"[\t\n\f\r ]+")
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, ""))
+        flat, _, _ = re2_split_tokens(low)
         g = pa.table({"token": flat}).group_by(["token"]).aggregate(
             [("token", "count")]
         )
@@ -70,31 +70,26 @@ def train_unigram(
     if not isinstance(merged, pa.Table):
         # huge open vocabulary: the model must still fit the driver to
         # broadcast — callers pass max_vocab; we pull the counts here
-        import ray as _ray
+        from patito_ray.stages.agg import collect_table
 
-        tabs = [t for t in _ray.get(merged.to_arrow_refs()) if t.num_rows]
-        merged = (
-            pa.concat_tables(tabs)
-            if tabs
-            else pa.table(
-                {
-                    "token": pa.array([], type=pa.string()),
-                    "count": pa.array([], type=pa.int64()),
-                }
-            )
+        merged = collect_table(
+            merged,
+            pa.schema([("token", pa.string()), ("count", pa.int64())]),
         )
-    tokens = np.asarray(merged.column("token").to_pylist(), dtype=object)
-    counts = merged.column("count").to_numpy(zero_copy_only=False).astype(
-        np.int64
-    )
-    n_total = int(counts.sum())
-    if max_vocab is not None and len(tokens) > max_vocab:
-        # top-K by (count desc, token asc) — deterministic
-        order = np.lexsort((tokens, -counts))[:max_vocab]
-        tokens, counts = tokens[order], counts[order]
+    tab = merged.select(["token", "count"]).combine_chunks()
+    n_total = int(pc.sum(tab.column("count")).as_py() or 0)
+    if max_vocab is not None and tab.num_rows > max_vocab:
+        # top-K by (count desc, token asc) — deterministic; Arrow-side
+        # sort/take keeps the (possibly open-crawl-sized) vocabulary out
+        # of Python objects
+        idx = pc.sort_indices(
+            tab, sort_keys=[("count", "descending"), ("token", "ascending")]
+        )[:max_vocab]
+        tab = tab.take(idx)
+    tab = tab.take(pc.sort_indices(tab, sort_keys=[("token", "ascending")]))
+    tokens = tab.column("token").to_numpy(zero_copy_only=False)
+    counts = tab.column("count").to_numpy(zero_copy_only=False).astype(np.int64)
     v = len(tokens)
-    order = np.argsort(tokens)
-    tokens, counts = tokens[order], counts[order]
     denom = float(n_total + v + 1)
     logp = np.log((counts + 1).astype(np.float64) / denom)
     return {
@@ -127,19 +122,15 @@ def score_unigram(
     )
 
     def score(t: pa.Table) -> pa.Table:
+        from patito_ray.functions.tfidf import re2_split_tokens
+
         m = ray.get(ref)
         text = t.column(text_col)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
         low = pc.utf8_lower(pc.fill_null(text, ""))
-        toks = pc.split_pattern_regex(low, pattern=r"[\t\n\f\r ]+")
-        flat = pc.list_flatten(toks)
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        row_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        row_idx = row_idx[nonempty]
-        flat = flat.filter(pa.array(nonempty))
+        flat, row_idx, _ = re2_split_tokens(low)
         # vocab lookup is one C++ hash probe per token (index_in),
         # never a Python loop
         idx = pc.index_in(flat, value_set=m["tokens"])

@@ -194,13 +194,10 @@ def source_counts(
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     merged = merge_partial_sums(partials, [source_col], ["n"])
     if not isinstance(merged, pa.Table):
-        import ray
+        from patito_ray.stages.agg import collect_table
 
-        tabs = [t for t in ray.get(merged.materialize().to_arrow_refs()) if t.num_rows]
-        merged = (
-            pa.concat_tables(tabs)
-            if tabs
-            else pa.table({source_col: pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        merged = collect_table(
+            merged, pa.schema([(source_col, pa.string()), ("n", pa.int64())])
         )
     return dict(
         zip(

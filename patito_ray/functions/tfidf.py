@@ -105,14 +105,12 @@ def _global_topk(
         batch_format="pyarrow",
         batch_size=None,
     )
-    import ray
+    from patito_ray.stages.agg import collect_table
 
-    tabs = [t for t in ray.get(pruned.materialize().to_arrow_refs()) if t.num_rows]
-    if not tabs:
-        if empty_schema is None:
-            empty_schema = pa.schema([(value, pa.float64()), (tie, pa.int64())])
-        return empty_schema.empty_table()
-    return _local_topk(pa.concat_tables(tabs).combine_chunks(), k, value, tie)
+    if empty_schema is None:
+        empty_schema = pa.schema([(value, pa.float64()), (tie, pa.int64())])
+    tab = collect_table(pruned, empty_schema)
+    return _local_topk(tab, k, value, tie) if tab.num_rows else tab
 
 
 def top_terms(ds: Any, k: int = 20, text_col: str = "text") -> pa.Table:

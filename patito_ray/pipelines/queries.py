@@ -1794,6 +1794,10 @@ def q_line_dedup(sf_dir: str) -> Any:
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def to_lines(t: pa.Table) -> pa.Table:
+        # defensively drop null texts on BOTH sides: the operator maps
+        # null -> '' (one empty line) while SQL's unnest drops the row
+        # entirely — same convention as the other text oracles
+        t = t.filter(pc.is_valid(t.column("text")))
         return t.set_column(
             t.schema.get_field_index("text"),
             "text",
@@ -1809,6 +1813,7 @@ WITH m AS (
   SELECT doc_id,
          string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
   FROM documents
+  WHERE text IS NOT NULL
 ),
 l AS (
   SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS i
@@ -1975,14 +1980,21 @@ def q_warc_ingest(sf_dir: str) -> Any:
     The SQL oracle recomputes url/timestamp/byte-length from doc_id —
     any framing, gzip, Content-Length or HTTP-head-stripping bug shows
     up as a value mismatch."""
+    import hashlib
     import os
-    import tempfile
+    import shutil
     from datetime import datetime, timedelta
 
     from patito_ray.sources.warc import read_warc, write_warc
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    tmpdir = tempfile.mkdtemp(prefix="warc_ingest_")
+    # fixed per-corpus scratch dir, wiped on entry: repeated runs reuse
+    # ONE bounded directory instead of leaking a corpus-sized mkdtemp
+    # per invocation
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    tmpdir = os.path.join("/tmp", f"warc_ingest_{tag}")
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    os.makedirs(tmpdir, exist_ok=True)
 
     def frame_batch(t: pa.Table) -> pa.Table:
         epoch = datetime(2024, 1, 1)
@@ -1997,7 +2009,11 @@ def q_warc_ingest(sf_dir: str) -> Any:
             )
             for r in rows
         ]
-        path = os.path.join(tmpdir, f"part-{os.getpid()}-{rows[0]['doc_id']}.warc.gz")
+        # content-deterministic name (batches partition disjoint doc_id
+        # sets, so the first id is unique per batch): a Ray task retry
+        # overwrites the same file instead of duplicating records under
+        # a new pid-based name
+        path = os.path.join(tmpdir, f"part-{rows[0]['doc_id']}.warc.gz")
         write_warc(path, pages)
         return pa.table({"n": [len(pages)]})
 
@@ -2075,9 +2091,14 @@ m1 AS (
   FROM a1 JOIN e USING (vec_id)
 ),
 c1 AS (
-  SELECT cid, list(mx ORDER BY i) AS cv
-  FROM (SELECT cid, i, SUM(x) / COUNT(*) AS mx FROM m1 GROUP BY cid, i)
-  GROUP BY cid
+  -- an empty cluster keeps its previous centroid (the engine's
+  -- documented contract): start from every seed, fall back on c0
+  SELECT c0.cid, coalesce(cm.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN (
+    SELECT cid, list(mx ORDER BY i) AS cv
+    FROM (SELECT cid, i, SUM(x) / COUNT(*) AS mx FROM m1 GROUP BY cid, i)
+    GROUP BY cid
+  ) cm USING (cid)
 ),
 d2 AS (
   SELECT e.vec_id, c1.cid,

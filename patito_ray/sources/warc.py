@@ -103,7 +103,16 @@ def iter_warc_records(
             # skip garbage up to the next record marker
             nxt = buf.find(b"WARC/", 1)
             if nxt < 0:
-                buf = buf[-8:]
+                # keep an 8-byte tail (covers a marker split across
+                # reads) and FORCE a read: the retained tail may still
+                # contain CRLFCRLF, so falling back to the
+                # header-accumulate loop would re-partition the same
+                # bytes forever
+                tail = buf[-8:]
+                chunk = stream.read(64 * 1024)
+                if not chunk:
+                    return
+                buf = tail + chunk
                 continue
             buf = buf[nxt:]
             continue

@@ -58,3 +58,25 @@ def merge_partial_sums(
             .to_arrow()
         )
     return m.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in sums])
+
+
+def collect_table(ds: Any, empty_schema: "pa.Schema | None" = None) -> pa.Table:
+    """Pull a (small, post-merge) Dataset to ONE driver pa.Table.
+
+    The counterpart of ``merge_partial_sums``' distributed branch:
+    callers that must finish on the driver (broadcast sets, model
+    vocabularies, mixture counts) use this instead of hand-rolling the
+    to_arrow_refs/empty-fallback snippet per site. ``empty_schema``
+    types the zero-row result; required because an empty Dataset has no
+    blocks to infer from."""
+    import ray
+
+    tabs = [t for t in ray.get(ds.materialize().to_arrow_refs()) if t.num_rows]
+    if tabs:
+        return pa.concat_tables(tabs).combine_chunks()
+    if empty_schema is None:
+        raise ValueError(
+            "collect_table got an empty Dataset and no empty_schema to "
+            "type the zero-row result"
+        )
+    return empty_schema.empty_table()

@@ -91,7 +91,11 @@ def window_over(
             elif op == "row_number":
                 e = pl.int_range(1, pl.len() + 1, dtype=pl.Int64)
             elif op == "rank_min":
-                e = pl.col(src).rank("min", descending=descending).cast(pl.Int64)
+                # always ascending, per the docstring contract — the
+                # `descending` flag orders the frame for cum_*/lag/lead,
+                # it does not flip rank direction (callers wanting a
+                # descending rank negate src)
+                e = pl.col(src).rank("min", descending=False).cast(pl.Int64)
             elif op == "lag":
                 e = pl.col(src).shift(1)
             else:  # lead

@@ -116,3 +116,8 @@ def test_empty_corpus_rejected_and_empty_text_scored(ray_session):
     out = score_logreg(blank, w, "text", dim=dim).take_all()
     # featureless docs get the bias-only score, one per row
     assert len(out) == 2 and out[0]["score"] == out[1]["score"]
+
+
+def test_ngrams_above_two_rejected():
+    with pytest.raises(ValueError, match="ngrams"):
+        hashed_gram_features(pa.array(["a b c"]), dim=64, ngrams=3)

@@ -104,3 +104,22 @@ def test_warc_empty_dir_and_missing_content_length(tmp_path):
     with pytest.raises(ValueError, match="Content-Length"):
         with open(bad, "rb") as f:
             list(iter_warc_records(f))
+
+
+def test_iter_warc_skips_markerless_garbage_without_hanging():
+    """Regression: garbage whose retained tail still contains CRLFCRLF
+    used to spin forever in the skip path (never reading more data)."""
+    import io
+
+    from patito_ray.sources.warc import iter_warc_records
+
+    assert list(iter_warc_records(io.BytesIO(b"junk\r\n\r\n"))) == []
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 5\r\n\r\n"
+        b"hello\r\n\r\n"
+    )
+    # marker separated from the garbage by >64 KiB forces multiple
+    # skip-path reads before the record is found
+    stream = io.BytesIO(b"garbage\r\n\r\n" + b"X" * 200_000 + rec)
+    got = list(iter_warc_records(stream))
+    assert len(got) == 1 and got[0][1] == b"hello"

@@ -97,3 +97,18 @@ def test_window_unknown_op_rejected(ray_session):
     ds = rd.from_arrow(pa.table({"k": [1], "o": [1], "v": [1.0]}))
     with pytest.raises(ValueError, match="window op"):
         window_over(ds, "k", ["o"], {"x": ("median", "v")})
+
+
+def test_rank_min_ascending_even_with_descending_order(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({"k": [1, 1, 1], "t": [3, 2, 1], "v": [10, 30, 20]})
+    )
+    out = window_over(
+        ds, by="k", order=["t"], cols={"rk": ("rank_min", "v")}, descending=True
+    ).take_all()
+    ranks = {r["v"]: r["rk"] for r in out}
+    # rank_min ranks by v ASCENDING per the docstring contract,
+    # regardless of the frame-ordering flag
+    assert ranks == {10: 1, 20: 2, 30: 3}
