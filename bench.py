@@ -196,6 +196,10 @@ def run_bench() -> dict:
         "line_dedup",
         "mix_sources",
         "quality_classifier",
+        "split_assign",
+        "pack_sequences",
+        "normalize_text",
+        "domain_filter",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -117,6 +117,72 @@ def stratified_sample(
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def split_thresholds(fractions: Mapping[str, float]) -> "list[int]":
+    """Cumulative uint64 bucket boundaries for :func:`assign_splits`.
+
+    Shared by the library kernel and the SQL oracle builder so both
+    sides embed the IDENTICAL integers: the cumulative sum is plain
+    left-to-right float addition and each boundary is
+    ``int(cum * 2^64)`` (saturating at 2^64 once cum >= 1.0, so no key
+    can fall past the final split through float round-down).
+    """
+    if not fractions:
+        raise ValueError("assign_splits needs at least one split fraction")
+    cum = 0.0
+    out: list[int] = []
+    for name, f in fractions.items():
+        if f < 0:
+            raise ValueError(f"fraction for split {name!r} must be >= 0, got {f}")
+        cum += f
+        out.append(2**64 if cum >= 1.0 else int(cum * 2.0**64))
+    if cum > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {cum}, must be <= 1")
+    return out
+
+
+def assign_splits(
+    ds: Any,
+    key_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> Any:
+    """Deterministic train/val/test split: label each row with the split
+    whose cumulative hash range contains ``splitmix64(key ^ seed)``.
+
+    Membership is a pure function of (key, seed) — shard-stable, so a
+    re-partitioned or resumed run assigns the identical labels, and a
+    row can never leak between train and test across pipeline versions
+    that keep the same seed. If the fractions sum to < 1, the remaining
+    hash range gets a null label (rows held out of every split). One
+    vectorized searchsorted per batch; no shuffle, no state.
+    """
+    names = list(fractions)
+    bounds = split_thresholds(fractions)
+    # 2^64 saturation cannot live in a uint64 searchsorted table; clamp
+    # to 2^64-1 and remember whether the final split absorbs the one
+    # key per seed hashing to exactly 2^64-1
+    saturated = bounds[-1] == 2**64
+    table = np.array(
+        [min(b, 2**64 - 1) for b in bounds], dtype=np.uint64
+    )
+    # trailing null slot = the held-out hash range when fractions sum < 1
+    labels = pa.array(names + [None], type=pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = _key_hashes(batch, key_col, seed)
+        # h < bounds[i] picks slot i: number of boundaries <= h
+        slot = np.searchsorted(table, h, side="right")
+        if saturated:
+            # only h == 2^64-1 lands past the clamped final boundary,
+            # and with cum >= 1.0 it belongs to the last split
+            slot = np.minimum(slot, len(names) - 1)
+        col = pc.take(labels, pa.array(slot.astype(np.int64), type=pa.int64()))
+        return batch.append_column(split_col, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def cap_per_key(
     ds: Any,
     key_col: str,

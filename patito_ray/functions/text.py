@@ -477,3 +477,63 @@ def quality_dataset(ds: Any, concurrency: int = 4) -> Any:
     return ds.map_batches(
         QualityScore, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
     )
+
+
+def normalize_text_array(
+    text: pa.ChunkedArray | pa.Array, form: "str | None" = None
+) -> pa.Array:
+    """Canonical text form for dedup/matching: lowercase, collapse RE2
+    whitespace runs (``[\\t\\n\\f\\r ]+`` — ASCII-only, matching every
+    RE2-based engine; unicode spaces like NBSP are content, not
+    separators) to one space, trim edge spaces.
+
+    ``form`` ('NFC'/'NFKC'/...) additionally applies true Unicode
+    normalization BEFORE lowering. pyarrow's utf8_normalize emits
+    decomposed output even for NFC (verified on 16.1), so this path
+    uses Python's unicodedata — but only on the non-ASCII minority of
+    rows (vectorized ``string_is_ascii`` mask; ASCII text, the bulk of
+    web corpora, never leaves Arrow). The default form=None path is
+    fully vectorized and bit-exact against DuckDB
+    ``trim(regexp_replace(lower(x), ...))`` (the `normalize_text`
+    oracle; known engine divergence: DuckDB lower() uses simple case
+    mapping for U+0130 İ, utf8proc the full one — avoid İ in exact
+    comparisons).
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if form is not None:
+        import unicodedata
+
+        ascii_mask = pc.fill_null(pc.string_is_ascii(text), True)
+        if not pc.all(ascii_mask).as_py():
+            idx = np.flatnonzero(
+                np.logical_not(ascii_mask.to_numpy(zero_copy_only=False))
+            )
+            vals = text.take(pa.array(idx, type=pa.int64())).to_pylist()
+            fixed = pa.array(
+                [unicodedata.normalize(form, v) for v in vals], type=pa.string()
+            )
+            np_ids = np.full(len(text), -1, dtype=np.int64)
+            np_ids[idx] = np.arange(idx.size)
+            take_ids = pa.array(
+                np.where(np_ids >= 0, np_ids, 0), type=pa.int64()
+            )
+            text = pc.if_else(ascii_mask, text, fixed.take(take_ids))
+    x = pc.utf8_lower(text)
+    x = pc.replace_substring_regex(x, pattern="[\t\n\f\r ]+", replacement=" ")
+    return pc.utf8_trim(x, characters=" ")
+
+
+def normalize_text_dataset(
+    ds: Any, text_col: str = "text", out_col: str = "norm_text",
+    form: "str | None" = None,
+) -> Any:
+    """Dataset stage: append the normalized text column (one vectorized
+    kernel per batch, no shuffle, no state)."""
+    return ds.map_batches(
+        lambda t: t.append_column(
+            out_col, normalize_text_array(t.column(text_col), form=form)
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

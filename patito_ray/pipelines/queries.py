@@ -2339,3 +2339,193 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 QUERIES["cum_spend"] = (q_cum_spend, SQL_CUM_SPEND)
+
+
+def q_split_assign(sf_dir: str) -> Any:
+    """Deterministic train/val/test split (80/10/10 by doc_id hash).
+    Labels are a pure function of (doc_id, seed): shard-stable, so a
+    re-partitioned or resumed run can never leak a row between train
+    and test. The SQL oracle re-runs splitmix64 and compares against
+    the IDENTICAL cumulative uint64 boundaries (shared
+    `split_thresholds` float arithmetic embedded as literals)."""
+    from patito_ray.functions.sampling import assign_splits
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    return assign_splits(
+        ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=0
+    )
+
+
+def _sql_split_assign() -> str:
+    from patito_ray.functions.sampling import split_thresholds
+
+    b = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    # final cum >= 1.0 saturates to 2^64: the ELSE branch absorbs it
+    return f"""
+WITH z0 AS (
+  SELECT doc_id,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), x1 AS (
+  SELECT doc_id, xor(z, z >> 30) AS z FROM z0
+), z1 AS (
+  SELECT doc_id, {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (
+  SELECT doc_id, xor(z, z >> 27) AS z FROM z1
+), z2 AS (
+  SELECT doc_id, {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), h AS (
+  SELECT doc_id, CAST(xor(z, z >> 31) AS HUGEINT) AS h64 FROM z2
+)
+SELECT doc_id,
+  CASE WHEN h64 < CAST({b[0]} AS HUGEINT) THEN 'train'
+       WHEN h64 < CAST({b[1]} AS HUGEINT) THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+"""
+
+
+QUERIES["split_assign"] = (q_split_assign, _sql_split_assign())
+
+
+def q_pack_sequences(sf_dir: str) -> Any:
+    """Sequence-packing plan: concatenate all documents in doc_id order
+    into back-to-back 60-token training sequences and emit each doc's
+    (seq_id, doc_begin, seq_begin, n_tok) segments. The global token
+    offsets come from the range-partitioned ordered prefix sum (one
+    narrow exchange); the oracle recomputes them with a window cumsum +
+    lateral generate_series."""
+    from patito_ray.functions.packing import pack_sequences
+    from patito_ray.functions.text import token_count_array
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": token_count_array(t.column("text")),
+            }
+        )
+
+    narrow = ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+    return pack_sequences(narrow, "doc_id", "n_tokens", seq_len=60)
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+  FROM documents
+), o AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+  FROM t
+), e AS (
+  SELECT doc_id, n, b,
+         unnest(generate_series(b // 60, (b + n - 1) // 60)) AS s
+  FROM o WHERE n > 0
+)
+SELECT doc_id,
+       s AS seq_id,
+       GREATEST(b, s * 60) - b AS doc_begin,
+       GREATEST(b, s * 60) - s * 60 AS seq_begin,
+       LEAST(b + n, (s + 1) * 60) - GREATEST(b, s * 60) AS n_tok
+FROM e
+"""
+
+QUERIES["pack_sequences"] = (q_pack_sequences, SQL_PACK_SEQUENCES)
+
+
+def q_normalize_text(sf_dir: str) -> Any:
+    """Text normalization parity: both engines build the IDENTICAL
+    messy string per doc (leading/trailing runs, tabs, \\x0b — which is
+    unicode-space but NOT RE2 whitespace, so it must survive — plus
+    non-ASCII uppercase) and normalize (lower, collapse [\\t\\n\\f\\r ]+
+    to one space, trim). Exact value oracle."""
+    from patito_ray.functions.text import normalize_text_array
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        import numpy as np
+
+        pre = pa.array(np.full(n, "  ", dtype=object))
+        mid = pa.array(np.full(n, "\tMiXeD  CASE\x0bÉёЖＦ ", dtype=object))
+        messy = pc.binary_join_element_wise(pre, t.column("text"), mid, "")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_text": normalize_text_array(messy),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=None)
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+  trim(regexp_replace(
+    lower('  ' || text || chr(9) || 'MiXeD  CASE' || chr(11)
+          || 'ÉёЖＦ '),
+    '[\t\n\f\r ]+', ' ', 'g'), ' ') AS norm_text
+FROM documents
+"""
+
+QUERIES["normalize_text"] = (q_normalize_text, SQL_NORMALIZE_TEXT)
+
+
+def q_domain_filter(sf_dir: str) -> Any:
+    """Domain-blocklist filter: both engines synthesize the IDENTICAL
+    URL per doc (5 hosts cycled, with userinfo / mixed case / ports
+    layered on as parsing hazards), the engine must recover the host
+    through the mess and drop blocked domains AND their subdomains
+    ('ads.com' blocks 'sub.ads.com' but not 'goodads.com'). The oracle
+    applies the block rule to the host it synthesized — any extraction
+    bug on the Ray side shows up as a row diff."""
+    from patito_ray.functions.urls import filter_blocked_domains
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    hosts = ["Ads.COM", "sub.Ads.com", "news.org", "cdn.Tracker.net", "goodads.com"]
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        host = pa.array(np.array(hosts, dtype=object)[ids % 5])
+        user = pa.array(np.where(ids % 3 == 0, "u:p@", "").astype(object))
+        port = pa.array(np.where(ids % 2 == 0, ":8080", "").astype(object))
+        url = pc.binary_join_element_wise(
+            pa.array(np.full(len(ids), "http://", dtype=object)),
+            user, host, port,
+            pa.array(np.full(len(ids), "/p/", dtype=object)),
+            pc.cast(t.column("doc_id"), pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "url": url})
+
+    built = ds.map_batches(build, batch_format="pyarrow", batch_size=None)
+    return filter_blocked_domains(built, ["ads.com", "tracker.net"])
+
+
+SQL_DOMAIN_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 5 WHEN 0 THEN 'Ads.COM' WHEN 1 THEN 'sub.Ads.com'
+      WHEN 2 THEN 'news.org' WHEN 3 THEN 'cdn.Tracker.net'
+      ELSE 'goodads.com' END AS host
+  FROM documents
+)
+SELECT doc_id,
+  'http://' || (CASE WHEN doc_id % 3 = 0 THEN 'u:p@' ELSE '' END)
+  || host || (CASE WHEN doc_id % 2 = 0 THEN ':8080' ELSE '' END)
+  || '/p/' || CAST(doc_id AS VARCHAR) AS url
+FROM u
+WHERE NOT (lower(host) = 'ads.com' OR lower(host) LIKE '%.ads.com'
+        OR lower(host) = 'tracker.net' OR lower(host) LIKE '%.tracker.net')
+"""
+
+QUERIES["domain_filter"] = (q_domain_filter, SQL_DOMAIN_FILTER)

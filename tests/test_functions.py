@@ -1493,3 +1493,74 @@ def test_unigram_lm_train_score_and_oov(ray_session):
     m2 = train_unigram(corpus, max_vocab=2)
     assert sorted(m2["tokens"]) == ["a", "b"]
     assert m2["vocab"] == 2 and m2["n_tokens"] == 5
+
+
+def test_normalize_text_rules():
+    from patito_ray.functions.text import normalize_text_array
+
+    a = pa.array(
+        ["  A\t\tB  ", "x\x0by", None, "", "  ", "Mixed CASE\r\nend", "É Ж"]
+    )
+    got = normalize_text_array(a).to_pylist()
+    # \x0b is unicode-space but NOT RE2 \s — stays inside the token
+    assert got == ["a b", "x\x0by", None, "", "", "mixed case end", "é ж"]
+
+
+def test_normalize_text_unicode_form_hybrid():
+    import unicodedata
+
+    from patito_ray.functions.text import normalize_text_array
+
+    decomposed = "Café  X"  # e + combining acute
+    a = pa.array([decomposed, "PLAIN ASCII", None])
+    got = normalize_text_array(a, form="NFC").to_pylist()
+    assert got[0] == unicodedata.normalize("NFC", decomposed).lower().replace("  ", " ")
+    assert got[0] == "café x" and len(got[0]) == 6  # composed é, one cp
+    assert got[1] == "plain ascii"  # ASCII fast path
+    assert got[2] is None
+
+
+def test_domain_blocklist_semantics():
+    from patito_ray.functions.urls import domain_blocked_mask, extract_domain_array
+
+    urls = pa.array(
+        [
+            "http://Ads.COM/x",
+            "https://a.b.ads.com:443/y",
+            "http://u:p@cdn.ads.com/z",
+            "http://goodads.com/a",  # substring, NOT a subdomain
+            "http://ads.com.evil.net/r",  # prefix, NOT a suffix match
+            "not a url",
+            None,
+        ]
+    )
+    hosts = extract_domain_array(urls)
+    assert hosts.to_pylist()[:5] == [
+        "ads.com", "a.b.ads.com", "cdn.ads.com", "goodads.com", "ads.com.evil.net",
+    ]
+    m = domain_blocked_mask(hosts, ["ads.com"]).to_pylist()
+    assert m == [True, True, True, False, False, False, False]
+    # deeper blocklist entries match at their own label depth
+    m3 = domain_blocked_mask(hosts, ["b.ads.com"]).to_pylist()
+    assert m3 == [False, True, False, False, False, False, False]
+
+
+def test_filter_blocked_domains_dataset(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.urls import filter_blocked_domains
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                ["http://ads.com/1", "http://ok.org/2", "junk", None]
+            ),
+            "i": pa.array([1, 2, 3, 4], type=pa.int64()),
+        }
+    )
+    kept = filter_blocked_domains(rd.from_arrow(t), ["ads.com"]).take_all()
+    assert sorted(r["i"] for r in kept) == [2, 3, 4]
+    strict = filter_blocked_domains(
+        rd.from_arrow(t), ["ads.com"], keep_unparsed=False
+    ).take_all()
+    assert sorted(r["i"] for r in strict) == [2]

@@ -1,0 +1,138 @@
+"""Ordered prefix sum + sequence packing: the distributed plan must
+equal a sequential pure-Python reference regardless of partitioning,
+and the explode kernel must be exact on arbitrary inputs."""
+
+import hypothesis.strategies as st
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+
+from patito_ray.functions.packing import explode_segments
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
+    L=st.integers(min_value=1, max_value=17),
+    base=st.integers(min_value=0, max_value=1000),
+)
+def test_explode_segments_matches_reference(toks, L, base):
+    n = len(toks)
+    offs, cum = [], base
+    for t in toks:
+        offs.append(cum)
+        cum += t
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "n_tokens": pa.array(toks, type=pa.int64()),
+            "_off": pa.array(offs, type=pa.int64()),
+        }
+    )
+    got = [
+        (r["doc_id"], r["seq_id"], r["doc_begin"], r["seq_begin"], r["n_tok"])
+        for r in explode_segments(tab, "doc_id", "n_tokens", L, "_off").to_pylist()
+    ]
+    want = []
+    for i, t in enumerate(toks):
+        if t == 0:
+            continue
+        b = offs[i]
+        for s in range(b // L, (b + t - 1) // L + 1):
+            gs, ge = max(b, s * L), min(b + t, (s + 1) * L)
+            want.append((i, s, gs - b, gs - s * L, ge - gs))
+    assert got == want
+    # segments of one doc tile it exactly, in order
+    for i, t in enumerate(toks):
+        segs = [(db, k) for (d, _s, db, _sb, k) in got if d == i]
+        assert sum(k for _, k in segs) == t
+        pos = 0
+        for db, k in segs:
+            assert db == pos
+            pos += k
+
+
+def test_ordered_prefix_sum_partition_stable(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.prefix import ordered_prefix_sum
+
+    rng = np.random.default_rng(7)
+    n = 800
+    ids = (rng.permutation(n).astype(np.int64) * 13 + 5) * rng.choice(
+        [1, -1], n
+    )  # unique, unsorted, negative keys too
+    vals = rng.integers(0, 100, n).astype(np.int64)
+    tab = pa.table({"k": ids, "v": vals})
+
+    order = np.argsort(ids)
+    want_off = np.zeros(n, dtype=np.int64)
+    want_off[order] = np.cumsum(vals[order]) - vals[order]
+    want = sorted(zip(ids.tolist(), want_off.tolist()))
+
+    for blocks in (1, 11):
+        ds = rd.from_arrow(tab).repartition(blocks)
+        out = ordered_prefix_sum(ds, "k", "v").take_all()
+        got = sorted((r["k"], r["offset"]) for r in out)
+        assert got == want, f"blocks={blocks}"
+
+
+def test_ordered_prefix_sum_rejects_duplicate_keys(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.prefix import ordered_prefix_sum
+
+    tab = pa.table(
+        {
+            "k": pa.array([1, 2, 2, 3], type=pa.int64()),
+            "v": pa.array([1, 1, 1, 1], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        ordered_prefix_sum(rd.from_arrow(tab), "k", "v").take_all()
+
+
+def test_pack_sequences_empty_and_validation(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.packing import pack_sequences
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+        }
+    )
+    assert pack_sequences(rd.from_arrow(empty), "doc_id", "n_tokens", 8).count() == 0
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(rd.from_arrow(empty), "doc_id", "n_tokens", 0)
+
+
+def test_pack_sequences_fills_every_sequence(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n, L = 500, 32
+    toks = rng.integers(0, 90, n).astype(np.int64)  # docs longer than L too
+    tab = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64) * 3),
+            "n_tokens": pa.array(toks),
+        }
+    )
+    rows = pack_sequences(
+        rd.from_arrow(tab).repartition(7), "doc_id", "n_tokens", L
+    ).take_all()
+    per_seq: dict = {}
+    for r in rows:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tok"]
+        assert 0 < r["n_tok"] <= L
+        assert 0 <= r["seq_begin"] < L
+    seqs = sorted(per_seq)
+    assert seqs == list(range(len(seqs)))  # contiguous sequence ids
+    assert all(per_seq[s] == L for s in seqs[:-1])  # all but last full
+    assert sum(per_seq.values()) == int(toks.sum())

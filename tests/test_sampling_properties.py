@@ -155,3 +155,73 @@ def test_mix_sources_deterministic_and_partition_stable(ray_session):
             want.append((int(ids[i]), s))
     assert got[1] == sorted(want)
     assert all(s != "junk" for _, s in got[1])  # unweighted source dropped
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    fracs=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=5
+    )
+)
+def test_split_thresholds_monotone_and_saturating(fracs):
+    from patito_ray.functions.sampling import split_thresholds
+
+    fr = {f"s{i}": f / 1000.0 for i, f in enumerate(fracs)}
+    if sum(fr.values()) > 1.0 + 1e-9:
+        import pytest
+
+        with pytest.raises(ValueError):
+            split_thresholds(fr)
+        return
+    b = split_thresholds(fr)
+    assert all(x <= y for x, y in zip(b, b[1:]))  # monotone non-decreasing
+    assert all(0 <= x <= 2**64 for x in b)
+    if sum(fr.values()) >= 1.0:
+        assert b[-1] == 2**64  # saturation: no key past the final split
+
+
+def test_assign_splits_matches_reference_and_partition_stable(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import _splitmix as sm
+    from patito_ray.functions.sampling import assign_splits, split_thresholds
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    tab = pa.table({"doc_id": ids})
+    fr = {"train": 0.7, "val": 0.1}  # sums < 1: held-out rows get null
+
+    got = {}
+    for blocks in (1, 9):
+        ds = rd.from_arrow(tab).repartition(blocks)
+        rows = assign_splits(ds, "doc_id", fr, seed=3).take_all()
+        got[blocks] = sorted((r["doc_id"], r["split"]) for r in rows)
+    assert got[1] == got[9]
+
+    b = split_thresholds(fr)
+    h = sm(ids.view(np.uint64) ^ np.uint64(3))
+    names = list(fr)
+    want = []
+    for i in range(n):
+        lab = None
+        for j, bound in enumerate(b):
+            if int(h[i]) < bound:
+                lab = names[j]
+                break
+        want.append((int(ids[i]), lab))
+    assert got[1] == sorted(want)
+    labs = {lab for _, lab in got[1]}
+    assert None in labs and "train" in labs  # both branches exercised
+
+
+def test_assign_splits_saturated_covers_every_row(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.sampling import assign_splits
+
+    tab = pa.table({"doc_id": pa.array(range(300), type=pa.int64())})
+    rows = assign_splits(
+        rd.from_arrow(tab), "doc_id", {"a": 0.5, "b": 0.3, "c": 0.2}
+    ).take_all()
+    assert len(rows) == 300
+    assert all(r["split"] in ("a", "b", "c") for r in rows)
