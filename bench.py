@@ -200,6 +200,7 @@ def run_bench() -> dict:
         "pack_sequences",
         "normalize_text",
         "domain_filter",
+        "epoch_shuffle",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -320,3 +320,53 @@ def mix_sources(
     return stratified_sample(
         ds, key_col, source_col, fractions, default_fraction=0.0, seed=seed
     )
+
+
+def epoch_shuffle_positions(
+    ds: Any, key_col: str, epoch: int, seed: int = 0
+) -> Any:
+    """Deterministic global shuffle for one training epoch: every key
+    gets an explicit position 0..n-1 in ``splitmix64(key ^ epoch ^
+    seed)`` order (ties broken by key — 64-bit collisions are expected
+    a few times per 10^11-doc corpus, so the order stays total).
+
+    Returns the NARROW ``(key, pos)`` plan — at crawl scale only
+    16 B/doc rides the ordered-prefix-sum exchange; writers join
+    positions back by key (broadcast/co-partition) instead of
+    shuffling payloads here. Re-runs produce the identical
+    permutation: an interrupted epoch resumes mid-order, and two
+    pipelines sharding the same epoch agree row for row."""
+    from patito_ray.stages.prefix import ordered_prefix_sum
+
+    mix = np.uint64(seed) ^ np.uint64(epoch)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        # hash(key ^ mix) rather than hash(key) ^ mix so different
+        # epochs are full re-permutations, not XOR shifts of one order
+        hh = _key_hashes(t, key_col, int(mix))
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        flipped = (hh ^ np.uint64(1 << 63)).view(np.int64)
+        n = len(flipped)
+        return pa.table(
+            {
+                key_col: keys,
+                "_h": pa.array(flipped, type=pa.int64()),
+                "_one": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    plan = ds.select_columns([key_col]).map_batches(
+        narrow, batch_format="pyarrow", batch_size=None
+    )
+    out = ordered_prefix_sum(plan, "_h", "_one", out_col="pos", tie_col=key_col)
+    return out.map_batches(
+        lambda t: t.select([key_col, "pos"])
+        if t.num_rows and key_col in t.column_names
+        else pa.table(
+            {key_col: pa.array([], type=pa.int64()), "pos": pa.array([], type=pa.int64())}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

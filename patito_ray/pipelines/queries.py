@@ -2529,3 +2529,40 @@ WHERE NOT (lower(host) = 'ads.com' OR lower(host) LIKE '%.ads.com'
 """
 
 QUERIES["domain_filter"] = (q_domain_filter, SQL_DOMAIN_FILTER)
+
+
+def q_epoch_shuffle(sf_dir: str) -> Any:
+    """Deterministic epoch-5 shuffle plan: every doc gets an explicit
+    position 0..n-1 in splitmix64(doc_id ^ 5) order (ties by doc_id).
+    Rides the ordered prefix sum — only (key, hash, 1) moves. Oracle:
+    ROW_NUMBER() over the same recomputed hash order."""
+    from patito_ray.functions.sampling import epoch_shuffle_positions
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    return epoch_shuffle_positions(ds, "doc_id", epoch=5)
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH z0 AS (
+  SELECT doc_id,
+    CAST((CAST(xor(CAST(doc_id AS UBIGINT), 5) AS HUGEINT)
+          + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), x1 AS (
+  SELECT doc_id, xor(z, z >> 30) AS z FROM z0
+), z1 AS (
+  SELECT doc_id, {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (
+  SELECT doc_id, xor(z, z >> 27) AS z FROM z1
+), z2 AS (
+  SELECT doc_id, {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), h AS (
+  SELECT doc_id, CAST(xor(z, z >> 31) AS HUGEINT) AS h64 FROM z2
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY h64, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+QUERIES["epoch_shuffle"] = (q_epoch_shuffle, SQL_EPOCH_SHUFFLE)

@@ -59,12 +59,17 @@ def ordered_prefix_sum(
     out_col: str = "offset",
     num_partitions: int | None = None,
     samples_per_block: int = 32,
+    tie_col: str | None = None,
 ) -> Any:
-    """Append ``out_col`` = sum of ``value_col`` over all rows with a
-    strictly smaller ``order_col`` (exclusive prefix sum in global key
-    order). ``order_col`` values must be unique; ``value_col`` must be
-    integer (token counts, byte sizes — int64 holds 100 TB of either).
-    """
+    """Append ``out_col`` = sum of ``value_col`` over all rows strictly
+    before this one in global ``(order_col, tie_col)`` order (exclusive
+    prefix sum). The combined order key must be unique — pass
+    ``tie_col`` when ``order_col`` alone can collide (e.g. a 64-bit
+    shuffle hash over 10^11 docs expects a few collisions); rows that
+    share an ``order_col`` value always land in the same range, so the
+    uniqueness check still runs where duplicates meet. ``value_col``
+    must be integer (token counts, byte sizes — int64 holds 100 TB of
+    either)."""
     if num_partitions is None:
         from patito_ray.stages.join import default_num_partitions
 
@@ -138,16 +143,23 @@ def ordered_prefix_sum(
         if group.num_rows == 0:
             return group.drop_columns(["part"])
         part = int(group.column("part")[0].as_py())
-        order = np.argsort(
-            group.column(order_col).to_numpy(zero_copy_only=False),
-            kind="stable",
-        )
+        gk = group.column(order_col).to_numpy(zero_copy_only=False)
+        if tie_col is not None:
+            gt = group.column(tie_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((gt, gk))  # primary gk, ties by gt
+        else:
+            order = np.argsort(gk, kind="stable")
         t = group.take(pa.array(order)).drop_columns(["part"])
         k = _int_col(t, order_col, "order")
-        if k.size > 1 and (k[1:] == k[:-1]).any():
+        dup = k.size > 1 and (k[1:] == k[:-1])
+        if tie_col is not None and k.size > 1:
+            tt = _int_col(t, tie_col, "tie")
+            dup = dup & (tt[1:] == tt[:-1])
+        if k.size > 1 and np.asarray(dup).any():
             raise ValueError(
-                f"ordered_prefix_sum order column {order_col!r} has "
-                "duplicate keys; the global order must be total"
+                f"ordered_prefix_sum order key "
+                f"({order_col!r}{', ' + repr(tie_col) if tie_col else ''}) "
+                "has duplicate values; the global order must be total"
             )
         v = _int_col(t, value_col, "value")
         off = base[part] + np.cumsum(v) - v

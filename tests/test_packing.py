@@ -136,3 +136,65 @@ def test_pack_sequences_fills_every_sequence(ray_session):
     assert seqs == list(range(len(seqs)))  # contiguous sequence ids
     assert all(per_seq[s] == L for s in seqs[:-1])  # all but last full
     assert sum(per_seq.values()) == int(toks.sum())
+
+
+def test_ordered_prefix_sum_tie_col(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.prefix import ordered_prefix_sum
+
+    # duplicate order keys are fine when the tie column disambiguates
+    tab = pa.table(
+        {
+            "k": pa.array([5, 5, 5, 1, 1], type=pa.int64()),
+            "t": pa.array([30, 10, 20, 2, 1], type=pa.int64()),
+            "v": pa.array([1, 2, 4, 8, 16], type=pa.int64()),
+        }
+    )
+    out = ordered_prefix_sum(
+        rd.from_arrow(tab).repartition(3), "k", "v", tie_col="t"
+    ).take_all()
+    got = {(r["k"], r["t"]): r["offset"] for r in out}
+    # order: (1,1)v16 (1,2)v8 (5,10)v2 (5,20)v4 (5,30)v1
+    assert got == {(1, 1): 0, (1, 2): 16, (5, 10): 24, (5, 20): 26, (5, 30): 30}
+
+    dup = pa.table(
+        {
+            "k": pa.array([5, 5], type=pa.int64()),
+            "t": pa.array([7, 7], type=pa.int64()),
+            "v": pa.array([1, 1], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        ordered_prefix_sum(
+            rd.from_arrow(dup), "k", "v", tie_col="t"
+        ).take_all()
+
+
+def test_epoch_shuffle_positions(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import _splitmix
+    from patito_ray.functions.sampling import epoch_shuffle_positions
+
+    n = 400
+    ids = (np.random.default_rng(2).permutation(n) * 9 + 1).astype(np.int64)
+    tab = pa.table({"doc_id": pa.array(ids), "payload": pa.array(["p"] * n)})
+
+    got = {}
+    for blocks in (1, 6):
+        rows = epoch_shuffle_positions(
+            rd.from_arrow(tab).repartition(blocks), "doc_id", epoch=3
+        ).take_all()
+        got[blocks] = sorted((r["doc_id"], r["pos"]) for r in rows)
+    assert got[1] == got[6]
+
+    h = _splitmix(ids.view(np.uint64) ^ np.uint64(3))
+    order = np.lexsort((ids, h))
+    want = sorted((int(ids[i]), int(p)) for p, i in enumerate(order))
+    assert got[1] == want
+    # different epoch => different permutation
+    rows2 = epoch_shuffle_positions(
+        rd.from_arrow(tab), "doc_id", epoch=4
+    ).take_all()
+    assert sorted((r["doc_id"], r["pos"]) for r in rows2) != got[1]
