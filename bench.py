@@ -201,6 +201,7 @@ def run_bench() -> dict:
         "normalize_text",
         "domain_filter",
         "epoch_shuffle",
+        "materialize_sequences",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

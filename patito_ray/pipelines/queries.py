@@ -2566,3 +2566,50 @@ FROM h
 """
 
 QUERIES["epoch_shuffle"] = (q_epoch_shuffle, SQL_EPOCH_SHUFFLE)
+
+
+def q_materialize_sequences(sf_dir: str) -> Any:
+    """Fully materialized 60-token training sequences: packing plan +
+    doc-payload co-partition (token-slice gather) + seq_id assembly
+    exchange. The oracle rebuilds every sequence's exact text in SQL:
+    window cumsum -> generate_series segments -> 1-based inclusive
+    list slices -> ordered string_agg."""
+    from patito_ray.functions.packing import materialize_sequences
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return materialize_sequences(ds, seq_len=60)
+
+
+SQL_MATERIALIZE_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+  FROM documents
+), o AS (
+  SELECT doc_id, toks, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+  FROM t
+), e AS (
+  SELECT toks, n, b,
+         unnest(generate_series(b // 60, (b + n - 1) // 60)) AS s
+  FROM o WHERE n > 0
+), seg AS (
+  SELECT s AS seq_id,
+         GREATEST(b, s * 60) - s * 60 AS seq_begin,
+         LEAST(b + n, (s + 1) * 60) - GREATEST(b, s * 60) AS k,
+         array_to_string(
+           toks[GREATEST(b, s * 60) - b + 1 :
+                LEAST(b + n, (s + 1) * 60) - b], ' ') AS seg
+  FROM e
+)
+SELECT seq_id,
+       string_agg(seg, ' ' ORDER BY seq_begin) AS seq_text,
+       CAST(SUM(k) AS BIGINT) AS n_tok
+FROM seg GROUP BY seq_id
+"""
+
+QUERIES["materialize_sequences"] = (
+    q_materialize_sequences,
+    SQL_MATERIALIZE_SEQUENCES,
+)

@@ -75,6 +75,13 @@ def ordered_prefix_sum(
 
         num_partitions = default_num_partitions()
 
+    # three passes read the input — pin it in the object store once so
+    # a lazily-derived input (e.g. tokenize-and-count) does not
+    # recompute per pass. Callers pass NARROW projections (the public
+    # users ship (key, count) at ~16 B/row); wide payloads should join
+    # back by key instead of riding the prefix sum.
+    ds = ds.materialize()
+
     # ---- pass 1: range boundaries from strided per-batch samples ----
     def sample(t: pa.Table) -> pa.Table:
         k = _int_col(t, order_col, "order")

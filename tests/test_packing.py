@@ -198,3 +198,33 @@ def test_epoch_shuffle_positions(ray_session):
         rd.from_arrow(tab), "doc_id", epoch=4
     ).take_all()
     assert sorted((r["doc_id"], r["pos"]) for r in rows2) != got[1]
+
+
+def test_materialize_sequences_exact(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.packing import materialize_sequences
+
+    rng = np.random.default_rng(9)
+    n, L = 200, 16
+    ids = rng.permutation(n).astype(np.int64) * 5 + 1
+    texts, w = [], 0
+    for _ in range(n):
+        k = int(rng.integers(0, 30))
+        texts.append(" " + "  ".join(f"w{w + j}" for j in range(k)))
+        w += k
+    tab = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    rows = materialize_sequences(
+        rd.from_arrow(tab).repartition(5), L
+    ).take_all()
+    rows.sort(key=lambda r: r["seq_id"])
+
+    order = np.argsort(ids)
+    all_toks: list = []
+    for i in order:
+        all_toks.extend(texts[i].split())
+    want = [" ".join(all_toks[s : s + L]) for s in range(0, len(all_toks), L)]
+    assert [r["seq_text"] for r in rows] == want
+    assert all(r["n_tok"] == L for r in rows[:-1])
+    assert rows[-1]["n_tok"] == len(all_toks) - (len(rows) - 1) * L
