@@ -183,6 +183,77 @@ def assign_splits(
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
+def sample_exact_k(
+    ds: Any,
+    key_col: str,
+    k: int,
+    seed: int = 0,
+) -> Any:
+    """Exactly ``min(k, n)`` rows, uniform over keys: the ``k`` globally
+    smallest ``splitmix64(key ^ seed)`` values (hash collisions broken
+    by key ascending, so the selection is a total order and bit-exact
+    reproducible — the SQL oracle is ``ORDER BY h64, key LIMIT k``).
+
+    Unlike :func:`deterministic_sample` (a Bernoulli coin per key whose
+    output SIZE varies), this pins the sample size exactly — the shape
+    evaluation sets and human-review batches need. Still shard-stable:
+    membership depends only on the key population, never on
+    partitioning (any batch composition prunes to the same global
+    top-k).
+
+    Scale shape: each batch keeps at most ``k`` rows (one vectorized
+    lexsort), bounding the exchange at ``k x num_blocks`` rows; the
+    finalize is a driver lexsort when that fits the 256 MB budget and a
+    distributed ``sort().limit(k)`` beyond. Returns a Dataset with the
+    input columns.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_h", pa.array([], type=pa.int64()))
+        h = _key_hashes(t, key_col, seed)
+        # order-preserving signed view so int64 sorts match uint64 order
+        flipped = (h ^ np.uint64(1 << 63)).view(np.int64)
+        if t.num_rows > k:
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            # full (hash, key) lexsort — argpartition on hash alone
+            # could break a collision tie at the k-boundary by batch
+            # position instead of by key
+            order = np.lexsort((keys, flipped))[:k]
+            t = t.take(pa.array(order.astype(np.int64)))
+            flipped = flipped[order]
+        return t.append_column("_h", pa.array(flipped, type=pa.int64()))
+
+    pruned = ds.map_batches(
+        prune, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    from patito_ray.validation.engine import _DRIVER_FASTPATH_BYTES
+
+    if pruned.size_bytes() <= _DRIVER_FASTPATH_BYTES:
+        from patito_ray.stages.agg import collect_table
+
+        t = collect_table(pruned, empty_schema=None) if pruned.count() else None
+        if t is None or t.num_rows == 0:
+            out = pruned  # empty input: pass the typed empty through
+        else:
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            hh = t.column("_h").to_numpy(zero_copy_only=False)
+            order = np.lexsort((keys, hh))[:k]
+            import ray.data as rd
+
+            out = rd.from_arrow(t.take(pa.array(order.astype(np.int64))))
+    else:
+        out = pruned.sort(["_h", key_col]).limit(k)
+    return out.map_batches(
+        lambda t: t.drop_columns(["_h"]) if "_h" in t.column_names else t,
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def cap_per_key(
     ds: Any,
     key_col: str,

@@ -2613,3 +2613,41 @@ QUERIES["materialize_sequences"] = (
     q_materialize_sequences,
     SQL_MATERIALIZE_SEQUENCES,
 )
+
+
+def q_sample_exact_k(sf_dir: str) -> Any:
+    """Exact-size uniform sample: the 100 documents whose
+    splitmix64(doc_id ^ 7) is globally smallest (collision ties by
+    doc_id). Unlike the Bernoulli `stratified_sample`, the output SIZE
+    is pinned — evaluation sets and review batches need exactly-k.
+    Per-batch lexsort prune bounds the exchange at k rows per block;
+    the oracle recomputes the hash and takes ORDER BY h64, doc_id
+    LIMIT 100."""
+    from patito_ray.functions.sampling import sample_exact_k
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    return sample_exact_k(ds, "doc_id", k=100, seed=7)
+
+
+SQL_SAMPLE_EXACT_K = f"""
+WITH z0 AS (
+  SELECT doc_id,
+    CAST((CAST(xor(CAST(doc_id AS UBIGINT), 7) AS HUGEINT)
+          + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), x1 AS (
+  SELECT doc_id, xor(z, z >> 30) AS z FROM z0
+), z1 AS (
+  SELECT doc_id, {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (
+  SELECT doc_id, xor(z, z >> 27) AS z FROM z1
+), z2 AS (
+  SELECT doc_id, {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), h AS (
+  SELECT doc_id, CAST(xor(z, z >> 31) AS HUGEINT) AS h64 FROM z2
+)
+SELECT doc_id FROM h ORDER BY h64, doc_id LIMIT 100
+"""
+
+QUERIES["sample_exact_k"] = (q_sample_exact_k, SQL_SAMPLE_EXACT_K)

@@ -225,3 +225,64 @@ def test_assign_splits_saturated_covers_every_row(ray_session):
     ).take_all()
     assert len(rows) == 300
     assert all(r["split"] in ("a", "b", "c") for r in rows)
+
+
+def test_sample_exact_k_matches_reference_and_partition_stable(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import _splitmix as sm
+    from patito_ray.functions.sampling import sample_exact_k
+
+    n, k, seed = 500, 37, 11
+    ids = np.arange(n, dtype=np.int64)
+    tab = pa.table({"doc_id": ids, "payload": [f"p{i}" for i in range(n)]})
+
+    h = sm(ids.view(np.uint64) ^ np.uint64(seed))
+    order = np.lexsort((ids, h))
+    want = sorted(int(ids[i]) for i in order[:k])
+
+    got = {}
+    for blocks in (1, 13):
+        ds = rd.from_arrow(tab).repartition(blocks)
+        rows = sample_exact_k(ds, "doc_id", k, seed=seed).take_all()
+        assert all(r["payload"] == f"p{r['doc_id']}" for r in rows)
+        assert all("_h" not in r for r in rows)
+        got[blocks] = sorted(r["doc_id"] for r in rows)
+    assert got[1] == got[13] == want
+
+
+def test_sample_exact_k_edges(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from patito_ray.functions.sampling import sample_exact_k
+
+    tab = pa.table({"doc_id": pa.array(range(5), type=pa.int64())})
+    # k >= n keeps everything
+    rows = sample_exact_k(rd.from_arrow(tab), "doc_id", 50).take_all()
+    assert sorted(r["doc_id"] for r in rows) == list(range(5))
+    # empty input -> empty output, no crash
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64())})
+    assert sample_exact_k(rd.from_arrow(empty), "doc_id", 3).take_all() == []
+    with pytest.raises(ValueError, match="k must be"):
+        sample_exact_k(rd.from_arrow(tab), "doc_id", 0)
+
+
+def test_sample_exact_k_distributed_finalize(ray_session, monkeypatch):
+    """Force the sort().limit() branch and check it matches the driver
+    fast-path selection."""
+    import ray.data as rd
+
+    import patito_ray.validation.engine as eng
+    from patito_ray.functions.dedup import _splitmix as sm
+    from patito_ray.functions.sampling import sample_exact_k
+
+    n, k = 300, 9
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(5)
+    h = sm(ids.view(np.uint64))
+    want = sorted(int(ids[i]) for i in np.lexsort((ids, h))[:k])
+
+    monkeypatch.setattr(eng, "_DRIVER_FASTPATH_BYTES", 0)
+    rows = sample_exact_k(ds, "doc_id", k).take_all()
+    assert sorted(r["doc_id"] for r in rows) == want
