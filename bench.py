@@ -202,6 +202,8 @@ def run_bench() -> dict:
         "domain_filter",
         "epoch_shuffle",
         "materialize_sequences",
+        "sample_exact_k",
+        "bpe_tokens",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

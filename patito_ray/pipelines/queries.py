@@ -2651,3 +2651,25 @@ SELECT doc_id FROM h ORDER BY h64, doc_id LIMIT 100
 """
 
 QUERIES["sample_exact_k"] = (q_sample_exact_k, SQL_SAMPLE_EXACT_K)
+
+
+def q_bpe_tokens(sf_dir: str) -> Any:
+    """BPE subword tokenization end-to-end: learn 60 merges from the
+    corpus (one distributed word-count pass + vectorized merge loop),
+    then encode every document with the actor-pool stage (distinct-word
+    dictionary encode + rank-heap merge replay). Rows-only: SQL cannot
+    express the merge recursion — correctness is the pure-Python
+    reference parity suite in tests/test_bpe.py."""
+    from patito_ray.functions.bpe import bpe_encode_dataset, train_bpe
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    merges, vocab = train_bpe(ds, num_merges=60, min_word_count=2)
+    out = bpe_encode_dataset(ds, merges, vocab, concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_bpe"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+QUERIES["bpe_tokens"] = (q_bpe_tokens, None)
