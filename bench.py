@@ -204,6 +204,7 @@ def run_bench() -> dict:
         "materialize_sequences",
         "sample_exact_k",
         "bpe_tokens",
+        "bloom_membership",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

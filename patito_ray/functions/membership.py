@@ -1,0 +1,94 @@
+"""Bloom-filter membership over Datasets: the constant-memory way to
+ask "was this key in corpus A?" while streaming corpus B.
+
+At crawl scale the exact seen-key set (8 B/key) outgrows both the
+driver and a broadcast (10^11 keys = 800 GB); a Bloom filter holds the
+same question in ``-n ln(p)/ln(2)^2`` bits (~1.2 GB for 10^9 keys at
+1 % FP) with a hard no-false-negative guarantee — the right shape for
+cross-run incremental dedup pre-filters and train/test contamination
+sweeps where a false positive only costs a redundant exact check.
+
+Build shape: one bloom per BLOCK (map_batches with batch_size=None),
+OR-merged on the driver — the bitmap ships once per block, never per
+batch, and OR is associative/commutative so the result is
+bit-identical to a sequential build (partition-independence is
+property-tested). Probe shape: the bitmap broadcasts once via
+``ray.put``; each batch answers with two vectorized gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from patito_ray.state.sketches import BloomFilter, hash64
+
+
+def _column_hashes(t: pa.Table, key_col: str) -> np.ndarray:
+    col = t.column(key_col)
+    if col.null_count:
+        raise ValueError(
+            f"bloom membership key column {key_col!r} contains "
+            f"{col.null_count} null(s); membership must be a pure "
+            "function of the key"
+        )
+    return hash64(col)
+
+
+def bloom_from_dataset(
+    ds: Any,
+    key_col: str,
+    n_expected: int,
+    fp_rate: float = 0.01,
+) -> BloomFilter:
+    """Build one Bloom filter over every ``key_col`` value.
+
+    ``n_expected`` sizes the bitmap (use the row count or an HLL
+    estimate; overshooting only wastes bits, undershooting raises the
+    FP rate — check ``fill_ratio()`` if unsure)."""
+    proto = BloomFilter(n_expected, fp_rate)  # validates geometry args
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = BloomFilter(n_expected, fp_rate)
+        b.add_hashes(_column_hashes(t, key_col))
+        return pa.table({"state": pa.array([b.state()], type=pa.large_binary())})
+
+    parts = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    from patito_ray.stages.agg import collect_table
+
+    blobs = collect_table(
+        parts, pa.schema([("state", pa.large_binary())])
+    ).column("state")
+    for blob in blobs:
+        proto.merge(
+            BloomFilter.from_state(blob.as_py(), n_expected, fp_rate)
+        )
+    return proto
+
+
+def flag_bloom_membership(
+    ds: Any,
+    key_col: str,
+    bloom: BloomFilter,
+    out_col: str = "maybe_seen",
+) -> Any:
+    """Append a bool column: True = the key is POSSIBLY in the built
+    corpus (never falsely False). The bitmap broadcasts once via
+    ``ray.put``; tasks read it zero-copy from the object store."""
+    import ray
+
+    ref = ray.put((bloom.state(), bloom.m_bits, bloom.k))
+
+    def fn(t: pa.Table) -> pa.Table:
+        state, m_bits, k = ray.get(ref)
+        b = BloomFilter.__new__(BloomFilter)
+        b.m_bits, b.k = m_bits, k
+        b.words = np.frombuffer(state, dtype=np.uint64)
+        hit = b.contains_hashes(_column_hashes(t, key_col))
+        return t.append_column(out_col, pa.array(hit))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -2673,3 +2673,38 @@ def q_bpe_tokens(sf_dir: str) -> Any:
 
 
 QUERIES["bpe_tokens"] = (q_bpe_tokens, None)
+
+
+def q_bloom_membership(sf_dir: str) -> Any:
+    """Bloom-filter membership sweep: build a filter over the even
+    doc_ids (one bloom per block, OR-merged — bit-identical to a
+    sequential build), then flag every document in one broadcast probe
+    pass. The SQL oracle states the TRUE membership (doc_id % 2 = 0);
+    the bloom guarantees no false negative, and at fp_rate=1e-9 over
+    this corpus the deterministic build has zero false positives (the
+    comparison is exact and stable — hash64 is a fixed-seed hash).
+    At crawl scale this replaces an 800 GB seen-key broadcast with a
+    ~1 GB bitmap for cross-run incremental-dedup pre-filters."""
+    from patito_ray.functions.membership import (
+        bloom_from_dataset,
+        flag_bloom_membership,
+    )
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    seen = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    n = max(1, seen.count())
+    bloom = bloom_from_dataset(seen, "doc_id", n_expected=n, fp_rate=1e-9)
+    return flag_bloom_membership(ds, "doc_id", bloom)
+
+
+SQL_BLOOM_MEMBERSHIP = """
+SELECT doc_id, (doc_id % 2 = 0) AS maybe_seen FROM documents
+"""
+
+QUERIES["bloom_membership"] = (q_bloom_membership, SQL_BLOOM_MEMBERSHIP)

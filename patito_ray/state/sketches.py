@@ -283,3 +283,91 @@ class MisraGries:
                 self.counts.items(), key=lambda kv: (-kv[1], str(kv[0]))
             )
         ]
+
+
+class BloomFilter:
+    """Bloom membership filter (Bloom 1970) with Kirsch-Mitzenmacher
+    double hashing (g_i = h1 + i*h2), vectorized over uint64 key-hash
+    arrays. Guarantees: never a false negative; false-positive rate
+    ~= the configured target at the expected key count. Merge is
+    bitwise OR (same geometry), associative + commutative — a bloom
+    built per partition and OR-merged is BIT-IDENTICAL to one built
+    sequentially, so membership answers are partition-independent.
+
+    Sizing: m = -n*ln(p)/ln(2)^2 bits, k = round(m/n * ln 2) probes
+    (the standard optima). State is the fixed-size bitmap — ship it
+    once per partition, never per batch.
+    """
+
+    __slots__ = ("m_bits", "k", "words")
+
+    def __init__(self, n_expected: int, fp_rate: float = 0.01) -> None:
+        if n_expected < 1:
+            raise ValueError(f"n_expected must be >= 1, got {n_expected}")
+        if not 0.0 < fp_rate < 1.0:
+            raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
+        m = int(np.ceil(-n_expected * np.log(fp_rate) / (np.log(2.0) ** 2)))
+        self.m_bits = max(64, m)
+        self.k = max(1, int(round(self.m_bits / n_expected * np.log(2.0))))
+        self.words = np.zeros((self.m_bits + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(k, n) bit positions per key via double hashing."""
+        h = hashes.astype(np.uint64)
+        h1 = h
+        # odd second hash (splitmix-style remix) so strides cover the table
+        h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m_bits))
+
+    def add_hashes(self, hashes: np.ndarray) -> "BloomFilter":
+        if hashes.size == 0:
+            return self
+        pos = self._positions(hashes).ravel()
+        np.bitwise_or.at(
+            self.words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        return self
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Boolean per key: True = maybe present (never falsely False)."""
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hashes)
+        w = self.words[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (w >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m_bits, self.k) != (other.m_bits, other.k):
+            raise ValueError(
+                "cannot merge blooms with different geometry: "
+                f"({self.m_bits},{self.k}) vs ({other.m_bits},{other.k})"
+            )
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+    def fill_ratio(self) -> float:
+        """Fraction of set bits (FP rate ~= fill^k); > ~0.5 means the
+        filter is overloaded past its design n_expected."""
+        return float(
+            np.unpackbits(self.words.view(np.uint8)).sum() / (len(self.words) * 64)
+        )
+
+    def state(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def from_state(
+        cls, blob: bytes, n_expected: int, fp_rate: float = 0.01
+    ) -> "BloomFilter":
+        b = cls(n_expected, fp_rate)
+        words = np.frombuffer(blob, dtype=np.uint64).copy()
+        if words.size != b.words.size:
+            raise ValueError(
+                f"bloom state has {words.size} words, geometry expects "
+                f"{b.words.size} (n_expected/fp_rate must match the build)"
+            )
+        b.words = words
+        return b
