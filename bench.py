@@ -205,6 +205,7 @@ def run_bench() -> dict:
         "sample_exact_k",
         "bpe_tokens",
         "bloom_membership",
+        "webtext_funnel",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -156,6 +156,12 @@ def assign_splits(
     that keep the same seed. If the fractions sum to < 1, the remaining
     hash range gets a null label (rows held out of every split). One
     vectorized searchsorted per batch; no shuffle, no state.
+
+    Composition rule: if an upstream stage already selected rows by
+    ``splitmix64(key ^ s)`` (deterministic_sample, mix_sources, ...),
+    pass a DIFFERENT seed here — reusing ``s`` makes the two decisions
+    fully correlated (e.g. every sampling survivor has a small hash and
+    lands in the first split).
     """
     names = list(fractions)
     bounds = split_thresholds(fractions)

@@ -2708,3 +2708,104 @@ SELECT doc_id, (doc_id % 2 = 0) AS maybe_seen FROM documents
 """
 
 QUERIES["bloom_membership"] = (q_bloom_membership, SQL_BLOOM_MEMBERSHIP)
+
+
+def q_webtext_funnel(sf_dir: str) -> Any:
+    """Round-3 curation funnel composed end-to-end from the new
+    operators: text normalization -> Gopher repetition filter ->
+    cross-document line dedup -> exact dedup -> source mixing ->
+    train/val/test split -> sequence-packing plan. Returns the funnel
+    counts plus the packed-sequence total — one row, every stage the
+    scale-shaped operator it names (the only shuffles are the exact-
+    dedup Min-groupby and the packing prefix sum; the rest is
+    per-batch). Rows-only: the composition is integration surface,
+    each member operator has its own oracle."""
+    from ray.data.aggregate import Max
+
+    from patito_ray.functions.dedup import dedup_exact, remove_frequent_lines
+    from patito_ray.functions.packing import pack_sequences
+    from patito_ray.functions.repetition import repetition_filter
+    from patito_ray.functions.sampling import assign_splits, mix_sources
+    from patito_ray.functions.text import normalize_text_array
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+    n_input = ds.count()
+
+    def norm(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            normalize_text_array(t.column("text")),
+        )
+
+    normalized = ds.map_batches(norm, batch_format="pyarrow", batch_size=None)
+    gated = repetition_filter(
+        normalized, max_dup_unit_frac=0.6, max_dup_char_frac=0.8
+    ).materialize()
+    n_gated = gated.count()
+
+    cleaned = remove_frequent_lines(
+        gated, min_count=30, sep="\n"
+    ).map_batches(
+        lambda t: t.select(["doc_id", "text", "source"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    deduped = dedup_exact(cleaned, text_col="text", id_col="doc_id").materialize()
+    n_deduped = deduped.count()
+
+    mixed = mix_sources(
+        deduped,
+        key_col="doc_id",
+        source_col="source",
+        weights={f"src{i}": 0.06 for i in range(10)} | {
+            f"src{i}": 0.04 for i in range(10, 20)
+        },
+        target_rows=max(1, n_deduped // 2),
+    ).materialize()
+    n_mixed = mixed.count()
+
+    # seed=1: mixing already selected by splitmix64(doc_id ^ 0), and a
+    # second selection on the SAME hash would be fully correlated (every
+    # mixing survivor has a small hash, so seed-0 splits would put all
+    # of them in 'train'). Chained hash-keyed operators need distinct
+    # seeds — same rule as the epoch in epoch_shuffle_positions.
+    train = assign_splits(
+        mixed, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=1
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["split"], "train")),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    n_train = train.count()
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pc.fill_null(
+                    f_text.token_count_array(t.column("text")), 0
+                ),
+            }
+        )
+
+    plan = pack_sequences(
+        train.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        "doc_id",
+        "n_tokens",
+        seq_len=256,
+    )
+    agg = plan.aggregate(Max("seq_id", alias_name="m"))
+    m = None if agg is None else agg.get("m")
+    n_sequences = int(m) + 1 if m is not None else 0
+    return _one_row(
+        n_input=n_input,
+        n_after_repetition=n_gated,
+        n_after_dedup=n_deduped,
+        n_after_mixing=n_mixed,
+        n_train=n_train,
+        n_sequences=n_sequences,
+    )
+
+
+QUERIES["webtext_funnel"] = (q_webtext_funnel, None)
