@@ -206,6 +206,7 @@ def run_bench() -> dict:
         "bpe_tokens",
         "bloom_membership",
         "webtext_funnel",
+        "approx_distinct",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

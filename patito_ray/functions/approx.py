@@ -1,0 +1,190 @@
+"""Approximate per-group aggregates that stay bounded when exact ones
+explode.
+
+``COUNT(DISTINCT v) GROUP BY k`` is the classic scale killer: exact
+computation must co-locate every (k, v) pair — an all-to-all shuffle of
+the full column at crawl scale. The HLL variant here ships a
+fixed-size register block per (group x input block) instead: per batch
+one vectorized pass folds every value hash into that batch's per-group
+registers, and one hash exchange merges registers with
+``np.maximum.reduceat`` over key runs. Register merge is idempotent,
+commutative and associative, so the final estimate is BIT-IDENTICAL
+under any partitioning or batch composition (property-tested) — the
+estimate's ~1.04/sqrt(2^p) error comes from the sketch, never from the
+execution plan.
+
+Exchange volume: (distinct keys per block) x 2^p bytes. Default p=12
+(4 KiB/key/block, ~1.6 % error); drop to p=8 (256 B, ~6.5 %) for
+billion-group jobs. The same trade-off note lives in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from patito_ray.state.sketches import hash64
+
+
+def _rank_of_hashes(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per hash — HLL's leading-zero count over
+    the suffix, vectorized (same binary search as sketches.HyperLogLog,
+    which this must stay consistent with)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+    hb = np.zeros(len(h), dtype=np.int64)
+    vv = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = vv >= (np.uint64(1) << np.uint64(shift))
+        hb[mask] += shift
+        vv[mask] >>= np.uint64(shift)
+    rank = (64 - hb).clip(1, 64 - p + 1).astype(np.uint8)
+    return idx, rank
+
+
+def _estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Vectorized HLL estimate per row of a (G, m) register matrix,
+    with the small-range linear-counting correction."""
+    g, m = regs.shape
+    mf = float(m)
+    alpha = 0.7213 / (1 + 1.079 / mf)
+    inv = np.power(2.0, -regs.astype(np.float64))
+    raw = alpha * mf * mf / inv.sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (raw <= 2.5 * mf) & (zeros > 0)
+    out = raw
+    out[small] = mf * np.log(mf / zeros[small])
+    return out
+
+
+def approx_distinct_per_group(
+    ds: Any,
+    group_col: str,
+    value_col: str,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+    num_partitions: int | None = None,
+) -> Any:
+    """Per-group approximate COUNT DISTINCT via one register exchange.
+
+    Returns a Dataset of (group_col, out_col) with out_col int64 (the
+    rounded HLL estimate). Estimates are deterministic: identical for
+    any partitioning of the same input."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(group_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if keys.null_count:
+            raise ValueError(
+                f"approx_distinct group column {group_col!r} contains "
+                f"{keys.null_count} null(s)"
+            )
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: keys,
+                    "regs": pa.array([], type=pa.large_binary()),
+                }
+            )
+        h = hash64(t.column(value_col))
+        # group index per row via a sort + run detection
+        import pyarrow.compute as pc
+
+        sort_idx = pc.sort_indices(keys)
+        sorted_keys = keys.take(sort_idx)
+        si = sort_idx.to_numpy(zero_copy_only=False)
+        # run starts over the sorted keys (works for any key dtype)
+        eq = pc.equal(sorted_keys.slice(1), sorted_keys.slice(0, len(keys) - 1))
+        new_run = np.concatenate(
+            ([True], ~eq.to_numpy(zero_copy_only=False))
+        )
+        gid_sorted = np.cumsum(new_run) - 1
+        n_groups = int(gid_sorted[-1]) + 1
+        ridx, rank = _rank_of_hashes(h[si], p)
+        regs = np.zeros(n_groups * m, dtype=np.uint8)
+        np.maximum.at(regs, gid_sorted * m + ridx, rank)
+        uniq_keys = sorted_keys.take(
+            pa.array(np.flatnonzero(new_run), type=pa.int64())
+        )
+        offsets = np.arange(n_groups + 1, dtype=np.int64) * m
+        blob = pa.Array.from_buffers(
+            pa.large_binary(),
+            n_groups,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(regs.tobytes())],
+        )
+        return pa.table({group_col: uniq_keys, "regs": blob})
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or group_col not in t.column_names:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.int64()),
+                    "regs": pa.array([], type=pa.large_binary()),
+                    "_part": pa.array([], type=pa.int64()),
+                }
+            )
+        part = hash_partition_ids(
+            t.column(group_col), num_partitions, "approx_distinct group"
+        )
+        return t.append_column("_part", pa.array(part, type=pa.int64()))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if group.num_rows == 0 or group_col not in group.column_names:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.int64()),
+                    out_col: pa.array([], type=pa.int64()),
+                }
+            )
+        keys = group.column(group_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        sort_idx = pc.sort_indices(keys)
+        sorted_keys = keys.take(sort_idx)
+        blobs = group.column("regs").take(sort_idx)
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        # every blob is exactly m bytes; after take the offsets stride
+        # m, so the data buffer IS the (G, m) matrix — zero-copy view
+        off = np.frombuffer(blobs.buffers()[1], dtype=np.int64)[
+            blobs.offset : blobs.offset + len(blobs) + 1
+        ]
+        data = np.frombuffer(blobs.buffers()[2], dtype=np.uint8)
+        if off.size and bool(np.all(np.diff(off) == m)):
+            mat = data[off[0] : off[-1]].reshape(-1, m)
+        else:  # non-uniform layout (shouldn't happen): safe fallback
+            mat = np.frombuffer(
+                b"".join(blobs.to_pylist()), dtype=np.uint8
+            ).reshape(-1, m)
+        eq = pc.equal(
+            sorted_keys.slice(1), sorted_keys.slice(0, len(sorted_keys) - 1)
+        )
+        new_run = np.concatenate(([True], ~eq.to_numpy(zero_copy_only=False)))
+        starts = np.flatnonzero(new_run)
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        est = np.rint(_estimate_rows(merged)).astype(np.int64)
+        uniq_keys = sorted_keys.take(pa.array(starts, type=pa.int64()))
+        return pa.table({group_col: uniq_keys, out_col: pa.array(est)})
+
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    tagged = partials.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return tagged.groupby("_part").map_groups(
+        lambda g: finalize(g.drop_columns(["_part"]) if "_part" in g.column_names else g),
+        batch_format="pyarrow",
+    )

@@ -2809,3 +2809,20 @@ def q_webtext_funnel(sf_dir: str) -> Any:
 
 
 QUERIES["webtext_funnel"] = (q_webtext_funnel, None)
+
+
+def q_approx_distinct(sf_dir: str) -> Any:
+    """Approximate distinct parts per order-returnflag: per-batch HLL
+    register partials, ONE register exchange (4 KiB per group per
+    block), vectorized maximum.reduceat merge + estimate. The exact
+    equivalent must co-locate every (flag, partkey) pair — the
+    all-to-all this sketch exists to avoid at crawl scale. Rows-only:
+    the estimate is ~1.6% off the true count by design (scalar-HLL
+    parity and partition-invariance are pytested exactly)."""
+    from patito_ray.functions.approx import approx_distinct_per_group
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    return approx_distinct_per_group(ds, "l_returnflag", "l_partkey", p=12)
+
+
+QUERIES["approx_distinct"] = (q_approx_distinct, None)
