@@ -207,6 +207,7 @@ def run_bench() -> dict:
         "bloom_membership",
         "webtext_funnel",
         "approx_distinct",
+        "ngram_counts",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -235,3 +235,59 @@ def tfidf_topk(
         id_col,
         empty_schema=pa.schema([(id_col, id_type), ("score", pa.float64())]),
     )
+
+
+def ngram_array(text: "pa.ChunkedArray | pa.Array", n: int) -> pa.Array:
+    """Flat space-joined token n-grams over every row (sliding, stride
+    1, never crossing a document boundary), fully vectorized: one
+    tokenize, one window-validity compare on the parent indices, one
+    gather + binary_join. Row attribution is not returned — this is the
+    corpus-statistics kernel (pair with value_counts per batch)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    flat, parents, _ = re2_split_tokens(text)
+    if len(flat) < n:
+        return pa.array([], type=pa.string())
+    if n == 1:
+        return flat
+    valid = parents[: -(n - 1)] == parents[n - 1 :]
+    starts = np.flatnonzero(valid)
+    if starts.size == 0:
+        return pa.array([], type=pa.string())
+    gather = (starts[:, None] + np.arange(n)).ravel()
+    vals = flat.take(pa.array(gather, type=pa.int64()))
+    offsets = np.arange(starts.size + 1, dtype=np.int64) * n
+    la = pa.LargeListArray.from_arrays(pa.array(offsets), vals)
+    return pc.binary_join(la, " ")
+
+
+def ngram_counts(ds: Any, n: int, text_col: str = "text") -> Any:
+    """Exact corpus-wide (gram, cnt) n-gram frequencies — the LM /
+    contamination statistics pass. Same adaptive contract as
+    ``term_counts``: a local Table under the driver budget, else a lazy
+    Dataset of merged partials."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams = ngram_array(t.column(text_col), n)
+        if len(grams) == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(grams)
+        return pa.table(
+            {"gram": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return merge_partial_sums(partials, ["gram"], ["cnt"])
+
+
+def top_ngrams(ds: Any, n: int, k: int = 50, text_col: str = "text") -> pa.Table:
+    """The k most frequent n-grams (count desc, gram asc on ties)."""
+    return _global_topk(
+        ngram_counts(ds, n, text_col),
+        k,
+        "cnt",
+        "gram",
+        empty_schema=pa.schema([("gram", pa.string()), ("cnt", pa.int64())]),
+    )

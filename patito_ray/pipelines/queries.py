@@ -2826,3 +2826,31 @@ def q_approx_distinct(sf_dir: str) -> Any:
 
 
 QUERIES["approx_distinct"] = (q_approx_distinct, None)
+
+
+def q_ngram_counts(sf_dir: str) -> Any:
+    """Top-50 corpus trigrams (count desc, gram asc): one vectorized
+    tokenize + window gather per batch, value_counts partials through
+    the adaptive partial-sum merge, per-block top-k prune before the
+    driver sort. Exact oracle: DuckDB rebuilds every trigram with
+    generate_series + list slices."""
+    from patito_ray.functions.tfidf import top_ngrams
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    return top_ngrams(ds, n=3, k=50)
+
+
+SQL_NGRAM_COUNTS = """
+WITH t AS (
+  SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents
+), g AS (
+  SELECT array_to_string(toks[s : s + 2], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 2)) AS u(s)
+  WHERE len(toks) >= 3
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram
+ORDER BY cnt DESC, gram ASC LIMIT 50
+"""
+
+QUERIES["ngram_counts"] = (q_ngram_counts, SQL_NGRAM_COUNTS)

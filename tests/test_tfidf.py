@@ -5,8 +5,10 @@ from __future__ import annotations
 import math
 from collections import Counter
 
+import hypothesis.strategies as st
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
 
 from patito_ray.functions.tfidf import (
     doc_frequencies,
@@ -132,3 +134,51 @@ def test_tfidf_empty_and_no_hits(ray_session):
     out = tfidf_topk(ds, ["absent"], k=5)
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "score"]
+
+
+def _ref_ngrams(texts, n):
+    import re
+
+    out = []
+    for t in texts:
+        if t is None:
+            continue
+        toks = [x for x in re.split(r"[\t\n\f\r ]+", t) if x]
+        out.extend(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab \t\x0b", max_size=20), min_size=0, max_size=6
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_ngram_array_matches_python_reference(texts, n):
+    import pyarrow as pa
+
+    from patito_ray.functions.tfidf import ngram_array
+
+    arr = pa.array(texts, type=pa.string())
+    got = sorted(ngram_array(arr, n).to_pylist())
+    assert got == sorted(_ref_ngrams(texts, n))
+    # n-grams never cross row boundaries: two rows vs their concat differ
+    # (covered by construction above — reference is per-row too)
+
+
+def test_top_ngrams_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from patito_ray.functions.tfidf import top_ngrams
+
+    docs = pa.table(
+        {"text": pa.array(["a b c a b", "a b c", None, "x"])}
+    )
+    for blocks in (1, 3):
+        t = top_ngrams(rd.from_arrow(docs).repartition(blocks), n=2, k=3)
+        got = list(zip(t.column("gram").to_pylist(), t.column("cnt").to_pylist()))
+        assert got == [("a b", 3), ("b c", 2), ("c a", 1)]
