@@ -208,6 +208,7 @@ def run_bench() -> dict:
         "webtext_funnel",
         "approx_distinct",
         "ngram_counts",
+        "corpus_diff",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -2854,3 +2854,55 @@ ORDER BY cnt DESC, gram ASC LIMIT 50
 """
 
 QUERIES["ngram_counts"] = (q_ngram_counts, SQL_NGRAM_COUNTS)
+
+
+def q_corpus_diff(sf_dir: str) -> Any:
+    """Corpus-version diff: both engines synthesize the same two
+    versions (old drops ids ending in 9; new drops ids ending in 0 and
+    appends ' v2' to every 7th doc's text) and must agree on every
+    per-id status. One tagged-union co-partition of narrow (id, hash)
+    rows; text never rides the exchange. Exact oracle: FULL OUTER JOIN
+    comparing the text directly."""
+    from patito_ray.functions.dedup import corpus_diff
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        import numpy as np
+
+        keep = (ids.to_numpy(zero_copy_only=False) % 10) < 9
+        return t.filter(pa.array(keep))
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 10 != 0))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        suffix = pa.array(np.where(ids % 7 == 0, " v2", "").astype(object))
+        text = pc.binary_join_element_wise(t.column("text"), suffix, "")
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    old = ds.map_batches(mk_old, batch_format="pyarrow", batch_size=None)
+    new = ds.map_batches(mk_new, batch_format="pyarrow", batch_size=None)
+    return corpus_diff(old, new)
+
+
+SQL_CORPUS_DIFF = """
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 9
+), new AS (
+  SELECT doc_id,
+         text || (CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS text
+  FROM documents WHERE doc_id % 10 != 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.text = n.text THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+QUERIES["corpus_diff"] = (q_corpus_diff, SQL_CORPUS_DIFF)

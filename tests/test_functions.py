@@ -1564,3 +1564,64 @@ def test_filter_blocked_domains_dataset(ray_session):
         rd.from_arrow(t), ["ads.com"], keep_unparsed=False
     ).take_all()
     assert sorted(r["i"] for r in strict) == [2]
+
+
+def test_corpus_diff_statuses_and_guards(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import corpus_diff
+
+    old = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(["b", "C!", "d", "e"]),
+        }
+    )
+    got = {}
+    for blocks in (1, 3):
+        rows = corpus_diff(
+            rd.from_arrow(old).repartition(blocks),
+            rd.from_arrow(new).repartition(blocks),
+        ).take_all()
+        got[blocks] = sorted((r["doc_id"], r["status"]) for r in rows)
+    assert got[1] == got[3]
+    assert got[1] == [
+        (1, "removed"),
+        (2, "unchanged"),
+        (3, "changed"),
+        (4, "unchanged"),
+        (5, "added"),
+    ]
+
+    dup = pa.table(
+        {
+            "doc_id": pa.array([7, 7], type=pa.int64()),
+            "text": pa.array(["x", "y"]),
+        }
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        corpus_diff(rd.from_arrow(dup), rd.from_arrow(new)).take_all()
+
+    # disjoint corpora: everything removed+added
+    only_old = corpus_diff(
+        rd.from_arrow(old),
+        rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([9], type=pa.int64()),
+                    "text": pa.array(["z"]),
+                }
+            )
+        ),
+    ).take_all()
+    st = {r["doc_id"]: r["status"] for r in only_old}
+    assert st == {1: "removed", 2: "removed", 3: "removed", 4: "removed", 9: "added"}
