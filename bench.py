@@ -209,6 +209,8 @@ def run_bench() -> dict:
         "approx_distinct",
         "ngram_counts",
         "corpus_diff",
+        "grouped_quantiles",
+        "distinct_per_group",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

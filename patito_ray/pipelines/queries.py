@@ -2906,3 +2906,64 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 QUERIES["corpus_diff"] = (q_corpus_diff, SQL_CORPUS_DIFF)
+
+
+def q_grouped_quantiles(sf_dir: str) -> Any:
+    """Exact per-supplier price quantiles by SELECTION (element at
+    1-based rank ceil(q*n)) — no interpolation arithmetic, so double
+    values compare bit-exactly against the SQL ROW_NUMBER oracle. One
+    hash exchange on the group key, one vectorized polars agg per
+    partition; quantiles are holistic (not partially aggregable), so
+    this is the minimum movement for an exact answer (t-digest in
+    column_stats is the one-pass approximate path)."""
+    from patito_ray.stages.quantiles import grouped_quantiles
+
+    ds = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    return grouped_quantiles(
+        ds,
+        by="l_suppkey",
+        value="l_extendedprice",
+        qs={"p25": 0.25, "p50": 0.50, "p90": 0.90, "p99": 0.99},
+    )
+
+
+SQL_GROUPED_QUANTILES = """
+WITH ranked AS (
+  SELECT l_suppkey,
+         l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS cnt
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_suppkey,
+       CAST(MAX(cnt) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.25 * cnt) AS BIGINT)) THEN v END) AS p25,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.50 * cnt) AS BIGINT)) THEN v END) AS p50,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.90 * cnt) AS BIGINT)) THEN v END) AS p90,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * cnt) AS BIGINT)) THEN v END) AS p99
+FROM ranked
+GROUP BY l_suppkey
+"""
+
+QUERIES["grouped_quantiles"] = (q_grouped_quantiles, SQL_GROUPED_QUANTILES)
+
+
+def q_distinct_per_group(sf_dir: str) -> Any:
+    """Exact COUNT(DISTINCT l_partkey) per return flag: per-batch pair
+    dedup, one hash exchange of DISTINCT pairs on the value (identical
+    values co-locate, so partition partials are disjoint), adaptive
+    partial-sum merge. The exact counterpart of `approx_distinct`'s
+    HLL register exchange."""
+    from patito_ray.stages.agg import distinct_per_group
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    return distinct_per_group(ds, by="l_returnflag", value="l_partkey")
+
+
+SQL_DISTINCT_PER_GROUP = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["distinct_per_group"] = (q_distinct_per_group, SQL_DISTINCT_PER_GROUP)

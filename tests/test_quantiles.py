@@ -1,0 +1,150 @@
+"""grouped_quantiles / distinct_per_group vs pure references under
+arbitrary inputs and partitioning."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from patito_ray.stages.agg import distinct_per_group
+from patito_ray.stages.quantiles import grouped_quantiles
+
+QS = {"p25": 0.25, "p50": 0.50, "p90": 0.90, "p100": 1.0}
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    if isinstance(ds, pa.Table):
+        return ds
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else None
+
+
+def _quantile_reference(keys, vals) -> dict[int, dict[str, float]]:
+    """Selection quantile: element at 1-based rank max(1, ceil(q*n))
+    over each key's sorted non-null values."""
+    groups: dict[int, list[float]] = {}
+    for k, v in zip(keys, vals):
+        if v is not None:
+            groups.setdefault(k, []).append(v)
+    out = {}
+    for k, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        row = {"n": n}
+        for name, q in QS.items():
+            row[name] = vs[max(1, math.ceil(q * n)) - 1]
+        out[k] = row
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    num_parts=st.integers(1, 7),
+    n_blocks=st.integers(1, 4),
+)
+def test_grouped_quantiles_matches_reference(ray_session, rows, num_parts, n_blocks):
+    import ray.data as rd
+
+    keys = [r[0] for r in rows]
+    vals = [None if r[1] is None else float(r[1]) for r in rows]
+    tab = pa.table(
+        {"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.float64())}
+    )
+    ds = rd.from_arrow(tab).repartition(min(n_blocks, len(rows)))
+    got = _collect(grouped_quantiles(ds, "k", "v", QS, num_partitions=num_parts))
+    ref = _quantile_reference(keys, vals)
+    if got is None:
+        assert ref == {}
+        return
+    gd = pl.from_arrow(got).sort("k").to_dicts()
+    assert sorted(ref) == [r["k"] for r in gd]
+    for row in gd:
+        exp = ref[row["k"]]
+        assert row["n"] == exp["n"]
+        for name in QS:
+            assert row[name] == exp[name], (row, exp)
+
+
+def test_grouped_quantiles_null_key_rejected(ray_session):
+    import ray.data as rd
+
+    tab = pa.table({"k": pa.array([1, None], pa.int64()), "v": [1.0, 2.0]})
+    with pytest.raises(Exception, match="null key"):
+        _collect(grouped_quantiles(rd.from_arrow(tab), "k", "v", QS))
+
+
+def test_grouped_quantiles_bad_q_rejected(ray_session):
+    import ray.data as rd
+
+    tab = pa.table({"k": [1], "v": [1.0]})
+    with pytest.raises(ValueError, match="not in"):
+        grouped_quantiles(rd.from_arrow(tab), "k", "v", {"bad": 0.0})
+    with pytest.raises(ValueError, match="not in"):
+        grouped_quantiles(rd.from_arrow(tab), "k", "v", {"bad": 1.5})
+
+
+def test_grouped_quantiles_all_null_group_dropped(ray_session):
+    import ray.data as rd
+
+    tab = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "v": pa.array([None, None, 3.0], pa.float64()),
+        }
+    )
+    got = _collect(grouped_quantiles(rd.from_arrow(tab), "k", "v", {"p50": 0.5}))
+    rows = pl.from_arrow(got).to_dicts()
+    assert rows == [{"k": 2, "n": 1, "p50": 3.0}]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(st.none(), st.integers(0, 20)),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    num_parts=st.integers(1, 7),
+    n_blocks=st.integers(1, 4),
+)
+def test_distinct_per_group_matches_reference(ray_session, rows, num_parts, n_blocks):
+    import ray.data as rd
+
+    tab = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array(
+                [r[1] for r in rows], pa.int64()
+            ),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(min(n_blocks, len(rows)))
+    got = _collect(distinct_per_group(ds, "k", "v", num_partitions=num_parts))
+    ref: dict[str, set] = {}
+    for k, v in rows:
+        if v is not None:
+            ref.setdefault(k, set()).add(v)
+    if got is None:
+        assert ref == {}
+        return
+    gd = {r["k"]: r["n_distinct"] for r in pl.from_arrow(got).to_dicts()}
+    assert gd == {k: len(vs) for k, vs in ref.items()}
