@@ -211,6 +211,7 @@ def run_bench() -> dict:
         "corpus_diff",
         "grouped_quantiles",
         "distinct_per_group",
+        "bloom_semi_join",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

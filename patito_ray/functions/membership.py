@@ -92,3 +92,87 @@ def flag_bloom_membership(
         return t.append_column(out_col, pa.array(hit))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def bloom_semi_join(
+    fact: Any,
+    keys: Any,
+    key_col: str,
+    keys_col: str | None = None,
+    anti: bool = False,
+    fp_rate: float = 0.01,
+    n_expected: int | None = None,
+    num_partitions: int | None = None,
+) -> Any:
+    """EXACT semi (or anti) join of ``fact`` against ``keys`` with a
+    Bloom pre-filter bounding what rides the exchange.
+
+    The plain broadcast semi join (referential check) needs the exact
+    key set on every worker — at 10^11 keys that is an 800 GB
+    broadcast. Here only the ~1.2 GB bitmap broadcasts; fact rows the
+    bloom rejects are DEFINITELY absent (no false negatives), so:
+
+    - semi: only bloom hits (true matches + ~fp_rate of the rest) ride
+      one co-partition exchange where ``pc.is_in`` against the
+      partition's exact keys removes the false positives;
+    - anti: bloom misses pass through LOCALLY (zero exchange — on a
+      mostly-novel crawl that is almost everything), and only hits are
+      exchanged to check which were false positives.
+
+    Result is exact either way; the bloom only bounds data movement.
+    Null join keys are rejected on both sides (filter or fill first —
+    SQL ``IN`` null semantics are a caller decision, not a default).
+    ``n_expected`` sizes the bitmap (defaults to ``keys.count()``,
+    metadata-only on parquet reads).
+    """
+    import pyarrow.compute as pc
+
+    from patito_ray.stages.join import copartition_apply
+
+    keys_col = keys_col or key_col
+    narrow = keys.select_columns([keys_col])
+    if n_expected is None:
+        n_expected = max(1, narrow.count())
+    bloom = bloom_from_dataset(narrow, keys_col, n_expected, fp_rate)
+
+    flagged = flag_bloom_membership(fact, key_col, bloom, out_col="__bloom_hit")
+
+    def split(want_hit: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = t.column("__bloom_hit")
+            if not want_hit:
+                mask = pc.invert(mask)
+            return t.filter(mask).drop_columns(["__bloom_hit"])
+
+        return flagged.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+    hits = split(True)
+
+    # exchange side: per-batch DISTINCT keys only (8 B/distinct key)
+    right_name = "__semi_key"
+
+    def batch_keys(t: pa.Table) -> pa.Table:
+        col = t.column(keys_col)
+        if col.null_count:
+            raise ValueError(
+                f"semi-join keys column {keys_col!r} contains "
+                f"{col.null_count} null(s); filter or fill them first"
+            )
+        return pa.table({right_name: pc.unique(col)})
+
+    key_rows = narrow.map_batches(batch_keys, batch_format="pyarrow", batch_size=None)
+
+    def verify(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return lt
+        mask = pc.is_in(lt.column(key_col), value_set=rt.column(right_name))
+        if anti:
+            mask = pc.invert(mask)
+        return lt.filter(mask)
+
+    checked = copartition_apply(
+        hits, key_rows, key_col, right_name, verify, num_partitions=num_partitions
+    )
+    if not anti:
+        return checked
+    return split(False).union(checked)

@@ -2967,3 +2967,30 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 QUERIES["distinct_per_group"] = (q_distinct_per_group, SQL_DISTINCT_PER_GROUP)
+
+
+def q_bloom_semi_join(sf_dir: str) -> Any:
+    """Exact semi join with a Bloom pre-filter: lineitems of high-value
+    orders. Only the ~KB bitmap broadcasts (vs the exact key set); only
+    bloom hits ride the one co-partition exchange where exact is_in
+    removes the false positives. Result provably exact — the SQL IN
+    oracle checks every row."""
+    from patito_ray.functions.membership import bloom_semi_join
+
+    fact = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_extendedprice"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    hi = orders.filter(
+        expr="o_totalprice > 350000.0"
+    ).select_columns(["o_orderkey"])
+    return bloom_semi_join(fact, hi, "l_orderkey", "o_orderkey")
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_orderkey, l_partkey, l_extendedprice
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 350000.0
+)
+"""
+
+QUERIES["bloom_semi_join"] = (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN)

@@ -106,3 +106,54 @@ def test_dataset_build_and_probe(ray_session):
     bad = pa.table({"key": pa.array([1, None], type=pa.int64())})
     with pytest.raises(Exception, match="null"):
         bloom_from_dataset(rd.from_arrow(bad), "key", 2)
+
+
+def _collect_tab(ds):
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else None
+
+
+@pytest.mark.parametrize("anti", [False, True])
+@pytest.mark.parametrize("fp_rate", [0.01, 0.4])  # 0.4 forces false positives
+def test_bloom_semi_join_exact(ray_session, anti, fp_rate):
+    import ray.data as rd
+
+    from patito_ray.functions.membership import bloom_semi_join
+
+    rng = np.random.default_rng(7)
+    fact_keys = rng.integers(0, 500, size=2000)
+    fact = pa.table(
+        {"k": pa.array(fact_keys, pa.int64()), "payload": np.arange(2000)}
+    )
+    dim_keys = np.unique(rng.integers(0, 500, size=120))
+    dim = pa.table({"dk": pa.array(dim_keys, pa.int64())})
+    got = bloom_semi_join(
+        rd.from_arrow(fact).repartition(4),
+        rd.from_arrow(dim).repartition(3),
+        "k",
+        "dk",
+        anti=anti,
+        fp_rate=fp_rate,
+        num_partitions=5,
+    )
+    tab = _collect_tab(got)
+    member = np.isin(fact_keys, dim_keys)
+    want = set(np.flatnonzero(~member if anti else member).tolist())
+    got_payloads = set(tab.column("payload").to_pylist()) if tab is not None else set()
+    assert got_payloads == want
+
+
+def test_bloom_semi_join_null_fact_key_rejected(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.membership import bloom_semi_join
+
+    fact = pa.table({"k": pa.array([1, None], pa.int64()), "p": [1, 2]})
+    dim = pa.table({"dk": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        # the bloom build is eager, the probe lazy — either stage may
+        # surface the error first
+        out = bloom_semi_join(rd.from_arrow(fact), rd.from_arrow(dim), "k", "dk")
+        _collect_tab(out)
