@@ -212,6 +212,7 @@ def run_bench() -> dict:
         "grouped_quantiles",
         "distinct_per_group",
         "bloom_semi_join",
+        "event_funnel",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -2994,3 +2994,43 @@ WHERE l_orderkey IN (
 """
 
 QUERIES["bloom_semi_join"] = (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN)
+
+
+def q_event_funnel(sf_dir: str) -> Any:
+    """Ordered conversion funnel view -> click -> purchase: first
+    completion time of each step per user, each strictly after the
+    previous step. One hash exchange on user_id, vectorized per-
+    partition step chain. The SQL oracle rebuilds the chain with
+    correlated MIN subqueries."""
+    from patito_ray.functions.funnel import funnel_steps
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_steps(
+        ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS ts_1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.ts_1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts_3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3,
+       CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+            AS BIGINT) AS depth
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+QUERIES["event_funnel"] = (q_event_funnel, SQL_EVENT_FUNNEL)
