@@ -213,6 +213,7 @@ def run_bench() -> dict:
         "distinct_per_group",
         "bloom_semi_join",
         "event_funnel",
+        "cohort_retention",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -3034,3 +3034,40 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 QUERIES["event_funnel"] = (q_event_funnel, SQL_EVENT_FUNNEL)
+
+
+def q_cohort_retention(sf_dir: str) -> Any:
+    """Retention triangle: users first active on cohort_date who were
+    active again day_offset days later. Distinct (user, day) pairs ride
+    one user-key exchange; (cohort, offset) partials are disjoint and
+    merge adaptively."""
+    from patito_ray.functions.retention import cohort_retention
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    out = cohort_retention(ds, "user_id", "ts")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # date32 -> timestamp[us]: DuckDB DATE comes back as datetime64
+        i = t.schema.get_field_index("cohort_date")
+        return t.set_column(
+            i, "cohort_date", pc.cast(t.column("cohort_date"), pa.timestamp("us"))
+        )
+
+    return _apply(out, finish)
+
+
+SQL_COHORT_RETENTION = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+  FROM events WHERE ts IS NOT NULL
+), firsts AS (
+  SELECT user_id, MIN(d) AS cohort_date FROM pairs GROUP BY user_id
+)
+SELECT f.cohort_date,
+       CAST(p.d - f.cohort_date AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pairs p JOIN firsts f ON p.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)

@@ -90,3 +90,62 @@ def test_funnel_validates_steps(ray_session):
         funnel_steps(ds, "u", "t", "ty", ["a"])
     with pytest.raises(ValueError, match="distinct"):
         funnel_steps(ds, "u", "t", "ty", ["a", "a"])
+
+
+def _retention_reference(rows):
+    """rows: (user, day:int). Distinct pairs -> cohort/offset counts."""
+    pairs = {(u, d) for u, d in rows}
+    firsts = {}
+    for u, d in pairs:
+        firsts[u] = min(firsts.get(u, d), d)
+    out: dict[tuple[int, int], int] = {}
+    for u, d in pairs:
+        key = (firsts[u], d - firsts[u])
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 20)),
+        min_size=1,
+        max_size=80,
+    ),
+    num_parts=st.integers(1, 7),
+    n_blocks=st.integers(1, 4),
+)
+def test_cohort_retention_matches_reference(ray_session, rows, num_parts, n_blocks):
+    import datetime
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from patito_ray.functions.retention import cohort_retention
+
+    epoch = datetime.datetime(2024, 1, 1)
+    tab = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [epoch + datetime.timedelta(days=r[1], hours=r[0] % 24) for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(min(n_blocks, len(rows)))
+    got = cohort_retention(ds, "u", "ts", num_partitions=num_parts)
+    if not isinstance(got, pa.Table):
+        tabs = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]
+        got = pa.concat_tables(tabs) if tabs else None
+    ref = _retention_reference([(r[0], r[1]) for r in rows])
+    assert got is not None
+    gd = {
+        (
+            (r["cohort_date"] - epoch.date()).days,
+            r["day_offset"],
+        ): r["n_users"]
+        for r in pl.from_arrow(got).to_dicts()
+    }
+    assert gd == ref
