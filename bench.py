@@ -214,6 +214,7 @@ def run_bench() -> dict:
         "bloom_semi_join",
         "event_funnel",
         "cohort_retention",
+        "percent_rank",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -3071,3 +3071,57 @@ GROUP BY 1, 2
 """
 
 QUERIES["cohort_retention"] = (q_cohort_retention, SQL_COHORT_RETENTION)
+
+
+def q_percent_rank(sf_dir: str) -> Any:
+    """SQL PERCENT_RANK within each part brand: (rank-1)/(n-1) from the
+    distributed window pass (rank_min + partition count over one hash
+    exchange). Integer rank arithmetic + one IEEE double division on
+    both sides — bit-exact, no rounding needed."""
+    from patito_ray.stages.window import window_over
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+    out = window_over(
+        ds,
+        by="p_brand",
+        order=["p_retailprice", "p_partkey"],
+        cols={"rk": ("rank_min", "p_retailprice"), "cnt": ("count", None)},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_partkey" not in t.column_names:
+            return _PERCENT_RANK_SCHEMA.empty_table()
+        rk = t.column("rk")
+        cnt = t.column("cnt")
+        denom = pc.max_element_wise(pc.subtract(cnt, 1), 1)  # n=1 -> 0/1 = 0
+        pct = pc.divide(
+            pc.cast(pc.subtract(rk, 1), pa.float64()), pc.cast(denom, pa.float64())
+        )
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "p_brand": t.column("p_brand"),
+                "pct_rank": pct,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+_PERCENT_RANK_SCHEMA = pa.schema(
+    [
+        ("p_partkey", pa.int64()),
+        ("p_brand", pa.string()),
+        ("pct_rank", pa.float64()),
+    ]
+)
+
+
+SQL_PERCENT_RANK = """
+SELECT p_partkey, p_brand,
+       PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice)
+         AS pct_rank
+FROM part
+"""
+
+QUERIES["percent_rank"] = (q_percent_rank, SQL_PERCENT_RANK)

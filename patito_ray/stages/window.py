@@ -30,6 +30,7 @@ _SUPPORTED_OPS = (
     "rank_min",
     "lag",
     "lead",
+    "count",
 )
 
 
@@ -45,8 +46,9 @@ def window_over(
 
     ``cols`` maps output column name -> ``(op, src)`` where op is one
     of ``cum_sum | cum_max | cum_min | row_number | rank_min | lag |
-    lead`` (``row_number`` needs no src; ``rank_min`` ranks by its src
-    ascending with SQL RANK ties). Rows keep all input columns; output
+    lead | count`` (``row_number``/``count`` need no src; ``rank_min``
+    ranks by its src ascending with SQL RANK ties; ``count`` is the
+    partition row count). Rows keep all input columns; output
     row order is partition-internal (canonicalize downstream when
     comparing). NULL ``by`` keys are rejected (SQL puts them in one
     partition; filter or fill first — same contract as grouped_top_k).
@@ -98,6 +100,10 @@ def window_over(
                 e = pl.col(src).rank("min", descending=False).cast(pl.Int64)
             elif op == "lag":
                 e = pl.col(src).shift(1)
+            elif op == "count":
+                # partition row count (SQL COUNT(*) OVER (PARTITION BY
+                # key)); needs no src
+                e = pl.len().cast(pl.Int64)
             else:  # lead
                 e = pl.col(src).shift(-1)
             exprs.append(e.over(by).alias(name))

@@ -20,6 +20,7 @@ COLS = {
     "rk": ("rank_min", "v"),
     "lag1": ("lag", "v"),
     "lead1": ("lead", "v"),
+    "cnt": ("count", None),
 }
 
 
@@ -34,6 +35,7 @@ def _reference(tab: pa.Table) -> pl.DataFrame:
             pl.col("v").rank("min").over("k").cast(pl.Int64).alias("rk"),
             pl.col("v").shift(1).over("k").alias("lag1"),
             pl.col("v").shift(-1).over("k").alias("lead1"),
+            pl.len().cast(pl.Int64).over("k").alias("cnt"),
         ]
     ).sort(["k", "o"])
 
