@@ -120,6 +120,10 @@ def bloom_semi_join(
       exchanged to check which were false positives.
 
     Result is exact either way; the bloom only bounds data movement.
+    NOTE the anti path's pass-through and checked branches are two Ray
+    lineages over ``fact`` — the union re-executes the scan+probe twice
+    (lazy-plan semantics). That is still far cheaper than exchanging
+    the misses; materialize ``fact`` first only if its scan dominates.
     Null join keys are rejected on both sides (filter or fill first —
     SQL ``IN`` null semantics are a caller decision, not a default).
     ``n_expected`` sizes the bitmap (defaults to ``keys.count()``,

@@ -31,6 +31,7 @@ def cohort_retention(
     user_col: str,
     ts_col: str,
     num_partitions: int | None = None,
+    limit_bytes: int | None = None,
 ) -> Any:
     """(cohort_date, day_offset, n_users) rows: users first active on
     ``cohort_date`` who were also active ``day_offset`` days later
@@ -82,4 +83,7 @@ def cohort_retention(
     partials = pairs.groupby("part").map_groups(
         partition_counts, batch_format="pyarrow"
     )
-    return merge_partial_sums(partials, ["cohort_date", "day_offset"], ["n_users"])
+    kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    return merge_partial_sums(
+        partials, ["cohort_date", "day_offset"], ["n_users"], **kwargs
+    )

@@ -87,6 +87,7 @@ def distinct_per_group(
     by: str,
     value: str,
     num_partitions: int | None = None,
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
 ) -> pa.Table | Any:
     """Exact ``COUNT(DISTINCT value) GROUP BY by`` in two narrow phases.
 
@@ -104,7 +105,9 @@ def distinct_per_group(
     contrast :func:`patito_ray.functions.approx.approx_distinct_per_group`,
     which bounds the exchange at 4 KiB/group/block but is approximate.
     Null ``value`` rows are ignored (SQL COUNT(DISTINCT) semantics);
-    null ``by`` keys are rejected.
+    null ``by`` keys form their own group, like SQL GROUP BY (the
+    exchange partitions on the VALUE, so null keys never hit the
+    null-rejecting key hasher).
     """
     import polars as pl
 
@@ -137,4 +140,4 @@ def distinct_per_group(
     partials = pairs.groupby("part").map_groups(
         partition_counts, batch_format="pyarrow"
     )
-    return merge_partial_sums(partials, [by], ["n_distinct"])
+    return merge_partial_sums(partials, [by], ["n_distinct"], limit_bytes=limit_bytes)

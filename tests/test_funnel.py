@@ -149,3 +149,38 @@ def test_cohort_retention_matches_reference(ray_session, rows, num_parts, n_bloc
         for r in pl.from_arrow(got).to_dicts()
     }
     assert gd == ref
+
+
+def test_cohort_retention_distributed_merge_path(ray_session):
+    """Force the distributed merge branch: Ray's groupby must handle the
+    date32 cohort key (the driver polars path is the usual route)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from patito_ray.functions.retention import cohort_retention
+
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = [(u, d) for u in range(6) for d in range(0, 10, 1 + u % 3)]
+    tab = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [epoch + datetime.timedelta(days=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    got = cohort_retention(
+        rd.from_arrow(tab).repartition(3), "u", "ts", limit_bytes=0
+    )
+    assert not isinstance(got, pa.Table)  # distributed branch returns a Dataset
+    import ray
+
+    tabs = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]
+    gd = {
+        ((r["cohort_date"] - epoch.date()).days, r["day_offset"]): r["n_users"]
+        for r in pl.from_arrow(pa.concat_tables(tabs)).to_dicts()
+    }
+    assert gd == _retention_reference(rows)

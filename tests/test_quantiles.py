@@ -148,3 +148,35 @@ def test_distinct_per_group_matches_reference(ray_session, rows, num_parts, n_bl
         return
     gd = {r["k"]: r["n_distinct"] for r in pl.from_arrow(got).to_dicts()}
     assert gd == {k: len(vs) for k, vs in ref.items()}
+
+
+def test_distinct_per_group_null_keys_group_like_sql(ray_session):
+    import ray.data as rd
+
+    tab = pa.table(
+        {
+            "k": pa.array(["a", None, None, "a"], pa.string()),
+            "v": pa.array([1, 2, 3, 1], pa.int64()),
+        }
+    )
+    got = _collect(distinct_per_group(rd.from_arrow(tab), "k", "v"))
+    gd = {r["k"]: r["n_distinct"] for r in pl.from_arrow(got).to_dicts()}
+    assert gd == {"a": 1, None: 2}
+
+
+def test_distinct_per_group_distributed_merge_path(ray_session):
+    import ray.data as rd
+
+    tab = pa.table(
+        {
+            "k": pa.array(["a", "b"] * 50, pa.string()),
+            "v": pa.array(list(range(100)), pa.int64()),
+        }
+    )
+    got = _collect(
+        distinct_per_group(
+            rd.from_arrow(tab).repartition(4), "k", "v", limit_bytes=0
+        )
+    )
+    gd = {r["k"]: r["n_distinct"] for r in pl.from_arrow(got).to_dicts()}
+    assert gd == {"a": 50, "b": 50}
