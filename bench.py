@@ -215,6 +215,7 @@ def run_bench() -> dict:
         "event_funnel",
         "cohort_retention",
         "percent_rank",
+        "bm25_search",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

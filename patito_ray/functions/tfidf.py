@@ -291,3 +291,114 @@ def top_ngrams(ds: Any, n: int, k: int = 50, text_col: str = "text") -> pa.Table
         "gram",
         empty_schema=pa.schema([("gram", pa.string()), ("cnt", pa.int64())]),
     )
+
+
+_BM25_STATS_SENTINEL = "\x00__bm25_stats__"
+
+
+def bm25_stats(ds: Any, terms: list[str], text_col: str = "text") -> tuple[int, int, dict[str, int]]:
+    """ONE streaming pass: (docs with non-null text, total token count,
+    df per query term). The corpus-level scalars ride a sentinel term
+    row through the same partial-sum merge as the dfs."""
+    term_arr = pa.array(sorted(set(terms)), pa.string())
+    m = len(term_arr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        flat, parents, _ = re2_split_tokens(text)
+        hit = pc.is_in(flat, value_set=term_arr).to_numpy(zero_copy_only=False)
+        if hit.any():
+            sub = flat.filter(pa.array(hit))
+            codes = pc.index_in(sub, value_set=term_arr).to_numpy(zero_copy_only=False)
+            pair = parents[hit].astype(np.int64) * m + codes
+            uniq = np.unique(pair)
+            dfc = np.bincount((uniq % m).astype(np.int64), minlength=m).astype(np.int64)
+        else:
+            dfc = np.zeros(m, np.int64)
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [term_arr, pa.array([_BM25_STATS_SENTINEL], pa.string())]
+                ),
+                "df": pa.array(np.r_[dfc, 0], pa.int64()),
+                "n_docs": pa.array([0] * m + [len(text) - text.null_count], pa.int64()),
+                "total_len": pa.array([0] * m + [len(flat)], pa.int64()),
+            }
+        )
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["term"],
+        ["df", "n_docs", "total_len"],
+    )
+    if not isinstance(merged, pa.Table):
+        merged = pa.concat_tables(list(_iter_tables(merged)))
+    n_docs = total = 0
+    dfs = {t: 0 for t in set(terms)}
+    for row in merged.to_pylist():
+        if row["term"] == _BM25_STATS_SENTINEL:
+            n_docs, total = row["n_docs"], row["total_len"]
+        else:
+            dfs[row["term"]] = row["df"]
+    return n_docs, total, dfs
+
+
+def bm25_scores(
+    ds: Any,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Any:
+    """Per-document BM25 (Lucene idf variant: ln((N-df+0.5)/(df+0.5)+1),
+    always >= 0) against ``terms``; zero-score documents are dropped.
+    Two streaming passes: the combined stats pass above, then one
+    vectorized scoring map_batches (exact integer tf per (doc, term),
+    per-doc length from a bincount over token parent indices — no
+    Python per row). Lazy Dataset of (id_col, score)."""
+    n_docs, total_len, dfs = bm25_stats(ds, terms, text_col)
+    uniq_terms = sorted(dfs)
+    m = len(uniq_terms)
+    term_arr = pa.array(uniq_terms, pa.string())
+    avgdl = total_len / n_docs if n_docs else 1.0
+    df_vec = np.array([dfs[t] for t in uniq_terms], dtype=np.float64)
+    idf = np.log((n_docs - df_vec + 0.5) / (df_vec + 0.5) + 1.0)
+
+    def score(t: pa.Table) -> pa.Table:
+        flat, parents, n_rows = re2_split_tokens(t.column(text_col))
+        empty = pa.table(
+            {
+                id_col: pa.array([], t.schema.field(id_col).type),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        par64 = parents.astype(np.int64)
+        dl = np.bincount(par64, minlength=n_rows).astype(np.float64)
+        codes = pc.index_in(flat, value_set=term_arr)
+        hit = pc.is_valid(codes).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        code_np = codes.to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+        pair = par64[hit] * m + code_np
+        uniq, tf = np.unique(pair, return_counts=True)
+        doc_idx = uniq // m
+        term_idx = uniq % m
+        tf = tf.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl[doc_idx] / avgdl)
+        contrib = idf[term_idx] * tf * (k1 + 1.0) / denom
+        scores = np.zeros(n_rows, dtype=np.float64)
+        np.add.at(scores, doc_idx, contrib)
+        mask = scores > 0
+        return pa.table(
+            {
+                id_col: t.column(id_col).combine_chunks().filter(pa.array(mask)),
+                "score": pa.array(scores[mask], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -3125,3 +3125,66 @@ FROM part
 """
 
 QUERIES["percent_rank"] = (q_percent_rank, SQL_PERCENT_RANK)
+
+
+def q_bm25_search(sf_dir: str) -> pa.Table:
+    """BM25 retrieval (Lucene idf variant, k1=1.2 b=0.75): top-10 docs
+    for the same 5-term query as tfidf_search. One combined stats pass
+    (N, total length, per-term df through a sentinel row), one
+    vectorized scoring pass; scores rounded to 1e-6 BEFORE ranking so
+    both engines rank identical values (libm ln / fp-sum-order noise is
+    ~1e-15)."""
+    from patito_ray.functions.tfidf import _global_topk, bm25_scores
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    scored = bm25_scores(ds, _TFIDF_TERMS)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "score": _r(t.column("score"), 6)}
+        )
+
+    rounded = scored.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+    return _global_topk(rounded, 10, "score", "doc_id")
+
+
+SQL_BM25_SEARCH = r"""
+WITH u AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents WHERE text IS NOT NULL) AS n,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM u) AS total
+),
+q AS (SELECT unnest(['spark','window','hash','join','vector']) AS term),
+df AS (
+  SELECT q.term,
+         (SELECT CAST(COUNT(DISTINCT u.doc_id) AS DOUBLE) FROM u WHERE u.tok = q.term) AS df
+  FROM q
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM u GROUP BY doc_id),
+tf AS (
+  SELECT u.doc_id, u.tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM u JOIN q ON u.tok = q.term GROUP BY u.doc_id, u.tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n)))
+         ) AS score
+  FROM tf
+  CROSS JOIN stats
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)

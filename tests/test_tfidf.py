@@ -182,3 +182,66 @@ def test_top_ngrams_counts(ray_session):
         t = top_ngrams(rd.from_arrow(docs).repartition(blocks), n=2, k=3)
         got = list(zip(t.column("gram").to_pylist(), t.column("cnt").to_pylist()))
         assert got == [("a b", 3), ("b c", 2), ("c a", 1)]
+
+
+def _bm25_reference(texts, terms, k1=1.2, b=0.75):
+    """Textbook BM25 (Lucene idf) over whitespace tokens."""
+    import math
+
+    docs = [t.split() if t is not None else [] for t in texts]
+    valid = [t for t in texts if t is not None]
+    n = len(valid)
+    total = sum(len(d) for d, t in zip(docs, texts) if t is not None)
+    avgdl = total / n if n else 1.0
+    out = {}
+    for i, (d, t) in enumerate(zip(docs, texts)):
+        if t is None:
+            continue
+        score = 0.0
+        for term in sorted(set(terms)):
+            df = sum(1 for dd, tt in zip(docs, texts) if tt is not None and term in dd)
+            tf = d.count(term)
+            if tf == 0:
+                continue
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            score += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+        if score > 0:
+            out[i] = score
+    return out
+
+
+def test_bm25_matches_reference_under_batching(ray_session):
+    import ray
+    import ray.data as rd
+
+    from patito_ray.functions.tfidf import bm25_scores
+
+    texts = [
+        "spark join hash hash hash",
+        "window vector",
+        None,
+        "plain prose with no query words",
+        "spark spark spark spark spark join",
+        "",
+        "vector vector window window window join",
+    ]
+    tab = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    terms = ["spark", "window", "hash", "join", "vector"]
+    ref = _bm25_reference(texts, terms)
+    for n_blocks in (1, 3, 7):
+        ds = rd.from_arrow(tab).repartition(n_blocks)
+        got = bm25_scores(ds, terms)
+        tabs = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]
+        gd = {
+            r["doc_id"]: r["score"]
+            for t in tabs
+            for r in t.to_pylist()
+        }
+        assert set(gd) == set(ref)
+        for i, s in ref.items():
+            assert abs(gd[i] - s) < 1e-9, (n_blocks, i, gd[i], s)
