@@ -216,6 +216,7 @@ def run_bench() -> dict:
         "cohort_retention",
         "percent_rank",
         "bm25_search",
+        "price_outliers",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

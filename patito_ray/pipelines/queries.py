@@ -3188,3 +3188,51 @@ LIMIT 10
 """
 
 QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)
+
+
+def q_price_outliers(sf_dir: str) -> Any:
+    """Composition: rows strictly above their group's exact p99 —
+    grouped_quantiles' per-supplier threshold table feeds one
+    co-partition join back against the fact rows (the 'keep docs above
+    their source's p99 quality' pipeline shape). Exact end to end: the
+    threshold is a selected element, the filter a raw double compare."""
+    from patito_ray.stages.join import copartition_apply
+    from patito_ray.stages.quantiles import grouped_quantiles
+
+    fact = _rp(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice"])
+    thr = grouped_quantiles(fact, "l_suppkey", "l_extendedprice", {"p99": 0.99})
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({"s_key": t.column("l_suppkey"), "p99": t.column("p99")})
+
+    thr = thr.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+
+    def pick(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return lt
+        pos = pc.index_in(lt.column("l_suppkey"), value_set=rt.column("s_key"))
+        cuts = rt.column("p99").take(pos)
+        return lt.filter(pc.greater(lt.column("l_extendedprice"), cuts))
+
+    return copartition_apply(fact, thr, "l_suppkey", "s_key", pick)
+
+
+SQL_PRICE_OUTLIERS = """
+WITH ranked AS (
+  SELECT l_suppkey,
+         l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS cnt
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+), thr AS (
+  SELECT l_suppkey AS sk,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * cnt) AS BIGINT)) THEN v END) AS p99
+  FROM ranked GROUP BY l_suppkey
+)
+SELECT l.l_orderkey, l.l_suppkey, l.l_extendedprice
+FROM lineitem l JOIN thr ON l.l_suppkey = thr.sk
+WHERE l.l_extendedprice > thr.p99
+"""
+
+QUERIES["price_outliers"] = (q_price_outliers, SQL_PRICE_OUTLIERS)
