@@ -217,6 +217,7 @@ def run_bench() -> dict:
         "percent_rank",
         "bm25_search",
         "price_outliers",
+        "mode_per_group",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

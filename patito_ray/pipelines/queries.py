@@ -3236,3 +3236,30 @@ WHERE l.l_extendedprice > thr.p99
 """
 
 QUERIES["price_outliers"] = (q_price_outliers, SQL_PRICE_OUTLIERS)
+
+
+def q_mode_per_group(sf_dir: str) -> Any:
+    """Exact per-group mode (most frequent l_quantity per return flag,
+    smallest-value tie-break): per-batch vectorized pair counts,
+    adaptive partial-sum merge, tiny top-1 per group."""
+    from patito_ray.stages.agg import mode_per_group
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return mode_per_group(ds, "l_returnflag", "l_quantity")
+
+
+SQL_MODE_PER_GROUP = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  GROUP BY l_returnflag, l_quantity
+), ranked AS (
+  SELECT l_returnflag, v, c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c DESC, v) AS rn
+  FROM counts
+)
+SELECT l_returnflag, v AS mode_value, c AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES["mode_per_group"] = (q_mode_per_group, SQL_MODE_PER_GROUP)

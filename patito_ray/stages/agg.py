@@ -141,3 +141,62 @@ def distinct_per_group(
         partition_counts, batch_format="pyarrow"
     )
     return merge_partial_sums(partials, [by], ["n_distinct"], limit_bytes=limit_bytes)
+
+
+def mode_per_group(
+    ds: Any,
+    by: str,
+    value: str,
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> pa.Table | Any:
+    """Exact per-group mode (most frequent ``value``; ties broken by
+    the smallest value — a deterministic contract both engines can
+    state). Output: one row per group — ``by``, ``mode_value``,
+    ``mode_count``.
+
+    Same narrow shape as :func:`distinct_per_group`: per-batch
+    vectorized (by, value, partial_count) rows, the adaptive partial-sum
+    merge on (by, value), then one tiny top-1 per group (driver polars
+    on the fast path, :func:`patito_ray.stages.topk.grouped_top_k`
+    when the pair table outgrows the driver bound). Null values are
+    ignored (SQL aggregate semantics); null ``by`` keys group like SQL
+    GROUP BY.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        kv = pa.table({by: t.column(by), value: t.column(value)})
+        kv = kv.filter(pc.is_valid(kv.column(value)))
+        return (
+            pl.from_arrow(kv)
+            .group_by([by, value])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(batch_counts, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, [by, value], ["c"], limit_bytes=limit_bytes)
+
+    if isinstance(merged, pa.Table):
+        return (
+            pl.from_arrow(merged)
+            .sort(["c", value], descending=[True, False])
+            .group_by(by, maintain_order=True)
+            .first()
+            .rename({value: "mode_value", "c": "mode_count"})
+            .to_arrow()
+        )
+    from patito_ray.stages.topk import grouped_top_k
+
+    top = grouped_top_k(merged, by, "c", k=1, tie=value, descending=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["rank"])
+        names = [
+            "mode_value" if n == value else ("mode_count" if n == "c" else n)
+            for n in t.column_names
+        ]
+        return t.rename_columns(names)
+
+    return top.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -180,3 +180,49 @@ def test_distinct_per_group_distributed_merge_path(ray_session):
     )
     gd = {r["k"]: r["n_distinct"] for r in pl.from_arrow(got).to_dicts()}
     assert gd == {"a": 50, "b": 50}
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.one_of(st.none(), st.integers(0, 8)),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    n_blocks=st.integers(1, 4),
+    force_distributed=st.booleans(),
+)
+def test_mode_per_group_matches_reference(ray_session, rows, n_blocks, force_distributed):
+    import ray.data as rd
+
+    from patito_ray.stages.agg import mode_per_group
+
+    tab = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(min(n_blocks, len(rows)))
+    got = _collect(
+        mode_per_group(ds, "k", "v", limit_bytes=0 if force_distributed else 2**28)
+    )
+    counts: dict[str, dict[int, int]] = {}
+    for k, v in rows:
+        if v is not None:
+            counts.setdefault(k, {}).setdefault(v, 0)
+            counts[k][v] += 1
+    ref = {
+        k: min(cs, key=lambda v: (-cs[v], v))
+        for k, cs in counts.items()
+    }
+    if got is None:
+        assert ref == {}
+        return
+    gd = {r["k"]: (r["mode_value"], r["mode_count"]) for r in pl.from_arrow(got).to_dicts()}
+    assert set(gd) == set(ref)
+    for k, v in ref.items():
+        assert gd[k] == (v, counts[k][v]), (k, gd[k], v)
