@@ -218,6 +218,7 @@ def run_bench() -> dict:
         "bm25_search",
         "price_outliers",
         "mode_per_group",
+        "approx_quantiles",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

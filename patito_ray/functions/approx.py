@@ -188,3 +188,110 @@ def approx_distinct_per_group(
         lambda g: finalize(g.drop_columns(["_part"]) if "_part" in g.column_names else g),
         batch_format="pyarrow",
     )
+
+
+def approx_quantiles_per_group(
+    ds: Any,
+    by: str,
+    value: str,
+    qs: dict[str, float],
+    delta: int = 100,
+    num_partitions: int | None = None,
+) -> Any:
+    """Approximate per-group quantiles via a t-digest exchange — the
+    scale path when :func:`patito_ray.stages.quantiles.grouped_quantiles`'
+    full-value exchange is too expensive. Each block ships ONE ~KiB
+    digest per group it contains (never the values); digests merge per
+    group behind one hash exchange. Rank error is the t-digest's
+    (~1/delta at the tails); unlike the HLL registers the merge is
+    order-sensitive, so estimates may differ in low digits across
+    plans — use the exact operator when bit-stability matters.
+
+    Output: one row per group — ``by``, ``n`` (non-null count), one
+    column per ``qs`` entry. Null values are dropped; null group keys
+    are rejected (the exchange partitions on the key).
+    """
+    import pickle
+
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from patito_ray.state.sketches import TDigest
+
+    for name, q in qs.items():
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {name!r}={q} not in [0, 1]")
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+
+    def batch_digests(t: pa.Table) -> pa.Table:
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        kv = pa.table({by: t.column(by), value: t.column(value)})
+        if kv.column(value).null_count:
+            kv = kv.filter(pc.is_valid(kv.column(value)))
+        if kv.num_rows == 0:
+            return pa.table(
+                {
+                    by: pa.array([], kv.schema.field(by).type),
+                    "blob": pa.array([], pa.large_binary()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        df = pl.from_arrow(kv).sort(by)
+        keys = df.get_column(by).to_arrow()
+        vals = df.get_column(value).to_numpy()
+        karr = keys.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, karr[1:] != karr[:-1]])
+        ends = np.r_[starts[1:], len(karr)]
+        blobs = []
+        for s, e in zip(starts, ends):
+            d = TDigest(delta)
+            d.add(vals[s:e])
+            blobs.append(pickle.dumps(d))
+        group_keys = keys.take(pa.array(starts, pa.int64()))
+        part = hash_partition_ids(
+            group_keys, num_partitions, f"approx_quantiles group column {by!r}"
+        )
+        return pa.table(
+            {
+                by: group_keys,
+                "blob": pa.array(blobs, pa.large_binary()),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def merge_partition(group_table: pa.Table) -> pa.Table:
+        t = group_table.drop_columns(["part"])
+        karr = t.column(by).combine_chunks()
+        order = pc.sort_indices(karr)
+        karr = karr.take(order)
+        blobs = t.column("blob").combine_chunks().take(order)
+        knp = karr.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, knp[1:] != knp[:-1]])
+        ends = np.r_[starts[1:], len(knp)]
+        out_rows: dict[str, list] = {by: [], "n": []}
+        for name in qs:
+            out_rows[name] = []
+        for s, e in zip(starts, ends):
+            d = pickle.loads(blobs[s].as_py())
+            for j in range(s + 1, e):
+                d.merge(pickle.loads(blobs[j].as_py()))
+            out_rows[by].append(knp[s])
+            # weights are exact row counts (every add carries weight 1
+            # and compression only re-bins), so the sum is the exact n
+            out_rows["n"].append(int(round(float(d.state()[1].sum()))))
+            for name, q in qs.items():
+                out_rows[name].append(d.quantile(q))
+        return pa.table(
+            {
+                by: pa.array(out_rows[by], t.schema.field(by).type),
+                "n": pa.array(out_rows["n"], pa.int64()),
+                **{n: pa.array(out_rows[n], pa.float64()) for n in qs},
+            }
+        )
+
+    parted = ds.map_batches(batch_digests, batch_format="pyarrow", batch_size=None)
+    return parted.groupby("part").map_groups(merge_partition, batch_format="pyarrow")

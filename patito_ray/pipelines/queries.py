@@ -3263,3 +3263,21 @@ FROM ranked WHERE rn = 1
 """
 
 QUERIES["mode_per_group"] = (q_mode_per_group, SQL_MODE_PER_GROUP)
+
+
+def q_approx_quantiles(sf_dir: str) -> Any:
+    """Approximate per-supplier price quantiles via the t-digest
+    exchange (one ~KiB digest per group per block instead of the
+    values) — the scale path beside the exact grouped_quantiles.
+    Rows-only: t-digest merge is order-sensitive, so no bit-exact
+    oracle exists by design; accuracy is pytested against the exact
+    quantiles."""
+    from patito_ray.functions.approx import approx_quantiles_per_group
+
+    ds = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    return approx_quantiles_per_group(
+        ds, "l_suppkey", "l_extendedprice", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+
+
+QUERIES["approx_quantiles"] = (q_approx_quantiles, None)

@@ -90,3 +90,48 @@ def test_guards(ray_session):
         approx_distinct_per_group(rd.from_arrow(t), "k", "v", p=2)
     with pytest.raises(Exception, match="null"):
         approx_distinct_per_group(rd.from_arrow(t), "k", "v").take_all()
+
+
+def test_approx_quantiles_per_group_accuracy(ray_session):
+    """n is exact; quantile estimates stay within a t-digest rank band
+    of the true selection quantile, under multiple partitionings."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from patito_ray.functions.approx import approx_quantiles_per_group
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = rng.integers(0, 8, size=n).astype(np.int64)
+    vals = rng.lognormal(0.0, 1.5, size=n)
+    tab = pa.table({"k": keys, "v": vals})
+    for n_blocks, n_parts in ((3, 5), (8, 2)):
+        ds = rd.from_arrow(tab).repartition(n_blocks)
+        got = approx_quantiles_per_group(
+            ds, "k", "v", {"p50": 0.5, "p99": 0.99}, num_partitions=n_parts
+        )
+        tabs = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]
+        gd = {r["k"]: r for r in pl.from_arrow(pa.concat_tables(tabs)).to_dicts()}
+        assert set(gd) == set(range(8))
+        for k in range(8):
+            sub = np.sort(vals[keys == k])
+            assert gd[k]["n"] == len(sub)  # exact count
+            for name, q in (("p50", 0.5), ("p99", 0.99)):
+                est = gd[k][name]
+                # rank of the estimate must be within 2% of q
+                rank = np.searchsorted(sub, est) / len(sub)
+                assert abs(rank - q) < 0.02, (k, name, est, rank)
+
+
+def test_approx_quantiles_rejects_bad_q(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from patito_ray.functions.approx import approx_quantiles_per_group
+
+    ds = rd.from_arrow(pa.table({"k": [1], "v": [1.0]}))
+    with pytest.raises(ValueError, match="not in"):
+        approx_quantiles_per_group(ds, "k", "v", {"bad": 1.5})
