@@ -219,6 +219,7 @@ def run_bench() -> dict:
         "price_outliers",
         "mode_per_group",
         "approx_quantiles",
+        "weighted_sample",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

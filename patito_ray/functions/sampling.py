@@ -447,3 +447,79 @@ def epoch_shuffle_positions(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def weighted_sample_k(
+    ds: Any,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> Any:
+    """Exactly ``min(k, n)`` rows sampled WITHOUT replacement with
+    probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis exponential-keys method: each row's selection
+    key is ``-ln(u) / w`` with ``u = (splitmix64(key ^ seed) + 1) / 2^64``,
+    and the k SMALLEST keys win. Deterministic and shard-stable (the
+    key is a pure function of (key, seed, weight)); float ties broken
+    by key ascending so selection is a total order.
+
+    Scale shape identical to :func:`sample_exact_k`: every batch prunes
+    to its k best rows with one vectorized lexsort, bounding the
+    exchange at ``k x num_blocks`` rows; driver lexsort finalize under
+    the 256 MB budget, distributed ``sort().limit(k)`` beyond.
+
+    Rows-only correctness surface BY DESIGN: the selection boundary
+    compares ``ln`` outputs, and libm vs SQL LN may differ in the last
+    ulp — property tests pin partition-stability and the pairwise
+    w1/(w1+w2) inclusion law instead.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_e", pa.array([], type=pa.float64()))
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        bad = ~(w > 0)
+        if bad.any():
+            raise ValueError(
+                f"weighted_sample_k weights must be > 0 and non-null; "
+                f"column {weight_col!r} has {int(bad.sum())} violating row(s)"
+            )
+        h = _key_hashes(t, key_col, seed)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0  # (0, 1]
+        e = -np.log(u) / w
+        if t.num_rows > k:
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((keys, e))[:k]
+            t = t.take(pa.array(order.astype(np.int64)))
+            e = e[order]
+        return t.append_column("_e", pa.array(e, type=pa.float64()))
+
+    pruned = ds.map_batches(
+        prune, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    from patito_ray.validation.engine import _DRIVER_FASTPATH_BYTES
+
+    if pruned.size_bytes() <= _DRIVER_FASTPATH_BYTES:
+        from patito_ray.stages.agg import collect_table
+
+        t = collect_table(pruned, empty_schema=None) if pruned.count() else None
+        if t is None or t.num_rows == 0:
+            out = pruned
+        else:
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            ee = t.column("_e").to_numpy(zero_copy_only=False)
+            order = np.lexsort((keys, ee))[:k]
+            import ray.data as rd
+
+            out = rd.from_arrow(t.take(pa.array(order.astype(np.int64))))
+    else:
+        out = pruned.sort(["_e", key_col]).limit(k)
+    return out.map_batches(
+        lambda t: t.drop_columns(["_e"]) if "_e" in t.column_names else t,
+        batch_format="pyarrow",
+        batch_size=None,
+    )

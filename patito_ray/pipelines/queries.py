@@ -3281,3 +3281,17 @@ def q_approx_quantiles(sf_dir: str) -> Any:
 
 
 QUERIES["approx_quantiles"] = (q_approx_quantiles, None)
+
+
+def q_weighted_sample(sf_dir: str) -> Any:
+    """Weighted exact-k sample (Efraimidis–Spirakis exponential keys,
+    P ∝ o_totalprice): 100 orders without replacement. Rows-only by
+    design — the selection boundary compares libm ln outputs; the
+    pairwise-inclusion law and partition stability are pytested."""
+    from patito_ray.functions.sampling import weighted_sample_k
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return weighted_sample_k(ds, "o_orderkey", "o_totalprice", 100, seed=7)
+
+
+QUERIES["weighted_sample"] = (q_weighted_sample, None)

@@ -286,3 +286,62 @@ def test_sample_exact_k_distributed_finalize(ray_session, monkeypatch):
     monkeypatch.setattr(eng, "_DRIVER_FASTPATH_BYTES", 0)
     rows = sample_exact_k(ds, "doc_id", k).take_all()
     assert sorted(r["doc_id"] for r in rows) == want
+
+
+def _weighted_reference(keys, weights, k, seed=0):
+    """Pure-python Efraimidis–Spirakis with the engine's exact floats."""
+    h = _splitmix(np.array(keys, dtype=np.int64).view(np.uint64) ^ np.uint64(seed))
+    u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+    e = -np.log(u) / np.asarray(weights, dtype=np.float64)
+    order = np.lexsort((np.asarray(keys), e))[:k]
+    return sorted(np.asarray(keys)[order].tolist())
+
+
+def test_weighted_sample_k_matches_reference_any_partitioning(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.sampling import weighted_sample_k
+
+    rng = np.random.default_rng(3)
+    keys = rng.permutation(500).astype(np.int64)
+    weights = rng.uniform(0.1, 10.0, size=500)
+    tab = pa.table({"doc_id": keys, "w": weights})
+    ref = _weighted_reference(keys, weights, 40)
+    for n_blocks in (1, 3, 9):
+        got = weighted_sample_k(
+            rd.from_arrow(tab).repartition(n_blocks), "doc_id", "w", 40
+        ).take_all()
+        assert sorted(r["doc_id"] for r in got) == ref, n_blocks
+
+
+def test_weighted_sample_k_pairwise_inclusion_law(ray_session):
+    """P(key A wins over key B at k=1) must approach wA/(wA+wB): check
+    the engine's key math directly over many seeds (no Ray pipeline per
+    seed — the selection key is a pure function)."""
+    from patito_ray.functions.sampling import _key_hashes
+
+    wa, wb = 3.0, 1.0
+    wins = 0
+    trials = 2000
+    tab = pa.table({"doc_id": pa.array([11, 22], pa.int64())})
+    for seed in range(trials):
+        h = _key_hashes(tab, "doc_id", seed)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        e = -np.log(u) / np.array([wa, wb])
+        wins += e[0] < e[1]
+    frac = wins / trials
+    assert abs(frac - 0.75) < 0.03, frac
+
+
+def test_weighted_sample_k_rejects_bad_weights(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from patito_ray.functions.sampling import weighted_sample_k
+
+    tab = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "w": [1.0, 0.0]})
+    with pytest.raises(Exception, match="weights must be"):
+        weighted_sample_k(rd.from_arrow(tab), "doc_id", "w", 1).take_all()
+    tab2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "w": [1.0, None]})
+    with pytest.raises(Exception, match="weights must be"):
+        weighted_sample_k(rd.from_arrow(tab2), "doc_id", "w", 1).take_all()
