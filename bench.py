@@ -220,6 +220,7 @@ def run_bench() -> dict:
         "mode_per_group",
         "approx_quantiles",
         "weighted_sample",
+        "order_lineitems",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -3295,3 +3295,41 @@ def q_weighted_sample(sf_dir: str) -> Any:
 
 
 QUERIES["weighted_sample"] = (q_weighted_sample, None)
+
+
+def q_order_lineitems(sf_dir: str) -> Any:
+    """Large-large partitioned hash join (Ray's native join operator —
+    the 'both sides large' path beside broadcast/co-partition): every
+    lineitem joined to its order's customer and price. Dense parquet
+    reads on both sides (the native operator's empty-block failure
+    mode, documented in CLAUDE.md, cannot occur here)."""
+    from patito_ray.stages.join import hash_join
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    items = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = hash_join(items, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = ["l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_totalprice"]
+        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+            return pa.schema(
+                [
+                    ("l_orderkey", pa.int64()),
+                    ("l_linenumber", pa.int32()),
+                    ("l_extendedprice", pa.float64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                ]
+            ).empty_table()
+        return t.select(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ORDER_LINEITEMS = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+       o.o_custkey, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+QUERIES["order_lineitems"] = (q_order_lineitems, SQL_ORDER_LINEITEMS)
