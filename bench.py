@@ -221,6 +221,7 @@ def run_bench() -> dict:
         "approx_quantiles",
         "weighted_sample",
         "order_lineitems",
+        "rolling_spend",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

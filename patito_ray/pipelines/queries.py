@@ -3333,3 +3333,52 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
 
 QUERIES["order_lineitems"] = (q_order_lineitems, SQL_ORDER_LINEITEMS)
+
+
+def q_rolling_spend(sf_dir: str) -> Any:
+    """Frame-based rolling window (SQL ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW): each customer's 7-order moving spend, through the
+    same one-hash-exchange window pass as cum_spend. Rounded to 1e-2
+    (DuckDB's segment-tree windowed SUM associates differently than a
+    sequential rolling sum)."""
+    from patito_ray.stages.window import window_over
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = window_over(
+        ds,
+        by="o_custkey",
+        order=["o_orderdate", "o_orderkey"],
+        cols={"roll_spend": ("rolling_sum", "o_totalprice")},
+        frame=7,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("o_orderkey", pa.int64()),
+                    ("roll_spend", pa.float64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "roll_spend": _r(t.column("roll_spend"), 2),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ROLLING_SPEND = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 2) AS roll_spend
+FROM orders
+"""
+
+QUERIES["rolling_spend"] = (q_rolling_spend, SQL_ROLLING_SPEND)

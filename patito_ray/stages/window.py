@@ -31,7 +31,12 @@ _SUPPORTED_OPS = (
     "lag",
     "lead",
     "count",
+    "rolling_sum",
 )
+
+#: rows in the rolling frame (current row + N-1 preceding), settable
+#: per call via window_over(..., frame=N)
+_DEFAULT_FRAME = 7
 
 
 def window_over(
@@ -41,14 +46,16 @@ def window_over(
     cols: dict[str, tuple[str, str | None]],
     descending: bool = False,
     num_partitions: int | None = None,
+    frame: int = _DEFAULT_FRAME,
 ) -> Any:
     """Append window columns computed per ``by`` group in ``order``.
 
     ``cols`` maps output column name -> ``(op, src)`` where op is one
     of ``cum_sum | cum_max | cum_min | row_number | rank_min | lag |
-    lead | count`` (``row_number``/``count`` need no src; ``rank_min``
-    ranks by its src ascending with SQL RANK ties; ``count`` is the
-    partition row count). Rows keep all input columns; output
+    lead | count | rolling_sum`` (``row_number``/``count`` need no src;
+    ``rank_min`` ranks by its src ascending with SQL RANK ties;
+    ``count`` is the partition row count; ``rolling_sum`` sums the SQL
+    frame ``ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW``). Rows keep all input columns; output
     row order is partition-internal (canonicalize downstream when
     comparing). NULL ``by`` keys are rejected (SQL puts them in one
     partition; filter or fill first — same contract as grouped_top_k).
@@ -104,6 +111,9 @@ def window_over(
                 # partition row count (SQL COUNT(*) OVER (PARTITION BY
                 # key)); needs no src
                 e = pl.len().cast(pl.Int64)
+            elif op == "rolling_sum":
+                # SQL ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW
+                e = pl.col(src).rolling_sum(frame, min_samples=1)
             else:  # lead
                 e = pl.col(src).shift(-1)
             exprs.append(e.over(by).alias(name))

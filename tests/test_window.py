@@ -21,6 +21,7 @@ COLS = {
     "lag1": ("lag", "v"),
     "lead1": ("lead", "v"),
     "cnt": ("count", None),
+    "roll3": ("rolling_sum", "v"),
 }
 
 
@@ -36,6 +37,7 @@ def _reference(tab: pa.Table) -> pl.DataFrame:
             pl.col("v").shift(1).over("k").alias("lag1"),
             pl.col("v").shift(-1).over("k").alias("lead1"),
             pl.len().cast(pl.Int64).over("k").alias("cnt"),
+            pl.col("v").rolling_sum(3, min_samples=1).over("k").alias("roll3"),
         ]
     ).sort(["k", "o"])
 
@@ -70,7 +72,7 @@ def test_window_over_matches_polars(ray_session, rows, num_parts, seed):
         return
     ds = rd.from_arrow(tab).repartition(min(3, max(1, n)))
     got = window_over(
-        ds, by="k", order=["o"], cols=COLS, num_partitions=num_parts
+        ds, by="k", order=["o"], cols=COLS, num_partitions=num_parts, frame=3
     )
     got_tabs = [t for t in got.to_arrow_refs()]
     import ray
