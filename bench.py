@@ -222,6 +222,7 @@ def run_bench() -> dict:
         "weighted_sample",
         "order_lineitems",
         "rolling_spend",
+        "events_pivot",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -3382,3 +3382,47 @@ FROM orders
 """
 
 QUERIES["rolling_spend"] = (q_rolling_spend, SQL_ROLLING_SPEND)
+
+
+_PIVOT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def q_events_pivot(sf_dir: str) -> Any:
+    """Crosstab: events per day, one wide column per event type.
+    Conditional counts are just per-batch partial sums with one column
+    per category (the category set is declared, so the pivot never
+    needs a global distinct pass) riding the adaptive merge."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.timestamp("us"))
+        df = pl.from_arrow(pa.table({"day": day, "et": t.column("event_type")}))
+        aggs = [
+            (pl.col("et") == et).sum().cast(pl.Int64).alias(f"n_{et}")
+            for et in _PIVOT_TYPES
+        ]
+        return df.group_by("day").agg(aggs).to_arrow()
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(
+        partials, ["day"], [f"n_{et}" for et in _PIVOT_TYPES]
+    )
+    return _apply(merged, lambda t: t)
+
+
+SQL_EVENTS_PIVOT = """
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["events_pivot"] = (q_events_pivot, SQL_EVENTS_PIVOT)
