@@ -223,6 +223,7 @@ def run_bench() -> dict:
         "order_lineitems",
         "rolling_spend",
         "events_pivot",
+        "global_quantiles",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -3426,3 +3426,34 @@ GROUP BY 1
 """
 
 QUERIES["events_pivot"] = (q_events_pivot, SQL_EVENTS_PIVOT)
+
+
+def q_global_quantiles(sf_dir: str) -> Any:
+    """Exact GLOBAL selection quantiles without a global sort: t-digest
+    band bracketing + one counting/band-collect pass, driver-side
+    selection from the tiny band, widen-and-retry if the sketch erred
+    (exactness never depends on sketch accuracy)."""
+    from patito_ray.stages.quantiles import global_quantiles
+
+    ds = _rp(sf_dir, "lineitem", ["l_extendedprice"])
+    return global_quantiles(
+        ds, "l_extendedprice", {"p25": 0.25, "p50": 0.50, "p99": 0.99, "p100": 1.0}
+    )
+
+
+SQL_GLOBAL_QUANTILES = """
+WITH ranked AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT CAST(MAX(cnt) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.25 * cnt) AS BIGINT)) THEN v END) AS p25,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.50 * cnt) AS BIGINT)) THEN v END) AS p50,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * cnt) AS BIGINT)) THEN v END) AS p99,
+       MAX(CASE WHEN rn = cnt THEN v END) AS p100
+FROM ranked
+"""
+
+QUERIES["global_quantiles"] = (q_global_quantiles, SQL_GLOBAL_QUANTILES)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -90,3 +91,136 @@ def grouped_quantiles(
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
     return parted.groupby("part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def global_quantiles(
+    ds: Any,
+    value: str,
+    qs: dict[str, float],
+    delta: int = 500,
+    band_limit: int = 50_000_000,
+) -> "pa.Table":
+    """EXACT global selection quantiles (element at 1-based rank
+    ``max(1, ceil(q*n))``) WITHOUT a global sort.
+
+    A constant-key :func:`grouped_quantiles` would funnel the whole
+    column into one partition; sorting 10^12 values for one number is
+    the classic anti-pattern. Instead:
+
+    1. one streaming pass builds a t-digest + the exact non-null count;
+    2. the digest brackets each target rank with a value band
+       [lo, hi]; one more streaming pass counts ``v < lo`` exactly and
+       collects ONLY the band's values (digest rank error ~1/delta, so
+       the band is a tiny slice of the column);
+    3. the true quantile is selected from the sorted band on the
+       driver: rank r sits at band[r - count_below - 1]. If the digest
+       error exceeded the margin (rank not inside the band), the margin
+       doubles and step 2 repeats — exactness never depends on sketch
+       accuracy, only the number of passes does.
+
+    Returns a one-row pa.Table: ``n`` plus one column per ``qs``.
+    ``band_limit`` caps how many band values may be pulled driver-side
+    per attempt (loud error instead of a silent OOM).
+    """
+    import pickle
+
+    import pyarrow.compute as pc
+
+    from patito_ray.state.sketches import TDigest
+
+    for name, q in qs.items():
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"quantile {name!r}={q} not in (0, 1]")
+
+    def digest_batch(t: pa.Table) -> pa.Table:
+        col = t.column(value)
+        arr = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        arr = arr[~np.isnan(arr)]
+        d = TDigest(delta)
+        d.add(arr)
+        return pa.table(
+            {
+                "blob": pa.array([pickle.dumps(d)], pa.large_binary()),
+                "n": pa.array([len(arr)], pa.int64()),
+            }
+        )
+
+    from patito_ray.stages.agg import collect_table
+
+    parts = collect_table(
+        ds.map_batches(digest_batch, batch_format="pyarrow", batch_size=None),
+        pa.schema([("blob", pa.large_binary()), ("n", pa.int64())]),
+    )
+    n = int(pc.sum(parts.column("n")).as_py() or 0)
+    out_cols: dict[str, Any] = {"n": pa.array([n], pa.int64())}
+    if n == 0:
+        for name in qs:
+            out_cols[name] = pa.array([None], pa.float64())
+        return pa.table(out_cols)
+    digest = pickle.loads(parts.column("blob")[0].as_py())
+    for blob in parts.column("blob").to_pylist()[1:]:
+        digest.merge(pickle.loads(blob))
+
+    margin = 4.0 / delta  # a few times the k1 tail error
+    targets = {name: max(1, int(np.ceil(q * n))) for name, q in qs.items()}
+    unresolved = dict(qs)
+    results: dict[str, float] = {}
+    while unresolved:
+        # t-digest end quantiles are CENTROID MEANS and can sit strictly
+        # inside the true min/max — once the margin crosses an end, the
+        # band edge must open to infinity or the retry loop could never
+        # cover rank 1 / rank n
+        bands = {
+            name: (
+                -np.inf if q - margin <= 0.0 else digest.quantile(q - margin),
+                np.inf if q + margin >= 1.0 else digest.quantile(q + margin),
+            )
+            for name, q in unresolved.items()
+        }
+
+        def band_pass(t: pa.Table, bands=bands) -> pa.Table:
+            col = t.column(value)
+            arr = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            arr = arr[~np.isnan(arr)]
+            cols: dict[str, Any] = {}
+            for name, (lo, hi) in bands.items():
+                cols[f"below_{name}"] = pa.array(
+                    [int((arr < lo).sum())], pa.int64()
+                )
+                band = arr[(arr >= lo) & (arr <= hi)]
+                cols[f"band_{name}"] = pa.array(
+                    [band], pa.large_list(pa.float64())
+                )
+            return pa.table(cols)
+
+        bp = collect_table(
+            ds.map_batches(band_pass, batch_format="pyarrow", batch_size=None),
+            pa.schema(
+                [(f"below_{m}", pa.int64()) for m in bands]
+                + [(f"band_{m}", pa.large_list(pa.float64())) for m in bands]
+            ),
+        )
+        still: dict[str, float] = {}
+        for name, q in unresolved.items():
+            below = int(pc.sum(bp.column(f"below_{name}")).as_py() or 0)
+            band = pc.list_flatten(bp.column(f"band_{name}")).to_numpy(
+                zero_copy_only=False
+            )
+            if len(band) > band_limit:
+                raise ValueError(
+                    f"global_quantiles band for {name!r} holds {len(band)} "
+                    f"values (> band_limit={band_limit}); raise delta or "
+                    "band_limit"
+                )
+            r = targets[name]
+            if below < r <= below + len(band):
+                band = np.sort(band)  # flatten output may be read-only
+                results[name] = float(band[r - below - 1])
+            else:
+                still[name] = q  # digest error exceeded margin: widen
+        unresolved = still
+        margin *= 2.0
+
+    for name in qs:
+        out_cols[name] = pa.array([results[name]], pa.float64())
+    return pa.table(out_cols)

@@ -226,3 +226,47 @@ def test_mode_per_group_matches_reference(ray_session, rows, n_blocks, force_dis
     assert set(gd) == set(ref)
     for k, v in ref.items():
         assert gd[k] == (v, counts[k][v]), (k, gd[k], v)
+
+
+def test_global_quantiles_exact_vs_reference(ray_session):
+    """Exact selection quantiles from the band algorithm — including
+    q at both extremes, where the digest's centroid means sit inside
+    the true min/max and the band must open to infinity."""
+    import ray.data as rd
+
+    from patito_ray.stages.quantiles import global_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(0, 2, size=30_000)
+    tab = pa.table({"v": pa.array(vals, pa.float64())})
+    qs = {"p001": 0.0001, "p50": 0.5, "p99": 0.99, "p100": 1.0}
+    got = global_quantiles(rd.from_arrow(tab).repartition(7), "v", qs, delta=100)
+    s = np.sort(vals)
+    row = got.to_pylist()[0]
+    assert row["n"] == len(vals)
+    for name, q in qs.items():
+        exp = s[max(1, math.ceil(q * len(vals))) - 1]
+        assert row[name] == exp, (name, row[name], exp)
+
+
+def test_global_quantiles_empty_and_nan(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.quantiles import global_quantiles
+
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    row = global_quantiles(rd.from_arrow(empty), "v", {"p50": 0.5}).to_pylist()[0]
+    assert row == {"n": 0, "p50": None}
+    nan_tab = pa.table({"v": pa.array([float("nan"), 2.0, 1.0], pa.float64())})
+    row = global_quantiles(rd.from_arrow(nan_tab), "v", {"p50": 0.5}).to_pylist()[0]
+    assert row == {"n": 2, "p50": 1.0}
+
+
+def test_global_quantiles_band_limit_raises(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.quantiles import global_quantiles
+
+    tab = pa.table({"v": pa.array(np.arange(1000, dtype=np.float64))})
+    with pytest.raises(ValueError, match="band_limit"):
+        global_quantiles(rd.from_arrow(tab), "v", {"p50": 0.5}, band_limit=1)
