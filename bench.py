@@ -224,6 +224,7 @@ def run_bench() -> dict:
         "rolling_spend",
         "events_pivot",
         "global_quantiles",
+        "recent_ship_revenue",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

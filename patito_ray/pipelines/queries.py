@@ -3457,3 +3457,61 @@ FROM ranked
 """
 
 QUERIES["global_quantiles"] = (q_global_quantiles, SQL_GLOBAL_QUANTILES)
+
+
+def q_recent_ship_revenue(sf_dir: str) -> Any:
+    """Prune-at-the-read demo: a parquet row-group FILTER pushdown
+    (l_shipdate >= 1997-01-01) plus column projection, so only the
+    matching row groups' three columns leave storage, then per-flag
+    partial sums. The oracle applies the same predicate in SQL."""
+    import datetime
+
+    from patito_ray.sources.readers import clean_read_parquet
+
+    cutoff = datetime.datetime(1997, 1, 1)
+    ds = clean_read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= cutoff),
+    )
+
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table(
+            {"l_returnflag": t.column("l_returnflag"),
+             "p": t.column("l_extendedprice")}
+        ))
+        return (
+            df.group_by("l_returnflag")
+            .agg([pl.len().cast(pl.Int64).alias("n_items"), pl.col("p").sum().alias("revenue")])
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, ["l_returnflag"], ["n_items", "revenue"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n_items": t.column("n_items"),
+                "revenue": _r(t.column("revenue"), 2),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_RECENT_SHIP_REVENUE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+QUERIES["recent_ship_revenue"] = (q_recent_ship_revenue, SQL_RECENT_SHIP_REVENUE)
