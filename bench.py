@@ -225,6 +225,7 @@ def run_bench() -> dict:
         "events_pivot",
         "global_quantiles",
         "recent_ship_revenue",
+        "corr_per_group",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

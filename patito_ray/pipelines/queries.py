@@ -3515,3 +3515,92 @@ GROUP BY l_returnflag
 """
 
 QUERIES["recent_ship_revenue"] = (q_recent_ship_revenue, SQL_RECENT_SHIP_REVENUE)
+
+
+def q_corr_per_group(sf_dir: str) -> Any:
+    """Per-group Pearson correlation of quantity vs price from exact
+    partial sums (n, Σx, Σy, Σxy, Σx², Σy² per group — one streaming
+    pass, adaptive merge). Both engines evaluate the SAME naive-formula
+    expression from those sums (the SQL recomputes the sums rather than
+    calling CORR, whose Welford accumulation orders fp differently);
+    quantity and cent-priced values sum exactly in doubles, so only the
+    final expression rounds — to 1e-6."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "k": t.column("l_returnflag"),
+                    "x": t.column("l_quantity"),
+                    "y": t.column("l_extendedprice"),
+                }
+            )
+        )
+        return (
+            df.group_by("k")
+            .agg(
+                [
+                    pl.len().cast(pl.Float64).alias("n"),
+                    pl.col("x").sum().alias("sx"),
+                    pl.col("y").sum().alias("sy"),
+                    (pl.col("x") * pl.col("y")).sum().alias("sxy"),
+                    (pl.col("x") * pl.col("x")).sum().alias("sxx"),
+                    (pl.col("y") * pl.col("y")).sum().alias("syy"),
+                ]
+            )
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(
+        partials, ["k"], ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("k"),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "corr_qty_price": _r(pa.array(corr, pa.float64()), 6),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_CORR_PER_GROUP = """
+WITH s AS (
+  SELECT l_returnflag AS k,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(l_quantity) AS sx,
+         SUM(l_extendedprice) AS sy,
+         SUM(l_quantity * l_extendedprice) AS sxy,
+         SUM(l_quantity * l_quantity) AS sxx,
+         SUM(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT k AS l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) /
+             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM s
+"""
+
+QUERIES["corr_per_group"] = (q_corr_per_group, SQL_CORR_PER_GROUP)
