@@ -300,6 +300,8 @@ def bm25_stats(ds: Any, terms: list[str], text_col: str = "text") -> tuple[int, 
     """ONE streaming pass: (docs with non-null text, total token count,
     df per query term). The corpus-level scalars ride a sentinel term
     row through the same partial-sum merge as the dfs."""
+    if _BM25_STATS_SENTINEL in terms:
+        raise ValueError("the BM25 stats sentinel is reserved and cannot be a query term")
     term_arr = pa.array(sorted(set(terms)), pa.string())
     m = len(term_arr)
 
