@@ -226,6 +226,7 @@ def run_bench() -> dict:
         "global_quantiles",
         "recent_ship_revenue",
         "corr_per_group",
+        "image_near_dups",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -1175,7 +1175,39 @@ def simhash_near_dups(
 ) -> Any:
     """SimHash near-duplicate pairs -> Dataset[a, b, hamming] (pairs
     whose 64-bit SimHash fingerprints differ in <= ``max_hamming``
-    bits).
+    bits). One simhash pass pins the 16 B/doc (id, fp) projection, then
+    the shared :func:`fingerprint_near_dups` spine does the rest.
+    """
+    fps = ds.map_batches(
+        lambda t: simhash_batch(t, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    return fingerprint_near_dups(
+        fps,
+        id_col,
+        "simhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
+        max_collision_keys=max_collision_keys,
+        num_partitions=num_partitions,
+    )
+
+
+def fingerprint_near_dups(
+    fps: Any,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    max_collision_keys: int = 10_000_000,
+    num_partitions: int | None = None,
+) -> Any:
+    """Near-dup pairs -> Dataset[a, b, hamming] over ANY 64-bit
+    fingerprint column (SimHash text prints, perceptual image hashes,
+    ...): pairs differing in <= ``max_hamming`` bits.
 
     Banding gives GUARANTEED recall by pigeonhole: splitting 64 bits
     into ``bands`` equal slices, two fingerprints within hamming
@@ -1185,21 +1217,14 @@ def simhash_near_dups(
     Candidate discovery and pair formation reuse the LSH spine
     (bucketed blob exchange + partition-level pair emission); the exact
     hamming verify runs vectorized over ``pair_payload_join`` of the
-    fingerprints (8 B payloads — the texts never move).
+    fingerprints (8 B payloads — the source payloads never move).
     """
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
-
-    # ONE simhash pass; the pinned (id, fp) projection is 16 B/doc and
-    # feeds both the banding and the verify side
-    fps = ds.map_batches(
-        lambda t: simhash_batch(t, id_col, text_col),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()
+    fps = fps.materialize()
 
     def keyed_rows(t: pa.Table) -> pa.Table:
-        fp = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        fp = t.column(fp_col).to_numpy(zero_copy_only=False).view(np.uint64)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         n = len(ids)
         keys = np.empty(bands * n, dtype=np.uint64)
@@ -1219,7 +1244,7 @@ def simhash_near_dups(
     rows = fps.map_batches(keyed_rows, batch_format="pyarrow", batch_size=None).materialize()
     hits, n_keys = _colliding_subset(rows, max_collision_keys)
     pairs = _bucket_pairs(hits, id_col, max_bucket, n_keys_hint=n_keys)
-    joined = pair_payload_join(fps, pairs, id_col, "simhash", num_partitions)
+    joined = pair_payload_join(fps, pairs, id_col, fp_col, num_partitions)
 
     _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 

@@ -273,3 +273,84 @@ def synth_media_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     return batch.append_column(
         "image", pa.array(images, type=pa.binary())
     ).append_column("audio", pa.array(audios, type=pa.binary()))
+
+
+class ImagePHash:
+    """binary image -> 64-bit perceptual aHash (int64 column ``phash``).
+
+    Real decode path only (PNG/BMP via the pure-stdlib codecs): decode,
+    grayscale, bilinear-resize to 8x8, threshold each cell at the image
+    mean, pack the 64 bits. Near-identical images (re-encodes, small
+    brightness shifts, single-pixel edits) land within a few bits;
+    unrelated images differ in ~32. Null payloads yield null hashes.
+    Actor-pool stage: codec functions bind once per actor; decoding is
+    inherently per-payload (each PNG is one compressed stream), so the
+    loop is the stage's documented unit of work — size batches by
+    payload bytes like the other media stages (MEDIA_BATCH_SIZE).
+    """
+
+    def __init__(self, image_col: str = "image") -> None:
+        self.image_col = image_col
+        from patito_ray.functions import codecs
+
+        self._decode = codecs.decode_image
+        self._to_gray = codecs.to_gray
+        self._resize = codecs.resize_bilinear
+        self._weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch.column(self.image_col)
+        hashes: list[int | None] = []
+        for b in payload.to_pylist():
+            if b is None:
+                hashes.append(None)
+                continue
+            g = self._resize(self._to_gray(self._decode(b)), 8, 8).ravel()
+            bits = (g > g.mean()).astype(np.uint64)
+            hashes.append(int((bits * self._weights).sum().view(np.int64)))
+        return batch.append_column("phash", pa.array(hashes, type=pa.int64()))
+
+
+def image_near_dups(
+    ds: Any,
+    id_col: str = "doc_id",
+    image_col: str = "image",
+    max_hamming: int = 3,
+    bands: int = 4,
+    concurrency: int = 4,
+    num_partitions: int | None = None,
+) -> Any:
+    """Perceptual near-duplicate image pairs -> Dataset[a, b, hamming].
+
+    One actor-pool aHash pass over the binary column (only the 16 B
+    (id, phash) projection survives it — image bytes never ride any
+    exchange), then the shared banded-fingerprint spine
+    (:func:`patito_ray.functions.dedup.fingerprint_near_dups`) with its
+    pigeonhole recall guarantee at hamming <= bands - 1.
+    """
+    from patito_ray.functions.dedup import fingerprint_near_dups
+
+    hashes = ds.map_batches(
+        ImagePHash(image_col=image_col),
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kv = pa.table({id_col: t.column(id_col), "phash": t.column("phash")})
+        if kv.column("phash").null_count:
+            kv = kv.filter(pc.is_valid(kv.column("phash")))
+        return kv
+
+    fps = hashes.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+    return fingerprint_near_dups(
+        fps,
+        id_col,
+        "phash",
+        max_hamming=max_hamming,
+        bands=bands,
+        num_partitions=num_partitions,
+    )

@@ -3604,3 +3604,20 @@ FROM s
 """
 
 QUERIES["corr_per_group"] = (q_corr_per_group, SQL_CORR_PER_GROUP)
+
+
+def q_image_near_dups(sf_dir: str) -> Any:
+    """Perceptual image near-dup pairs over REAL codecs end-to-end:
+    deterministic PNGs are encoded per doc id (synth_media_batch), an
+    actor pool decodes + aHashes them (pure-stdlib PNG path), and the
+    shared banded-fingerprint spine emits hamming<=3 pairs — the
+    gradient corpus's phase collisions (i*37 mod 97) make the pair set
+    deterministic. Rows-only: SQL cannot decode PNGs."""
+    from patito_ray.functions.multimodal import image_near_dups, synth_media_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow", batch_size=256)
+    return image_near_dups(media, max_hamming=3, concurrency=2)
+
+
+QUERIES["image_near_dups"] = (q_image_near_dups, None)

@@ -1625,3 +1625,70 @@ def test_corpus_diff_statuses_and_guards(ray_session):
     ).take_all()
     st = {r["doc_id"]: r["status"] for r in only_old}
     assert st == {1: "removed", 2: "removed", 3: "removed", 4: "removed", 9: "added"}
+
+
+def test_image_near_dups_planted_pairs(ray_session):
+    """Real PNG path: 40 distinct noise images + a near-identical copy
+    of every 4th (one brightened pixel). All planted (orig, copy) pairs
+    must be found within hamming<=3; no pair of distinct noise bases
+    may appear."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from patito_ray.functions import codecs as cx
+    from patito_ray.functions.multimodal import image_near_dups
+
+    rng = np.random.default_rng(9)
+    ids, payloads = [], []
+    planted = set()
+    next_id = 0
+    for base in range(40):
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        orig_id = next_id
+        ids.append(orig_id)
+        payloads.append(cx.encode_png(img))
+        next_id += 1
+        if base % 4 == 0:
+            near = img.copy()
+            near[3, 3, 0] = min(255, int(near[3, 3, 0]) + 12)
+            ids.append(next_id)
+            payloads.append(cx.encode_png(near))
+            planted.add((orig_id, next_id))
+            next_id += 1
+    tab = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "image": pa.array(payloads, pa.binary())}
+    )
+    out = image_near_dups(
+        rd.from_arrow(tab).repartition(3), max_hamming=3, concurrency=2
+    )
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    pairs = set()
+    for t in tabs:
+        for r in t.to_pylist():
+            pairs.add((min(r["a"], r["b"]), max(r["a"], r["b"])))
+    assert planted <= pairs, planted - pairs
+    # random 16x16 noise bases differ in ~32 bits; none may collide
+    extras = pairs - planted
+    assert not extras, extras
+
+
+def test_image_phash_null_payload(ray_session):
+    import pyarrow as pa
+
+    from patito_ray.functions.multimodal import ImagePHash
+    from patito_ray.functions import codecs as cx
+    import numpy as np
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:4] = 255
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "image": pa.array([cx.encode_png(img), None], pa.binary()),
+        }
+    )
+    out = ImagePHash()(tab)
+    vals = out.column("phash").to_pylist()
+    assert vals[1] is None and vals[0] is not None
