@@ -227,6 +227,7 @@ def run_bench() -> dict:
         "recent_ship_revenue",
         "corr_per_group",
         "image_near_dups",
+        "audio_near_dups",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -354,3 +354,79 @@ def image_near_dups(
         bands=bands,
         num_partitions=num_partitions,
     )
+
+
+class AudioFingerprint:
+    """binary WAV -> 64-bit energy fingerprint (int64 column ``afp``).
+
+    Real decode path (PCM WAV via the stdlib codec): split the clip
+    into 64 equal windows, take each window's RMS energy, threshold at
+    the clip's median energy, pack the 64 bits. Amplitude scaling and
+    small edits preserve the relative energy profile, so near-identical
+    clips land within a few bits. Null payloads yield null prints.
+    """
+
+    def __init__(self, audio_col: str = "audio") -> None:
+        self.audio_col = audio_col
+        from patito_ray.functions import codecs
+
+        self._decode = codecs.decode_wav
+        self._weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch.column(self.audio_col)
+        prints: list[int | None] = []
+        for b in payload.to_pylist():
+            if b is None:
+                prints.append(None)
+                continue
+            samples, _rate = self._decode(b)
+            x = samples.astype(np.float64)
+            n = len(x) - (len(x) % 64)
+            if n == 0:
+                prints.append(0)
+                continue
+            rms = np.sqrt((x[:n].reshape(64, -1) ** 2).mean(axis=1))
+            bits = (rms > np.median(rms)).astype(np.uint64)
+            prints.append(int((bits * self._weights).sum().view(np.int64)))
+        return batch.append_column("afp", pa.array(prints, type=pa.int64()))
+
+
+def audio_near_dups(
+    ds: Any,
+    id_col: str = "doc_id",
+    audio_col: str = "audio",
+    max_hamming: int = 3,
+    bands: int = 4,
+    concurrency: int = 4,
+    num_partitions: int | None = None,
+) -> Any:
+    """Near-duplicate audio pairs -> Dataset[a, b, hamming]: actor-pool
+    energy fingerprints (16 B (id, afp) projection — audio bytes never
+    ride an exchange), then the shared banded-fingerprint spine."""
+    from patito_ray.functions.dedup import fingerprint_near_dups
+
+    prints = ds.map_batches(
+        AudioFingerprint(audio_col=audio_col),
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kv = pa.table({id_col: t.column(id_col), "afp": t.column("afp")})
+        if kv.column("afp").null_count:
+            kv = kv.filter(pc.is_valid(kv.column("afp")))
+        return kv
+
+    fps = prints.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+    return fingerprint_near_dups(
+        fps,
+        id_col,
+        "afp",
+        max_hamming=max_hamming,
+        bands=bands,
+        num_partitions=num_partitions,
+    )

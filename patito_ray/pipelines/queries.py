@@ -3621,3 +3621,18 @@ def q_image_near_dups(sf_dir: str) -> Any:
 
 
 QUERIES["image_near_dups"] = (q_image_near_dups, None)
+
+
+def q_audio_near_dups(sf_dir: str) -> Any:
+    """Audio near-dup pairs over the real WAV path: synth PCM clips per
+    doc id, actor-pool energy fingerprints, shared banded spine. The
+    synth corpus reuses frequencies mod 40, so same-frequency clips
+    pair deterministically. Rows-only: SQL cannot decode WAV."""
+    from patito_ray.functions.multimodal import audio_near_dups, synth_media_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    media = ds.map_batches(synth_media_batch, batch_format="pyarrow", batch_size=256)
+    return audio_near_dups(media, max_hamming=3, concurrency=2)
+
+
+QUERIES["audio_near_dups"] = (q_audio_near_dups, None)

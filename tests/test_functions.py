@@ -1692,3 +1692,43 @@ def test_image_phash_null_payload(ray_session):
     out = ImagePHash()(tab)
     vals = out.column("phash").to_pylist()
     assert vals[1] is None and vals[0] is not None
+
+
+def test_audio_near_dups_planted_pairs(ray_session):
+    """Planted near-identical clips (amplitude-scaled copies) must be
+    found; distinct random-noise clips must not pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from patito_ray.functions import codecs as cx
+    from patito_ray.functions.multimodal import audio_near_dups
+
+    rng = np.random.default_rng(13)
+    ids, payloads = [], []
+    planted = set()
+    next_id = 0
+    for base in range(30):
+        clip = (rng.normal(0, 4000, size=1024)).astype(np.int16)
+        ids.append(next_id)
+        payloads.append(cx.encode_wav(clip, 8000))
+        orig = next_id
+        next_id += 1
+        if base % 3 == 0:
+            scaled = (clip.astype(np.float64) * 0.7).astype(np.int16)
+            ids.append(next_id)
+            payloads.append(cx.encode_wav(scaled, 8000))
+            planted.add((orig, next_id))
+            next_id += 1
+    tab = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "audio": pa.array(payloads, pa.binary())}
+    )
+    out = audio_near_dups(rd.from_arrow(tab).repartition(3), max_hamming=3, concurrency=2)
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    pairs = set()
+    for t in tabs:
+        for r in t.to_pylist():
+            pairs.add((min(r["a"], r["b"]), max(r["a"], r["b"])))
+    assert planted <= pairs, planted - pairs
+    assert not (pairs - planted), pairs - planted
