@@ -228,6 +228,7 @@ def run_bench() -> dict:
         "corr_per_group",
         "image_near_dups",
         "audio_near_dups",
+        "fuzzy_link",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

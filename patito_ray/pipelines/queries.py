@@ -3636,3 +3636,63 @@ def q_audio_near_dups(sf_dir: str) -> Any:
 
 
 QUERIES["audio_near_dups"] = (q_audio_near_dups, None)
+
+
+def q_fuzzy_link(sf_dir: str) -> pa.Table:
+    """Cross-corpus fuzzy linkage: documents split by doc_id parity
+    into two "corpora", linked by exact word-3-gram Jaccard >= 0.8 via
+    the MinHash-LSH spine (same-side candidates dropped before the
+    payload exchange). bands=32/r=4 recall > 1-1e-12 at j>=0.8, so the
+    result equals the oracle's exhaustive cross scan."""
+    def side(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids & 1) == parity))
+
+        return fn
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    even = ds.map_batches(side(0), batch_format="pyarrow", batch_size=None)
+    odd = ds.map_batches(side(1), batch_format="pyarrow", batch_size=None)
+    linked = f_dedup.fuzzy_link(even, odd, threshold=0.8)
+    return _lazy_norm(
+        linked,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
+        round_col="jaccard",
+    )
+
+
+SQL_FUZZY_LINK = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i, len(ts) AS n
+  FROM tok
+),
+g3 AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram,
+         i, n
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+long_grams AS (
+  SELECT doc_id, list(DISTINCT gram) AS gs FROM g3 WHERE i + 2 <= n GROUP BY doc_id
+),
+grams AS (
+  SELECT t.doc_id,
+         COALESCE(lg.gs,
+                  CASE WHEN len(t.ts) >= 1 THEN [array_to_string(t.ts, ' ')]
+                       ELSE [] END) AS gs
+  FROM tok t LEFT JOIN long_grams lg ON t.doc_id = lg.doc_id
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs)) AS ni,
+         len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS nu
+  FROM grams x JOIN grams y ON x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+)
+SELECT a, b, ROUND(CAST(ni AS DOUBLE) / nu, 4) AS jaccard
+FROM cand WHERE nu > 0 AND CAST(ni AS DOUBLE) / nu >= 0.8
+"""
+
+QUERIES["fuzzy_link"] = (q_fuzzy_link, SQL_FUZZY_LINK)

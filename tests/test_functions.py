@@ -1732,3 +1732,50 @@ def test_audio_near_dups_planted_pairs(ray_session):
             pairs.add((min(r["a"], r["b"]), max(r["a"], r["b"])))
     assert planted <= pairs, planted - pairs
     assert not (pairs - planted), pairs - planted
+
+
+def test_fuzzy_link_cross_corpus(ray_session):
+    """fuzzy_link: overlapping ids across corpora, cross-side pairs
+    only, side-A id always in column a."""
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # corpus A: ids 0..3; corpus B reuses ids 0..3 (overlap is the point)
+    a_tab = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [base, "alpha beta gamma delta epsilon zeta", base + " extra", "unrelated words entirely different content here"],
+        }
+    )
+    b_tab = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": ["completely different b zero text tokens", base, "alpha beta gamma delta epsilon zeta", "nothing shared with anyone at all truly"],
+        }
+    )
+    out = f_dedup.fuzzy_link(
+        rd.from_arrow(a_tab), rd.from_arrow(b_tab), threshold=0.8, bands=32
+    ).take_all()
+    got = {(r["a"], r["b"]) for r in out}
+    # A0 == B1 exactly; A1 == B2 exactly; A2 is a near-dup of B1 (subset grams)
+    assert (0, 1) in got
+    assert (1, 2) in got
+    for r in out:
+        assert 0.0 <= r["jaccard"] <= 1.0
+    # same-side exact dup (none planted) and identity pairs must not leak:
+    # every returned pair is (side-A id, side-B id) by construction — check
+    # the exact-dup pairs carry jaccard 1.0
+    jmap = {(r["a"], r["b"]): r["jaccard"] for r in out}
+    assert jmap[(0, 1)] == 1.0
+    assert jmap[(1, 2)] == 1.0
+
+
+def test_fuzzy_link_id_range_guard(ray_session):
+    import ray.data as rd
+
+    bad = pa.table(
+        {"doc_id": pa.array([-1], type=pa.int64()), "text": ["x y z w"]}
+    )
+    ok = pa.table({"doc_id": pa.array([0], type=pa.int64()), "text": ["x y z w"]})
+    with pytest.raises(Exception, match="2\\*\\*62|fuzzy_link"):
+        f_dedup.fuzzy_link(rd.from_arrow(bad), rd.from_arrow(ok)).take_all()
