@@ -3696,3 +3696,56 @@ FROM cand WHERE nu > 0 AND CAST(ni AS DOUBLE) / nu >= 0.8
 """
 
 QUERIES["fuzzy_link"] = (q_fuzzy_link, SQL_FUZZY_LINK)
+
+
+def q_rollup_revenue(sf_dir: str) -> Any:
+    """ROLLUP (o_orderpriority, order year) over orders in ONE pass:
+    every batch emits partials for all three grouping levels (priority+
+    year, priority, grand total) with nulled rolled-up keys and a
+    GROUPING()-style bitmask; only the narrow partials ride the merge
+    (stages.agg.grouping_sets_sums)."""
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "price": t.column("o_totalprice"),
+            }
+        )
+
+    from patito_ray.stages.agg import grouping_sets_sums
+
+    merged = grouping_sets_sums(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        keys=["o_orderpriority", "o_year"],
+        sums=["price"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_year": t.column("o_year"),
+                "grouping_id": t.column("grouping_id"),
+                "sum_price": _r(pc.cast(t.column("price"), pa.float64()), 2),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(2 * GROUPING(o_orderpriority) + GROUPING(year(o_orderdate)) AS BIGINT)
+         AS grouping_id,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, year(o_orderdate))
+"""
+
+QUERIES["rollup_revenue"] = (q_rollup_revenue, SQL_ROLLUP_REVENUE)

@@ -200,3 +200,100 @@ def mode_per_group(
         return t.rename_columns(names)
 
     return top.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def grouping_sets_sums(
+    ds: Any,
+    keys: list[str],
+    sums: list[str],
+    sets: list[tuple[int, ...]] | None = None,
+    count_col: str = "n",
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> pa.Table | Any:
+    """Multi-level GROUP BY (GROUPING SETS / ROLLUP / CUBE) in ONE
+    input pass.
+
+    ``sets`` lists the grouping sets as tuples of indices into ``keys``
+    (default: ROLLUP prefixes ``(0..n-1), (0..n-2), ..., ()``). Each
+    batch emits its partial sums + row count once per set, with
+    rolled-up key columns nulled and a ``grouping_id`` bitmask column
+    (bit i set when ``keys[i]`` is rolled up; bit 0 = LAST key, SQL
+    ``GROUPING(k1, ..., kn)`` order). The partials — O(#groups x
+    #sets x #blocks) narrow rows, independent of input size — then ride
+    :func:`merge_partial_sums`' adaptive driver/distributed merge on
+    ``keys + [grouping_id]``.
+
+    Because a NULL key marks a rolled-up level, the input key columns
+    must be null-free (checked per batch; SQL ROLLUP has the same
+    ambiguity, which GROUPING() exists to resolve — callers with
+    nullable keys should fill or encode nulls first). Internally the
+    rolled-up slots carry a type-appropriate SENTINEL (not null) through
+    the merge — Ray's sort-based groupby cannot order null keys — which
+    is unambiguous because ``grouping_id`` is part of the merge key;
+    nulls are restored after the merge.
+
+    Returns a ``pa.Table`` (driver merge) or a Ray Dataset (distributed
+    merge) — same dual contract as :func:`merge_partial_sums`.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+
+    n_keys = len(keys)
+    if sets is None:
+        sets = [tuple(range(n_keys - lvl)) for lvl in range(n_keys + 1)]
+    set_masks = [
+        sum(1 << (n_keys - 1 - i) for i in range(n_keys) if i not in s)
+        for s in sets
+    ]
+
+    def batch_partials(t: pa.Table) -> pa.Table:
+        for k in keys:
+            if t.column(k).null_count:
+                raise ValueError(
+                    f"grouping_sets_sums: key column {k!r} contains nulls; "
+                    "null marks a rolled-up level — fill or encode nulls first"
+                )
+        df = pl.from_arrow(t.select(keys + sums))
+        outs = []
+        for s, mask in zip(sets, set_masks):
+            gk = [keys[i] for i in s]
+            aggs = [pl.col(c).sum().alias(c) for c in sums] + [
+                pl.len().cast(pl.Int64).alias(count_col)
+            ]
+            part = df.group_by(gk).agg(aggs) if gk else df.select(aggs)
+            part = part.with_columns(
+                [
+                    pl.lit("").alias(keys[i])
+                    if df.schema[keys[i]] == pl.Utf8
+                    else pl.lit(0).cast(df.schema[keys[i]]).alias(keys[i])
+                    for i in range(n_keys)
+                    if i not in s
+                ]
+                + [pl.lit(mask, dtype=pl.Int64).alias("grouping_id")]
+            ).select(keys + ["grouping_id"] + sums + [count_col])
+            outs.append(part)
+        return pl.concat(outs).to_arrow()
+
+    partials = ds.map_batches(
+        batch_partials, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_sums(
+        partials, keys + ["grouping_id"], sums + [count_col], limit_bytes
+    )
+
+    def restore_nulls(t: pa.Table) -> pa.Table:
+        gid = t.column("grouping_id")
+        for i, k in enumerate(keys):
+            bit = 1 << (n_keys - 1 - i)
+            rolled = pc.not_equal(
+                pc.bit_wise_and(gid, pa.scalar(bit, type=pa.int64())), 0
+            )
+            col = pc.if_else(
+                rolled, pa.scalar(None, type=t.schema.field(k).type), t.column(k)
+            )
+            t = t.set_column(t.schema.get_field_index(k), k, col)
+        return t
+
+    if isinstance(merged, pa.Table):
+        return restore_nulls(merged)
+    return merged.map_batches(restore_nulls, batch_format="pyarrow", batch_size=None)

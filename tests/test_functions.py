@@ -1779,3 +1779,64 @@ def test_fuzzy_link_id_range_guard(ray_session):
     ok = pa.table({"doc_id": pa.array([0], type=pa.int64()), "text": ["x y z w"]})
     with pytest.raises(Exception, match="2\\*\\*62|fuzzy_link"):
         f_dedup.fuzzy_link(rd.from_arrow(bad), rd.from_arrow(ok)).take_all()
+
+
+def test_grouping_sets_sums_rollup(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from patito_ray.stages.agg import grouping_sets_sums
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    t = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 5, n).astype("int64")),
+            "b": pa.array([f"g{i}" for i in rng.integers(0, 3, n)]),
+            "v": pa.array(rng.integers(0, 100, n).astype("float64")),
+        }
+    )
+    # local reference: full ROLLUP computed by polars on the driver
+    import polars as pl
+
+    df = pl.from_arrow(t)
+    levels = []
+    for gk, mask in ((["a", "b"], 0), (["a"], 1), ([], 3)):
+        part = (
+            df.group_by(gk).agg(pl.col("v").sum(), pl.len().alias("n"))
+            if gk
+            else df.select(pl.col("v").sum(), pl.len().alias("n"))
+        )
+        for r in part.to_dicts():
+            levels.append(
+                (r.get("a"), r.get("b"), mask, r["v"], r["n"])
+            )
+    want = sorted(levels, key=lambda x: (str(x[0]), str(x[1]), x[2]))
+
+    for limit in (2**28, 0):  # driver merge and forced-distributed merge
+        out = grouping_sets_sums(
+            rd.from_arrow(t).repartition(7), ["a", "b"], ["v"], limit_bytes=limit
+        )
+        rows = (
+            out.to_pylist() if isinstance(out, pa.Table) else out.take_all()
+        )
+        got = sorted(
+            ((r["a"], r["b"], r["grouping_id"], r["v"], r["n"]) for r in rows),
+            key=lambda x: (str(x[0]), str(x[1]), x[2]),
+        )
+        assert got == want
+
+    # custom grouping sets: only (a,) and (b,)
+    out = grouping_sets_sums(
+        rd.from_arrow(t).repartition(3), ["a", "b"], ["v"], sets=[(0,), (1,)]
+    )
+    rows = out.to_pylist() if isinstance(out, pa.Table) else out.take_all()
+    ids = {r["grouping_id"] for r in rows}
+    assert ids == {1, 2}
+
+    # null keys are rejected loudly
+    bad = pa.table({"a": pa.array([1, None], type=pa.int64()), "v": [1.0, 2.0]})
+    with pytest.raises(Exception, match="contains nulls"):
+        grouping_sets_sums(rd.from_arrow(bad), ["a"], ["v"]) if isinstance(
+            grouping_sets_sums(rd.from_arrow(bad), ["a"], ["v"]), pa.Table
+        ) else None
