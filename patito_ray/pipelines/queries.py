@@ -3749,3 +3749,125 @@ GROUP BY ROLLUP(o_orderpriority, year(o_orderdate))
 """
 
 QUERIES["rollup_revenue"] = (q_rollup_revenue, SQL_ROLLUP_REVENUE)
+
+
+def q_cube_revenue(sf_dir: str) -> Any:
+    """CUBE (all four grouping sets of priority x year) in the same ONE
+    input pass as rollup_revenue — grouping_sets_sums with explicit
+    sets; only the narrow per-level partials ride the merge."""
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "price": t.column("o_totalprice"),
+            }
+        )
+
+    from patito_ray.stages.agg import grouping_sets_sums
+
+    merged = grouping_sets_sums(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        keys=["o_orderpriority", "o_year"],
+        sums=["price"],
+        sets=[(0, 1), (0,), (1,), ()],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "o_year": t.column("o_year"),
+                "grouping_id": t.column("grouping_id"),
+                "sum_price": _r(pc.cast(t.column("price"), pa.float64()), 2),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_CUBE_REVENUE = """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(2 * GROUPING(o_orderpriority) + GROUPING(year(o_orderdate)) AS BIGINT)
+         AS grouping_id,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE(o_orderpriority, year(o_orderdate))
+"""
+
+QUERIES["cube_revenue"] = (q_cube_revenue, SQL_CUBE_REVENUE)
+
+
+def q_string_agg_names(sf_dir: str) -> Any:
+    """Per-nation ordered name concatenation — the collect-list
+    holistic aggregate: one hash exchange of narrow (key, value) pairs,
+    one vectorized sort+join per partition
+    (stages.agg.string_agg_per_group)."""
+    from patito_ray.stages.agg import string_agg_per_group
+
+    ds = _rp(sf_dir, "customer", ["c_nationkey", "c_name"])
+    return string_agg_per_group(ds, "c_nationkey", "c_name", sep=",")
+
+
+SQL_STRING_AGG_NAMES = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS agg,
+       COUNT(*) AS n
+FROM customer
+GROUP BY c_nationkey
+"""
+
+QUERIES["string_agg_names"] = (q_string_agg_names, SQL_STRING_AGG_NAMES)
+
+
+def q_skew_join_events(sf_dir: str) -> Any:
+    """Skewed fact->dimension join with hot-key salting: a constructed
+    70%-hot key (the crawl's mega-domain) would send 70% of the fact
+    rows to ONE partition under a plain hash exchange; skew_join detects
+    the hot key from pruned per-batch counts, salts its fact rows over
+    8 partitions and replicates the matching dim rows — same exact inner
+    join, no straggler."""
+    import numpy as np
+
+    from patito_ray.stages.join import skew_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        k = np.where(eid % 10 < 7, 0, uid % 25).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "k": pa.array(k, type=pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    fact = ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    nat = _rp(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = skew_join(fact, nat, on="k", right_on="n_nationkey", hot_count=1000)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "k", "n_name", "value"])
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_SKEW_JOIN_EVENTS = """
+WITH fact AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 < 7 THEN 0 ELSE user_id % 25 END AS k,
+         value
+  FROM events)
+SELECT f.event_id, f.k, n.n_name, f.value
+FROM fact f JOIN nation n ON f.k = n.n_nationkey
+"""
+
+QUERIES["skew_join_events"] = (q_skew_join_events, SQL_SKEW_JOIN_EVENTS)

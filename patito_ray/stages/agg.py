@@ -297,3 +297,57 @@ def grouping_sets_sums(
     if isinstance(merged, pa.Table):
         return restore_nulls(merged)
     return merged.map_batches(restore_nulls, batch_format="pyarrow", batch_size=None)
+
+
+def string_agg_per_group(
+    ds: Any,
+    by: str,
+    value: str,
+    sep: str = ",",
+    num_partitions: int | None = None,
+) -> Any:
+    """Per-group ordered string concatenation (SQL
+    ``string_agg(value, sep ORDER BY value)`` / polars
+    ``sort().str.join``) — the collect-list family's holistic
+    aggregate, so one key exchange is the minimum data movement.
+
+    Narrow ``(by, value)`` pairs hash-partition on the GROUP key (all
+    of a group's values co-locate, so each partition finishes its
+    groups exactly); each partition runs one vectorized polars
+    sort-and-join. Output: ``by``, ``agg`` (the joined string), ``n``
+    (value count). Null values are ignored (SQL aggregate semantics);
+    values are sorted ascending with binary (codepoint) order — the
+    same default collation DuckDB applies.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        t = pa.table({by: t.column(by), value: t.column(value)})
+        if t.column(value).null_count:
+            t = t.filter(pc.is_valid(t.column(value)))
+        part = hash_partition_ids(
+            t.column(by), num_partitions, f"string_agg key column {by!r}"
+        )
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def per_partition(group_table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group_table.drop_columns(["part"]))
+        return (
+            df.group_by(by)
+            .agg(
+                pl.col(value).sort().str.join(sep).alias("agg"),
+                pl.len().cast(pl.Int64).alias("n"),
+            )
+            .to_arrow()
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby("part").map_groups(per_partition, batch_format="pyarrow")

@@ -118,6 +118,34 @@ def _partition_key_class(typ: pa.DataType) -> str:
     )
 
 
+def partition_key_hashes(col: Any, key_class: str) -> Any:
+    """uint64 partition hashes for a join/group key column — the one
+    shared kernel behind copartition_apply and skew_join, so equal
+    values always land in the same partition family. ``key_class`` is
+    :func:`_partition_key_class` of the column type."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if key_class == "int":
+        if pa.types.is_temporal(col.type):
+            # date32/time32/date64/timestamp/duration: Arrow cannot
+            # cast date32->int64 directly; view the physical storage
+            # (same byte width, validity preserved) then widen
+            storage = pa.int32() if col.type.bit_width == 32 else pa.int64()
+            col = col.view(storage)
+        keys = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        h = keys.astype(np.int64).view(np.uint64)
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    else:
+        from patito_ray.state.sketches import hash64
+
+        # canonical bytes: string/large_string/binary sides of the
+        # same value must land in the same partition
+        h = hash64(pc.cast(col, pa.large_binary()))
+    return h
+
+
 def copartition_apply(
     left: Any,
     right: Any,
@@ -171,24 +199,7 @@ def copartition_apply(
     P = num_partitions
 
     def _part_of(col: Any, key_class: str) -> pa.Array:
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if key_class == "int":
-            if pa.types.is_temporal(col.type):
-                # date32/time32/date64/timestamp/duration: Arrow cannot
-                # cast date32->int64 directly; view the physical storage
-                # (same byte width, validity preserved) then widen
-                storage = pa.int32() if col.type.bit_width == 32 else pa.int64()
-                col = col.view(storage)
-            keys = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
-            h = keys.astype(np.int64).view(np.uint64)
-            h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
-        else:
-            from patito_ray.state.sketches import hash64
-
-            # canonical bytes: string/large_string/binary sides of the
-            # same value must land in the same partition
-            h = hash64(pc.cast(col, pa.large_binary()))
+        h = partition_key_hashes(col, key_class)
         return pa.array((h % np.uint64(P)).view(np.int64), type=pa.int64())
 
     def _tag(side: int, key_col: str, names: list[str], key_class: str):
@@ -373,3 +384,182 @@ def anti_join(ds: Any, keys: Any, on: str, key_column: str | None = None) -> Any
         return batch.filter(pc.fill_null(keep, True))
 
     return ds.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def detect_hot_keys(
+    ds: Any,
+    on: str,
+    hot_count: int,
+    batch_floor_fraction: float = 1e-3,
+) -> pa.Array:
+    """Find join keys whose total occurrence count is ~``hot_count`` or
+    more, without ever exchanging one row per key: each batch emits
+    counts ONLY for keys above ``max(2, batch_rows *
+    batch_floor_fraction)`` in that batch (a heavy-hitters prune — the
+    partials stay tiny even over a near-unique key), then the adaptive
+    partial-sum merge. A key below the floor in some batches loses
+    those batches' counts, so detection is a lower bound — fine,
+    because callers (:func:`skew_join`) use the hot set for ROUTING
+    only: a missed hot key degrades balance, never correctness.
+    """
+    import numpy as np
+
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        kv = pa.table({on: t.column(on)}).filter(pc.is_valid(t.column(on)))
+        counts = (
+            pl.from_arrow(kv)
+            .group_by(on)
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        floor = max(2, int(np.ceil(t.num_rows * batch_floor_fraction)))
+        return counts.filter(pl.col("c") >= floor).to_arrow()
+
+    partials = ds.map_batches(batch_counts, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, [on], ["c"])
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged.filter(lambda r: r["c"] >= hot_count),
+            empty_schema=pa.schema([(on, ds.schema().types[ds.schema().names.index(on)]), ("c", pa.int64())]),
+        )
+    hot = merged.filter(pc.greater_equal(merged.column("c"), hot_count))
+    return hot.column(on).combine_chunks()
+
+
+def skew_join(
+    fact: Any,
+    dim: Any,
+    on: str,
+    right_on: str,
+    hot_keys: pa.Array | list | None = None,
+    hot_count: int | None = None,
+    salt: int = 8,
+    num_partitions: int | None = None,
+) -> Any:
+    """Inner join of a skewed fact Dataset against a dimension Dataset
+    with HOT-KEY SALTING, in one pass over the fact side.
+
+    A plain hash exchange sends every occurrence of a hot key (think
+    ``domain='...'`` on a crawl where one domain is 30 % of the corpus)
+    to ONE partition — that straggler becomes the job. Here hot fact
+    rows spread over ``salt`` partitions (``(h + salt_id) % P``, salt_id
+    = row position % salt — any assignment is correct since every salted
+    partition holds the dim copy) and the matching dim rows are
+    REPLICATED once per salt id in the dim tagging map. Cold keys take
+    the normal single-partition route. The hot set comes from
+    ``hot_keys`` (explicit) or :func:`detect_hot_keys` (``hot_count``
+    occurrences) — either way it affects only routing; the join result
+    is exact for any hot set. Nulls on either key never match (inner
+    join semantics) and are dropped before the exchange.
+
+    Column names must be disjoint (same contract as copartition_apply).
+    """
+    import numpy as np
+
+    import polars as pl
+
+    f_schema = fact.schema()
+    d_schema = dim.schema()
+    f_names = list(f_schema.names)
+    d_names = list(d_schema.names)
+    clash = set(f_names) & set(d_names)
+    if clash:
+        raise ValueError(f"skew_join column name clash: {sorted(clash)}")
+    f_class = _partition_key_class(f_schema.types[f_names.index(on)])
+    d_class = _partition_key_class(d_schema.types[d_names.index(right_on)])
+    if f_class != d_class:
+        raise TypeError(
+            f"skew_join key classes differ: {on!r} is {f_class}, "
+            f"{right_on!r} is {d_class}"
+        )
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    P = num_partitions
+    R = max(1, min(salt, P))
+
+    if hot_keys is None:
+        if hot_count is None:
+            raise ValueError("skew_join needs hot_keys or hot_count")
+        hot_keys = detect_hot_keys(fact, on, hot_count)
+    hot_arr = pa.array(hot_keys) if not isinstance(hot_keys, (pa.Array, pa.ChunkedArray)) else hot_keys
+    if isinstance(hot_arr, pa.ChunkedArray):
+        hot_arr = hot_arr.combine_chunks()
+    # the hot set is small by construction (keys above a corpus-scale
+    # count threshold); it travels inside the task closure
+    n_hot = len(hot_arr)
+
+    union_schema = pa.schema(
+        [("part", pa.int64()), ("side", pa.int8())]
+        + list(zip(f_names, f_schema.types))
+        + list(zip(d_names, d_schema.types))
+    )
+
+    def _pad(t: pa.Table, names: list[str], side: int, part: Any) -> pa.Table:
+        n = t.num_rows
+        cols: dict[str, Any] = {
+            "part": part,
+            "side": pa.array(np.full(n, side, np.int8), type=pa.int8()),
+        }
+        for f in union_schema:
+            if f.name in ("part", "side"):
+                continue
+            if f.name in names:
+                cols[f.name] = pc.cast(t.column(f.name).combine_chunks(), f.type)
+            else:
+                cols[f.name] = pa.nulls(n, type=f.type)
+        return pa.table(cols, schema=union_schema)
+
+    def tag_fact(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(on)))
+        h = partition_key_hashes(t.column(on), f_class)
+        salt_id = np.zeros(t.num_rows, dtype=np.uint64)
+        if n_hot:
+            is_hot = pc.is_in(
+                t.column(on).combine_chunks(), value_set=hot_arr
+            ).to_numpy(zero_copy_only=False)
+            if is_hot.any():
+                salt_id[is_hot] = (
+                    np.arange(int(is_hot.sum())) % R
+                ).astype(np.uint64)
+        part = ((h + salt_id) % np.uint64(P)).view(np.int64)
+        return _pad(t, f_names, 0, pa.array(part, type=pa.int64()))
+
+    def tag_dim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(right_on)))
+        h = partition_key_hashes(t.column(right_on), d_class)
+        base = ((h % np.uint64(P)).view(np.int64))
+        out = [_pad(t, d_names, 1, pa.array(base, type=pa.int64()))]
+        if n_hot:
+            is_hot = pc.is_in(
+                t.column(right_on).combine_chunks(), value_set=hot_arr
+            ).to_numpy(zero_copy_only=False)
+            if is_hot.any():
+                hot_t = t.filter(pa.array(is_hot))
+                hot_h = h[is_hot]
+                for j in range(1, R):
+                    part = (
+                        (hot_h + np.uint64(j)) % np.uint64(P)
+                    ).view(np.int64)
+                    out.append(
+                        _pad(hot_t, d_names, 1, pa.array(part, type=pa.int64()))
+                    )
+        return pa.concat_tables(out)
+
+    tagged = fact.map_batches(
+        tag_fact, batch_format="pyarrow", batch_size=None
+    ).union(dim.map_batches(tag_dim, batch_format="pyarrow", batch_size=None))
+
+    def do_part(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ft = group.filter(pa.array(side == 0)).select(f_names)
+        dt = group.filter(pa.array(side == 1)).select(d_names)
+        return (
+            pl.from_arrow(ft)
+            .join(pl.from_arrow(dt), left_on=on, right_on=right_on, how="inner")
+            .to_arrow()
+        )
+
+    return tagged.groupby("part").map_groups(do_part, batch_format="pyarrow")

@@ -382,3 +382,131 @@ def test_asof_join_date32_by_key(ray_session):
     got = sorted((r["day"], r["t"], r["lv"], r["rv"]) for r in out)
     exp = sorted((r["day"], r["t"], r["lv"], r["rv"]) for r in want)
     assert got == exp
+
+
+def test_skew_join_matches_polars_reference(ray_session):
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.join import detect_hot_keys, skew_join
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    # 60% of fact rows hit key 7 (the hot key); the rest spread over 0-24
+    hot_mask = rng.random(n) < 0.6
+    k = np.where(hot_mask, 7, rng.integers(0, 25, n)).astype(np.int64)
+    fact_t = pa.table(
+        {
+            "fid": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array(k),
+            "v": pa.array(rng.random(n)),
+        }
+    )
+    dim_t = pa.table(
+        {
+            "dk": pa.array(np.arange(25, dtype=np.int64)),
+            "name": pa.array([f"d{i}" for i in range(25)]),
+        }
+    )
+    want = sorted(
+        pl.from_arrow(fact_t)
+        .join(pl.from_arrow(dim_t), left_on="k", right_on="dk", how="inner")
+        .select(["fid", "k", "v", "name"])
+        .rows()
+    )
+
+    fact = rd.from_arrow(fact_t).repartition(6)
+    dim = rd.from_arrow(dim_t).repartition(2)
+
+    # detection finds the hot key (and only keys that are actually hot)
+    hot = detect_hot_keys(fact, "k", hot_count=1000)
+    assert 7 in hot.to_pylist()
+    assert all(
+        (k == h).sum() >= 200 for h in hot.to_pylist()
+    )  # nothing cold mislabeled enough to matter
+
+    # detection path, explicit path, deliberately-wrong hot set, and
+    # empty hot set all produce the exact inner join
+    for kwargs in (
+        {"hot_count": 1000},
+        {"hot_keys": [7]},
+        {"hot_keys": [23456]},  # not a real key: routing only, still exact
+        {"hot_keys": []},
+        {"hot_keys": [7], "salt": 1},
+        {"hot_keys": [7], "num_partitions": 3, "salt": 16},  # salt > P clamps
+    ):
+        out = skew_join(fact, dim, on="k", right_on="dk", **kwargs).take_all()
+        got = sorted((r["fid"], r["k"], r["v"], r["name"]) for r in out)
+        assert got == want, kwargs
+
+
+def test_skew_join_null_keys_and_clashes(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.join import skew_join
+
+    fact_t = pa.table(
+        {
+            "fid": pa.array([0, 1, 2], type=pa.int64()),
+            "k": pa.array([1, None, 2], type=pa.int64()),
+        }
+    )
+    dim_t = pa.table(
+        {
+            "dk": pa.array([1, 2, None], type=pa.int64()),
+            "name": ["a", "b", "c"],
+        }
+    )
+    out = skew_join(
+        rd.from_arrow(fact_t), rd.from_arrow(dim_t), on="k", right_on="dk",
+        hot_keys=[],
+    ).take_all()
+    assert sorted((r["fid"], r["name"]) for r in out) == [(0, "a"), (2, "b")]
+
+    clash = pa.table({"fid": pa.array([1], type=pa.int64()), "name": ["x"]})
+    with pytest.raises(ValueError, match="clash"):
+        skew_join(
+            rd.from_arrow(fact_t), rd.from_arrow(clash), on="k", right_on="fid",
+            hot_keys=[],
+        )
+    with pytest.raises(ValueError, match="hot_keys or hot_count"):
+        skew_join(rd.from_arrow(fact_t), rd.from_arrow(dim_t), on="k", right_on="dk")
+
+
+def test_string_agg_per_group_matches_reference(ray_session):
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.agg import string_agg_per_group
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            "s": pa.array(
+                [
+                    None if rng.random() < 0.05 else f"w{rng.integers(0, 99)}"
+                    for _ in range(n)
+                ]
+            ),
+        }
+    )
+    want = {
+        r["g"]: (r["agg"], r["n"])
+        for r in pl.from_arrow(t)
+        .filter(pl.col("s").is_not_null())
+        .group_by("g")
+        .agg(
+            pl.col("s").sort().str.join("|").alias("agg"),
+            pl.len().cast(pl.Int64).alias("n"),
+        )
+        .to_dicts()
+    }
+    for parts in (2, 9):
+        out = string_agg_per_group(
+            rd.from_arrow(t).repartition(5), "g", "s", sep="|",
+            num_partitions=parts,
+        ).take_all()
+        got = {r["g"]: (r["agg"], r["n"]) for r in out}
+        assert got == want
