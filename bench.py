@@ -229,6 +229,9 @@ def run_bench() -> dict:
         "image_near_dups",
         "audio_near_dups",
         "fuzzy_link",
+        "rollup_revenue",
+        "skew_join_events",
+        "string_agg_names",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
