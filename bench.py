@@ -232,6 +232,9 @@ def run_bench() -> dict:
         "rollup_revenue",
         "skew_join_events",
         "string_agg_names",
+        "left_join_cust_orders",
+        "price_histogram",
+        "melt_lineitem",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

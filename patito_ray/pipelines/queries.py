@@ -3871,3 +3871,184 @@ FROM fact f JOIN nation n ON f.k = n.n_nationkey
 """
 
 QUERIES["skew_join_events"] = (q_skew_join_events, SQL_SKEW_JOIN_EVENTS)
+
+
+def q_left_join_cust_orders(sf_dir: str) -> Any:
+    """LEFT OUTER join on the co-partition spine (copartition_join) —
+    customers without orders surface with null order columns; Ray's
+    native join (empty-block failure) is avoided and the preserved side
+    streams through the one tagged-union exchange."""
+    from patito_ray.stages.join import copartition_join
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def forders(t: pa.Table) -> pa.Table:
+        # keep 1/4 of orders so some customers genuinely have none --
+        # the preserved-side null path must actually be exercised
+        k = t.column("o_orderkey")
+        return t.filter(pc.equal(pc.bit_wise_and(k, 3), 0))
+
+    joined = copartition_join(
+        cust,
+        orders.map_batches(forders, batch_format="pyarrow", batch_size=None),
+        on="c_custkey",
+        right_on="o_custkey",
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_totalprice": t.column("o_totalprice"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_LEFT_JOIN_CUST_ORDERS = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 4 = 0) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+QUERIES["left_join_cust_orders"] = (q_left_join_cust_orders, SQL_LEFT_JOIN_CUST_ORDERS)
+
+
+def q_full_join_parts_cust(sf_dir: str) -> Any:
+    """FULL OUTER join with unmatched rows on BOTH sides (even part
+    keys <= 300 vs customer keys <= 300 divisible by 3) — the outer
+    path SQL engines use for reconciliation diffs."""
+    from patito_ray.stages.join import copartition_join
+
+    part = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def fpart(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey")
+        keep = pc.and_(
+            pc.less_equal(k, 300), pc.equal(pc.bit_wise_and(k, 1), 0)
+        )
+        return t.filter(keep)
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def fcust(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((k <= 300) & (k % 3 == 0)))
+
+    joined = copartition_join(
+        part.map_batches(fpart, batch_format="pyarrow", batch_size=None),
+        cust.map_batches(fcust, batch_format="pyarrow", batch_size=None),
+        on="p_partkey",
+        right_on="c_custkey",
+        how="full",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["p_partkey", "p_name", "c_custkey", "c_name"])
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_FULL_JOIN_PARTS_CUST = """
+WITH p AS (SELECT p_partkey, p_name FROM part
+           WHERE p_partkey <= 300 AND p_partkey % 2 = 0),
+     c AS (SELECT c_custkey, c_name FROM customer
+           WHERE c_custkey <= 300 AND c_custkey % 3 = 0)
+SELECT p.p_partkey, p.p_name, c.c_custkey, c.c_name
+FROM p FULL JOIN c ON p.p_partkey = c.c_custkey
+"""
+
+QUERIES["full_join_parts_cust"] = (q_full_join_parts_cust, SQL_FULL_JOIN_PARTS_CUST)
+
+
+_HIST_LO, _HIST_W, _HIST_BINS = 900.0, 5210.0, 20
+
+
+def q_price_histogram(sf_dir: str) -> Any:
+    """Fixed-width histogram over l_extendedprice: per-batch vectorized
+    bucket bincount partials (clamped to [0, bins)), adaptive merge —
+    integer counts, exact against the identical SQL bucket expression."""
+    import numpy as np
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    ds = _rp(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        b = np.clip(
+            np.floor((x - _HIST_LO) / _HIST_W), 0, _HIST_BINS - 1
+        ).astype(np.int64)
+        counts = np.bincount(b, minlength=_HIST_BINS)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(_HIST_BINS, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    merged = merge_partial_sums(
+        ds.map_batches(buckets, batch_format="pyarrow", batch_size=None),
+        ["bucket"],
+        ["n"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n"), 0))
+        return pa.table(
+            {
+                "bucket": t.column("bucket"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 5210.0), 0), 19) AS BIGINT)
+         AS bucket,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY 1
+"""
+
+QUERIES["price_histogram"] = (q_price_histogram, SQL_PRICE_HISTOGRAM)
+
+
+def q_melt_lineitem(sf_dir: str) -> Any:
+    """UNPIVOT three lineitem measures into (metric, value) rows — a
+    pure per-batch reshape, no exchange (stages.transform.melt)."""
+    from patito_ray.stages.transform import melt
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return melt(
+        ds,
+        id_vars=["l_orderkey", "l_linenumber"],
+        value_vars=["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="metric",
+        value_name="value",
+    )
+
+
+SQL_MELT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+QUERIES["melt_lineitem"] = (q_melt_lineitem, SQL_MELT_LINEITEM)

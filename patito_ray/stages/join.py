@@ -563,3 +563,38 @@ def skew_join(
         )
 
     return tagged.groupby("part").map_groups(do_part, batch_format="pyarrow")
+
+
+def copartition_join(
+    left: Any,
+    right: Any,
+    on: str,
+    right_on: str,
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> Any:
+    """General equi-join on the :func:`copartition_apply` spine —
+    the empty-block-safe alternative to Ray's native ``Dataset.join``
+    (which fails when a side contains an empty block) that also covers
+    LEFT and FULL OUTER, which the broadcast path cannot express for a
+    large preserved side.
+
+    Unmatched rows surface with the other side's columns null, exactly
+    like SQL; both key columns are kept (``full``) or the left key only
+    (``inner``/``left``), matching polars' column contract.
+    """
+    import polars as pl
+
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"copartition_join how={how!r}: use inner/left/full")
+
+    def part_join(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        out = pl.from_arrow(lt).join(
+            pl.from_arrow(rt), left_on=on, right_on=right_on, how=how,
+            coalesce=False if how == "full" else True,
+        )
+        return out.to_arrow()
+
+    return copartition_apply(
+        left, right, on, right_on, part_join, num_partitions=num_partitions
+    )

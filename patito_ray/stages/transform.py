@@ -335,3 +335,57 @@ def unalias_dataset(ds: Any, spec: TableSpec) -> Any:
 def drop_extra_dataset(ds: Any, spec: TableSpec) -> Any:
     keep = [c for c in ds.schema().names if c in spec.columns]
     return ds.select_columns(keep)
+
+
+def melt(
+    ds: Any,
+    id_vars: list[str],
+    value_vars: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> Any:
+    """UNPIVOT / melt: turn ``value_vars`` columns into
+    ``(var_name, value_name)`` rows, repeating ``id_vars`` — a pure
+    per-batch reshape (k stacked zero-copy slices per batch, no
+    exchange, streams at any scale). Value columns are cast to their
+    common arrow type up front so the unified column is well-typed."""
+    import pyarrow as pa
+
+    if not value_vars:
+        raise ValueError("melt needs at least one value_var")
+    schema = ds.schema()
+    vtypes = [schema.types[schema.names.index(v)] for v in value_vars]
+    common = vtypes[0]
+    for t in vtypes[1:]:
+        # unify numeric widths the arrow way: fail loudly on
+        # incompatible families instead of silently casting
+        if t != common:
+            if pa.types.is_floating(t) or pa.types.is_floating(common):
+                if not (
+                    pa.types.is_floating(t) or pa.types.is_integer(t)
+                ) or not (
+                    pa.types.is_floating(common) or pa.types.is_integer(common)
+                ):
+                    raise TypeError(
+                        f"melt value_vars mix incompatible types {common} / {t}"
+                    )
+                common = pa.float64()
+            elif pa.types.is_integer(t) and pa.types.is_integer(common):
+                common = pa.int64()
+            else:
+                raise TypeError(
+                    f"melt value_vars mix incompatible types {common} / {t}"
+                )
+
+    def reshape(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for v in value_vars:
+            cols = {c: t.column(c) for c in id_vars}
+            cols[var_name] = pa.array([v] * t.num_rows, type=pa.string())
+            cols[value_name] = pc.cast(t.column(v), common)
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(reshape, batch_format="pyarrow", batch_size=None)

@@ -510,3 +510,84 @@ def test_string_agg_per_group_matches_reference(ray_session):
         ).take_all()
         got = {r["g"]: (r["agg"], r["n"]) for r in out}
         assert got == want
+
+
+def test_copartition_join_outer_matches_polars(ray_session):
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.join import copartition_join
+
+    rng = np.random.default_rng(5)
+    lt = pa.table(
+        {
+            "lk": pa.array(rng.integers(0, 30, 200).astype(np.int64)),
+            "lv": pa.array(rng.random(200)),
+        }
+    )
+    rt = pa.table(
+        {
+            "rk": pa.array(rng.integers(15, 45, 120).astype(np.int64)),
+            "rv": pa.array([f"r{i}" for i in range(120)]),
+        }
+    )
+    left = rd.from_arrow(lt).repartition(4)
+    right = rd.from_arrow(rt).repartition(3)
+    for how in ("inner", "left", "full"):
+        out = copartition_join(
+            left, right, on="lk", right_on="rk", how=how, num_partitions=5
+        ).take_all()
+        ref = pl.from_arrow(lt).join(
+            pl.from_arrow(rt), left_on="lk", right_on="rk", how=how,
+            coalesce=False if how == "full" else True,
+        )
+        nkey = lambda row: tuple((v is None, v) for v in row)  # noqa: E731
+        got = sorted(
+            (
+                (r["lk"], r["lv"], r.get("rk"), r["rv"]) if how == "full"
+                else (r["lk"], r["lv"], r["rv"])
+                for r in out
+            ),
+            key=nkey,
+        )
+        exp = sorted(
+            (
+                (r["lk"], r["lv"], r.get("rk"), r["rv"]) if how == "full"
+                else (r["lk"], r["lv"], r["rv"])
+                for r in ref.to_dicts()
+            ),
+            key=nkey,
+        )
+        assert got == exp, how
+    with pytest.raises(ValueError, match="inner/left/full"):
+        copartition_join(left, right, on="lk", right_on="rk", how="cross")
+
+
+def test_melt_reshape(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.transform import melt
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "a": pa.array([10, 20], type=pa.int64()),
+            "b": pa.array([1.5, 2.5], type=pa.float64()),
+        }
+    )
+    out = melt(
+        rd.from_arrow(t), id_vars=["id"], value_vars=["a", "b"],
+        var_name="m", value_name="v",
+    ).take_all()
+    got = sorted((r["id"], r["m"], r["v"]) for r in out)
+    # int column unifies with float64
+    assert got == [
+        (1, "a", 10.0), (1, "b", 1.5), (2, "a", 20.0), (2, "b", 2.5)
+    ]
+    with pytest.raises(TypeError, match="incompatible"):
+        melt(
+            rd.from_arrow(pa.table({"id": [1], "a": [1], "b": ["x"]})),
+            id_vars=["id"], value_vars=["a", "b"],
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        melt(rd.from_arrow(t), id_vars=["id"], value_vars=[])
