@@ -235,6 +235,7 @@ def run_bench() -> dict:
         "left_join_cust_orders",
         "price_histogram",
         "melt_lineitem",
+        "json_props_agg",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

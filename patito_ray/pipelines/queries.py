@@ -4052,3 +4052,56 @@ SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 """
 
 QUERIES["melt_lineitem"] = (q_melt_lineitem, SQL_MELT_LINEITEM)
+
+
+def q_json_props_agg(sf_dir: str) -> Any:
+    """JSON extraction from the events ``props`` column (vectorized
+    Rust JSON-path kernel per batch, no exchange) feeding a partial-sum
+    groupby — the semi-structured-column path every event pipeline
+    needs."""
+    from patito_ray.stages.agg import merge_partial_sums
+    from patito_ray.stages.transform import json_extract_column
+
+    ds = _rp(sf_dir, "events", ["event_type", "props"])
+    ds = json_extract_column(ds, "props", "$.k", "k", dtype=pa.int64())
+
+    import polars as pl
+
+    def partials(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["event_type", "k"]))
+            .group_by("event_type")
+            .agg(
+                pl.col("k").sum().alias("sum_k"),
+                pl.col("k").count().cast(pl.Int64).alias("n"),
+            )
+            .to_arrow()
+        )
+
+    merged = merge_partial_sums(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None),
+        ["event_type"],
+        ["sum_k", "n"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "sum_k": pc.cast(t.column("sum_k"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_JSON_PROPS_AGG = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["json_props_agg"] = (q_json_props_agg, SQL_JSON_PROPS_AGG)

@@ -195,3 +195,31 @@ def test_grouped_top_k(ray_session):
     rows = sorted((r["g"], r["rank"], r["id"]) for r in out.take_all())
     # g=1: 9.0 tie -> id 11 then 13; g=2: 2.0 then 1.0; g=3: single row
     assert rows == [(1, 1, 11), (1, 2, 13), (2, 1, 21), (2, 2, 20), (3, 1, 30)]
+
+
+def test_json_extract_column(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.transform import json_extract_column
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "j": [
+                '{"k": 7, "s": "x"}',
+                '{"s": "no k"}',
+                "not json at all",
+                None,
+            ],
+        }
+    )
+    out = json_extract_column(
+        rd.from_arrow(t), "j", "$.k", "k", dtype=pa.int64()
+    ).take_all()
+    assert [r["k"] for r in sorted(out, key=lambda r: r["id"])] == [
+        7, None, None, None
+    ]
+    s = json_extract_column(rd.from_arrow(t), "j", "$.s", "sv").take_all()
+    assert [r["sv"] for r in sorted(s, key=lambda r: r["id"])] == [
+        "x", "no k", None, None
+    ]
