@@ -391,6 +391,7 @@ def detect_hot_keys(
     on: str,
     hot_count: int,
     batch_floor_fraction: float = 1e-3,
+    limit_bytes: int | None = None,
 ) -> pa.Array:
     """Find join keys whose total occurrence count is ~``hot_count`` or
     more, without ever exchanging one row per key: each batch emits
@@ -419,11 +420,21 @@ def detect_hot_keys(
         return counts.filter(pl.col("c") >= floor).to_arrow()
 
     partials = ds.map_batches(batch_counts, batch_format="pyarrow", batch_size=None)
-    merged = merge_partial_sums(partials, [on], ["c"])
+    kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(partials, [on], ["c"], **kwargs)
     if not isinstance(merged, pa.Table):
+        # distributed merge: prune to the (tiny) hot set worker-side
+        # with a vectorized batch filter before anything hits the driver
+        schema = ds.schema()
         merged = collect_table(
-            merged.filter(lambda r: r["c"] >= hot_count),
-            empty_schema=pa.schema([(on, ds.schema().types[ds.schema().names.index(on)]), ("c", pa.int64())]),
+            merged.map_batches(
+                lambda t: t.filter(pc.greater_equal(t.column("c"), hot_count)),
+                batch_format="pyarrow",
+                batch_size=None,
+            ),
+            empty_schema=pa.schema(
+                [(on, schema.types[schema.names.index(on)]), ("c", pa.int64())]
+            ),
         )
     hot = merged.filter(pc.greater_equal(merged.column("c"), hot_count))
     return hot.column(on).combine_chunks()

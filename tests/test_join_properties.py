@@ -418,9 +418,12 @@ def test_skew_join_matches_polars_reference(ray_session):
     fact = rd.from_arrow(fact_t).repartition(6)
     dim = rd.from_arrow(dim_t).repartition(2)
 
-    # detection finds the hot key (and only keys that are actually hot)
+    # detection finds the hot key (and only keys that are actually hot),
+    # through BOTH the driver merge and the forced-distributed merge
     hot = detect_hot_keys(fact, "k", hot_count=1000)
     assert 7 in hot.to_pylist()
+    hot_dist = detect_hot_keys(fact, "k", hot_count=1000, limit_bytes=0)
+    assert sorted(hot_dist.to_pylist()) == sorted(hot.to_pylist())
     assert all(
         (k == h).sum() >= 200 for h in hot.to_pylist()
     )  # nothing cold mislabeled enough to matter
