@@ -236,6 +236,7 @@ def run_bench() -> dict:
         "price_histogram",
         "melt_lineitem",
         "json_props_agg",
+        "composite_key_join",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -4105,3 +4105,47 @@ GROUP BY event_type
 """
 
 QUERIES["json_props_agg"] = (q_json_props_agg, SQL_JSON_PROPS_AGG)
+
+
+def q_composite_key_join(sf_dir: str) -> Any:
+    """Equi-join on a COMPOSITE key — lineitem's (orderkey, linenumber)
+    PK self-join through the co-partition spine's folded per-column
+    hashes; no key concatenation ever materializes."""
+    from patito_ray.stages.join import copartition_join
+
+    left = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    right = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_linenumber"), 3))
+        return pa.table(
+            {
+                "rk": t.column("l_orderkey"),
+                "rl": t.column("l_linenumber"),
+                "r_price": t.column("l_extendedprice"),
+            }
+        )
+
+    joined = copartition_join(
+        left,
+        right.map_batches(prep_right, batch_format="pyarrow", batch_size=None),
+        on=["l_orderkey", "l_linenumber"],
+        right_on=["rk", "rl"],
+        how="inner",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["l_orderkey", "l_linenumber", "l_quantity", "r_price"])
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_COMPOSITE_KEY_JOIN = """
+SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice AS r_price
+FROM lineitem a
+JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem WHERE l_linenumber <= 3) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+"""
+
+QUERIES["composite_key_join"] = (q_composite_key_join, SQL_COMPOSITE_KEY_JOIN)

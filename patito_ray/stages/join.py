@@ -149,8 +149,8 @@ def partition_key_hashes(col: Any, key_class: str) -> Any:
 def copartition_apply(
     left: Any,
     right: Any,
-    by: str,
-    right_by: str,
+    by: "str | list[str]",
+    right_by: "str | list[str]",
     part_fn: Any,
     num_partitions: int | None = None,
 ) -> Any:
@@ -160,6 +160,10 @@ def copartition_apply(
     here (as-of join, range join, pair-payload verify). Ray's native
     join operator is avoided: it breaks on empty blocks. P Python calls
     total, each vectorized inside; column names must be disjoint.
+
+    ``by`` / ``right_by`` may be COMPOSITE (lists of columns, pairwise
+    same key class): per-column hashes fold into one partition hash, so
+    multi-key equi-semantics co-locate without concatenating values.
 
     ``num_partitions`` defaults to ~4x cluster CPUs (like the read
     path) so partition granularity tracks cluster size instead of a
@@ -186,27 +190,39 @@ def copartition_apply(
         + list(zip(l_names, l_types))
         + list(zip(r_names, r_types))
     )
-    l_key_class = _partition_key_class(l_schema.types[l_names.index(by)])
-    r_key_class = _partition_key_class(r_schema.types[r_names.index(right_by)])
+    by_l = [by] if isinstance(by, str) else list(by)
+    by_r = [right_by] if isinstance(right_by, str) else list(right_by)
+    if len(by_l) != len(by_r) or not by_l:
+        raise ValueError(
+            f"co-partition key lists differ in length: {by_l} vs {by_r}"
+        )
+    l_key_class = [_partition_key_class(l_types[l_names.index(c)]) for c in by_l]
+    r_key_class = [_partition_key_class(r_types[r_names.index(c)]) for c in by_r]
     if l_key_class != r_key_class:
         raise TypeError(
-            f"co-partition key classes differ: {by!r} is {l_key_class}, "
-            f"{right_by!r} is {r_key_class} — equal values would land in "
+            f"co-partition key classes differ: {by_l!r} is {l_key_class}, "
+            f"{by_r!r} is {r_key_class} — equal values would land in "
             "different partitions"
         )
     if num_partitions is None:
         num_partitions = default_num_partitions()
     P = num_partitions
 
-    def _part_of(col: Any, key_class: str) -> pa.Array:
-        h = partition_key_hashes(col, key_class)
+    def _combined_part(t: pa.Table, key_cols: list[str], classes: list[str]) -> pa.Array:
+        h = partition_key_hashes(t.column(key_cols[0]), classes[0])
+        for c, kc in zip(key_cols[1:], classes[1:]):
+            # fold per-column hashes: rotate-then-xor-then-remix keeps
+            # (a, b) and (b, a) distinct and stays order-sensitive
+            h2 = partition_key_hashes(t.column(c), kc)
+            h = (h << np.uint64(13)) | (h >> np.uint64(51))
+            h = (h ^ h2) * np.uint64(0x9E3779B97F4A7C15)
         return pa.array((h % np.uint64(P)).view(np.int64), type=pa.int64())
 
-    def _tag(side: int, key_col: str, names: list[str], key_class: str):
+    def _tag(side: int, key_cols: list[str], names: list[str], classes: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
             cols: dict[str, Any] = {
-                "part": _part_of(t.column(key_col), key_class),
+                "part": _combined_part(t, key_cols, classes),
                 "side": pa.array(np.full(n, side, np.int8), type=pa.int8()),
             }
             for f in union_schema:
@@ -221,10 +237,10 @@ def copartition_apply(
         return fn
 
     tagged = left.map_batches(
-        _tag(0, by, l_names, l_key_class), batch_format="pyarrow", batch_size=None
+        _tag(0, by_l, l_names, l_key_class), batch_format="pyarrow", batch_size=None
     ).union(
         right.map_batches(
-            _tag(1, right_by, r_names, r_key_class),
+            _tag(1, by_r, r_names, r_key_class),
             batch_format="pyarrow",
             batch_size=None,
         )
@@ -579,8 +595,8 @@ def skew_join(
 def copartition_join(
     left: Any,
     right: Any,
-    on: str,
-    right_on: str,
+    on: "str | list[str]",
+    right_on: "str | list[str]",
     how: str = "inner",
     num_partitions: int | None = None,
 ) -> Any:
@@ -588,10 +604,11 @@ def copartition_join(
     the empty-block-safe alternative to Ray's native ``Dataset.join``
     (which fails when a side contains an empty block) that also covers
     LEFT and FULL OUTER, which the broadcast path cannot express for a
-    large preserved side.
+    large preserved side. ``on`` / ``right_on`` may be composite
+    (lists of columns) — the spine folds per-column hashes.
 
     Unmatched rows surface with the other side's columns null, exactly
-    like SQL; both key columns are kept (``full``) or the left key only
+    like SQL; both key columns are kept (``full``) or the left keys only
     (``inner``/``left``), matching polars' column contract.
     """
     import polars as pl

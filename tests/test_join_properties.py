@@ -594,3 +594,50 @@ def test_melt_reshape(ray_session):
         )
     with pytest.raises(ValueError, match="at least one"):
         melt(rd.from_arrow(t), id_vars=["id"], value_vars=[])
+
+
+def test_copartition_join_composite_keys(ray_session):
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.join import copartition_join
+
+    rng = np.random.default_rng(9)
+    n = 400
+    lt = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 6, n).astype(np.int64)),
+            "b": pa.array([f"s{i}" for i in rng.integers(0, 5, n)]),
+            "lv": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    # right includes swapped-value rows: (a=x, b=sy) vs (a=y, b=sx)
+    # must NOT collide — order sensitivity of the hash fold matters
+    rt = pa.table(
+        {
+            "ra": pa.array(rng.integers(0, 6, 60).astype(np.int64)),
+            "rb": pa.array([f"s{i}" for i in rng.integers(0, 5, 60)]),
+            "rv": pa.array(np.arange(60, dtype=np.int64) * 100),
+        }
+    )
+    out = copartition_join(
+        rd.from_arrow(lt).repartition(4),
+        rd.from_arrow(rt).repartition(3),
+        on=["a", "b"],
+        right_on=["ra", "rb"],
+        how="inner",
+        num_partitions=7,
+    ).take_all()
+    ref = (
+        pl.from_arrow(lt)
+        .join(pl.from_arrow(rt), left_on=["a", "b"], right_on=["ra", "rb"], how="inner")
+        .to_dicts()
+    )
+    got = sorted((r["a"], r["b"], r["lv"], r["rv"]) for r in out)
+    exp = sorted((r["a"], r["b"], r["lv"], r["rv"]) for r in ref)
+    assert got == exp
+
+    with pytest.raises(ValueError, match="key lists differ"):
+        copartition_join(
+            rd.from_arrow(lt), rd.from_arrow(rt), on=["a", "b"], right_on=["ra"]
+        )
