@@ -237,6 +237,7 @@ def run_bench() -> dict:
         "melt_lineitem",
         "json_props_agg",
         "composite_key_join",
+        "ntile_events",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -4149,3 +4149,50 @@ JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice
 """
 
 QUERIES["composite_key_join"] = (q_composite_key_join, SQL_COMPOSITE_KEY_JOIN)
+
+
+_NTILE_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("quartile", pa.int64()),
+    ]
+)
+
+
+def q_ntile_events(sf_dir: str) -> Any:
+    """SQL NTILE(4) per user over event time: distributed window pass
+    (one hash exchange), pure integer bucket arithmetic — bit-exact."""
+    from patito_ray.stages.window import window_over
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = window_over(
+        ds,
+        by="user_id",
+        order=["ts", "event_id"],
+        cols={"quartile": ("ntile", None)},
+        ntile=4,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return _NTILE_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "quartile": pc.cast(t.column("quartile"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_NTILE_EVENTS = """
+SELECT event_id, user_id,
+       CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS quartile
+FROM events
+"""
+
+QUERIES["ntile_events"] = (q_ntile_events, SQL_NTILE_EVENTS)

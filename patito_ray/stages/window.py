@@ -32,6 +32,7 @@ _SUPPORTED_OPS = (
     "lead",
     "count",
     "rolling_sum",
+    "ntile",
 )
 
 #: rows in the rolling frame (current row + N-1 preceding), settable
@@ -47,6 +48,7 @@ def window_over(
     descending: bool = False,
     num_partitions: int | None = None,
     frame: int = _DEFAULT_FRAME,
+    ntile: int = 4,
 ) -> Any:
     """Append window columns computed per ``by`` group in ``order``.
 
@@ -55,7 +57,10 @@ def window_over(
     lead | count | rolling_sum`` (``row_number``/``count`` need no src;
     ``rank_min`` ranks by its src ascending with SQL RANK ties;
     ``count`` is the partition row count; ``rolling_sum`` sums the SQL
-    frame ``ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW``). Rows keep all input columns; output
+    frame ``ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW``;
+    ``ntile`` needs no src and assigns SQL NTILE(``ntile``) buckets —
+    the first ``n % k`` buckets one row larger, pure integer
+    arithmetic so bit-exact against SQL). Rows keep all input columns; output
     row order is partition-internal (canonicalize downstream when
     comparing). NULL ``by`` keys are rejected (SQL puts them in one
     partition; filter or fill first — same contract as grouped_top_k).
@@ -114,6 +119,22 @@ def window_over(
             elif op == "rolling_sum":
                 # SQL ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW
                 e = pl.col(src).rolling_sum(frame, min_samples=1)
+            elif op == "ntile":
+                # SQL NTILE(k): first n%k buckets hold n//k+1 rows, the
+                # rest n//k. Integer-only, so bit-exact vs the oracle.
+                r = pl.int_range(1, pl.len() + 1, dtype=pl.Int64)
+                n = pl.len().cast(pl.Int64)
+                k = pl.lit(ntile, dtype=pl.Int64)
+                big = n % k
+                size_big = n // k + 1
+                # small size clamps to >=1 so the unselected branch
+                # never divides by zero when n < k
+                size_small = pl.max_horizontal(n // k, pl.lit(1, dtype=pl.Int64))
+                e = (
+                    pl.when(r <= big * size_big)
+                    .then((r - 1) // size_big + 1)
+                    .otherwise(big + (r - big * size_big - 1) // size_small + 1)
+                )
             else:  # lead
                 e = pl.col(src).shift(-1)
             exprs.append(e.over(by).alias(name))

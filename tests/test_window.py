@@ -116,3 +116,51 @@ def test_rank_min_ascending_even_with_descending_order(ray_session):
     # rank_min ranks by v ASCENDING per the docstring contract,
     # regardless of the frame-ordering flag
     assert ranks == {10: 1, 20: 2, 30: 3}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(0, 40),
+    k=st.integers(1, 9),
+    n_keys=st.integers(1, 4),
+)
+def test_ntile_matches_python_reference(ray_session, n, k, n_keys):
+    """NTILE(k) per key vs the definitional Python loop: first n%k
+    buckets get n//k+1 rows, the rest n//k."""
+    import ray.data as rd
+
+    if n == 0:
+        return
+    rng = np.random.default_rng(n * 100 + k)
+    keys = rng.integers(0, n_keys, n).astype(np.int64)
+    tab = pa.table(
+        {
+            "k": pa.array(keys),
+            "o": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    out = window_over(
+        rd.from_arrow(tab).repartition(min(3, n)),
+        by="k",
+        order=["o"],
+        cols={"b": ("ntile", None)},
+        ntile=k,
+        num_partitions=3,
+    ).take_all()
+    got = {(r["k"], r["o"]): r["b"] for r in out}
+
+    def ntile_ref(cnt: int) -> list[int]:
+        big, small = divmod(cnt, k)[1], 0  # noqa: F841
+        nbig = cnt % k
+        size_big, size_small = cnt // k + 1, cnt // k
+        buckets = []
+        for b in range(1, k + 1):
+            size = size_big if b <= nbig else size_small
+            buckets.extend([b] * size)
+        return buckets
+
+    for key in set(keys.tolist()):
+        orders = sorted(o for kk, o in zip(keys.tolist(), range(n)) if kk == key)
+        ref = ntile_ref(len(orders))
+        for o, b in zip(orders, ref):
+            assert got[(key, o)] == b, (key, o)
