@@ -238,6 +238,7 @@ def run_bench() -> dict:
         "json_props_agg",
         "composite_key_join",
         "ntile_events",
+        "regex_extract_all",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

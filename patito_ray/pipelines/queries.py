@@ -4196,3 +4196,23 @@ FROM events
 """
 
 QUERIES["ntile_events"] = (q_ntile_events, SQL_NTILE_EVENTS)
+
+
+def q_regex_extract_all(sf_dir: str) -> Any:
+    """regexp_extract_all + UNNEST over document text — per-batch
+    vectorized extraction exploded to one row per match, empty-match
+    rows dropped (UNNEST semantics), no exchange."""
+    from patito_ray.stages.transform import regex_extract_explode
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return regex_extract_explode(
+        ds, "text", "[a-z]*ar[a-z]*", out="m", keep=["doc_id"]
+    )
+
+
+SQL_REGEX_EXTRACT_ALL = """
+SELECT doc_id, UNNEST(regexp_extract_all(text, '[a-z]*ar[a-z]*')) AS m
+FROM documents
+"""
+
+QUERIES["regex_extract_all"] = (q_regex_extract_all, SQL_REGEX_EXTRACT_ALL)

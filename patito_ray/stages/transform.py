@@ -416,3 +416,31 @@ def json_extract_column(
         return t.append_column(out, arr)
 
     return ds.map_batches(extract, batch_format="pyarrow", batch_size=None)
+
+
+def regex_extract_explode(
+    ds: Any,
+    column: str,
+    pattern: str,
+    out: str,
+    keep: list[str],
+) -> Any:
+    """All non-overlapping regex matches per row, exploded to one row
+    per match (SQL ``UNNEST(regexp_extract_all(...))``) — per-batch
+    vectorized Rust regex + explode, no exchange. Rows with no match
+    (or a null input) vanish, matching UNNEST-of-empty-list semantics.
+    ``keep`` lists the id columns carried alongside ``out``."""
+    import polars as pl
+    import pyarrow as pa
+
+    def extract(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(keep + [column]))
+        out_df = (
+            df.with_columns(pl.col(column).str.extract_all(pattern).alias(out))
+            .explode(out)
+            .filter(pl.col(out).is_not_null())
+            .select(keep + [out])
+        )
+        return out_df.to_arrow()
+
+    return ds.map_batches(extract, batch_format="pyarrow", batch_size=None)

@@ -223,3 +223,22 @@ def test_json_extract_column(ray_session):
     assert [r["sv"] for r in sorted(s, key=lambda r: r["id"])] == [
         "x", "no k", None, None
     ]
+
+
+def test_regex_extract_explode(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.transform import regex_extract_explode
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "s": ["ab ab", "zzz", None, "xabx"],
+        }
+    )
+    out = regex_extract_explode(
+        rd.from_arrow(t), "s", "ab", out="m", keep=["id"]
+    ).take_all()
+    got = sorted((r["id"], r["m"]) for r in out)
+    # no-match and null rows vanish (UNNEST-of-empty-list semantics)
+    assert got == [(0, "ab"), (0, "ab"), (3, "ab")]
