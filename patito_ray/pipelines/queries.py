@@ -63,6 +63,18 @@ def _rf(v: float, nd: int) -> float:
     return math.copysign(math.floor(abs(v) * f + 0.5), v) / f
 
 
+def _ra(arr: Any, nd: int) -> Any:
+    """Vectorized `_rf` — bit-exact with DuckDB's DOUBLE ROUND
+    (floor(|x|*10^nd + 0.5)/10^nd). At nd >= 9, `_r`'s pc.round
+    half_towards_infinity lands one ulp AWAY from DuckDB's quotient
+    (e.g. 3e-4: pc.round returns the input, DuckDB returns the nearest
+    double to the decimal) — hash-fatal; use this for high-precision
+    columns."""
+    f = 10.0 ** nd
+    x = (arr.to_numpy(zero_copy_only=False) if not isinstance(arr, np.ndarray) else arr).astype(np.float64)
+    return pa.array(np.copysign(np.floor(np.abs(x) * f + 0.5), x) / f, type=pa.float64())
+
+
 def _lazy_norm(ds: Any, schema: pa.Schema, round_col: str | None = None, nd: int = 4) -> Any:
     """Normalize a pair-result Dataset to a canonical schema
     (optionally rounding one float column like the oracle), block by
@@ -4216,3 +4228,170 @@ FROM documents
 """
 
 QUERIES["regex_extract_all"] = (q_regex_extract_all, SQL_REGEX_EXTRACT_ALL)
+
+
+def _doc_link_edges(sf_dir: str, out_links: int) -> "tuple[Any, int]":
+    """Deterministic synthetic link graph over the documents table:
+    doc i emits ``out_links`` directed edges whose targets are
+    ``splitmix64(out_links*i + j) % N`` (N = doc count, doc_ids dense
+    0..N-1 — asserted). Both engines recompute the SAME edges — the
+    splitmix64-in-SQL precedent from ``SQL_STRATIFIED_SAMPLE``."""
+    from patito_ray.generate import _splitmix64
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        assert ids.min() >= 0 and ids.max() < n, "doc_ids must be dense 0..N-1"
+        src = np.repeat(ids.astype(np.int64), out_links)
+        j = np.tile(np.arange(out_links, dtype=np.uint64), len(ids))
+        h = _splitmix64(src.astype(np.uint64) * np.uint64(out_links) + j)
+        dst = (h % np.uint64(n)).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(mk, batch_format="pyarrow", batch_size=None), n
+
+
+def _sql_link_edges(out_links: int) -> str:
+    """The same edge derivation in DuckDB SQL (splitmix64 via 32-bit
+    partial products; shared ``_sql_mul64`` macro)."""
+    js = ", ".join(str(j) for j in range(out_links))
+    return f"""
+nn AS (SELECT COUNT(*) AS n FROM documents),
+jj AS (SELECT UNNEST([{js}]) AS j),
+gz0 AS (
+  SELECT d.doc_id AS src,
+    CAST((CAST({out_links}*d.doc_id + jj.j AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents d CROSS JOIN jj
+),
+gx1 AS (SELECT src, xor(z, z >> 30) AS z FROM gz0),
+gz1 AS (SELECT src, {_sql_mul64(3210233709, 484763065)} AS z FROM gx1),
+gx2 AS (SELECT src, xor(z, z >> 27) AS z FROM gz1),
+gz2 AS (SELECT src, {_sql_mul64(2496678331, 321982955)} AS z FROM gx2),
+edges AS (
+  SELECT src,
+         CAST(CAST(xor(z, z >> 31) AS HUGEINT) % (SELECT n FROM nn) AS BIGINT)
+           AS dst
+  FROM gz2
+)"""
+
+
+def q_pagerank_docs(sf_dir: str) -> Any:
+    """PageRank (3 power iterations, d=0.85) over the deterministic
+    doc link graph. Iterations co-locate rank rows with the
+    once-materialized edge set (never moving edges), pre-aggregate
+    contributions per target inside each partition, and merge the
+    partials adaptively; ranks rounded to 1e-9 (summation order is the
+    only cross-engine difference — ~1e-16 relative). out_links=3 on
+    purpose: outdeg 2 makes every rank a FINITE decimal (d=0.85,
+    n=500, /2) that lands exactly on 1e-9 rounding midpoints, where a
+    1-ulp summation-order skew flips the digit (observed 3/500);
+    rank/3 is non-terminating, collision odds ~1e-9/node."""
+    from patito_ray.functions.graph import pagerank
+
+    edges, _n = _doc_link_edges(sf_dir, 3)
+    res = pagerank(edges, num_iters=3, damping=0.85)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("node", pa.int64()), ("pr", pa.float64())]).empty_table()
+        return pa.table(
+            {
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "pr": _ra(pc.cast(t.column("pr"), pa.float64()), 9),
+            }
+        )
+
+    return _apply(res, finish)
+
+
+SQL_PAGERANK_DOCS = f"""
+WITH
+{_sql_link_edges(3)},
+r0 AS (
+  SELECT doc_id AS node, 1.0/(SELECT n FROM nn) AS pr FROM documents
+),
+s1 AS (
+  SELECT e.dst AS node, SUM(r.pr/3.0) AS w
+  FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+),
+r1 AS (
+  SELECT d.doc_id AS node,
+         (1 - CAST(0.85 AS DOUBLE))/(SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * COALESCE(s1.w, 0.0) AS pr
+  FROM documents d LEFT JOIN s1 ON s1.node = d.doc_id
+),
+s2 AS (
+  SELECT e.dst AS node, SUM(r.pr/3.0) AS w
+  FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+),
+r2 AS (
+  SELECT d.doc_id AS node,
+         (1 - CAST(0.85 AS DOUBLE))/(SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * COALESCE(s2.w, 0.0) AS pr
+  FROM documents d LEFT JOIN s2 ON s2.node = d.doc_id
+),
+s3 AS (
+  SELECT e.dst AS node, SUM(r.pr/3.0) AS w
+  FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+),
+r3 AS (
+  SELECT d.doc_id AS node,
+         (1 - CAST(0.85 AS DOUBLE))/(SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * COALESCE(s3.w, 0.0) AS pr
+  FROM documents d LEFT JOIN s3 ON s3.node = d.doc_id
+)
+SELECT node, ROUND(pr, 9) AS pr FROM r3
+"""
+
+QUERIES["pagerank_docs"] = (q_pagerank_docs, SQL_PAGERANK_DOCS)
+
+
+def q_graph_components(sf_dir: str) -> Any:
+    """Connected components of the (undirected view of the) 1-out-link
+    doc graph — the mirror-cluster primitive. Oracle: recursive
+    transitive closure + MIN per node (exact at oracle scale)."""
+    from patito_ray.functions.graph import connected_components
+
+    edges, _n = _doc_link_edges(sf_dir, 1)
+    res = connected_components(edges)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("node", pa.int64()), ("root", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "root": pc.cast(t.column("root"), pa.int64()),
+            }
+        )
+
+    return _apply(res, finish)
+
+
+SQL_GRAPH_COMPONENTS = f"""
+WITH RECURSIVE
+{_sql_link_edges(1)},
+und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst, src FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a
+"""
+
+QUERIES["graph_components"] = (q_graph_components, SQL_GRAPH_COMPONENTS)

@@ -1,0 +1,188 @@
+"""Graph operators: PageRank + connected components (functions/graph.py).
+
+Both adaptive paths of each operator are exercised: the driver fast
+path (default 256 MB limit) and the distributed exchange path forced
+via ``limit_bytes=0`` — per the house rule that a null/merge bug on
+the distributed branch only surfaces when the limit forces it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _edges_ds(src, dst, blocks=3):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "src": pa.array(np.asarray(src, dtype=np.int64), type=pa.int64()),
+            "dst": pa.array(np.asarray(dst, dtype=np.int64), type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def _rand_graph(n=60, m=240, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, n, m), rng.integers(0, n, m)
+
+
+def _pr_reference(src, dst, iters, d):
+    """Independent dense-matrix PageRank for cross-checking."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    a = np.zeros((n, n))
+    outdeg = np.zeros(n)
+    for s in src:
+        outdeg[idx[s]] += 1
+    for s, t in zip(src, dst):
+        a[idx[t], idx[s]] += 1.0 / outdeg[idx[s]]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[outdeg == 0].sum()
+        r = (1 - d) / n + d * (a @ r + dangling / n)
+    return nodes, r
+
+
+def _to_table(res):
+    import ray.data
+
+    if isinstance(res, pa.Table):
+        return res
+    assert isinstance(res, ray.data.Dataset)
+    return pa.concat_tables(
+        [b for b in res.iter_batches(batch_format="pyarrow") if b.num_rows]
+    )
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    from patito_ray.functions.graph import pagerank
+
+    src, dst = _rand_graph()
+    t = _to_table(pagerank(_edges_ds(src, dst), num_iters=4, damping=0.85))
+    nodes, ref = _pr_reference(src, dst, 4, 0.85)
+    got = dict(zip(t.column("node").to_pylist(), t.column("pr").to_pylist()))
+    assert sorted(got) == nodes.tolist()
+    np.testing.assert_allclose([got[v] for v in nodes], ref, rtol=1e-12)
+    # total rank mass conserved (dangling mass redistributed, not lost)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_distributed_matches_driver(ray_session):
+    from patito_ray.functions.graph import pagerank
+
+    src, dst = _rand_graph(n=80, m=400, seed=11)
+    drv = pagerank(_edges_ds(src, dst), num_iters=3)
+    assert isinstance(drv, pa.Table)
+    dist = _to_table(
+        pagerank(_edges_ds(src, dst), num_iters=3, limit_bytes=0, num_partitions=4)
+    )
+    d = dict(zip(drv.column("node").to_pylist(), drv.column("pr").to_pylist()))
+    g = dict(zip(dist.column("node").to_pylist(), dist.column("pr").to_pylist()))
+    assert sorted(d) == sorted(g)
+    np.testing.assert_allclose(
+        [g[k] for k in sorted(d)], [d[k] for k in sorted(d)], rtol=1e-12
+    )
+
+
+def test_pagerank_distributed_broadcast_branch(ray_session):
+    """Mid limit: edges exceed it (distributed outer loop) but the
+    merged contribution table fits (driver broadcast finalize)."""
+    from patito_ray.functions.graph import pagerank
+
+    src, dst = _rand_graph(n=50, m=3000, seed=3)
+    drv = pagerank(_edges_ds(src, dst), num_iters=2)
+    # edges = 3000 rows * 16 B = 48 kB > 4 kB; contribs = <=50 rows
+    dist = _to_table(
+        pagerank(_edges_ds(src, dst), num_iters=2, limit_bytes=4096, num_partitions=4)
+    )
+    d = dict(zip(drv.column("node").to_pylist(), drv.column("pr").to_pylist()))
+    g = dict(zip(dist.column("node").to_pylist(), dist.column("pr").to_pylist()))
+    np.testing.assert_allclose(
+        [g[k] for k in sorted(d)], [d[k] for k in sorted(d)], rtol=1e-12
+    )
+
+
+def test_pagerank_dangling_and_zero_iters(ray_session):
+    from patito_ray.functions.graph import pagerank
+
+    # 0 -> 1 -> 2, node 2 dangles; universe has 3 nodes
+    t = pagerank(_edges_ds([0, 1], [1, 2], blocks=1), num_iters=0)
+    assert t.column("pr").to_pylist() == pytest.approx([1 / 3] * 3)
+    t1 = pagerank(_edges_ds([0, 1], [1, 2], blocks=1), num_iters=1, damping=0.85)
+    got = dict(zip(t1.column("node").to_pylist(), t1.column("pr").to_pylist()))
+    base = 0.15 / 3
+    dang = (1 / 3) / 3  # node 2's mass spread over 3 nodes
+    assert got[0] == pytest.approx(base + 0.85 * dang)
+    assert got[1] == pytest.approx(base + 0.85 * (1 / 3 + dang))
+    assert got[2] == pytest.approx(base + 0.85 * (1 / 3 + dang))
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_validation_errors(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import pagerank
+
+    edges = _edges_ds([0], [1], blocks=1)
+    with pytest.raises(ValueError, match="num_iters"):
+        pagerank(edges, num_iters=-1)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
+    with pytest.raises(ValueError, match="graph edges"):
+        pagerank(rd.from_arrow(pa.table({"src": pa.array([0], pa.int64())})))
+    bad = rd.from_arrow(
+        pa.table({"src": pa.array(["a"]), "dst": pa.array(["b"])})
+    )
+    with pytest.raises(TypeError, match="int64"):
+        pagerank(bad)
+
+
+def test_pagerank_empty_edges(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import pagerank
+
+    empty = rd.from_arrow(
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+    )
+    t = pagerank(empty)
+    assert t.num_rows == 0 and t.column_names == ["node", "pr"]
+
+
+def test_connected_components_both_paths(ray_session):
+    from patito_ray.functions.graph import connected_components
+
+    # components {0,1,2,3}, {10,11}, plus isolated via self-loop {20}
+    src = [0, 1, 2, 10, 20]
+    dst = [1, 2, 3, 11, 20]
+    expect = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
+    drv = connected_components(_edges_ds(src, dst))
+    assert isinstance(drv, pa.Table)
+    got = dict(zip(drv.column("node").to_pylist(), drv.column("root").to_pylist()))
+    assert got == expect
+    dist = _to_table(
+        connected_components(_edges_ds(src, dst), limit_bytes=0, num_partitions=4)
+    )
+    got_d = dict(zip(dist.column("node").to_pylist(), dist.column("root").to_pylist()))
+    assert got_d == expect
+
+
+def test_connected_components_random_parity(ray_session):
+    from patito_ray.functions.graph import connected_components
+
+    # m ~ 2.5n keeps component diameters O(log n): each propagation
+    # round is a full exchange, so a sparse long-chain graph would turn
+    # this into a minutes-long test without adding coverage
+    src, dst = _rand_graph(n=60, m=150, seed=23)
+    drv = connected_components(_edges_ds(src, dst))
+    dist = _to_table(
+        connected_components(_edges_ds(src, dst), limit_bytes=0, num_partitions=4)
+    )
+    d = dict(zip(drv.column("node").to_pylist(), drv.column("root").to_pylist()))
+    g = dict(zip(dist.column("node").to_pylist(), dist.column("root").to_pylist()))
+    assert d == g
