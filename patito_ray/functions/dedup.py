@@ -556,12 +556,47 @@ def _bucket_pairs(
         .groupby("part")
         .map_groups(emit_pairs, batch_format="pyarrow")
     )
-    from ray.data.aggregate import Count
+
+    # Distinct (a, b): a pair that collided under several band keys is
+    # emitted once per key. A native groupby(["a","b"]).aggregate here
+    # is O(distinct pairs) GROUPS through Ray's sort-based aggregate —
+    # measured 229 s for 2.4M distinct pairs from a clustered corpus
+    # (vs ~2 s for this path): dup-heavy corpora make pair count, and
+    # thus group count, quadratic in cluster size. Instead dedup with
+    # the repo's standard co-partition shape: vectorized intra-batch
+    # dedup (shrinks the exchange), hash-partition on (a, b), one
+    # lexsort-dedup task per partition — P Python calls total.
+    def _dedup_pairs_local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        keep = np.empty(len(a_s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        return pa.table(
+            {
+                "a": pa.array(a_s[keep], type=pa.int64()),
+                "b": pa.array(b_s[keep], type=pa.int64()),
+            }
+        )
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        t = _dedup_pairs_local(t)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_splitmix(a ^ _splitmix(b)) % P).view(np.int64)
+        return t.append_column("part", pa.array(part, type=pa.int64()))
 
     return (
-        pairs.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
+        pairs.map_batches(add_pair_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(_dedup_pairs_local, batch_format="pyarrow")
+        .map_batches(_dedup_pairs_local, batch_format="pyarrow", batch_size=None)
     )
 
 
