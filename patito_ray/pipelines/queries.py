@@ -4395,3 +4395,33 @@ SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a
 """
 
 QUERIES["graph_components"] = (q_graph_components, SQL_GRAPH_COMPONENTS)
+
+
+def q_edit_near_dups(sf_dir: str) -> Any:
+    """Typo-level near-dup pairs over part names: every (p_partkey a <
+    b) pair whose names are within Levenshtein distance 2, with the
+    EXACT distance. Candidates via FastSS deletion-neighborhood
+    blocking (exact recall by the <=d-deletions theorem), verified by
+    the pair-vectorized DP kernel — both sides distributed, pairs never
+    concentrate on the driver."""
+    from patito_ray.functions.editdist import edit_distance_near_dups
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+    out = edit_distance_near_dups(
+        ds, id_col="p_partkey", text_col="p_name", max_dist=2, max_len=64
+    )
+    return _lazy_norm(
+        out,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("dist", pa.int64())]),
+    )
+
+
+SQL_EDIT_NEAR_DUPS = """
+SELECT x.p_partkey AS a, y.p_partkey AS b,
+       levenshtein(x.p_name, y.p_name) AS dist
+FROM part x JOIN part y ON x.p_partkey < y.p_partkey
+WHERE abs(len(x.p_name) - len(y.p_name)) <= 2
+  AND levenshtein(x.p_name, y.p_name) <= 2
+"""
+
+QUERIES["edit_near_dups"] = (q_edit_near_dups, SQL_EDIT_NEAR_DUPS)
