@@ -4425,3 +4425,116 @@ WHERE abs(len(x.p_name) - len(y.p_name)) <= 2
 """
 
 QUERIES["edit_near_dups"] = (q_edit_near_dups, SQL_EDIT_NEAR_DUPS)
+
+
+def q_event_transitions(sf_dir: str) -> Any:
+    """Per-user event-type transition counts (the Markov matrix behind
+    next-action analytics): one user-key window exchange attaches each
+    event's successor (ts, event_id order), then tiny (src, dst)
+    partials merge adaptively — event types are low-cardinality, so
+    nothing after the window pass is bigger than a few rows per block."""
+    import polars as pl
+
+    from patito_ray.stages.window import window_over
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    w = window_over(
+        ds,
+        by="user_id",
+        order=["ts", "event_id"],
+        cols={"nxt": ("lead", "event_type")},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(
+            pa.table({"src": t.column("event_type"), "dst": t.column("nxt")})
+        ).drop_nulls("dst")
+        return df.group_by(["src", "dst"]).agg(pl.len().alias("n")).to_arrow()
+
+    partials = w.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, ["src", "dst"], ["n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(t.column("src"), pa.string()),
+                "dst": pc.cast(t.column("dst"), pa.string()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+"""
+
+QUERIES["event_transitions"] = (q_event_transitions, SQL_EVENT_TRANSITIONS)
+
+
+def q_char_entropy(sf_dir: str) -> Any:
+    """Per-document Shannon character entropy (the classic gibberish /
+    compression-quality signal): one streaming pass, each batch flattens
+    its texts into one code-point array and computes every doc's
+    distinct-char run counts with a single lexsort — no per-doc Python.
+    Both engines evaluate the same expression from exact integer run
+    counts (log2(n) - Σ k·log2(k) / n), so only the per-doc float SUM's
+    order differs — rounded at 1e-6 like corr_per_group."""
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def entropy(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column("text").to_numpy(zero_copy_only=False)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64, count=len(texts))
+        keep = lens > 0  # SQL: a zero-char doc produces no char rows at all
+        if not keep.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "char_entropy": pa.array([], type=pa.float64()),
+                }
+            )
+        ids, lens = ids[keep], lens[keep]
+        buf = "".join(texts[i] for i in np.flatnonzero(keep))
+        cps = np.frombuffer(buf.encode("utf-32-le"), dtype=np.uint32)
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        order = np.lexsort((cps, doc_idx))
+        d_s, c_s = doc_idx[order], cps[order]
+        change = np.empty(len(c_s), dtype=bool)
+        change[0] = True
+        change[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(change)
+        run_k = np.diff(np.append(starts, len(c_s))).astype(np.float64)
+        sk = np.bincount(d_s[starts], weights=run_k * np.log2(run_k), minlength=len(ids))
+        ent = np.log2(lens.astype(np.float64)) - sk / lens
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "char_entropy": _r(pa.array(ent, type=pa.float64()), 6),
+            }
+        )
+
+    return ds.map_batches(entropy, batch_format="pyarrow", batch_size=None)
+
+
+SQL_CHAR_ENTROPY = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c FROM documents
+),
+cnt AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k FROM chars GROUP BY doc_id, c
+),
+tot AS (
+  SELECT doc_id, SUM(k) AS n, SUM(k * LOG2(k)) AS sk FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, ROUND(LOG2(n) - sk / n, 6) AS char_entropy FROM tot
+"""
+
+QUERIES["char_entropy"] = (q_char_entropy, SQL_CHAR_ENTROPY)
