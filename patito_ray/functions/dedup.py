@@ -1977,3 +1977,138 @@ def fuzzy_link(
         )
 
     return verified.map_batches(untag, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_near_best(
+    ds: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_n: int = 3,
+    driver_cluster_limit: int = 10_000_000,
+) -> Any:
+    """Near-duplicate removal keeping the BEST-scoring member of each
+    duplicate cluster (highest ``score_col``; ties -> min id) instead of
+    ``dedup_near``'s min-id representative — "keep the highest-quality
+    copy", the form curation pipelines actually want.
+
+    Same spine as ``dedup_near`` (LSH candidates -> exact verify ->
+    components); representative selection adds only CLUSTER-MEMBER-sized
+    work: below ``driver_cluster_limit`` verified pairs the members'
+    narrow (id, score) rows are collected once (bounded by pair volume)
+    and the winner per root falls out of one lexsort; beyond it, scores
+    attach to the distributed component labels via one co-partition
+    exchange and winners are chosen per root-partition — nothing
+    O(corpus) ever concentrates. Null scores rank below any non-null
+    (SQL NULLS LAST semantics).
+    """
+    import pyarrow.compute as _pc
+
+    pairs_ds = minhash_candidate_pairs(ds, id_col, text_col, num_perm, bands)
+    verified_ds = verify_pairs_dataset(
+        ds, pairs_ds, id_col, text_col, threshold, shingle_n
+    ).materialize()
+
+    n_pairs = verified_ds.count()
+    if n_pairs == 0:
+        return ds
+
+    def _winner_drops(ids: np.ndarray, roots: np.ndarray, scores: np.ndarray) -> np.ndarray:
+        """Member (id, root, score) arrays -> ids to DROP (everything
+        but each root's best). -score ascending == score descending;
+        nan (null score) sorts after every number, id breaks ties."""
+        order = np.lexsort((ids, -scores, roots))
+        r_s = roots[order]
+        first = np.empty(len(r_s), dtype=bool)
+        first[0] = True
+        first[1:] = r_s[1:] != r_s[:-1]
+        return ids[order][~first]
+
+    if n_pairs <= driver_cluster_limit:
+        verified = [
+            (r["a"], r["b"])
+            for r in verified_ds.select_columns(["a", "b"]).take_all()
+        ]
+        components = cluster_pairs(verified)
+        member_arr = pa.array(sorted(components))
+        member_ref_tab = (
+            ds.map_batches(
+                lambda t: t.select([id_col, score_col]).filter(
+                    _pc.is_in(t.column(id_col), value_set=member_arr)
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        )
+        from patito_ray.stages.agg import collect_table
+
+        mt = collect_table(
+            member_ref_tab,
+            empty_schema=pa.schema([(id_col, pa.int64()), (score_col, pa.float64())]),
+        )
+        ids = mt.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = mt.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        roots = np.fromiter(
+            (components[int(i)] for i in ids), dtype=np.int64, count=len(ids)
+        )
+        drop = _winner_drops(ids, roots, scores)
+        if not len(drop):
+            return ds
+        drop_set = pa.array(np.sort(drop))
+        return ds.map_batches(
+            lambda t: t.filter(
+                _pc.invert(_pc.is_in(t.column(id_col), value_set=drop_set))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    # crawl-scale path: distributed components -> attach scores by node
+    # -> winner per root-partition -> anti co-partition filter
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import copartition_apply, default_num_partitions
+
+    comp = cluster_pairs_distributed(verified_ds)
+    narrow = ds.map_batches(
+        lambda t: t.select([id_col, score_col]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def attach(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        import polars as pl
+
+        l = pl.from_arrow(lt.select(["node", "root"]))
+        r = pl.from_arrow(rt).rename({id_col: "node", score_col: "score"})
+        return l.join(r, on="node", how="inner").to_arrow()
+
+    scored = copartition_apply(comp, narrow, by="node", right_by=id_col, part_fn=attach)
+
+    P = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_partition_ids(t.column("root"), P, "dedup_near_best root")
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def emit_drops(g: pa.Table) -> pa.Table:
+        ids = g.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        roots = g.column("root").to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = g.column("score").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"node": pa.array(_winner_drops(ids, roots, scores), type=pa.int64())})
+
+    drops = (
+        scored.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(emit_drops, batch_format="pyarrow")
+    )
+
+    def anti(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        keep = _pc.invert(
+            _pc.is_in(lt.column(id_col), value_set=rt.column("node").combine_chunks())
+        )
+        return lt.filter(keep)
+
+    return copartition_apply(ds, drops, by=id_col, right_by="node", part_fn=anti)

@@ -4538,3 +4538,85 @@ SELECT doc_id, ROUND(LOG2(n) - sk / n, 6) AS char_entropy FROM tot
 """
 
 QUERIES["char_entropy"] = (q_char_entropy, SQL_CHAR_ENTROPY)
+
+
+def q_dedup_near_best(sf_dir: str) -> Any:
+    """Near-dedup keeping each duplicate cluster's BEST member — here
+    the longest document (score = n_chars, ties -> min doc_id) — the
+    "keep the highest-quality copy" form curation pipelines want.
+    bands=32 (r=4) candidate recall > 1-1e-12 at j>=0.8, so clusters
+    equal the oracle's exhaustive-scan transitive closure."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    kept = f_dedup.dedup_near_best(
+        ds,
+        id_col="doc_id",
+        text_col="text",
+        score_col="n_chars",
+        threshold=0.8,
+        num_perm=128,
+        bands=32,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            }
+        )
+
+    return kept.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DEDUP_NEAR_BEST = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i, len(ts) AS n
+  FROM tok
+),
+g3 AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram,
+         i, n
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+long_grams AS (
+  SELECT doc_id, list(DISTINCT gram) AS gs FROM g3 WHERE i + 2 <= n GROUP BY doc_id
+),
+grams AS (
+  SELECT t.doc_id,
+         COALESCE(lg.gs,
+                  CASE WHEN len(t.ts) >= 1 THEN [array_to_string(t.ts, ' ')]
+                       ELSE [] END) AS gs
+  FROM tok t LEFT JOIN long_grams lg ON t.doc_id = lg.doc_id
+),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+  WHERE len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) > 0
+    AND CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+        / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))) >= 0.8
+),
+und AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a
+),
+ranked AS (
+  SELECT c.node, ROW_NUMBER() OVER (
+           PARTITION BY c.root ORDER BY d.n_chars DESC, c.node ASC
+         ) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+"""
+
+QUERIES["dedup_near_best"] = (q_dedup_near_best, SQL_DEDUP_NEAR_BEST)

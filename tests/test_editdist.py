@@ -120,3 +120,45 @@ def test_edit_near_dups_planted_typos(ray_session):
     for a, b, d in got - expected:
         assert d <= 2
         assert _ref_lev(names[a], names[b]) == d
+
+
+@pytest.mark.parametrize("limit", [10_000_000, 0])
+def test_dedup_near_best_keeps_highest_score(ray_session, limit):
+    """Planted near-dup clusters: the survivor is the highest-scoring
+    member (ties -> min id; null score loses to any scored member), on
+    BOTH the driver union-find path and the forced-distributed path
+    (driver_cluster_limit=0)."""
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import dedup_near_best
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    base_b = "one two three four five six seven eight nine ten " * 4
+    texts, ids, scores = [], [], []
+    # cluster A: ids 0,1,2 — scores 1.0, 5.0, 5.0 -> winner id 1 (tie min id)
+    for i, s in [(0, 1.0), (1, 5.0), (2, 5.0)]:
+        ids.append(i), texts.append(base_a + f"tail{i % 2}"), scores.append(s)
+    # cluster B: ids 10, 11 — scores null, 2.0 -> winner 11 (null loses)
+    ids += [10, 11]
+    texts += [base_b + "x", base_b + "y"]
+    scores += [None, 2.0]
+    # singletons far from everything, any score
+    for i in range(20, 26):
+        ids.append(i)
+        texts.append(f"unique document number {i} " + " ".join(f"w{i}{j}" for j in range(30)))
+        scores.append(float(i))
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": texts,
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+    ).repartition(4)
+    kept = dedup_near_best(
+        ds, score_col="score", threshold=0.5, driver_cluster_limit=limit
+    )
+    got = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    assert got == [1, 11] + list(range(20, 26))
