@@ -404,3 +404,82 @@ def bm25_scores(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def bigram_pmi(ds: Any, text_col: str = "text", min_count: int = 5) -> Any:
+    """Collocation extraction: every adjacent token bigram occurring
+    >= ``min_count`` times, scored by pointwise mutual information
+    PMI = log2( (c_xy / B) / ((u_x / U) * (u_y / U)) ) over exact corpus
+    counts (B / U = total bigram / unigram occurrences). High-PMI pairs
+    are multiword expressions ("new york"); near-zero / negative are
+    chance co-occurrences — the standard corpus-linguistics signal.
+
+    Scale shape: the two count passes are ``ngram_counts`` streams
+    (adaptive partial-sum merge). The UNIGRAM vocabulary is collected
+    and broadcast once (Heaps' law keeps it sublinear in the corpus —
+    the same justification as the classifier's vocabulary); the BIGRAM
+    side — the big one — stays a Dataset, scored per batch against the
+    broadcast lookup. Returns a Dataset[gram, cnt, pmi(double)] on the
+    distributed path, a pa.Table on the driver-merge path; the float
+    expression evaluates in one fixed order so both engines agree to
+    the last ulp before rounding."""
+    import ray
+
+    from patito_ray.stages.agg import collect_table
+
+    bi = ngram_counts(ds, 2, text_col)
+    uni = ngram_counts(ds, 1, text_col)
+    uni_tab = (
+        uni
+        if isinstance(uni, pa.Table)
+        else collect_table(
+            uni, empty_schema=pa.schema([("gram", pa.string()), ("cnt", pa.int64())])
+        )
+    )
+    U = int(pc.sum(uni_tab.column("cnt")).as_py() or 0)
+    uni_words = uni_tab.column("gram").combine_chunks()
+    uni_counts = uni_tab.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if isinstance(bi, pa.Table):
+        B = int(pc.sum(bi.column("cnt")).as_py() or 0)
+    else:
+        from ray.data.aggregate import Sum
+
+        bi = bi.materialize()
+        agg = bi.aggregate(Sum("cnt"))
+        B = int(agg["sum(cnt)"] or 0)
+    if B == 0 or U == 0:
+        return pa.schema(
+            [("gram", pa.string()), ("cnt", pa.int64()), ("pmi", pa.float64())]
+        ).empty_table()
+    ref = ray.put((uni_words, uni_counts))
+
+    def score(t: pa.Table) -> pa.Table:
+        words, counts = ray.get(ref)
+        keep = pc.greater_equal(t.column("cnt"), min_count)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.schema(
+                [("gram", pa.string()), ("cnt", pa.int64()), ("pmi", pa.float64())]
+            ).empty_table()
+        gram = t.column("gram").combine_chunks()
+        w1 = pc.split_pattern(gram, " ")
+        if isinstance(w1, pa.ChunkedArray):
+            w1 = w1.combine_chunks()
+        first = pc.list_element(w1, 0)
+        second = pc.list_element(w1, 1)
+        ux = counts[pc.index_in(first, value_set=words).to_numpy(zero_copy_only=False)]
+        uy = counts[pc.index_in(second, value_set=words).to_numpy(zero_copy_only=False)]
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log2((cnt / B) / ((ux / U) * (uy / U)))
+        return pa.table(
+            {
+                "gram": gram,
+                "cnt": pc.cast(t.column("cnt"), pa.int64()),
+                "pmi": pa.array(pmi, type=pa.float64()),
+            }
+        )
+
+    if isinstance(bi, pa.Table):
+        return score(bi)
+    return bi.map_batches(score, batch_format="pyarrow", batch_size=None)

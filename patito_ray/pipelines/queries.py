@@ -4620,3 +4620,115 @@ WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
 """
 
 QUERIES["dedup_near_best"] = (q_dedup_near_best, SQL_DEDUP_NEAR_BEST)
+
+
+def q_mad_per_group(sf_dir: str) -> Any:
+    """Per-supplier robust dispersion: selection-median and median
+    absolute deviation of extended price in ONE hash exchange
+    (stages/quantiles.py:grouped_mad). Selection ranks + one IEEE
+    subtraction keep every double bit-exact against the SQL ROW_NUMBER
+    oracle — no rounding anywhere."""
+    from patito_ray.stages.quantiles import grouped_mad
+
+    ds = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    out = grouped_mad(ds, by="l_suppkey", value="l_extendedprice")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "med": pc.cast(t.column("med"), pa.float64()),
+                "mad": pc.cast(t.column("mad"), pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_MAD_PER_GROUP = """
+WITH vals AS (
+  SELECT l_suppkey AS k, l_extendedprice AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+ranked AS (
+  SELECT k, v,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM vals
+),
+med AS (
+  SELECT k, n, v AS med FROM ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+),
+ad AS (
+  SELECT vals.k, ABS(vals.v - med.med) AS a, med.n
+  FROM vals JOIN med ON vals.k = med.k
+),
+ad_ranked AS (
+  SELECT k, a, n, ROW_NUMBER() OVER (PARTITION BY k ORDER BY a) AS rn FROM ad
+),
+mad AS (
+  SELECT k, a AS mad FROM ad_ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+)
+SELECT med.k AS l_suppkey, med.n AS n, med.med AS med, mad.mad AS mad
+FROM med JOIN mad ON med.k = mad.k
+"""
+
+QUERIES["mad_per_group"] = (q_mad_per_group, SQL_MAD_PER_GROUP)
+
+
+def q_bigram_pmi(sf_dir: str) -> Any:
+    """Corpus collocations: every adjacent-token bigram with count >= 5
+    scored by PMI over exact corpus counts (functions/tfidf.py:
+    bigram_pmi — unigram vocabulary broadcast once, bigram side stays
+    a stream). Both engines evaluate the identical double expression
+    from identical integer counts; rounded at 1e-6."""
+    from patito_ray.functions.tfidf import bigram_pmi
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    out = bigram_pmi(ds, min_count=5)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gram": pc.cast(t.column("gram"), pa.string()),
+                "cnt": pc.cast(t.column("cnt"), pa.int64()),
+                "pmi": _r(pc.cast(t.column("pmi"), pa.float64()), 6),
+            }
+        )
+
+    return _apply(out, finish)
+
+
+SQL_BIGRAM_PMI = """
+WITH t AS (
+  SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+uni AS (
+  SELECT u.tok AS w, CAST(COUNT(*) AS BIGINT) AS uc
+  FROM t, LATERAL unnest(toks) AS u(tok) GROUP BY u.tok
+),
+bi AS (
+  SELECT array_to_string(toks[s : s + 1], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(s)
+  WHERE len(toks) >= 2
+),
+bc AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY gram
+),
+tot AS (
+  SELECT (SELECT SUM(cnt) FROM bc) AS bt, (SELECT SUM(uc) FROM uni) AS ut
+)
+SELECT bc.gram AS gram, bc.cnt AS cnt,
+       ROUND(LOG2((CAST(bc.cnt AS DOUBLE) / bt)
+             / ((CAST(u1.uc AS DOUBLE) / ut) * (CAST(u2.uc AS DOUBLE) / ut))), 6)
+         AS pmi
+FROM bc, tot
+JOIN uni u1 ON u1.w = split_part(bc.gram, ' ', 1)
+JOIN uni u2 ON u2.w = split_part(bc.gram, ' ', 2)
+WHERE bc.cnt >= 5
+"""
+
+QUERIES["bigram_pmi"] = (q_bigram_pmi, SQL_BIGRAM_PMI)

@@ -224,3 +224,62 @@ def global_quantiles(
     for name in qs:
         out_cols[name] = pa.array([results[name]], pa.float64())
     return pa.table(out_cols)
+
+
+def grouped_mad(
+    ds: Any,
+    by: str,
+    value: str,
+    num_partitions: int | None = None,
+) -> Any:
+    """One row per group: ``by``, ``n``, selection-median ``med`` and
+    median absolute deviation ``mad`` (selection-median of
+    ``|x - med|``) — the robust-statistics pair behind outlier gates
+    that don't blow up on heavy tails like mean/stddev do.
+
+    Both statistics are SELECTION quantiles (rank ``max(1, ceil(n/2))``),
+    and the deviation is one IEEE subtraction + abs, so the whole row is
+    bit-exact against the SQL ROW_NUMBER oracle with zero rounding.
+
+    Scale shape: ONE hash exchange (the ``grouped_quantiles`` spine) —
+    MAD needs the group's values twice (med first, deviations second),
+    so computing both inside the same partition task costs no second
+    exchange. Null values drop (SQL aggregate semantics); null keys are
+    rejected by the shared partition kernel.
+    """
+    import polars as pl
+
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        t = pa.table({by: t.column(by), value: t.column(value)})
+        if t.column(value).null_count:
+            t = t.filter(pc.is_valid(t.column(value)))
+        part = hash_partition_ids(
+            t.column(by), num_partitions, f"grouped_mad key column {by!r}"
+        )
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def per_partition(group_table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group_table.drop_columns(["part"]))
+        df = df.filter(pl.col(value).is_not_null())
+        n = pl.len()
+        idx = (n.cast(pl.Float64) * 0.5).ceil().cast(pl.Int64).clip(lower_bound=1) - 1
+        med = df.group_by(by).agg(
+            [n.cast(pl.Int64).alias("n"), pl.col(value).sort().get(idx).alias("med")]
+        )
+        dev = df.join(med.select([by, "med"]), on=by, how="inner").with_columns(
+            (pl.col(value) - pl.col("med")).abs().alias("_ad")
+        )
+        mad = dev.group_by(by).agg(pl.col("_ad").sort().get(idx).alias("mad"))
+        return med.join(mad, on=by, how="inner").to_arrow()
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby("part").map_groups(per_partition, batch_format="pyarrow")

@@ -270,3 +270,24 @@ def test_global_quantiles_band_limit_raises(ray_session):
     tab = pa.table({"v": pa.array(np.arange(1000, dtype=np.float64))})
     with pytest.raises(ValueError, match="band_limit"):
         global_quantiles(rd.from_arrow(tab), "v", {"p50": 0.5}, band_limit=1)
+
+
+def test_grouped_mad_nulls_and_exactness(ray_session):
+    """grouped_mad: null values drop, med/mad are selection statistics
+    (bit-exact, no interpolation)."""
+    import ray.data as rd
+
+    from patito_ray.stages.quantiles import grouped_mad
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 2, 2], type=pa.int64()),
+            "v": pa.array([1.0, 5.0, 100.0, None, 7.0, 7.0, 9.0], type=pa.float64()),
+        }
+    )
+    out = grouped_mad(rd.from_arrow(t).repartition(3), by="k", value="v")
+    rows = {r["k"]: r for r in out.take_all()}
+    # k=1: values [1,5,100] -> med = rank ceil(1.5)=2 -> 5; |x-5| = [4,0,95] -> mad = 4
+    assert rows[1]["n"] == 3 and rows[1]["med"] == 5.0 and rows[1]["mad"] == 4.0
+    # k=2: [7,7,9] -> med 7; |x-7| = [0,0,2] -> mad 0
+    assert rows[2]["n"] == 3 and rows[2]["med"] == 7.0 and rows[2]["mad"] == 0.0

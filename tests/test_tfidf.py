@@ -245,3 +245,26 @@ def test_bm25_matches_reference_under_batching(ray_session):
         assert set(gd) == set(ref)
         for i, s in ref.items():
             assert abs(gd[i] - s) < 1e-9, (n_blocks, i, gd[i], s)
+
+
+def test_bigram_pmi_known_counts(ray_session):
+    """Tiny corpus with hand-computable counts: PMI matches the formula
+    from exact integers; sub-min_count grams are absent."""
+    import math
+
+    import ray.data as rd
+
+    from patito_ray.functions.tfidf import bigram_pmi
+
+    docs = ["a b a b", "a b c"] * 3  # "a b" x9, "b a" x3, "b c" x3; U=21, B=15
+    out = bigram_pmi(
+        rd.from_arrow(pa.table({"text": docs})).repartition(2), min_count=4
+    )
+    tab = out if isinstance(out, pa.Table) else pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow"))
+    )
+    rows = {r["gram"]: r for r in tab.to_pylist()}
+    assert set(rows) == {"a b"}
+    ua, ub = 9, 9  # 'a' occurrences: 2*3+1*3 = 9; 'b': 9; total tokens 21
+    exp = math.log2((9 / 15) / ((ua / 21) * (ub / 21)))
+    assert abs(rows["a b"]["pmi"] - exp) < 1e-12 and rows["a b"]["cnt"] == 9
