@@ -4732,3 +4732,231 @@ WHERE bc.cnt >= 5
 """
 
 QUERIES["bigram_pmi"] = (q_bigram_pmi, SQL_BIGRAM_PMI)
+
+
+def q_top_types_per_brand(sf_dir: str) -> Any:
+    """Top-3 most frequent part types per brand (stages/agg.py:
+    top_values_per_group — the k>1 generalization of mode_per_group).
+    Only DISTINCT (brand, type) pairs ride the adaptive partial-sum
+    merge; a hot pair costs one row per block, never its count."""
+    from patito_ray.stages.agg import top_values_per_group
+
+    ds = _rp(sf_dir, "part", ["p_brand", "p_type"])
+    out = top_values_per_group(ds, by="p_brand", value="p_type", k=3)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "p_type": t.column("p_type"),
+                "cnt": pc.cast(t.column("cnt"), pa.int64()),
+                "rank": pc.cast(t.column("rank"), pa.int64()),
+            }
+        )
+
+    return _apply(out, finish)
+
+
+SQL_TOP_TYPES_PER_BRAND = """
+WITH c AS (
+  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM part GROUP BY p_brand, p_type
+)
+SELECT p_brand, p_type, cnt, rank FROM (
+  SELECT p_brand, p_type, cnt,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p_brand ORDER BY cnt DESC, p_type) AS BIGINT) AS rank
+  FROM c
+) WHERE rank <= 3
+"""
+
+QUERIES["top_types_per_brand"] = (q_top_types_per_brand, SQL_TOP_TYPES_PER_BRAND)
+
+
+def q_dup_cluster_sizes(sf_dir: str) -> Any:
+    """Exact-duplicate cluster-size histogram over documents — the
+    dedup *report* ("how much of the corpus is 2x / 10x / 1000x
+    duplicated"). Two narrow partial-sum merges: per-batch
+    (content-hash, count) partials collapse to per-cluster sizes, then
+    sizes collapse to the tiny (cluster_size, n_clusters) histogram.
+    Text never rides an exchange — 16 B per distinct hash per batch.
+    Same hash64-equality contract as dedup_exact (collision-free at
+    any realistic corpus size: 64-bit over 10^12 docs)."""
+    from patito_ray.state.sketches import hash64
+
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def batch_hash_counts(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        if txt.null_count:
+            txt = txt.filter(pc.is_valid(txt))
+        h = hash64(txt).view(np.int64)
+        uniq, counts = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uniq, type=pa.int64()),
+             "c": pa.array(counts.astype(np.int64), type=pa.int64())}
+        )
+
+    partials = ds.map_batches(batch_hash_counts, batch_format="pyarrow", batch_size=None)
+    per_cluster = merge_partial_sums(partials, ["h"], ["c"])
+
+    def batch_size_counts(t: pa.Table) -> pa.Table:
+        sizes = t.column("c").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(sizes, return_counts=True)
+        return pa.table(
+            {"cluster_size": pa.array(uniq, type=pa.int64()),
+             "n_clusters": pa.array(counts.astype(np.int64), type=pa.int64())}
+        )
+
+    if isinstance(per_cluster, pa.Table):
+        return batch_size_counts(per_cluster)
+    hist_partials = per_cluster.map_batches(
+        batch_size_counts, batch_format="pyarrow", batch_size=None
+    )
+    return merge_partial_sums(hist_partials, ["cluster_size"], ["n_clusters"])
+
+
+SQL_DUP_CLUSTER_SIZES = """
+WITH c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM documents WHERE text IS NOT NULL GROUP BY text
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY cluster_size
+"""
+
+QUERIES["dup_cluster_sizes"] = (q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES)
+
+
+def q_inverted_index(sf_dir: str) -> Any:
+    """Posting lists: every corpus term with its sorted document-id
+    list and document frequency — the IR index-construction primitive.
+    Per-batch tokenize (shared RE2-exact kernel) + vectorized DISTINCT
+    (term, doc) pairs, then ONE term-key exchange through
+    string_agg_per_group (postings are holistic, so that exchange is
+    the minimum movement). Doc ids are zero-padded to width 10 so
+    binary string order == numeric order on both engines."""
+    import polars as pl
+
+    from patito_ray.functions.tfidf import re2_split_tokens
+    from patito_ray.stages.agg import string_agg_per_group
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def batch_pairs(t: pa.Table) -> pa.Table:
+        flat, parents, _ = re2_split_tokens(t.column("text"))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[parents]
+        return (
+            pl.DataFrame(
+                {"term": pl.from_arrow(flat), "docid": ids}
+            )
+            .unique()
+            .with_columns(
+                pl.col("docid").cast(pl.Utf8).str.zfill(10).alias("docp")
+            )
+            .select(["term", "docp"])
+            .to_arrow()
+        )
+
+    pairs = ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=None)
+    agg = string_agg_per_group(pairs, by="term", value="docp", sep=",")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "postings": t.column("agg"),
+                "df": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT DISTINCT u.term AS term,
+         lpad(CAST(doc_id AS VARCHAR), 10, '0') AS docp
+  FROM documents, LATERAL UNNEST(regexp_extract_all(text, '\\S+')) AS u(term)
+)
+SELECT term, string_agg(docp, ',' ORDER BY docp) AS postings,
+       CAST(COUNT(*) AS BIGINT) AS df
+FROM toks GROUP BY term
+"""
+
+QUERIES["inverted_index"] = (q_inverted_index, SQL_INVERTED_INDEX)
+
+
+def q_mad_outliers(sf_dir: str) -> Any:
+    """Robust per-group outlier rows: events whose value deviates from
+    their type's selection-median by more than 3x the MAD — the
+    heavy-tail-safe anomaly gate (mean/stddev blow up on the tails
+    this is built to catch). One grouped_mad exchange produces the
+    tiny per-type threshold table; the filter is then a pure per-batch
+    vectorized probe against it (a handful of groups — rides the task
+    closure; a large group table would go through ray.put like
+    segment_revenue's dim side). Selection medians + one IEEE
+    subtract/abs/multiply keep every comparison bit-identical to the
+    SQL oracle — no rounding, no epsilon."""
+    from patito_ray.stages.agg import collect_table
+    from patito_ray.stages.quantiles import grouped_mad
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    stats = collect_table(grouped_mad(ds, by="event_type", value="value"))
+    types = stats.column("event_type")
+    med = stats.column("med").to_numpy(zero_copy_only=False)
+    mad = stats.column("mad").to_numpy(zero_copy_only=False)
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        idx = pc.fill_null(pc.index_in(t.column("event_type"), value_set=types), -1)
+        i = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.nan_to_num(v.to_numpy(zero_copy_only=False), nan=0.0)
+        ok = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(t), dtype=bool)
+        hit = ok & (i >= 0)
+        keep[hit] = np.abs(vals[hit] - med[i[hit]]) > 3.0 * mad[i[hit]]
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value": v,
+            }
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+SQL_MAD_OUTLIERS = """
+WITH vals AS (
+  SELECT event_type AS k, value AS v FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT k, v,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM vals
+),
+med AS (
+  SELECT k, n, v AS med FROM ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+),
+ad AS (
+  SELECT vals.k, ABS(vals.v - med.med) AS a, med.n
+  FROM vals JOIN med ON vals.k = med.k
+),
+ad_ranked AS (
+  SELECT k, a, n, ROW_NUMBER() OVER (PARTITION BY k ORDER BY a) AS rn FROM ad
+),
+mad AS (
+  SELECT k, a AS mad FROM ad_ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e
+JOIN med ON e.event_type = med.k
+JOIN mad ON e.event_type = mad.k
+WHERE e.value IS NOT NULL AND ABS(e.value - med.med) > 3 * mad.mad
+"""
+
+QUERIES["mad_outliers"] = (q_mad_outliers, SQL_MAD_OUTLIERS)

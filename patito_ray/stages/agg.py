@@ -202,6 +202,64 @@ def mode_per_group(
     return top.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+def top_values_per_group(
+    ds: Any,
+    by: str,
+    value: str,
+    k: int,
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> pa.Table | Any:
+    """Top-``k`` most frequent ``value``s per group (count desc, value
+    asc tie-break — the deterministic total order SQL ROW_NUMBER can
+    restate). Output: ``by``, ``value``, ``cnt``, ``rank`` (1-based).
+
+    Generalizes :func:`mode_per_group` (k=1): per-batch vectorized
+    (by, value, partial_count) rows, the adaptive partial-sum merge,
+    then top-k per group — driver polars below ``limit_bytes``,
+    :func:`patito_ray.stages.topk.grouped_top_k` beyond. Only DISTINCT
+    pairs ride the exchange; a hot (group, value) costs one row per
+    block, never its count."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    if k < 1:
+        raise ValueError(f"top_values_per_group needs k >= 1, got {k}")
+
+    def batch_counts(t: pa.Table) -> pa.Table:
+        kv = pa.table({by: t.column(by), value: t.column(value)})
+        kv = kv.filter(pc.is_valid(kv.column(value)))
+        return (
+            pl.from_arrow(kv)
+            .group_by([by, value])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(batch_counts, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, [by, value], ["cnt"], limit_bytes=limit_bytes)
+
+    if isinstance(merged, pa.Table):
+        return (
+            pl.from_arrow(merged)
+            .sort(["cnt", value], descending=[True, False])
+            .group_by(by, maintain_order=True)
+            .head(k)
+            .with_columns(
+                rank=pl.col("cnt").cum_count().over(by).cast(pl.Int64)
+            )
+            .select([by, value, "cnt", "rank"])
+            .to_arrow()
+        )
+    from patito_ray.stages.topk import grouped_top_k
+
+    top = grouped_top_k(merged, by, "cnt", k=k, tie=value, descending=True)
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        return t.select([by, value, "cnt", "rank"])
+
+    return top.map_batches(order_cols, batch_format="pyarrow", batch_size=None)
+
+
 def grouping_sets_sums(
     ds: Any,
     keys: list[str],

@@ -1,0 +1,149 @@
+"""top_values_per_group / dup-cluster histogram / inverted index vs
+pure references under arbitrary partitioning and both merge paths."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from patito_ray.stages.agg import top_values_per_group
+
+
+def _collect(ds) -> pa.Table:
+    import ray
+
+    if isinstance(ds, pa.Table):
+        return ds
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs)
+
+
+def _topk_reference(keys, vals, k):
+    counts = collections.Counter(zip(keys, vals))
+    per_group: dict = {}
+    for (g, v), c in counts.items():
+        per_group.setdefault(g, []).append((c, v))
+    rows = []
+    for g, items in per_group.items():
+        items.sort(key=lambda cv: (-cv[0], cv[1]))
+        for rank, (c, v) in enumerate(items[:k], start=1):
+            rows.append((g, v, c, rank))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("limit_bytes", [256 << 20, 0])
+def test_top_values_per_group_reference(ray_session, limit_bytes):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    keys = rng.integers(0, 12, n)
+    vals = rng.choice(np.array(["a", "b", "c", "d", "e", "f"]), n)
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(keys, type=pa.int64()), "v": vals})
+    ).repartition(7)
+
+    out = _collect(top_values_per_group(ds, "g", "v", k=3, limit_bytes=limit_bytes))
+    got = sorted(
+        zip(
+            out.column("g").to_pylist(),
+            out.column("v").to_pylist(),
+            out.column("cnt").to_pylist(),
+            out.column("rank").to_pylist(),
+        )
+    )
+    assert got == _topk_reference(keys.tolist(), vals.tolist(), 3)
+
+
+def test_top_values_per_group_nulls_and_k1_matches_mode(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.agg import mode_per_group
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2, 2, 2, 2], type=pa.int64()),
+            "v": pa.array(["x", "x", None, "y", "z", "z", None]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    top = _collect(top_values_per_group(ds, "g", "v", k=1))
+    mode = mode_per_group(rd.from_arrow(t), "g", "v")
+    if not isinstance(mode, pa.Table):
+        mode = _collect(mode)
+    top_rows = sorted(
+        zip(top.column("g").to_pylist(), top.column("v").to_pylist(),
+            top.column("cnt").to_pylist())
+    )
+    mode_rows = sorted(
+        zip(mode.column("g").to_pylist(), mode.column("mode_value").to_pylist(),
+            mode.column("mode_count").to_pylist())
+    )
+    assert top_rows == mode_rows
+    with pytest.raises(ValueError):
+        top_values_per_group(ds, "g", "v", k=0)
+
+
+def _docs_dir(tmp_path, texts, ids=None):
+    import pyarrow.parquet as pq
+
+    ids = ids if ids is not None else list(range(len(texts)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_dup_cluster_sizes_constructed(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_dup_cluster_sizes
+
+    # 3 singletons, one pair, one triple, one null (dropped)
+    texts = ["a", "b", "c", "dup one", "dup one", "tri", "tri", "tri", None]
+    out = q_dup_cluster_sizes(_docs_dir(tmp_path, texts))
+    out = _collect(out)
+    got = dict(
+        zip(out.column("cluster_size").to_pylist(), out.column("n_clusters").to_pylist())
+    )
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_inverted_index_reference(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_inverted_index
+
+    texts = [
+        "the cat sat",
+        "the dog\tsat  twice",
+        "",
+        None,
+        "cat cat cat",  # df counts docs, not occurrences
+        "\x0bweird",  # \x0b is NOT RE2 whitespace: token stays intact
+    ]
+    out = _collect(q_inverted_index(_docs_dir(tmp_path, texts)))
+    got = {
+        t: (p, d)
+        for t, p, d in zip(
+            out.column("term").to_pylist(),
+            out.column("postings").to_pylist(),
+            out.column("df").to_pylist(),
+        )
+    }
+    assert got["the"] == ("0000000000,0000000001", 2)
+    assert got["cat"] == ("0000000000,0000000004", 2)
+    assert got["sat"] == ("0000000000,0000000001", 2)
+    assert got["twice"] == ("0000000001", 1)
+    assert got["\x0bweird"] == ("0000000005", 1)
+    assert "" not in got
