@@ -4960,3 +4960,205 @@ WHERE e.value IS NOT NULL AND ABS(e.value - med.med) > 3 * mad.mad
 """
 
 QUERIES["mad_outliers"] = (q_mad_outliers, SQL_MAD_OUTLIERS)
+
+
+def q_equidepth_buckets(sf_dir: str) -> Any:
+    """Exact global equi-depth bucketing (NTILE(8) over the corpus-wide
+    price order) WITHOUT a global payload sort: stages/prefix.py:
+    global_ntile rides the ordered-prefix-sum exchange (16 B/row), then
+    bucket stats are per-batch partials merged on the tiny bucket id.
+    Prices move to an exact integer grid (cents) so the order key and
+    every min/max is integer — zero float risk end to end."""
+    from patito_ray.stages.agg import collect_table
+    from patito_ray.stages.prefix import global_ntile
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        tid = (
+            t.column("l_orderkey").to_numpy(zero_copy_only=False) * 10
+            + t.column("l_linenumber").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"cents": pa.array(cents), "tid": pa.array(tid.astype(np.int64))}
+        )
+
+    narrow = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    bucketed = global_ntile(narrow, "cents", k=8, tie_col="tid")
+
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bucket": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "min_cents": pa.array([], type=pa.int64()),
+                 "max_cents": pa.array([], type=pa.int64())}
+            )
+        return (
+            pl.from_arrow(t)
+            .group_by("bucket")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("cents").min().alias("min_cents"),
+                pl.col("cents").max().alias("max_cents"),
+            )
+            .to_arrow()
+        )
+
+    # k x #blocks partial rows — a driver pull is bounded by design
+    parts = collect_table(
+        bucketed.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    return (
+        pl.from_arrow(parts)
+        .group_by("bucket")
+        .agg(
+            pl.col("n").sum().alias("n"),
+            pl.col("min_cents").min().alias("min_cents"),
+            pl.col("max_cents").max().alias("max_cents"),
+        )
+        .to_arrow()
+    )
+
+
+SQL_EQUIDEPTH_BUCKETS = """
+WITH t AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         l_orderkey * 10 + l_linenumber AS tid
+  FROM lineitem
+), b AS (
+  SELECT cents, CAST(NTILE(8) OVER (ORDER BY cents, tid) AS BIGINT) AS bucket
+  FROM t
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM b GROUP BY bucket
+"""
+
+QUERIES["equidepth_buckets"] = (q_equidepth_buckets, SQL_EQUIDEPTH_BUCKETS)
+
+
+def q_top_unshipped_orders(sf_dir: str) -> Any:
+    """TPC-H Q3 shape: customer(segment) ⋈ orders(date<) ⋈
+    lineitem(shipdate>) → top-10 orders by open revenue. Both dims
+    broadcast once via ray.put (the fact side streams exactly once,
+    pruned at the read by the shipdate row-group filter); revenue is
+    accumulated on the EXACT integer 1e-4 grid (cents x discount
+    basis points) so per-order sums are int64 on both engines — no
+    float summation-order risk anywhere, the final division by 10^4
+    is one identical IEEE op. Top-10 = per-block prune -> bounded
+    driver merge (10 rows/block ceiling)."""
+    import ray
+
+    from patito_ray.sources.readers import clean_read_parquet
+    from patito_ray.stages.agg import collect_table
+
+    cutoff = datetime.datetime(1995, 3, 15)
+    import polars as pl
+
+    cust = pa.concat_tables(
+        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    building = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), "BUILDING")
+    ).column("c_custkey")
+
+    orders = pa.concat_tables(
+        clean_read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+            filter=(pc.field("o_orderdate") < cutoff),
+        ).iter_batches(batch_format="pyarrow")
+    )
+    open_orders = orders.filter(
+        pc.is_in(orders.column("o_custkey"), value_set=building)
+    ).select(["o_orderkey", "o_orderdate"])
+    ref = ray.put(open_orders)
+
+    lineitem = clean_read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > cutoff),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        oo = ray.get(ref)
+        keep = pc.is_in(t.column("l_orderkey"), value_set=oo.column("o_orderkey"))
+        t = t.filter(keep)
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        bps = 100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "l_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False),
+                    "rev4": cents * bps,
+                }
+            )
+            .group_by("l_orderkey")
+            .agg(pl.col("rev4").sum())
+            .to_arrow()
+        )
+
+    partials = lineitem.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, ["l_orderkey"], ["rev4"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .sort(["rev4", "l_orderkey"], descending=[True, False])
+            .head(10)
+            .to_arrow()
+        )
+
+    if isinstance(merged, pa.Table):
+        top = prune(merged)
+    else:
+        top = prune(
+            collect_table(
+                merged.map_batches(prune, batch_format="pyarrow", batch_size=None)
+            )
+        )
+
+    out = (
+        pl.from_arrow(top)
+        .join(pl.from_arrow(open_orders), left_on="l_orderkey", right_on="o_orderkey")
+        .with_columns((pl.col("rev4").cast(pl.Float64) / 10000.0).alias("revenue"))
+        .select(["l_orderkey", "revenue", "o_orderdate"])
+        .to_arrow()
+    )
+    return out
+
+
+SQL_TOP_UNSHIPPED_ORDERS = """
+WITH rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS rev4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < DATE '1995-03-15'
+    AND l_shipdate > DATE '1995-03-15'
+  GROUP BY l_orderkey
+)
+SELECT rev.l_orderkey,
+       CAST(rev.rev4 AS DOUBLE) / 10000.0 AS revenue,
+       orders.o_orderdate
+FROM rev JOIN orders ON rev.l_orderkey = orders.o_orderkey
+ORDER BY rev.rev4 DESC, rev.l_orderkey LIMIT 10
+"""
+
+QUERIES["top_unshipped_orders"] = (q_top_unshipped_orders, SQL_TOP_UNSHIPPED_ORDERS)

@@ -174,3 +174,59 @@ def ordered_prefix_sum(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
     return tagged.groupby("part").map_groups(finalize, batch_format="pyarrow")
+
+
+def global_ntile(
+    ds: Any,
+    order_col: str,
+    k: int,
+    tie_col: str | None = None,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> Any:
+    """SQL ``NTILE(k) OVER (ORDER BY order_col[, tie_col])`` — exact
+    equi-depth bucketing over a GLOBAL order without a global sort of
+    the payload: the 0-based global rank is the ordered prefix sum of
+    ones (one narrow exchange), and the bucket id is then pure integer
+    arithmetic (first ``n % k`` buckets take ``n // k + 1`` rows, the
+    rest ``n // k`` — the standard SQL distribution).
+
+    Returns a Dataset of ``(order_col[, tie_col], out_col)`` — callers
+    join buckets back by key or aggregate per bucket directly; wide
+    payloads never ride the rank exchange. The combined order key must
+    be unique (``ordered_prefix_sum``'s totality contract)."""
+    if k < 1:
+        raise ValueError(f"global_ntile needs k >= 1, got {k}")
+
+    cols = [order_col] + ([tie_col] if tie_col else [])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column(
+            "_one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
+    plan = ds.select_columns(cols).map_batches(
+        narrow, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    n = plan.count()
+    ranked = ordered_prefix_sum(
+        plan, order_col, "_one", out_col="_rank", tie_col=tie_col,
+        num_partitions=num_partitions,
+    )
+    size, rem = divmod(n, k)
+    cut = rem * (size + 1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "_rank" not in t.column_names:
+            return pa.table(
+                {c: pa.array([], type=pa.int64()) for c in cols + [out_col]}
+            )
+        r = t.column("_rank").to_numpy(zero_copy_only=False)
+        # the unselected branch still evaluates: clamp its divisor so
+        # n < k (size == 0) cannot divide by zero
+        b = np.where(r < cut, r // (size + 1), rem + (r - cut) // max(size, 1))
+        t = t.drop_columns(["_one", "_rank"])
+        return t.append_column(out_col, pa.array((b + 1).astype(np.int64)))
+
+    return ranked.map_batches(assign, batch_format="pyarrow", batch_size=None)

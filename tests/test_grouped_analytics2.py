@@ -147,3 +147,42 @@ def test_inverted_index_reference(ray_session, tmp_path):
     assert got["twice"] == ("0000000001", 1)
     assert got["\x0bweird"] == ("0000000005", 1)
     assert "" not in got
+
+
+def _ntile_reference(order_keys, k):
+    n = len(order_keys)
+    size, rem = divmod(n, k)
+    out = {}
+    for r, key in enumerate(sorted(order_keys)):
+        if r < rem * (size + 1):
+            b = r // (size + 1)
+        else:
+            b = rem + (r - rem * (size + 1)) // size
+        out[key] = b + 1
+    return out
+
+
+@pytest.mark.parametrize("n,k", [(1000, 8), (5, 8), (8, 8), (1001, 7)])
+def test_global_ntile_reference(ray_session, n, k):
+    import ray.data as rd
+
+    from patito_ray.stages.prefix import global_ntile
+
+    rng = np.random.default_rng(n * 31 + k)
+    keys = rng.permutation(rng.choice(10**9, size=n, replace=False)).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"x": pa.array(keys)})).repartition(min(5, n))
+    out = _collect(global_ntile(ds, "x", k=k))
+    got = dict(
+        zip(out.column("x").to_pylist(), out.column("bucket").to_pylist())
+    )
+    assert got == _ntile_reference(keys.tolist(), k)
+
+
+def test_global_ntile_rejects_bad_k(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.prefix import global_ntile
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], type=pa.int64())}))
+    with pytest.raises(ValueError):
+        global_ntile(ds, "x", k=0)
