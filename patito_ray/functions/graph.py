@@ -366,3 +366,290 @@ def connected_components(
         num_partitions=num_partitions or default_num_partitions(),
         max_iters=max_iters,
     )
+
+
+def _run_pairs(sorted_keys: np.ndarray, sorted_vals: np.ndarray):
+    """All within-run ordered pairs of ``sorted_vals`` (runs = equal
+    ``sorted_keys``; input sorted by (key, val)). Vectorized over the
+    pair OFFSET, not the pairs: iteration k emits every (v[i], v[i+k])
+    whose run still has k elements ahead — max-out-degree iterations of
+    O(n) numpy work, no per-run Python. After degree orientation the
+    max out-degree is O(sqrt(2m)), which bounds the loop."""
+    n = sorted_keys.size
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    _, starts, counts = np.unique(sorted_keys, return_index=True, return_counts=True)
+    pos_in_run = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    run_count = np.repeat(counts, counts)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    max_c = int(counts.max())
+    for k in range(1, max_c):
+        ok = pos_in_run + k < run_count
+        if not ok.any():
+            break
+        idx = np.flatnonzero(ok)
+        out_a.append(sorted_vals[idx])
+        out_b.append(sorted_vals[idx + k])
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def triangle_count(
+    edges: Any,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> pa.Table:
+    """Exact triangle count of the UNDIRECTED simple graph underlying
+    an edge Dataset (directions, duplicates and self-loops are
+    normalized away). Returns a one-row table ``(triangles, n_edges)``.
+
+    The classic degree-ordered algorithm, expressed in the house
+    exchange patterns:
+
+    1. distinct undirected edges — per-batch canonicalize (lo, hi) +
+       local dedup, then the adaptive partial-sum merge (16 B/edge,
+       driver fast path <= ``limit_bytes``);
+    2. degrees — a second partial-sum merge over edge endpoints;
+    3. orientation — every node becomes ``(degree << 32) | id`` and
+       each edge points low->high in that total order, so max
+       out-degree is O(sqrt(2m)) and a hot vertex (a crawl hub with
+       10^7 neighbors) generates wedges on its LOW-degree side only —
+       the skew defuser that makes step 4 safe at scale. Degrees
+       attach via broadcast below ``limit_bytes``, else through two
+       co-partition joins;
+    4. wedges — one exchange of oriented edges on the source, per-
+       partition vectorized pair runs (``_run_pairs``) pre-aggregated
+       to (u, v, count) before anything moves;
+    5. probe — wedge counts meet oriented edges in ONE composite-key
+       co-partition (``copartition_apply``); a wedge is a triangle iff
+       its (u, v) is an edge. Partial sums -> one scalar per partition.
+
+    Node ids must be int64 in [0, 2^32) with degree < 2^31 (the packed
+    orientation key) — hash bigger id spaces down first.
+    """
+    import polars as pl
+
+    from patito_ray.stages.join import copartition_apply, default_num_partitions
+
+    _check_edges(edges, src, dst)
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    # ---- 1. distinct undirected edges ----
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        pairs = np.stack([lo, hi], axis=1)
+        pairs = np.unique(pairs, axis=0)
+        return pa.table(
+            {
+                "lo": pa.array(pairs[:, 0], type=pa.int64()),
+                "hi": pa.array(pairs[:, 1], type=pa.int64()),
+                "one": pa.array(np.ones(len(pairs), dtype=np.int64)),
+            }
+        )
+
+    canonical = edges.map_batches(canon, batch_format="pyarrow", batch_size=None)
+    distinct = merge_partial_sums(canonical, ["lo", "hi"], ["one"], limit_bytes=limit_bytes)
+    if isinstance(distinct, pa.Table):
+        import ray.data as rd
+
+        distinct = rd.from_arrow(distinct.select(["lo", "hi"]))
+    else:
+        distinct = distinct.map_batches(
+            lambda t: t.select(["lo", "hi"]), batch_format="pyarrow", batch_size=None
+        )
+    distinct = distinct.materialize()
+    n_edges = distinct.count()
+    if n_edges == 0:
+        return pa.table({"triangles": pa.array([0], type=pa.int64()),
+                         "n_edges": pa.array([0], type=pa.int64())})
+
+    # ---- 2. degrees over the simple graph ----
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                t.column("lo").to_numpy(zero_copy_only=False),
+                t.column("hi").to_numpy(zero_copy_only=False),
+            ]
+        )
+        uniq, counts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"node": pa.array(uniq.astype(np.int64)),
+             "deg": pa.array(counts.astype(np.int64))}
+        )
+
+    degrees = merge_partial_sums(
+        distinct.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+        ["node"],
+        ["deg"],
+        limit_bytes=limit_bytes,
+    )
+
+    def _pack(deg: np.ndarray, node: np.ndarray) -> np.ndarray:
+        if deg.size and int(deg.max()) >= 1 << 31:
+            raise ValueError("triangle_count: degree >= 2^31 cannot pack")
+        if node.size and (int(node.min()) < 0 or int(node.max()) >= 1 << 32):
+            raise ValueError(
+                "triangle_count: node ids must be in [0, 2^32) for the "
+                "packed orientation key — hash larger id spaces first"
+            )
+        return ((deg.astype(np.uint64) << np.uint64(32)) | node.astype(np.uint64)).view(
+            np.int64
+        )
+
+    # ---- 3. orient low->high in (degree, id) order ----
+    if isinstance(degrees, pa.Table):
+        import ray
+
+        nodes_np = degrees.column("node").to_numpy(zero_copy_only=False)
+        degs_np = degrees.column("deg").to_numpy(zero_copy_only=False)
+        sort_idx = np.argsort(nodes_np)  # searchsorted needs sorted nodes
+        deg_ref = ray.put({"node": nodes_np[sort_idx], "deg": degs_np[sort_idx]})
+
+        def orient(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            d = _ray.get(deg_ref)
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            dlo = d["deg"][np.searchsorted(d["node"], lo)]
+            dhi = d["deg"][np.searchsorted(d["node"], hi)]
+            plo = _pack(dlo, lo)
+            phi = _pack(dhi, hi)
+            return pa.table(
+                {
+                    "ea": pa.array(np.minimum(plo, phi), type=pa.int64()),
+                    "eb": pa.array(np.maximum(plo, phi), type=pa.int64()),
+                }
+            )
+
+        oriented = distinct.map_batches(orient, batch_format="pyarrow", batch_size=None)
+    else:
+        deg_ds = degrees.map_batches(
+            lambda t: t.rename_columns(["node", "deg"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+        def attach_lo(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            j = pl.from_arrow(lt).join(
+                pl.from_arrow(rt), left_on="lo", right_on="node", how="inner"
+            )
+            return j.rename({"deg": "dlo"}).to_arrow()
+
+        with_lo = copartition_apply(
+            distinct, deg_ds, "lo", "node", attach_lo, num_partitions=num_partitions
+        )
+
+        deg_ds2 = degrees.map_batches(
+            lambda t: t.rename_columns(["node2", "deg2"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+        def attach_hi(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            j = pl.from_arrow(lt).join(
+                pl.from_arrow(rt), left_on="hi", right_on="node2", how="inner"
+            )
+            return j.rename({"deg2": "dhi"}).to_arrow()
+
+        with_both = copartition_apply(
+            with_lo, deg_ds2, "hi", "node2", attach_hi, num_partitions=num_partitions
+        )
+
+        def pack_both(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"ea": pa.array([], type=pa.int64()),
+                     "eb": pa.array([], type=pa.int64())}
+                )
+            plo = _pack(
+                t.column("dlo").to_numpy(zero_copy_only=False),
+                t.column("lo").to_numpy(zero_copy_only=False),
+            )
+            phi = _pack(
+                t.column("dhi").to_numpy(zero_copy_only=False),
+                t.column("hi").to_numpy(zero_copy_only=False),
+            )
+            return pa.table(
+                {
+                    "ea": pa.array(np.minimum(plo, phi), type=pa.int64()),
+                    "eb": pa.array(np.maximum(plo, phi), type=pa.int64()),
+                }
+            )
+
+        oriented = with_both.map_batches(pack_both, batch_format="pyarrow", batch_size=None)
+
+    oriented = oriented.materialize()
+
+    # ---- 4. wedges: exchange on source, vectorized pair runs ----
+    def add_part(t: pa.Table) -> pa.Table:
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        part = hash_partition_ids(t.column("ea"), num_partitions, "triangle wedge key")
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def wedge_partials(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"wa": pa.array([], type=pa.int64()),
+                 "wb": pa.array([], type=pa.int64()),
+                 "wc": pa.array([], type=pa.int64())}
+            )
+        k = group.column("ea").to_numpy(zero_copy_only=False)
+        v = group.column("eb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        a, b = _run_pairs(k[order], v[order])
+        if a.size == 0:
+            return pa.table(
+                {"wa": pa.array([], type=pa.int64()),
+                 "wb": pa.array([], type=pa.int64()),
+                 "wc": pa.array([], type=pa.int64())}
+            )
+        # pre-aggregate wedge multiplicities before the probe exchange
+        return (
+            pl.DataFrame({"wa": a, "wb": b})
+            .group_by(["wa", "wb"])
+            .agg(pl.len().cast(pl.Int64).alias("wc"))
+            .to_arrow()
+        )
+
+    wedges = (
+        oriented.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(wedge_partials, batch_format="pyarrow")
+    )
+
+    # ---- 5. probe wedges against oriented edges ----
+    def probe(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({"tri": pa.array([0], type=pa.int64())})
+        j = pl.from_arrow(lt).join(
+            pl.from_arrow(rt),
+            left_on=["wa", "wb"],
+            right_on=["ea", "eb"],
+            how="inner",
+        )
+        return pa.table(
+            {"tri": pa.array([int(j["wc"].sum()) if j.height else 0], type=pa.int64())}
+        )
+
+    partial_tris = copartition_apply(
+        wedges, oriented, ["wa", "wb"], ["ea", "eb"], probe,
+        num_partitions=num_partitions,
+    )
+    total = collect_table(partial_tris, pa.schema([("tri", pa.int64())]))
+    tri = int(pc.sum(total.column("tri")).as_py() or 0)
+    return pa.table(
+        {"triangles": pa.array([tri], type=pa.int64()),
+         "n_edges": pa.array([n_edges], type=pa.int64())}
+    )

@@ -5162,3 +5162,225 @@ ORDER BY rev.rev4 DESC, rev.l_orderkey LIMIT 10
 """
 
 QUERIES["top_unshipped_orders"] = (q_top_unshipped_orders, SQL_TOP_UNSHIPPED_ORDERS)
+
+
+def q_url_dedup(sf_dir: str) -> Any:
+    """Canonicalize-then-dedup composition: messy synthesized URLs
+    (mixed-case scheme/host, default ports, fragments — coarser path
+    than url_canonical so true clusters form) collapse to one keeper
+    per canonical URL with the cluster size. One (canon, id) hash
+    exchange — the canonical string is the group key, so co-location is
+    the minimum movement; min-id keeper + count are vectorized per
+    partition."""
+    import polars as pl
+
+    from patito_ray.functions.urls import canonicalize_url_array
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    nparts = default_num_partitions()
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        scheme = pa.array(np.where(ids % 2 == 0, "HTTP://", "hTTps://"))
+        host = pc.binary_join_element_wise(
+            pa.array(np.full(len(ids), "ExAmple", dtype=object)),
+            pc.cast(pa.array(ids % 7), pa.string()),
+            pa.array(np.full(len(ids), ".COM", dtype=object)),
+            "",
+        )
+        port = pa.array(
+            np.choose(ids % 4, [":80", ":443", ":8080", ""]).astype(object)
+        )
+        frag = pa.array(np.where(ids % 3 == 0, "#Frag", "").astype(object))
+        path = pc.cast(pa.array(ids % 10), pa.string())
+        url = pc.binary_join_element_wise(
+            scheme, host, port,
+            pa.array(np.full(len(ids), "/Path/", dtype=object)), path, frag, "",
+        )
+        out = pa.table(
+            {"canon_url": canonicalize_url_array(url), "doc_id": t.column("doc_id")}
+        )
+        part = hash_partition_ids(out.column("canon_url"), nparts, "url_dedup key")
+        return out.append_column("part", pa.array(part, type=pa.int64()))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(group.drop_columns(["part"]))
+            .group_by("canon_url")
+            .agg(
+                pl.col("doc_id").min().alias("keeper"),
+                pl.len().cast(pl.Int64).alias("n_dups"),
+            )
+            .to_arrow()
+        )
+
+    built = ds.map_batches(build, batch_format="pyarrow", batch_size=None)
+    return built.groupby("part").map_groups(per_partition, batch_format="pyarrow")
+
+
+SQL_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'hTTps://' END)
+    || 'ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+    || (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+        WHEN 2 THEN ':8080' ELSE '' END)
+    || '/Path/' || CAST(doc_id % 10 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '#Frag' ELSE '' END) AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)', 1)) AS head,
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^#]*)', 1) AS tail
+  FROM u
+),
+c AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(head, '^(http://[^:]*):80$', '\\1'),
+      '^(https://[^:]*):443$', '\\1') || tail AS canon_url
+  FROM p
+)
+SELECT canon_url, MIN(doc_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM c GROUP BY canon_url
+"""
+
+QUERIES["url_dedup"] = (q_url_dedup, SQL_URL_DEDUP)
+
+
+def q_chi2_independence(sf_dir: str) -> Any:
+    """Chi-square independence test between two categorical columns
+    (documents.lang x documents.source): per-batch vectorized
+    contingency partials ride the adaptive partial-sum merge (distinct
+    pairs only), margins and the statistic are driver arithmetic over
+    the tiny contingency table. Counts are exact integers; the
+    statistic is the SAME closed-form expression evaluated from those
+    integers on both engines, rounded once at 1e-6."""
+    from patito_ray.stages.agg import collect_table
+
+    import polars as pl
+
+    ds = _rp(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .drop_nulls()
+            .group_by(["lang", "source"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, ["lang", "source"], ["c"])
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(merged)
+
+    df = pl.from_arrow(merged)
+    n = int(df["c"].sum())
+    row = df.group_by("lang").agg(pl.col("c").sum().alias("rt"))
+    col = df.group_by("source").agg(pl.col("c").sum().alias("ct"))
+    j = (
+        df.join(row, on="lang").join(col, on="source")
+        .with_columns(
+            (
+                (pl.col("c").cast(pl.Float64)
+                 - pl.col("rt").cast(pl.Float64) * pl.col("ct").cast(pl.Float64) / n) ** 2
+                / (pl.col("rt").cast(pl.Float64) * pl.col("ct").cast(pl.Float64) / n)
+            ).alias("term")
+        )
+    )
+    chi2 = float(j["term"].sum())
+    dof = (row.height - 1) * (col.height - 1)
+    return _one_row(
+        n=n, chi2=_rf(chi2, 6), dof=dof, cells=df.height
+    )
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH ct AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+),
+rt AS (SELECT lang, SUM(c) AS rt FROM ct GROUP BY lang),
+colt AS (SELECT source, SUM(c) AS ct2 FROM ct GROUP BY source),
+tot AS (SELECT SUM(c) AS n FROM ct)
+SELECT
+  CAST(tot.n AS BIGINT) AS n,
+  ROUND(SUM(
+    POWER(CAST(ct.c AS DOUBLE)
+          - CAST(rt.rt AS DOUBLE) * CAST(colt.ct2 AS DOUBLE) / tot.n, 2)
+    / (CAST(rt.rt AS DOUBLE) * CAST(colt.ct2 AS DOUBLE) / tot.n)
+  ), 6) AS chi2,
+  CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM colt) - 1)
+       AS BIGINT) AS dof,
+  CAST(COUNT(*) AS BIGINT) AS cells
+FROM ct JOIN rt USING (lang) JOIN colt USING (source), tot
+GROUP BY tot.n
+"""
+
+QUERIES["chi2_independence"] = (q_chi2_independence, SQL_CHI2_INDEPENDENCE)
+
+
+def q_triangle_count(sf_dir: str) -> Any:
+    """Exact triangle count of the part co-purchase graph (parts are
+    adjacent iff some order contains both): one orderkey exchange forms
+    co-purchase pairs with the shared vectorized run-pair kernel, then
+    functions/graph.py:triangle_count runs the degree-ordered
+    algorithm — orientation bounds max out-degree at O(sqrt(2m)) so a
+    hub part cannot explode the wedge stage; wedges pre-aggregate per
+    partition and probe oriented edges through ONE composite-key
+    co-partition."""
+    from patito_ray.functions.graph import _run_pairs, triangle_count
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    nparts = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_partition_ids(
+            t.column("l_orderkey"), nparts, "co-purchase order key"
+        )
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        o = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        rows = np.unique(np.stack([o, p], axis=1), axis=0)
+        a, b = _run_pairs(rows[:, 0], rows[:, 1])
+        return pa.table(
+            {"src": pa.array(a, type=pa.int64()), "dst": pa.array(b, type=pa.int64())}
+        )
+
+    edges = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    return triangle_count(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+  SELECT DISTINCT i1.p AS a, i2.p AS b
+  FROM items i1 JOIN items i2 ON i1.o = i2.o AND i1.p < i2.p
+),
+w AS (
+  SELECT e1.b AS u, e2.b AS v
+  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM w JOIN e ON e.a = w.u AND e.b = w.v) AS BIGINT)
+    AS triangles,
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+"""
+
+QUERIES["triangle_count"] = (q_triangle_count, SQL_TRIANGLE_COUNT)

@@ -186,3 +186,74 @@ def test_connected_components_random_parity(ray_session):
     d = dict(zip(drv.column("node").to_pylist(), drv.column("root").to_pylist()))
     g = dict(zip(dist.column("node").to_pylist(), dist.column("root").to_pylist()))
     assert d == g
+
+
+# ---------------- triangle counting ----------------
+
+
+def _tri_reference(edge_list):
+    adj = {}
+    edges = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        if (lo, hi) in edges:
+            continue
+        edges.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    tri = 0
+    for a, b in edges:
+        tri += len(adj[a] & adj[b])
+    return len(edges), tri // 3
+
+
+def _tri_edges_ds(edge_list, nblocks=4):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in edge_list], type=pa.int64()),
+            "dst": pa.array([b for _, b in edge_list], type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(nblocks)
+
+
+@pytest.mark.parametrize("limit_bytes", [256 << 20, 0])
+def test_triangle_count_known_graphs(ray_session, limit_bytes):
+    from patito_ray.functions.graph import triangle_count
+
+    # K5: C(5,3)=10 triangles, 10 edges — with dups/reverses/self-loops
+    k5 = [(a, b) for a in range(5) for b in range(5) if a != b] + [(3, 3)]
+    out = triangle_count(_tri_edges_ds(k5), limit_bytes=limit_bytes)
+    assert out.column("triangles").to_pylist() == [10]
+    assert out.column("n_edges").to_pylist() == [10]
+
+    # star graph: hot hub, zero triangles
+    star = [(0, i) for i in range(1, 50)]
+    out = triangle_count(_tri_edges_ds(star), limit_bytes=limit_bytes)
+    assert out.column("triangles").to_pylist() == [0]
+    assert out.column("n_edges").to_pylist() == [49]
+
+
+def test_triangle_count_random_reference(ray_session):
+    from patito_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(42)
+    edge_list = [tuple(map(int, e)) for e in rng.integers(0, 60, size=(800, 2))]
+    n_edges, tri = _tri_reference(edge_list)
+    out = triangle_count(_tri_edges_ds(edge_list, nblocks=6))
+    assert out.column("n_edges").to_pylist() == [n_edges]
+    assert out.column("triangles").to_pylist() == [tri]
+
+
+def test_triangle_count_empty_and_bad_ids(ray_session):
+    from patito_ray.functions.graph import triangle_count
+
+    out = triangle_count(_tri_edges_ds([(1, 1)]))
+    assert out.column("triangles").to_pylist() == [0]
+
+    with pytest.raises(Exception):
+        triangle_count(_tri_edges_ds([(1, 1 << 33), (2, 1 << 33), (1, 2)]))
