@@ -371,3 +371,76 @@ class BloomFilter:
             )
         b.words = words
         return b
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): approximate
+    per-key counts in O(d*w) fixed memory, vectorized over uint64
+    key-hash arrays. Guarantees: estimates never UNDER-count; over-count
+    <= eps * total_weight with probability >= 1 - delta, where
+    w = ceil(e / eps) and d = ceil(ln(1/delta)). Merge is element-wise
+    ADDITION (same geometry), associative + commutative — a sketch
+    built per partition and merged equals one built sequentially
+    BIT-identically, so estimates are partition-independent.
+
+    Complements the other frequency state: MisraGries answers "which
+    keys are heavy" (top-k identities), CountMin answers "how often is
+    THIS key" for any key on demand — the point-query side of skew
+    detection and rate limiting. Rows per hash: counters are int64
+    (weights may be row counts or byte sizes; int64 holds 100 TB)."""
+
+    __slots__ = ("d", "w", "table")
+
+    _SEED = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def __init__(self, eps: float = 1e-4, delta: float = 1e-3) -> None:
+        if not 0.0 < eps < 1.0:
+            raise ValueError(f"eps must be in (0, 1), got {eps}")
+        if not 0.0 < delta < 1.0:
+            raise ValueError(f"delta must be in (0, 1), got {delta}")
+        self.w = int(np.ceil(np.e / eps))
+        self.d = max(1, int(np.ceil(np.log(1.0 / delta))))
+        self.table = np.zeros((self.d, self.w), dtype=np.int64)
+
+    def _cols(self, hashes: np.ndarray) -> np.ndarray:
+        """(d, n) column indices — one pairwise-independent-style remix
+        per row (splitmix stream keyed by the row index)."""
+        h = hashes.astype(np.uint64)
+        row_keys = (
+            np.arange(1, self.d + 1, dtype=np.uint64)[:, None] * self._SEED
+        )
+        mixed = (h[None, :] ^ row_keys) * np.uint64(0xFF51AFD7ED558CCD)
+        mixed ^= mixed >> np.uint64(33)
+        return (mixed % np.uint64(self.w)).astype(np.int64)
+
+    def add_hashes(self, hashes: np.ndarray, weights: np.ndarray | None = None) -> "CountMin":
+        if hashes.size == 0:
+            return self
+        if weights is None:
+            weights = np.ones(hashes.size, dtype=np.int64)
+        cols = self._cols(hashes)
+        for r in range(self.d):
+            np.add.at(self.table[r], cols[r], weights)
+        return self
+
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Point estimates (min over rows) — never under-counts."""
+        if hashes.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._cols(hashes)
+        est = self.table[0][cols[0]]
+        for r in range(1, self.d):
+            est = np.minimum(est, self.table[r][cols[r]])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError(
+                f"CountMin geometry mismatch: ({self.d},{self.w}) vs "
+                f"({other.d},{other.w})"
+            )
+        self.table += other.table
+        return self
+
+    def total(self) -> int:
+        return int(self.table[0].sum())
