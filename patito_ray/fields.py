@@ -144,6 +144,11 @@ class TableSpec:
     columns: dict[str, ColumnSpec]
     alias_generator: Any = None  # callable str -> str, applied to data columns
     allow_extra: bool = False
+    # composite uniqueness groups (model_config["unique_together"]):
+    # each tuple of column names must be row-wise unique as a whole
+    # (e.g. url unique per crawl snapshot). Rides the same bucketed
+    # blob exchange as single-column uniqueness via a row hash.
+    unique_together: list[tuple[str, ...]] = dc_field(default_factory=list)
 
     @property
     def column_names(self) -> list[str]:
@@ -160,6 +165,17 @@ class TableSpec:
     @property
     def unique_columns(self) -> list[str]:
         return [n for n, c in self.columns.items() if c.unique]
+
+    def unique_keys(self) -> list[tuple[str, tuple[str, ...]]]:
+        """Every uniqueness constraint as ``(label, columns)`` — single
+        unique columns (label == column name) plus composite
+        ``unique_together`` groups (label ``'a+b'``, also used as the
+        error loc and the checkpoint directory suffix)."""
+        out: list[tuple[str, tuple[str, ...]]] = [
+            (n, (n,)) for n in self.unique_columns
+        ]
+        out.extend(("+".join(g), tuple(g)) for g in self.unique_together)
+        return out
 
     def arrow_schema(self) -> pa.Schema:
         return pa.schema(

@@ -208,6 +208,7 @@ def spec_to_json_dict(spec: TableSpec) -> dict[str, Any]:
         # without the V1 alias rename
         "has_alias_generator": spec.alias_generator is not None,
         "columns": [column_spec_to_json(c) for c in spec.columns.values()],
+        "unique_together": [list(g) for g in spec.unique_together],
     }
 
 
@@ -235,7 +236,10 @@ def spec_from_json_dict(d: dict[str, Any]) -> TableSpec:
             )
         cols[cs.name] = cs
     return TableSpec(
-        model_name=d["model_name"], columns=cols, allow_extra=d["allow_extra"]
+        model_name=d["model_name"],
+        columns=cols,
+        allow_extra=d["allow_extra"],
+        unique_together=[tuple(g) for g in d.get("unique_together", [])],
     )
 
 

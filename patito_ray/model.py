@@ -165,11 +165,33 @@ class Model:
             else:
                 info = FieldInfo(default=raw)
             columns[name] = _compile_column(name, annotation, info)
+        groups: list[tuple[str, ...]] = []
+        for g in cls.model_config.get("unique_together") or ():
+            group = tuple(g)
+            if len(group) < 2:
+                raise ValueError(
+                    f"{cls.__name__}.model_config['unique_together'] group "
+                    f"{group!r} needs at least two columns — use "
+                    "Field(unique=True) for a single column"
+                )
+            if len(set(group)) != len(group):
+                raise ValueError(
+                    f"{cls.__name__} unique_together group {group!r} "
+                    "repeats a column"
+                )
+            missing = [c for c in group if c not in columns]
+            if missing:
+                raise ValueError(
+                    f"{cls.__name__} unique_together group {group!r} names "
+                    f"unknown column(s) {missing}"
+                )
+            groups.append(group)
         spec = TableSpec(
             model_name=cls.__name__,
             columns=columns,
             alias_generator=cls.model_config.get("alias_generator"),
             allow_extra=cls.model_config.get("extra") == "allow",
+            unique_together=groups,
         )
         cls._compiled_spec = spec
         return spec

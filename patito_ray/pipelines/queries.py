@@ -5384,3 +5384,35 @@ SELECT
 """
 
 QUERIES["triangle_count"] = (q_triangle_count, SQL_TRIANGLE_COUNT)
+
+
+def q_unique_together(sf_dir: str) -> Any:
+    """Composite uniqueness as a first-class validation constraint
+    (model_config['unique_together']): rows where (o_custkey,
+    o_orderdate) repeats, counted through the SAME fused pass +
+    bucketed blob exchange as single-column uniqueness — the group's
+    row hash rides as its key, 8 B per distinct pair per batch. The
+    oracle recomputes patito's row-participation semantics (sum of
+    group sizes > 1) from the raw pairs."""
+    import patito_ray as pr
+
+    class OrderDay(pr.Model):
+        o_custkey: int
+        o_orderdate: datetime.date
+        o_totalprice: float
+
+        model_config = {"unique_together": [("o_custkey", "o_orderdate")]}
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+    rep = pr.validate_report(ds, OrderDay)
+    n = rep.merged.dup_counts.get("o_custkey+o_orderdate", 0)
+    return _one_row(dup_rows=int(n))
+
+
+SQL_UNIQUE_TOGETHER = """
+SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_rows FROM (
+  SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey, o_orderdate
+) WHERE c > 1
+"""
+
+QUERIES["unique_together"] = (q_unique_together, SQL_UNIQUE_TOGETHER)

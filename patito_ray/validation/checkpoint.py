@@ -187,7 +187,7 @@ def _finalize_shard(
         stats_rows: list[dict[str, Any]] = []
         ucol_totals: dict[str, Iterable[pa.Table]] = {}
         if allb is None:
-            for u in spec.unique_columns:
+            for u, _ucols in spec.unique_keys():
                 ucol_totals[u] = []
             return partial, ({} if collect_stats else None), ucol_totals
         for blob in (
@@ -202,7 +202,7 @@ def _finalize_shard(
             from patito_ray.validation.stats import _merge_state_rows
 
             shard_stats = _merge_state_rows(stats_rows)
-        for u in spec.unique_columns:
+        for u, _ucols in spec.unique_keys():
             sel = allb.filter(
                 _pc.and_(_pc.equal(allb["kind"], 1), _pc.equal(allb["col"], u))
             )
@@ -247,7 +247,7 @@ def _finalize_shard(
         shard_stats = pickle.loads(stats_blob) if stats_blob is not None else {}
 
     ucol_totals = {}
-    for u in spec.unique_columns:
+    for u, _ucols in spec.unique_keys():
         blobs = combined.map_batches(
             lambda t, c=u: t.filter(
                 _pc.and_(_pc.equal(t["kind"], 1), _pc.equal(t["col"], c))
@@ -299,7 +299,7 @@ def validate_files_checkpointed(
 
     spec: TableSpec = model._spec()
     os.makedirs(f"{checkpoint_dir}/shards", exist_ok=True)
-    for ucol in spec.unique_columns:
+    for ucol, _ucols in spec.unique_keys():
         os.makedirs(f"{checkpoint_dir}/unique_{ucol}", exist_ok=True)
 
     fp = spec_fingerprint(spec)
@@ -342,7 +342,7 @@ def validate_files_checkpointed(
         # sketches AND every unique column's key blobs ride the same
         # map_batches pass (the engine's fused-pass design; the old
         # layout re-read each shard once per unique column)
-        from patito_ray.validation.checks import batch_key_bucket_blobs
+        from patito_ray.validation.checks import batch_unique_blobs
 
         def batch_validate(batch: pa.Table) -> pa.Table:
             """Multi-kind combined row (the engine's fused-pass layout):
@@ -368,10 +368,10 @@ def validate_files_checkpointed(
             b1 = [pickle.dumps((p, stats_blob))]
             b2 = [b""]
             b3 = [b""]
-            for u in spec.unique_columns:
-                if u not in batch.column_names:
+            for u, ucols in spec.unique_keys():
+                if not all(c in batch.column_names for c in ucols):
                     continue
-                blobs = batch_key_bucket_blobs(batch, u)
+                blobs = batch_unique_blobs(batch, ucols)
                 kinds.extend([1] * blobs.num_rows)
                 cols.extend([u] * blobs.num_rows)
                 buckets.extend(blobs.column("bucket").to_pylist())
@@ -402,7 +402,7 @@ def validate_files_checkpointed(
                 pickle.dumps(shard_stats),
             )
 
-        for ucol in spec.unique_columns:
+        for ucol, _ucols in spec.unique_keys():
             tmp = f"{checkpoint_dir}/unique_{ucol}/{sid}.parquet.tmp"
             _write_totals_parquet(ucol_totals[ucol], tmp)
             os.replace(tmp, f"{checkpoint_dir}/unique_{ucol}/{sid}.parquet")
@@ -458,7 +458,7 @@ def validate_files_checkpointed(
                 else:
                     merged_stats[name] = st
 
-    for ucol in spec.unique_columns:
+    for ucol, _ucols in spec.unique_keys():
         shard_paths = [
             f"{checkpoint_dir}/unique_{ucol}/{sid}.parquet" for sid, _ in shards
         ]

@@ -282,6 +282,29 @@ def check_batch(
                 if collect_samples:
                     p.samples[(loc, "constraint")] = _sample_rows(table, mask)
 
+    # --- composite uniqueness (local path only; distributed rides the
+    # bucketed blob exchange keyed by the group label) -------------------
+    if not skip_unique:
+        for label, cols in spec.unique_keys():
+            if len(cols) < 2:
+                continue  # singles handled in the per-column loop
+            if columns is not None and not all(c in columns for c in cols):
+                continue
+            if not all(c in table_cols for c in cols):
+                continue
+            import polars as pl
+
+            counts = (
+                pl.from_arrow(table.select(list(cols)))
+                .group_by(list(cols))
+                .len()
+            )
+            n_dup = int(
+                counts.filter(pl.col("len") > 1)["len"].sum() or 0
+            )
+            if n_dup:
+                p.dup_counts[loc_prefix + label] = n_dup
+
     return p
 
 
@@ -326,6 +349,33 @@ def batch_key_counts(table: pa.Table, column: str, hash_keys: bool = True) -> pa
         except ImportError:
             pass
     return pa.table({"k": values, "count": cnts})
+
+
+def composite_row_hashes(table: pa.Table, cols: tuple[str, ...]) -> "Any":
+    """Row-wise uint64 hash over a column tuple (polars hash_rows —
+    vectorized Rust, null-aware, order-sensitive across columns). The
+    composite-uniqueness key: hash equality stands in for tuple
+    equality with the same n^2/2^64 collision odds the single-column
+    hashed path already accepts."""
+    import polars as pl
+
+    return pl.from_arrow(table.select(list(cols))).hash_rows(seed=42).to_numpy()
+
+
+def batch_unique_blobs(
+    table: pa.Table, cols: tuple[str, ...], num_buckets: int = 64
+) -> pa.Table:
+    """Bucket blobs for ONE uniqueness constraint — a single column
+    (straight through :func:`batch_key_bucket_blobs`) or a composite
+    ``unique_together`` group (row-hash first, then the same blob
+    machinery in prehashed mode)."""
+    import numpy as np
+
+    if len(cols) == 1:
+        return batch_key_bucket_blobs(table, cols[0], num_buckets=num_buckets)
+    h = composite_row_hashes(table, cols).astype(np.uint64)
+    tmp = pa.table({"k": pa.array(h.view(np.int64))})
+    return batch_key_bucket_blobs(tmp, "k", num_buckets=num_buckets, prehashed=True)
 
 
 def batch_key_bucket_blobs(

@@ -409,15 +409,23 @@ def _validate_dataset(
     # must agree
     columns_l = list(columns) if columns else None
 
-    # unique columns this run must check
+    # uniqueness constraints this run must check: single columns plus
+    # composite unique_together groups — both ride the same bucketed
+    # blob exchange, tagged by their label
     subset = set(columns_l) if columns_l is not None else None
-    unique_cols = [
-        u
-        for u in spec.unique_columns
-        if (subset is None or u in subset) and u in schema_names
+    unique_keys = [
+        (label, cols)
+        for label, cols in spec.unique_keys()
+        if (subset is None or all(c in subset for c in cols))
+        and all(c in schema_names for c in cols)
     ]
+    if not hash_unique_keys and any(len(cols) > 1 for _, cols in unique_keys):
+        raise ValueError(
+            "unique_together groups require hash_unique_keys=True (the "
+            "composite key is a row hash; there is no exact unhashed path)"
+        )
 
-    from patito_ray.validation.checks import batch_key_bucket_blobs
+    from patito_ray.validation.checks import batch_unique_blobs
 
     def batch_validate(batch: pa.Table) -> pa.Table:
         """ONE output table per batch carrying BOTH the pickled Partial
@@ -452,12 +460,12 @@ def _validate_dataset(
         b_mk = [b""]
         b_mc = [b""]
         if hash_unique_keys:
-            for ucol in unique_cols:
-                if ucol not in batch.column_names:
+            for label, ucols in unique_keys:
+                if not all(c in batch.column_names for c in ucols):
                     continue
-                blobs = batch_key_bucket_blobs(batch, ucol, num_buckets=unique_num_buckets)
+                blobs = batch_unique_blobs(batch, ucols, num_buckets=unique_num_buckets)
                 kinds.extend([1] * blobs.num_rows)
-                cols.extend([ucol] * blobs.num_rows)
+                cols.extend([label] * blobs.num_rows)
                 buckets.extend(blobs.column("bucket").to_pylist())
                 b_u.extend(blobs.column("u_keys").to_pylist())
                 b_mk.extend(blobs.column("m_keys").to_pylist())
@@ -491,16 +499,18 @@ def _validate_dataset(
             is_partial = pc.equal(all_rows["kind"], 0)
             for blob in all_rows.filter(is_partial).column("b1").to_pylist():
                 merged.merge(pickle.loads(blob))
-            for ucol in unique_cols:
+            for label, ucols in unique_keys:
                 if not hash_unique_keys:
-                    n_dup = duplicate_count_distributed(ds, ucol, hash_keys=False)
+                    n_dup = duplicate_count_distributed(
+                        ds, ucols[0], hash_keys=False
+                    )
                 else:
                     from patito_ray.validation.checks import merge_bucket_blobs
 
                     sel = all_rows.filter(
                         pc.and_(
                             pc.equal(all_rows["kind"], 1),
-                            pc.equal(all_rows["col"], ucol),
+                            pc.equal(all_rows["col"], label),
                         )
                     )
                     blob_t = pa.table(
@@ -515,7 +525,7 @@ def _validate_dataset(
                         merge_bucket_blobs(blob_t).column("dups")[0].as_py()
                     )
                 if n_dup:
-                    merged.dup_counts[ucol] = n_dup
+                    merged.dup_counts[label] = n_dup
         report = _finalize(merged, model)
         return report, ds
 
@@ -528,10 +538,10 @@ def _validate_dataset(
     )
     merged = _tree_merge_partials(partials_ds)
 
-    for ucol in unique_cols:
+    for label, ucols in unique_keys:
         if hash_unique_keys:
             blobs = combined.map_batches(
-                lambda t, c=ucol: t.filter(
+                lambda t, c=label: t.filter(
                     pc.and_(pc.equal(t["kind"], 1), pc.equal(t["col"], c))
                 )
                 .select(["bucket", "b1", "b2", "b3"])
@@ -541,9 +551,9 @@ def _validate_dataset(
             )
             n_dup = _finalize_dup_blobs(blobs)
         else:
-            n_dup = duplicate_count_distributed(ds, ucol, hash_keys=False)
+            n_dup = duplicate_count_distributed(ds, ucols[0], hash_keys=False)
         if n_dup:
-            merged.dup_counts[ucol] = n_dup
+            merged.dup_counts[label] = n_dup
 
     report = _finalize(merged, model)
     return report, ds
