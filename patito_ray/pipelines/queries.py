@@ -5416,3 +5416,34 @@ SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_rows FROM (
 """
 
 QUERIES["unique_together"] = (q_unique_together, SQL_UNIQUE_TOGETHER)
+
+
+def q_k_anonymity(sf_dir: str) -> Any:
+    """k-anonymity audit over (c_nationkey, c_mktsegment) at k=10:
+    which quasi-identifier combinations would re-identify customers.
+    validation/stats.py:k_anonymity — distinct-tuple partial counts
+    through the adaptive merge, tiny size aggregation after. Exact
+    integer outputs."""
+    from patito_ray.validation.stats import k_anonymity
+
+    ds = _rp(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return k_anonymity(ds, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+SQL_K_ANONYMITY = """
+WITH g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COALESCE(SUM(CASE WHEN c < 10 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_small_groups,
+       CAST(COALESCE(SUM(CASE WHEN c < 10 THEN c ELSE 0 END), 0) AS BIGINT)
+         AS violating_rows,
+       CAST(COALESCE(MIN(c), 0) AS BIGINT) AS min_group_size
+FROM g
+"""
+
+QUERIES["k_anonymity"] = (q_k_anonymity, SQL_K_ANONYMITY)

@@ -368,3 +368,79 @@ def drift_distance(current: TDigest, reference: TDigest) -> float:
         return np.interp(xs, means, cum / total, left=0.0, right=1.0)
 
     return float(np.abs(cdf(cm, cw, support) - cdf(rm, rw, support)).max())
+
+
+def k_anonymity(ds: Any, quasi_identifiers: list[str], k: int) -> pa.Table:
+    """Privacy audit: does every quasi-identifier combination appear at
+    least ``k`` times? Returns one row — ``n_rows`` (non-null-tuple
+    rows), ``n_groups``, ``n_small_groups`` (size < k), ``violating_rows``
+    (rows inside those groups — the re-identifiable population) and
+    ``min_group_size``.
+
+    Scale shape: per-batch vectorized DISTINCT-tuple partial counts ->
+    the adaptive partial-sum merge (a hot combination costs one row per
+    block) -> a tiny second aggregation over group sizes. Null tuples
+    (any null member) are excluded — SQL GROUP BY would keep them, so
+    the oracle filters identically."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    if k < 1:
+        raise ValueError(f"k_anonymity needs k >= 1, got {k}")
+    if not quasi_identifiers:
+        raise ValueError("k_anonymity needs at least one quasi-identifier")
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.select(quasi_identifiers)
+        mask = None
+        for c in quasi_identifiers:
+            v = pc.is_valid(sub.column(c))
+            mask = v if mask is None else pc.and_(mask, v)
+        sub = sub.filter(mask)
+        return (
+            pl.from_arrow(sub)
+            .group_by(quasi_identifiers)
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, quasi_identifiers, ["c"])
+
+    def sizes_partial(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        small = c < k
+        return pa.table(
+            {
+                "n_rows": pa.array([int(c.sum())], type=pa.int64()),
+                "n_groups": pa.array([len(c)], type=pa.int64()),
+                "n_small_groups": pa.array([int(small.sum())], type=pa.int64()),
+                "violating_rows": pa.array([int(c[small].sum())], type=pa.int64()),
+                "min_group_size": pa.array(
+                    [int(c.min()) if len(c) else 0], type=pa.int64()
+                ),
+            }
+        )
+
+    if isinstance(merged, pa.Table):
+        return sizes_partial(merged)
+    parts = collect_table(
+        merged.map_batches(sizes_partial, batch_format="pyarrow", batch_size=None)
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([int(pc.sum(parts.column("n_rows")).as_py() or 0)], type=pa.int64()),
+            "n_groups": pa.array([int(pc.sum(parts.column("n_groups")).as_py() or 0)], type=pa.int64()),
+            "n_small_groups": pa.array(
+                [int(pc.sum(parts.column("n_small_groups")).as_py() or 0)], type=pa.int64()
+            ),
+            "violating_rows": pa.array(
+                [int(pc.sum(parts.column("violating_rows")).as_py() or 0)], type=pa.int64()
+            ),
+            "min_group_size": pa.array(
+                [int(pc.min(parts.column("min_group_size")).as_py() or 0)], type=pa.int64()
+            ),
+        }
+    )

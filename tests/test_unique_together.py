@@ -165,3 +165,39 @@ def test_checkpointed_composite_uniqueness(ray_session, tmp_path):
     # resume: all shards skipped, same verdict rebuilt from checkpoint
     report2 = validate_files_checkpointed(files, Crawl, checkpoint_dir=ckpt)
     assert _dup_errors(report2) == _dup_errors(report)
+
+
+def test_k_anonymity_reference(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from patito_ray.validation.stats import k_anonymity
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 8, 3000)
+    b = rng.choice(np.array(["x", "y", "z"]), 3000)
+    # plant nulls (excluded) and a singleton group
+    b_list = b.tolist()
+    b_list[10] = None
+    a[20] = 999  # unique tuple
+    t = pa.table({"a": pa.array(a, type=pa.int64()), "b": pa.array(b_list)})
+    ds = rd.from_arrow(t).repartition(5)
+
+    out = k_anonymity(ds, ["a", "b"], k=100)
+    c = collections.Counter(
+        (x, y) for x, y in zip(a.tolist(), b_list) if y is not None
+    )
+    sizes = list(c.values())
+    assert out.column("n_rows").to_pylist() == [sum(sizes)]
+    assert out.column("n_groups").to_pylist() == [len(sizes)]
+    assert out.column("n_small_groups").to_pylist() == [sum(s < 100 for s in sizes)]
+    assert out.column("violating_rows").to_pylist() == [
+        sum(s for s in sizes if s < 100)
+    ]
+    assert out.column("min_group_size").to_pylist() == [min(sizes)]
+
+    with pytest.raises(ValueError):
+        k_anonymity(ds, ["a", "b"], k=0)
+    with pytest.raises(ValueError):
+        k_anonymity(ds, [], k=5)
