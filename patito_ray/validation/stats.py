@@ -370,7 +370,12 @@ def drift_distance(current: TDigest, reference: TDigest) -> float:
     return float(np.abs(cdf(cm, cw, support) - cdf(rm, rw, support)).max())
 
 
-def k_anonymity(ds: Any, quasi_identifiers: list[str], k: int) -> pa.Table:
+def k_anonymity(
+    ds: Any,
+    quasi_identifiers: list[str],
+    k: int,
+    limit_bytes: int | None = None,
+) -> pa.Table:
     """Privacy audit: does every quasi-identifier combination appear at
     least ``k`` times? Returns one row — ``n_rows`` (non-null-tuple
     rows), ``n_groups``, ``n_small_groups`` (size < k), ``violating_rows``
@@ -407,9 +412,24 @@ def k_anonymity(ds: Any, quasi_identifiers: list[str], k: int) -> pa.Table:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    merged = merge_partial_sums(partials, quasi_identifiers, ["c"])
+    merge_kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(partials, quasi_identifiers, ["c"], **merge_kwargs)
+
+    _sizes_schema = pa.schema(
+        [
+            ("n_rows", pa.int64()),
+            ("n_groups", pa.int64()),
+            ("n_small_groups", pa.int64()),
+            ("violating_rows", pa.int64()),
+            ("min_group_size", pa.int64()),
+        ]
+    )
 
     def sizes_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # Ray's groupby can emit empty blocks; a 0-size row here
+            # would poison the driver's min_group_size reduction
+            return _sizes_schema.empty_table()
         c = t.column("c").to_numpy(zero_copy_only=False)
         small = c < k
         return pa.table(
@@ -418,17 +438,22 @@ def k_anonymity(ds: Any, quasi_identifiers: list[str], k: int) -> pa.Table:
                 "n_groups": pa.array([len(c)], type=pa.int64()),
                 "n_small_groups": pa.array([int(small.sum())], type=pa.int64()),
                 "violating_rows": pa.array([int(c[small].sum())], type=pa.int64()),
-                "min_group_size": pa.array(
-                    [int(c.min()) if len(c) else 0], type=pa.int64()
-                ),
+                "min_group_size": pa.array([int(c.min())], type=pa.int64()),
             }
         )
 
-    if isinstance(merged, pa.Table):
-        return sizes_partial(merged)
-    parts = collect_table(
-        merged.map_batches(sizes_partial, batch_format="pyarrow", batch_size=None)
+    _zeros = pa.table(
+        {name: pa.array([0], type=pa.int64()) for name in _sizes_schema.names}
     )
+    if isinstance(merged, pa.Table):
+        out = sizes_partial(merged)
+        return out if out.num_rows else _zeros
+    parts = collect_table(
+        merged.map_batches(sizes_partial, batch_format="pyarrow", batch_size=None),
+        empty_schema=_sizes_schema,
+    )
+    if parts.num_rows == 0:
+        return _zeros
     return pa.table(
         {
             "n_rows": pa.array([int(pc.sum(parts.column("n_rows")).as_py() or 0)], type=pa.int64()),

@@ -201,3 +201,22 @@ def test_k_anonymity_reference(ray_session):
         k_anonymity(ds, ["a", "b"], k=0)
     with pytest.raises(ValueError):
         k_anonymity(ds, [], k=5)
+
+    # distributed-merge branch (limit_bytes=0 forces Ray's groupby path,
+    # which can emit empty blocks) must agree with the driver branch
+    out_dist = k_anonymity(ds, ["a", "b"], k=100, limit_bytes=0)
+    assert out_dist.to_pylist() == out.to_pylist()
+
+    # all-null tuples: zero groups through BOTH branches
+    t_null = pa.table(
+        {
+            "a": pa.array([1, 2, 3], type=pa.int64()),
+            "b": pa.array([None, None, None], type=pa.string()),
+        }
+    )
+    ds_null = rd.from_arrow(t_null)
+    for lb in (None, 0):
+        z = k_anonymity(ds_null, ["a", "b"], k=2, limit_bytes=lb)
+        assert z.column("n_rows").to_pylist() == [0]
+        assert z.column("n_groups").to_pylist() == [0]
+        assert z.column("min_group_size").to_pylist() == [0]
