@@ -237,28 +237,38 @@ def tfidf_topk(
     )
 
 
-def ngram_array(text: "pa.ChunkedArray | pa.Array", n: int) -> pa.Array:
-    """Flat space-joined token n-grams over every row (sliding, stride
-    1, never crossing a document boundary), fully vectorized: one
-    tokenize, one window-validity compare on the parent indices, one
-    gather + binary_join. Row attribution is not returned — this is the
-    corpus-statistics kernel (pair with value_counts per batch)."""
+def ngram_with_parents(
+    text: "pa.ChunkedArray | pa.Array", n: int
+) -> tuple[pa.Array, np.ndarray]:
+    """Flat space-joined token n-grams (sliding, stride 1, never
+    crossing a document boundary) PLUS the originating row index per
+    gram — the attribution needed by per-document operators
+    (decontamination overlap counts). Fully vectorized: one tokenize,
+    one window-validity compare on the parent indices, one gather +
+    binary_join."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    empty = pa.array([], type=pa.string()), np.array([], dtype=np.int64)
     flat, parents, _ = re2_split_tokens(text)
     if len(flat) < n:
-        return pa.array([], type=pa.string())
+        return empty
     if n == 1:
-        return flat
+        return flat, parents.astype(np.int64)
     valid = parents[: -(n - 1)] == parents[n - 1 :]
     starts = np.flatnonzero(valid)
     if starts.size == 0:
-        return pa.array([], type=pa.string())
+        return empty
     gather = (starts[:, None] + np.arange(n)).ravel()
     vals = flat.take(pa.array(gather, type=pa.int64()))
     offsets = np.arange(starts.size + 1, dtype=np.int64) * n
     la = pa.LargeListArray.from_arrays(pa.array(offsets), vals)
-    return pc.binary_join(la, " ")
+    return pc.binary_join(la, " "), parents[starts].astype(np.int64)
+
+
+def ngram_array(text: "pa.ChunkedArray | pa.Array", n: int) -> pa.Array:
+    """Flat n-grams without row attribution — the corpus-statistics
+    kernel (pair with value_counts per batch)."""
+    return ngram_with_parents(text, n)[0]
 
 
 def ngram_counts(ds: Any, n: int, text_col: str = "text") -> Any:

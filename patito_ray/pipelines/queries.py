@@ -5447,3 +5447,50 @@ FROM g
 """
 
 QUERIES["k_anonymity"] = (q_k_anonymity, SQL_K_ANONYMITY)
+
+
+def q_decontaminate(sf_dir: str) -> Any:
+    """Benchmark decontamination (GPT-3 appendix-C style): documents
+    sharing any token 8-gram with the eval split (doc_id % 41 == 0),
+    with the count of overlapping gram positions. The benchmark gram
+    set broadcasts ONCE (ray.put); the corpus pass is one actor-pool
+    map_batches with ZERO exchange — sorted-hash searchsorted
+    prefilter, exact string confirm on hits, bincount attribution.
+    Oracle: DuckDB rebuilds both gram sets and joins."""
+    import numpy as np
+
+    from patito_ray.functions.decontaminate import decontaminate
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_split(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 41 == 0)).select(["text"])
+
+    bench = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bench_split, batch_format="pyarrow", batch_size=None
+    )
+    return decontaminate(docs, bench, n=8, mode="overlap", concurrency=2)
+
+
+SQL_DECONTAMINATE = """
+WITH btok AS (
+  SELECT regexp_extract_all(text, '\\S+') AS toks
+  FROM documents WHERE doc_id % 41 = 0
+), bench AS (
+  SELECT DISTINCT array_to_string(toks[s : s + 7], ' ') AS gram
+  FROM btok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(s)
+  WHERE len(toks) >= 8
+), ctok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(toks[s : s + 7], ' ') AS gram
+  FROM ctok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(s)
+  WHERE len(toks) >= 8
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM g JOIN bench ON g.gram = bench.gram
+GROUP BY g.doc_id
+"""
+
+QUERIES["decontaminate"] = (q_decontaminate, SQL_DECONTAMINATE)
