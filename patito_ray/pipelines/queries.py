@@ -5494,3 +5494,31 @@ GROUP BY g.doc_id
 """
 
 QUERIES["decontaminate"] = (q_decontaminate, SQL_DECONTAMINATE)
+
+
+def q_heavy_hitters(sf_dir: str) -> Any:
+    """EXACT phi-heavy hitters over events.user_id WITHOUT a
+    full-column groupby: Misra-Gries candidate pass (guaranteed
+    superset — merged undercount < phi*n/2 at capacity 2/phi), then
+    exact counts of only the broadcast candidate set through the
+    adaptive partial-sum merge. Exchange bounded by 2/phi rows,
+    independent of the user cardinality. Threshold is IEEE
+    ceil(phi*n) on BOTH engines (a DECIMAL literal would round
+    differently)."""
+    from patito_ray.validation.stats import heavy_hitters
+
+    ds = _rp(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", phi=0.008)
+
+
+SQL_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT user_id AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), t AS (
+  SELECT CEIL(CAST(0.008 AS DOUBLE) * COUNT(user_id)) AS th FROM events
+)
+SELECT value, cnt FROM c, t WHERE cnt >= th
+"""
+
+QUERIES["heavy_hitters"] = (q_heavy_hitters, SQL_HEAVY_HITTERS)

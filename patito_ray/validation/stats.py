@@ -220,6 +220,102 @@ def frequent_items(
     return acc
 
 
+def heavy_hitters(
+    ds: Any,
+    column: str,
+    phi: float,
+    capacity: int | None = None,
+    limit_bytes: int | None = None,
+) -> pa.Table:
+    """EXACT φ-heavy hitters: every value whose count is at least
+    ``ceil(phi * n)`` (n = non-null rows), with its exact count — a
+    full ``GROUP BY`` would move every (value, row) pair; this moves
+    two tiny summaries instead.
+
+    Pass 1: per-batch Misra-Gries deltas (capacity ``ceil(2/phi)``;
+    merged undercount ≤ n/(k+1) < phi·n/2, so every true φ-heavy value
+    SURVIVES the summary — the candidate set is a guaranteed superset).
+    Pass 2: exact counts restricted to the ≤-capacity candidate set
+    (per-batch ``is_in`` + value_counts partials through the adaptive
+    partial-sum merge), then the threshold filter. Both passes stream;
+    the exchange is bounded by the candidate-set size, independent of
+    the column's distinct count.
+
+    The threshold is ``ceil(phi * n)`` in IEEE double arithmetic —
+    oracles must use ``CEIL(CAST(phi AS DOUBLE) * COUNT(*))`` so both
+    engines round the same product (a DECIMAL literal would not).
+    """
+    from patito_ray.state.sketches import MisraGries
+
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    k = capacity if capacity is not None else max(8, int(np.ceil(2.0 / phi)))
+
+    def delta(batch: pa.Table) -> pa.Table:
+        col = batch.column(column)
+        mg = MisraGries(k)
+        mg.add(col)
+        n = len(col) - col.null_count
+        return pa.table(
+            {
+                "mg": pa.array([pickle.dumps(mg)], type=pa.binary()),
+                "n": pa.array([n], type=pa.int64()),
+            }
+        )
+
+    acc = MisraGries(k)
+    total = 0
+    for row in ds.map_batches(
+        delta, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        acc.merge(pickle.loads(row["mg"]))
+        total += int(row["n"])
+
+    empty = pa.table(
+        {"value": pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())}
+    )
+    if total == 0:
+        return empty
+    thresh = int(np.ceil(np.float64(phi) * np.float64(total)))
+    # candidate iff its count UPPER bound can reach the threshold
+    cand = [v for v, c in acc.counts.items() if c + acc.decremented >= thresh]
+    if not cand:
+        return empty
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        col = t.column(column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        value_set = pa.array(cand, type=col.type)
+        vals = col.filter(pc.fill_null(pc.is_in(col, value_set=value_set), False))
+        if len(vals) == 0:
+            return pa.table(
+                {
+                    "value": pa.array([], type=col.type),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        vc = pc.value_counts(vals)
+        return pa.table(
+            {"value": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    partials = ds.map_batches(cnt_partial, batch_format="pyarrow", batch_size=None)
+    merge_kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(partials, ["value"], ["cnt"], **merge_kwargs)
+    if not isinstance(merged, pa.Table):
+        # bounded: at most len(cand) <= capacity distinct rows survive
+        merged = collect_table(merged, empty_schema=empty.schema)
+    keep = pc.greater_equal(merged.column("cnt"), thresh)
+    out = merged.filter(keep)
+    order = pc.sort_indices(
+        out, sort_keys=[("cnt", "descending"), ("value", "ascending")]
+    )
+    return out.take(order)
+
+
 def quantile_threshold(ds: Any, column: str, q: float) -> float:
     """Approximate q-quantile of a numeric column via the mergeable
     t-digest sketch pass (one scan, tiny deltas to the driver)."""

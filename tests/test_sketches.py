@@ -63,3 +63,69 @@ def test_countmin_weights_and_validation():
         CountMin(eps=0.0)
     with _pytest.raises(ValueError):
         CountMin(delta=2.0)
+
+
+def test_heavy_hitters_exact_in_lossy_regime(ray_session):
+    """Distinct count >> MG capacity: the summary itself is lossy, but
+    the two-pass operator must still return EXACTLY the true phi-heavy
+    set with exact counts (candidate superset + exact recount)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from patito_ray.validation.stats import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # 3 planted heavy values + a long tail of ~2000 distinct values
+    vals = np.concatenate(
+        [
+            np.repeat([1_000_001, 1_000_002, 1_000_003], [900, 700, 400]),
+            rng.integers(0, 2000, 8000),
+        ]
+    )
+    rng.shuffle(vals)
+    v_list = vals.tolist()
+    v_list[5] = None  # nulls excluded from n and from candidates
+    ds = rd.from_arrow(pa.table({"x": pa.array(v_list, pa.int64())})).repartition(7)
+
+    phi = 0.03
+    n = sum(1 for v in v_list if v is not None)
+    thresh = int(np.ceil(np.float64(phi) * np.float64(n)))
+    truth = {
+        v: c
+        for v, c in collections.Counter(v for v in v_list if v is not None).items()
+        if c >= thresh
+    }
+
+    for lb in (None, 0):  # driver and forced-distributed merge paths
+        out = heavy_hitters(ds, "x", phi=phi, capacity=16, limit_bytes=lb)
+        got = dict(zip(out.column("value").to_pylist(), out.column("cnt").to_pylist()))
+        assert got == truth
+    # counts sorted desc
+    cnts = out.column("cnt").to_pylist()
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_heavy_hitters_guards_and_empty(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from patito_ray.validation.stats import heavy_hitters
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    out = heavy_hitters(ds, "x", phi=0.5)
+    assert out.num_rows == 0
+
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(ds, "x", phi=0.0)
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(ds, "x", phi=1.0)
+
+    # all rows the same value -> that single value at any phi
+    ds1 = rd.from_arrow(pa.table({"x": pa.array(["a"] * 50)}))
+    out = heavy_hitters(ds1, "x", phi=0.9)
+    assert out.column("value").to_pylist() == ["a"]
+    assert out.column("cnt").to_pylist() == [50]
