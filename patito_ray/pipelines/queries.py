@@ -5522,3 +5522,120 @@ SELECT value, cnt FROM c, t WHERE cnt >= th
 """
 
 QUERIES["heavy_hitters"] = (q_heavy_hitters, SQL_HEAVY_HITTERS)
+
+
+def q_fd_audit(sf_dir: str) -> Any:
+    """Functional-dependency audit l_partkey -> l_suppkey (does every
+    part come from one supplier? — here richly violated by design):
+    only DISTINCT (lhs, rhs) pairs ride the exchange, per-key distinct
+    counts through the adaptive merge, one-row reduction after.
+    validation/stats.py:fd_violations."""
+    from patito_ray.validation.stats import fd_violations
+
+    ds = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    return fd_violations(ds, "l_partkey", "l_suppkey")
+
+
+SQL_FD_AUDIT = """
+WITH d AS (
+  SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n FROM lineitem
+  WHERE l_suppkey IS NOT NULL GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COALESCE(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_violating_keys,
+       CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_distinct_rhs
+FROM d
+"""
+
+QUERIES["fd_audit"] = (q_fd_audit, SQL_FD_AUDIT)
+
+
+def q_monotonic_audit(sf_dir: str) -> Any:
+    """Per-user monotonicity audit: must `value` never decrease over a
+    user's event sequence (cumulative-counter data-quality check)?
+    One window pass (lag over the user-key exchange) + per-user
+    inversion-count partials through the adaptive merge; NaN/null
+    previous values compare False exactly like SQL NULL. One exact
+    integer row."""
+    import numpy as np
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+    from patito_ray.stages.window import window_over
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "value"])
+    w = window_over(
+        ds, by="user_id", order=["event_id"], cols={"pv": ("lag", "value")}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        pv = t.column("pv").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            inv = (v < pv).astype(np.int64)
+        return (
+            pl.from_arrow(
+                pa.table({"user_id": t.column("user_id"), "inv": pa.array(inv)})
+            )
+            .group_by("user_id")
+            .agg(pl.col("inv").sum())
+            .to_arrow()
+        )
+
+    partials = w.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, ["user_id"], ["inv"])
+
+    _schema = pa.schema(
+        [
+            ("n_users", pa.int64()),
+            ("n_violating_users", pa.int64()),
+            ("n_inversions", pa.int64()),
+        ]
+    )
+
+    def sizes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _schema.empty_table()
+        c = t.column("inv").to_numpy(zero_copy_only=False)
+        return _one_row(
+            n_users=len(c),
+            n_violating_users=int((c > 0).sum()),
+            n_inversions=int(c.sum()),
+        )
+
+    if isinstance(merged, pa.Table):
+        out = sizes(merged)
+    else:
+        # post-groupby blocks are user-disjoint: size partials sum exactly
+        parts = collect_table(
+            merged.map_batches(sizes, batch_format="pyarrow", batch_size=None),
+            empty_schema=_schema,
+        )
+        out = _one_row(
+            n_users=int(pc.sum(parts.column("n_users")).as_py() or 0),
+            n_violating_users=int(
+                pc.sum(parts.column("n_violating_users")).as_py() or 0
+            ),
+            n_inversions=int(pc.sum(parts.column("n_inversions")).as_py() or 0),
+        )
+    return out
+
+
+SQL_MONOTONIC_AUDIT = """
+WITH w AS (
+  SELECT user_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS pv
+  FROM events
+), g AS (
+  SELECT user_id, SUM(CASE WHEN value < pv THEN 1 ELSE 0 END) AS inv
+  FROM w GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(CASE WHEN inv > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_violating_users,
+       CAST(COALESCE(SUM(inv), 0) AS BIGINT) AS n_inversions
+FROM g
+"""
+
+QUERIES["monotonic_audit"] = (q_monotonic_audit, SQL_MONOTONIC_AUDIT)

@@ -220,6 +220,80 @@ def frequent_items(
     return acc
 
 
+def fd_violations(
+    ds: Any,
+    lhs: str,
+    rhs: str,
+    limit_bytes: int | None = None,
+) -> pa.Table:
+    """Functional-dependency audit ``lhs -> rhs``: does every ``lhs``
+    value map to exactly one distinct non-null ``rhs``? Returns one
+    row — ``n_keys`` (distinct lhs with any non-null rhs),
+    ``n_violating_keys`` (lhs values with >1 distinct rhs) and
+    ``max_distinct_rhs``. The discovery/verification primitive for
+    schema constraints SQL cannot declare (ANSI has no ASSERT FD).
+
+    Scale shape: rides :func:`patito_ray.stages.agg.distinct_per_group`
+    — only DISTINCT (lhs, rhs) pairs move, then tiny per-key counts
+    through the adaptive merge; the final reduction is a one-row
+    aggregate over counts (driver table or one more streaming pass).
+    """
+    from patito_ray.stages.agg import collect_table, distinct_per_group
+
+    kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    res = distinct_per_group(ds, by=lhs, value=rhs, **kwargs)
+
+    _schema = pa.schema(
+        [
+            ("n_keys", pa.int64()),
+            ("n_violating_keys", pa.int64()),
+            ("max_distinct_rhs", pa.int64()),
+        ]
+    )
+
+    def sizes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _schema.empty_table()
+        c = t.column("n_distinct").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_keys": pa.array([len(c)], type=pa.int64()),
+                "n_violating_keys": pa.array([int((c > 1).sum())], type=pa.int64()),
+                "max_distinct_rhs": pa.array([int(c.max())], type=pa.int64()),
+            }
+        )
+
+    _zeros = pa.table(
+        {name: pa.array([0], type=pa.int64()) for name in _schema.names}
+    )
+    if isinstance(res, pa.Table):
+        out = sizes(res)
+        return out if out.num_rows else _zeros
+    # distributed merge output is key-disjoint across blocks (post-
+    # groupby), so per-block size partials sum exactly
+    parts = collect_table(
+        res.map_batches(sizes, batch_format="pyarrow", batch_size=None),
+        empty_schema=_schema,
+    )
+    if parts.num_rows == 0:
+        return _zeros
+    return pa.table(
+        {
+            "n_keys": pa.array(
+                [int(pc.sum(parts.column("n_keys")).as_py() or 0)], type=pa.int64()
+            ),
+            "n_violating_keys": pa.array(
+                [int(pc.sum(parts.column("n_violating_keys")).as_py() or 0)],
+                type=pa.int64(),
+            ),
+            "max_distinct_rhs": pa.array(
+                [int(pc.max(parts.column("max_distinct_rhs")).as_py() or 0)],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
 def heavy_hitters(
     ds: Any,
     column: str,
