@@ -5639,3 +5639,82 @@ FROM g
 """
 
 QUERIES["monotonic_audit"] = (q_monotonic_audit, SQL_MONOTONIC_AUDIT)
+
+
+def q_stratified_exact_k(sf_dir: str) -> Any:
+    """Stratified exact-k sample: exactly min(10, n_s) documents per
+    source, selected as the 10 smallest splitmix64(doc_id ^ 23) within
+    each stratum — the shape eval-set construction needs (pinned size
+    PER stratum, shard-stable membership). Rides cap_per_key's grouped
+    top-k exchange: each batch prunes to <= k rows per stratum before
+    the shuffle, so a hot stratum costs k rows, not its population."""
+    from patito_ray.functions.sampling import cap_per_key
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    out = cap_per_key(ds, key_col="source", k=10, id_col="doc_id", seed=23)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+SQL_STRATIFIED_EXACT_K = f"""
+WITH z0 AS (
+  SELECT doc_id, source,
+    CAST((CAST(xor(CAST(doc_id AS UBIGINT), 23) AS HUGEINT)
+          + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), x1 AS (
+  SELECT doc_id, source, xor(z, z >> 30) AS z FROM z0
+), z1 AS (
+  SELECT doc_id, source, {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (
+  SELECT doc_id, source, xor(z, z >> 27) AS z FROM z1
+), z2 AS (
+  SELECT doc_id, source, {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), h AS (
+  SELECT doc_id, source, CAST(xor(z, z >> 31) AS HUGEINT) AS h64 FROM z2
+), r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h64, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source FROM r WHERE rn <= 10
+"""
+
+QUERIES["stratified_exact_k"] = (q_stratified_exact_k, SQL_STRATIFIED_EXACT_K)
+
+
+def q_span_dedup(sf_dir: str) -> Any:
+    """Span-level exact-substring duplication audit (the suffix-array
+    dedup semantics of Lee et al. 2022, Ray-native): for every document,
+    how many distinct 20-char windows it has and how many of those occur
+    in >= 2 distinct documents. Dual 64-bit rolling hashes over the Arrow
+    string buffer (O(chars), no window materialization), narrow 24 B
+    (h1,h2,doc) rows through one hash-partition exchange, per-doc
+    partials through the adaptive merge. functions/spandedup.py."""
+    from patito_ray.functions.spandedup import duplicated_span_stats
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return duplicated_span_stats(ds, L=20)
+
+
+SQL_SPAN_DEDUP = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS i
+  FROM documents
+), dg AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 20) AS gram FROM pos
+), d AS (
+  SELECT gram, COUNT(*) AS nd FROM dg GROUP BY gram
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_dup_grams
+FROM dg JOIN d USING (gram) GROUP BY doc_id
+"""
+
+QUERIES["span_dedup"] = (q_span_dedup, SQL_SPAN_DEDUP)

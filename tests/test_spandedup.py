@@ -1,0 +1,92 @@
+"""duplicated_span_stats vs a pure-python reference under arbitrary
+partitioning, stride sampling, and both merge paths."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from patito_ray.functions.spandedup import duplicated_span_stats
+
+
+def _collect(out) -> dict:
+    import ray
+
+    if not isinstance(out, pa.Table):
+        tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+        out = pa.concat_tables(tabs) if tabs else None
+    if out is None:
+        return {}
+    return {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"]) for r in out.to_pylist()
+    }
+
+
+def _reference(texts: list[str], L: int, stride: int = 1) -> dict:
+    per = {
+        i: {t[j : j + L] for j in range(0, len(t) - L + 1, stride)}
+        for i, t in enumerate(texts)
+    }
+    c = Counter(g for s in per.values() for g in s)
+    return {
+        i: (len(s), sum(1 for g in s if c[g] > 1))
+        for i, s in per.items()
+        if s
+    }
+
+
+def _corpus(n: int = 150) -> list[str]:
+    rng = np.random.default_rng(3)
+    shared = "shared-boilerplate-span-which-repeats-verbatim"
+    texts = []
+    for i in range(n):
+        t = "".join(rng.choice(list("abcdefgh "), size=int(rng.integers(5, 90))))
+        if i % 5 == 0:
+            t = t[:3] + shared + t[3:]
+        texts.append(t)
+    # a doc that duplicates a span WITHIN itself only (not cross-doc):
+    # self-repeats must NOT count as duplicated
+    texts.append("xyzqwertyuiopasdfghjklzz" * 2)
+    return texts
+
+
+@pytest.mark.parametrize("limit_bytes", [None, 0])
+def test_span_stats_reference(ray_session, limit_bytes):
+    import ray.data as rd
+
+    texts = _corpus()
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+        )
+    ).repartition(6)
+    kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    got = _collect(duplicated_span_stats(ds, L=20, **kwargs))
+    assert got == _reference(texts, 20)
+
+
+def test_span_stats_stride_and_short_docs(ray_session):
+    import ray.data as rd
+
+    texts = _corpus(60) + ["tiny", ""]  # below L: no windows, no row
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+        )
+    ).repartition(4)
+    got = _collect(duplicated_span_stats(ds, L=20, stride=4))
+    assert got == _reference(texts, 20, stride=4)
+    assert len(texts) - 1 not in got and len(texts) - 2 not in got
+
+
+def test_span_stats_guards(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1]), "text": ["x"]}))
+    with pytest.raises(ValueError):
+        duplicated_span_stats(ds, L=1)
+    with pytest.raises(ValueError):
+        duplicated_span_stats(ds, stride=0)
