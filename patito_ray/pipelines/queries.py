@@ -5718,3 +5718,50 @@ FROM dg JOIN d USING (gram) GROUP BY doc_id
 """
 
 QUERIES["span_dedup"] = (q_span_dedup, SQL_SPAN_DEDUP)
+
+
+def q_inclusion_audit(sf_dir: str) -> Any:
+    """Inclusion-dependency (FK-candidate) discovery: how many distinct
+    event user_ids exist in the customer key set? Batch-distinct values
+    tagged with a side bit through ONE hash-partition exchange, exact
+    vectorized set membership per partition, P-row driver sum.
+    validation/stats.py:inclusion_audit."""
+    from patito_ray.validation.stats import inclusion_audit
+
+    a = _rp(sf_dir, "events", ["user_id"])
+    b = _rp(sf_dir, "customer", ["c_custkey"])
+    return inclusion_audit(a, "user_id", b, "c_custkey")
+
+
+SQL_INCLUSION_AUDIT = """
+WITH a AS (
+  SELECT DISTINCT user_id AS v FROM events WHERE user_id IS NOT NULL
+), b AS (
+  SELECT DISTINCT c_custkey AS v FROM customer WHERE c_custkey IS NOT NULL
+)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_distinct,
+       CAST((SELECT COUNT(*) FROM a JOIN b USING (v)) AS BIGINT) AS n_contained
+"""
+
+QUERIES["inclusion_audit"] = (q_inclusion_audit, SQL_INCLUSION_AUDIT)
+
+
+def q_benford_audit(sf_dir: str) -> Any:
+    """Benford leading-digit profile of o_orderkey: exact integer
+    first-significant-digit counts (power-of-ten searchsorted, no
+    float log10), 9-bin bincount partials, constant-size merge.
+    validation/stats.py:benford_counts."""
+    from patito_ray.validation.stats import benford_counts
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey"])
+    return benford_counts(ds, "o_orderkey")
+
+
+SQL_BENFORD_AUDIT = """
+SELECT CAST(substr(CAST(o_orderkey AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders WHERE o_orderkey > 0
+GROUP BY 1 ORDER BY digit
+"""
+
+QUERIES["benford_audit"] = (q_benford_audit, SQL_BENFORD_AUDIT)

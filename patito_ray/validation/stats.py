@@ -294,6 +294,156 @@ def fd_violations(
     )
 
 
+def inclusion_audit(
+    ds_a: Any,
+    col_a: str,
+    ds_b: Any,
+    col_b: str,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Inclusion-dependency audit ``A ⊆ B`` (foreign-key-candidate
+    discovery): how many distinct non-null values of ``ds_a[col_a]``
+    also appear in ``ds_b[col_b]``? Returns one row —
+    ``n_distinct`` (distinct non-null A values) and ``n_contained``
+    (of those, present in B). Exact (real values compared, not hashes).
+
+    Scale shape: each side emits only its batch-DISTINCT values tagged
+    with a side bit; one hash-partition exchange co-locates equal
+    values; each partition reduces to two integers with vectorized set
+    membership. The driver sums ``num_partitions`` rows — never values.
+    """
+    import numpy as np
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+    P = num_partitions
+
+    def emit(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            v = t.column(col)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            v = v.drop_null()
+            v = pc.unique(v)
+            part = (
+                hash_partition_ids(v, P, f"inclusion_audit column {col!r}")
+                if len(v)
+                else np.empty(0, np.int64)
+            )
+            return pa.table(
+                {
+                    "part": pa.array(part, type=pa.int64()),
+                    "v": v,
+                    "side": pa.array(
+                        np.full(len(v), side, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        return f
+
+    rows_a = ds_a.map_batches(emit(col_a, 0), batch_format="pyarrow", batch_size=None)
+    rows_b = ds_b.map_batches(emit(col_b, 1), batch_format="pyarrow", batch_size=None)
+
+    _schema = pa.schema([("n_distinct", pa.int64()), ("n_contained", pa.int64())])
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return _schema.empty_table()
+        df = pl.from_arrow(t.select(["v", "side"]))
+        a = df.filter(pl.col("side") == 0)["v"].unique()
+        if len(a) == 0:
+            return _schema.empty_table()
+        b = df.filter(pl.col("side") == 1)["v"].unique()
+        contained = int(a.is_in(b).sum()) if len(b) else 0
+        return pa.table(
+            {
+                "n_distinct": pa.array([len(a)], type=pa.int64()),
+                "n_contained": pa.array([contained], type=pa.int64()),
+            }
+        )
+
+    from patito_ray.stages.agg import collect_table
+
+    parts = collect_table(
+        rows_a.union(rows_b).groupby("part").map_groups(
+            part_counts, batch_format="pyarrow"
+        ),
+        empty_schema=_schema,
+    )
+    return pa.table(
+        {
+            "n_distinct": pa.array(
+                [int(pc.sum(parts.column("n_distinct")).as_py() or 0)],
+                type=pa.int64(),
+            ),
+            "n_contained": pa.array(
+                [int(pc.sum(parts.column("n_contained")).as_py() or 0)],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+_BENFORD_SCHEMA = pa.schema([("digit", pa.int64()), ("cnt", pa.int64())])
+
+
+def benford_counts(ds: Any, column: str) -> pa.Table:
+    """Leading-significant-digit counts of the POSITIVE values in an
+    integer column (the Benford's-law fraud/corruption audit input).
+    Exact integer arithmetic — the digit comes from a power-of-ten
+    ``searchsorted``, never ``log10`` (whose float edge at 10^k could
+    disagree with SQL's string route). Per-batch 9-bin bincount
+    partials, 9-row driver merge: O(1) exchange at any corpus size."""
+    import numpy as np
+
+    powers = np.power(
+        np.uint64(10), np.arange(19, dtype=np.uint64), dtype=np.uint64
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(column)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if not pa.types.is_integer(v.type):
+            raise TypeError(
+                f"benford_counts needs an integer column, got {column!r}: {v.type}"
+            )
+        x = v.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        x = x[x > 0].view(np.uint64)
+        if len(x) == 0:
+            return _BENFORD_SCHEMA.empty_table()
+        nd = np.searchsorted(powers, x, side="right")
+        lead = (x // powers[nd - 1]).astype(np.int64)
+        cnt = np.bincount(lead, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["digit"],
+        ["cnt"],
+    )
+    if not isinstance(merged, pa.Table):
+        # <= 9 distinct digits: always safe to localize
+        merged = collect_table(merged, empty_schema=_BENFORD_SCHEMA)
+    # drop zero-count digits: the result states what was OBSERVED,
+    # matching plain GROUP BY semantics
+    merged = merged.filter(pc.greater(merged.column("cnt"), 0))
+    return merged.sort_by("digit")
+
+
 def heavy_hitters(
     ds: Any,
     column: str,
