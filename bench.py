@@ -239,6 +239,24 @@ def run_bench() -> dict:
         "composite_key_join",
         "ntile_events",
         "regex_extract_all",
+        "pagerank_docs",
+        "graph_components",
+        # triangle_count is oracle-checked + scale-harnessed but too
+        # heavy for the per-round bench sweep (21 s at sf0.1/8cpu)
+        "edit_near_dups",
+        "dedup_near_best",
+        "top_types_per_brand",
+        "equidepth_buckets",
+        "url_dedup",
+        "unique_together",
+        "k_anonymity",
+        "decontaminate",
+        "fd_audit",
+        "monotonic_audit",
+        "stratified_exact_k",
+        "span_dedup",
+        "inclusion_audit",
+        "benford_audit",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -5765,3 +5765,229 @@ GROUP BY 1 ORDER BY digit
 """
 
 QUERIES["benford_audit"] = (q_benford_audit, SQL_BENFORD_AUDIT)
+
+
+def q_regression_per_group(sf_dir: str) -> Any:
+    """Grouped OLS regression (y = extendedprice on x = quantity per
+    returnflag) from EXACT partial sums — quantity is integer and
+    prices are on the cents grid, so every sum is an exact double and
+    summation order cannot skew bits. Both engines evaluate the SAME
+    naive normal-equation expressions; only the final values round (to
+    1e-6), mirroring corr_per_group."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "k": t.column("l_returnflag"),
+                    "x": t.column("l_quantity"),
+                    "y": t.column("l_extendedprice"),
+                }
+            )
+        )
+        return (
+            df.group_by("k")
+            .agg(
+                [
+                    pl.len().cast(pl.Float64).alias("n"),
+                    pl.col("x").sum().cast(pl.Float64).alias("sx"),
+                    pl.col("y").sum().alias("sy"),
+                    (pl.col("x") * pl.col("y")).sum().alias("sxy"),
+                    (pl.col("x") * pl.col("x")).sum().cast(pl.Float64).alias("sxx"),
+                    (pl.col("y") * pl.col("y")).sum().alias("syy"),
+                ]
+            )
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(
+        partials, ["k"], ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("k"),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "slope": _r(pa.array(slope, pa.float64()), 6),
+                "intercept": _r(pa.array(intercept, pa.float64()), 6),
+                "r2": _r(pa.array(corr * corr, pa.float64()), 6),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_REGRESSION_PER_GROUP = """
+WITH s AS (
+  SELECT l_returnflag AS k,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sx,
+         SUM(l_extendedprice) AS sy,
+         SUM(l_quantity * l_extendedprice) AS sxy,
+         CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sxx,
+         SUM(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT k AS l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) /
+              (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))) *
+             ((n * sxy - sx * sy) /
+              (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))), 6) AS r2
+FROM s
+"""
+
+QUERIES["regression_per_group"] = (q_regression_per_group, SQL_REGRESSION_PER_GROUP)
+
+
+def q_latest_by_key(sf_dir: str) -> Any:
+    """Snapshot dedup / CDC compaction: keep each user's LATEST event
+    (newest ts, event_id ascending breaks ties) — the 'latest crawl of
+    every URL wins' operator. One grouped-top-1 exchange: every batch
+    prunes to one row per key before the shuffle."""
+    from patito_ray.stages.topk import grouped_top_k
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = grouped_top_k(
+        ds, group="user_id", value="ts", k=1, tie="event_id", descending=True
+    )
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id", "ts"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+SQL_LATEST_BY_KEY = """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id)
+           AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+QUERIES["latest_by_key"] = (q_latest_by_key, SQL_LATEST_BY_KEY)
+
+
+def q_zscore_normalize(sf_dir: str) -> Any:
+    """Per-group z-score standardization of event values (feature
+    normalization as a distributed transform): exact integer cent sums
+    per event_type (one narrow pass), stats broadcast into a second
+    vectorized pass. Both engines evaluate the IDENTICAL expression
+    (c - sx/n) / sqrt(sxx/n - (sx/n)^2) on the same doubles."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = np.round(v * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "c": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["event_type", "c"]))
+        return (
+            df.group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("c").sum().alias("sx"),
+                (pl.col("c") * pl.col("c")).sum().alias("sxx"),
+            )
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    merged = merge_partial_sums(
+        cds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["event_type"],
+        ["n", "sx", "sxx"],
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("sx", pa.int64()),
+                    ("sxx", pa.int64()),
+                ]
+            ),
+        )
+    stats = {
+        r["event_type"]: (float(r["n"]), float(r["sx"]), float(r["sxx"]))
+        for r in merged.to_pylist()
+    }
+
+    def zscore(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()  # python loop over #types only
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = np.array([stats[k][0] for k in uniq])[idx]
+        sx = np.array([stats[k][1] for k in uniq])[idx]
+        sxx = np.array([stats[k][2] for k in uniq])[idx]
+        m = sx / n
+        z = (c - m) / np.sqrt(sxx / n - m * m)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "z": _r(pa.array(z, pa.float64()), 6),
+            }
+        )
+
+    return cds.map_batches(zscore, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ZSCORE_NORMALIZE = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(c) AS DOUBLE) AS sx,
+         CAST(SUM(c * c) AS DOUBLE) AS sxx
+  FROM c GROUP BY event_type
+)
+SELECT event_id,
+       ROUND((CAST(c.c AS DOUBLE) - sx / n) /
+             SQRT(sxx / n - (sx / n) * (sx / n)), 6) AS z
+FROM c JOIN s USING (event_type)
+"""
+
+QUERIES["zscore_normalize"] = (q_zscore_normalize, SQL_ZSCORE_NORMALIZE)
