@@ -257,6 +257,11 @@ def run_bench() -> dict:
         "span_dedup",
         "inclusion_audit",
         "benford_audit",
+        "regression_per_group",
+        "latest_by_key",
+        "zscore_normalize",
+        "tokens_per_source",
+        "ks_drift",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -147,89 +147,184 @@ _PARTIAL_SCHEMA = pa.schema(
 )
 
 
+def _pack_blob_rows(
+    bucket: "np.ndarray", cols: "list[np.ndarray]", names: "list[str]"
+) -> pa.Table:
+    """Pack per-row int64/uint64 columns into one binary blob row per
+    bucket id: the exchange then moves (#batches x #buckets) rows
+    instead of per-gram rows — Ray's sort shuffle pays per ROW, so this
+    cuts its cost by ~10^4 (same trick as the uniqueness blob exchange,
+    checks.batch_key_bucket_blobs)."""
+    order = np.argsort(bucket, kind="stable")
+    b = bucket[order]
+    uniq, starts = np.unique(b, return_index=True)
+    ends = np.append(starts[1:], len(b))
+    sorted_cols = [c[order] for c in cols]
+    out: dict[str, list] = {"bucket": uniq.astype(np.int64).tolist()}
+    for name, c in zip(names, sorted_cols):
+        out[name] = [
+            c[s:e].tobytes() for s, e in zip(starts.tolist(), ends.tolist())
+        ]
+    return pa.table(
+        {
+            "bucket": pa.array(out["bucket"], type=pa.int32()),
+            **{n: pa.array(out[n], type=pa.large_binary()) for n in names},
+        }
+    )
+
+
+def _unpack_blob_col(group: pa.Table, name: str, dtype) -> "np.ndarray":
+    if group.num_rows == 0:
+        return np.empty(0, dtype)
+    return np.concatenate(
+        [np.frombuffer(b, dtype=dtype) for b in group.column(name).to_pylist()]
+    )
+
+
 def duplicated_span_stats(
     ds: Any,
     text_col: str = "text",
     id_col: str = "doc_id",
     L: int = 20,
     stride: int = 1,
-    num_partitions: int | None = None,
-    limit_bytes: int | None = None,
+    num_buckets: int = 64,
 ) -> Any:
     """Per-document span-duplication profile: for every document with
     at least one length-``L`` window, ``n_grams`` distinct windows and
-    ``n_dup_grams`` of them that are cross-document duplicates.
+    ``n_dup_grams`` of them that are CROSS-document duplicates (the
+    window occurs in >= 2 distinct documents). Returns a lazy
+    ``Dataset`` with columns ``doc_id, n_grams, n_dup_grams``.
 
-    Duplication here is CROSS-document: a window counts as duplicated
-    iff it occurs in >= 2 distinct documents. Returns a ``pa.Table``
-    (driver merge) or lazy ``Dataset`` (distributed merge) with columns
-    ``doc_id, n_grams, n_dup_grams``.
+    Exchange shape: gram rows never ride the shuffle individually.
+    Each batch packs its (h1, h2, doc) triples into one blob row per
+    hash bucket (``_pack_blob_rows``), so BOTH exchanges — gram
+    co-location and the per-doc partial merge — move only
+    O(#batches x num_buckets) rows regardless of corpus size; all
+    per-gram work is vectorized numpy inside bucket tasks. Measured:
+    the naive per-row groupby exchange took >7 min for 1M docs /
+    ~30M gram rows on the bench host; this shape runs the same input
+    in well under a minute.
     """
     if L < 2:
         raise ValueError(f"window length L must be >= 2, got {L}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    if num_partitions is None:
-        from patito_ray.stages.join import default_num_partitions
+    if num_buckets < 2 or num_buckets & (num_buckets - 1):
+        raise ValueError(f"num_buckets must be a power of two >= 2, got {num_buckets}")
+    B = num_buckets
+    shift = np.uint64(64 - (B - 1).bit_length())
 
-        num_partitions = default_num_partitions()
-    P = num_partitions
+    _gram_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("h1b", pa.large_binary()),
+            ("h2b", pa.large_binary()),
+            ("docb", pa.large_binary()),
+        ]
+    )
 
     def emit(t: pa.Table) -> pa.Table:
         h1, h2, doc = _batch_window_rows(t, text_col, id_col, L, stride)
-        part = (h1 % np.uint64(P)).astype(np.int64)
-        return pa.table(
-            {
-                "part": pa.array(part, type=pa.int64()),
-                "h1": pa.array(h1.view(np.int64), type=pa.int64()),
-                "h2": pa.array(h2.view(np.int64), type=pa.int64()),
-                "doc_id": pa.array(doc, type=pa.int64()),
-            }
+        if len(h1) == 0:
+            return _gram_schema.empty_table()
+        bucket = (h1 >> shift).astype(np.int64)
+        return _pack_blob_rows(
+            bucket, [h1, h2, doc.view(np.uint64)], ["h1b", "h2b", "docb"]
         )
 
-    def part_stats(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "h1" not in t.column_names:
-            return _PARTIAL_SCHEMA.empty_table()
-        import polars as pl
+    _partial_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("docb", pa.large_binary()),
+            ("ngb", pa.large_binary()),
+            ("ndb", pa.large_binary()),
+        ]
+    )
 
-        h1 = t.column("h1").to_numpy(zero_copy_only=False)
-        h2 = t.column("h2").to_numpy(zero_copy_only=False)
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+    def bucket_stats(group: pa.Table) -> pa.Table:
+        """One gram bucket: exact per-doc (n_grams, n_dup) for the
+        grams living in this bucket, re-packed as doc-bucketed blobs."""
+        if group.num_rows == 0 or "h1b" not in group.column_names:
+            return _partial_schema.empty_table()
+        h1 = _unpack_blob_col(group, "h1b", np.uint64)
+        h2 = _unpack_blob_col(group, "h2b", np.uint64)
+        doc = _unpack_blob_col(group, "docb", np.uint64).view(np.int64)
         order = np.lexsort((doc, h2, h1))
         h1s, h2s, docs = h1[order], h2[order], doc[order]
         new = np.empty(len(h1s), dtype=bool)
         new[0] = True
         new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
-        # cross-batch (window, doc) duplicates were already removed per
-        # batch, but the same (window, doc) can arrive from TWO batches
-        # holding the same document id — drop repeats inside the run
+        # the same (gram, doc) pair can arrive from several batches
+        # carrying the same document id — keep one per run
         same_doc = np.empty(len(h1s), dtype=bool)
         same_doc[0] = False
         same_doc[1:] = (~new[1:]) & (docs[1:] == docs[:-1])
-        h1s, h2s, docs, new = (
-            h1s[~same_doc],
-            h2s[~same_doc],
-            docs[~same_doc],
-            new[~same_doc],
-        )
+        docs, new = docs[~same_doc], new[~same_doc]
         run_id = np.cumsum(new) - 1
         run_len = np.bincount(run_id)
         dup = (run_len[run_id] > 1).astype(np.int64)
-        out = (
-            pl.DataFrame({"doc_id": docs, "dup": dup})
-            .group_by("doc_id")
-            .agg(
-                pl.len().cast(pl.Int64).alias("n_grams"),
-                pl.col("dup").sum().alias("n_dup_grams"),
-            )
+        # per-doc reduction inside the bucket: sort by doc, segment sums
+        d_order = np.argsort(docs, kind="stable")
+        d_s, dup_s = docs[d_order], dup[d_order]
+        heads = np.empty(len(d_s), dtype=bool)
+        heads[0] = True
+        heads[1:] = d_s[1:] != d_s[:-1]
+        idx = np.flatnonzero(heads)
+        uniq_docs = d_s[idx]
+        n_grams = np.diff(np.append(idx, len(d_s))).astype(np.int64)
+        n_dup = np.add.reduceat(dup_s, idx).astype(np.int64)
+        db = (
+            _splitmix(uniq_docs.view(np.uint64)) >> shift
+        ).astype(np.int64)
+        return _pack_blob_rows(
+            db,
+            [uniq_docs.view(np.uint64), n_grams.view(np.uint64), n_dup.view(np.uint64)],
+            ["docb", "ngb", "ndb"],
         )
-        return out.to_arrow().cast(_PARTIAL_SCHEMA)
 
-    from patito_ray.stages.agg import merge_partial_sums
+    def final_docs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "docb" not in group.column_names:
+            return _PARTIAL_SCHEMA.empty_table()
+        doc = _unpack_blob_col(group, "docb", np.uint64).view(np.int64)
+        ng = _unpack_blob_col(group, "ngb", np.uint64).view(np.int64)
+        nd = _unpack_blob_col(group, "ndb", np.uint64).view(np.int64)
+        order = np.argsort(doc, kind="stable")
+        d_s, ng_s, nd_s = doc[order], ng[order], nd[order]
+        heads = np.empty(len(d_s), dtype=bool)
+        heads[0] = True
+        heads[1:] = d_s[1:] != d_s[:-1]
+        idx = np.flatnonzero(heads)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[idx], type=pa.int64()),
+                "n_grams": pa.array(
+                    np.add.reduceat(ng_s, idx).astype(np.int64), type=pa.int64()
+                ),
+                "n_dup_grams": pa.array(
+                    np.add.reduceat(nd_s, idx).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
 
-    rows = ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
-    partials = rows.groupby("part").map_groups(part_stats, batch_format="pyarrow")
-    kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
-    return merge_partial_sums(
-        partials, ["doc_id"], ["n_grams", "n_dup_grams"], **kwargs
+    # Ray's sort shuffle pays ~O(in_blocks x out_partitions) scheduling
+    # for tiny objects: a 256-block emit feeding a 256-partition sort
+    # spent 46 s pure scheduling on <400 MB of blobs. Coalesce the blob
+    # stream to ~CPU-count blocks first — the sort matrix collapses to
+    # C x C and the same input runs the exchange in seconds. C tracks
+    # cluster size (not a constant) so a big cluster still fans out.
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    C = max(4, min(num_buckets, cpus))
+
+    blobs = ds.map_batches(
+        emit, batch_format="pyarrow", batch_size=None
+    ).repartition(C)
+    partials = blobs.groupby("bucket").map_groups(
+        bucket_stats, batch_format="pyarrow"
+    ).repartition(C)
+    return partials.groupby("bucket").map_groups(
+        final_docs, batch_format="pyarrow"
     )

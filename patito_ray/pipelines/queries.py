@@ -5991,3 +5991,130 @@ FROM c JOIN s USING (event_type)
 """
 
 QUERIES["zscore_normalize"] = (q_zscore_normalize, SQL_ZSCORE_NORMALIZE)
+
+
+def q_tokens_per_source(sf_dir: str) -> Any:
+    """Token budget per source (the 'how many tokens does each corpus
+    slice contribute' mixture-planning report): RE2-exact per-batch
+    token counts reduced to per-source partials, adaptive merge — one
+    narrow streaming pass, O(#sources) exchange."""
+    import polars as pl
+
+    from patito_ray.functions.text import token_count_array
+
+    ds = _rp(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = token_count_array(t.column("text"))
+        return (
+            pl.from_arrow(pa.table({"source": t.column("source"), "n_tokens": n}))
+            .group_by("source")
+            .agg(pl.col("n_tokens").sum().cast(pl.Int64))
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["source"],
+        ["n_tokens"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["source", "n_tokens"]).cast(
+            pa.schema([("source", pa.string()), ("n_tokens", pa.int64())])
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_TOKENS_PER_SOURCE = """
+SELECT source,
+       CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY source
+"""
+
+QUERIES["tokens_per_source"] = (q_tokens_per_source, SQL_TOKENS_PER_SOURCE)
+
+
+def q_ks_drift(sf_dir: str) -> Any:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the event
+    value distributions of even vs odd users (the drift gate a mixture
+    re-balance needs): per-(cent-value, side) counts through the
+    adaptive merge — the exchange is bounded by the DISTINCT value
+    count, not rows — then one driver cumsum over the sorted value
+    grid. Both engines form the same exact integer cumulative counts
+    and the identical IEEE ratio expression; only the final statistic
+    rounds (1e-6). For unbounded-cardinality columns the same
+    computation rides stages/prefix.py's ordered prefix sum instead of
+    a driver cumsum."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "events", ["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = np.round(v * 100.0).astype(np.int64)
+        side = (
+            t.column("user_id").to_numpy(zero_copy_only=False) % 2
+        ).astype(np.int64)
+        return (
+            pl.DataFrame({"c": c, "side": side})
+            .group_by(["c", "side"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["c", "side"],
+        ["cnt"],
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("c", pa.int64()), ("side", pa.int64()), ("cnt", pa.int64())]
+            ),
+        )
+    c = merged.column("c").to_numpy(zero_copy_only=False)
+    side = merged.column("side").to_numpy(zero_copy_only=False)
+    cnt = merged.column("cnt").to_numpy(zero_copy_only=False)
+    grid = np.unique(c)
+    na = np.zeros(len(grid), dtype=np.int64)
+    nb = np.zeros(len(grid), dtype=np.int64)
+    pos = np.searchsorted(grid, c)
+    np.add.at(na, pos[side == 0], cnt[side == 0])
+    np.add.at(nb, pos[side == 1], cnt[side == 1])
+    ta, tb = float(na.sum()), float(nb.sum())
+    ca = np.cumsum(na).astype(np.float64)
+    cb = np.cumsum(nb).astype(np.float64)
+    ks = float(np.max(np.abs(ca / ta - cb / tb))) if len(grid) else 0.0
+    return pa.table({"ks": pa.array([_rf(ks, 6)], type=pa.float64())})
+
+
+SQL_KS_DRIFT = """
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c, user_id % 2 AS side
+  FROM events
+), g AS (
+  SELECT c,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+  FROM c GROUP BY c
+), t AS (
+  SELECT SUM(na) OVER (ORDER BY c) AS ca,
+         SUM(nb) OVER (ORDER BY c) AS cb,
+         (SELECT CAST(SUM(na) AS DOUBLE) FROM g) AS ta,
+         (SELECT CAST(SUM(nb) AS DOUBLE) FROM g) AS tb
+  FROM g
+)
+SELECT ROUND(MAX(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
+  AS ks
+FROM t
+"""
+
+QUERIES["ks_drift"] = (q_ks_drift, SQL_KS_DRIFT)

@@ -53,8 +53,8 @@ def _corpus(n: int = 150) -> list[str]:
     return texts
 
 
-@pytest.mark.parametrize("limit_bytes", [None, 0])
-def test_span_stats_reference(ray_session, limit_bytes):
+@pytest.mark.parametrize("num_buckets", [4, 64])
+def test_span_stats_reference(ray_session, num_buckets):
     import ray.data as rd
 
     texts = _corpus()
@@ -63,8 +63,7 @@ def test_span_stats_reference(ray_session, limit_bytes):
             {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
         )
     ).repartition(6)
-    kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
-    got = _collect(duplicated_span_stats(ds, L=20, **kwargs))
+    got = _collect(duplicated_span_stats(ds, L=20, num_buckets=num_buckets))
     assert got == _reference(texts, 20)
 
 
@@ -90,3 +89,26 @@ def test_span_stats_guards(ray_session):
         duplicated_span_stats(ds, L=1)
     with pytest.raises(ValueError):
         duplicated_span_stats(ds, stride=0)
+    with pytest.raises(ValueError):
+        duplicated_span_stats(ds, num_buckets=48)
+
+
+def test_span_stats_duplicate_doc_id_rows(ray_session):
+    """The same doc_id split across TWO rows/batches: its grams union
+    (not double-count), and a gram shared only by the two same-id rows
+    is NOT a cross-document duplicate."""
+    import ray.data as rd
+
+    shared = "abcdefghijklmnopqrstuv"  # 22 chars -> 3 distinct windows
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 7], type=pa.int64()),
+            "text": [shared + "x" * 30, shared + "y" * 30],
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    got = _collect(duplicated_span_stats(ds, L=20))
+    n_grams, n_dup = got[7]
+    ref = {s[i : i + 20] for s in (shared + "x" * 30, shared + "y" * 30) for i in range(len(s) - 19)}
+    assert n_grams == len(ref)
+    assert n_dup == 0
