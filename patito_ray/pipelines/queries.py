@@ -6118,3 +6118,78 @@ FROM t
 """
 
 QUERIES["ks_drift"] = (q_ks_drift, SQL_KS_DRIFT)
+
+
+def q_roc_auc(sf_dir: str) -> pa.Table:
+    """Exact ROC-AUC of the event value as a purchase-vs-rest score
+    (the calibration gate for a quality classifier): Mann-Whitney with
+    average-rank tie handling, computed from per-(cent-value, class)
+    counts through the adaptive merge — the exchange is bounded by the
+    DISTINCT score count, never rows. The numerator
+    sum(p_i * (2*cum_neg_below_i + n_i)) is pure integer arithmetic on
+    both engines (ties handled identically by construction); one IEEE
+    division + 1e-6 round at the end. At 10^12 rows the int64
+    numerator would need the int128 the SQL HUGEINT sum gets — the
+    grid counts themselves stay exact either way."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = np.round(v * 100.0).astype(np.int64)
+        y = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return (
+            pl.DataFrame({"c": c, "p": y, "n": 1 - y})
+            .group_by("c")
+            .agg(pl.col("p").sum(), pl.col("n").sum())
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["c"],
+        ["p", "n"],
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("c", pa.int64()), ("p", pa.int64()), ("n", pa.int64())]
+            ),
+        )
+    c = merged.column("c").to_numpy(zero_copy_only=False)
+    p = merged.column("p").to_numpy(zero_copy_only=False)
+    n = merged.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(c, kind="stable")
+    p, n = p[order], n[order]
+    cnb = np.concatenate(([0], np.cumsum(n)[:-1]))
+    num = int(np.sum(p * (2 * cnb + n)))
+    P, N = int(p.sum()), int(n.sum())
+    auc = float(num) / (2.0 * P * N) if P and N else float("nan")
+    return pa.table({"auc": pa.array([_rf(auc, 6)], type=pa.float64())})
+
+
+SQL_ROC_AUC = """
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), g AS (
+  SELECT c, SUM(y) AS p, SUM(1 - y) AS n FROM c GROUP BY c
+), w AS (
+  SELECT p, n,
+         COALESCE(SUM(n) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM g
+)
+SELECT ROUND(CAST(SUM(p * (2 * cnb + n)) AS DOUBLE)
+       / (2.0 * (SELECT SUM(p) FROM g) * (SELECT SUM(n) FROM g)), 6) AS auc
+FROM w
+"""
+
+QUERIES["roc_auc"] = (q_roc_auc, SQL_ROC_AUC)

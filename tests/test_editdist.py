@@ -162,3 +162,33 @@ def test_dedup_near_best_keeps_highest_score(ray_session, limit):
     )
     got = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
     assert got == [1, 11] + list(range(20, 26))
+
+
+def test_edit_near_dups_duplicate_heavy(ray_session):
+    """Repeated-string corpus (the case that made per-row blocking
+    quadratic): k copies of each name, some names within distance <= 2
+    of each other. Exact pair set vs brute force — dist-0 pairs from
+    the identity groups, cross-group pairs from the expansion."""
+    import ray.data as rd
+
+    names = ["quartz", "quarts", "marble", "zzzzzzzzzz"]
+    texts, ids = [], []
+    for c in range(5):  # 5 copies of each name, interleaved ids
+        for i, nm in enumerate(names):
+            ids.append(c * 10 + i)
+            texts.append(nm)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    ).repartition(4)
+    out = edit_distance_near_dups(
+        ds, id_col="doc_id", text_col="text", max_dist=2, max_len=16
+    )
+    got = {(r["a"], r["b"], r["dist"]) for r in out.take_all()}
+    by_id = dict(zip(ids, texts))
+    exp = {
+        (a, b, _ref_lev(by_id[a], by_id[b]))
+        for a in ids
+        for b in ids
+        if a < b and _ref_lev(by_id[a], by_id[b]) <= 2
+    }
+    assert got == exp
