@@ -13,9 +13,12 @@ by an exact vectorized Levenshtein verify. Hash collisions between
 different variant strings only ever ADD candidates (verified away),
 never drop true pairs.
 
-Scale shape (the same spine as MinHash/SimHash/image near-dup):
+Scale shape (the same spine as MinHash/SimHash/image near-dup), run
+over DISTINCT strings only (``groupident.identity_groups`` compacts
+repeated keys first; identical-string pairs come from the id groups
+and verified rep pairs expand back via vectorized cross products):
 
-1. one ``map_batches`` pass emits narrow (variant_hash, id) rows —
+1. one ``map_batches`` pass emits narrow (variant_hash, rep_id) rows —
    variants are hashed ARITHMETICALLY from per-row prefix hashes
    (hash(s[:i]) * B^len(tail) + hash(s[i+1:]), uint64 wraparound), so
    no deleted string is ever materialized;
@@ -30,7 +33,7 @@ Scale shape (the same spine as MinHash/SimHash/image near-dup):
    string positions, never over pairs.
 
 Variant volume is 1 + n + n(n-1)/2 rows per key at ``max_dist=2`` —
-this operator is for SHORT keys (<= ``max_lenx`` chars, enforced
+this operator is for SHORT keys (<= ``max_len`` chars, enforced
 loudly), the realistic 100-TB use being url/title/name columns, not
 document bodies (near-dup *documents* are MinHash's job).
 """
@@ -208,11 +211,6 @@ def levenshtein_batch(
 _PAIR_SCHEMA = pa.schema(
     [("a", pa.int64()), ("b", pa.int64()), ("dist", pa.int64())]
 )
-_GROUP_SCHEMA = pa.schema(
-    [("rep", pa.int64()), ("txt", pa.string()), ("ids", pa.large_list(pa.int64()))]
-)
-
-
 def edit_distance_near_dups(
     ds: Any,
     id_col: str = "doc_id",
@@ -247,141 +245,22 @@ def edit_distance_near_dups(
         _colliding_subset,
         pair_payload_join,
     )
-    from patito_ray.state.sketches import hash64
-
-    if num_partitions is None:
-        from patito_ray.stages.join import default_num_partitions
-
-        num_partitions = default_num_partitions()
-    P = num_partitions
-
-    member_schema = pa.schema(
-        [
-            ("part", pa.int64()),
-            ("g", pa.int64()),
-            ("mid", pa.int64()),
-            ("txt", pa.string()),
-        ]
+    from patito_ray.functions.groupident import (
+        cross_expand_pairs,
+        identity_groups,
+        within_group_pairs,
     )
 
-    def member(t: pa.Table) -> pa.Table:
-        """(group-hash, id) rows; the string itself rides on exactly one
-        row per (batch, group) — every member has the IDENTICAL text, so
-        any single copy serves as the group representative."""
-        text = t.column(text_col)
-        if text.null_count:
-            raise ValueError(
-                f"text column {text_col!r} contains nulls; filter or impute "
-                "before edit-distance near-dup blocking"
-            )
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if not len(ids):
-            return member_schema.empty_table()
-        g = hash64(text).view(np.int64)
-        order = np.lexsort((ids, g))
-        gs, ids_s = g[order], ids[order]
-        heads = np.empty(len(gs), dtype=bool)
-        heads[0] = True
-        heads[1:] = gs[1:] != gs[:-1]
-        txt = pc.if_else(
-            pa.array(heads),
-            text.combine_chunks().take(pa.array(order)),
-            pa.nulls(len(gs), type=pa.string()),
-        )
-        part = (gs.view(np.uint64) % np.uint64(P)).astype(np.int64)
-        return pa.table(
-            {
-                "part": pa.array(part, type=pa.int64()),
-                "g": pa.array(gs, type=pa.int64()),
-                "mid": pa.array(ids_s, type=pa.int64()),
-                "txt": txt,
-            },
-            schema=member_schema,
-        )
-
-    def build_groups(pt: pa.Table) -> pa.Table:
-        """One hash partition -> (rep=min id, txt, sorted id list) per
-        distinct string. All segment ops, no per-group Python."""
-        if pt.num_rows == 0 or "g" not in pt.column_names:
-            return _GROUP_SCHEMA.empty_table()
-        g = pt.column("g").to_numpy(zero_copy_only=False)
-        ids = pt.column("mid").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, g))
-        gs, ids_s = g[order], ids[order]
-        txt_s = pt.column("txt").combine_chunks().take(pa.array(order))
-        heads = np.empty(len(gs), dtype=bool)
-        heads[0] = True
-        heads[1:] = gs[1:] != gs[:-1]
-        idx = np.flatnonzero(heads)
-        offsets = np.append(idx, len(gs)).astype(np.int64)
-        # rep text: first non-null row inside each run (>= 1 exists —
-        # each contributing batch shipped one)
-        valid = pc.is_valid(txt_s).to_numpy(zero_copy_only=False)
-        pos = np.where(valid, np.arange(len(gs)), len(gs))
-        first_valid = np.minimum.reduceat(pos, idx)
-        return pa.table(
-            {
-                "rep": pa.array(ids_s[idx], type=pa.int64()),
-                "txt": txt_s.take(pa.array(first_valid)),
-                "ids": pa.LargeListArray.from_arrays(
-                    pa.array(offsets, type=pa.int64()), pa.array(ids_s, type=pa.int64())
-                ),
-            },
-            schema=_GROUP_SCHEMA,
-        )
-
-    groups = (
-        ds.map_batches(member, batch_format="pyarrow", batch_size=None)
-        .groupby("part")
-        .map_groups(build_groups, batch_format="pyarrow")
-        .materialize()
-    )
-
-    def within_pairs(gt: pa.Table) -> pa.Table:
-        """dist-0 pairs: all id pairs inside each multi-member group.
-        Python loop only over groups with >= 2 members (the minority on
-        real data; the OUTPUT is inherently quadratic per group)."""
-        if gt.num_rows == 0 or "ids" not in gt.column_names:
-            return _PAIR_SCHEMA.empty_table()
-        lists = gt.column("ids").combine_chunks()
-        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        flat = lists.flatten().to_numpy(zero_copy_only=False)
-        offs = np.concatenate(([0], np.cumsum(lens)))
-        out_a, out_b = [], []
-        for gi in np.flatnonzero(lens > 1):
-            k = int(lens[gi])
-            if k > max_bucket:
-                _LOG.warning(
-                    "identity group with %d ids capped at max_bucket=%d "
-                    "(%d ids dropped from dist-0 pairing)",
-                    k, max_bucket, k - max_bucket,
-                )
-                k = max_bucket
-            seg = flat[offs[gi] : offs[gi] + k]
-            i0, i1 = np.triu_indices(k, 1)
-            out_a.append(seg[i0])
-            out_b.append(seg[i1])
-        if not out_a:
-            return _PAIR_SCHEMA.empty_table()
-        a = np.concatenate(out_a)
-        return pa.table(
-            {
-                "a": pa.array(a, type=pa.int64()),
-                "b": pa.array(np.concatenate(out_b), type=pa.int64()),
-                "dist": pa.array(np.zeros(len(a), np.int64), type=pa.int64()),
-            },
-            schema=_PAIR_SCHEMA,
-        )
-
-    zero_pairs = groups.map_batches(
-        within_pairs, batch_format="pyarrow", batch_size=None
+    groups = identity_groups(ds, id_col, text_col, num_partitions)
+    zero_pairs = within_group_pairs(
+        groups, {"dist": (0, pa.int64())}, max_bucket
     )
 
     reps = groups.map_batches(
         lambda t: pa.table({id_col: t.column("rep"), text_col: t.column("txt")}),
         batch_format="pyarrow",
         batch_size=None,
-    )
+    ).materialize()
 
     def variants(t: pa.Table) -> pa.Table:
         return deletion_variant_rows(t, id_col, text_col, max_dist, max_len)
@@ -408,63 +287,7 @@ def edit_distance_near_dups(
         )
 
     rep_pairs = joined.map_batches(verify, batch_format="pyarrow", batch_size=None)
-
-    gkeyed = groups.map_batches(
-        lambda t: t.select(["rep", "ids"]),
-        batch_format="pyarrow",
-        batch_size=None,
+    expanded = cross_expand_pairs(
+        groups, rep_pairs, {"dist": pa.int64()}, max_bucket
     )
-    rejoined = pair_payload_join(
-        gkeyed, rep_pairs, "rep", "ids", pair_cols=("dist",)
-    )
-
-    def expand(bt: pa.Table) -> pa.Table:
-        """One row per verified distinct-string pair -> the full id
-        cross product, vectorized across pairs with segment offsets."""
-        if bt.num_rows == 0 or "val_a" not in bt.column_names:
-            return _PAIR_SCHEMA.empty_table()
-        la_arr = bt.column("val_a").combine_chunks()
-        lb_arr = bt.column("val_b").combine_chunks()
-        la = pc.list_value_length(la_arr).to_numpy(zero_copy_only=False).astype(np.int64)
-        lb = pc.list_value_length(lb_arr).to_numpy(zero_copy_only=False).astype(np.int64)
-        over_a, over_b = la > max_bucket, lb > max_bucket
-        if over_a.any() or over_b.any():
-            _LOG.warning(
-                "edit-dup expansion capped %d group side(s) at max_bucket=%d",
-                int(over_a.sum() + over_b.sum()), max_bucket,
-            )
-            la = np.minimum(la, max_bucket)
-            lb = np.minimum(lb, max_bucket)
-        flat_a = la_arr.flatten().to_numpy(zero_copy_only=False)
-        flat_b = lb_arr.flatten().to_numpy(zero_copy_only=False)
-        offs_a = np.concatenate(
-            ([0], np.cumsum(pc.list_value_length(la_arr).to_numpy(zero_copy_only=False)))
-        )
-        offs_b = np.concatenate(
-            ([0], np.cumsum(pc.list_value_length(lb_arr).to_numpy(zero_copy_only=False)))
-        )
-        m = la * lb
-        total = int(m.sum())
-        if total == 0:
-            return _PAIR_SCHEMA.empty_table()
-        pair_idx = np.repeat(np.arange(len(m)), m)
-        starts = np.concatenate(([0], np.cumsum(m)[:-1]))
-        pos = np.arange(total) - starts[pair_idx]
-        left = flat_a[offs_a[pair_idx] + pos // lb[pair_idx]]
-        right = flat_b[offs_b[pair_idx] + pos % lb[pair_idx]]
-        dist = np.repeat(
-            bt.column("dist").to_numpy(zero_copy_only=False), m
-        ).astype(np.int64)
-        a2 = np.minimum(left, right)
-        b2 = np.maximum(left, right)
-        return pa.table(
-            {
-                "a": pa.array(a2, type=pa.int64()),
-                "b": pa.array(b2, type=pa.int64()),
-                "dist": pa.array(dist, type=pa.int64()),
-            },
-            schema=_PAIR_SCHEMA,
-        )
-
-    expanded = rejoined.map_batches(expand, batch_format="pyarrow", batch_size=None)
     return zero_pairs.union(expanded)

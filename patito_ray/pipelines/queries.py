@@ -6193,3 +6193,41 @@ FROM w
 """
 
 QUERIES["roc_auc"] = (q_roc_auc, SQL_ROC_AUC)
+
+
+def q_jaccard_join(sf_dir: str) -> Any:
+    """Exact Jaccard-threshold set-similarity self-join (prefix
+    filtering): every doc pair whose lowercased token-set Jaccard is
+    >= 0.8, exact scores — the deterministic counterpart of
+    minhash_pairs (same verify kernel, recall by the prefix-filter
+    lemma instead of probability)."""
+    from patito_ray.functions.setjoin import jaccard_threshold_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = jaccard_threshold_pairs(ds, threshold=0.8, shingle_n=1)
+    return _lazy_norm(
+        out,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
+        round_col="jaccard",
+    )
+
+
+SQL_JACCARD_JOIN = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS t(tok)
+), sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS i
+  FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS a, db AS b,
+       ROUND(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.8
+"""
+
+QUERIES["jaccard_join"] = (q_jaccard_join, SQL_JACCARD_JOIN)
