@@ -263,6 +263,7 @@ def run_bench() -> dict:
         "tokens_per_source",
         "ks_drift",
         "roc_auc",
+        "span_positions",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -328,3 +328,143 @@ def duplicated_span_stats(
     return partials.groupby("bucket").map_groups(
         final_docs, batch_format="pyarrow"
     )
+
+
+def _batch_window_pos_rows(
+    t: pa.Table, text_col: str, id_col: str, L: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(h1, h2, doc_id, pos) for EVERY sampled window in the batch (no
+    dedup — each position is its own output candidate). ``pos`` is the
+    1-based start offset, matching SQL ``substr``/``generate_series(1,
+    n - L + 1, stride)`` (byte == char on ASCII text)."""
+    text = t.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    arr = pc.cast(pc.fill_null(text, ""), pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_rows = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n_rows + 1
+    ].copy()
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offsets -= offsets[0]
+    empty = (
+        np.empty(0, np.uint64),
+        np.empty(0, np.uint64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+    )
+    if len(data) < L:
+        return empty
+    starts = np.arange(len(data) - L + 1, dtype=np.int64)
+    rows = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + L <= offsets[rows + 1]
+    if stride > 1:
+        valid &= (starts - offsets[rows]) % stride == 0
+    starts, rows = starts[valid], rows[valid]
+    if len(starts) == 0:
+        return empty
+    h1 = _rolling_hashes(data, starts, L, _R1, _R1_INV)
+    h2 = _rolling_hashes(data, starts, L, _R2, _R2_INV)
+    ids = t.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if not pa.types.is_integer(ids.type) or ids.null_count:
+        raise TypeError(
+            f"duplicated_span_positions needs a non-null integer id column, "
+            f"got {id_col!r}: {ids.type} with {ids.null_count} null(s)"
+        )
+    doc = pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False)[rows]
+    pos = starts - offsets[rows] + 1
+    return h1, h2, doc, pos
+
+
+_POS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+
+def duplicated_span_positions(
+    ds: Any,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = 20,
+    stride: int = 1,
+    num_buckets: int = 64,
+) -> Any:
+    """The ACTIONABLE form of span dedup (Lee et al. 2022: strip the
+    duplicated ranges, keep the rest): every (doc_id, pos) whose
+    length-``L`` window occurs in >= 2 distinct documents, as a lazy
+    Dataset — pos is the 1-based window start. A downstream pass can
+    union-merge [pos, pos + L) intervals per doc and cut the text.
+
+    Same exchange discipline as ``duplicated_span_stats`` — gram rows
+    ride as per-bucket blobs, one row per (batch, bucket) — but only
+    ONE exchange total: duplicated-position rows are final output, so
+    the bucket task emits them directly instead of re-bucketing per-doc
+    partials."""
+    if L < 2:
+        raise ValueError(f"window length L must be >= 2, got {L}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if num_buckets < 2 or num_buckets & (num_buckets - 1):
+        raise ValueError(f"num_buckets must be a power of two >= 2, got {num_buckets}")
+    B = num_buckets
+    shift = np.uint64(64 - (B - 1).bit_length())
+
+    _gram_schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("h1b", pa.large_binary()),
+            ("h2b", pa.large_binary()),
+            ("docb", pa.large_binary()),
+            ("posb", pa.large_binary()),
+        ]
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        h1, h2, doc, pos = _batch_window_pos_rows(t, text_col, id_col, L, stride)
+        if len(h1) == 0:
+            return _gram_schema.empty_table()
+        bucket = (h1 >> shift).astype(np.int64)
+        return _pack_blob_rows(
+            bucket,
+            [h1, h2, doc.view(np.uint64), pos.view(np.uint64)],
+            ["h1b", "h2b", "docb", "posb"],
+        )
+
+    def bucket_positions(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "h1b" not in group.column_names:
+            return _POS_SCHEMA.empty_table()
+        h1 = _unpack_blob_col(group, "h1b", np.uint64)
+        h2 = _unpack_blob_col(group, "h2b", np.uint64)
+        doc = _unpack_blob_col(group, "docb", np.uint64).view(np.int64)
+        pos = _unpack_blob_col(group, "posb", np.uint64).view(np.int64)
+        order = np.lexsort((pos, doc, h2, h1))
+        h1, h2, doc, pos = h1[order], h2[order], doc[order], pos[order]
+        run_head = np.empty(len(h1), dtype=bool)
+        run_head[0] = True
+        run_head[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        doc_head = np.empty(len(h1), dtype=bool)
+        doc_head[0] = True
+        doc_head[1:] = run_head[1:] | (doc[1:] != doc[:-1])
+        run_id = np.cumsum(run_head) - 1
+        n_docs = np.bincount(run_id, weights=doc_head).astype(np.int64)
+        keep = n_docs[run_id] >= 2
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], type=pa.int64()),
+                "pos": pa.array(pos[keep], type=pa.int64()),
+            },
+            schema=_POS_SCHEMA,
+        )
+
+    blobs = ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    C = max(4, min(num_buckets, cpus))
+    return blobs.repartition(C).groupby("bucket").map_groups(
+        bucket_positions, batch_format="pyarrow"
+    )

@@ -6231,3 +6231,35 @@ WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.8
 """
 
 QUERIES["jaccard_join"] = (q_jaccard_join, SQL_JACCARD_JOIN)
+
+
+def q_span_positions(sf_dir: str) -> Any:
+    """Actionable span dedup: the (doc_id, 1-based start) of every
+    sampled 20-char window (stride 4) that occurs in >= 2 distinct
+    documents — the strip-list a Lee-et-al-style cut pass consumes.
+    One blob exchange; duplicated positions are final output
+    (functions/spandedup.py:duplicated_span_positions)."""
+    from patito_ray.functions.spandedup import duplicated_span_positions
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicated_span_positions(ds, L=20, stride=4)
+    return _lazy_norm(
+        out, pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+    )
+
+
+SQL_SPAN_POSITIONS = """
+WITH pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INTEGER), 20) AS gram
+  FROM documents,
+       unnest(generate_series(1, length(text) - 19, 4)) AS t(i)
+), d AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY gram
+  ) WHERE nd > 1
+)
+SELECT doc_id, i AS pos FROM pos JOIN d USING (gram)
+"""
+
+QUERIES["span_positions"] = (q_span_positions, SQL_SPAN_POSITIONS)

@@ -112,3 +112,34 @@ def test_span_stats_duplicate_doc_id_rows(ray_session):
     ref = {s[i : i + 20] for s in (shared + "x" * 30, shared + "y" * 30) for i in range(len(s) - 19)}
     assert n_grams == len(ref)
     assert n_dup == 0
+
+
+def test_span_positions_reference(ray_session):
+    """duplicated_span_positions vs pure python: every stride-aligned
+    position whose window occurs in >= 2 distinct documents."""
+    import ray.data as rd
+
+    from patito_ray.functions.spandedup import duplicated_span_positions
+
+    texts = _corpus(60)
+    L, stride = 20, 3
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+        )
+    ).repartition(5)
+    got = {
+        (r["doc_id"], r["pos"])
+        for r in duplicated_span_positions(ds, L=L, stride=stride).take_all()
+    }
+    owners: dict[str, set[int]] = {}
+    for d, s in enumerate(texts):
+        for j in range(0, len(s) - L + 1, stride):
+            owners.setdefault(s[j : j + L], set()).add(d)
+    exp = {
+        (d, j + 1)
+        for d, s in enumerate(texts)
+        for j in range(0, len(s) - L + 1, stride)
+        if len(owners[s[j : j + L]]) >= 2
+    }
+    assert got == exp
