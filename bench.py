@@ -264,6 +264,7 @@ def run_bench() -> dict:
         "ks_drift",
         "roc_auc",
         "span_positions",
+        "span_cut",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

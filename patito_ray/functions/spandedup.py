@@ -468,3 +468,122 @@ def duplicated_span_positions(
     return blobs.repartition(C).groupby("bucket").map_groups(
         bucket_positions, batch_format="pyarrow"
     )
+
+
+_CLEAN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("clean_text", pa.string())])
+
+
+def cut_duplicated_spans(
+    ds: Any,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = 20,
+    stride: int = 1,
+    num_buckets: int = 64,
+    num_partitions: int | None = None,
+) -> Any:
+    """The full Lee-et-al cut pass: remove every character covered by a
+    cross-document duplicated window and return the stitched remainder
+    -> Dataset[doc_id, clean_text] (one row per input row; text
+    positions are byte==char, i.e. ASCII — the rolling-hash windows are
+    byte-level).
+
+    Shape: ``duplicated_span_positions`` (one blob exchange) feeds one
+    ``copartition_apply`` on the doc id; inside each partition task the
+    interval merge (gaps-and-islands via a grouped cumulative max), the
+    kept-segment arithmetic, the per-segment slicing and the per-doc
+    concat are ALL vectorized polars expressions — no per-doc Python.
+    Untouched documents pass through by anti-join."""
+    import polars as pl
+
+    from patito_ray.stages.join import copartition_apply
+
+    pos = duplicated_span_positions(
+        ds, text_col, id_col, L, stride, num_buckets
+    ).map_batches(
+        lambda t: t.rename_columns(["_pd", "_pp"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def cut(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        docs = pl.from_arrow(lt.select([id_col, text_col])).rename(
+            {id_col: "doc_id", text_col: "text"}
+        )
+        if rt.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(lt.column(id_col), pa.int64()),
+                    "clean_text": pc.cast(lt.column(text_col), pa.string()),
+                },
+                schema=_CLEAN_SCHEMA,
+            )
+        ivl = (
+            pl.from_arrow(rt)
+            .rename({"_pd": "doc_id", "_pp": "pos"})
+            .with_columns(
+                s=pl.col("pos") - 1,          # 0-based [s, e)
+                e=pl.col("pos") - 1 + L,
+            )
+            .sort(["doc_id", "s"])
+            # island break: start beyond the running max end so far
+            .with_columns(
+                prev_e=pl.col("e").cum_max().shift(1).over("doc_id")
+            )
+            .with_columns(
+                brk=(
+                    pl.col("prev_e").is_null() | (pl.col("s") > pl.col("prev_e"))
+                ).cast(pl.Int64)
+            )
+            .with_columns(isl=pl.col("brk").cum_sum().over("doc_id"))
+            .group_by(["doc_id", "isl"], maintain_order=True)
+            .agg(s=pl.col("s").min(), e=pl.col("e").max())
+        )
+        # kept segments: gap BEFORE each island + tail after the last
+        segs = (
+            ivl.sort(["doc_id", "s"])
+            .with_columns(
+                seg_s=pl.col("e").shift(1, fill_value=0).over("doc_id"),
+                seg_e=pl.col("s"),
+            )
+            .select(["doc_id", "seg_s", "seg_e"])
+        )
+        touched = ivl.group_by("doc_id").agg(last_e=pl.col("e").max()).join(
+            docs, on="doc_id", how="inner"
+        )
+        tails = touched.select(
+            "doc_id",
+            seg_s=pl.col("last_e"),
+            seg_e=pl.col("text").str.len_chars().cast(pl.Int64),
+        )
+        pieces = (
+            pl.concat([segs, tails])
+            .filter(pl.col("seg_e") > pl.col("seg_s"))
+            .join(docs, on="doc_id", how="inner")
+            .sort(["doc_id", "seg_s"])
+            .with_columns(
+                piece=pl.col("text").str.slice(
+                    pl.col("seg_s"), pl.col("seg_e") - pl.col("seg_s")
+                )
+            )
+            .group_by("doc_id", maintain_order=True)
+            .agg(clean_text=pl.col("piece").str.concat(delimiter=""))
+        )
+        touched_ids = touched.select("doc_id")
+        cleaned = touched_ids.join(pieces, on="doc_id", how="left").with_columns(
+            clean_text=pl.col("clean_text").fill_null("")
+        )
+        untouched = docs.join(touched_ids, on="doc_id", how="anti").select(
+            "doc_id", clean_text=pl.col("text")
+        )
+        return (
+            pl.concat([cleaned, untouched])
+            .sort("doc_id")
+            .to_arrow()
+            .cast(_CLEAN_SCHEMA)
+        )
+
+    return copartition_apply(
+        ds, pos, by=id_col, right_by="_pd", part_fn=cut,
+        num_partitions=num_partitions,
+    )

@@ -6263,3 +6263,51 @@ SELECT doc_id, i AS pos FROM pos JOIN d USING (gram)
 """
 
 QUERIES["span_positions"] = (q_span_positions, SQL_SPAN_POSITIONS)
+
+
+def q_span_cut(sf_dir: str) -> Any:
+    """End-to-end Lee-et-al span dedup: strip every character covered
+    by a cross-document duplicated 20-char window (stride 4 sampling)
+    and return each document's stitched remainder. One blob exchange
+    for positions + one co-partition cut pass, interval merge and
+    slicing fully vectorized (spandedup.cut_duplicated_spans)."""
+    from patito_ray.functions.spandedup import cut_duplicated_spans
+
+    out = cut_duplicated_spans(
+        _rp(sf_dir, "documents", ["doc_id", "text"]), L=20, stride=4
+    )
+    return _lazy_norm(
+        out, pa.schema([("doc_id", pa.int64()), ("clean_text", pa.string())])
+    )
+
+
+SQL_SPAN_CUT = """
+WITH pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INTEGER), 20) AS gram
+  FROM documents,
+       unnest(generate_series(1, length(text) - 19, 4)) AS t(i)
+), dup AS (
+  SELECT doc_id, i FROM pos JOIN (
+    SELECT gram FROM (
+      SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY gram
+    ) WHERE nd > 1
+  ) USING (gram)
+), cov AS (
+  SELECT DISTINCT doc_id, CAST(c.j AS BIGINT) AS j
+  FROM dup, unnest(generate_series(dup.i, dup.i + 19)) AS c(j)
+), chars AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(text, CAST(i AS INTEGER), 1) AS ch
+  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+), kept AS (
+  SELECT ch.doc_id, ch.i, ch.ch
+  FROM chars ch ANTI JOIN cov ON cov.doc_id = ch.doc_id AND cov.j = ch.i
+)
+SELECT d.doc_id, COALESCE(k.txt, '') AS clean_text
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(ch, '' ORDER BY i) AS txt FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+QUERIES["span_cut"] = (q_span_cut, SQL_SPAN_CUT)

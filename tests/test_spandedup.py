@@ -143,3 +143,36 @@ def test_span_positions_reference(ray_session):
         if len(owners[s[j : j + L]]) >= 2
     }
     assert got == exp
+
+
+def test_cut_duplicated_spans_reference(ray_session):
+    """cut_duplicated_spans vs pure python: strip every char covered by
+    a cross-document duplicated window, keep the rest stitched."""
+    import ray.data as rd
+
+    from patito_ray.functions.spandedup import cut_duplicated_spans
+
+    texts = _corpus(60)
+    L, stride = 20, 3
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+        )
+    ).repartition(5)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_duplicated_spans(ds, L=L, stride=stride).take_all()
+    }
+    owners: dict[str, set[int]] = {}
+    for d, s in enumerate(texts):
+        for j in range(0, len(s) - L + 1, stride):
+            owners.setdefault(s[j : j + L], set()).add(d)
+    exp = {}
+    for d, s in enumerate(texts):
+        cov = [False] * len(s)
+        for j in range(0, len(s) - L + 1, stride):
+            if len(owners[s[j : j + L]]) >= 2:
+                for k in range(j, j + L):
+                    cov[k] = True
+        exp[d] = "".join(ch for ch, c in zip(s, cov) if not c)
+    assert got == exp
