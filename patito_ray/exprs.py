@@ -62,7 +62,7 @@ class Expr:
         return Expr(json.loads(data))
 
     def __repr__(self) -> str:
-        return f"Expr({self.node!r})"
+        return f"<Expr: {expr_to_str(self.node)}>"
 
     # -- helpers ----------------------------------------------------------
     def _bin(self, fn: str, other: Any, reflected: bool = False) -> "Expr":
@@ -785,3 +785,55 @@ def collect_col_refs(node: dict[str, Any]) -> set[str]:
 
     walk(node)
     return out
+
+
+# -- human-readable rendering (reference parity: patito expressions
+# repr as the polars code that built them, src/patito/_pydantic/repr.py
+# provides the analogous pretty mixin) --------------------------------
+
+_BIN_SYMBOL = {
+    "add": "+", "sub": "-", "mul": "*", "truediv": "/", "floordiv": "//",
+    "mod": "%", "pow": "**", "eq": "==", "ne": "!=", "lt": "<", "le": "<=",
+    "gt": ">", "ge": ">=", "and": "&", "or": "|",
+}
+_NS_PREFIX = {"str_": ".str.", "dt_": ".dt.", "list_": ".list."}
+
+
+def expr_to_str(node: Any) -> str:
+    """Render an expression node as the code that would rebuild it:
+    ``(col('price') > 0) & col('url').str.contains('^https')``. Every
+    binary expression is parenthesized, so operator precedence never
+    needs to be inferred from the string."""
+    if not isinstance(node, dict):
+        return repr(node)
+    op = node.get("op")
+    if op == "col":
+        return f"col({node['name']!r})"
+    if op == "lit":
+        return f"lit({node['value']!r})"
+    if op == "bin":
+        sym = _BIN_SYMBOL.get(node["fn"], node["fn"])
+        return f"({expr_to_str(node['l'])} {sym} {expr_to_str(node['r'])})"
+    if op == "un":
+        fn = node["fn"]
+        if fn == "not":
+            return f"~{expr_to_str(node['x'])}"
+        if fn == "neg":
+            return f"-{expr_to_str(node['x'])}"
+        return f"{expr_to_str(node['x'])}.{fn}()"
+    if op == "call":
+        fn = node["fn"]
+        method = fn
+        for pref, dotted in _NS_PREFIX.items():
+            if fn.startswith(pref):
+                method = dotted + fn[len(pref):]
+                break
+        else:
+            method = "." + fn
+        args = ", ".join(repr(a) for a in node.get("args", []))
+        return f"{expr_to_str(node['x'])}{method}({args})"
+    if op == "agg":
+        return f"{expr_to_str(node['x'])}.{node['fn']}()"
+    if op == "agg_value":
+        return f"lit({node['value']!r})"
+    return repr(node)

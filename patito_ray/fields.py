@@ -185,3 +185,31 @@ class TableSpec:
                 if c.default_dtype is not None
             ]
         )
+
+
+def _field_repr(fi: "FieldInfo") -> str:
+    """``Field(dtype=int64, unique=True, gt=0)`` — only the kwargs the
+    user actually set (reference models pretty-print their fields via
+    the pydantic repr mixin; this is the Arrow-native analogue)."""
+    parts: list[str] = []
+    if fi.default is not _MISSING:
+        parts.append(f"default={fi.default!r}")
+    if fi.dtype is not None:
+        parts.append(f"dtype={fi.dtype}")
+    if fi.unique:
+        parts.append("unique=True")
+    if fi.allow_missing:
+        parts.append("allow_missing=True")
+    if fi.alias is not None:
+        parts.append(f"alias={fi.alias!r}")
+    for name, value in (fi.bounds or {}).items():
+        parts.append(f"{name}={value!r}")
+    if fi.constraints is not None:
+        cs = fi.constraints if isinstance(fi.constraints, list) else [fi.constraints]
+        parts.append(f"constraints=[{', '.join(map(repr, cs))}]")
+    if fi.derived_from is not None:
+        parts.append(f"derived_from={fi.derived_from!r}")
+    return f"Field({', '.join(parts)})"
+
+
+FieldInfo.__repr__ = _field_repr  # type: ignore[method-assign]
