@@ -653,3 +653,192 @@ def triangle_count(
         {"triangles": pa.array([tri], type=pa.int64()),
          "n_edges": pa.array([n_edges], type=pa.int64())}
     )
+
+
+_KC_SCHEMA = pa.schema([("node", pa.int64())])
+
+#: per-round peeled-node sets above this count switch from an is_in
+#: broadcast to a co-partitioned semi filter (8 B/id, ~256 MB)
+_KCORE_BROADCAST_IDS = 32_000_000
+
+
+def k_core(
+    edges: Any,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 1000,
+) -> Any:
+    """Nodes of the ``k``-core (the maximal subgraph where every node
+    has >= k DISTINCT neighbours, self-loops ignored) ->
+    Dataset[node:int64].
+
+    Distributed iterative peeling: symmetrize + simple-graph dedup once
+    (one hash-partition exchange); each round computes distinct-neighbour
+    degrees as mergeable partials (exchange bounded by the node count),
+    peels nodes below ``k``, and drops their edges. The peeling FRONTIER
+    (that round's removed set) is broadcast via ``ray.put`` while it
+    fits ~256 MB — past that the filter switches to a co-partitioned
+    semi pass, so a first round that sheds most of a power-law graph
+    still never lands on the driver. Converges in core-number rounds
+    (<< ``max_iters``; loud error if exceeded).
+    """
+    import ray
+
+    from patito_ray.functions.dedup import _splitmix
+    from patito_ray.stages.join import default_num_partitions
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _check_edges(edges, src, dst)
+    P = default_num_partitions()
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column(src), pa.int64()).to_numpy(zero_copy_only=False)
+        v = pc.cast(t.column(dst), pa.int64()).to_numpy(zero_copy_only=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        uu = np.concatenate([u, v])
+        vv = np.concatenate([v, u])
+        part = (
+            _splitmix(uu.view(np.uint64)) % np.uint64(P)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part, type=pa.int64()),
+                "u": pa.array(uu, type=pa.int64()),
+                "v": pa.array(vv, type=pa.int64()),
+            }
+        )
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.empty(len(u), dtype=bool)
+        keep[0] = True
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table(
+            {"u": pa.array(u[keep], type=pa.int64()), "v": pa.array(v[keep], type=pa.int64())}
+        )
+
+    und = (
+        edges.map_batches(sym, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+        .materialize()
+    )
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pa.schema([("u", pa.int64()), ("deg", pa.int64())]).empty_table()
+        return (
+            pl.from_arrow(t.select(["u"]))
+            .group_by("u")
+            .agg(pl.len().cast(pl.Int64).alias("deg"))
+            .to_arrow()
+        )
+
+    for _round in range(max_iters):
+        degs = merge_partial_sums(
+            und.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+            ["u"],
+            ["deg"],
+        )
+        if not isinstance(degs, pa.Table):
+            degs = degs.map_batches(
+                lambda t: t.filter(pc.less(t.column("deg"), k))
+                if t.num_rows
+                else t,
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            bad_tab = collect_table(
+                degs,
+                empty_schema=pa.schema([("u", pa.int64()), ("deg", pa.int64())]),
+            )
+            bad = bad_tab.column("u").combine_chunks()
+        else:
+            bad = degs.filter(
+                pc.less(degs.column("deg"), k)
+            ).column("u").combine_chunks()
+        if len(bad) == 0:
+            break
+        if len(bad) <= _KCORE_BROADCAST_IDS:
+            ref = ray.put(bad)
+
+            def drop(t: pa.Table, _ref=ref) -> pa.Table:
+                bad_ids = ray.get(_ref)
+                keep = pc.and_(
+                    pc.invert(pc.is_in(t.column("u"), value_set=bad_ids)),
+                    pc.invert(pc.is_in(t.column("v"), value_set=bad_ids)),
+                )
+                return t.filter(keep)
+
+            und = und.map_batches(
+                drop, batch_format="pyarrow", batch_size=None
+            ).materialize()
+        else:
+            # frontier too big to broadcast: two co-partitioned anti
+            # passes (u side, then v side)
+            import ray.data as rd
+
+            from patito_ray.stages.join import copartition_apply
+
+            bad_ds = rd.from_arrow(pa.table({"_bad": bad}))
+
+            def anti(side: str):
+                def fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+                    return lt.filter(
+                        pc.invert(
+                            pc.is_in(
+                                lt.column(side),
+                                value_set=rt.column("_bad").combine_chunks(),
+                            )
+                        )
+                    )
+
+                return fn
+
+            und = copartition_apply(und, bad_ds, by="u", right_by="_bad", part_fn=anti("u"))
+            und = copartition_apply(
+                und, bad_ds, by="v", right_by="_bad", part_fn=anti("v")
+            ).materialize()
+    else:
+        raise RuntimeError(
+            f"k_core did not converge within max_iters={max_iters} rounds"
+        )
+
+    def nodes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return _KC_SCHEMA.empty_table()
+        return pa.table(
+            {"node": pc.unique(t.column("u").combine_chunks())}, schema=_KC_SCHEMA
+        )
+
+    def nodes_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return _KC_SCHEMA.empty_table()
+        return pa.table(
+            {"node": pc.unique(t.column("node").combine_chunks())},
+            schema=_KC_SCHEMA,
+        )
+
+    def add_node_part(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        part = (_splitmix(n.view(np.uint64)) % np.uint64(P)).view(np.int64)
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    return (
+        und.map_batches(nodes, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_node_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(nodes_dedup, batch_format="pyarrow")
+    )

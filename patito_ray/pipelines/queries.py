@@ -6311,3 +6311,119 @@ FROM documents d LEFT JOIN (
 """
 
 QUERIES["span_cut"] = (q_span_cut, SQL_SPAN_CUT)
+
+
+def q_calibration_bins(sf_dir: str) -> Any:
+    """Reliability diagram for the value-as-purchase-score signal
+    (companion to roc_auc): fixed-width score bins with observed
+    positive rates. Integer (n, pos) partials per bin through the
+    adaptive merge — exchange bounded by the bin count — and both
+    engines evaluate the identical FLOOR(value/10) binning and
+    pos/n IEEE division (final 1e-6 round)."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.floor(v / 10.0).astype(np.int64)
+        y = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return (
+            pl.DataFrame({"bin": b, "n": np.ones(len(b), np.int64), "pos": y})
+            .group_by("bin")
+            .agg(pl.col("n").sum(), pl.col("pos").sum())
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["bin"],
+        ["n", "pos"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = t.column("pos").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "bin": pc.cast(t.column("bin"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "pos": pc.cast(t.column("pos"), pa.int64()),
+                "rate": _r(pa.array(pos / n, type=pa.float64()), 6),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_CALIBRATION_BINS = """
+SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS pos,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS DOUBLE) / COUNT(*), 6) AS rate
+FROM events GROUP BY 1
+"""
+
+QUERIES["calibration_bins"] = (q_calibration_bins, SQL_CALIBRATION_BINS)
+
+
+def q_kcore_docs(sf_dir: str) -> Any:
+    """4-core of the (undirected view of the) 3-out-link doc graph —
+    the 'dense community' primitive. functions/graph.py:k_core runs
+    distributed iterative peeling (distinct-neighbour degrees as
+    mergeable partials, frontier broadcast while small, co-partitioned
+    anti filter beyond). Oracle: the peel unrolled 12 rounds in plain
+    SQL — measured convergence on this deterministic graph is <= 7
+    rounds from 50 to 50k nodes (k=4: <= 5), so 12 is converged at
+    every driver/bench scale; a non-converged oracle would surface as
+    a loud hash mismatch, never a silent pass."""
+    from patito_ray.functions.graph import k_core
+
+    edges, _n = _doc_link_edges(sf_dir, 3)
+    res = k_core(edges, k=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table({"node": pc.cast(t.column("node"), pa.int64())})
+
+    return _apply(res, finish)
+
+
+def _sql_kcore(k: int, rounds: int) -> str:
+    """Unrolled peel: und{i} -> deg -> bad -> und{i+1}; converged well
+    before ``rounds`` on the deterministic link graph (see q_kcore_docs)."""
+    parts = [
+        _sql_link_edges(3),
+        """und0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM edges WHERE src <> dst
+)""",
+    ]
+    # MATERIALIZED is load-bearing: each round references the previous
+    # one three times; inlined CTEs would re-expand 3^rounds scans.
+    for i in range(rounds):
+        parts.append(
+            f"""bad{i} AS MATERIALIZED (
+  SELECT u FROM und{i} GROUP BY u HAVING COUNT(*) < {k}
+),
+und{i + 1} AS MATERIALIZED (
+  SELECT u, v FROM und{i}
+  WHERE u NOT IN (SELECT u FROM bad{i})
+    AND v NOT IN (SELECT u FROM bad{i})
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH\n{body}\nSELECT u AS node FROM und{rounds} GROUP BY u"
+
+
+SQL_KCORE_DOCS = _sql_kcore(4, 12)
+
+QUERIES["kcore_docs"] = (q_kcore_docs, SQL_KCORE_DOCS)
