@@ -265,6 +265,9 @@ def run_bench() -> dict:
         "roc_auc",
         "span_positions",
         "span_cut",
+        "calibration_bins",
+        "kcore_docs",
+        "top_bigram",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -129,3 +129,88 @@ def repetition_filter(
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+_TOPG_FIELDS = (
+    ("doc_id", pa.int64()),
+    ("gram", pa.string()),
+    ("cnt", pa.int64()),
+    ("chars", pa.int64()),
+)
+
+
+def top_ngram_batch(
+    t: pa.Table,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Per-document most-frequent word ``n``-gram (the other half of
+    the Gopher repetition family: "fraction of characters in the most
+    common n-gram").
+
+    Tokens are RE2 ``\\S+`` (``tfidf.re2_split_tokens``, the shared
+    oracle-exact tokenizer); grams are consecutive tokens joined by a
+    single space; the winner per doc is (count desc, gram asc) — a
+    total order, so no engine-dependent tie-break. Emits exact
+    INTEGER coverage (``chars = cnt * len(gram)``) per the module's
+    bit-exact-counts convention; callers divide by their preferred
+    denominator. Docs with fewer than ``n`` tokens emit no row
+    (matches the SQL ``len(toks) >= n`` guard). Fully vectorized:
+    one Arrow slice/join per gram position + one polars group-count;
+    no shuffle, no per-row Python.
+    """
+    import polars as pl
+
+    from patito_ray.functions.tfidf import re2_split_tokens
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    empty = pa.schema(list(_TOPG_FIELDS)).empty_table()
+    if t.num_rows == 0:
+        return empty
+    ids = pc.cast(t.column(id_col), pa.int64()).combine_chunks()
+    flat, parents, _n_rows = re2_split_tokens(t.column(text_col))
+    L = len(flat)
+    if L < n:
+        return empty
+    same = parents[n - 1 :] == parents[: L - (n - 1)]
+    if not same.any():
+        return empty
+    pieces = [flat.slice(i, L - (n - 1)) for i in range(n)]
+    gram = pc.binary_join_element_wise(*pieces, " ")
+    same_arr = pa.array(same)
+    gram = gram.filter(same_arr)
+    gp = parents[: L - (n - 1)][same]
+    top = (
+        pl.DataFrame({"p": gp, "gram": pl.from_arrow(gram)})
+        .group_by(["p", "gram"])
+        .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        .sort(["p", "cnt", "gram"], descending=[False, True, False])
+        .unique(subset="p", keep="first", maintain_order=True)
+        .with_columns(
+            (pl.col("cnt") * pl.col("gram").str.len_chars().cast(pl.Int64))
+            .alias("chars")
+        )
+    )
+    doc = ids.take(pa.array(top["p"].to_numpy()))
+    return pa.table(
+        {
+            "doc_id": doc,
+            "gram": top["gram"].to_arrow(),
+            "cnt": top["cnt"].to_arrow(),
+            "chars": top["chars"].to_arrow(),
+        },
+        schema=pa.schema(list(_TOPG_FIELDS)),
+    )
+
+
+def top_ngram_per_doc(
+    ds: Any, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> Any:
+    """Dataset stage: per-document top word-``n``-gram coverage."""
+    return ds.map_batches(
+        lambda t: top_ngram_batch(t, n=n, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

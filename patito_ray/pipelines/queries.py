@@ -6427,3 +6427,40 @@ und{i + 1} AS MATERIALIZED (
 SQL_KCORE_DOCS = _sql_kcore(4, 12)
 
 QUERIES["kcore_docs"] = (q_kcore_docs, SQL_KCORE_DOCS)
+
+
+def q_top_bigram(sf_dir: str) -> Any:
+    """Per-document most-frequent word bigram and the exact characters
+    it covers — the 'fraction of chars in the most common n-gram'
+    Gopher filter, emitted as bit-exact integers (cnt, chars) per the
+    repetition-module convention. Pure per-doc map_batches: RE2-exact
+    tokenize, one Arrow slice/join for the gram column, one polars
+    group-count; (count desc, gram asc) is a total order so the
+    winner is engine-independent. No exchange at any corpus size."""
+    from patito_ray.functions.repetition import top_ngram_per_doc
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return top_ngram_per_doc(ds, n=2)
+
+
+SQL_TOP_BIGRAM = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(toks[s : s + 1], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(s)
+  WHERE len(toks) >= 2
+), gc AS (
+  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g GROUP BY doc_id, gram
+), r AS (
+  SELECT doc_id, gram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, gram ASC) AS rn
+  FROM gc
+)
+SELECT doc_id, gram, cnt, CAST(cnt * len(gram) AS BIGINT) AS chars
+FROM r WHERE rn = 1
+"""
+
+QUERIES["top_bigram"] = (q_top_bigram, SQL_TOP_BIGRAM)

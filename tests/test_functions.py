@@ -1840,3 +1840,52 @@ def test_grouping_sets_sums_rollup(ray_session):
         grouping_sets_sums(rd.from_arrow(bad), ["a"], ["v"]) if isinstance(
             grouping_sets_sums(rd.from_arrow(bad), ["a"], ["v"]), pa.Table
         ) else None
+
+
+def test_top_ngram_batch_reference():
+    """top_ngram_batch vs a pure-python per-doc reference (ties broken
+    lexicographically; <n-token and null docs emit no row)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from patito_ray.functions.repetition import top_ngram_batch
+
+    texts = [
+        "a b a b c",          # 'a b' x2
+        "z z z z",            # 'z z' x3
+        "one",                # single token -> no row
+        None,                 # null -> no row
+        "",                   # no tokens -> no row
+        "tie a tie b",        # all bigrams x1 -> lexicographic min 'a tie'
+        "  pad  pad pad  ",   # leading/trailing whitespace
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = top_ngram_batch(t, n=2).to_pydict()
+
+    expect = {}
+    for i, s in enumerate(texts):
+        toks = s.split() if s else []
+        if len(toks) < 2:
+            continue
+        c = Counter(zip(toks, toks[1:]))
+        (a, b), cnt = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        gram = f"{a} {b}"
+        expect[i] = (gram, cnt, cnt * len(gram))
+
+    got = {
+        d: (g, c, ch)
+        for d, g, c, ch in zip(
+            out["doc_id"], out["gram"], out["cnt"], out["chars"]
+        )
+    }
+    assert got == expect
+
+    # trigram path + batch-composition invariance
+    tri = top_ngram_batch(t, n=3).to_pydict()
+    assert tri["gram"][tri["doc_id"].index(1)] == "z z z"
+    halves = [top_ngram_batch(t.slice(0, 3), n=2), top_ngram_batch(t.slice(3), n=2)]
+    joined = pa.concat_tables(halves).to_pydict()
+    assert joined == out
