@@ -268,6 +268,8 @@ def run_bench() -> dict:
         "calibration_bins",
         "kcore_docs",
         "top_bigram",
+        "scd2_history",
+        "peak_concurrency",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

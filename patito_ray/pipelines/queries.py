@@ -6464,3 +6464,151 @@ FROM r WHERE rn = 1
 """
 
 QUERIES["top_bigram"] = (q_top_bigram, SQL_TOP_BIGRAM)
+
+
+def q_scd2_history(sf_dir: str) -> Any:
+    """SCD type-2 history build: collapse the event change-log into
+    versioned rows (one row per user per event_type RUN) with
+    effective_from / effective_to ranges (null = current). ONE hash
+    exchange on user_id; change-detect, filter and lead run inside the
+    same per-partition polars pass (stages/window.py:scd2_compact).
+    (ts, event_id) is the per-key total order, so both engines pick
+    identical survivors."""
+    from patito_ray.stages.window import scd2_compact
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    res = scd2_compact(
+        ds, by="user_id", order=["ts", "event_id"], attrs=["event_type"]
+    )
+
+    cols = ["user_id", "event_type", "effective_from", "effective_to"]
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("effective_from", pa.timestamp("us")),
+                    ("effective_to", pa.timestamp("us")),
+                ]
+            ).empty_table()
+        return t.select(cols)
+
+    return res.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_SCD2_HISTORY = """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), ch AS (
+  SELECT user_id, ts, event_type, rn FROM o
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, ts AS effective_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY rn) AS effective_to
+FROM ch
+"""
+
+QUERIES["scd2_history"] = (q_scd2_history, SQL_SCD2_HISTORY)
+
+
+def q_peak_concurrency(sf_dir: str) -> Any:
+    """Interval sweep-line: peak number of concurrently-active events
+    (interval = [ts, ts + floor(value) seconds]) and the first instant
+    it is reached. Start/end points become +1/-1 deltas on an encoded
+    key (t*2 | end-bit, so starts at an instant count before ends);
+    the running count rides the three-narrow-pass distributed
+    ordered_prefix_sum — 24 B/point, NO global payload sort; the
+    per-block (max, argmin-key) candidates reduce to one driver row.
+    Identical-key peer groups carry equal deltas, so the max and its
+    earliest key are permutation-invariant — both engines agree
+    exactly with SQL's RANGE-framed running SUM."""
+    from patito_ray.stages.agg import collect_table
+    from patito_ray.stages.prefix import ordered_prefix_sum
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        dur = np.floor(val).astype(np.int64) * 1_000_000
+        n = len(ts)
+        return pa.table(
+            {
+                "k": pa.array(
+                    np.concatenate([ts * 2, (ts + dur) * 2 + 1]), type=pa.int64()
+                ),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(n, np.int64), -np.ones(n, np.int64)]
+                    ),
+                    type=pa.int64(),
+                ),
+                "tie": pa.array(
+                    np.concatenate([eid * 2, eid * 2 + 1]), type=pa.int64()
+                ),
+            }
+        )
+
+    pref = ordered_prefix_sum(
+        ds.map_batches(pts, batch_format="pyarrow", batch_size=None),
+        "k",
+        "d",
+        out_col="off",
+        tie_col="tie",
+    )
+
+    cand_schema = pa.schema([("peak", pa.int64()), ("at_k", pa.int64())])
+
+    def cand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "off" not in t.column_names:
+            return cand_schema.empty_table()
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        inc = t.column("off").to_numpy(zero_copy_only=False) + d
+        m = d == 1
+        if not m.any():
+            return cand_schema.empty_table()
+        peak = int(inc[m].max())
+        at = int(k[m & (inc == peak)].min())
+        return pa.table({"peak": [peak], "at_k": [at]}, schema=cand_schema)
+
+    cands = collect_table(
+        pref.map_batches(cand, batch_format="pyarrow", batch_size=None),
+        cand_schema,
+    )
+    peaks = cands.column("peak").to_numpy(zero_copy_only=False)
+    if len(peaks) == 0:
+        return pa.table({"peak": pa.array([], pa.int64()), "at_us": pa.array([], pa.int64())})
+    best = int(peaks.max())
+    ks = cands.column("at_k").to_numpy(zero_copy_only=False)
+    at_us = int(ks[peaks == best].min()) // 2
+    return pa.table(
+        {"peak": pa.array([best], pa.int64()), "at_us": pa.array([at_us], pa.int64())}
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH pts AS (
+  SELECT epoch_us(ts) * 2 AS k, 1 AS d FROM events
+  UNION ALL
+  SELECT (epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000) * 2 + 1,
+         -1
+  FROM events
+), c AS (
+  SELECT k, SUM(d) OVER (ORDER BY k) AS conc FROM pts
+), m AS (SELECT MAX(conc) AS peak FROM c)
+SELECT CAST(m.peak AS BIGINT) AS peak,
+       CAST((SELECT MIN(k) FROM c WHERE c.conc = m.peak) // 2 AS BIGINT)
+         AS at_us
+FROM m
+"""
+
+QUERIES["peak_concurrency"] = (q_peak_concurrency, SQL_PEAK_CONCURRENCY)

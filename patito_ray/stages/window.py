@@ -142,3 +142,69 @@ def window_over(
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
     return parted.groupby("part").map_groups(run_windows, batch_format="pyarrow")
+
+
+def scd2_compact(
+    ds: Any,
+    by: str,
+    order: list[str],
+    attrs: list[str],
+    num_partitions: int | None = None,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> Any:
+    """Slowly-changing-dimension (type 2) history build: collapse a
+    change log into versioned rows with effective ranges.
+
+    Per ``by`` key in ``order``: drop rows where every ``attrs`` column
+    equals the previous row's (null-safe, SQL ``IS DISTINCT FROM``
+    semantics — polars ``ne_missing``), then stamp ``from_col`` =
+    first order column and ``to_col`` = the NEXT surviving row's
+    (null on the current version). Same scale shape as
+    :func:`window_over`: ONE hash exchange on the key, one vectorized
+    polars pass per partition — change-detect, filter and lead all
+    inside the same frame, so the collapse needs no second exchange.
+    ``order`` must be a per-key total order (include a unique
+    tie-break column) or cross-engine results are ambiguous.
+    """
+    import polars as pl
+
+    if not attrs:
+        raise ValueError("attrs must be non-empty")
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        part = hash_partition_ids(
+            t.column(by), num_partitions, f"scd2_compact key column {by!r}"
+        )
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    sort_cols = [by] + list(order)
+    lead_src = order[0]
+
+    def compact(group_table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group_table.drop_columns(["part"]))
+        df = df.sort(sort_cols, maintain_order=True)
+        rn = pl.col(by).cum_count().over(by)
+        changed = pl.any_horizontal(
+            *[
+                pl.col(a).ne_missing(pl.col(a).shift(1).over(by))
+                for a in attrs
+            ]
+        )
+        df = df.filter((rn == 1) | changed)
+        return (
+            df.with_columns(
+                pl.col(lead_src).alias(from_col),
+                pl.col(lead_src).shift(-1).over(by).alias(to_col),
+            )
+            .to_arrow()
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby("part").map_groups(compact, batch_format="pyarrow")

@@ -164,3 +164,53 @@ def test_ntile_matches_python_reference(ray_session, n, k, n_keys):
         ref = ntile_ref(len(orders))
         for o, b in zip(orders, ref):
             assert got[(key, o)] == b, (key, o)
+
+
+def test_scd2_compact_reference(ray_session):
+    """Change-log collapse vs a pure-python reference: consecutive-dup
+    runs collapse, null attrs compare IS-DISTINCT-FROM-style, the first
+    row always survives, effective_to chains to the next survivor."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from patito_ray.stages.window import scd2_compact
+
+    rows = [
+        # key, seq, attr
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+        (2, 1, None), (2, 2, None), (2, 3, "x"), (2, 4, None),
+        (3, 7, "only"),
+    ]
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "seq": pa.array([r[1] for r in rows], pa.int64()),
+            "attr": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = scd2_compact(
+        rd.from_arrow(t).repartition(3), by="k", order=["seq"], attrs=["attr"]
+    )
+    got = sorted(
+        (r["k"], r["seq"], r["attr"], r["effective_from"], r["effective_to"])
+        for r in out.take_all()
+    )
+
+    expect = []
+    by_key: dict[int, list] = {}
+    for k, seq, attr in sorted(rows):
+        by_key.setdefault(k, []).append((seq, attr))
+    for k, items in by_key.items():
+        surv = [items[0]]
+        for seq, attr in items[1:]:
+            if attr != surv[-1][1]:
+                surv.append((seq, attr))
+        for i, (seq, attr) in enumerate(surv):
+            nxt = surv[i + 1][0] if i + 1 < len(surv) else None
+            expect.append((k, seq, attr, seq, nxt))
+    assert got == sorted(expect)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="attrs"):
+        scd2_compact(rd.from_arrow(t), by="k", order=["seq"], attrs=[])
