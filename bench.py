@@ -270,6 +270,7 @@ def run_bench() -> dict:
         "top_bigram",
         "scd2_history",
         "peak_concurrency",
+        "welch_ttest",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -6612,3 +6612,120 @@ FROM m
 """
 
 QUERIES["peak_concurrency"] = (q_peak_concurrency, SQL_PEAK_CONCURRENCY)
+
+
+def q_welch_ttest(sf_dir: str) -> Any:
+    """Welch two-sample t-test: does 'purchase' event value differ from
+    'view'? Values snap to their EXACT cents grid first (value*100 is
+    within ~1e-10 of an integer on both engines, so rint/ROUND agree
+    bit-for-bit), making every partial (n, sum, sumsq) an exact int64
+    regardless of summation order; the t statistic and the
+    Welch-Satterthwaite df are then ONE identically-ordered IEEE
+    expression on both engines (final 1e-6 round only). Exchange is
+    two 3-int rows."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(["purchase", "view"]))
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("k", pa.string()),
+                    ("n", pa.int64()),
+                    ("s", pa.int64()),
+                    ("q", pa.int64()),
+                ]
+            ).empty_table()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.rint(v * 100.0).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "k": pl.from_arrow(t.column("event_type").combine_chunks()),
+                    "c": cents,
+                }
+            )
+            .group_by("k")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("c").sum().alias("s"),
+                (pl.col("c") * pl.col("c")).sum().alias("q"),
+            )
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        ["n", "s", "q"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = {
+            k: (int(n), float(s), float(q))
+            for k, n, s, q in zip(
+                t.column("k").to_pylist(),
+                t.column("n").to_pylist(),
+                t.column("s").to_pylist(),
+                t.column("q").to_pylist(),
+            )
+        }
+        n1, s1, q1 = d["purchase"]
+        n2, s2, q2 = d["view"]
+        fn1, fn2 = float(n1), float(n2)
+        m1, m2 = s1 / fn1, s2 / fn2
+        v1 = (q1 - s1 * s1 / fn1) / (fn1 - 1.0)
+        v2 = (q2 - s2 * s2 / fn2) / (fn2 - 1.0)
+        u1, u2 = v1 / fn1, v2 / fn2
+        tstat = (m1 - m2) / np.sqrt(u1 + u2)
+        df = (u1 + u2) * (u1 + u2) / (
+            u1 * u1 / (fn1 - 1.0) + u2 * u2 / (fn2 - 1.0)
+        )
+        return pa.table(
+            {
+                "n_purchase": pa.array([n1], pa.int64()),
+                "n_view": pa.array([n2], pa.int64()),
+                "t_stat": _r(pa.array([tstat], pa.float64()), 6),
+                "df": _r(pa.array([df], pa.float64()), 6),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_WELCH_TTEST = """
+WITH g AS (
+  SELECT event_type AS k,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                  * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS q
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+), p AS (SELECT n, CAST(s AS DOUBLE) AS s, CAST(q AS DOUBLE) AS q
+         FROM g WHERE k = 'purchase'),
+     v AS (SELECT n, CAST(s AS DOUBLE) AS s, CAST(q AS DOUBLE) AS q
+         FROM g WHERE k = 'view'),
+     e AS (
+  SELECT p.n AS n1, v.n AS n2,
+         (p.q - p.s * p.s / CAST(p.n AS DOUBLE)) / (CAST(p.n AS DOUBLE) - 1)
+           / CAST(p.n AS DOUBLE) AS u1,
+         (v.q - v.s * v.s / CAST(v.n AS DOUBLE)) / (CAST(v.n AS DOUBLE) - 1)
+           / CAST(v.n AS DOUBLE) AS u2,
+         p.s / CAST(p.n AS DOUBLE) - v.s / CAST(v.n AS DOUBLE) AS md
+  FROM p, v
+)
+SELECT n1 AS n_purchase, n2 AS n_view,
+       ROUND(md / sqrt(u1 + u2), 6) AS t_stat,
+       ROUND((u1 + u2) * (u1 + u2)
+             / (u1 * u1 / (CAST(n1 AS DOUBLE) - 1)
+                + u2 * u2 / (CAST(n2 AS DOUBLE) - 1)), 6) AS df
+FROM e
+"""
+
+QUERIES["welch_ttest"] = (q_welch_ttest, SQL_WELCH_TTEST)

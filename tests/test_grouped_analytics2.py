@@ -186,3 +186,48 @@ def test_global_ntile_rejects_bad_k(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], type=pa.int64())}))
     with pytest.raises(ValueError):
         global_ntile(ds, "x", k=0)
+
+
+def test_welch_ttest_vs_reference(ray_session, tmp_path):
+    """q_welch_ttest vs the textbook Welch formula on constructed data
+    (unequal n, unequal variance; other event types ignored)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from patito_ray.pipelines.queries import q_welch_ttest
+
+    rng = np.random.default_rng(7)
+    a = np.round(rng.normal(50, 5, 400), 2)   # purchase
+    b = np.round(rng.normal(48, 9, 150), 2)   # view
+    noise = np.round(rng.normal(0, 1, 100), 2)  # ignored type
+    vals = np.concatenate([a, b, noise])
+    types = ["purchase"] * 400 + ["view"] * 150 + ["error"] * 100
+    t = pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    out = q_welch_ttest(str(d))
+    got_t = out.column("t_stat")[0].as_py()
+    got_df = out.column("df")[0].as_py()
+
+    # reference on the exact cents grid
+    ca = np.rint(a * 100).astype(np.int64)
+    cb = np.rint(b * 100).astype(np.int64)
+    m1, m2 = ca.mean(), cb.mean()
+    v1, v2 = ca.var(ddof=1), cb.var(ddof=1)
+    u1, u2 = v1 / len(ca), v2 / len(cb)
+    ref_t = (m1 - m2) / math.sqrt(u1 + u2)
+    ref_df = (u1 + u2) ** 2 / (u1**2 / (len(ca) - 1) + u2**2 / (len(cb) - 1))
+    assert abs(got_t - ref_t) < 1e-5
+    assert abs(got_df - ref_df) < 1e-4
+    assert out.column("n_purchase")[0].as_py() == 400
+    assert out.column("n_view")[0].as_py() == 150
