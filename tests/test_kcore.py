@@ -66,3 +66,18 @@ def test_k_core_guards(ray_session):
     t = pa.table({"src": pa.array([1], type=pa.int64()), "dst": pa.array([2], type=pa.int64())})
     with pytest.raises(ValueError, match="k must be"):
         k_core(rd.from_arrow(t), 0)
+
+
+def test_k_core_big_frontier_anti_path(ray_session, monkeypatch):
+    """Force the co-partitioned anti branch (frontier 'too big' to
+    broadcast) and assert it matches the broadcast path's result."""
+    import patito_ray.functions.graph as graph
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 80), rng.randint(0, 80)) for _ in range(260)]
+    cl = list(range(200, 207))
+    edges += [(a, b) for i, a in enumerate(cl) for b in cl[i + 1 :]]
+    want = _ref_kcore(edges, 3)
+    assert _run(edges, 3) == want  # broadcast path
+    monkeypatch.setattr(graph, "_KCORE_BROADCAST_IDS", 0)
+    assert _run(edges, 3) == want  # anti path
