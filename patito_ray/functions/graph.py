@@ -775,6 +775,12 @@ def k_core(
             ref = ray.put(bad)
 
             def drop(t: pa.Table, _ref=ref) -> pa.Table:
+                # map_groups upstream can interleave empty ()-schema
+                # blocks (see dev notes) — same guard as deg_partial
+                if t.num_rows == 0 or "u" not in t.column_names:
+                    return pa.schema(
+                        [("u", pa.int64()), ("v", pa.int64())]
+                    ).empty_table()
                 bad_ids = ray.get(_ref)
                 keep = pc.and_(
                     pc.invert(pc.is_in(t.column("u"), value_set=bad_ids)),
