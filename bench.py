@@ -271,6 +271,7 @@ def run_bench() -> dict:
         "scd2_history",
         "peak_concurrency",
         "welch_ttest",
+        "psi_drift",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -6729,3 +6729,88 @@ FROM e
 """
 
 QUERIES["welch_ttest"] = (q_welch_ttest, SQL_WELCH_TTEST)
+
+
+def q_psi_drift(sf_dir: str) -> Any:
+    """Population Stability Index between the 'purchase' and 'view'
+    value distributions over the FLOOR(value/10) bin grid (the model-
+    monitoring companion to ks_drift): exact integer (bin, n_p, n_v)
+    partials through the adaptive merge — exchange bounded by the bin
+    count — then PSI = sum over both-populated bins of
+    (p-q)*ln(p/q), the identical IEEE expression on both engines
+    (final 1e-6 round, corr_per_group convention)."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"), value_set=pa.array(["purchase", "view"])
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.schema(
+                [("bin", pa.int64()), ("n_p", pa.int64()), ("n_v", pa.int64())]
+            ).empty_table()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        b = np.floor(v / 10.0).astype(np.int64)
+        is_p = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        return (
+            pl.DataFrame(
+                {
+                    "bin": b,
+                    "n_p": is_p.astype(np.int64),
+                    "n_v": (~is_p).astype(np.int64),
+                }
+            )
+            .group_by("bin")
+            .agg(pl.col("n_p").sum(), pl.col("n_v").sum())
+            .to_arrow()
+        )
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["bin"],
+        ["n_p", "n_v"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        np_ = t.column("n_p").to_numpy(zero_copy_only=False).astype(np.float64)
+        nv = t.column("n_v").to_numpy(zero_copy_only=False).astype(np.float64)
+        tp, tv = np_.sum(), nv.sum()
+        m = (np_ > 0) & (nv > 0)
+        p = np_[m] / tp
+        q = nv[m] / tv
+        psi = float(((p - q) * np.log(p / q)).sum())
+        return pa.table(
+            {
+                "n_bins": pa.array([int(m.sum())], pa.int64()),
+                "psi": _r(pa.array([psi], pa.float64()), 6),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_PSI_DRIFT = """
+WITH b AS (
+  SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_p,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_v
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_p) AS DOUBLE) AS tp, CAST(SUM(n_v) AS DOUBLE) AS tv
+  FROM b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(SUM((n_p / t.tp - n_v / t.tv)
+                 * ln((n_p / t.tp) / (n_v / t.tv))), 6) AS psi
+FROM b, t WHERE n_p > 0 AND n_v > 0
+GROUP BY ALL
+"""
+
+QUERIES["psi_drift"] = (q_psi_drift, SQL_PSI_DRIFT)

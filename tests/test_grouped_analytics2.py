@@ -231,3 +231,42 @@ def test_welch_ttest_vs_reference(ray_session, tmp_path):
     assert abs(got_df - ref_df) < 1e-4
     assert out.column("n_purchase")[0].as_py() == 400
     assert out.column("n_view")[0].as_py() == 150
+
+
+def test_psi_drift_vs_reference(ray_session, tmp_path):
+    """q_psi_drift vs the textbook PSI on constructed bins (zero-count
+    bins on either side excluded by convention)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from patito_ray.pipelines.queries import q_psi_drift
+
+    # purchase in bins {0,1,2}, view in bins {1,2,3}: bins 0 and 3
+    # are one-sided and must be excluded
+    vals_p = [5.0] * 10 + [15.0] * 30 + [25.0] * 60
+    vals_v = [15.0] * 50 + [25.0] * 40 + [35.0] * 10
+    noise = [15.0] * 7  # other event type, ignored
+    t = pa.table(
+        {
+            "event_type": pa.array(
+                ["purchase"] * len(vals_p)
+                + ["view"] * len(vals_v)
+                + ["error"] * len(noise)
+            ),
+            "value": pa.array(vals_p + vals_v + noise, pa.float64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    out = q_psi_drift(str(d))
+    ref = 0.0
+    for pn, vn in [(30, 50), (60, 40)]:  # bins 1 and 2 only
+        p, q = pn / 100.0, vn / 100.0
+        ref += (p - q) * math.log(p / q)
+    assert out.column("n_bins")[0].as_py() == 2
+    assert abs(out.column("psi")[0].as_py() - ref) < 1e-6
