@@ -210,6 +210,8 @@ def pagerank(
         return out.to_arrow()
 
     def dangle_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "outdeg" not in t.column_names:
+            return pa.schema([("w", pa.float64())]).empty_table()
         deg_arr = t.column("outdeg").to_numpy(zero_copy_only=False)
         r = t.column("rank").to_numpy(zero_copy_only=False)
         return pa.table({"w": pa.array([float(r[deg_arr == 0].sum())], type=pa.float64())})
@@ -282,6 +284,16 @@ def pagerank(
             )
 
             def upd_join(t: pa.Table, _d=dangling) -> pa.Table:
+                # joined is a map_groups output — guard the ()-schema
+                # empty blocks it can interleave (see dev notes)
+                if t.num_rows == 0 or "node" not in t.column_names:
+                    return pa.schema(
+                        [
+                            ("node", pa.int64()),
+                            ("outdeg", pa.int64()),
+                            ("rank", pa.float64()),
+                        ]
+                    ).empty_table()
                 w = pc.fill_null(pc.cast(t.column("w"), pa.float64()), 0.0)
                 w_np = w.to_numpy(zero_copy_only=False)
                 rank = base + damping * (w_np + _d / n)
@@ -464,8 +476,13 @@ def triangle_count(
 
         distinct = rd.from_arrow(distinct.select(["lo", "hi"]))
     else:
+        _lohi = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
         distinct = distinct.map_batches(
-            lambda t: t.select(["lo", "hi"]), batch_format="pyarrow", batch_size=None
+            lambda t: t.select(["lo", "hi"])
+            if t.num_rows and "lo" in t.column_names
+            else _lohi.empty_table(),
+            batch_format="pyarrow",
+            batch_size=None,
         )
     distinct = distinct.materialize()
     n_edges = distinct.count()
@@ -623,10 +640,14 @@ def triangle_count(
             .to_arrow()
         )
 
+    # materialize: copartition_apply fetches .schema(), which EXECUTES
+    # an all-to-all pipeline (dev notes) — unmaterialized, the wedge
+    # exchange would run twice
     wedges = (
         oriented.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby("part")
         .map_groups(wedge_partials, batch_format="pyarrow")
+        .materialize()
     )
 
     # ---- 5. probe wedges against oriented edges ----
@@ -813,7 +834,12 @@ def k_core(
 
                 return fn
 
-            und = copartition_apply(und, bad_ds, by="u", right_by="_bad", part_fn=anti("u"))
+            # materialize between passes: the second copartition_apply
+            # fetches .schema(), which EXECUTES the first pass's
+            # all-to-all (dev notes) — unmaterialized it would run twice
+            und = copartition_apply(
+                und, bad_ds, by="u", right_by="_bad", part_fn=anti("u")
+            ).materialize()
             und = copartition_apply(
                 und, bad_ds, by="v", right_by="_bad", part_fn=anti("v")
             ).materialize()

@@ -4446,6 +4446,16 @@ def q_event_transitions(sf_dir: str) -> Any:
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # window_over (map_groups) output can interleave ()-schema
+        # empty blocks (dev notes) — same guard as q_cum_spend
+        if t.num_rows == 0 or "nxt" not in t.column_names:
+            return pa.schema(
+                [
+                    ("src", pa.large_string()),
+                    ("dst", pa.large_string()),
+                    ("n", pa.uint32()),
+                ]
+            ).empty_table()
         df = pl.from_arrow(
             pa.table({"src": t.column("event_type"), "dst": t.column("nxt")})
         ).drop_nulls("dst")
@@ -5357,10 +5367,14 @@ def q_triangle_count(sf_dir: str) -> Any:
             {"src": pa.array(a, type=pa.int64()), "dst": pa.array(b, type=pa.int64())}
         )
 
+    # materialize: triangle_count's _check_edges fetches .schema(),
+    # which EXECUTES this all-to-all pipeline (dev notes) — passed lazy,
+    # the heaviest stage (the pair exchange) would run twice
     edges = (
         ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby("part")
         .map_groups(pairs, batch_format="pyarrow")
+        .materialize()
     )
     return triangle_count(edges)
 
@@ -5570,6 +5584,12 @@ def q_monotonic_audit(sf_dir: str) -> Any:
     )
 
     def partial(t: pa.Table) -> pa.Table:
+        # window_over (map_groups) output can interleave ()-schema
+        # empty blocks (dev notes) — same guard as q_cum_spend
+        if t.num_rows == 0 or "pv" not in t.column_names:
+            return pa.schema(
+                [("user_id", pa.int64()), ("inv", pa.int64())]
+            ).empty_table()
         v = t.column("value").to_numpy(zero_copy_only=False)
         pv = t.column("pv").to_numpy(zero_copy_only=False)
         with np.errstate(invalid="ignore"):
@@ -6666,6 +6686,15 @@ def q_welch_ttest(sf_dir: str) -> Any:
         ["n", "s", "q"],
     )
 
+    _out_schema = pa.schema(
+        [
+            ("n_purchase", pa.int64()),
+            ("n_view", pa.int64()),
+            ("t_stat", pa.float64()),
+            ("df", pa.float64()),
+        ]
+    )
+
     def finish(t: pa.Table) -> pa.Table:
         d = {
             k: (int(n), float(s), float(q))
@@ -6676,17 +6705,30 @@ def q_welch_ttest(sf_dir: str) -> Any:
                 t.column("q").to_pylist(),
             )
         }
+        if "purchase" not in d or "view" not in d:
+            # SQL's p CROSS JOIN v yields zero rows when a group is absent
+            return _out_schema.empty_table()
+
+        def _div(a: float, b: float) -> "float | None":
+            # DuckDB DOUBLE/0 yields NULL (verified), Python raises
+            return a / b if b != 0.0 else None
+
         n1, s1, q1 = d["purchase"]
         n2, s2, q2 = d["view"]
         fn1, fn2 = float(n1), float(n2)
         m1, m2 = s1 / fn1, s2 / fn2
-        v1 = (q1 - s1 * s1 / fn1) / (fn1 - 1.0)
-        v2 = (q2 - s2 * s2 / fn2) / (fn2 - 1.0)
-        u1, u2 = v1 / fn1, v2 / fn2
-        tstat = (m1 - m2) / np.sqrt(u1 + u2)
-        df = (u1 + u2) * (u1 + u2) / (
-            u1 * u1 / (fn1 - 1.0) + u2 * u2 / (fn2 - 1.0)
-        )
+        v1 = _div(q1 - s1 * s1 / fn1, fn1 - 1.0)
+        v2 = _div(q2 - s2 * s2 / fn2, fn2 - 1.0)
+        u1 = None if v1 is None else v1 / fn1
+        u2 = None if v2 is None else v2 / fn2
+        if u1 is None or u2 is None:
+            tstat = df = None
+        else:
+            tstat = _div(m1 - m2, float(np.sqrt(u1 + u2)))
+            df = _div(
+                (u1 + u2) * (u1 + u2),
+                u1 * u1 / (fn1 - 1.0) + u2 * u2 / (fn2 - 1.0),
+            )
         return pa.table(
             {
                 "n_purchase": pa.array([n1], pa.int64()),
@@ -6696,7 +6738,24 @@ def q_welch_ttest(sf_dir: str) -> Any:
             }
         )
 
-    return _apply(merged, finish)
+    # merged is <= 2 rows (one per event type) but the distributed-merge
+    # branch splits keys across blocks — collect before finishing, else
+    # a per-block finish would see one key and drop the row
+    if not isinstance(merged, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [
+                    ("k", pa.string()),
+                    ("n", pa.int64()),
+                    ("s", pa.int64()),
+                    ("q", pa.int64()),
+                ]
+            ),
+        )
+    return finish(merged)
 
 
 SQL_WELCH_TTEST = """

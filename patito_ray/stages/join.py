@@ -220,6 +220,12 @@ def copartition_apply(
 
     def _tag(side: int, key_cols: list[str], names: list[str], classes: list[str]):
         def fn(t: pa.Table) -> pa.Table:
+            # upstream map_groups stages interleave ()-schema empty
+            # blocks (see dev notes) — guarding here covers EVERY
+            # co-partition consumer (asof/range joins, pair verify,
+            # k-core/triangle distributed branches) at once
+            if t.num_rows == 0 or any(c not in t.column_names for c in names):
+                return union_schema.empty_table()
             n = t.num_rows
             cols: dict[str, Any] = {
                 "part": _combined_part(t, key_cols, classes),

@@ -171,6 +171,12 @@ def scd2_compact(
 
     if not attrs:
         raise ValueError("attrs must be non-empty")
+    if not order:
+        raise ValueError(
+            "order must be non-empty: scd2_compact needs a per-key total "
+            "order to stamp validity ranges (include a unique tie-break "
+            "column)"
+        )
     if num_partitions is None:
         from patito_ray.stages.join import default_num_partitions
 

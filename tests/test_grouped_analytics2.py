@@ -270,3 +270,94 @@ def test_psi_drift_vs_reference(ray_session, tmp_path):
         ref += (p - q) * math.log(p / q)
     assert out.column("n_bins")[0].as_py() == 2
     assert abs(out.column("psi")[0].as_py() - ref) < 1e-6
+
+
+def _welch_oracle(d):
+    """Run SQL_WELCH_TTEST through DuckDB over the same parquet dir."""
+    import duckdb
+
+    from patito_ray.pipelines.queries import SQL_WELCH_TTEST
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    return con.execute(SQL_WELCH_TTEST).fetch_arrow_table()
+
+
+def test_welch_ttest_missing_group(ray_session, tmp_path):
+    """No 'view' rows at all: SQL's CROSS JOIN yields zero rows — the
+    engine must return an empty table, not KeyError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from patito_ray.pipelines.queries import q_welch_ttest
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["purchase"] * 5 + ["error"] * 3),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 9.0, 9.0, 9.0]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    out = q_welch_ttest(str(d))
+    assert out.num_rows == 0
+    assert _welch_oracle(d).num_rows == 0
+
+
+def test_welch_ttest_n1_group(ray_session, tmp_path):
+    """A single-row group divides by (n-1)=0: DuckDB DOUBLE/0 yields
+    NULL — the engine must emit NULL t_stat/df, not ZeroDivisionError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from patito_ray.pipelines.queries import q_welch_ttest
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["purchase"] * 4 + ["view"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 7.5]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    out = q_welch_ttest(str(d))
+    ref = _welch_oracle(d)
+    assert out.num_rows == ref.num_rows == 1
+    assert out.column("n_purchase")[0].as_py() == 4
+    assert out.column("n_view")[0].as_py() == 1
+    assert out.column("t_stat")[0].as_py() is None
+    assert out.column("df")[0].as_py() is None
+    assert ref.column("t_stat")[0].as_py() is None
+    assert ref.column("df")[0].as_py() is None
+
+
+def test_welch_ttest_zero_variance(ray_session, tmp_path):
+    """Both groups constant: u1+u2=0, so t = md/0 and df = 0/0 — NULL
+    on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from patito_ray.pipelines.queries import q_welch_ttest
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["purchase"] * 3 + ["view"] * 3),
+            "value": pa.array([5.0, 5.0, 5.0, 2.0, 2.0, 2.0]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+
+    out = q_welch_ttest(str(d))
+    ref = _welch_oracle(d)
+    assert out.column("t_stat")[0].as_py() is None
+    assert out.column("df")[0].as_py() is None
+    assert ref.column("t_stat")[0].as_py() is None
+    assert ref.column("df")[0].as_py() is None

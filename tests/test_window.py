@@ -214,3 +214,17 @@ def test_scd2_compact_reference(ray_session):
 
     with pytest.raises(ValueError, match="attrs"):
         scd2_compact(rd.from_arrow(t), by="k", order=["seq"], attrs=[])
+
+
+def test_scd2_compact_empty_order_raises(ray_session):
+    """An empty order list must raise a clear ValueError (the docstring
+    requires a per-key total order), not a bare IndexError."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from patito_ray.stages.window import scd2_compact
+
+    ds = rd.from_arrow(pa.table({"k": [1], "ts": [1], "a": ["x"]}))
+    with pytest.raises(ValueError, match="order must be non-empty"):
+        scd2_compact(ds, by="k", order=[], attrs=["a"])
