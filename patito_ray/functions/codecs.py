@@ -97,6 +97,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     lines = raw.reshape(height, stride + 1)
+    ftypes = lines[:, 0]
+    # fast paths for uniform filters (encoders commonly pick one filter
+    # for the whole image; ours always writes 0)
+    if not ftypes.any():  # all None: rows are the raw bytes
+        return np.ascontiguousarray(lines[:, 1:]).reshape(height, width, channels)
+    if (ftypes == 2).all():  # all Up: column-wise cumulative sum mod 256
+        out = np.cumsum(lines[:, 1:], axis=0, dtype=np.uint64) % 256
+        return out.astype(np.uint8).reshape(height, width, channels)
     out = np.zeros((height, stride), dtype=np.uint8)
     bpp = channels
     for y in range(height):

@@ -689,11 +689,19 @@ def pair_payload_join(
     pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
-        empty_extra = [
-            (c, t)
-            for c, t in zip(pairs.schema().names, pairs.schema().types)
-            if c in pair_cols
-        ]
+        # a materialized empty Dataset can have NO blocks and thus no
+        # schema — then pair_cols types are unknowable; emit the bare
+        # (a, b, val_a, val_b) empty result
+        p_schema = pairs.schema()
+        empty_extra = (
+            []
+            if p_schema is None
+            else [
+                (c, t)
+                for c, t in zip(p_schema.names, p_schema.types)
+                if c in pair_cols
+            ]
+        )
         return rd.from_arrow(
             pa.schema(
                 [
@@ -1259,6 +1267,68 @@ def simhash_near_dups(
     )
 
 
+def fingerprint_groups(
+    fps: Any,
+    id_col: str,
+    fp_col: str,
+    num_partitions: int | None = None,
+) -> Any:
+    """One row per DISTINCT fingerprint value: (rep = min id, fp,
+    sorted member ids). The integer analogue of
+    :func:`patito_ray.functions.groupident.identity_groups`: repeated
+    fingerprints are the degenerate case of any banding scheme (k
+    copies cost O(k²) in every bucket they touch), so pairwise
+    operators compact through this ONE narrow (fp, id) exchange and run
+    their spine over distinct values only. Materialized (consumed by
+    the spine, the within-group pass and the expansion join)."""
+    from patito_ray.stages.join import default_num_partitions
+
+    P = num_partitions if num_partitions is not None else default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        fp = t.column(fp_col).to_numpy(zero_copy_only=False).view(np.uint64)
+        part = (_splitmix(fp) % np.uint64(P)).view(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part, type=pa.int64()),
+                "fp": pa.array(fp.view(np.int64), type=pa.int64()),
+                "gid": pc.cast(t.column(id_col).combine_chunks(), pa.int64()),
+            }
+        )
+
+    _gschema = pa.schema(
+        [
+            ("rep", pa.int64()),
+            ("fp", pa.int64()),
+            ("ids", pa.large_list(pa.int64())),
+        ]
+    )
+
+    def grp(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "fp" not in t.column_names:
+            return _gschema.empty_table()
+        return (
+            pl.from_arrow(t.select(["fp", "gid"]))
+            .group_by("fp")
+            .agg(
+                pl.col("gid").min().alias("rep"),
+                pl.col("gid").sort().alias("ids"),
+            )
+            .select(["rep", "fp", "ids"])
+            .to_arrow()
+            .cast(_gschema)
+        )
+
+    return (
+        fps.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(grp, batch_format="pyarrow")
+        .materialize()
+    )
+
+
 def fingerprint_near_dups(
     fps: Any,
     id_col: str,
@@ -1278,14 +1348,36 @@ def fingerprint_near_dups(
     distance < bands must agree exactly on at least one slice — with
     the default 4 bands every pair at hamming <= 3 collides in some
     band, deterministically (no probabilistic recall like MinHash).
-    Candidate discovery and pair formation reuse the LSH spine
-    (bucketed blob exchange + partition-level pair emission); the exact
-    hamming verify runs vectorized over ``pair_payload_join`` of the
-    fingerprints (8 B payloads — the source payloads never move).
+
+    Repeated fingerprints compact through :func:`fingerprint_groups`
+    first (k copies of a value would otherwise cost O(k²) inside every
+    band bucket they touch): the banded spine runs over DISTINCT
+    fingerprint values only, identical-value pairs (hamming 0) come
+    straight from the groups, and verified distinct-value pairs expand
+    back to the full id cross product — all vectorized. Candidate
+    discovery and pair formation reuse the LSH spine (bucketed blob
+    exchange + partition-level pair emission); the exact hamming verify
+    runs vectorized over ``pair_payload_join`` of the fingerprints
+    (8 B payloads — the source payloads never move).
     """
+    from patito_ray.functions.groupident import (
+        cross_expand_pairs,
+        within_group_pairs,
+    )
+
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
-    fps = fps.materialize()
+    groups = fingerprint_groups(fps, id_col, fp_col, num_partitions)
+    reps = groups.map_batches(
+        lambda t: pa.table(
+            {id_col: t.column("rep"), fp_col: t.column("fp")}
+        )
+        if t.num_rows and "rep" in t.column_names
+        else pa.schema([(id_col, pa.int64()), (fp_col, pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    fps = reps
 
     def keyed_rows(t: pa.Table) -> pa.Table:
         fp = t.column(fp_col).to_numpy(zero_copy_only=False).view(np.uint64)
@@ -1336,7 +1428,21 @@ def fingerprint_near_dups(
             }
         )
 
-    return joined.map_batches(score, batch_format="pyarrow", batch_size=None)
+    # materialize: cross_expand_pairs' payload join fetches .schema(),
+    # which would EXECUTE this all-to-all verify twice (dev notes);
+    # rep pairs are bounded by the distinct-fingerprint candidates
+    rep_pairs = joined.map_batches(
+        score, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    within = within_group_pairs(
+        groups, {"hamming": (0, pa.int64())}, max_bucket=max_bucket
+    )
+    if rep_pairs.count() == 0:  # metadata-only on a materialized Dataset
+        return within
+    cross = cross_expand_pairs(
+        groups, rep_pairs, {"hamming": pa.int64()}, max_bucket=max_bucket
+    )
+    return within.union(cross)
 
 
 # ---------------------------------------------------------------------------

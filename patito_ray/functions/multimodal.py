@@ -245,34 +245,44 @@ def sample_audio_frames(ds: Any, frames: int = 4, concurrency: int = 4, fake: bo
     )
 
 
-def synth_media_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+def synth_media_batch(
+    batch: pa.Table, id_col: str = "doc_id", media: str = "both"
+) -> pa.Table:
     """Deterministic media payloads from an id column: a small RGB PNG
     (gradient + id-seeded phase) and a short PCM WAV (id-keyed sine).
     Real encoders (:mod:`codecs`), real containers — used by the
     ``media_decode`` query so the driver exercises the true decode path
-    without external data, and by tests."""
+    without external data, and by tests. ``media`` selects which
+    payload columns to build ('image' / 'audio' / 'both') so a
+    single-modality pipeline doesn't pay for the other encoder."""
+    if media not in ("image", "audio", "both"):
+        raise ValueError(f"media must be image/audio/both, got {media!r}")
     from patito_ray.functions import codecs as cx
 
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    yy, xx = np.mgrid[0:12, 0:16].astype(np.float64)
-    images = []
-    audios = []
-    t = np.arange(800, dtype=np.float64)
-    for i in ids:
-        phase = (i * 37) % 97 / 97.0
-        img = np.empty((12, 16, 3), np.uint8)
-        img[:, :, 0] = ((xx / 16 + phase) * 255) % 256
-        img[:, :, 1] = ((yy / 12 + phase / 2) * 255) % 256
-        img[:, :, 2] = (i % 256)
-        images.append(cx.encode_png(img))
-        freq = 100.0 + (i % 40) * 10.0
-        wave_samples = (
-            np.sin(2 * np.pi * freq * t / 8000.0) * 18000.0
-        ).astype(np.int16)
-        audios.append(cx.encode_wav(wave_samples, 8000))
-    return batch.append_column(
-        "image", pa.array(images, type=pa.binary())
-    ).append_column("audio", pa.array(audios, type=pa.binary()))
+    out = batch
+    if media in ("image", "both"):
+        yy, xx = np.mgrid[0:12, 0:16].astype(np.float64)
+        images = []
+        for i in ids:
+            phase = (i * 37) % 97 / 97.0
+            img = np.empty((12, 16, 3), np.uint8)
+            img[:, :, 0] = ((xx / 16 + phase) * 255) % 256
+            img[:, :, 1] = ((yy / 12 + phase / 2) * 255) % 256
+            img[:, :, 2] = (i % 256)
+            images.append(cx.encode_png(img))
+        out = out.append_column("image", pa.array(images, type=pa.binary()))
+    if media in ("audio", "both"):
+        audios = []
+        t = np.arange(800, dtype=np.float64)
+        for i in ids:
+            freq = 100.0 + (i % 40) * 10.0
+            wave_samples = (
+                np.sin(2 * np.pi * freq * t / 8000.0) * 18000.0
+            ).astype(np.int16)
+            audios.append(cx.encode_wav(wave_samples, 8000))
+        out = out.append_column("audio", pa.array(audios, type=pa.binary()))
+    return out
 
 
 class ImagePHash:
@@ -294,21 +304,70 @@ class ImagePHash:
         from patito_ray.functions import codecs
 
         self._decode = codecs.decode_image
-        self._to_gray = codecs.to_gray
-        self._resize = codecs.resize_bilinear
         self._weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        # per-(h, w) bilinear gather plan, built once per shape per actor
+        self._grids: dict[tuple[int, int], tuple] = {}
+
+    def _grid(self, h: int, w: int) -> tuple:
+        """Flat corner indices + float32 weights of the 8x8 bilinear
+        grid over an (h, w) image — the batched equivalent of
+        codecs.resize_bilinear with the SAME elementwise IEEE order
+        (top/bot lerp then vertical lerp), so hashes are bit-identical
+        to the per-image path."""
+        g = self._grids.get((h, w))
+        if g is not None:
+            return g
+        ys = (np.arange(8) + 0.5) * h / 8 - 0.5
+        xs = (np.arange(8) + 0.5) * w / 8 - 0.5
+        y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        wy = np.repeat(np.clip(ys - y0, 0.0, 1.0).astype(np.float32), 8)
+        wx = np.tile(np.clip(xs - x0, 0.0, 1.0).astype(np.float32), 8)
+        iy0, iy1 = np.repeat(y0, 8), np.repeat(y1, 8)
+        ix0, ix1 = np.tile(x0, 8), np.tile(x1, 8)
+        g = (iy0 * w + ix0, iy0 * w + ix1, iy1 * w + ix0, iy1 * w + ix1, wx, wy)
+        self._grids[(h, w)] = g
+        return g
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch.column(self.image_col)
-        hashes: list[int | None] = []
-        for b in payload.to_pylist():
+        n = len(payload)
+        out = np.zeros(n, np.int64)
+        null_mask = np.zeros(n, bool)
+        decoded: list = [None] * n
+        by_shape: dict[tuple, list[int]] = {}
+        # decode is inherently per-payload (each PNG is one compressed
+        # stream); everything after it batches per shape class
+        for i, b in enumerate(payload.to_pylist()):
             if b is None:
-                hashes.append(None)
+                null_mask[i] = True
                 continue
-            g = self._resize(self._to_gray(self._decode(b)), 8, 8).ravel()
-            bits = (g > g.mean()).astype(np.uint64)
-            hashes.append(int((bits * self._weights).sum().view(np.int64)))
-        return batch.append_column("phash", pa.array(hashes, type=pa.int64()))
+            a = self._decode(b)
+            decoded[i] = a
+            by_shape.setdefault(a.shape, []).append(i)
+        for shape, idxs in by_shape.items():
+            st = np.stack([decoded[i] for i in idxs])
+            f = st.astype(np.float32) / 255.0
+            c = shape[2]
+            if c <= 2:  # gray / gray+alpha
+                gray = f[..., 0]
+            else:
+                gray = (
+                    0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+                )
+            h, w = shape[0], shape[1]
+            i00, i01, i10, i11, wx, wy = self._grid(h, w)
+            flat = gray.reshape(len(idxs), h * w)
+            top = flat[:, i00] * (1 - wx) + flat[:, i01] * wx
+            bot = flat[:, i10] * (1 - wx) + flat[:, i11] * wx
+            res = top * (1 - wy) + bot * wy
+            bits = (res > res.mean(axis=1, keepdims=True)).astype(np.uint64)
+            out[idxs] = (bits * self._weights[None, :]).sum(axis=1).view(np.int64)
+        return batch.append_column(
+            "phash", pa.array(out, type=pa.int64(), mask=null_mask)
+        )
 
 
 def image_near_dups(

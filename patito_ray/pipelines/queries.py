@@ -3628,8 +3628,12 @@ def q_image_near_dups(sf_dir: str) -> Any:
     from patito_ray.functions.multimodal import image_near_dups, synth_media_batch
 
     ds = _rp(sf_dir, "documents", ["doc_id"])
-    media = ds.map_batches(synth_media_batch, batch_format="pyarrow", batch_size=256)
-    return image_near_dups(media, max_hamming=3, concurrency=2)
+    media = ds.map_batches(
+        lambda t: synth_media_batch(t, media="image"),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    return image_near_dups(media, max_hamming=3, concurrency=8)
 
 
 QUERIES["image_near_dups"] = (q_image_near_dups, None)
@@ -3643,8 +3647,12 @@ def q_audio_near_dups(sf_dir: str) -> Any:
     from patito_ray.functions.multimodal import audio_near_dups, synth_media_batch
 
     ds = _rp(sf_dir, "documents", ["doc_id"])
-    media = ds.map_batches(synth_media_batch, batch_format="pyarrow", batch_size=256)
-    return audio_near_dups(media, max_hamming=3, concurrency=2)
+    media = ds.map_batches(
+        lambda t: synth_media_batch(t, media="audio"),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    return audio_near_dups(media, max_hamming=3, concurrency=8)
 
 
 QUERIES["audio_near_dups"] = (q_audio_near_dups, None)
