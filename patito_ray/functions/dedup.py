@@ -63,15 +63,21 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def dedup_exact_ids(ds: Any, text_col: str = "text", id_col: str = "doc_id") -> Any:
     """Narrow exact-dedup: -> Dataset of kept ids (min id per content
-    hash). Shuffles only (h, id) pairs, 16 bytes/row."""
-    from ray.data.aggregate import Min
+    hash). Shuffles only (h, id) pairs, 16 bytes/row; the merge is
+    adaptive (driver polars below 256 MB of pairs, distributed
+    groupby-Min beyond — dev notes on native-groupby latency)."""
+    import ray.data as rd
+
+    from patito_ray.stages.agg import merge_partial_mins
 
     pre = ds.map_batches(
         lambda t: add_content_hash(t, text_col).select(["h", id_col]),
         batch_format="pyarrow",
         batch_size=None,
     )
-    kept = pre.groupby("h").aggregate(Min(id_col, alias_name=id_col))
+    kept = merge_partial_mins(pre, ["h"], [id_col])
+    if isinstance(kept, pa.Table):
+        return rd.from_arrow(kept.select([id_col]))
     return kept.select_columns([id_col])
 
 
@@ -177,7 +183,6 @@ def dedup_exact_incremental(
     set is itself billions of rows and must stream through the shuffle
     like everything else. Requires non-negative ids (checked per batch).
     """
-    from ray.data.aggregate import Min
 
     def new_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col)
@@ -199,20 +204,24 @@ def dedup_exact_incremental(
             }
         )
 
+    import ray.data as rd
+
+    from patito_ray.stages.agg import merge_partial_mins
+
     pre = ds.map_batches(new_rows, batch_format="pyarrow", batch_size=None).union(
         prev_hashes.map_batches(prev_rows, batch_format="pyarrow", batch_size=None)
     )
-    kept = (
-        pre.groupby("h")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .map_batches(
-            lambda t: t.filter(
-                pc.greater_equal(t.column(id_col), 0)
-            ).select([id_col]),
-            batch_format="pyarrow",
-            batch_size=None,
+    merged = merge_partial_mins(pre, ["h"], [id_col])
+
+    def survivors(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column(id_col), 0)).select([id_col])
+
+    if isinstance(merged, pa.Table):
+        kept = rd.from_arrow(survivors(merged))
+    else:
+        kept = merged.map_batches(
+            survivors, batch_format="pyarrow", batch_size=None
         )
-    )
     return _select_rows_by_ids(ds, kept, id_col, broadcast_limit_bytes)
 
 
@@ -1735,7 +1744,6 @@ def dedup_chunks(
     lexicographically-first occurrence; ids must fit 43 bits and docs
     must stay under 2^20 chunks (checked loudly).
     """
-    from ray.data.aggregate import Min
 
     def narrow(t: pa.Table) -> pa.Table:
         ex = explode_chunks(t, id_col, text_col, chunk_tokens)
@@ -1759,13 +1767,22 @@ def dedup_chunks(
             }
         )
 
-    kept = (
-        ds.map_batches(narrow, batch_format="pyarrow", batch_size=None)
-        .groupby("h")
-        .aggregate(Min("ok", alias_name="ok"))
+    from patito_ray.stages.agg import merge_partial_mins
+
+    # adaptive merge: driver polars below 256 MB of (hash, key) rows,
+    # Ray's distributed groupby-Min beyond (the native sort shuffle
+    # costs seconds even on narrow rows — dev notes)
+    kept = merge_partial_mins(
+        ds.map_batches(narrow, batch_format="pyarrow", batch_size=None),
+        ["h"],
+        ["ok"],
     )
 
     def decode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ok" not in t.column_names:
+            return pa.schema(
+                [(id_col, pa.int64()), ("chunk_idx", pa.int64())]
+            ).empty_table()
         ok = t.column("ok").to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -1774,6 +1791,10 @@ def dedup_chunks(
             }
         )
 
+    if isinstance(kept, pa.Table):
+        import ray.data as rd
+
+        return rd.from_arrow(decode(kept))
     return kept.map_batches(decode, batch_format="pyarrow", batch_size=None)
 
 

@@ -3204,10 +3204,14 @@ QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)
 
 def q_price_outliers(sf_dir: str) -> Any:
     """Composition: rows strictly above their group's exact p99 —
-    grouped_quantiles' per-supplier threshold table feeds one
-    co-partition join back against the fact rows (the 'keep docs above
-    their source's p99 quality' pipeline shape). Exact end to end: the
-    threshold is a selected element, the filter a raw double compare."""
+    grouped_quantiles' per-supplier threshold table (one 16 B row per
+    supplier) is a SMALL side: broadcast it once via ray.put and filter
+    the fact stream in place (no second all-to-all over the fact
+    table); past 256 MB of thresholds fall back to the co-partition
+    join. Exact end to end: the threshold is a selected element, the
+    filter a raw double compare (null prices compare false like SQL)."""
+    import ray
+
     from patito_ray.stages.join import copartition_apply
     from patito_ray.stages.quantiles import grouped_quantiles
 
@@ -3217,7 +3221,32 @@ def q_price_outliers(sf_dir: str) -> Any:
     def narrow(t: pa.Table) -> pa.Table:
         return pa.table({"s_key": t.column("l_suppkey"), "p99": t.column("p99")})
 
-    thr = thr.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+    thr = thr.map_batches(narrow, batch_format="pyarrow", batch_size=None).materialize()
+
+    if thr.count() * 16 <= 256 * 1024 * 1024:
+        tt = pa.concat_tables(
+            [b for b in thr.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+        keys = tt.column("s_key").to_numpy(zero_copy_only=False)
+        cuts = tt.column("p99").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], cuts[order]))
+
+        def pick_bcast(t: pa.Table, _ref=ref) -> pa.Table:
+            keys_s, cuts_s = ray.get(_ref)
+            if len(keys_s) == 0:  # empty fact -> no thresholds -> no rows
+                return t.slice(0, 0)
+            sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.minimum(
+                np.searchsorted(keys_s, sk), max(len(keys_s) - 1, 0)
+            )
+            price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            # suppliers absent from thr (all-null prices) drop, like the
+            # SQL inner join; NaN (null) prices compare false
+            keep = (keys_s[pos] == sk) & (price > cuts_s[pos])
+            return t.filter(pa.array(keep))
+
+        return fact.map_batches(pick_bcast, batch_format="pyarrow", batch_size=None)
 
     def pick(lt: pa.Table, rt: pa.Table) -> pa.Table:
         if lt.num_rows == 0:

@@ -60,6 +60,35 @@ def merge_partial_sums(
     return m.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in sums])
 
 
+def merge_partial_mins(
+    partials: Any,
+    keys: list[str],
+    mins: list[str],
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> "pa.Table | Any":
+    """Min analogue of :func:`merge_partial_sums` (same adaptive
+    driver-polars-vs-distributed split, same dual return contract) —
+    for first-occurrence selection (dedup families) where Ray's
+    sort-based groupby costs seconds even on narrow 16 B rows."""
+    import polars as pl
+    import ray
+    from ray.data.aggregate import Min
+
+    m = partials.materialize()
+    if m.size_bytes() <= limit_bytes:
+        tabs = [t for t in ray.get(m.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return m
+        t = pa.concat_tables(tabs)
+        return (
+            pl.from_arrow(t)
+            .group_by(keys)
+            .agg([pl.col(c).min().alias(c) for c in mins])
+            .to_arrow()
+        )
+    return m.groupby(keys).aggregate(*[Min(c, alias_name=c) for c in mins])
+
+
 def collect_table(ds: Any, empty_schema: "pa.Schema | None" = None) -> pa.Table:
     """Pull a (small, post-merge) Dataset to ONE driver pa.Table.
 
