@@ -12,7 +12,9 @@ Scale shape: ONE hash exchange on the group key (same
 :func:`patito_ray.stages.exchange.hash_partition_ids` spine as
 window_over / grouped_top_k), then one vectorized polars
 ``group_by().agg`` per partition — P Python calls total, never one per
-group. A group's cost is its own row count; the output is one row per
+group. Below 256 MB of narrowed (key, value) pairs the exchange is
+skipped entirely (one driver-side kernel call — the all-to-all's fixed
+cost dominates at that size). A group's cost is its own row count; the output is one row per
 group, so everything downstream is tiny. At 10^12 rows this is the
 minimum movement for an exact holistic aggregate: quantiles cannot be
 partially aggregated (unlike sums/sketches), so the group's values
@@ -30,6 +32,35 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from patito_ray.stages.agg import _DRIVER_MERGE_BYTES
+
+
+def _adaptive_grouped_holistic(
+    ds: Any,
+    add_part: Any,
+    per_partition: Any,
+    limit_bytes: int,
+) -> Any:
+    """Adaptive spine shared by grouped_quantiles / grouped_mad.
+
+    The narrowed (key, value, part) stream materializes once; below
+    ``limit_bytes`` the whole thing is one driver-side polars kernel
+    call (the all-to-all costs seconds even on a 10 MB side — same
+    rationale as ``stages.agg.merge_partial_sums``), beyond it the
+    hash exchange runs as before. ``add_part`` stays on BOTH paths so
+    the null-key / dtype validation happens in the workers either way.
+    """
+    import ray
+    import ray.data as rd
+
+    m = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None).materialize()
+    if m.size_bytes() <= limit_bytes:
+        tabs = [t for t in ray.get(m.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            return rd.from_arrow(per_partition(pa.concat_tables(tabs)))
+        # empty input: the (cheap) exchange yields the typed empty result
+    return m.groupby("part").map_groups(per_partition, batch_format="pyarrow")
+
 
 def grouped_quantiles(
     ds: Any,
@@ -37,6 +68,7 @@ def grouped_quantiles(
     value: str,
     qs: dict[str, float],
     num_partitions: int | None = None,
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
 ) -> Any:
     """One row per ``by`` group: ``by``, ``n`` (non-null value count),
     and one column per ``qs`` entry (name -> q in (0, 1]) holding the
@@ -44,7 +76,10 @@ def grouped_quantiles(
 
     Null ``value`` rows are ignored (SQL aggregate semantics); groups
     with only null values are dropped. Null ``by`` keys are rejected
-    (same contract as window_over / grouped_top_k).
+    (same contract as window_over / grouped_top_k). Below
+    ``limit_bytes`` of narrowed pairs the merge happens driver-side in
+    one kernel call (``limit_bytes=0`` forces the exchange — tests
+    cover both paths).
     """
     import polars as pl
 
@@ -89,8 +124,7 @@ def grouped_quantiles(
             aggs.append(pl.col(value).sort().get(idx).alias(name))
         return df.group_by(by).agg(aggs).to_arrow()
 
-    parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
-    return parted.groupby("part").map_groups(per_partition, batch_format="pyarrow")
+    return _adaptive_grouped_holistic(ds, add_part, per_partition, limit_bytes)
 
 
 def global_quantiles(
@@ -231,6 +265,7 @@ def grouped_mad(
     by: str,
     value: str,
     num_partitions: int | None = None,
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
 ) -> Any:
     """One row per group: ``by``, ``n``, selection-median ``med`` and
     median absolute deviation ``mad`` (selection-median of
@@ -281,5 +316,4 @@ def grouped_mad(
         mad = dev.group_by(by).agg(pl.col("_ad").sort().get(idx).alias("mad"))
         return med.join(mad, on=by, how="inner").to_arrow()
 
-    parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
-    return parted.groupby("part").map_groups(per_partition, batch_format="pyarrow")
+    return _adaptive_grouped_holistic(ds, add_part, per_partition, limit_bytes)

@@ -57,8 +57,11 @@ def _quantile_reference(keys, vals) -> dict[int, dict[str, float]]:
     ),
     num_parts=st.integers(1, 7),
     n_blocks=st.integers(1, 4),
+    force_distributed=st.booleans(),
 )
-def test_grouped_quantiles_matches_reference(ray_session, rows, num_parts, n_blocks):
+def test_grouped_quantiles_matches_reference(
+    ray_session, rows, num_parts, n_blocks, force_distributed
+):
     import ray.data as rd
 
     keys = [r[0] for r in rows]
@@ -67,7 +70,16 @@ def test_grouped_quantiles_matches_reference(ray_session, rows, num_parts, n_blo
         {"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.float64())}
     )
     ds = rd.from_arrow(tab).repartition(min(n_blocks, len(rows)))
-    got = _collect(grouped_quantiles(ds, "k", "v", QS, num_partitions=num_parts))
+    got = _collect(
+        grouped_quantiles(
+            ds,
+            "k",
+            "v",
+            QS,
+            num_partitions=num_parts,
+            limit_bytes=0 if force_distributed else 2**28,
+        )
+    )
     ref = _quantile_reference(keys, vals)
     if got is None:
         assert ref == {}
@@ -285,9 +297,12 @@ def test_grouped_mad_nulls_and_exactness(ray_session):
             "v": pa.array([1.0, 5.0, 100.0, None, 7.0, 7.0, 9.0], type=pa.float64()),
         }
     )
-    out = grouped_mad(rd.from_arrow(t).repartition(3), by="k", value="v")
-    rows = {r["k"]: r for r in out.take_all()}
-    # k=1: values [1,5,100] -> med = rank ceil(1.5)=2 -> 5; |x-5| = [4,0,95] -> mad = 4
-    assert rows[1]["n"] == 3 and rows[1]["med"] == 5.0 and rows[1]["mad"] == 4.0
-    # k=2: [7,7,9] -> med 7; |x-7| = [0,0,2] -> mad 0
-    assert rows[2]["n"] == 3 and rows[2]["med"] == 7.0 and rows[2]["mad"] == 0.0
+    for limit in (2**28, 0):  # driver path AND forced-distributed path
+        out = grouped_mad(
+            rd.from_arrow(t).repartition(3), by="k", value="v", limit_bytes=limit
+        )
+        rows = {r["k"]: r for r in out.take_all()}
+        # k=1: [1,5,100] -> med = rank ceil(1.5)=2 -> 5; |x-5| = [4,0,95] -> mad 4
+        assert rows[1]["n"] == 3 and rows[1]["med"] == 5.0 and rows[1]["mad"] == 4.0
+        # k=2: [7,7,9] -> med 7; |x-7| = [0,0,2] -> mad 0
+        assert rows[2]["n"] == 3 and rows[2]["med"] == 7.0 and rows[2]["mad"] == 0.0
