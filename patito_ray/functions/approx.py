@@ -197,15 +197,22 @@ def approx_quantiles_per_group(
     qs: dict[str, float],
     delta: int = 100,
     num_partitions: int | None = None,
+    raw_limit: int = 256,
+    limit_bytes: int = 256 * 1024 * 1024,
 ) -> Any:
     """Approximate per-group quantiles via a t-digest exchange — the
     scale path when :func:`patito_ray.stages.quantiles.grouped_quantiles`'
-    full-value exchange is too expensive. Each block ships ONE ~KiB
-    digest per group it contains (never the values); digests merge per
-    group behind one hash exchange. Rank error is the t-digest's
-    (~1/delta at the tails); unlike the HLL registers the merge is
-    order-sensitive, so estimates may differ in low digits across
-    plans — use the exact operator when bit-stability matters.
+    full-value exchange is too expensive. Each block ships ONE payload
+    per group it contains, chosen adaptively: the RAW float64 values
+    when the group has <= ``raw_limit`` rows in the block (fewer bytes
+    AND no digest-build cost — at modest scale nearly every
+    (block, group) cell is small and the build dominated wall time), a
+    ~KiB t-digest beyond (bounded bytes however dense the cell).
+    Digests and raw runs merge per group behind one hash exchange.
+    Rank error is the t-digest's (~1/delta at the tails); unlike the
+    HLL registers the merge is order-sensitive, so estimates may differ
+    in low digits across plans — use the exact operator when
+    bit-stability matters.
 
     Output: one row per group — ``by``, ``n`` (non-null count), one
     column per ``qs`` entry. Null values are dropped; null group keys
@@ -237,20 +244,34 @@ def approx_quantiles_per_group(
                 {
                     by: pa.array([], kv.schema.field(by).type),
                     "blob": pa.array([], pa.large_binary()),
+                    "raw": pa.array([], pa.large_list(pa.float64())),
                     "part": pa.array([], pa.int64()),
                 }
             )
         df = pl.from_arrow(kv).sort(by)
         keys = df.get_column(by).to_arrow()
-        vals = df.get_column(value).to_numpy()
+        vals = df.get_column(value).to_numpy().astype(np.float64, copy=False)
         karr = keys.to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, karr[1:] != karr[:-1]])
         ends = np.r_[starts[1:], len(karr)]
+        counts = ends - starts
+        small = counts <= raw_limit
+        # raw payloads: one vectorized list build over the small cells
+        # (empty, non-null list for digest rows — no null bookkeeping)
+        raw_mask = np.repeat(small, counts)
+        flat = vals[raw_mask]
+        offsets = np.r_[0, np.cumsum(np.where(small, counts, 0))]
+        raw_col = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat, pa.float64())
+        )
         blobs = []
-        for s, e in zip(starts, ends):
-            d = TDigest(delta)
-            d.add(vals[s:e])
-            blobs.append(pickle.dumps(d))
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            if small[i]:
+                blobs.append(b"")
+            else:
+                d = TDigest(delta)
+                d.add(vals[s:e])
+                blobs.append(pickle.dumps(d))
         group_keys = keys.take(pa.array(starts, pa.int64()))
         part = hash_partition_ids(
             group_keys, num_partitions, f"approx_quantiles group column {by!r}"
@@ -259,6 +280,7 @@ def approx_quantiles_per_group(
             {
                 by: group_keys,
                 "blob": pa.array(blobs, pa.large_binary()),
+                "raw": raw_col,
                 "part": pa.array(part, pa.int64()),
             }
         )
@@ -269,6 +291,10 @@ def approx_quantiles_per_group(
         order = pc.sort_indices(karr)
         karr = karr.take(order)
         blobs = t.column("blob").combine_chunks().take(order)
+        raws = t.column("raw").combine_chunks().take(order)
+        rflat = raws.values.to_numpy(zero_copy_only=False)
+        roffs = raws.offsets.to_numpy(zero_copy_only=False)
+        blob_len = pc.binary_length(blobs).to_numpy(zero_copy_only=False)
         knp = karr.to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, knp[1:] != knp[:-1]])
         ends = np.r_[starts[1:], len(knp)]
@@ -276,9 +302,21 @@ def approx_quantiles_per_group(
         for name in qs:
             out_rows[name] = []
         for s, e in zip(starts, ends):
-            d = pickle.loads(blobs[s].as_py())
-            for j in range(s + 1, e):
-                d.merge(pickle.loads(blobs[j].as_py()))
+            d = None
+            for j in range(s, e):
+                if blob_len[j]:
+                    dj = pickle.loads(blobs[j].as_py())
+                    if d is None:
+                        d = dj
+                    else:
+                        d.merge(dj)
+            # all raw runs of the group are contiguous in the flattened
+            # values (digest rows carry empty lists) — ONE add call
+            raw_vals = rflat[roffs[s] : roffs[e]]
+            if len(raw_vals):
+                if d is None:
+                    d = TDigest(delta)
+                d.add(raw_vals)
             out_rows[by].append(knp[s])
             # weights are exact row counts (every add carries weight 1
             # and compression only re-bins), so the sum is the exact n
@@ -293,5 +331,11 @@ def approx_quantiles_per_group(
             }
         )
 
-    parted = ds.map_batches(batch_digests, batch_format="pyarrow", batch_size=None)
-    return parted.groupby("part").map_groups(merge_partition, batch_format="pyarrow")
+    # same adaptive split as stages.quantiles: the per-(block, group)
+    # payload stream is tiny at modest scale and the all-to-all's fixed
+    # cost dominates — merge driver-side below 256 MB of payloads
+    from patito_ray.stages.quantiles import _adaptive_grouped_holistic
+
+    return _adaptive_grouped_holistic(
+        ds, batch_digests, merge_partition, limit_bytes
+    )

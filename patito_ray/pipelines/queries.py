@@ -3224,9 +3224,12 @@ def q_price_outliers(sf_dir: str) -> Any:
     thr = thr.map_batches(narrow, batch_format="pyarrow", batch_size=None).materialize()
 
     if thr.count() * 16 <= 256 * 1024 * 1024:
-        tt = pa.concat_tables(
-            [b for b in thr.iter_batches(batch_format="pyarrow") if b.num_rows]
-        )
+        tabs = [b for b in thr.iter_batches(batch_format="pyarrow") if b.num_rows]
+        if not tabs:  # empty fact / all-null prices -> inner join -> no rows
+            return fact.map_batches(
+                lambda t: t.slice(0, 0), batch_format="pyarrow", batch_size=None
+            )
+        tt = pa.concat_tables(tabs)
         keys = tt.column("s_key").to_numpy(zero_copy_only=False)
         cuts = tt.column("p99").to_numpy(zero_copy_only=False)
         order = np.argsort(keys)
@@ -3234,8 +3237,6 @@ def q_price_outliers(sf_dir: str) -> Any:
 
         def pick_bcast(t: pa.Table, _ref=ref) -> pa.Table:
             keys_s, cuts_s = ray.get(_ref)
-            if len(keys_s) == 0:  # empty fact -> no thresholds -> no rows
-                return t.slice(0, 0)
             sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
             pos = np.minimum(
                 np.searchsorted(keys_s, sk), max(len(keys_s) - 1, 0)

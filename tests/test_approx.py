@@ -108,10 +108,24 @@ def test_approx_quantiles_per_group_accuracy(ray_session):
     keys = rng.integers(0, 8, size=n).astype(np.int64)
     vals = rng.lognormal(0.0, 1.5, size=n)
     tab = pa.table({"k": keys, "v": vals})
-    for n_blocks, n_parts in ((3, 5), (8, 2)):
+    # raw_limit sweeps the adaptive payload: 0 = every cell ships a
+    # digest, 256 = mixed, huge = every cell ships raw values;
+    # limit_bytes=0 forces the distributed exchange branch
+    for (n_blocks, n_parts), raw_limit, limit_bytes in (
+        ((3, 5), 0, 2**28),
+        ((8, 2), 256, 0),
+        ((8, 2), 10**9, 0),
+        ((8, 2), 256, 2**28),
+    ):
         ds = rd.from_arrow(tab).repartition(n_blocks)
         got = approx_quantiles_per_group(
-            ds, "k", "v", {"p50": 0.5, "p99": 0.99}, num_partitions=n_parts
+            ds,
+            "k",
+            "v",
+            {"p50": 0.5, "p99": 0.99},
+            num_partitions=n_parts,
+            raw_limit=raw_limit,
+            limit_bytes=limit_bytes,
         )
         tabs = [t for t in ray.get(got.to_arrow_refs()) if t.num_rows]
         gd = {r["k"]: r for r in pl.from_arrow(pa.concat_tables(tabs)).to_dicts()}
