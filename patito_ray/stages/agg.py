@@ -165,7 +165,32 @@ def distinct_per_group(
         out = df.unique().group_by(by).agg(pl.len().cast(pl.Int64).alias("n_distinct"))
         return out.to_arrow()
 
-    pairs = ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=None)
+    import ray
+
+    pairs = ds.map_batches(
+        batch_pairs, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if pairs.size_bytes() <= limit_bytes:
+        # the whole distinct-pair set fits the driver budget: one
+        # unique + group_by call beats the exchange's fixed latency
+        tabs = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            p_schema = pairs.schema()
+            by_type = (
+                p_schema.types[p_schema.names.index(by)]
+                if p_schema is not None and by in p_schema.names
+                else pa.int64()
+            )
+            return pa.schema(
+                [pa.field(by, by_type), pa.field("n_distinct", pa.int64())]
+            ).empty_table()
+        df = pl.from_arrow(pa.concat_tables(tabs).drop_columns(["part"]))
+        return (
+            df.unique()
+            .group_by(by)
+            .agg(pl.len().cast(pl.Int64).alias("n_distinct"))
+            .to_arrow()
+        )
     partials = pairs.groupby("part").map_groups(
         partition_counts, batch_format="pyarrow"
     )
