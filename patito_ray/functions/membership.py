@@ -103,6 +103,7 @@ def bloom_semi_join(
     fp_rate: float = 0.01,
     n_expected: int | None = None,
     num_partitions: int | None = None,
+    broadcast_limit_bytes: int = 64 * 1024 * 1024,
 ) -> Any:
     """EXACT semi (or anti) join of ``fact`` against ``keys`` with a
     Bloom pre-filter bounding what rides the exchange.
@@ -120,6 +121,10 @@ def bloom_semi_join(
       exchanged to check which were false positives.
 
     Result is exact either way; the bloom only bounds data movement.
+    When the exact key set itself fits ``broadcast_limit_bytes``
+    (8 B/key), both the bloom and the exchange are skipped: the keys
+    broadcast once via ``ray.put`` and one vectorized ``is_in`` per
+    batch answers exactly — the referential-check shape.
     NOTE the anti path's pass-through and checked branches are two Ray
     lineages over ``fact`` — the union re-executes the scan+probe twice
     (lazy-plan semantics). That is still far cheaper than exchanging
@@ -134,9 +139,60 @@ def bloom_semi_join(
     from patito_ray.stages.join import copartition_apply
 
     keys_col = keys_col or key_col
-    narrow = keys.select_columns([keys_col])
+    narrow = keys.select_columns([keys_col]).materialize()
     if n_expected is None:
         n_expected = max(1, narrow.count())
+
+    if n_expected * 8 <= broadcast_limit_bytes:
+        # exact key set fits a broadcast: skip the bloom AND the
+        # exchange — one is_in per batch, provably exact
+        import ray
+
+        def distinct_keys(t: pa.Table) -> pa.Table:
+            col = t.column(keys_col)
+            if col.null_count:
+                raise ValueError(
+                    f"semi-join keys column {keys_col!r} contains "
+                    f"{col.null_count} null(s); filter or fill them first"
+                )
+            return pa.table({keys_col: pc.unique(col)})
+
+        kt = [
+            t
+            for t in ray.get(
+                narrow.map_batches(
+                    distinct_keys, batch_format="pyarrow", batch_size=None
+                )
+                .materialize()
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        key_set = (
+            pc.unique(pa.concat_tables(kt).column(keys_col).combine_chunks())
+            if kt
+            else None
+        )
+        ref = ray.put(key_set)
+
+        def probe(t: pa.Table, _ref=ref) -> pa.Table:
+            col = t.column(key_col)
+            if col.null_count:
+                raise ValueError(
+                    f"bloom membership key column {key_col!r} contains "
+                    f"{col.null_count} null(s); membership must be a pure "
+                    "function of the key"
+                )
+            vals = ray.get(_ref)
+            if vals is None:  # empty key set
+                return t if anti else t.slice(0, 0)
+            mask = pc.is_in(col, value_set=vals)
+            if anti:
+                mask = pc.invert(mask)
+            return t.filter(mask)
+
+        return fact.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
     bloom = bloom_from_dataset(narrow, keys_col, n_expected, fp_rate)
 
     flagged = flag_bloom_membership(fact, key_col, bloom, out_col="__bloom_hit")

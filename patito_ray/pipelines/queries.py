@@ -2982,11 +2982,12 @@ QUERIES["distinct_per_group"] = (q_distinct_per_group, SQL_DISTINCT_PER_GROUP)
 
 
 def q_bloom_semi_join(sf_dir: str) -> Any:
-    """Exact semi join with a Bloom pre-filter: lineitems of high-value
-    orders. Only the ~KB bitmap broadcasts (vs the exact key set); only
-    bloom hits ride the one co-partition exchange where exact is_in
-    removes the false positives. Result provably exact — the SQL IN
-    oracle checks every row."""
+    """Exact semi join, adaptively shaped: a small exact key set
+    broadcasts once (one is_in per batch, zero exchange — the path this
+    corpus takes); past the broadcast budget only the ~KB bloom bitmap
+    broadcasts and bloom hits ride one co-partition exchange where
+    exact is_in removes the false positives. Result provably exact
+    either way — the SQL IN oracle checks every row."""
     from patito_ray.functions.membership import bloom_semi_join
 
     fact = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_extendedprice"])

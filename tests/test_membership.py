@@ -117,7 +117,8 @@ def _collect_tab(ds):
 
 @pytest.mark.parametrize("anti", [False, True])
 @pytest.mark.parametrize("fp_rate", [0.01, 0.4])  # 0.4 forces false positives
-def test_bloom_semi_join_exact(ray_session, anti, fp_rate):
+@pytest.mark.parametrize("bcast_limit", [0, 2**20])  # bloom+exchange / broadcast
+def test_bloom_semi_join_exact(ray_session, anti, fp_rate, bcast_limit):
     import ray.data as rd
 
     from patito_ray.functions.membership import bloom_semi_join
@@ -137,6 +138,7 @@ def test_bloom_semi_join_exact(ray_session, anti, fp_rate):
         anti=anti,
         fp_rate=fp_rate,
         num_partitions=5,
+        broadcast_limit_bytes=bcast_limit,
     )
     tab = _collect_tab(got)
     member = np.isin(fact_keys, dim_keys)
