@@ -1253,6 +1253,7 @@ def simhash_near_dups(
     max_bucket: int = 1000,
     max_collision_keys: int = 10_000_000,
     num_partitions: int | None = None,
+    limit_bytes: int | None = None,
 ) -> Any:
     """SimHash near-duplicate pairs -> Dataset[a, b, hamming] (pairs
     whose 64-bit SimHash fingerprints differ in <= ``max_hamming``
@@ -1273,6 +1274,7 @@ def simhash_near_dups(
         max_bucket=max_bucket,
         max_collision_keys=max_collision_keys,
         num_partitions=num_partitions,
+        limit_bytes=limit_bytes,
     )
 
 
@@ -1338,6 +1340,176 @@ def fingerprint_groups(
     )
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+_FP_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+)
+
+
+def _fingerprint_pairs_driver(
+    tbl: pa.Table,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int,
+    bands: int,
+    max_bucket: int,
+    max_collision_keys: int,
+) -> pa.Table:
+    """Driver-side replica of the banded fingerprint spine over ONE
+    narrow (id, fp) table — identical semantics (group compaction,
+    banding, max_bucket / max_collision_keys caps with the same loud
+    warnings, exact popcount verify, capped cross expansion) with zero
+    exchanges. The distributed spine costs ~3 all-to-all rounds of
+    fixed latency even on an 80 KB fingerprint set; below the driver
+    byte limit this one vectorized kernel replaces them all."""
+    width = 64 // bands
+    if tbl.num_rows == 0:
+        return _FP_PAIR_SCHEMA.empty_table()
+    ids = pc.cast(tbl.column(id_col).combine_chunks(), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    fp = (
+        tbl.column(fp_col)
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64)
+    )
+    order = np.lexsort((ids, fp))
+    fp_s, id_s = fp[order], ids[order]
+    ufp, starts, counts = np.unique(fp_s, return_index=True, return_counts=True)
+
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    # identical-fingerprint pairs (hamming 0); member runs are id-sorted
+    for gi in np.flatnonzero(counts > 1):
+        k = int(counts[gi])
+        if k > max_bucket:
+            _LOG.warning(
+                "identity group with %d ids capped at max_bucket=%d "
+                "(%d ids dropped from identical-pairing)",
+                k,
+                max_bucket,
+                k - max_bucket,
+            )
+            k = max_bucket
+        seg = id_s[starts[gi] : starts[gi] + k]
+        i0, i1 = np.triu_indices(k, 1)
+        out_a.append(seg[i0])
+        out_b.append(seg[i1])
+        out_h.append(np.zeros(len(i0), dtype=np.int64))
+
+    # banded candidate keys over DISTINCT fingerprints only
+    reps = id_s[starts]  # min id per distinct fp (runs are id-sorted)
+    n = len(ufp)
+    mask = (
+        np.uint64((1 << width) - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    )
+    keys = np.empty(bands * n, dtype=np.uint64)
+    for b in range(bands):
+        slice_bits = (ufp >> np.uint64(b * width)) & mask
+        keys[b * n : (b + 1) * n] = _splitmix(
+            slice_bits ^ _splitmix(np.full(n, b + 1, dtype=np.uint64))
+        )
+    rep_tiled = np.tile(reps, bands)
+    ko = np.lexsort((rep_tiled, keys))
+    k_s, r_s = keys[ko], rep_tiled[ko]
+    _, kstarts, kcounts = np.unique(k_s, return_index=True, return_counts=True)
+    coll = kcounts >= 2
+    n_coll = int(coll.sum())
+    if n_coll > max_collision_keys:
+        _LOG.warning(
+            "%d colliding LSH keys exceed max_collision_keys=%d; dropping "
+            "%d keys (candidate recall reduced). Raise max_collision_keys "
+            "or the banding parameters to cover.",
+            n_coll,
+            max_collision_keys,
+            n_coll - max_collision_keys,
+        )
+        coll[np.flatnonzero(coll)[max_collision_keys:]] = False
+
+    pa_list: list[np.ndarray] = []
+    pb_list: list[np.ndarray] = []
+    two = coll & (kcounts == 2)
+    if two.any():
+        s2 = kstarts[two]
+        pa_list.append(r_s[s2])
+        pb_list.append(r_s[s2 + 1])
+    for r in np.flatnonzero(coll & (kcounts > 2)):
+        run = np.unique(r_s[kstarts[r] : kstarts[r] + kcounts[r]])
+        if len(run) > max_bucket:
+            _LOG.warning(
+                "LSH bucket with %d ids capped at max_bucket=%d "
+                "(%d ids dropped from pairing)",
+                len(run),
+                max_bucket,
+                len(run) - max_bucket,
+            )
+            run = run[:max_bucket]
+        if len(run) < 2:
+            continue
+        ai, bi = np.triu_indices(len(run), k=1)
+        pa_list.append(run[ai])
+        pb_list.append(run[bi])
+
+    if pa_list:
+        a = np.concatenate(pa_list)
+        b = np.concatenate(pb_list)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        cand = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        lo, hi = cand[:, 0], cand[:, 1]
+        # exact popcount verify on the distinct-rep fingerprints
+        rorder = np.argsort(reps, kind="stable")
+        rsorted = reps[rorder]
+        fsorted = ufp[rorder]
+        fa = fsorted[np.searchsorted(rsorted, lo)]
+        fb = fsorted[np.searchsorted(rsorted, hi)]
+        x = fa ^ fb
+        dist = np.zeros(len(x), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            dist += _POPCNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+        vkeep = dist <= max_hamming
+        vlo, vhi, vdist = lo[vkeep], hi[vkeep], dist[vkeep]
+        if len(vlo):
+            # cross-expand rep pairs to the full member cross product
+            ga = rorder[np.searchsorted(rsorted, vlo)]
+            gb = rorder[np.searchsorted(rsorted, vhi)]
+            raw_la = counts[ga].astype(np.int64)
+            raw_lb = counts[gb].astype(np.int64)
+            over = int((raw_la > max_bucket).sum() + (raw_lb > max_bucket).sum())
+            if over:
+                _LOG.warning(
+                    "cross expansion capped %d group side(s) at max_bucket=%d",
+                    over,
+                    max_bucket,
+                )
+            la = np.minimum(raw_la, max_bucket)
+            lb = np.minimum(raw_lb, max_bucket)
+            m = la * lb
+            total = int(m.sum())
+            pair_idx = np.repeat(np.arange(len(m)), m)
+            pstarts = np.concatenate(([0], np.cumsum(m)[:-1]))
+            pos = np.arange(total) - pstarts[pair_idx]
+            left = id_s[starts[ga][pair_idx] + pos // lb[pair_idx]]
+            right = id_s[starts[gb][pair_idx] + pos % lb[pair_idx]]
+            out_a.append(np.minimum(left, right))
+            out_b.append(np.maximum(left, right))
+            out_h.append(vdist[pair_idx])
+
+    if not out_a:
+        return _FP_PAIR_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "hamming": pa.array(np.concatenate(out_h), type=pa.int64()),
+        },
+        schema=_FP_PAIR_SCHEMA,
+    )
+
+
 def fingerprint_near_dups(
     fps: Any,
     id_col: str,
@@ -1347,6 +1519,7 @@ def fingerprint_near_dups(
     max_bucket: int = 1000,
     max_collision_keys: int = 10_000_000,
     num_partitions: int | None = None,
+    limit_bytes: int | None = None,
 ) -> Any:
     """Near-dup pairs -> Dataset[a, b, hamming] over ANY 64-bit
     fingerprint column (SimHash text prints, perceptual image hashes,
@@ -1376,6 +1549,37 @@ def fingerprint_near_dups(
 
     assert 64 % bands == 0, "bands must divide 64"
     width = 64 // bands
+    if limit_bytes is None:
+        from patito_ray.stages.agg import _DRIVER_MERGE_BYTES
+
+        limit_bytes = _DRIVER_MERGE_BYTES
+    # Adaptive driver branch: the fingerprint projection is 16 B/row,
+    # so even million-doc corpora fit comfortably under the driver
+    # merge limit — one numpy kernel instead of the group-compaction +
+    # blob + pair-payload exchanges (~2 s of fixed latency EACH at
+    # small scale; dev notes, fixed-latency sweep). limit_bytes=0
+    # forces the distributed spine (tests exercise both).
+    fps = fps.materialize()
+    if limit_bytes and fps.size_bytes() <= limit_bytes:
+        import ray
+        import ray.data as rd
+
+        tabs = [t for t in ray.get(fps.to_arrow_refs()) if t.num_rows]
+        tbl = (
+            pa.concat_tables([t.select([id_col, fp_col]) for t in tabs])
+            if tabs
+            else pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    fp_col: pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        return rd.from_arrow(
+            _fingerprint_pairs_driver(
+                tbl, id_col, fp_col, max_hamming, bands, max_bucket, max_collision_keys
+            )
+        )
     groups = fingerprint_groups(fps, id_col, fp_col, num_partitions)
     reps = groups.map_batches(
         lambda t: pa.table(

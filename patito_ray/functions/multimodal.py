@@ -378,6 +378,7 @@ def image_near_dups(
     bands: int = 4,
     concurrency: int = 4,
     num_partitions: int | None = None,
+    limit_bytes: int | None = None,
 ) -> Any:
     """Perceptual near-duplicate image pairs -> Dataset[a, b, hamming].
 
@@ -412,6 +413,7 @@ def image_near_dups(
         max_hamming=max_hamming,
         bands=bands,
         num_partitions=num_partitions,
+        limit_bytes=limit_bytes,
     )
 
 
@@ -459,6 +461,7 @@ def audio_near_dups(
     bands: int = 4,
     concurrency: int = 4,
     num_partitions: int | None = None,
+    limit_bytes: int | None = None,
 ) -> Any:
     """Near-duplicate audio pairs -> Dataset[a, b, hamming]: actor-pool
     energy fingerprints (16 B (id, afp) projection — audio bytes never
@@ -488,4 +491,5 @@ def audio_near_dups(
         max_hamming=max_hamming,
         bands=bands,
         num_partitions=num_partitions,
+        limit_bytes=limit_bytes,
     )

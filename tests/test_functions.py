@@ -1123,6 +1123,43 @@ def test_simhash_near_dups(ray_session):
             assert (a, b) in pairs
 
 
+def test_fingerprint_near_dups_branch_parity(ray_session):
+    """The driver fast path (default) and the distributed banded spine
+    (limit_bytes=0) emit the IDENTICAL pair set — exercised over a
+    corpus with repeated fingerprints (group compaction), planted
+    near-pairs at several hamming distances, and unrelated noise."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, size=40, dtype=np.int64)
+    fps = list(base)
+    fps += [int(base[0]), int(base[0])]          # 3-way identical group
+    fps += [int(base[1]) ^ 0b1, int(base[2]) ^ 0b111]   # hamming 1 and 3
+    fps += [int(base[3]) ^ 0b11111]              # hamming 5: must NOT pair
+    ids = list(range(len(fps)))
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "fp": pa.array(fps, pa.int64())}
+    )
+    ds = rd.from_arrow(t).repartition(3)
+
+    def canon(rows):
+        return sorted((r["a"], r["b"], r["hamming"]) for r in rows)
+
+    fast = canon(
+        f_dedup.fingerprint_near_dups(ds, "doc_id", "fp", max_hamming=3).take_all()
+    )
+    dist = canon(
+        f_dedup.fingerprint_near_dups(
+            ds, "doc_id", "fp", max_hamming=3, limit_bytes=0
+        ).take_all()
+    )
+    assert fast == dist
+    pairs = {(a, b): h for a, b, h in fast}
+    assert pairs[(0, 40)] == 0 and pairs[(0, 41)] == 0 and pairs[(40, 41)] == 0
+    assert pairs[(1, 42)] == 1 and pairs[(2, 43)] == 3
+    assert not any(a == 44 or b == 44 for a, b in pairs)
+
+
 def test_pair_payload_join_no_broadcast_path(ray_session):
     """broadcast_id_limit=0 forces the crawl-scale path (no driver id
     collection, corpus rides the exchange) — same result."""
