@@ -538,22 +538,32 @@ def bpe_encode_dataset(
     text_col: str = "text",
     out_col: str = "bpe_ids",
     count_col: str = "n_bpe",
-    concurrency: int = 4,
+    concurrency: int | None = None,
 ) -> Any:
     """Append BPE token ids (list<int64>) and a token count per row.
-    The model broadcasts once via ``ray.put``."""
+    The model broadcasts once via ``ray.put``; the callable carries
+    only the ObjectRef and parses it lazily on the first batch.
+    Default is stateless tasks (no actor-pool spin-up latency); pass
+    ``concurrency`` for an actor pool when the vocab is large enough
+    that a per-task model parse would dominate."""
     import ray
 
     ref = ray.put((merges, vocab))
+    if concurrency:
+        return ds.map_batches(
+            BpeEncoder,
+            fn_constructor_args=(ref,),
+            fn_constructor_kwargs={
+                "text_col": text_col,
+                "out_col": out_col,
+                "count_col": count_col,
+            },
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        BpeEncoder,
-        fn_constructor_args=(ref,),
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "out_col": out_col,
-            "count_col": count_col,
-        },
+        BpeEncoder(ref, text_col=text_col, out_col=out_col, count_col=count_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
     )

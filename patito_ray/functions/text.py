@@ -460,23 +460,40 @@ def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def lang_id_dataset(
-    ds: Any, concurrency: int = 4, model: NgramLangModel | None = None
+    ds: Any, concurrency: int | None = None, model: NgramLangModel | None = None
 ) -> Any:
-    """Actor-pool language-ID stage; pass a trained ``model`` to use
-    the n-gram Naive-Bayes kernel (built once per actor in __init__)."""
+    """Language-ID stage. Default is STATELESS tasks (the pickled
+    callable carries only the small stopword value-sets — no actor-pool
+    spin-up, which costs ~2 s for a sub-second workload); pass
+    ``concurrency`` for an actor pool when shipping a large trained
+    n-gram ``model`` so it parses once per actor instead of per task."""
+    if concurrency:
+        return ds.map_batches(
+            LangId,
+            fn_constructor_kwargs={"model": model},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        LangId,
-        fn_constructor_kwargs={"model": model},
+        LangId(model=model),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
     )
 
 
-def quality_dataset(ds: Any, concurrency: int = 4) -> Any:
-    return ds.map_batches(
-        QualityScore, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
-    )
+def quality_dataset(ds: Any, concurrency: int | None = None) -> Any:
+    """Quality-score stage; stateless tasks by default (the scorer
+    holds only compiled constants), actor pool when ``concurrency`` is
+    set."""
+    if concurrency:
+        return ds.map_batches(
+            QualityScore,
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=concurrency,
+        )
+    return ds.map_batches(QualityScore(), batch_format="pyarrow", batch_size=4096)
 
 
 def normalize_text_array(

@@ -947,13 +947,13 @@ def q_ann_cosine_ivf(sf_dir: str) -> pa.Table:
 
 def q_lang_id(sf_dir: str) -> pa.Table:
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    out = f_text.lang_id_dataset(ds, concurrency=2)
+    out = f_text.lang_id_dataset(ds)
     return out.select_columns(["doc_id", "lang_pred", "lang_confidence"])
 
 
 def q_quality(sf_dir: str) -> pa.Table:
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    out = f_text.quality_dataset(ds, concurrency=2)
+    out = f_text.quality_dataset(ds)
     return out.select_columns(
         ["doc_id", "alpha_ratio", "punct_ratio", "stopword_ratio", "quality_score"]
     )
@@ -1635,7 +1635,7 @@ def q_training_pipeline(sf_dir: str) -> pa.Table:
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     n_input = ds.count()
 
-    scored = f_text.quality_dataset(f_text.lang_id_dataset(ds, concurrency=2), concurrency=2)
+    scored = f_text.quality_dataset(f_text.lang_id_dataset(ds))
 
     def narrow(t: pa.Table) -> pa.Table:
         # filter + content-hash + token-count in ONE pass, then drop the
@@ -2676,7 +2676,7 @@ def q_bpe_tokens(sf_dir: str) -> Any:
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     merges, vocab = train_bpe(ds, num_merges=60, min_word_count=2)
-    out = bpe_encode_dataset(ds, merges, vocab, concurrency=2)
+    out = bpe_encode_dataset(ds, merges, vocab)
     return out.map_batches(
         lambda t: t.select(["doc_id", "n_bpe"]),
         batch_format="pyarrow",
