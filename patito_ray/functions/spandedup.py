@@ -481,6 +481,7 @@ def cut_duplicated_spans(
     stride: int = 1,
     num_buckets: int = 64,
     num_partitions: int | None = None,
+    broadcast_limit_bytes: int = 64 * 1024 * 1024,
 ) -> Any:
     """The full Lee-et-al cut pass: remove every character covered by a
     cross-document duplicated window and return the stitched remainder
@@ -488,12 +489,19 @@ def cut_duplicated_spans(
     positions are byte==char, i.e. ASCII — the rolling-hash windows are
     byte-level).
 
-    Shape: ``duplicated_span_positions`` (one blob exchange) feeds one
-    ``copartition_apply`` on the doc id; inside each partition task the
-    interval merge (gaps-and-islands via a grouped cumulative max), the
-    kept-segment arithmetic, the per-segment slicing and the per-doc
-    concat are ALL vectorized polars expressions — no per-doc Python.
-    Untouched documents pass through by anti-join."""
+    Shape: ``duplicated_span_positions`` (one blob exchange) feeds the
+    cut pass; inside each task the interval merge (gaps-and-islands via
+    a grouped cumulative max), the kept-segment arithmetic, the
+    per-segment slicing and the per-doc concat are ALL vectorized
+    polars expressions — no per-doc Python. Untouched documents pass
+    through by anti-join.
+
+    The duplicated-position side is 16 B/position and usually tiny
+    relative to the corpus; below ``broadcast_limit_bytes`` it
+    broadcasts once (``ray.put``) and the corpus STREAMS through one
+    map_batches — the full-text rows never ride an exchange. Beyond
+    the limit (or at 0, for tests) both sides co-partition on doc id
+    as before."""
     import polars as pl
 
     from patito_ray.stages.join import copartition_apply
@@ -583,6 +591,37 @@ def cut_duplicated_spans(
             .cast(_CLEAN_SCHEMA)
         )
 
+    if broadcast_limit_bytes:
+        import ray
+
+        pos_m = pos.materialize()
+        if pos_m.size_bytes() <= broadcast_limit_bytes:
+            tabs = [t for t in ray.get(pos_m.to_arrow_refs()) if t.num_rows]
+            ptab = (
+                pa.concat_tables(tabs)
+                if tabs
+                else pa.table(
+                    {
+                        "_pd": pa.array([], type=pa.int64()),
+                        "_pp": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+            ref = ray.put(ptab)
+
+            def cut_batch(batch: pa.Table) -> pa.Table:
+                import ray as _ray
+
+                pt = _ray.get(ref)
+                if pt.num_rows:
+                    ids = pc.cast(batch.column(id_col).combine_chunks(), pa.int64())
+                    pt = pt.filter(pc.is_in(pt.column("_pd"), value_set=ids))
+                return cut(batch, pt)
+
+            return ds.map_batches(
+                cut_batch, batch_format="pyarrow", batch_size=None
+            )
+        pos = pos_m
     return copartition_apply(
         ds, pos, by=id_col, right_by="_pd", part_fn=cut,
         num_partitions=num_partitions,

@@ -176,3 +176,12 @@ def test_cut_duplicated_spans_reference(ray_session):
                     cov[k] = True
         exp[d] = "".join(ch for ch, c in zip(s, cov) if not c)
     assert got == exp
+    # broadcast_limit_bytes=0 forces the co-partition branch — the
+    # broadcast fast path (default, taken above) must match it exactly
+    forced = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_duplicated_spans(
+            ds, L=L, stride=stride, broadcast_limit_bytes=0
+        ).take_all()
+    }
+    assert forced == exp
