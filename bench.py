@@ -272,6 +272,9 @@ def run_bench() -> dict:
         "peak_concurrency",
         "welch_ttest",
         "psi_drift",
+        "weighted_stats",
+        "customers_no_orders",
+        "group_centroids",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -6912,3 +6912,166 @@ GROUP BY ALL
 """
 
 QUERIES["psi_drift"] = (q_psi_drift, SQL_PSI_DRIFT)
+
+
+def q_weighted_stats(sf_dir: str) -> Any:
+    """Weighted grouped aggregates (quantity-weighted mean price per
+    return flag) on the EXACT integer cents grid: per-batch polars
+    partials sum int64 (qty, qty*cents), the adaptive partial-sum
+    merge combines them, and the only floating-point ops are the two
+    final IEEE divisions — written identically in the SQL, so the
+    derived double is bit-exact, not rounded."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "qty": pa.array(qty),
+                    "wx": pa.array(qty * cents),
+                }
+            )
+        )
+        return (
+            df.group_by("l_returnflag")
+            .agg(w=pl.col("qty").sum(), wsum_cents=pl.col("wx").sum())
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    final = merge_partial_sums(partials, ["l_returnflag"], ["w", "wsum_cents"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        w = pc.cast(b["w"], pa.float64())
+        wx = pc.cast(b["wsum_cents"], pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "w": pc.cast(b["w"], pa.int64()),
+                "wsum_cents": pc.cast(b["wsum_cents"], pa.int64()),
+                "wavg_price": pc.divide(pc.divide(wx, w), 100.0),
+            }
+        )
+
+    return _apply(final, finish)
+
+
+SQL_WEIGHTED_STATS = """
+SELECT l_returnflag,
+       SUM(CAST(l_quantity AS BIGINT)) AS w,
+       SUM(CAST(l_quantity AS BIGINT)
+           * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS wsum_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)
+                * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+       / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["weighted_stats"] = (q_weighted_stats, SQL_WEIGHTED_STATS)
+
+
+def q_customers_no_orders(sf_dir: str) -> Any:
+    """Anti join (TPC-H Q22 shape): customers with no URGENT order
+    (every customer has SOME order in the synthetic corpus, so the
+    predicate keeps the result non-trivial). The order-key side is
+    pruned at the read (priority filter), collapses to its DISTINCT
+    custkey set worker-side and broadcasts once (ray.put); the
+    customer side streams through one map_batches filter — no
+    shuffle. 100-TB note: the broadcast key set is bounded by
+    |customers|, the small dimension; a fact-sized key set would use
+    the co-partitioned anti branch of the membership stage instead."""
+    from patito_ray.stages.join import anti_join
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    okeys = _rp(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    out = anti_join(cust, okeys, on="c_custkey", key_column="o_custkey")
+    return _lazy_norm(
+        out, pa.schema([("c_custkey", pa.int64()), ("c_acctbal", pa.float64())])
+    )
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+QUERIES["customers_no_orders"] = (q_customers_no_orders, SQL_CUSTOMERS_NO_ORDERS)
+
+
+def q_group_centroids(sf_dir: str) -> Any:
+    """Per-label embedding centroid in long form (label, dim,
+    centroid): each batch stacks its vectors once and scatter-adds per
+    label (one np.add.at over the matrix — no per-row Python), partials
+    ride the adaptive sum merge as (label, dim) rows. float32 inputs
+    widen exactly to float64 before summing on both engines; the avg
+    rounds at 6 decimals (summation order differs, values off the
+    midpoint grid)."""
+    ds = _rp(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from patito_ray.functions.similarity import _to_matrix
+
+        mat = _to_matrix(t.column("embedding"))  # (n, d) float64
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ulab, inv = np.unique(labels, return_inverse=True)
+        g, d = len(ulab), mat.shape[1]
+        sums = np.zeros((g, d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv, minlength=g).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), g)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    final = merge_partial_sums(partials, ["label", "dim"], ["s", "n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": pc.cast(b["label"], pa.int64()),
+                "dim": pc.cast(b["dim"], pa.int64()),
+                "centroid": _ra(s / n, 6),
+            }
+        )
+
+    return _apply(final, finish)
+
+
+SQL_GROUP_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, CAST(ord AS BIGINT) AS dim,
+       ROUND(SUM(CAST(e AS DOUBLE)) / COUNT(*), 6) AS centroid
+FROM (
+  SELECT label, unnest(embedding) AS e,
+         generate_subscripts(embedding, 1) AS ord
+  FROM embeddings
+)
+GROUP BY label, ord
+"""
+
+QUERIES["group_centroids"] = (q_group_centroids, SQL_GROUP_CENTROIDS)
