@@ -275,6 +275,7 @@ def run_bench() -> dict:
         "weighted_stats",
         "customers_no_orders",
         "group_centroids",
+        "rrf_fusion",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7075,3 +7075,126 @@ GROUP BY label, ord
 """
 
 QUERIES["group_centroids"] = (q_group_centroids, SQL_GROUP_CENTROIDS)
+
+
+def q_rrf_fusion(sf_dir: str) -> pa.Table:
+    """Reciprocal-rank fusion of the two retrieval systems (tfidf +
+    BM25, same 5-term query): each system's DISTRIBUTED scoring pass
+    feeds a global top-50 (per-block prune, bounded driver merge),
+    ranks fuse as 1/(60+r) with the SQL's exact COALESCE order — two
+    reciprocals and one add, bit-identical IEEE ops on both engines,
+    so the fused score needs NO rounding. Ranking ties break on the
+    1e-6-rounded scores both engines share (tfidf_search/bm25_search
+    contract)."""
+    from patito_ray.functions.tfidf import _global_topk, bm25_scores, tfidf_scores
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "score": _r(t.column("score"), 6)}
+        )
+
+    def ranks(scorer: Any) -> dict[int, int]:
+        scored = scorer(ds, _TFIDF_TERMS).map_batches(
+            rnd, batch_format="pyarrow", batch_size=None
+        )
+        top = _global_topk(scored, 50, "score", "doc_id")
+        doc = top.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = top.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, -sc))  # score desc, doc_id asc
+        return {int(doc[i]): r + 1 for r, i in enumerate(order)}
+
+    rt = ranks(tfidf_scores)
+    rb = ranks(bm25_scores)
+    docs = sorted(set(rt) | set(rb))
+    rrf = np.array(
+        [
+            (1.0 / (60 + rt[d]) if d in rt else 0.0)
+            + (1.0 / (60 + rb[d]) if d in rb else 0.0)
+            for d in docs
+        ],
+        dtype=np.float64,
+    )
+    da = np.array(docs, dtype=np.int64)
+    order = np.lexsort((da, -rrf))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(da[order]),
+            "r_tfidf": pa.array(
+                [rt.get(int(d)) for d in da[order]], type=pa.int64()
+            ),
+            "r_bm25": pa.array(
+                [rb.get(int(d)) for d in da[order]], type=pa.int64()
+            ),
+            "rrf": pa.array(rrf[order]),
+        }
+    )
+
+
+SQL_RRF_FUSION = r"""
+WITH u AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+q AS (SELECT unnest(['spark','window','hash','join','vector']) AS term),
+tf AS (
+  SELECT u.doc_id, u.tok AS term, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM u JOIN q ON u.tok = q.term GROUP BY u.doc_id, u.tok
+),
+tdf AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS d
+  FROM (SELECT DISTINCT u.doc_id, u.tok AS term
+        FROM u JOIN q ON u.tok = q.term) GROUP BY term
+),
+tn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+tfs AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(tf.c * (ln((tn.n + 1) / (tdf.d + 1)) + 1)), 6) AS score
+  FROM tf JOIN tdf USING (term), tn
+  GROUP BY tf.doc_id
+),
+tr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM tfs QUALIFY r <= 50
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents WHERE text IS NOT NULL) AS n,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM u) AS total
+),
+bdf AS (
+  SELECT q.term,
+         (SELECT CAST(COUNT(DISTINCT u.doc_id) AS DOUBLE) FROM u WHERE u.tok = q.term) AS df
+  FROM q
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM u GROUP BY doc_id),
+btf AS (
+  SELECT u.doc_id, u.tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM u JOIN q ON u.tok = q.term GROUP BY u.doc_id, u.tok
+),
+bms AS (
+  SELECT btf.doc_id,
+         ROUND(SUM(
+           LN((stats.n - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+           * btf.tf * (1.2 + 1.0)
+           / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (stats.total / stats.n)))
+         ), 6) AS score
+  FROM btf
+  CROSS JOIN stats
+  JOIN bdf ON btf.term = bdf.term
+  JOIN dl ON btf.doc_id = dl.doc_id
+  GROUP BY btf.doc_id
+),
+br AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bms QUALIFY r <= 50
+)
+SELECT COALESCE(tr.doc_id, br.doc_id) AS doc_id,
+       tr.r AS r_tfidf, br.r AS r_bm25,
+       COALESCE(1.0 / (60 + tr.r), 0) + COALESCE(1.0 / (60 + br.r), 0) AS rrf
+FROM tr FULL JOIN br ON tr.doc_id = br.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+QUERIES["rrf_fusion"] = (q_rrf_fusion, SQL_RRF_FUSION)
