@@ -1160,6 +1160,39 @@ def test_fingerprint_near_dups_branch_parity(ray_session):
     assert not any(a == 44 or b == 44 for a, b in pairs)
 
 
+def test_fingerprint_pairs_driver_vs_bruteforce():
+    """The driver spine kernel vs an all-pairs popcount reference over
+    random fingerprint sets with planted duplicates: every <=3-hamming
+    pair present exactly once with the exact distance (pigeonhole at
+    bands=4 makes recall deterministic, so set equality is exact)."""
+    from patito_ray.functions.dedup import _fingerprint_pairs_driver
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n = 200
+        fp = rng.integers(0, 2**63, size=n, dtype=np.int64)
+        # plant duplicates and near-misses
+        fp[10] = fp[0]
+        fp[11] = fp[0] ^ 0b101          # hamming 2
+        fp[12] = fp[1] ^ (1 << 40)      # hamming 1
+        ids = rng.permutation(n).astype(np.int64)  # ids unordered
+        t = pa.table({"i": pa.array(ids), "f": pa.array(fp)})
+        got = _fingerprint_pairs_driver(t, "i", "f", 3, 4, 1000, 10_000_000)
+        got_set = {
+            (r["a"], r["b"], r["hamming"]) for r in got.to_pylist()
+        }
+        u = fp.view(np.uint64)
+        exp = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                h = bin(int(u[i]) ^ int(u[j])).count("1")
+                if h <= 3:
+                    a, b = int(ids[i]), int(ids[j])
+                    exp.add((min(a, b), max(a, b), h))
+        assert got_set == exp, f"seed {seed}"
+        assert len(got) == len(got_set)  # no duplicate pair rows
+
+
 def test_pair_payload_join_no_broadcast_path(ray_session):
     """broadcast_id_limit=0 forces the crawl-scale path (no driver id
     collection, corpus rides the exchange) — same result."""
