@@ -276,6 +276,7 @@ def run_bench() -> dict:
         "customers_no_orders",
         "group_centroids",
         "rrf_fusion",
+        "key_skew",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7198,3 +7198,37 @@ LIMIT 10
 """
 
 QUERIES["rrf_fusion"] = (q_rrf_fusion, SQL_RRF_FUSION)
+
+
+def q_key_skew(sf_dir: str) -> pa.Table:
+    """Key-distribution skew audit over events.user_id: Gini
+    coefficient + hot-key share of the per-user event counts — the
+    numbers a shuffle planner reads before choosing salting vs
+    broadcast (stages.join.skew_join). Rank arithmetic is int64 on
+    both engines (tie-order invariant: equal counts occupy a fixed
+    rank-weight range), so only the two final IEEE divisions are
+    floating point — written identically in the SQL, bit-exact."""
+    from patito_ray.validation.stats import gini_key_skew
+
+    return gini_key_skew(_rp(sf_dir, "events", ["user_id"]), "user_id")
+
+
+SQL_KEY_SKEW = """
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(MAX(c) AS BIGINT) AS m
+  FROM c
+),
+r AS (SELECT c.c, ROW_NUMBER() OVER (ORDER BY c.c, c.user_id) AS i FROM c)
+SELECT t.n AS n_keys, t.s AS total, t.m AS max_cnt,
+       CAST(SUM((2 * r.i - t.n - 1) * r.c) AS DOUBLE)
+         / (CAST(t.n AS DOUBLE) * CAST(t.s AS DOUBLE)) AS gini,
+       CAST(t.m AS DOUBLE) / CAST(t.s AS DOUBLE) AS max_share
+FROM r, t GROUP BY t.n, t.s, t.m
+"""
+
+QUERIES["key_skew"] = (q_key_skew, SQL_KEY_SKEW)

@@ -789,3 +789,134 @@ def k_anonymity(
             ),
         }
     )
+
+
+def gini_key_skew(
+    ds: Any,
+    key_col: str,
+    limit_bytes: int | None = None,
+) -> pa.Table:
+    """Key-distribution skew audit -> one row: ``n_keys``, ``total``
+    (non-null-key rows), ``max_cnt``, ``gini`` (Gini coefficient of the
+    per-key count distribution, 0 = uniform, ->1 = one hot key) and
+    ``max_share`` (hot-key fraction). The inputs a shuffle planner
+    needs before picking salting/broadcast strategy (see
+    ``stages.join.skew_join``).
+
+    Scale shape: per-batch vectorized partial counts -> the adaptive
+    partial-sum merge (one narrow row per distinct key per block).
+    Below ``limit_bytes`` the Gini rank sum is one driver numpy kernel;
+    beyond it the ranks come from ``ordered_prefix_sum`` (one narrow
+    exchange over (count, key) — the numerator is rank-arithmetic on
+    int64, so both branches are exact and tie-order-invariant: equal
+    counts occupy a contiguous rank range whose weight sum is fixed).
+    Null keys are excluded on both engines.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.select([key_col])
+        col = sub.column(key_col)
+        if col.null_count:
+            sub = sub.filter(pc.is_valid(col))
+        return (
+            pl.from_arrow(sub)
+            .group_by(key_col)
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merge_kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(partials, [key_col], ["c"], **merge_kwargs)
+
+    if isinstance(merged, pa.Table):
+        c = np.sort(merged.column("c").to_numpy(zero_copy_only=False))
+        n, s = len(c), int(c.sum())
+        if n == 0:
+            return pa.table(
+                {
+                    "n_keys": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "max_cnt": pa.array([], pa.int64()),
+                    "gini": pa.array([], pa.float64()),
+                    "max_share": pa.array([], pa.float64()),
+                }
+            )
+        mx = int(c[-1])
+        i = np.arange(1, n + 1, dtype=np.int64)
+        num = int(((2 * i - n - 1) * c).sum())
+    else:
+        from patito_ray.stages.prefix import ordered_prefix_sum
+
+        m = merged.materialize()
+        n = m.count()
+        _p_schema = pa.schema(
+            [("num", pa.int64()), ("s", pa.int64()), ("mx", pa.int64())]
+        )
+        if n == 0:
+            return pa.table(
+                {
+                    "n_keys": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                    "max_cnt": pa.array([], pa.int64()),
+                    "gini": pa.array([], pa.float64()),
+                    "max_share": pa.array([], pa.float64()),
+                }
+            )
+
+        def narrow(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "c" not in t.column_names:
+                return pa.table(
+                    {
+                        key_col: pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                        "_one": pa.array([], pa.int64()),
+                    }
+                )
+            t = t.select([key_col, "c"])
+            return t.append_column(
+                "_one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+
+        plan = m.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+        ranked = ordered_prefix_sum(
+            plan, "c", "_one", out_col="_rank", tie_col=key_col
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "_rank" not in t.column_names:
+                return _p_schema.empty_table()
+            cc = t.column("c").to_numpy(zero_copy_only=False)
+            r = t.column("_rank").to_numpy(zero_copy_only=False)
+            i1 = r + 1  # _rank is the 0-based exclusive prefix of ones
+            return pa.table(
+                {
+                    "num": pa.array([int(((2 * i1 - n - 1) * cc).sum())]),
+                    "s": pa.array([int(cc.sum())]),
+                    "mx": pa.array([int(cc.max())]),
+                },
+                schema=_p_schema,
+            )
+
+        parts = collect_table(
+            ranked.map_batches(contrib, batch_format="pyarrow", batch_size=None),
+            empty_schema=_p_schema,
+        )
+        num = int(pc.sum(parts.column("num")).as_py() or 0)
+        s = int(pc.sum(parts.column("s")).as_py() or 0)
+        mx = int(pc.max(parts.column("mx")).as_py() or 0)
+
+    gini = float(num) / (float(n) * float(s))
+    return pa.table(
+        {
+            "n_keys": pa.array([n], pa.int64()),
+            "total": pa.array([s], pa.int64()),
+            "max_cnt": pa.array([mx], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+            "max_share": pa.array([float(mx) / float(s)], pa.float64()),
+        }
+    )

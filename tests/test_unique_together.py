@@ -220,3 +220,39 @@ def test_k_anonymity_reference(ray_session):
         assert z.column("n_rows").to_pylist() == [0]
         assert z.column("n_groups").to_pylist() == [0]
         assert z.column("min_group_size").to_pylist() == [0]
+
+
+def test_gini_key_skew_branches(ray_session):
+    """Driver (default) and distributed (limit_bytes=0, ranks via
+    ordered_prefix_sum) branches agree exactly with a numpy Gini
+    reference, including the tie-heavy case (many equal counts)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from patito_ray.validation.stats import gini_key_skew
+
+    rng = np.random.default_rng(3)
+    # skewed keys: key 0 hot, many singleton/tied keys, plus nulls
+    keys = np.concatenate(
+        [np.zeros(500, np.int64), rng.integers(1, 200, 1500)]
+    )
+    vals = [int(k) for k in keys] + [None] * 25
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(vals, pa.int64())})).repartition(5)
+
+    uniq, cnt = np.unique(keys, return_counts=True)
+    c = np.sort(cnt)
+    n, s = len(c), int(c.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * c).sum())
+    exp = {
+        "n_keys": n,
+        "total": s,
+        "max_cnt": int(c[-1]),
+        "gini": float(num) / (float(n) * float(s)),
+        "max_share": float(c[-1]) / float(s),
+    }
+    for lb in (None, 0):
+        kwargs = {} if lb is None else {"limit_bytes": 0}
+        got = gini_key_skew(ds, "user_id", **kwargs).to_pylist()[0]
+        assert got == exp, (lb, got, exp)
