@@ -277,6 +277,7 @@ def run_bench() -> dict:
         "group_centroids",
         "rrf_fusion",
         "key_skew",
+        "chunk_windows",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7232,3 +7232,76 @@ FROM r, t GROUP BY t.n, t.s, t.m
 """
 
 QUERIES["key_skew"] = (q_key_skew, SQL_KEY_SKEW)
+
+
+def q_chunk_windows(sf_dir: str) -> Any:
+    """RAG-style context chunking: explode every document into
+    OVERLAPPING 32-token windows at stride 24 (8-token overlap) and
+    reconstruct each chunk's text. Fully vectorized: one RE2-exact
+    tokenize per batch, window starts/lengths by integer arithmetic, a
+    single flat token gather + list-array binary_join rebuilds every
+    chunk string — no per-doc Python. Short docs emit their single
+    truncated chunk, like the SQL's clamped generate_series."""
+    from patito_ray.functions.tfidf import re2_split_tokens
+
+    W, S = 32, 24
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    _schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("start_tok", pa.int64()),
+            ("n_toks", pa.int64()),
+            ("chunk", pa.string()),
+        ]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, parents, n_rows = re2_split_tokens(t.column("text"))
+        if n_rows == 0 or len(flat) == 0:
+            return _schema.empty_table()
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(parents, minlength=n_rows)
+        row_start = np.concatenate(([0], np.cumsum(cnt)))
+        rows_with = np.flatnonzero(cnt > 0)
+        top = np.maximum(cnt[rows_with] - W + 1, 1)
+        nw = (top - 1) // S + 1
+        total_w = int(nw.sum())
+        row_idx = rows_with.repeat(nw)
+        w_base = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        starts = (np.arange(total_w) - w_base.repeat(nw)) * S
+        length = np.minimum(W, cnt[row_idx] - starts)
+        offs = np.concatenate(([0], np.cumsum(length)))
+        widx = np.repeat(np.arange(total_w), length)
+        pos = np.arange(int(offs[-1])) - offs[:-1].repeat(length)
+        tok_idx = row_start[row_idx][widx] + starts[widx] + pos
+        gathered = flat.take(pa.array(tok_idx, type=pa.int64()))
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), gathered
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[row_idx], type=pa.int64()),
+                "start_tok": pa.array(starts + 1, type=pa.int64()),
+                "n_toks": pa.array(length, type=pa.int64()),
+                "chunk": pc.cast(pc.binary_join(la, " "), pa.string()),
+            },
+            schema=_schema,
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+
+SQL_CHUNK_WINDOWS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS start_tok,
+       CAST(LEAST(32, len(ts) - i + 1) AS BIGINT) AS n_toks,
+       array_to_string(ts[CAST(i AS BIGINT):CAST(i + 31 AS BIGINT)], ' ')
+         AS chunk
+FROM tok, unnest(generate_series(1, GREATEST(len(ts) - 31, 1), 24)) AS t(i)
+WHERE len(ts) > 0
+"""
+
+QUERIES["chunk_windows"] = (q_chunk_windows, SQL_CHUNK_WINDOWS)
