@@ -278,6 +278,7 @@ def run_bench() -> dict:
         "rrf_fusion",
         "key_skew",
         "chunk_windows",
+        "graph_bfs",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

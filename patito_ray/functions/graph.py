@@ -874,3 +874,273 @@ def k_core(
         .groupby("part")
         .map_groups(nodes_dedup, batch_format="pyarrow")
     )
+
+
+_BFS_SCHEMA = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+_BFS_BROADCAST_IDS = 32_000_000
+
+
+def bfs_hops(
+    edges: Any,
+    seeds: Any,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    broadcast_limit_ids: int = _BFS_BROADCAST_IDS,
+) -> Any:
+    """Multi-source BFS over the DIRECTED edge set: minimum hop
+    distance (0..``max_hops``) from any seed to every reachable node ->
+    Dataset[node:int64, dist:int64] (one row per reached node).
+
+    Frontier expansion runs ``max_hops`` rounds, each adaptive like
+    ``k_core``'s peel filter:
+
+    - while visited+frontier fit ``broadcast_limit_ids`` the round is
+      ONE streaming pass over the (once-materialized) edges with the
+      frontier broadcast via ``ray.put`` — per-batch unique dsts merge
+      on the driver with numpy set ops, ZERO all-to-all exchanges;
+    - past the limit the round switches permanently to co-partitioned
+      semi expansion + hash-partition dedup + co-partitioned anti
+      against the visited Dataset, so nothing ever lands on the driver.
+
+    Hub-heavy graphs whose single-round expansion exceeds driver memory
+    even with a small frontier should lower ``broadcast_limit_ids``
+    (0 forces the distributed branch — the test hook).
+    """
+    import ray
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import _splitmix
+    from patito_ray.stages.agg import collect_table
+    from patito_ray.stages.join import copartition_apply, default_num_partitions
+
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    _check_edges(edges, src, dst)
+    P = default_num_partitions()
+    edges = edges.materialize()
+
+    def _uniq_nodes(t: pa.Table, col: str) -> pa.Table:
+        if t.num_rows == 0 or col not in t.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table(
+            {"node": pc.unique(pc.cast(t.column(col), pa.int64()).combine_chunks())}
+        )
+
+    # ---- seed frontier ----------------------------------------------
+    seed_count = seeds.count()
+    driver_mode = seed_count <= broadcast_limit_ids
+    levels_np: "list[tuple[int, np.ndarray]]" = []
+    levels_ds: "list[Any]" = []
+
+    def _node_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.schema(
+                [("part", pa.int64()), ("node", pa.int64())]
+            ).empty_table()
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        part = (_splitmix(n.view(np.uint64)) % np.uint64(P)).view(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(part, type=pa.int64()),
+                "node": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    def _dedup_nodes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table({"node": pc.unique(t.column("node").combine_chunks())})
+
+    if driver_mode:
+        seed_tab = collect_table(
+            seeds.map_batches(
+                lambda t, c=seed_col: _uniq_nodes(t, c),
+                batch_format="pyarrow",
+                batch_size=None,
+            ),
+            empty_schema=pa.schema([("node", pa.int64())]),
+        )
+        frontier_np = np.unique(
+            seed_tab.column("node").to_numpy(zero_copy_only=False)
+        )
+        visited_np = frontier_np
+        levels_np.append((0, frontier_np))
+        frontier_ds = visited_ds = None
+        frontier_count = visited_count = len(frontier_np)
+    else:
+        frontier_ds = (
+            seeds.map_batches(
+                lambda t, c=seed_col: _uniq_nodes(t, c),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .map_batches(_node_part, batch_format="pyarrow", batch_size=None)
+            .groupby("part")
+            .map_groups(_dedup_nodes, batch_format="pyarrow")
+            .materialize()
+        )
+        visited_ds = frontier_ds
+        levels_ds.append((0, frontier_ds))
+        frontier_np = visited_np = None
+        frontier_count = visited_count = frontier_ds.count()
+
+    for dist in range(1, max_hops + 1):
+        if frontier_count == 0:
+            break
+        if driver_mode and visited_count + frontier_count > broadcast_limit_ids:
+            # one-way switch: lift driver state into Datasets
+            driver_mode = False
+            frontier_ds = rd.from_arrow(
+                pa.table({"node": pa.array(frontier_np, type=pa.int64())})
+            )
+            visited_ds = rd.from_arrow(
+                pa.table({"node": pa.array(visited_np, type=pa.int64())})
+            )
+            frontier_np = visited_np = None
+
+        if driver_mode:
+            ref = ray.put(pa.array(frontier_np, type=pa.int64()))
+
+            def expand(t: pa.Table, _ref=ref) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.schema([("node", pa.int64())]).empty_table()
+                hit = pc.is_in(
+                    pc.cast(t.column(src), pa.int64()), value_set=ray.get(_ref)
+                )
+                return pa.table(
+                    {
+                        "node": pc.unique(
+                            pc.cast(
+                                t.filter(hit).column(dst), pa.int64()
+                            ).combine_chunks()
+                        )
+                    }
+                )
+
+            out = collect_table(
+                edges.map_batches(
+                    expand, batch_format="pyarrow", batch_size=None
+                ),
+                empty_schema=pa.schema([("node", pa.int64())]),
+            )
+            reached = np.unique(out.column("node").to_numpy(zero_copy_only=False))
+            frontier_np = reached[
+                ~np.isin(reached, visited_np, assume_unique=True)
+            ]
+            frontier_count = len(frontier_np)
+            if frontier_count:
+                visited_np = np.union1d(visited_np, frontier_np)
+                visited_count = len(visited_np)
+                levels_np.append((dist, frontier_np))
+        else:
+
+            def semi_dst(lt: pa.Table, rt: pa.Table) -> pa.Table:
+                if lt.num_rows == 0 or rt.num_rows == 0:
+                    return pa.schema([("node", pa.int64())]).empty_table()
+                hit = pc.is_in(
+                    pc.cast(lt.column(src), pa.int64()),
+                    value_set=rt.column("_front").combine_chunks(),
+                )
+                return pa.table(
+                    {
+                        "node": pc.unique(
+                            pc.cast(
+                                lt.filter(hit).column(dst), pa.int64()
+                            ).combine_chunks()
+                        )
+                    }
+                )
+
+            def _as_front(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "node" not in t.column_names:
+                    return pa.schema([("_front", pa.int64())]).empty_table()
+                return pa.table({"_front": t.column("node")})
+
+            front_r = frontier_ds.map_batches(
+                _as_front, batch_format="pyarrow", batch_size=None
+            )
+            reached_ds = (
+                copartition_apply(
+                    edges, front_r, by=src, right_by="_front", part_fn=semi_dst
+                )
+                .map_batches(_node_part, batch_format="pyarrow", batch_size=None)
+                .groupby("part")
+                .map_groups(_dedup_nodes, batch_format="pyarrow")
+                .materialize()
+            )
+
+            def anti(lt: pa.Table, rt: pa.Table) -> pa.Table:
+                if lt.num_rows == 0 or "node" not in lt.column_names:
+                    return pa.schema([("node", pa.int64())]).empty_table()
+                if rt.num_rows == 0:
+                    return lt.select(["node"])
+                return lt.select(["node"]).filter(
+                    pc.invert(
+                        pc.is_in(
+                            lt.column("node"),
+                            value_set=rt.column("_vis").combine_chunks(),
+                        )
+                    )
+                )
+
+            def _as_vis(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "node" not in t.column_names:
+                    return pa.schema([("_vis", pa.int64())]).empty_table()
+                return pa.table({"_vis": t.column("node")})
+
+            vis_r = visited_ds.map_batches(
+                _as_vis, batch_format="pyarrow", batch_size=None
+            )
+            frontier_ds = copartition_apply(
+                reached_ds, vis_r, by="node", right_by="_vis", part_fn=anti
+            ).materialize()
+            frontier_count = frontier_ds.count()
+            if frontier_count:
+                visited_ds = visited_ds.union(frontier_ds).materialize()
+                visited_count += frontier_count
+                levels_ds.append((dist, frontier_ds))
+
+    # ---- assemble [node, dist] --------------------------------------
+    parts: "list[Any]" = []
+    if levels_np:
+        tab = pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate([f for _, f in levels_np]), type=pa.int64()
+                ),
+                "dist": pa.array(
+                    np.concatenate(
+                        [np.full(len(f), d, dtype=np.int64) for d, f in levels_np]
+                    ),
+                    type=pa.int64(),
+                ),
+            },
+            schema=_BFS_SCHEMA,
+        )
+        parts.append(rd.from_arrow(tab))
+    for d, fds in levels_ds:
+
+        def tag(t: pa.Table, _d=d) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return _BFS_SCHEMA.empty_table()
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "dist": pa.array(
+                        np.full(t.num_rows, _d, dtype=np.int64), type=pa.int64()
+                    ),
+                },
+                schema=_BFS_SCHEMA,
+            )
+
+        parts.append(
+            fds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        )
+    if not parts:
+        return rd.from_arrow(_BFS_SCHEMA.empty_table())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -7305,3 +7305,43 @@ WHERE len(ts) > 0
 """
 
 QUERIES["chunk_windows"] = (q_chunk_windows, SQL_CHUNK_WINDOWS)
+
+
+def q_graph_bfs(sf_dir: str) -> Any:
+    """Multi-source BFS reachability: minimum hop distance (<= 4) from
+    the seed set (doc_id % 97 == 0) over the deterministic 3-out link
+    graph. Adaptive rounds: frontier broadcast + driver numpy set ops
+    while the visited set is small, co-partitioned semi/anti exchanges
+    beyond (functions/graph.py:bfs_hops); the SQL oracle is a recursive
+    CTE over the same splitmix64 edge derivation."""
+    from patito_ray.functions.graph import bfs_hops
+
+    edges, _n = _doc_link_edges(sf_dir, 3)
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def mk_seeds(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {"node": pa.array(ids[ids % 97 == 0], type=pa.int64())}
+        )
+
+    seeds = docs.map_batches(mk_seeds, batch_format="pyarrow", batch_size=None)
+    return bfs_hops(edges, seeds, max_hops=4)
+
+
+SQL_GRAPH_BFS = f"""
+WITH RECURSIVE
+{_sql_link_edges(3)},
+bfs(node, dist) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst, b.dist + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.dist < 4
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY node
+"""
+
+QUERIES["graph_bfs"] = (q_graph_bfs, SQL_GRAPH_BFS)

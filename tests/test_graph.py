@@ -257,3 +257,69 @@ def test_triangle_count_empty_and_bad_ids(ray_session):
 
     with pytest.raises(Exception):
         triangle_count(_tri_edges_ds([(1, 1 << 33), (2, 1 << 33), (1, 2)]))
+
+
+# ---------------------------------------------------------------- bfs_hops
+
+
+def _bfs_reference(src, dst, seeds, max_hops):
+    """Dict node -> min hop distance, plain python BFS."""
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    dist = {int(s): 0 for s in seeds}
+    frontier = list(dist)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def _bfs_out(res):
+    rows = res.take_all()
+    return {r["node"]: r["dist"] for r in rows}
+
+
+def test_bfs_hops_matches_reference_both_branches(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import bfs_hops
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 80, size=400)
+    dst = rng.integers(0, 80, size=400)
+    seeds = [0, 7, 33]
+    ref = _bfs_reference(src, dst, seeds, max_hops=3)
+
+    edges = _edges_ds(src, dst, blocks=4)
+    seeds_ds = rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())}))
+
+    got_driver = _bfs_out(bfs_hops(edges, seeds_ds, max_hops=3))
+    assert got_driver == ref
+
+    # broadcast_limit_ids=0 forces the co-partitioned distributed branch
+    got_dist = _bfs_out(
+        bfs_hops(edges, seeds_ds, max_hops=3, broadcast_limit_ids=0)
+    )
+    assert got_dist == ref
+
+
+def test_bfs_hops_edge_cases(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import bfs_hops
+
+    edges = _edges_ds([1, 2], [2, 3], blocks=2)
+    seeds_ds = rd.from_arrow(pa.table({"node": pa.array([1], pa.int64())}))
+    # max_hops=0: seeds only
+    assert _bfs_out(bfs_hops(edges, seeds_ds, max_hops=0)) == {1: 0}
+    # unreachable seeds / empty frontier termination
+    lone = rd.from_arrow(pa.table({"node": pa.array([99], pa.int64())}))
+    assert _bfs_out(bfs_hops(edges, lone, max_hops=5)) == {99: 0}
+    with pytest.raises(ValueError):
+        bfs_hops(edges, seeds_ds, max_hops=-1)
