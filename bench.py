@@ -279,6 +279,7 @@ def run_bench() -> dict:
         "key_skew",
         "chunk_windows",
         "graph_bfs",
+        "basket_pairs",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7345,3 +7345,40 @@ SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY node
 """
 
 QUERIES["graph_bfs"] = (q_graph_bfs, SQL_GRAPH_BFS)
+
+
+def q_basket_pairs(sf_dir: str) -> Any:
+    """Market-basket co-occurrence: part pairs bought together in >= 2
+    orders. One hash exchange co-locates each order's parts, partitions
+    generate within-run pairs with the vectorized offset scan and
+    pre-count locally, partials merge adaptively
+    (functions/basket.py:cooccurrence_pairs)."""
+    from patito_ray.functions.basket import cooccurrence_pairs
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    res = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part_a": t.column("item_a"),
+                "part_b": t.column("item_b"),
+                "n_orders": t.column("n_groups"),
+            }
+        )
+
+    return _apply(res, finish)
+
+
+SQL_BASKET_PAIRS = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM items a
+JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+QUERIES["basket_pairs"] = (q_basket_pairs, SQL_BASKET_PAIRS)

@@ -323,3 +323,58 @@ def test_bfs_hops_edge_cases(ray_session):
     assert _bfs_out(bfs_hops(edges, lone, max_hops=5)) == {99: 0}
     with pytest.raises(ValueError):
         bfs_hops(edges, seeds_ds, max_hops=-1)
+
+
+# ------------------------------------------------------- basket pairs
+
+
+def test_cooccurrence_pairs_both_branches(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from patito_ray.functions.basket import cooccurrence_pairs
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 50, size=600)
+    i = rng.integers(0, 20, size=600)
+    # plain-python reference: distinct items per group, all pairs
+    ref: dict = {}
+    groups: dict = {}
+    for gg, ii in zip(g.tolist(), i.tolist()):
+        groups.setdefault(gg, set()).add(ii)
+    for its in groups.values():
+        for a, b in itertools.combinations(sorted(its), 2):
+            ref[(a, b)] = ref.get((a, b), 0) + 1
+    ref = {k: v for k, v in ref.items() if v >= 2}
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"grp": pa.array(g, pa.int64()), "item": pa.array(i, pa.int64())}
+        )
+    ).repartition(5)
+
+    def out(res):
+        if not isinstance(res, pa.Table):
+            rows = res.take_all()
+            return {(r["item_a"], r["item_b"]): r["n_groups"] for r in rows}
+        return dict(
+            zip(
+                zip(
+                    res.column("item_a").to_pylist(),
+                    res.column("item_b").to_pylist(),
+                ),
+                res.column("n_groups").to_pylist(),
+            )
+        )
+
+    res_driver = cooccurrence_pairs(ds, "grp", "item", min_count=2)
+    assert isinstance(res_driver, pa.Table)
+    assert out(res_driver) == ref
+
+    res_dist = cooccurrence_pairs(ds, "grp", "item", min_count=2, limit_bytes=0)
+    assert not isinstance(res_dist, pa.Table)
+    assert out(res_dist) == ref
+
+    with pytest.raises(ValueError):
+        cooccurrence_pairs(ds, "grp", "item", min_count=0)
