@@ -280,6 +280,7 @@ def run_bench() -> dict:
         "chunk_windows",
         "graph_bfs",
         "basket_pairs",
+        "embed_covariance",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7382,3 +7382,57 @@ HAVING COUNT(*) >= 2
 """
 
 QUERIES["basket_pairs"] = (q_basket_pairs, SQL_BASKET_PAIRS)
+
+
+def q_embed_covariance(sf_dir: str) -> Any:
+    """Embedding covariance matrix (upper triangle) from ONE streaming
+    moment pass: per-batch (n, Σx, upper-Gram) partials — one (d x d)
+    int64 matmul per batch — merged adaptively; output is the EXACT
+    integer covariance numerator n·Σxy − Σx·Σy on the 1e-3 quantized
+    grid, so both engines compute identical integers (no float
+    summation-order hazard; functions/pca.py:moment_partials)."""
+    from patito_ray.functions.pca import moment_partials
+
+    emb = _rp(sf_dir, "embeddings", ["embedding"])
+    tab = moment_partials(emb, "embedding", 64, quantize=1000.0)
+    i = tab.column("i").to_numpy(zero_copy_only=False)
+    j = tab.column("j").to_numpy(zero_copy_only=False)
+    s = tab.column("s").to_numpy(zero_copy_only=False)
+    n = int(s[(i == -1) & (j == -1)][0])
+    sx = np.zeros(64, dtype=np.int64)
+    m1 = (i >= 0) & (j == -1)
+    sx[i[m1]] = s[m1]
+    m2 = (i >= 0) & (j >= 0)
+    ii, jj, sxy = i[m2], j[m2], s[m2]
+    cov_num = n * sxy - sx[ii] * sx[jj]
+    return pa.table(
+        {
+            "i": pa.array(ii, type=pa.int64()),
+            "j": pa.array(jj, type=pa.int64()),
+            "cov_num": pa.array(cov_num, type=pa.int64()),
+        }
+    )
+
+
+SQL_EMBED_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, t.i AS i,
+         CAST(FLOOR(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
+                    * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+sx AS (SELECT i, SUM(q) AS s FROM e GROUP BY i),
+xy AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS sxy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT xy.i, xy.j,
+       CAST((SELECT n FROM nn) * sxy - sa.s * sb.s AS BIGINT) AS cov_num
+FROM xy
+JOIN sx sa ON sa.i = xy.i
+JOIN sx sb ON sb.i = xy.j
+"""
+
+QUERIES["embed_covariance"] = (q_embed_covariance, SQL_EMBED_COVARIANCE)
