@@ -281,6 +281,7 @@ def run_bench() -> dict:
         "graph_bfs",
         "basket_pairs",
         "embed_covariance",
+        "interval_coverage",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7436,3 +7436,66 @@ JOIN sx sb ON sb.i = xy.j
 """
 
 QUERIES["embed_covariance"] = (q_embed_covariance, SQL_EMBED_COVARIANCE)
+
+
+def q_interval_coverage(sf_dir: str) -> Any:
+    """Per-user interval-union coverage: total microseconds covered by
+    [ts, ts + floor(value) sec] event intervals, overlaps counted once.
+    ONE hash exchange on user_id, one vectorized per-partition sweep
+    (stages/window.py:interval_coverage) — exact int64 arithmetic, so
+    both engines agree bit-for-bit."""
+    from patito_ray.stages.window import interval_coverage
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False)
+        ).astype(np.int64) * 1_000_000
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "s": pa.array(s, type=pa.int64()),
+                "e": pa.array(s + dur, type=pa.int64()),
+            }
+        )
+
+    res = ds.map_batches(iv, batch_format="pyarrow", batch_size=None)
+    out = interval_coverage(res, "user_id", "s", "e", out_col="covered_us")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.schema(
+                [("user_id", pa.int64()), ("covered_us", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "covered_us": pc.cast(t.column("covered_us"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 1000000 AS e
+  FROM events
+),
+w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS pcm
+  FROM iv
+)
+SELECT user_id,
+       SUM(GREATEST(e - GREATEST(s, COALESCE(pcm, s)), 0)) AS covered_us
+FROM w GROUP BY user_id
+"""
+
+QUERIES["interval_coverage"] = (q_interval_coverage, SQL_INTERVAL_COVERAGE)

@@ -214,3 +214,59 @@ def scd2_compact(
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
     return parted.groupby("part").map_groups(compact, batch_format="pyarrow")
+
+
+def interval_coverage(
+    ds: Any,
+    by: str,
+    start_col: str,
+    end_col: str,
+    num_partitions: int | None = None,
+    out_col: str = "covered",
+) -> Any:
+    """Union length of ``[start, end]`` intervals per ``by`` key ->
+    Dataset[by, out_col] (overlaps counted once; zero/negative-length
+    intervals contribute 0).
+
+    Same scale shape as :func:`window_over`: ONE hash exchange on the
+    key, then a single vectorized polars sweep per partition — sort by
+    (key, start, end), per-key running max of the previous end, each
+    row contributes ``max(0, end - max(start, prev_cummax))``, group
+    sum. Integer inputs stay exact (no float sweep); a key's rows all
+    land in one partition, so no second merge is needed.
+    """
+    import polars as pl
+
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        part = hash_partition_ids(
+            t.column(by), num_partitions, f"interval_coverage key column {by!r}"
+        )
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def sweep(group_table: pa.Table) -> pa.Table:
+        if group_table.num_rows == 0 or by not in group_table.column_names:
+            return pa.table({by: [], out_col: []})
+        df = pl.from_arrow(
+            group_table.select([by, start_col, end_col])
+        ).sort([by, start_col, end_col], maintain_order=True)
+        pcm = pl.col(end_col).cum_max().shift(1).over(by)
+        contrib = (
+            pl.col(end_col)
+            - pl.max_horizontal(pl.col(start_col), pcm.fill_null(pl.col(start_col)))
+        ).clip(lower_bound=0)
+        return (
+            df.with_columns(contrib.alias("_c"))
+            .group_by(by, maintain_order=True)
+            .agg(pl.col("_c").sum().alias(out_col))
+            .to_arrow()
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby("part").map_groups(sweep, batch_format="pyarrow")

@@ -228,3 +228,57 @@ def test_scd2_compact_empty_order_raises(ray_session):
     ds = rd.from_arrow(pa.table({"k": [1], "ts": [1], "a": ["x"]}))
     with pytest.raises(ValueError, match="order must be non-empty"):
         scd2_compact(ds, by="k", order=[], attrs=["a"])
+
+
+def test_interval_coverage_random_reference(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.window import interval_coverage
+
+    rng = np.random.default_rng(17)
+    n = 500
+    key = rng.integers(0, 12, size=n)
+    s = rng.integers(0, 1000, size=n)
+    ln = rng.integers(-50, 200, size=n)  # includes negative/zero lengths
+    e = s + ln
+
+    # brute reference: per key, mark covered integer points
+    ref = {}
+    for k in np.unique(key):
+        mask = key == k
+        covered = set()
+        for a, b in zip(s[mask], e[mask]):
+            covered.update(range(int(a), int(b)))
+        ref[int(k)] = len(covered)
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(key, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(e, pa.int64()),
+            }
+        )
+    ).repartition(6)
+    out = interval_coverage(ds, "k", "s", "e", num_partitions=4)
+    got = {r["k"]: r["covered"] for r in out.take_all()}
+    assert got == ref
+
+
+def test_interval_coverage_nested_and_touching(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.window import interval_coverage
+
+    # nested [0,100] ⊃ [10,20]; touching [100,150]; disjoint [200,210]
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1], pa.int64()),
+            "s": pa.array([0, 10, 100, 200], pa.int64()),
+            "e": pa.array([100, 20, 150, 210], pa.int64()),
+        }
+    )
+    out = interval_coverage(
+        rd.from_arrow(t).repartition(2), "k", "s", "e", num_partitions=2
+    )
+    assert {r["k"]: r["covered"] for r in out.take_all()} == {1: 160}
