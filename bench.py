@@ -282,6 +282,7 @@ def run_bench() -> dict:
         "basket_pairs",
         "embed_covariance",
         "interval_coverage",
+        "name_link_jw",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7499,3 +7499,38 @@ FROM w GROUP BY user_id
 """
 
 QUERIES["interval_coverage"] = (q_interval_coverage, SQL_INTERVAL_COVERAGE)
+
+
+def q_name_link_jw(sf_dir: str) -> Any:
+    """Blocked record linkage: customer x supplier names scored with
+    byte-exact Jaro-Winkler inside per-nation blocks, kept at
+    jw >= 0.76. One co-partition exchange on the block key; the pair
+    kernel loops over string positions, never pairs
+    (functions/jaro.py). Scores are bit-identical to DuckDB's
+    jaro_winkler_similarity, so the filter and output need NO
+    rounding."""
+    from patito_ray.functions.jaro import blocked_name_link
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    return blocked_name_link(
+        cust,
+        supp,
+        left_key="c_custkey",
+        right_key="s_suppkey",
+        left_block="c_nationkey",
+        right_block="s_nationkey",
+        left_name="c_name",
+        right_name="s_name",
+        threshold=0.76,
+    )
+
+
+SQL_NAME_LINK_JW = """
+SELECT c_custkey, s_suppkey,
+       jaro_winkler_similarity(c_name, s_name) AS jw
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+WHERE jaro_winkler_similarity(c_name, s_name) >= 0.76
+"""
+
+QUERIES["name_link_jw"] = (q_name_link_jw, SQL_NAME_LINK_JW)
