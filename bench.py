@@ -283,6 +283,7 @@ def run_bench() -> dict:
         "embed_covariance",
         "interval_coverage",
         "name_link_jw",
+        "region_nation_revenue",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

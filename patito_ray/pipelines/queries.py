@@ -7534,3 +7534,168 @@ WHERE jaro_winkler_similarity(c_name, s_name) >= 0.76
 """
 
 QUERIES["name_link_jw"] = (q_name_link_jw, SQL_NAME_LINK_JW)
+
+
+def q_region_nation_revenue(sf_dir: str) -> Any:
+    """TPC-H Q5 shape, the full join-strategy mix in one pipeline: the
+    two LARGE sides (lineitem, date-filtered orders) meet in a
+    partitioned hash join; the three dimension maps (customer nation,
+    supplier nation, in-region nation set) broadcast ONCE via ray.put
+    and attach inside a single map_batches that also applies the Q5
+    co-location condition (customer and supplier in the SAME nation)
+    and pre-aggregates revenue per nation on the exact integer 1e-4
+    grid (cents x basis points — no float summation-order risk).
+    Partials merge adaptively; only #nations rows leave the stream."""
+    import ray
+
+    import polars as pl
+
+    from patito_ray.sources.readers import clean_read_parquet
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+
+    region = pa.concat_tables(
+        _rp(sf_dir, "region", None).iter_batches(batch_format="pyarrow")
+    )
+    nation = pa.concat_tables(
+        _rp(sf_dir, "nation", None).iter_batches(batch_format="pyarrow")
+    )
+    asia_keys = region.filter(pc.equal(region.column("r_name"), "ASIA")).column(
+        "r_regionkey"
+    )
+    nat_asia = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=asia_keys)
+    )
+    cust = pa.concat_tables(
+        _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    supp = pa.concat_tables(
+        _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    ref = ray.put(
+        (
+            cust,
+            supp,
+            nat_asia.column("n_nationkey").combine_chunks(),
+        )
+    )
+
+    from patito_ray.stages.join import hash_join
+
+    orders = clean_read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi)
+        ),
+    )
+    items = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = hash_join(items, orders, on="l_orderkey", right_on="o_orderkey")
+
+    _p_schema = pa.schema(
+        [("nk", pa.int64()), ("rev4", pa.int64()), ("n_items", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            return _p_schema.empty_table()
+        cust_m, supp_m, asia_nk = ray.get(ref)
+        t = t.join(cust_m, keys=["o_custkey"], right_keys=["c_custkey"])
+        t = t.join(supp_m, keys=["l_suppkey"], right_keys=["s_suppkey"])
+        keep = pc.and_(
+            pc.equal(t.column("c_nationkey"), t.column("s_nationkey")),
+            pc.is_in(t.column("c_nationkey"), value_set=asia_nk),
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return _p_schema.empty_table()
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev4 = np.floor(price * 100.0 + 0.5).astype(np.int64) * (
+            100 - np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        )
+        return (
+            pl.DataFrame(
+                {
+                    "nk": t.column("c_nationkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "rev4": rev4,
+                }
+            )
+            .group_by("nk")
+            .agg(
+                pl.col("rev4").sum(),
+                pl.len().cast(pl.Int64).alias("n_items"),
+            )
+            .select(["nk", "rev4", "n_items"])
+            .to_arrow()
+            .cast(_p_schema)
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, ["nk"], ["rev4", "n_items"])
+
+    name_of = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("n_name", pa.string()),
+                    ("n_items", pa.int64()),
+                    ("revenue", pa.float64()),
+                ]
+            ).empty_table()
+        nk = t.column("nk").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([name_of[k] for k in nk], type=pa.string()),
+                "n_items": pc.cast(t.column("n_items"), pa.int64()),
+                "revenue": pc.divide(
+                    pc.cast(t.column("rev4"), pa.float64()), 10000.0
+                ),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_REGION_NATION_REVENUE = """
+WITH g AS (
+  SELECT n_name,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+)
+SELECT n_name, COUNT(*) AS n_items,
+       CAST(SUM(rev4) AS DOUBLE) / 10000.0 AS revenue
+FROM g GROUP BY n_name
+"""
+
+QUERIES["region_nation_revenue"] = (
+    q_region_nation_revenue,
+    SQL_REGION_NATION_REVENUE,
+)
