@@ -284,6 +284,7 @@ def run_bench() -> dict:
         "interval_coverage",
         "name_link_jw",
         "region_nation_revenue",
+        "rolling_median",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

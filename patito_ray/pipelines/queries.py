@@ -7699,3 +7699,43 @@ QUERIES["region_nation_revenue"] = (
     q_region_nation_revenue,
     SQL_REGION_NATION_REVENUE,
 )
+
+
+def q_rolling_median(sf_dir: str) -> Any:
+    """Holistic rolling window: each customer's 7-order moving MEDIAN
+    spend (SQL ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). One hash
+    exchange; the per-partition kernel buckets rows by effective
+    window length and takes one np.median per bucket — mean-of-two-
+    middles is bit-identical to QUANTILE_CONT(0.5), so no rounding
+    (stages/window.py:rolling_median_over)."""
+    from patito_ray.stages.window import rolling_median_over
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = rolling_median_over(
+        ds,
+        by="o_custkey",
+        order=["o_orderdate", "o_orderkey"],
+        src="o_totalprice",
+        frame=7,
+    )
+
+    _schema = pa.schema([("o_orderkey", pa.int64()), ("roll_med", pa.float64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+            return _schema.empty_table()
+        return t.select(["o_orderkey", "roll_med"]).cast(_schema)
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT o_orderkey,
+       MEDIAN(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS roll_med
+FROM orders
+"""
+
+QUERIES["rolling_median"] = (q_rolling_median, SQL_ROLLING_MEDIAN)

@@ -282,3 +282,55 @@ def test_interval_coverage_nested_and_touching(ray_session):
         rd.from_arrow(t).repartition(2), "k", "s", "e", num_partitions=2
     )
     assert {r["k"]: r["covered"] for r in out.take_all()} == {1: 160}
+
+
+def test_rolling_median_matches_brute(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.window import rolling_median_over
+
+    rng = np.random.default_rng(8)
+    n = 400
+    k = rng.integers(0, 9, n)
+    v = rng.uniform(0, 100, n)
+    o = np.arange(n)
+    ref = {}
+    for kk in np.unique(k):
+        idx = np.flatnonzero(k == kk)
+        for j, i in enumerate(idx):
+            ref[int(i)] = float(np.median(v[idx[max(0, j - 4) : j + 1]]))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "o": pa.array(o, pa.int64()),
+                "v": pa.array(v, pa.float64()),
+            }
+        )
+    ).repartition(5)
+    out = rolling_median_over(
+        ds, by="k", order=["o"], src="v", frame=5, num_partitions=4
+    ).take_all()
+    got = {r["o"]: r["roll_med"] for r in out}
+    assert got == ref
+
+
+def test_rolling_median_frame_one_and_errors(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.window import rolling_median_over
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "o": pa.array([1, 2, 1], pa.int64()),
+            "v": pa.array([5.0, 7.0, 9.0]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = rolling_median_over(
+        ds, by="k", order=["o"], src="v", frame=1, num_partitions=2
+    ).take_all()
+    assert {r["o"]: r["roll_med"] for r in out if r["k"] == 1} == {1: 5.0, 2: 7.0}
+    with pytest.raises(ValueError, match="frame"):
+        rolling_median_over(ds, by="k", order=["o"], src="v", frame=0)
