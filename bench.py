@@ -285,6 +285,7 @@ def run_bench() -> dict:
         "name_link_jw",
         "region_nation_revenue",
         "rolling_median",
+        "rolling_active_users",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7739,3 +7739,58 @@ FROM orders
 """
 
 QUERIES["rolling_median"] = (q_rolling_median, SQL_ROLLING_MEDIAN)
+
+
+def q_rolling_active_users(sf_dir: str) -> Any:
+    """Rolling 7-day distinct active users (the WAU family): sliding
+    COUNT(DISTINCT) decomposed per user into coverage intervals —
+    one hash exchange on user_id moving only distinct (user, day)
+    pairs, vectorized interval merge + boundary deltas per partition,
+    adaptive delta merge, and one prefix sum over the calendar-bounded
+    day domain (stages/window.py:rolling_active_count). Exact integer
+    counting end to end."""
+    from patito_ray.stages.window import rolling_active_count
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "aday": pa.array(us // 86_400_000_000, type=pa.int64()),
+            }
+        )
+
+    tab = rolling_active_count(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "user_id",
+        "aday",
+        window=7,
+    )
+    # date32 -> timestamp[us]: DuckDB DATE comes back as datetime64
+    day = pc.cast(
+        pc.cast(pc.cast(tab.column("day"), pa.int32()), pa.date32()),
+        pa.timestamp("us"),
+    )
+    return pa.table({"day": day, "active": tab.column("active")})
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS aday, user_id FROM events),
+span AS (SELECT MIN(aday) AS lo, MAX(aday) AS hi FROM d),
+days AS (
+  SELECT CAST(UNNEST(generate_series(
+           (SELECT lo FROM span), (SELECT hi FROM span), INTERVAL 1 DAY
+         )) AS DATE) AS day
+)
+SELECT days.day, COUNT(DISTINCT d.user_id) AS active
+FROM days
+LEFT JOIN d ON d.aday BETWEEN days.day - 6 AND days.day
+GROUP BY 1
+"""
+
+QUERIES["rolling_active_users"] = (
+    q_rolling_active_users,
+    SQL_ROLLING_ACTIVE_USERS,
+)

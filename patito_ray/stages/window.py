@@ -21,6 +21,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 #: op name -> polars expression builder (src column, order direction)
 _SUPPORTED_OPS = (
@@ -345,3 +346,129 @@ def rolling_median_over(
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
     return parted.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def rolling_active_count(
+    ds: Any,
+    key_col: str,
+    day_col: str,
+    window: int = 7,
+    num_partitions: int | None = None,
+    limit_bytes: int | None = None,
+) -> pa.Table:
+    """Sliding COUNT(DISTINCT key) over the last ``window`` days (the
+    WAU/MAU family) -> local pa.Table[day:int64, active:int64], one row
+    per day in the observed [min, max] span.
+
+    Sliding distinct counts don't decompose as sums — but per KEY they
+    do: a key is counted on day d iff d falls in the union of
+    [activity_day, activity_day + window) intervals. So: one hash
+    exchange on the key, each partition merges every key's day-set
+    into disjoint intervals VECTORIZED (sort + run scan) and emits
+    ±1 boundary deltas; the (day, delta) partials merge adaptively and
+    one prefix sum over the (calendar-bounded, ~10k rows/30 years)
+    day domain finishes on the driver. Exchange volume is O(distinct
+    (key, day)) — never the event count.
+    """
+    import polars as pl
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        # pre-dedup (key, day) inside the batch: bounds exchange volume
+        dd = (
+            pl.from_arrow(t.select([key_col, day_col]))
+            .unique()
+            .to_arrow()
+        )
+        part = hash_partition_ids(
+            dd.column(key_col),
+            num_partitions,
+            f"rolling_active_count key column {key_col!r}",
+        )
+        return dd.append_column("part", pa.array(part, type=pa.int64()))
+
+    _delta_schema = pa.schema([("day", pa.int64()), ("delta", pa.int64())])
+
+    def deltas(group_table: pa.Table) -> pa.Table:
+        if group_table.num_rows == 0 or key_col not in group_table.column_names:
+            return _delta_schema.empty_table()
+        k = pc.cast(group_table.column(key_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = pc.cast(group_table.column(day_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.empty(len(k), dtype=bool)
+        keep[0] = True
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        # merge each key's [d, d+window) intervals: a new interval
+        # starts at a key change or a gap >= window
+        new_iv = np.empty(len(k), dtype=bool)
+        new_iv[0] = True
+        new_iv[1:] = (k[1:] != k[:-1]) | (d[1:] - d[:-1] >= window)
+        starts = d[new_iv]
+        # interval end = last day of its run + window
+        iv_id = np.cumsum(new_iv) - 1
+        last = np.zeros(iv_id[-1] + 1, dtype=np.int64)
+        np.maximum.at(last, iv_id, d)  # d ascending per key, but safe
+        ends = last + window
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([starts, ends]), type=pa.int64()),
+                "delta": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(len(starts), dtype=np.int64),
+                            -np.ones(len(ends), dtype=np.int64),
+                        ]
+                    ),
+                    type=pa.int64(),
+                ),
+            },
+            schema=_delta_schema,
+        )
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    partials = parted.groupby("part").map_groups(deltas, batch_format="pyarrow")
+    kwargs = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(partials, ["day"], ["delta"], **kwargs)
+    if not isinstance(merged, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        # day domain is calendar-bounded — tiny at any corpus size
+        merged = collect_table(merged, empty_schema=_delta_schema)
+    if merged.num_rows == 0:
+        return pa.schema([("day", pa.int64()), ("active", pa.int64())]).empty_table()
+    day = merged.column("day").to_numpy(zero_copy_only=False)
+    delta = merged.column("delta").to_numpy(zero_copy_only=False)
+    order = np.argsort(day, kind="stable")
+    day, delta = day[order], delta[order]
+    # dense prefix sum over the day span; active(d) counts keys whose
+    # interval covers d; the span's trailing window tail is dropped
+    # (those days have no observed activity at or after them)
+    lo, hi = int(day[0]), int(day[-1])  # hi = last end = last activity + window
+    # scatter deltas then cumsum
+    acc = np.zeros(hi - lo + 1, dtype=np.int64)
+    np.add.at(acc, day - lo, delta)
+    run = np.cumsum(acc)
+    max_day = hi - window  # last observed activity day
+    days_out = np.arange(lo, max_day + 1, dtype=np.int64)
+    return pa.table(
+        {
+            "day": pa.array(days_out, type=pa.int64()),
+            "active": pa.array(run[: len(days_out)], type=pa.int64()),
+        }
+    )

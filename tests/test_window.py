@@ -334,3 +334,53 @@ def test_rolling_median_frame_one_and_errors(ray_session):
     assert {r["o"]: r["roll_med"] for r in out if r["k"] == 1} == {1: 5.0, 2: 7.0}
     with pytest.raises(ValueError, match="frame"):
         rolling_median_over(ds, by="k", order=["o"], src="v", frame=0)
+
+
+def test_rolling_active_count_brute_and_gaps(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.window import rolling_active_count
+
+    rng = np.random.default_rng(21)
+    n = 300
+    user = rng.integers(0, 25, n)
+    # sparse days with gaps wider than the window -> zero-active days
+    day = rng.choice(np.array([0, 1, 2, 20, 21, 40, 90]), size=n) + 100
+    ds = rd.from_arrow(
+        pa.table(
+            {"u": pa.array(user, pa.int64()), "d": pa.array(day, pa.int64())}
+        )
+    ).repartition(4)
+
+    def brute(window):
+        lo, hi = int(day.min()), int(day.max())
+        out = {}
+        for dd in range(lo, hi + 1):
+            out[dd] = len(
+                {int(u) for u, a in zip(user, day) if dd - window < a <= dd}
+            )
+        return out
+
+    for window in (1, 7):
+        got_t = rolling_active_count(ds, "u", "d", window=window)
+        got = dict(
+            zip(
+                got_t.column("day").to_pylist(),
+                got_t.column("active").to_pylist(),
+            )
+        )
+        assert got == brute(window), f"window={window}"
+        # forced-distributed delta merge
+        got_d = rolling_active_count(ds, "u", "d", window=window, limit_bytes=0)
+        assert (
+            dict(
+                zip(
+                    got_d.column("day").to_pylist(),
+                    got_d.column("active").to_pylist(),
+                )
+            )
+            == got
+        )
+
+    with pytest.raises(ValueError, match="window"):
+        rolling_active_count(ds, "u", "d", window=0)
