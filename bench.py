@@ -286,6 +286,7 @@ def run_bench() -> dict:
         "region_nation_revenue",
         "rolling_median",
         "rolling_active_users",
+        "debounce_events",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7794,3 +7794,59 @@ QUERIES["rolling_active_users"] = (
     q_rolling_active_users,
     SQL_ROLLING_ACTIVE_USERS,
 )
+
+
+def q_debounce_events(sf_dir: str) -> Any:
+    """Stream-hygiene debounce: drop events repeating the same
+    (user_id, event_type) within 6 hours of the PREVIOUS occurrence —
+    the surviving rows are each burst's fresh arrivals. Rides the
+    composite-key distributed window pass (one exchange hashed on
+    user_id, lag over the (user, type) composite); integer-microsecond
+    gap test, bit-exact vs SQL LAG."""
+    from patito_ray.stages.window import window_over
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ts_us", pc.cast(t.column("ts"), pa.int64())
+        )
+
+    out = window_over(
+        ds.map_batches(to_us, batch_format="pyarrow", batch_size=None),
+        by=["user_id", "event_type"],
+        order=["ts_us", "event_id"],
+        cols={"prev_us": ("lag", "ts_us")},
+    )
+
+    _schema = pa.schema([("event_id", pa.int64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return _schema.empty_table()
+        gap_ok = pc.or_kleene(
+            pc.is_null(t.column("prev_us")),
+            pc.greater(
+                pc.subtract(t.column("ts_us"), t.column("prev_us")),
+                21_600_000_000,
+            ),
+        )
+        return pa.table(
+            {"event_id": t.filter(gap_ok).column("event_id")}, schema=_schema
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DEBOUNCE_EVENTS = """
+WITH g AS (
+  SELECT event_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS gap
+  FROM events
+)
+SELECT event_id FROM g WHERE gap IS NULL OR gap > 21600000000
+"""
+
+QUERIES["debounce_events"] = (q_debounce_events, SQL_DEBOUNCE_EVENTS)

@@ -44,7 +44,7 @@ _DEFAULT_FRAME = 7
 
 def window_over(
     ds: Any,
-    by: str,
+    by: "str | list[str]",
     order: list[str],
     cols: dict[str, tuple[str, str | None]],
     descending: bool = False,
@@ -66,8 +66,18 @@ def window_over(
     row order is partition-internal (canonicalize downstream when
     comparing). NULL ``by`` keys are rejected (SQL puts them in one
     partition; filter or fill first — same contract as grouped_top_k).
+
+    ``by`` may be a LIST of columns (composite window key, e.g.
+    (user, event_type)): the exchange hashes only the FIRST column —
+    a key's sub-keys always co-locate with it — and the per-partition
+    window expressions run ``.over(by)`` on the full composite.
     """
     import polars as pl
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if not by_cols:
+        raise ValueError("by must name at least one column")
+    part_key, by = by_cols[0], by_cols
 
     for name, (op, _src) in cols.items():
         if op not in _SUPPORTED_OPS:
@@ -83,17 +93,19 @@ def window_over(
         from patito_ray.stages.exchange import hash_partition_ids
 
         part = hash_partition_ids(
-            t.column(by), num_partitions, f"window_over key column {by!r}"
+            t.column(part_key),
+            num_partitions,
+            f"window_over key column {part_key!r}",
         )
         return t.append_column("part", pa.array(part, type=pa.int64()))
 
-    sort_cols = [by] + list(order)
+    sort_cols = by + list(order)
 
     def run_windows(group_table: pa.Table) -> pa.Table:
         df = pl.from_arrow(group_table.drop_columns(["part"]))
         df = df.sort(
             sort_cols,
-            descending=[False] + [descending] * len(order),
+            descending=[False] * len(by) + [descending] * len(order),
             maintain_order=True,
         )
         exprs = []

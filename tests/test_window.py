@@ -384,3 +384,30 @@ def test_rolling_active_count_brute_and_gaps(ray_session):
 
     with pytest.raises(ValueError, match="window"):
         rolling_active_count(ds, "u", "d", window=0)
+
+
+def test_window_over_composite_by(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.window import window_over
+
+    # lag must respect the FULL composite (u, g), not just the hashed u
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2], pa.int64()),
+            "g": pa.array(["a", "b", "a", "a"]),
+            "o": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+        }
+    )
+    out = window_over(
+        rd.from_arrow(t).repartition(2),
+        by=["u", "g"],
+        order=["o"],
+        cols={"pv": ("lag", "v"), "rn": ("row_number", None)},
+        num_partitions=3,
+    ).take_all()
+    got = {r["o"]: (r["pv"], r["rn"]) for r in out}
+    assert got == {1: (None, 1), 2: (None, 1), 3: (10.0, 2), 4: (None, 1)}
+    with pytest.raises(ValueError, match="at least one column"):
+        window_over(rd.from_arrow(t), by=[], order=["o"], cols={"rn": ("row_number", None)})
