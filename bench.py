@@ -287,6 +287,7 @@ def run_bench() -> dict:
         "rolling_median",
         "rolling_active_users",
         "debounce_events",
+        "metadata_stats",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7850,3 +7850,34 @@ SELECT event_id FROM g WHERE gap IS NULL OR gap > 21600000000
 """
 
 QUERIES["debounce_events"] = (q_debounce_events, SQL_DEBOUNCE_EVENTS)
+
+
+def q_metadata_stats(sf_dir: str) -> Any:
+    """Metadata-only aggregates: row count, MIN/MAX and null counts
+    straight from the Parquet FOOTERS — zero data bytes read (the
+    seconds-not-hours answer at 100 TB). Footer reads distribute one
+    task per file batch; scalar partials merge on the driver
+    (sources/readers.py:parquet_footer_stats). Numeric/temporal
+    columns only (string stats may be writer-truncated — rejected
+    loudly)."""
+    from patito_ray.sources.readers import parquet_footer_stats
+
+    return parquet_footer_stats(
+        f"{sf_dir}/orders.parquet", ["o_totalprice", "o_orderdate"]
+    )
+
+
+SQL_METADATA_STATS = """
+SELECT COUNT(*) AS n_rows,
+       MIN(o_totalprice) AS o_totalprice_min,
+       MAX(o_totalprice) AS o_totalprice_max,
+       CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT)
+         AS o_totalprice_nulls,
+       MIN(o_orderdate) AS o_orderdate_min,
+       MAX(o_orderdate) AS o_orderdate_max,
+       CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS BIGINT)
+         AS o_orderdate_nulls
+FROM orders
+"""
+
+QUERIES["metadata_stats"] = (q_metadata_stats, SQL_METADATA_STATS)

@@ -123,3 +123,28 @@ def test_iter_warc_skips_markerless_garbage_without_hanging():
     stream = io.BytesIO(b"garbage\r\n\r\n" + b"X" * 200_000 + rec)
     got = list(iter_warc_records(stream))
     assert len(got) == 1 and got[0][1] == b"hello"
+
+
+# ---------------------------------------------------- footer stats
+
+
+def test_parquet_footer_stats_multifile(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from patito_ray.sources.readers import parquet_footer_stats
+
+    t1 = pa.table({"x": pa.array([3, 1, None, 9], pa.int64()),
+                   "s": pa.array(["a", "b", "c", "d"])})
+    t2 = pa.table({"x": pa.array([-5, 7, None, None], pa.int64()),
+                   "s": pa.array(["e", "f", "g", "h"])})
+    pq.write_table(t1, tmp_path / "a.parquet", row_group_size=2)
+    pq.write_table(t2, tmp_path / "b.parquet", row_group_size=2)
+
+    out = parquet_footer_stats(str(tmp_path), ["x"])
+    row = out.to_pylist()[0]
+    assert row == {"n_rows": 8, "x_min": -5, "x_max": 9, "x_nulls": 3}
+
+    with pytest.raises(TypeError, match="numeric/temporal"):
+        parquet_footer_stats(str(tmp_path), ["s"])
+    with pytest.raises(Exception):
+        parquet_footer_stats(str(tmp_path / "missing"), ["x"])
