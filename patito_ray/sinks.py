@@ -201,3 +201,87 @@ def output_manifests(out_dir: str) -> list[dict[str, Any]]:
             with open(f"{mdir}/{name}") as f:
                 out.append(json.load(f))
     return out
+
+
+def compact_parquet(
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 256 * 1024 * 1024,
+    overwrite: bool = False,
+) -> dict[str, Any]:
+    """Small-file compaction: rewrite a directory of (typically many
+    tiny) Parquet files into files of ~``target_bytes`` each — the
+    standard post-ingest maintenance op (a 100-TB table fragmented
+    into 10^6 KB-scale files pays footer+task overhead on every read).
+
+    Files are packed into bins by FIRST-FIT over their on-disk sizes
+    (driver-side, metadata only), then each bin rewrites as ONE
+    streaming read→write task — no shuffle, no driver data path, bins
+    execute in parallel via the task pool. Returns
+    ``{"files_in", "files_out", "bytes_in"}``. Output is atomic per
+    directory: data lands in ``out_dir + '.tmp'`` and renames into
+    place, so a crashed compaction never leaves a half-written
+    ``out_dir``.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    if os.path.exists(out_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} exists; pass overwrite=True to replace it"
+            )
+        shutil.rmtree(out_dir)
+    files = sorted(glob.glob(os.path.join(in_dir, "*.parquet")))
+    if not files:
+        raise ValueError(f"no parquet files to compact under {in_dir!r}")
+    sizes = {f: os.path.getsize(f) for f in files}
+
+    bins: list[list[str]] = []
+    space: list[int] = []
+    for f in files:
+        sz = sizes[f]
+        for i, free in enumerate(space):
+            if sz <= free:
+                bins[i].append(f)
+                space[i] -= sz
+                break
+        else:
+            bins.append([f])
+            space.append(max(target_bytes - sz, 0))
+
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    @ray.remote
+    def _compact_bin(bin_files: list[str], dest: str) -> int:
+        writer = None
+        try:
+            for f in bin_files:
+                pf = pq.ParquetFile(f)
+                for g in range(pf.metadata.num_row_groups):
+                    tab = pf.read_row_group(g)
+                    if writer is None:
+                        writer = pq.ParquetWriter(dest, tab.schema)
+                    writer.write_table(tab)
+        finally:
+            if writer is not None:
+                writer.close()
+        return len(bin_files)
+
+    futures = [
+        _compact_bin.remote(b, os.path.join(tmp, f"part-{i:05d}.parquet"))
+        for i, b in enumerate(bins)
+    ]
+    ray.get(futures)
+    os.rename(tmp, out_dir)
+    return {
+        "files_in": len(files),
+        "files_out": len(bins),
+        "bytes_in": int(sum(sizes.values())),
+    }

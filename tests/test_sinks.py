@@ -123,3 +123,42 @@ def test_changed_transform_supersedes_plan(ray_session, corpus, tmp_path):
     assert len(read_output(out).take_all()) == 40
     plan = json.load(open(f"{out}/_plan.json"))
     assert plan["transform_fingerprint"] == "identity"
+
+
+# ------------------------------------------------------- compaction
+
+
+def test_compact_parquet_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from patito_ray.sinks import compact_parquet
+
+    src = tmp_path / "frag"
+    src.mkdir()
+    all_rows = []
+    for i in range(20):
+        t = pa.table({"x": pa.array([i * 10 + j for j in range(50)], pa.int64())})
+        pq.write_table(t, src / f"f{i:03d}.parquet")
+        all_rows.extend(t.column("x").to_pylist())
+
+    out = tmp_path / "compact"
+    res = compact_parquet(str(src), str(out), target_bytes=4 * 1024)
+    assert res["files_in"] == 20
+    assert 1 <= res["files_out"] < 20
+    got = []
+    import glob
+
+    out_files = sorted(glob.glob(str(out / "*.parquet")))
+    assert len(out_files) == res["files_out"]
+    for f in out_files:
+        got.extend(pq.read_table(f).column("x").to_pylist())
+    assert sorted(got) == sorted(all_rows)
+
+    # refuses to clobber without overwrite=True
+    with pytest.raises(FileExistsError):
+        compact_parquet(str(src), str(out))
+    res2 = compact_parquet(str(src), str(out), target_bytes=10**9, overwrite=True)
+    assert res2["files_out"] == 1
+
+    with pytest.raises(ValueError, match="no parquet files"):
+        compact_parquet(str(tmp_path / "empty_missing"), str(tmp_path / "o2"))
