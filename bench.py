@@ -288,6 +288,7 @@ def run_bench() -> dict:
         "rolling_active_users",
         "debounce_events",
         "metadata_stats",
+        "weighted_median",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

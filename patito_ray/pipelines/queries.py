@@ -7881,3 +7881,43 @@ FROM orders
 """
 
 QUERIES["metadata_stats"] = (q_metadata_stats, SQL_METADATA_STATS)
+
+
+def q_weighted_median(sf_dir: str) -> Any:
+    """Quantity-weighted median extended price per return flag: the
+    smallest price whose cumulative quantity reaches half the group
+    total. Selection-based — bit-exact vs the SQL running-SUM-window
+    formulation, no rounding (stages/quantiles.py:
+    grouped_weighted_median, adaptive driver-vs-exchange)."""
+    from patito_ray.stages.quantiles import grouped_weighted_median
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    res = grouped_weighted_median(
+        ds, by="l_returnflag", value="l_extendedprice", weight="l_quantity"
+    )
+
+    _schema = pa.schema([("l_returnflag", pa.string()), ("wmedian", pa.float64())])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_returnflag" not in t.column_names:
+            return _schema.empty_table()
+        return t.select(["l_returnflag", "wmedian"]).cast(_schema)
+
+    return _apply(res, finish)
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         SUM(l_quantity) OVER (
+           PARTITION BY l_returnflag ORDER BY l_extendedprice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, MIN(v) AS wmedian
+FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+"""
+
+QUERIES["weighted_median"] = (q_weighted_median, SQL_WEIGHTED_MEDIAN)

@@ -317,3 +317,69 @@ def grouped_mad(
         return med.join(mad, on=by, how="inner").to_arrow()
 
     return _adaptive_grouped_holistic(ds, add_part, per_partition, limit_bytes)
+
+
+def grouped_weighted_median(
+    ds: Any,
+    by: str,
+    value: str,
+    weight: str,
+    num_partitions: int | None = None,
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> Any:
+    """Lower weighted median per ``by`` group: the smallest value v
+    whose cumulative weight (values sorted ascending) reaches half the
+    group's total weight — one row per group ``[by, wmedian]``.
+
+    Selection-based, so bit-exact against SQL's running-SUM-window
+    formulation (no interpolation, no rounding; ties within equal
+    values cannot change the answer — the crossing row's value is the
+    minimum among all satisfying rows). Weights must be non-negative
+    (enforced loudly); null value OR weight rows are ignored. Rides
+    the same adaptive driver-vs-exchange spine as grouped_quantiles.
+    """
+    import polars as pl
+
+    if num_partitions is None:
+        from patito_ray.stages.join import default_num_partitions
+
+        num_partitions = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        t = pa.table(
+            {by: t.column(by), value: t.column(value), weight: t.column(weight)}
+        )
+        ok = pc.and_(
+            pc.is_valid(t.column(value)), pc.is_valid(t.column(weight))
+        )
+        if t.num_rows and not pc.all(ok).as_py():
+            t = t.filter(ok)
+        if t.num_rows and pc.min(t.column(weight)).as_py() < 0:
+            raise ValueError(
+                f"grouped_weighted_median weights ({weight!r}) must be "
+                "non-negative"
+            )
+        part = hash_partition_ids(
+            t.column(by),
+            num_partitions,
+            f"grouped_weighted_median key column {by!r}",
+        )
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def per_partition(group_table: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group_table.drop_columns(["part"]))
+        df = df.sort([by, value], maintain_order=True)
+        cum = pl.col(weight).cum_sum().over(by)
+        tot = pl.col(weight).sum().over(by)
+        return (
+            df.filter(2 * cum >= tot)
+            .group_by(by, maintain_order=True)
+            .agg(pl.col(value).first().alias("wmedian"))
+            .to_arrow()
+        )
+
+    return _adaptive_grouped_holistic(ds, add_part, per_partition, limit_bytes)

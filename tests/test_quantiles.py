@@ -306,3 +306,59 @@ def test_grouped_mad_nulls_and_exactness(ray_session):
         assert rows[1]["n"] == 3 and rows[1]["med"] == 5.0 and rows[1]["mad"] == 4.0
         # k=2: [7,7,9] -> med 7; |x-7| = [0,0,2] -> mad 0
         assert rows[2]["n"] == 3 and rows[2]["med"] == 7.0 and rows[2]["mad"] == 0.0
+
+
+def test_grouped_weighted_median_brute_both_branches(ray_session):
+    import ray.data as rd
+
+    from patito_ray.stages.quantiles import grouped_weighted_median
+
+    rng = np.random.default_rng(13)
+    n = 400
+    k = rng.integers(0, 8, n)
+    v = rng.integers(0, 50, n).astype(np.float64)  # ties on purpose
+    w = rng.integers(0, 5, n).astype(np.float64)  # includes zero weights
+
+    def brute():
+        out = {}
+        for kk in np.unique(k):
+            m = k == kk
+            order = np.argsort(v[m], kind="stable")
+            vv, ww = v[m][order], w[m][order]
+            cum = np.cumsum(ww)
+            tot = ww.sum()
+            out[int(kk)] = float(vv[np.flatnonzero(2 * cum >= tot)[0]])
+        return out
+
+    t = pa.table(
+        {
+            "k": pa.array(k, pa.int64()),
+            "v": pa.array(v, pa.float64()),
+            "w": pa.array(w, pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    ref = brute()
+    for lb in (None, 0):
+        kw = {} if lb is None else {"limit_bytes": 0}
+        res = grouped_weighted_median(ds, "k", "v", "w", **kw)
+        if not isinstance(res, pa.Table):
+            rows = res.take_all()
+            got = {r["k"]: r["wmedian"] for r in rows}
+        else:
+            got = dict(
+                zip(res.column("k").to_pylist(), res.column("wmedian").to_pylist())
+            )
+        assert got == ref, f"limit_bytes={lb}"
+
+    bad = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "v": pa.array([1.0]),
+            "w": pa.array([-2.0]),
+        }
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        r = grouped_weighted_median(rd.from_arrow(bad), "k", "v", "w")
+        if not isinstance(r, pa.Table):
+            r.take_all()
