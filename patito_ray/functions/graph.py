@@ -1061,28 +1061,30 @@ def bfs_hops(
             front_r = frontier_ds.map_batches(
                 _as_front, batch_format="pyarrow", batch_size=None
             )
-            reached_ds = (
-                copartition_apply(
-                    edges, front_r, by=src, right_by="_front", part_fn=semi_dst
-                )
-                .map_batches(_node_part, batch_format="pyarrow", batch_size=None)
-                .groupby("part")
-                .map_groups(_dedup_nodes, batch_format="pyarrow")
-                .materialize()
-            )
+            # semi_dst already dedups per partition; the cross-partition
+            # dedup FUSES into the anti exchange below (both hash on
+            # node), saving one all-to-all per round
+            reached_ds = copartition_apply(
+                edges, front_r, by=src, right_by="_front", part_fn=semi_dst
+            ).materialize()
 
             def anti(lt: pa.Table, rt: pa.Table) -> pa.Table:
                 if lt.num_rows == 0 or "node" not in lt.column_names:
                     return pa.schema([("node", pa.int64())]).empty_table()
+                uniq = pc.unique(lt.column("node").combine_chunks())
                 if rt.num_rows == 0:
-                    return lt.select(["node"])
-                return lt.select(["node"]).filter(
-                    pc.invert(
-                        pc.is_in(
-                            lt.column("node"),
-                            value_set=rt.column("_vis").combine_chunks(),
+                    return pa.table({"node": uniq})
+                return pa.table(
+                    {
+                        "node": uniq.filter(
+                            pc.invert(
+                                pc.is_in(
+                                    uniq,
+                                    value_set=rt.column("_vis").combine_chunks(),
+                                )
+                            )
                         )
-                    )
+                    }
                 )
 
             def _as_vis(t: pa.Table) -> pa.Table:
