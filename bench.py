@@ -289,6 +289,7 @@ def run_bench() -> dict:
         "debounce_events",
         "metadata_stats",
         "weighted_median",
+        "range_sorted_write",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7921,3 +7921,30 @@ FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
 """
 
 QUERIES["weighted_median"] = (q_weighted_median, SQL_WEIGHTED_MEDIAN)
+
+
+def q_range_sorted_write(sf_dir: str) -> Any:
+    """TeraSort-shape sorted output (rows-only: range boundaries come
+    from block-layout-dependent sampling): orders written as 8
+    range-partitioned files each internally sorted by o_totalprice,
+    with disjoint ascending ranges (sinks.py:range_partition_write).
+    Returns the manifest; the pytest suite verifies global sortedness
+    and multiset preservation."""
+    from patito_ray.sinks import range_partition_write
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out_dir = f"/tmp/patito_ray_rangewrite_{abs(hash(sf_dir)) % 10**8}"
+    manifest = range_partition_write(
+        ds, "o_totalprice", out_dir, num_ranges=8, overwrite=True
+    )
+    return pa.table(
+        {
+            "range_id": pa.array([r["range_id"] for r in manifest], pa.int64()),
+            "rows": pa.array([r["rows"] for r in manifest], pa.int64()),
+            "min": pa.array([r["min"] for r in manifest], pa.float64()),
+            "max": pa.array([r["max"] for r in manifest], pa.float64()),
+        }
+    )
+
+
+QUERIES["range_sorted_write"] = (q_range_sorted_write, None)

@@ -285,3 +285,131 @@ def compact_parquet(
         "files_out": len(bins),
         "bytes_in": int(sum(sizes.values())),
     }
+
+
+def range_partition_write(
+    ds: Any,
+    key: str,
+    out_dir: str,
+    num_ranges: int = 16,
+    sample_per_block: int = 256,
+    overwrite: bool = False,
+) -> "list[dict[str, Any]]":
+    """TeraSort-shape sorted output: write ``ds`` as ``num_ranges``
+    range-partitioned files, each internally sorted by ``key``, with
+    file ranges disjoint and ascending — so downstream merge joins /
+    binary searches read only the ranges they need, and a global sort
+    order is recoverable by reading files in range order.
+
+    The classic sample-route-sort pipeline: (1) every block contributes
+    up to ``sample_per_block`` evenly-spaced key samples (one streaming
+    pass over the key column only); (2) the driver cuts the sample at
+    ``num_ranges - 1`` quantile boundaries; (3) one hash-free routing
+    exchange sends each row to its ``searchsorted`` range; (4) each
+    range sorts locally and writes ONE file plus a manifest row
+    (range_id, path, rows, min, max). Data lands in ``out_dir + '.tmp'``
+    and renames into place atomically. Returns the manifest (also
+    persisted as ``_MANIFEST.json``).
+
+    Skewed keys: a value spanning a boundary routes entirely to one
+    range (ranges stay DISJOINT — correctness holds; a pathological
+    single-value corpus degrades to one hot range, which is inherent
+    to sorted output).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if num_ranges < 1:
+        raise ValueError(f"num_ranges must be >= 1, got {num_ranges}")
+    if os.path.exists(out_dir):
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} exists; pass overwrite=True to replace it"
+            )
+        shutil.rmtree(out_dir)
+
+    def sample(t: pa.Table) -> pa.Table:
+        col = t.column(key)
+        n = len(col)
+        if n == 0:
+            return pa.table({key: col})
+        step = max(1, n // sample_per_block)
+        return pa.table({key: col.take(list(range(0, n, step)))})
+
+    sample_tabs = [
+        t
+        for t in ds.map_batches(
+            sample, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not sample_tabs:
+        raise ValueError("range_partition_write: dataset is empty")
+    sampled = pa.concat_tables(sample_tabs)
+    keys_np = np.sort(sampled.column(key).to_numpy(zero_copy_only=False))
+    cuts = (
+        keys_np[
+            np.minimum(
+                (np.arange(1, num_ranges) * len(keys_np)) // num_ranges,
+                len(keys_np) - 1,
+            )
+        ]
+        if num_ranges > 1
+        else np.empty(0, dtype=keys_np.dtype)
+    )
+
+    def route(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(cuts, k, side="right").astype(np.int64)
+        return t.append_column("_range", pa.array(part, type=pa.int64()))
+
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+
+    def write_range(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "_range" not in t.column_names:
+            return pa.table(
+                {
+                    "range_id": pa.array([], pa.int64()),
+                    "path": pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "min": pa.array([], t.schema.field(key).type if key in t.column_names else pa.null()),
+                    "max": pa.array([], t.schema.field(key).type if key in t.column_names else pa.null()),
+                }
+            )
+        rid = int(t.column("_range")[0].as_py())
+        body = t.drop_columns(["_range"]).sort_by(key)
+        path = os.path.join(tmp, f"part-{rid:05d}.parquet")
+        pq.write_table(body, path)
+        kc = body.column(key)
+        return pa.table(
+            {
+                "range_id": pa.array([rid], pa.int64()),
+                "path": pa.array([os.path.basename(path)], pa.string()),
+                "rows": pa.array([body.num_rows], pa.int64()),
+                "min": kc.slice(0, 1).combine_chunks(),
+                "max": kc.slice(body.num_rows - 1, 1).combine_chunks(),
+            }
+        )
+
+    manifest_tabs = [
+        t
+        for t in ds.map_batches(route, batch_format="pyarrow", batch_size=None)
+        .groupby("_range")
+        .map_groups(write_range, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    manifest = sorted(
+        (r for t in manifest_tabs for r in t.to_pylist()),
+        key=lambda r: r["range_id"],
+    )
+    _atomic_write(
+        os.path.join(tmp, "_MANIFEST.json"),
+        json.dumps(manifest, default=str).encode(),
+    )
+    os.rename(tmp, out_dir)
+    return manifest

@@ -162,3 +162,57 @@ def test_compact_parquet_roundtrip(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="no parquet files"):
         compact_parquet(str(tmp_path / "empty_missing"), str(tmp_path / "o2"))
+
+
+def test_range_partition_write_sorted_output(ray_session, tmp_path):
+    import glob
+    import json as _json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from patito_ray.sinks import range_partition_write
+
+    rng = np.random.default_rng(33)
+    vals = rng.integers(0, 10_000, size=5000)
+    t = pa.table({"k": pa.array(vals, pa.int64()),
+                  "payload": pa.array(vals * 2, pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+    out = tmp_path / "sorted"
+    manifest = range_partition_write(ds, "k", str(out), num_ranges=6)
+
+    assert [r["range_id"] for r in manifest] == sorted(
+        r["range_id"] for r in manifest
+    )
+    assert sum(r["rows"] for r in manifest) == 5000
+    # disjoint ascending ranges; each file internally sorted; global
+    # concat in range order is fully sorted; multiset preserved
+    prev_max = None
+    all_keys = []
+    for r in manifest:
+        tab = pq.read_table(str(out / r["path"]))
+        k = tab.column("k").to_numpy()
+        assert (np.diff(k) >= 0).all()
+        assert k[0] == r["min"] and k[-1] == r["max"]
+        if prev_max is not None:
+            assert k[0] >= prev_max
+        prev_max = k[-1]
+        all_keys.append(k)
+        # payload rode along
+        assert (tab.column("payload").to_numpy() == k * 2).all()
+    cat = np.concatenate(all_keys)
+    assert (np.diff(cat) >= 0).all()
+    assert sorted(cat.tolist()) == sorted(vals.tolist())
+    with open(out / "_MANIFEST.json") as f:
+        assert len(_json.load(f)) == len(manifest)
+
+    with pytest.raises(FileExistsError):
+        range_partition_write(ds, "k", str(out))
+    with pytest.raises(ValueError, match="num_ranges"):
+        range_partition_write(ds, "k", str(tmp_path / "x"), num_ranges=0)
+    empty = rd.from_arrow(
+        pa.schema([("k", pa.int64()), ("payload", pa.int64())]).empty_table()
+    )
+    with pytest.raises(ValueError, match="empty"):
+        range_partition_write(empty, "k", str(tmp_path / "y"))
