@@ -42,6 +42,23 @@ def cooccurrence_pairs(
 
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    # validate key dtypes up front: a string column would otherwise
+    # fail with an obscure cast error deep inside a Ray task. Best
+    # effort only — fetching an unknown schema would EXECUTE an
+    # all-to-all upstream plan (dev-notes rule), so never force it.
+    try:
+        schema = ds.schema(fetch_if_missing=False)
+    except TypeError:
+        schema = None
+    base = getattr(schema, "base_schema", None)
+    if base is not None:
+        for col in (group_col, item_col):
+            typ = base.field(col).type
+            if not pa.types.is_integer(typ):
+                raise TypeError(
+                    f"cooccurrence_pairs needs integer {col!r} "
+                    f"(got {typ}); hash64 string keys first"
+                )
     P = default_num_partitions()
 
     def narrow(t: pa.Table) -> pa.Table:

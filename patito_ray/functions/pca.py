@@ -15,7 +15,9 @@ Two moment modes:
 - float64 (``quantize=None``): the real PCA path.
 - integer grid (``quantize=g``): components are quantized to
   ``floor(x·g + 0.5)`` int64 first, making every sum EXACT and
-  engine-order-independent — the oracle-comparable covariance used by
+  engine-order-independent (int64 bound: corpus Σ q_i·q_j must stay
+  under 2^63 — with |q| <= 10^3 that is ~10^12 rows; lower ``g`` or
+  shard the moment pass beyond that) — the oracle-comparable covariance used by
   the ``embed_covariance`` query (``v*g + 0.5`` and ``floor`` are the
   same IEEE ops in DuckDB and numpy, so both engines see identical
   integers).

@@ -434,8 +434,9 @@ def rolling_active_count(
         starts = d[new_iv]
         # interval end = last day of its run + window
         iv_id = np.cumsum(new_iv) - 1
-        last = np.zeros(iv_id[-1] + 1, dtype=np.int64)
-        np.maximum.at(last, iv_id, d)  # d ascending per key, but safe
+        # init far below any int64 day (days may be negative, pre-epoch)
+        last = np.full(iv_id[-1] + 1, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(last, iv_id, d)
         ends = last + window
         return pa.table(
             {

@@ -378,3 +378,13 @@ def test_cooccurrence_pairs_both_branches(ray_session):
 
     with pytest.raises(ValueError):
         cooccurrence_pairs(ds, "grp", "item", min_count=0)
+
+
+def test_cooccurrence_pairs_rejects_string_keys(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.basket import cooccurrence_pairs
+
+    t = pa.table({"grp": pa.array(["a"]), "item": pa.array([1], pa.int64())})
+    with pytest.raises(TypeError, match="integer"):
+        cooccurrence_pairs(rd.from_arrow(t), "grp", "item")
