@@ -413,3 +413,89 @@ def range_partition_write(
     )
     os.rename(tmp, out_dir)
     return manifest
+
+
+def upsert_partitioned(
+    base_dir: str,
+    changes: Any,
+    key: str,
+    partition_col: str,
+    order_col: str,
+) -> dict[str, Any]:
+    """CDC apply / MERGE-upsert into a hive-partitioned Parquet table
+    (``base_dir/<partition_col>=<v>/part.parquet``): each change row
+    replaces the base row with its ``key`` (latest ``order_col`` wins,
+    within and across batches); new keys insert. ONLY partitions that
+    appear in the change set are read and rewritten — at 100 TB a
+    trickle of changes touches a handful of partitions, never the
+    table. Each touched partition rewrites as one Ray task (read old →
+    merge → write new, atomic file swap via os.replace). Returns
+    ``{"partitions_touched", "rows_upserted"}``.
+
+    The change stream must carry ``partition_col`` (rows cannot move
+    between partitions — the standard constraint; delete+insert to
+    move). An absent base partition is created (pure insert).
+    """
+    import glob
+
+    import polars as pl
+    import pyarrow.parquet as pq
+    import ray
+
+    if not os.path.isdir(base_dir):
+        raise FileNotFoundError(f"base table {base_dir!r} does not exist")
+
+    ch_tabs = [
+        t
+        for t in changes.iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not ch_tabs:
+        return {"partitions_touched": 0, "rows_upserted": 0}
+    import pyarrow as pa
+
+    ch = pa.concat_tables(ch_tabs)
+    for c in (key, partition_col, order_col):
+        if c not in ch.column_names:
+            raise ValueError(f"changes must carry column {c!r}")
+    parts = sorted(set(ch.column(partition_col).to_pylist()))
+
+    ch_ref = ray.put(ch)
+
+    @ray.remote
+    def _apply(pv: Any) -> int:
+        import pyarrow.compute as pc_
+
+        chg = ray.get(ch_ref)
+        mine = chg.filter(pc_.equal(chg.column(partition_col), pv))
+        pdir = os.path.join(base_dir, f"{partition_col}={pv}")
+        old_files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        frames = [pl.from_arrow(mine)]
+        if old_files:
+            base = pa.concat_tables(pq.read_table(f) for f in old_files)
+            # align base to the change schema column order
+            frames.append(pl.from_arrow(base.select(mine.column_names)))
+        # latest order_col wins; on exact order ties the CHANGE row
+        # beats the base row (changes concat first -> smaller _src)
+        merged = (
+            pl.concat(frames)
+            .with_row_index("_src")
+            .sort([key, order_col, "_src"], descending=[False, True, False])
+            .unique(subset=[key], keep="first", maintain_order=True)
+            .drop("_src")
+        )
+        os.makedirs(pdir, exist_ok=True)
+        out = os.path.join(pdir, "part.parquet")
+        tmp_f = out + ".tmp"
+        pq.write_table(merged.to_arrow(), tmp_f)
+        os.replace(tmp_f, out)
+        for f in old_files:
+            if f != out:
+                os.remove(f)
+        return mine.num_rows
+
+    applied = ray.get([_apply.remote(pv) for pv in parts])
+    return {
+        "partitions_touched": len(parts),
+        "rows_upserted": int(sum(applied)),
+    }

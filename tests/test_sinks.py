@@ -216,3 +216,83 @@ def test_range_partition_write_sorted_output(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="empty"):
         range_partition_write(empty, "k", str(tmp_path / "y"))
+
+
+def test_upsert_partitioned(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from patito_ray.sinks import upsert_partitioned
+
+    base = tmp_path / "tbl"
+    # two partitions, keys 1..4
+    for pv, keys in ((0, [1, 2]), (1, [3, 4])):
+        d = base / f"p={pv}"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(keys, pa.int64()),
+                    "p": pa.array([pv] * len(keys), pa.int64()),
+                    "v": pa.array([f"base{k}" for k in keys]),
+                    "ver": pa.array([1] * len(keys), pa.int64()),
+                }
+            ),
+            d / "part.parquet",
+        )
+
+    changes = pa.table(
+        {
+            "k": pa.array([2, 5, 2], pa.int64()),      # update k=2 twice, insert k=5
+            "p": pa.array([0, 0, 0], pa.int64()),
+            "v": pa.array(["new2a", "new5", "new2b"]),
+            "ver": pa.array([2, 2, 3], pa.int64()),
+        }
+    )
+    res = upsert_partitioned(
+        str(base), rd.from_arrow(changes), key="k", partition_col="p", order_col="ver"
+    )
+    assert res == {"partitions_touched": 1, "rows_upserted": 3}
+
+    p0 = pq.read_table(str(base / "p=0" / "part.parquet"))
+    got = {r["k"]: (r["v"], r["ver"]) for r in p0.to_pylist()}
+    assert got == {1: ("base1", 1), 2: ("new2b", 3), 5: ("new5", 2)}
+    # untouched partition intact
+    p1 = pq.read_table(str(base / "p=1" / "part.parquet"))
+    assert sorted(p1.column("k").to_pylist()) == [3, 4]
+
+    # equal-version tie: the change row wins
+    tie = pa.table(
+        {
+            "k": pa.array([3], pa.int64()),
+            "p": pa.array([1], pa.int64()),
+            "v": pa.array(["tie3"]),
+            "ver": pa.array([1], pa.int64()),
+        }
+    )
+    upsert_partitioned(str(base), rd.from_arrow(tie), key="k", partition_col="p", order_col="ver")
+    p1 = pq.read_table(str(base / "p=1" / "part.parquet"))
+    got1 = {r["k"]: r["v"] for r in p1.to_pylist()}
+    assert got1 == {3: "tie3", 4: "base4"}
+
+    # brand-new partition = pure insert
+    ins = pa.table(
+        {
+            "k": pa.array([9], pa.int64()),
+            "p": pa.array([7], pa.int64()),
+            "v": pa.array(["nine"]),
+            "ver": pa.array([1], pa.int64()),
+        }
+    )
+    r2 = upsert_partitioned(str(base), rd.from_arrow(ins), key="k", partition_col="p", order_col="ver")
+    assert r2["partitions_touched"] == 1
+    assert pq.read_table(str(base / "p=7" / "part.parquet")).num_rows == 1
+
+    # empty changes: no-op
+    empty = rd.from_arrow(changes.slice(0, 0))
+    assert upsert_partitioned(str(base), empty, key="k", partition_col="p", order_col="ver") == {
+        "partitions_touched": 0,
+        "rows_upserted": 0,
+    }
+    with pytest.raises(FileNotFoundError):
+        upsert_partitioned(str(tmp_path / "nope"), rd.from_arrow(changes), key="k", partition_col="p", order_col="ver")
