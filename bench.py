@@ -290,6 +290,7 @@ def run_bench() -> dict:
         "metadata_stats",
         "weighted_median",
         "range_sorted_write",
+        "attribution_last_touch",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

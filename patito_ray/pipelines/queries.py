@@ -7948,3 +7948,107 @@ def q_range_sorted_write(sf_dir: str) -> Any:
 
 
 QUERIES["range_sorted_write"] = (q_range_sorted_write, None)
+
+
+def q_attribution_last_touch(sf_dir: str) -> Any:
+    """Last-touch revenue attribution: every purchase credits the
+    user's most recent PRECEDING non-purchase event type ('none' when
+    the purchase is the user's first event). One hash exchange on
+    user_id; per-partition polars pass does masked-shift-forward-fill,
+    the purchase filter and the per-channel partial (count + revenue
+    on the exact integer cents grid) in one frame; channel partials
+    merge adaptively. SQL twin is LAST_VALUE ... IGNORE NULLS over the
+    1-PRECEDING frame."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_partition_ids(t.column("user_id"), P, "attribution user_id")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "tu": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "cents": pa.array(
+                    np.floor(
+                        t.column("value").to_numpy(zero_copy_only=False) * 100.0
+                        + 0.5
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    _p_schema = pa.schema(
+        [("channel", pa.string()), ("n", pa.int64()), ("revenue_cents", pa.int64())]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _p_schema.empty_table()
+        df = pl.from_arrow(t.drop_columns(["part"])).sort(
+            ["user_id", "tu", "event_id"], maintain_order=True
+        )
+        masked = (
+            pl.when(pl.col("event_type") != "purchase")
+            .then(pl.col("event_type"))
+            .otherwise(None)
+        )
+        channel = (
+            masked.shift(1).forward_fill().over("user_id").alias("channel")
+        )
+        return (
+            df.with_columns(channel)
+            .filter(pl.col("event_type") == "purchase")
+            .with_columns(pl.col("channel").fill_null("none"))
+            .group_by("channel")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("cents").sum().alias("revenue_cents"),
+            )
+            .select(["channel", "n", "revenue_cents"])
+            .to_arrow()
+            .cast(_p_schema)
+        )
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+    merged = merge_partial_sums(partials, ["channel"], ["n", "revenue_cents"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _p_schema.empty_table()
+        return t.select(["channel", "n", "revenue_cents"]).cast(_p_schema)
+
+    return _apply(merged, finish)
+
+
+SQL_ATTRIBUTION_LAST_TOUCH = """
+WITH w AS (
+  SELECT user_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'none') AS channel, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM w WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+QUERIES["attribution_last_touch"] = (
+    q_attribution_last_touch,
+    SQL_ATTRIBUTION_LAST_TOUCH,
+)
