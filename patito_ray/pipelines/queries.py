@@ -7599,7 +7599,39 @@ def q_region_nation_revenue(sf_dir: str) -> Any:
         "lineitem",
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    joined = hash_join(items, orders, on="l_orderkey", right_on="o_orderkey")
+    # adaptive join selection: the date filter usually shrinks orders
+    # far below broadcast size — then the fact side streams through one
+    # map_batches with an object-store map instead of paying the
+    # partitioned-exchange fixed cost; the hash-join path stays for a
+    # genuinely large filtered side
+    orders_m = orders.materialize()
+    if orders_m.size_bytes() <= 64 * 1024 * 1024:
+        otabs = [t for t in ray.get(orders_m.to_arrow_refs()) if t.num_rows]
+        omap = (
+            pa.concat_tables(otabs)
+            if otabs
+            else pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_orderdate", pa.timestamp("us")),
+                ]
+            ).empty_table()
+        ).select(["o_orderkey", "o_custkey"])
+        oref = ray.put(omap)
+
+        def attach_orders(t: pa.Table, _oref=oref) -> pa.Table:
+            return t.join(
+                ray.get(_oref), keys=["l_orderkey"], right_keys=["o_orderkey"]
+            )
+
+        joined = items.map_batches(
+            attach_orders, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        joined = hash_join(
+            items, orders_m, on="l_orderkey", right_on="o_orderkey"
+        )
 
     _p_schema = pa.schema(
         [("nk", pa.int64()), ("rev4", pa.int64()), ("n_items", pa.int64())]
