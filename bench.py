@@ -291,6 +291,7 @@ def run_bench() -> dict:
         "weighted_median",
         "range_sorted_write",
         "attribution_last_touch",
+        "ab_proportions",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

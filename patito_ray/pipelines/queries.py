@@ -8084,3 +8084,121 @@ QUERIES["attribution_last_touch"] = (
     q_attribution_last_touch,
     SQL_ATTRIBUTION_LAST_TOUCH,
 )
+
+
+def q_ab_proportions(sf_dir: str) -> Any:
+    """A/B two-proportion z-test: users split by user_id parity, a
+    conversion = any 'purchase' event with value > 150 (a plain
+    any-purchase flag saturates at 100% on this corpus — zero pooled
+    variance, undefined z). Per-batch (user, flag) partials
+    merge adaptively (flag sums: > 0 means converted), then variant
+    counts reduce to four exact ints and the z statistic is ONE
+    identically-ordered IEEE expression on both engines (final 1e-6
+    round only, same discipline as welch_ttest)."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("user_id")
+            .agg(
+                (
+                    (pl.col("event_type") == "purchase")
+                    & (pl.col("value") > 150)
+                )
+                .max()
+                .cast(pl.Int64)
+                .alias("pur")
+            )
+            .to_arrow()
+        )
+
+    users = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        ["pur"],
+    )
+
+    def variant_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("variant", pa.int64()), ("n", pa.int64()), ("conv", pa.int64())]
+            ).empty_table()
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        pur = t.column("pur").to_numpy(zero_copy_only=False) > 0
+        var = uid % 2
+        return pa.table(
+            {
+                "variant": pa.array([0, 1], type=pa.int64()),
+                "n": pa.array(
+                    [int((var == 0).sum()), int((var == 1).sum())], type=pa.int64()
+                ),
+                "conv": pa.array(
+                    [int(pur[var == 0].sum()), int(pur[var == 1].sum())],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    if isinstance(users, pa.Table):
+        counts = variant_partial(users)
+    else:
+        merged = merge_partial_sums(
+            users.map_batches(
+                variant_partial, batch_format="pyarrow", batch_size=None
+            ),
+            ["variant"],
+            ["n", "conv"],
+        )
+        counts = merged if isinstance(merged, pa.Table) else pa.concat_tables(
+            [b for b in merged.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+
+    d = {
+        int(v): (int(n), int(c))
+        for v, n, c in zip(
+            counts.column("variant").to_pylist(),
+            counts.column("n").to_pylist(),
+            counts.column("conv").to_pylist(),
+        )
+    }
+    n0, c0 = d.get(0, (0, 0))
+    n1, c1 = d.get(1, (0, 0))
+    p0 = c0 / n0
+    p1 = c1 / n1
+    pooled = (c0 + c1) / (n0 + n1)
+    import math
+
+    z = (p1 - p0) / math.sqrt(pooled * (1 - pooled) * (1 / n0 + 1 / n1))
+    return _one_row(
+        n0=n0, c0=c0, n1=n1, c1=c1, z=_rf(z, 6)
+    )
+
+
+SQL_AB_PROPORTIONS = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END) AS pur
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pur) AS BIGINT) AS conv
+  FROM u GROUP BY 1
+), w AS (
+  SELECT a.n AS n0, a.conv AS c0, b.n AS n1, b.conv AS c1
+  FROM g a, g b WHERE a.variant = 0 AND b.variant = 1
+)
+SELECT n0, c0, n1, c1,
+       ROUND((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1 / CAST(n0 AS DOUBLE) + 1 / CAST(n1 AS DOUBLE))), 6)
+         AS z
+FROM w
+"""
+
+QUERIES["ab_proportions"] = (q_ab_proportions, SQL_AB_PROPORTIONS)
