@@ -360,6 +360,11 @@ def range_partition_write(
     )
 
     def route(t: pa.Table) -> pa.Table:
+        if t.column(key).null_count:
+            raise ValueError(
+                f"range_partition_write: null {key!r} values have no sort "
+                "position; filter or fill them first"
+            )
         k = t.column(key).to_numpy(zero_copy_only=False)
         part = np.searchsorted(cuts, k, side="right").astype(np.int64)
         return t.append_column("_range", pa.array(part, type=pa.int64()))
@@ -473,6 +478,13 @@ def upsert_partitioned(
         frames = [pl.from_arrow(mine)]
         if old_files:
             base = pa.concat_tables(pq.read_table(f) for f in old_files)
+            extra = set(base.column_names) - set(mine.column_names)
+            if extra:
+                # silently dropping base-only columns would be data loss
+                raise ValueError(
+                    f"{pdir}: base columns {sorted(extra)} missing from the "
+                    "change stream; upsert requires identical column sets"
+                )
             # align base to the change schema column order
             frames.append(pl.from_arrow(base.select(mine.column_names)))
         # latest order_col wins; on exact order ties the CHANGE row

@@ -296,3 +296,46 @@ def test_upsert_partitioned(ray_session, tmp_path):
     }
     with pytest.raises(FileNotFoundError):
         upsert_partitioned(str(tmp_path / "nope"), rd.from_arrow(changes), key="k", partition_col="p", order_col="ver")
+
+
+def test_upsert_rejects_column_loss(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from patito_ray.sinks import upsert_partitioned
+
+    d = tmp_path / "tbl2" / "p=0"
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "p": pa.array([0], pa.int64()),
+                "extra": pa.array(["keepme"]),
+                "ver": pa.array([1], pa.int64()),
+            }
+        ),
+        d / "part.parquet",
+    )
+    ch = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "p": pa.array([0], pa.int64()),
+            "ver": pa.array([2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="identical column sets"):
+        upsert_partitioned(
+            str(tmp_path / "tbl2"), rd.from_arrow(ch), key="k",
+            partition_col="p", order_col="ver",
+        )
+
+
+def test_range_write_rejects_null_keys(ray_session, tmp_path):
+    import ray.data as rd
+
+    from patito_ray.sinks import range_partition_write
+
+    t = pa.table({"k": pa.array([1, None, 3], pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        range_partition_write(rd.from_arrow(t), "k", str(tmp_path / "o3"))
