@@ -292,6 +292,7 @@ def run_bench() -> dict:
         "range_sorted_write",
         "attribution_last_touch",
         "ab_proportions",
+        "event_trigrams",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

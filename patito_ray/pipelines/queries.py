@@ -8202,3 +8202,95 @@ FROM w
 """
 
 QUERIES["ab_proportions"] = (q_ab_proportions, SQL_AB_PROPORTIONS)
+
+
+def q_event_trigrams(sf_dir: str) -> Any:
+    """User-journey mining: counts of consecutive 3-step event-type
+    sequences per user stream (the n-gram extension of the Markov
+    event_transitions matrix), kept at n >= 5. One hash exchange on
+    user_id; each partition forms trigrams with two vectorized shifts
+    inside the same polars frame and pre-counts; partials merge
+    adaptively. Exact integer counts."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_partition_ids(t.column("user_id"), P, "event_trigrams user_id")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "tu": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    _p_schema = pa.schema(
+        [
+            ("e1", pa.string()),
+            ("e2", pa.string()),
+            ("e3", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _p_schema.empty_table()
+        df = pl.from_arrow(t.drop_columns(["part"])).sort(
+            ["user_id", "tu", "event_id"], maintain_order=True
+        )
+        return (
+            df.with_columns(
+                pl.col("event_type").shift(1).over("user_id").alias("e2s"),
+                pl.col("event_type").shift(2).over("user_id").alias("e1s"),
+            )
+            .drop_nulls(["e1s", "e2s"])
+            .group_by(["e1s", "e2s", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"e1s": "e1", "e2s": "e2", "event_type": "e3"})
+            .select(["e1", "e2", "e3", "n"])
+            .to_arrow()
+            .cast(_p_schema)
+        )
+
+    partials = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+    merged = merge_partial_sums(partials, ["e1", "e2", "e3"], ["n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _p_schema.empty_table()
+        return (
+            t.select(["e1", "e2", "e3", "n"])
+            .cast(_p_schema)
+            .filter(pc.greater_equal(t.column("n"), 5))
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH w AS (
+  SELECT user_id,
+         LAG(event_type, 2) OVER win AS e1,
+         LAG(event_type, 1) OVER win AS e2,
+         event_type AS e3
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT e1, e2, e3, COUNT(*) AS n
+FROM w WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+"""
+
+QUERIES["event_trigrams"] = (q_event_trigrams, SQL_EVENT_TRIGRAMS)
