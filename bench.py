@@ -293,6 +293,7 @@ def run_bench() -> dict:
         "attribution_last_touch",
         "ab_proportions",
         "event_trigrams",
+        "resample_ffill",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

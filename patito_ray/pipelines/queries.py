@@ -8294,3 +8294,114 @@ GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
 """
 
 QUERIES["event_trigrams"] = (q_event_trigrams, SQL_EVENT_TRIGRAMS)
+
+
+def q_resample_ffill(sf_dir: str) -> Any:
+    """Time-series gap filling: resample each user's event stream to a
+    DAILY grid between their first and last active day, forward-
+    filling the last observed value (the latest event of each day,
+    (ts, event_id)-latest, wins). One hash exchange on user_id; each
+    partition dedups to per-day last values, builds its users' day
+    grids vectorized and gap-fills with one polars join_asof — no
+    per-user Python. Values copy through unchanged (no arithmetic),
+    so the oracle (DuckDB ASOF JOIN) matches bit-for-bit."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        part = hash_partition_ids(t.column("user_id"), P, "resample user_id")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "aday": pa.array(
+                    (us // 86_400_000_000).astype(np.int32), type=pa.int32()
+                ),
+                "tu": pa.array(us, type=pa.int64()),
+                "event_id": t.column("event_id"),
+                "value": t.column("value"),
+                "part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    _schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("day", pa.timestamp("us")),
+            ("value", pa.float64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _schema.empty_table()
+        df = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .with_columns(pl.col("aday").cast(pl.Date).alias("day"))
+            .sort(["user_id", "tu", "event_id"], maintain_order=True)
+            .group_by(["user_id", "day"], maintain_order=True)
+            .agg(pl.col("value").last())
+        )
+        spans = df.group_by("user_id").agg(
+            pl.col("day").min().alias("lo"), pl.col("day").max().alias("hi")
+        )
+        grid = (
+            spans.with_columns(
+                pl.date_ranges("lo", "hi", interval="1d").alias("day")
+            )
+            .explode("day")
+            .select(["user_id", "day"])
+        )
+        out = grid.sort(["user_id", "day"]).join_asof(
+            df.sort(["user_id", "day"]),
+            on="day",
+            by="user_id",
+            strategy="backward",
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(
+                    out.get_column("user_id").to_arrow(), pa.int64()
+                ),
+                "day": pc.cast(
+                    pc.cast(out.get_column("day").to_arrow(), pa.date32()),
+                    pa.timestamp("us"),
+                ),
+                "value": pc.cast(out.get_column("value").to_arrow(), pa.float64()),
+            },
+            schema=_schema,
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+SQL_RESAMPLE_FFILL = """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE)
+           ORDER BY epoch_us(ts) DESC, event_id DESC
+         ) AS rn
+  FROM events
+),
+d AS (SELECT user_id, day, value FROM ranked WHERE rn = 1),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM d GROUP BY 1),
+grid AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT g.user_id, g.day, d.value
+FROM grid g ASOF JOIN d ON g.user_id = d.user_id AND g.day >= d.day
+"""
+
+QUERIES["resample_ffill"] = (q_resample_ffill, SQL_RESAMPLE_FFILL)
