@@ -294,6 +294,8 @@ def run_bench() -> dict:
         "ab_proportions",
         "event_trigrams",
         "resample_ffill",
+        "purchase_gaps",
+        "compression_ratio",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -8405,3 +8405,121 @@ FROM grid g ASOF JOIN d ON g.user_id = d.user_id AND g.day >= d.day
 """
 
 QUERIES["resample_ffill"] = (q_resample_ffill, SQL_RESAMPLE_FFILL)
+
+
+def q_compression_ratio(sf_dir: str) -> Any:
+    """Compression-ratio quality signal (Gopher-family filter):
+    zlib-compressed bytes / raw bytes per document — repetitive
+    machine-generated junk compresses far below prose. Stateless
+    map_batches; the per-doc zlib call is C-bound (the codec-kernel
+    precedent), everything else vectorized. Rows-only (SQL has no
+    zlib); determinism + monotonicity pytest-checked."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    _schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("raw_len", pa.int64()),
+            ("comp_len", pa.int64()),
+            ("ratio", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        import zlib
+
+        if t.num_rows == 0:
+            return _schema.empty_table()
+        texts = t.column("text").to_pylist()
+        raw = np.array([len(s.encode()) for s in texts], dtype=np.int64)
+        comp = np.array(
+            [len(zlib.compress(s.encode(), 6)) for s in texts], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "raw_len": pa.array(raw, type=pa.int64()),
+                "comp_len": pa.array(comp, type=pa.int64()),
+                "ratio": pa.array(
+                    comp / np.maximum(raw, 1), type=pa.float64()
+                ),
+            },
+            schema=_schema,
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["compression_ratio"] = (q_compression_ratio, None)
+
+
+def q_purchase_gaps(sf_dir: str) -> Any:
+    """Inter-purchase cadence: each user's MEDIAN gap (microseconds)
+    between consecutive purchase events — lag-diff and the selection
+    median both inside one per-partition pass after a single user_id
+    exchange. np.median's mean-of-two-middles == SQL MEDIAN
+    bit-for-bit on the integer-us grid, so no rounding."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("event_type"), "purchase")
+        t = t.filter(keep)
+        part = hash_partition_ids(t.column("user_id"), P, "purchase_gaps user_id")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "tu": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    _schema = pa.schema(
+        [("user_id", pa.int64()), ("median_gap_us", pa.float64())]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _schema.empty_table()
+        return (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .sort(["user_id", "tu", "event_id"], maintain_order=True)
+            .with_columns(
+                (pl.col("tu") - pl.col("tu").shift(1))
+                .over("user_id")
+                .alias("gap")
+            )
+            .drop_nulls(["gap"])
+            .group_by("user_id")
+            .agg(pl.col("gap").median().alias("median_gap_us"))
+            .select(["user_id", "median_gap_us"])
+            .to_arrow()
+            .cast(_schema)
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+SQL_PURCHASE_GAPS = """
+WITH p AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS gap
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, MEDIAN(gap) AS median_gap_us
+FROM p WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+QUERIES["purchase_gaps"] = (q_purchase_gaps, SQL_PURCHASE_GAPS)

@@ -1959,3 +1959,33 @@ def test_top_ngram_batch_reference():
     halves = [top_ngram_batch(t.slice(0, 3), n=2), top_ngram_batch(t.slice(3), n=2)]
     joined = pa.concat_tables(halves).to_pydict()
     assert joined == out
+
+
+def test_compression_ratio_signal(ray_session, tmp_path):
+    """Repetitive junk must compress far below varied prose, and the
+    signal must be deterministic across runs."""
+    import pyarrow.parquet as pq
+
+    from patito_ray.pipelines.queries import QUERIES
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [
+                    "spam ham " * 500,
+                    " ".join(f"w{i}x{i*7%13}" for i in range(1000)),
+                ]
+            ),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["a", "a"]),
+            "n_chars": pa.array([0, 0], pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    fn, _ = QUERIES["compression_ratio"]
+    out = {r["doc_id"]: r for r in fn(str(tmp_path)).take_all()}
+    assert out[0]["ratio"] < 0.05 < out[1]["ratio"]
+    assert out[0]["comp_len"] < out[0]["raw_len"]
+    out2 = {r["doc_id"]: r for r in fn(str(tmp_path)).take_all()}
+    assert out == out2
