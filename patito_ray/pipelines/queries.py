@@ -8166,6 +8166,11 @@ def q_ab_proportions(sf_dir: str) -> Any:
     }
     n0, c0 = d.get(0, (0, 0))
     n1, c1 = d.get(1, (0, 0))
+    if n0 == 0 or n1 == 0:
+        raise ValueError(
+            "ab_proportions: a variant has no users — the z statistic "
+            "is undefined on this input"
+        )
     p0 = c0 / n0
     p1 = c1 / n1
     pooled = (c0 + c1) / (n0 + n1)

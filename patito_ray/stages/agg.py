@@ -9,8 +9,10 @@ pays seconds of per-block shuffle overhead on that tiny remainder
 groupby takes 0.15 s). So, exactly like the uniqueness-blob finalize in
 ``validation/engine.py``: while the partial volume is bounded
 (``limit_bytes``), pull the narrow partial rows to the driver ONCE and
-merge with one multithreaded polars groupby; past the bound, fall back
-to Ray's distributed groupby exchange. The bound keeps the driver path
+merge with one multithreaded polars groupby; past the bound, take the
+house hash-partition exchange (``_exchange_merge``) — NOT Ray's native
+sort-based aggregate, which measured ~400 s on a 16M-row pair merge
+this exchange finishes in seconds. The bound keeps the driver path
 safe — a high-cardinality key on a big cluster overflows the limit and
 takes the shuffle, which is then worth its overhead.
 """
@@ -22,6 +24,61 @@ from typing import Any
 import pyarrow as pa
 
 _DRIVER_MERGE_BYTES = 256 * 1024 * 1024
+
+
+def _exchange_merge(m: Any, keys: list[str], cols: list[str], agg_builder: Any) -> Any:
+    """House-pattern distributed merge for partials past ``limit_bytes``:
+    hash-partition the partial rows on the key tuple (polars
+    ``hash_rows(seed=42)`` — any dtype, nulls co-locate as their own
+    group), then ONE vectorized polars merge per partition via
+    ``groupby(part).map_groups``. Replaces Ray's native sort-based
+    ``groupby().aggregate`` on this branch: the native path measured
+    ~400 s merging a 16M-row basket-pair partial set where this exact
+    exchange shape moves 10M rows in seconds (dev notes), and unlike
+    the native sort it cannot trip over null keys. Each key tuple lands
+    wholly in one partition, so per-partition merges are globally
+    final. ``agg_builder(pl)`` returns the polars agg expressions.
+    """
+    import numpy as np
+    import polars as pl
+
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    schema = m.schema()
+    out_schema = pa.schema(
+        [(n, schema.types[schema.names.index(n)]) for n in [*keys, *cols]]
+    )
+    ordered = [*keys, *cols]
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or any(c not in t.column_names for c in ordered):
+            return out_schema.empty_table().append_column(
+                "part", pa.array([], type=pa.int64())
+            )
+        # local pre-combine first: shrinks the exchange to this block's
+        # distinct keys before anything moves
+        df = pl.from_arrow(t.select(ordered)).group_by(keys).agg(agg_builder(pl))
+        h = df.select(keys).hash_rows(seed=42).to_numpy()
+        part = (h % np.uint64(P)).view(np.int64)
+        return (
+            df.to_arrow()
+            .select(ordered)
+            .cast(out_schema)
+            .append_column("part", pa.array(part, type=pa.int64()))
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or any(c not in g.column_names for c in ordered):
+            return out_schema.empty_table()
+        df = pl.from_arrow(g.select(ordered)).group_by(keys).agg(agg_builder(pl))
+        return df.to_arrow().select(ordered).cast(out_schema)
+
+    return (
+        m.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(finish, batch_format="pyarrow")
+    )
 
 
 def merge_partial_sums(
@@ -40,7 +97,6 @@ def merge_partial_sums(
     """
     import polars as pl
     import ray
-    from ray.data.aggregate import Sum
 
     m = partials.materialize()
     if m.size_bytes() <= limit_bytes:
@@ -57,7 +113,9 @@ def merge_partial_sums(
             .agg([pl.col(c).sum().alias(c) for c in sums])
             .to_arrow()
         )
-    return m.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in sums])
+    return _exchange_merge(
+        m, keys, sums, lambda pl: [pl.col(c).sum().alias(c) for c in sums]
+    )
 
 
 def merge_partial_mins(
@@ -72,7 +130,6 @@ def merge_partial_mins(
     sort-based groupby costs seconds even on narrow 16 B rows."""
     import polars as pl
     import ray
-    from ray.data.aggregate import Min
 
     m = partials.materialize()
     if m.size_bytes() <= limit_bytes:
@@ -86,7 +143,9 @@ def merge_partial_mins(
             .agg([pl.col(c).min().alias(c) for c in mins])
             .to_arrow()
         )
-    return m.groupby(keys).aggregate(*[Min(c, alias_name=c) for c in mins])
+    return _exchange_merge(
+        m, keys, mins, lambda pl: [pl.col(c).min().alias(c) for c in mins]
+    )
 
 
 def collect_table(ds: Any, empty_schema: "pa.Schema | None" = None) -> pa.Table:
