@@ -296,6 +296,10 @@ def run_bench() -> dict:
         "resample_ffill",
         "purchase_gaps",
         "compression_ratio",
+        "user_streaks",
+        "time_weighted_value",
+        "user_event_entropy",
+        "mutual_nn",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -363,3 +363,132 @@ def topk_cosine_lsh(
         vec_col=vec_col,
         concurrency=concurrency,
     )
+
+
+class _BatchArgmaxNN:
+    """Per-batch exact top-1 neighbor against a broadcast corpus matrix.
+
+    The ObjectRef is resolved lazily on the first batch (same contract
+    as ``BatchTopK``): the pickled callable carries only the ref, the
+    matrix travels through the object store once per worker. The
+    broadcast matrix is sorted by id ascending so ``np.argmax``'s
+    first-hit semantics break similarity ties toward the SMALLER
+    neighbor id — the same contract as SQL
+    ``row_number() OVER (ORDER BY sim DESC, id ASC)``.
+    """
+
+    def __init__(self, corpus_ref: Any, id_col: str, vec_col: str) -> None:
+        self._ref = corpus_ref
+        self.ids: np.ndarray | None = None
+        self.unit: np.ndarray | None = None
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def _resolve(self) -> None:
+        if self.ids is None:
+            import ray
+
+            c = self._ref
+            if not isinstance(c, dict):
+                c = ray.get(c)
+            self.ids = c["ids"]
+            self.unit = c["vecs"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._resolve()
+        vecs = _to_matrix(batch.column(self.vec_col))
+        bids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if vecs.size == 0 or len(self.ids) < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        sims = _unit(vecs) @ self.unit.T  # (n_batch, n_corpus)
+        # mask self-similarity: the corpus ids are sorted, so each
+        # batch row's own column is found with one searchsorted
+        pos = np.searchsorted(self.ids, bids)
+        pos = np.clip(pos, 0, len(self.ids) - 1)
+        own = self.ids[pos] == bids
+        sims[np.arange(len(bids))[own], pos[own]] = -np.inf
+        nn = np.argmax(sims, axis=1)  # first hit == smallest id on ties
+        return pa.table(
+            {
+                "a": pa.array(bids, type=pa.int64()),
+                "b": pa.array(self.ids[nn], type=pa.int64()),
+            }
+        )
+
+
+def mutual_nn_pairs(
+    ds: Any,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    limit_bytes: int = 256 << 20,
+) -> pa.Table | Any:
+    """Mutual nearest-neighbor (reciprocal best match) pairs under
+    cosine: (a, b) with a < b where b is a's exact top-1 neighbor AND
+    a is b's — the standard high-precision entity/record-match filter.
+
+    Shape: one pass. The corpus matrix is broadcast once (``ray.put``;
+    tasks read it zero-copy from the object store), each batch computes
+    its rows' argmax in a single float64 matmul, emitting exactly ONE
+    (a, b) direction row per vector. Mutuality is then a count==2 group
+    over the unordered pair key — merged through the adaptive
+    partial-sum spine (driver polars below ``limit_bytes``, hash
+    exchange beyond), so the driver never holds more than the n-row
+    direction table's aggregate. Exact-NN inherently needs the matrix
+    resident (n*d*8 bytes in the object store); past that, route
+    candidates through ``topk_cosine_ivf``'s partition-pruned lists
+    and keep the same mutuality merge.
+    """
+    import ray
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    mat = ds.materialize()
+    ids_l: list[np.ndarray] = []
+    vecs_l: list[np.ndarray] = []
+    for t in ray.get(mat.to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        ids_l.append(t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        m = _to_matrix(t.column(vec_col))
+        if m.size:
+            vecs_l.append(m)
+    empty = pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+    )
+    if not ids_l:
+        return empty
+    ids = np.concatenate(ids_l)
+    if len(ids) < 2:
+        return empty
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put({"ids": ids[order], "vecs": _unit(np.concatenate(vecs_l))[order]})
+
+    def to_pair_counts(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        keep = a != b  # degenerate all--inf argmax guard
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(a, b), type=pa.int64()),
+                "b": pa.array(np.maximum(a, b), type=pa.int64()),
+                "cnt": pa.array(np.ones(len(a), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    directions = mat.map_batches(
+        _BatchArgmaxNN(ref, id_col, vec_col), batch_format="pyarrow", batch_size=None
+    ).map_batches(to_pair_counts, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(
+        directions, keys=["a", "b"], sums=["cnt"], limit_bytes=limit_bytes
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("cnt"), 2))
+        return t.select(["a", "b"])
+
+    if isinstance(merged, pa.Table):
+        return finish(merged)
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -8528,3 +8528,303 @@ FROM p WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 QUERIES["purchase_gaps"] = (q_purchase_gaps, SQL_PURCHASE_GAPS)
+
+
+def q_user_streaks(sf_dir: str) -> Any:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days, plus streak count and distinct active days. One user_id hash
+    exchange; inside each partition polars does distinct-day dedup,
+    the island key (day - row_number, the classic trick) and both
+    group levels vectorized. All-integer outputs — zero rounding."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "events", ["ts", "user_id"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        slim = pa.table({"user_id": t.column("user_id"), "day": day})
+        # per-batch distinct pre-shrink: the exchange moves at most
+        # one row per (user, day) per batch, never the event volume
+        slim = pl.from_arrow(slim).unique().to_arrow()
+        part = hash_partition_ids(slim.column("user_id"), P, "user_streaks user_id")
+        return slim.append_column("part", pa.array(part, type=pa.int64()))
+
+    _schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("max_streak", pa.int64()),
+            ("n_streaks", pa.int64()),
+            ("active_days", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _schema.empty_table()
+        return (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .unique()
+            .sort(["user_id", "day"])
+            .with_columns(
+                (pl.col("day").cast(pl.Int64) - pl.int_range(pl.len()).over("user_id"))
+                .alias("isl")
+            )
+            .group_by(["user_id", "isl"])
+            .agg(pl.len().alias("len"))
+            .group_by("user_id")
+            .agg(
+                pl.col("len").max().alias("max_streak"),
+                pl.len().alias("n_streaks"),
+                pl.col("len").sum().alias("active_days"),
+            )
+            .to_arrow()
+            .cast(_schema)
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+SQL_USER_STREAKS = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS isl
+  FROM d
+),
+c AS (SELECT user_id, isl, COUNT(*) AS len FROM r GROUP BY user_id, isl)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM c GROUP BY user_id
+"""
+
+QUERIES["user_streaks"] = (q_user_streaks, SQL_USER_STREAKS)
+
+
+def q_time_weighted_value(sf_dir: str) -> Any:
+    """Time-weighted average of `value` per user (the standard
+    irregular-time-series mean: each reading weighted by how long it
+    was current). Exactness trick: quantize value to an integer
+    millis grid with floor(|v|*1000+0.5) — identical IEEE ops on both
+    engines — and timestamps to integer seconds, so the weighted sum
+    and the span are EXACT int64 (< 2^53) on both sides and the final
+    twa is one correctly-rounded division. One user_id exchange;
+    lag-diff + sums vectorized per partition."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        vmil = np.copysign(np.floor(np.abs(v) * 1000.0 + 0.5), v).astype(np.int64)
+        tsec = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // 1_000_000
+        part = hash_partition_ids(t.column("user_id"), P, "time_weighted_value user_id")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "tsec": pa.array(tsec, type=pa.int64()),
+                "vmil": pa.array(vmil, type=pa.int64()),
+                "part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    _schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("wsum", pa.int64()),
+            ("tspan", pa.int64()),
+            ("twa", pa.float64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _schema.empty_table()
+        return (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .sort(["user_id", "tsec", "event_id"], maintain_order=True)
+            .with_columns(
+                (pl.col("tsec").shift(-1) - pl.col("tsec")).over("user_id").alias("dt")
+            )
+            .drop_nulls(["dt"])
+            .group_by("user_id")
+            .agg(
+                (pl.col("vmil") * pl.col("dt")).sum().alias("wsum"),
+                pl.col("dt").sum().alias("tspan"),
+            )
+            .filter(pl.col("tspan") > 0)
+            .with_columns(
+                (pl.col("wsum").cast(pl.Float64) / pl.col("tspan").cast(pl.Float64))
+                .alias("twa")
+            )
+            .select(["user_id", "wsum", "tspan", "twa"])
+            .to_arrow()
+            .cast(_schema)
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+SQL_TIME_WEIGHTED_VALUE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec,
+         CAST(FLOOR(ABS(value) * 1000 + 0.5)
+              * (CASE WHEN value < 0 THEN -1 ELSE 1 END) AS BIGINT) AS vmil
+  FROM events
+),
+o AS (
+  SELECT user_id, vmil,
+         LEAD(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) - tsec AS dt
+  FROM e
+),
+g AS (
+  SELECT user_id, CAST(SUM(vmil * dt) AS BIGINT) AS wsum,
+         CAST(SUM(dt) AS BIGINT) AS tspan
+  FROM o WHERE dt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, wsum, tspan,
+       CAST(wsum AS DOUBLE) / CAST(tspan AS DOUBLE) AS twa
+FROM g WHERE tspan > 0
+"""
+
+QUERIES["time_weighted_value"] = (q_time_weighted_value, SQL_TIME_WEIGHTED_VALUE)
+
+
+def q_user_event_entropy(sf_dir: str) -> Any:
+    """Behavioral-diversity score: Shannon entropy of each user's
+    event-type distribution. Per-batch partial counts per (user, type)
+    ride one user-hashed exchange (a few rows per user per batch, never
+    the event volume); entropy is a per-partition numpy kernel. The
+    integer columns are exact; entropy rounds at 6 via the DuckDB-exact
+    `_ra` grid (PMI precedent for cross-engine LOG2 at nd=6)."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by(["user_id", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .to_arrow()
+        )
+        part = hash_partition_ids(out.column("user_id"), P, "user_event_entropy user_id")
+        return out.append_column("part", pa.array(part, type=pa.int64()))
+
+    _schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_types", pa.int64()),
+            ("n_events", pa.int64()),
+            ("entropy", pa.float64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _schema.empty_table()
+        g = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by(["user_id", "event_type"])
+            .agg(pl.col("cnt").sum().alias("cnt"))
+            .sort(["user_id", "event_type"])
+        )
+        uid = g["user_id"].to_numpy()
+        cnt = g["cnt"].to_numpy().astype(np.float64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        n_per = np.add.reduceat(cnt, starts)
+        p = cnt / np.repeat(n_per, np.diff(np.r_[starts, len(cnt)]))
+        terms = -p * np.log2(p)
+        ent = np.add.reduceat(terms, starts)
+        n_types = np.diff(np.r_[starts, len(cnt)])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_types": pa.array(n_types.astype(np.int64), type=pa.int64()),
+                "n_events": pa.array(n_per.astype(np.int64), type=pa.int64()),
+                "entropy": _ra(pa.array(ent), 6),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+SQL_USER_EVENT_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+n AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY user_id)
+SELECT c.user_id AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(MAX(n.n) AS BIGINT) AS n_events,
+       ROUND(SUM(-(CAST(cnt AS DOUBLE) / n.n) * LOG2(CAST(cnt AS DOUBLE) / n.n)), 6)
+         AS entropy
+FROM c JOIN n ON c.user_id = n.user_id GROUP BY c.user_id
+"""
+
+QUERIES["user_event_entropy"] = (q_user_event_entropy, SQL_USER_EVENT_ENTROPY)
+
+
+def q_mutual_nn(sf_dir: str) -> Any:
+    """Reciprocal-best-match pairs over the embeddings table: (a, b)
+    where each is the other's exact cosine top-1. Discrete output (id
+    pairs only) — the float similarity never reaches the comparator.
+    functions/similarity.py:mutual_nn_pairs for the broadcast-argmax +
+    count==2 merge shape."""
+    from patito_ray.functions.similarity import mutual_nn_pairs
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = mutual_nn_pairs(ds, id_col="vec_id", vec_col="embedding")
+    if isinstance(out, pa.Table):
+        return out
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    return _lazy_norm(out, schema)
+
+
+SQL_MUTUAL_NN = """
+WITH scored AS (
+  SELECT q.vec_id AS qa, e.vec_id AS qb,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id <> e.vec_id
+),
+nn AS (
+  SELECT qa, qb,
+         ROW_NUMBER() OVER (PARTITION BY qa ORDER BY sim DESC, qb ASC) AS rn
+  FROM scored
+)
+SELECT n1.qa AS a, n1.qb AS b
+FROM nn n1 JOIN nn n2 ON n1.qa = n2.qb AND n1.qb = n2.qa
+WHERE n1.rn = 1 AND n2.rn = 1 AND n1.qa < n1.qb
+"""
+
+QUERIES["mutual_nn"] = (q_mutual_nn, SQL_MUTUAL_NN)
