@@ -300,6 +300,10 @@ def run_bench() -> dict:
         "time_weighted_value",
         "user_event_entropy",
         "mutual_nn",
+        "revenue_share",
+        "source_simpson",
+        "segment_gini",
+        "cuped_adjust",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

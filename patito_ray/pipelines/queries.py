@@ -8828,3 +8828,425 @@ WHERE n1.rn = 1 AND n2.rn = 1 AND n1.qa < n1.qb
 """
 
 QUERIES["mutual_nn"] = (q_mutual_nn, SQL_MUTUAL_NN)
+
+
+def q_revenue_share(sf_dir: str) -> Any:
+    """Ratio-to-parent rollup: each nation's share of its REGION's
+    order revenue. Per-batch cents partials keyed by nationkey (25
+    groups — one tiny merge), dimension tables joined driver-side
+    (nation/region are fixed 25/5-row tables at any sf). Cents are an
+    exact int64 grid on both engines; the share is one mirrored IEEE
+    division per row."""
+    import ray
+
+    cust = pa.concat_tables(
+        _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    ref = ray.put(cust)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        joined = batch.join(ray.get(ref), keys=["o_custkey"], right_keys=["c_custkey"])
+        price = joined.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "c_nationkey": joined.column("c_nationkey"),
+                        "cents": pa.array(cents, type=pa.int64()),
+                    }
+                )
+            )
+            .group_by("c_nationkey")
+            .agg(pl.col("cents").sum().alias("nat_cents"))
+            .to_arrow()
+        )
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(partials, ["c_nationkey"], ["nat_cents"])
+    if not isinstance(merged, pa.Table):
+        merged = pa.concat_tables(
+            [t for t in merged.iter_batches(batch_format="pyarrow") if t.num_rows]
+        )
+
+    nation = pa.concat_tables(
+        _rp(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    region = pa.concat_tables(
+        _rp(sf_dir, "region", ["r_regionkey", "r_name"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    import polars as pl
+
+    out = (
+        pl.from_arrow(merged)
+        .join(pl.from_arrow(nation), left_on="c_nationkey", right_on="n_nationkey")
+        .join(pl.from_arrow(region), left_on="n_regionkey", right_on="r_regionkey")
+        .with_columns(pl.col("nat_cents").sum().over("n_regionkey").alias("region_cents"))
+        .select(
+            pl.col("r_name").alias("region"),
+            pl.col("n_name").alias("nation"),
+            pl.col("nat_cents").cast(pl.Int64),
+            pl.col("region_cents").cast(pl.Int64),
+            (pl.col("nat_cents").cast(pl.Float64) / pl.col("region_cents").cast(pl.Float64))
+            .alias("share"),
+        )
+        .to_arrow()
+    )
+    return out
+
+
+SQL_REVENUE_SHARE = """
+WITH rev AS (
+  SELECT n_regionkey, n_name,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS nat_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+reg AS (
+  SELECT n_regionkey, CAST(SUM(nat_cents) AS BIGINT) AS region_cents
+  FROM rev GROUP BY 1
+)
+SELECT r_name AS region, n_name AS nation, nat_cents, region_cents,
+       CAST(nat_cents AS DOUBLE) / CAST(region_cents AS DOUBLE) AS share
+FROM rev
+JOIN reg USING (n_regionkey)
+JOIN region ON r_regionkey = n_regionkey
+"""
+
+QUERIES["revenue_share"] = (q_revenue_share, SQL_REVENUE_SHARE)
+
+
+def q_source_simpson(sf_dir: str) -> Any:
+    """Simpson diversity index of each source's language mix —
+    lambda = sum(c*(c-1)) / (n*(n-1)), the probability two random docs
+    from the source share a language. ALL-integer partials (one
+    source-hashed exchange of (source, lang, cnt) rows); the index is
+    a single division of exact int64s — stronger than entropy, which
+    needs a log grid."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+    from patito_ray.state.sketches import hash64
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "documents", ["source", "lang"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by(["source", "lang"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .to_arrow()
+        )
+        h = hash64(pc.cast(out.column("source"), pa.large_binary())).view(np.int64)
+        part = pa.array(np.abs(h) % P, type=pa.int64())
+        return out.append_column("part", part)
+
+    _schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_langs", pa.int64()),
+            ("simpson", pa.float64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return _schema.empty_table()
+        return (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by(["source", "lang"])
+            .agg(pl.col("cnt").sum().alias("cnt"))
+            .group_by("source")
+            .agg(
+                pl.col("cnt").sum().alias("n_docs"),
+                pl.len().cast(pl.Int64).alias("n_langs"),
+                (pl.col("cnt") * (pl.col("cnt") - 1)).sum().alias("num"),
+            )
+            .filter(pl.col("n_docs") > 1)
+            .with_columns(
+                (
+                    pl.col("num").cast(pl.Float64)
+                    / (pl.col("n_docs") * (pl.col("n_docs") - 1)).cast(pl.Float64)
+                ).alias("simpson")
+            )
+            .select(["source", "n_docs", "n_langs", "simpson"])
+            .to_arrow()
+            .cast(_schema)
+        )
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+SQL_SOURCE_SIMPSON = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, lang
+),
+g AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS num
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       CAST(num AS DOUBLE) / CAST(n_docs * (n_docs - 1) AS DOUBLE) AS simpson
+FROM g WHERE n_docs > 1
+"""
+
+QUERIES["source_simpson"] = (q_source_simpson, SQL_SOURCE_SIMPSON)
+
+
+def q_segment_gini(sf_dir: str, _limit_bytes: int = 256 << 20) -> Any:
+    """Gini concentration of per-customer revenue within each market
+    segment — the standard inequality measure over a sorted group:
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x ascending.
+    Cents partials per customer ride the adaptive merge; the holistic
+    rank step is one segment exchange (5 groups) whose per-partition
+    kernel is a vectorized sort + two dot products. Exact int64 until
+    the single final division."""
+    import ray
+
+    import polars as pl
+
+    cust = pa.concat_tables(
+        _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    ref = ray.put(cust)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        joined = batch.join(ray.get(ref), keys=["o_custkey"], right_keys=["c_custkey"])
+        price = joined.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "o_custkey": joined.column("o_custkey"),
+                        "segment": joined.column("c_mktsegment"),
+                        "cents": pa.array(cents, type=pa.int64()),
+                    }
+                )
+            )
+            .group_by(["o_custkey", "segment"])
+            .agg(pl.col("cents").sum().alias("cents"))
+            .to_arrow()
+        )
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partials = orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(
+        partials, ["o_custkey", "segment"], ["cents"], limit_bytes=_limit_bytes
+    )
+
+    _schema = pa.schema(
+        [
+            ("segment", pa.string()),
+            ("n", pa.int64()),
+            ("s0", pa.int64()),
+            ("gini", pa.float64()),
+        ]
+    )
+
+    def gini_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "segment" not in t.column_names:
+            return _schema.empty_table()
+        df = pl.from_arrow(t).sort(["segment", "cents", "o_custkey"])
+        seg = df["segment"].to_numpy()
+        x = df["cents"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        sizes = np.diff(np.r_[starts, len(x)])
+        i = np.arange(len(x), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        s0 = np.add.reduceat(x, starts)
+        s1 = np.add.reduceat(i * x, starts)
+        n = sizes.astype(np.int64)
+        num = 2 * s1 - (n + 1) * s0
+        return pa.table(
+            {
+                "segment": pa.array(seg[starts]),
+                "n": pa.array(n, type=pa.int64()),
+                "s0": pa.array(s0, type=pa.int64()),
+                "gini": pa.array(
+                    num.astype(np.float64) / (n * s0).astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    if isinstance(merged, pa.Table):
+        return gini_kernel(merged)
+    return merged.groupby("segment").map_groups(gini_kernel, batch_format="pyarrow")
+
+
+SQL_SEGMENT_GINI = """
+WITH r AS (
+  SELECT c_mktsegment AS segment, o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+k AS (
+  SELECT segment, cents,
+         ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, o_custkey) AS i
+  FROM r
+),
+g AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s0,
+         CAST(SUM(i * cents) AS BIGINT) AS s1
+  FROM k GROUP BY segment
+)
+SELECT segment, n, s0,
+       CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE) AS gini
+FROM g
+"""
+
+QUERIES["segment_gini"] = (q_segment_gini, SQL_SEGMENT_GINI)
+
+
+def q_cuped_adjust(sf_dir: str, _limit_bytes: int = 256 << 20) -> Any:
+    """CUPED variance reduction (the standard experiment-analysis
+    adjustment): per-user post-period metric minus theta * centered
+    pre-period metric, theta = cov(pre, post)/var(pre) over users.
+
+    Exactness: per-user pre/post sums live on the integer millis grid
+    (exact partials through the adaptive merge; cross-user moment sums
+    sx/sy/sxy/sxx are exact int64 too — bound: users * max_user_millis²
+    < 2^63, fine to ~10^9 users at this value scale). theta / meanpre /
+    adjusted are then MIRRORED single IEEE ops on both engines — no
+    rounding anywhere. Degenerate zero pre-variance yields nan on both
+    engines identically."""
+    import polars as pl
+    import ray.data as rd
+
+    SPLIT_US = int(
+        (datetime.datetime(2024, 1, 16) - datetime.datetime(1970, 1, 1)).total_seconds()
+        * 1_000_000
+    )
+    ds = _rp(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        vmil = np.copysign(np.floor(np.abs(v) * 1000.0 + 0.5), v).astype(np.int64)
+        tus = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        is_pre = tus < SPLIT_US
+        return (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "pre": pa.array(np.where(is_pre, vmil, 0), type=pa.int64()),
+                        "post": pa.array(np.where(is_pre, 0, vmil), type=pa.int64()),
+                    }
+                )
+            )
+            .group_by("user_id")
+            .agg(pl.col("pre").sum(), pl.col("post").sum())
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_sums(
+        partials, ["user_id"], ["pre", "post"], limit_bytes=_limit_bytes
+    )
+    users = (rd.from_arrow(merged) if isinstance(merged, pa.Table) else merged).materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        pre = t.column("pre").to_numpy(zero_copy_only=False).astype(np.int64)
+        post = t.column("post").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _one_row(
+            k=0,
+            n=len(pre),
+            sx=int(pre.sum()),
+            sy=int(post.sum()),
+            sxy=int((pre * post).sum()),
+            sxx=int((pre * pre).sum()),
+        )
+
+    m = merge_partial_sums(
+        users.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        ["n", "sx", "sy", "sxy", "sxx"],
+        limit_bytes=_limit_bytes,
+    )
+    if not isinstance(m, pa.Table):
+        m = pa.concat_tables(
+            [t for t in m.iter_batches(batch_format="pyarrow") if t.num_rows]
+        )
+    row = m.to_pylist()[0]
+    n_d, sx_d, sy_d = float(row["n"]), float(row["sx"]), float(row["sy"])
+    sxy_d, sxx_d = float(row["sxy"]), float(row["sxx"])
+    meanpre = sx_d / n_d
+    theta = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+
+    def adjust(t: pa.Table) -> pa.Table:
+        pre = t.column("pre").to_numpy(zero_copy_only=False).astype(np.float64)
+        post = t.column("post").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "pre": t.column("pre").cast(pa.int64()),
+                "post": t.column("post").cast(pa.int64()),
+                "adjusted": pa.array(post - theta * (pre - meanpre), type=pa.float64()),
+            }
+        )
+
+    return users.map_batches(adjust, batch_format="pyarrow", batch_size=None)
+
+
+SQL_CUPED_ADJUST = """
+WITH e AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(ABS(value) * 1000 + 0.5)
+              * (CASE WHEN value < 0 THEN -1 ELSE 1 END) AS BIGINT) AS vmil
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(vmil) FILTER (ts < TIMESTAMP '2024-01-16'), 0) AS BIGINT)
+           AS pre,
+         CAST(COALESCE(SUM(vmil) FILTER (ts >= TIMESTAMP '2024-01-16'), 0) AS BIGINT)
+           AS post
+  FROM e GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pre) AS BIGINT) AS sx,
+         CAST(SUM(post) AS BIGINT) AS sy, CAST(SUM(pre * post) AS BIGINT) AS sxy,
+         CAST(SUM(pre * pre) AS BIGINT) AS sxx
+  FROM u
+),
+t AS (
+  SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS meanpre,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta
+  FROM s
+)
+SELECT u.user_id, u.pre, u.post,
+       CAST(u.post AS DOUBLE) - t.theta * (CAST(u.pre AS DOUBLE) - t.meanpre)
+         AS adjusted
+FROM u, t
+"""
+
+QUERIES["cuped_adjust"] = (q_cuped_adjust, SQL_CUPED_ADJUST)

@@ -154,3 +154,105 @@ def test_user_event_entropy_reference(ray_session, tmp_path):
     assert got[1]["n_types"] == 3 and got[1]["n_events"] == n
     assert abs(got[1]["entropy"] - expect) < 1e-6
     assert got[2] == {"user_id": 2, "n_types": 1, "n_events": 1, "entropy": 0.0}
+
+
+def _write_table(tmp_path, name, t):
+    pq.write_table(t, f"{tmp_path}/{name}.parquet")
+
+
+def test_segment_gini_reference(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_segment_gini
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_mktsegment": pa.array(["A", "A", "A", "B", "B"]),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 2, 3, 4, 5], pa.int64()),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 60.0, 5.0, 5.0], pa.float64()),
+        }
+    )
+    _write_table(tmp_path, "customer", cust)
+    _write_table(tmp_path, "orders", orders)
+
+    def ref_gini(xs):
+        xs = sorted(xs)
+        n, s0 = len(xs), sum(xs)
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * s1 - (n + 1) * s0) / (n * s0)
+
+    for lb in (256 << 20, 0):
+        out = _collect(q_segment_gini(str(tmp_path), _limit_bytes=lb))
+        got = {r["segment"]: r for r in out.to_pylist()}
+        # A: customers 30,30,60 cents*100; B: 5,5 (perfect equality -> 0)
+        assert got["A"]["n"] == 3 and got["B"]["n"] == 2
+        assert got["A"]["gini"] == ref_gini([3000, 3000, 6000])
+        assert got["B"]["gini"] == 0.0
+
+
+def test_cuped_adjust_reference(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_cuped_adjust
+
+    pre_day = datetime.datetime(2024, 1, 5)
+    post_day = datetime.datetime(2024, 1, 20)
+    rows, eid = [], 0
+    # user i: pre = i, post = 2*i + 1  (exact linear -> adjusted is flat-ish)
+    for i in (1, 2, 3, 4):
+        rows.append((eid, pre_day, i, "a", float(i)))
+        eid += 1
+        rows.append((eid, post_day, i, "a", 2.0 * i + 1.0))
+        eid += 1
+    sf = _write_events(tmp_path, rows)
+    for lb in (256 << 20, 0):
+        out = _collect(q_cuped_adjust(sf, _limit_bytes=lb))
+        got = {r["user_id"]: r for r in out.to_pylist()}
+        pre = {i: i * 1000 for i in (1, 2, 3, 4)}
+        post = {i: (2 * i + 1) * 1000 for i in (1, 2, 3, 4)}
+        n = 4
+        sx = sum(pre.values()); sy = sum(post.values())
+        sxy = sum(pre[i] * post[i] for i in pre)
+        sxx = sum(v * v for v in pre.values())
+        theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        meanpre = sx / n
+        assert theta == 2.0
+        for i in (1, 2, 3, 4):
+            assert got[i]["pre"] == pre[i] and got[i]["post"] == post[i]
+            assert got[i]["adjusted"] == post[i] - theta * (pre[i] - meanpre)
+
+
+def test_source_simpson_reference(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_source_simpson
+
+    langs = ["en", "en", "en", "de", "fr", "fr"]
+    docs = pa.table(
+        {
+            "source": pa.array(["s1"] * 6 + ["s2"] + ["s3", "s3"]),
+            "lang": pa.array(langs + ["en", "xx", "xx"]),
+        }
+    )
+    _write_table(tmp_path, "documents", docs)
+    out = _collect(q_source_simpson(str(tmp_path)))
+    got = {r["source"]: r for r in out.to_pylist()}
+    assert "s2" not in got  # n_docs == 1 excluded
+    c = collections.Counter(langs)
+    n = 6
+    expect = sum(v * (v - 1) for v in c.values()) / (n * (n - 1))
+    assert got["s1"]["n_docs"] == 6 and got["s1"]["n_langs"] == 3
+    assert got["s1"]["simpson"] == expect
+    assert got["s3"]["simpson"] == 1.0  # both docs same lang
+
+
+def test_revenue_share_sums_to_one(ray_session):
+    from patito_ray.pipelines.queries import q_revenue_share
+
+    out = _collect(q_revenue_share("/root/testdata/sf0.001"))
+    df = out.to_pylist()
+    by_region: dict = {}
+    for r in df:
+        by_region.setdefault(r["region"], []).append(r)
+    for rows in by_region.values():
+        assert sum(r["nat_cents"] for r in rows) == rows[0]["region_cents"]
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
