@@ -304,6 +304,8 @@ def run_bench() -> dict:
         "source_simpson",
         "segment_gini",
         "cuped_adjust",
+        "winsorized_mean",
+        "user_burstiness",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

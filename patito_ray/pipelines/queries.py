@@ -9250,3 +9250,198 @@ FROM u, t
 """
 
 QUERIES["cuped_adjust"] = (q_cuped_adjust, SQL_CUPED_ADJUST)
+
+
+def q_winsorized_mean(sf_dir: str, _limit_bytes: int = 256 << 20) -> Any:
+    """Winsorized mean per return flag: clip each price to the group's
+    [p10, p90] SELECTION quantiles (rank ceil(q*n) — bit-exact vs SQL,
+    zero interpolation), then average. Rides the shared adaptive
+    grouped-holistic spine (driver kernel below the byte limit, hash
+    exchange beyond). The clip bounds and clipped sum are exact int64
+    cents; the mean is one mirrored IEEE division — no rounding."""
+    import polars as pl
+
+    from patito_ray.stages.quantiles import _adaptive_grouped_holistic
+
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from patito_ray.stages.exchange import hash_partition_ids
+        from patito_ray.state.sketches import hash64
+
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        out = pa.table(
+            {
+                "flag": t.column("l_returnflag"),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        h = hash64(pc.cast(out.column("flag"), pa.large_binary())).view(np.int64)
+        return out.append_column(
+            "part", pa.array(np.abs(h) % P, type=pa.int64())
+        )
+
+    _schema = pa.schema(
+        [
+            ("flag", pa.string()),
+            ("n", pa.int64()),
+            ("lo", pa.int64()),
+            ("hi", pa.int64()),
+            ("wmean", pa.float64()),
+        ]
+    )
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "flag" not in t.column_names:
+            return _schema.empty_table()
+        df = pl.from_arrow(t.drop_columns(["part"])).sort(["flag", "cents"])
+        flag = df["flag"].to_numpy()
+        x = df["cents"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, flag[1:] != flag[:-1]])
+        sizes = np.diff(np.r_[starts, len(x)])
+        n = sizes.astype(np.int64)
+        # 1-based rank ceil(q*n), clipped to >= 1 — identical IEEE
+        # double product + ceil as the SQL CEIL(q*cnt)
+        lo_i = np.maximum(np.ceil(n.astype(np.float64) * 0.1).astype(np.int64), 1)
+        hi_i = np.maximum(np.ceil(n.astype(np.float64) * 0.9).astype(np.int64), 1)
+        lo = x[starts + lo_i - 1]
+        hi = x[starts + hi_i - 1]
+        clipped = np.clip(x, np.repeat(lo, sizes), np.repeat(hi, sizes))
+        ssum = np.add.reduceat(clipped, starts)
+        return pa.table(
+            {
+                "flag": pa.array(flag[starts]),
+                "n": pa.array(n, type=pa.int64()),
+                "lo": pa.array(lo, type=pa.int64()),
+                "hi": pa.array(hi, type=pa.int64()),
+                "wmean": pa.array(
+                    ssum.astype(np.float64) / n.astype(np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+    return _adaptive_grouped_holistic(ds, add_part, per_partition, _limit_bytes)
+
+
+SQL_WINSORIZED_MEAN = """
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+ranked AS (
+  SELECT flag, cents,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS cnt
+  FROM c
+),
+b AS (
+  SELECT flag, CAST(MAX(cnt) AS BIGINT) AS n,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.1 * cnt) AS BIGINT))
+                  THEN cents END) AS lo,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * cnt) AS BIGINT))
+                  THEN cents END) AS hi
+  FROM ranked GROUP BY flag
+)
+SELECT b.flag, b.n, b.lo, b.hi,
+       CAST(SUM(GREATEST(b.lo, LEAST(b.hi, c.cents))) AS DOUBLE)
+         / CAST(b.n AS DOUBLE) AS wmean
+FROM c JOIN b ON c.flag = b.flag
+GROUP BY b.flag, b.n, b.lo, b.hi
+"""
+
+QUERIES["winsorized_mean"] = (q_winsorized_mean, SQL_WINSORIZED_MEAN)
+
+
+def q_user_burstiness(sf_dir: str) -> Any:
+    """Fano factor (variance-to-mean of daily event counts) per user —
+    the standard overdispersion / bot-burstiness signal. Daily counts
+    are exact integers; sc/sc2 moment sums stay exact int64 through one
+    user-hash exchange; the factor itself is a MIRRORED IEEE expression
+    of those exact ints on both engines, so no rounding anywhere."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "events", ["ts", "user_id"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(t.column("ts"), pa.date32()), pa.int32())
+        out = (
+            pl.from_arrow(pa.table({"user_id": t.column("user_id"), "day": day}))
+            .group_by(["user_id", "day"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+        part = hash_partition_ids(out.column("user_id"), P, "user_burstiness user_id")
+        return out.append_column("part", pa.array(part, type=pa.int64()))
+
+    _schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n", pa.int64()),
+            ("sc", pa.int64()),
+            ("fano", pa.float64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _schema.empty_table()
+        g = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by(["user_id", "day"])
+            .agg(pl.col("c").sum().alias("c"))
+            .group_by("user_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("c").sum().alias("sc"),
+                (pl.col("c") * pl.col("c")).sum().alias("sc2"),
+            )
+            .filter(pl.col("n") > 1)
+        )
+        n = g["n"].to_numpy().astype(np.float64)
+        sc = g["sc"].to_numpy().astype(np.float64)
+        sc2 = g["sc2"].to_numpy().astype(np.float64)
+        fano = ((sc2 - sc * sc / n) / (n - 1.0)) / (sc / n)
+        return pa.table(
+            {
+                "user_id": g["user_id"].to_arrow().cast(pa.int64()),
+                "n": g["n"].to_arrow().cast(pa.int64()),
+                "sc": g["sc"].to_arrow().cast(pa.int64()),
+                "fano": pa.array(fano, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+SQL_USER_BURSTINESS = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS sc2
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n, sc,
+       ((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+        / CAST(n - 1 AS DOUBLE))
+       / (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) AS fano
+FROM m WHERE n > 1
+"""
+
+QUERIES["user_burstiness"] = (q_user_burstiness, SQL_USER_BURSTINESS)

@@ -256,3 +256,50 @@ def test_revenue_share_sums_to_one(ray_session):
     for rows in by_region.values():
         assert sum(r["nat_cents"] for r in rows) == rows[0]["region_cents"]
         assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+
+
+def test_winsorized_mean_reference(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_winsorized_mean
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    t = pa.table(
+        {
+            "l_returnflag": pa.array(["A"] * 10 + ["B"] * 2),
+            "l_extendedprice": pa.array(vals + [5.0, 5.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/lineitem.parquet")
+    import math
+
+    cents = sorted(int(v * 100) for v in vals)
+    n = len(cents)
+    lo = cents[max(1, math.ceil(0.1 * n)) - 1]
+    hi = cents[max(1, math.ceil(0.9 * n)) - 1]
+    expect = sum(min(hi, max(lo, c)) for c in cents) / n
+    for lb in (256 << 20, 0):
+        out = _collect(q_winsorized_mean(str(tmp_path), _limit_bytes=lb))
+        got = {r["flag"]: r for r in out.to_pylist()}
+        assert got["A"]["lo"] == lo and got["A"]["hi"] == hi
+        assert got["A"]["wmean"] == expect
+        assert got["B"]["wmean"] == 500.0
+
+
+def test_user_burstiness_reference(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_user_burstiness
+
+    d0 = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # user 1: daily counts 1, 3, 8 across three days
+    for day, k in ((0, 1), (1, 3), (2, 8)):
+        for _ in range(k):
+            rows.append((eid, d0 + datetime.timedelta(days=day, minutes=eid), 1, "a", 1.0))
+            eid += 1
+    # user 2: single active day -> excluded
+    rows.append((eid, d0, 2, "a", 1.0))
+    out = _collect(q_user_burstiness(_write_events(tmp_path, rows)))
+    got = {r["user_id"]: r for r in out.to_pylist()}
+    assert set(got) == {1}
+    counts = [1, 3, 8]
+    n, sc, sc2 = len(counts), sum(counts), sum(c * c for c in counts)
+    expect = ((sc2 - sc * sc / n) / (n - 1)) / (sc / n)
+    assert got[1] == {"user_id": 1, "n": 3, "sc": 12, "fano": expect}
