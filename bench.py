@@ -306,6 +306,7 @@ def run_bench() -> dict:
         "cuped_adjust",
         "winsorized_mean",
         "user_burstiness",
+        "user_profile",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -9445,3 +9445,218 @@ FROM m WHERE n > 1
 """
 
 QUERIES["user_burstiness"] = (q_user_burstiness, SQL_USER_BURSTINESS)
+
+
+def q_user_profile(sf_dir: str) -> Any:
+    """Fused per-user behavioral profile: consecutive-day streaks,
+    time-weighted value, event-type entropy and daily-count Fano factor
+    in ONE user-hash exchange — the four standalone operators each pay
+    an all-to-all over the same key, so a profile pipeline fuses them
+    (CLAUDE.md: back-to-back exchanges hashing the SAME key should
+    fuse). Per-partition kernel is pure polars/numpy; exactness
+    contracts are inherited unchanged from the standalone operators
+    (integer grids everywhere, entropy on the `_ra` nd=6 grid)."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        vmil = np.copysign(np.floor(np.abs(v) * 1000.0 + 0.5), v).astype(np.int64)
+        tus = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        part = hash_partition_ids(t.column("user_id"), P, "user_profile user_id")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "tus": pa.array(tus, type=pa.int64()),
+                "vmil": pa.array(vmil, type=pa.int64()),
+                "part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    _schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("max_streak", pa.int64()),
+            ("active_days", pa.int64()),
+            ("twa", pa.float64()),
+            ("n_types", pa.int64()),
+            ("entropy", pa.float64()),
+            ("n_days", pa.int64()),
+            ("fano", pa.float64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _schema.empty_table()
+        df = pl.from_arrow(t.drop_columns(["part"])).with_columns(
+            (pl.col("tus") // 86_400_000_000).alias("dayi"),
+            (pl.col("tus") // 1_000_000).alias("tsec"),
+        )
+        streaks = (
+            df.select(["user_id", "dayi"])
+            .unique()
+            .sort(["user_id", "dayi"])
+            .with_columns(
+                (pl.col("dayi") - pl.int_range(pl.len()).over("user_id")).alias("isl")
+            )
+            .group_by(["user_id", "isl"])
+            .agg(pl.len().alias("len"))
+            .group_by("user_id")
+            .agg(
+                pl.col("len").max().alias("max_streak"),
+                pl.col("len").sum().alias("active_days"),
+            )
+        )
+        twa = (
+            df.sort(["user_id", "tsec", "event_id"], maintain_order=True)
+            .with_columns(
+                (pl.col("tsec").shift(-1) - pl.col("tsec")).over("user_id").alias("dt")
+            )
+            .drop_nulls(["dt"])
+            .group_by("user_id")
+            .agg(
+                (pl.col("vmil") * pl.col("dt")).sum().alias("wsum"),
+                pl.col("dt").sum().alias("tspan"),
+            )
+            .filter(pl.col("tspan") > 0)
+            .with_columns(
+                (pl.col("wsum").cast(pl.Float64) / pl.col("tspan").cast(pl.Float64))
+                .alias("twa")
+            )
+        )
+        ce = (
+            df.group_by(["user_id", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .sort(["user_id", "event_type"])
+        )
+        uid = ce["user_id"].to_numpy()
+        cnt = ce["cnt"].to_numpy().astype(np.float64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        n_per = np.add.reduceat(cnt, starts)
+        p = cnt / np.repeat(n_per, np.diff(np.r_[starts, len(cnt)]))
+        ent = pl.DataFrame(
+            {
+                "user_id": uid[starts],
+                "n_types": np.diff(np.r_[starts, len(cnt)]).astype(np.int64),
+                "entropy": _ra(np.add.reduceat(-p * np.log2(p), starts), 6).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        fano = (
+            df.group_by(["user_id", "dayi"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .group_by("user_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_days"),
+                pl.col("c").sum().alias("sc"),
+                (pl.col("c") * pl.col("c")).sum().alias("sc2"),
+            )
+            .filter(pl.col("n_days") > 1)
+        )
+        nd = fano["n_days"].to_numpy().astype(np.float64)
+        sc = fano["sc"].to_numpy().astype(np.float64)
+        sc2 = fano["sc2"].to_numpy().astype(np.float64)
+        fano = fano.with_columns(
+            pl.Series("fano", ((sc2 - sc * sc / nd) / (nd - 1.0)) / (sc / nd))
+        )
+        out = (
+            streaks.join(twa.select(["user_id", "twa"]), on="user_id")
+            .join(ent, on="user_id")
+            .join(fano.select(["user_id", "n_days", "fano"]), on="user_id")
+            .select(
+                [
+                    "user_id",
+                    "max_streak",
+                    "active_days",
+                    "twa",
+                    "n_types",
+                    "entropy",
+                    "n_days",
+                    "fano",
+                ]
+            )
+        )
+        return out.to_arrow().cast(_schema)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+SQL_USER_PROFILE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+         CAST(FLOOR(ABS(value) * 1000 + 0.5)
+              * (CASE WHEN value < 0 THEN -1 ELSE 1 END) AS BIGINT) AS vmil
+  FROM events
+),
+d AS (SELECT DISTINCT user_id, tus // 86400000000 AS dayi FROM ev),
+r AS (
+  SELECT user_id, dayi,
+         dayi - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dayi) AS isl
+  FROM d
+),
+cstr AS (SELECT user_id, isl, COUNT(*) AS len FROM r GROUP BY user_id, isl),
+streaks AS (
+  SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+         CAST(SUM(len) AS BIGINT) AS active_days
+  FROM cstr GROUP BY user_id
+),
+o AS (
+  SELECT user_id, vmil,
+         LEAD(tus // 1000000) OVER (
+           PARTITION BY user_id ORDER BY tus // 1000000, event_id
+         ) - tus // 1000000 AS dt
+  FROM ev
+),
+twa AS (
+  SELECT user_id, CAST(SUM(vmil * dt) AS BIGINT) AS wsum,
+         CAST(SUM(dt) AS BIGINT) AS tspan
+  FROM o WHERE dt IS NOT NULL GROUP BY user_id
+),
+ce AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY user_id, event_type
+),
+ne AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS nn FROM ce GROUP BY user_id),
+ent AS (
+  SELECT ce.user_id AS user_id, CAST(COUNT(*) AS BIGINT) AS n_types,
+         ROUND(SUM(-(CAST(cnt AS DOUBLE) / nn) * LOG2(CAST(cnt AS DOUBLE) / nn)), 6)
+           AS entropy
+  FROM ce JOIN ne ON ce.user_id = ne.user_id GROUP BY ce.user_id
+),
+dc AS (
+  SELECT user_id, tus // 86400000000 AS dayi, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev GROUP BY user_id, tus // 86400000000
+),
+mo AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS sc2
+  FROM dc GROUP BY user_id
+)
+SELECT s.user_id AS user_id, s.max_streak, s.active_days,
+       CAST(t.wsum AS DOUBLE) / CAST(t.tspan AS DOUBLE) AS twa,
+       e.n_types, e.entropy, mo.n_days,
+       ((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                               / CAST(n_days AS DOUBLE))
+        / CAST(n_days - 1 AS DOUBLE))
+       / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)) AS fano
+FROM streaks s
+JOIN twa t ON s.user_id = t.user_id
+JOIN ent e ON s.user_id = e.user_id
+JOIN mo ON s.user_id = mo.user_id
+WHERE t.tspan > 0 AND mo.n_days > 1
+"""
+
+QUERIES["user_profile"] = (q_user_profile, SQL_USER_PROFILE)

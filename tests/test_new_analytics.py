@@ -303,3 +303,33 @@ def test_user_burstiness_reference(ray_session, tmp_path):
     n, sc, sc2 = len(counts), sum(counts), sum(c * c for c in counts)
     expect = ((sc2 - sc * sc / n) / (n - 1)) / (sc / n)
     assert got[1] == {"user_id": 1, "n": 3, "sc": 12, "fano": expect}
+
+
+def test_user_profile_matches_standalone_operators(ray_session):
+    """The fused single-exchange profile must agree column-for-column
+    with the standalone operators it fuses."""
+    from patito_ray.pipelines.queries import (
+        q_time_weighted_value,
+        q_user_burstiness,
+        q_user_event_entropy,
+        q_user_profile,
+        q_user_streaks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    prof = {r["user_id"]: r for r in _collect(q_user_profile(sf)).to_pylist()}
+    streaks = {r["user_id"]: r for r in _collect(q_user_streaks(sf)).to_pylist()}
+    twa = {r["user_id"]: r for r in _collect(q_time_weighted_value(sf)).to_pylist()}
+    ent = {r["user_id"]: r for r in _collect(q_user_event_entropy(sf)).to_pylist()}
+    fano = {r["user_id"]: r for r in _collect(q_user_burstiness(sf)).to_pylist()}
+    assert prof  # non-trivial corpus
+    for uid, p in prof.items():
+        assert p["max_streak"] == streaks[uid]["max_streak"]
+        assert p["active_days"] == streaks[uid]["active_days"]
+        assert p["twa"] == twa[uid]["twa"]
+        assert p["n_types"] == ent[uid]["n_types"]
+        assert p["entropy"] == ent[uid]["entropy"]
+        assert p["n_days"] == fano[uid]["n"]
+        assert p["fano"] == fano[uid]["fano"]
+    # profile keeps exactly the users every fused metric is defined for
+    assert set(prof) == set(streaks) & set(twa) & set(fano) & set(ent)
