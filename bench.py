@@ -307,6 +307,7 @@ def run_bench() -> dict:
         "winsorized_mean",
         "user_burstiness",
         "user_profile",
+        "hard_negatives",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -492,3 +492,105 @@ def mutual_nn_pairs(
     if isinstance(merged, pa.Table):
         return finish(merged)
     return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+class _BatchHardNegative:
+    """Per-batch argmax over DIFFERENT-label corpus columns only —
+    contrastive hard-negative mining. Same lazy-broadcast / sorted-id
+    tie-break contract as ``_BatchArgmaxNN``."""
+
+    def __init__(self, corpus_ref: Any, id_col: str, vec_col: str, label_col: str) -> None:
+        self._ref = corpus_ref
+        self.ids: np.ndarray | None = None
+        self.unit: np.ndarray | None = None
+        self.labels: np.ndarray | None = None
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.label_col = label_col
+
+    def _resolve(self) -> None:
+        if self.ids is None:
+            import ray
+
+            c = self._ref
+            if not isinstance(c, dict):
+                c = ray.get(c)
+            self.ids, self.unit, self.labels = c["ids"], c["vecs"], c["labels"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._resolve()
+        vecs = _to_matrix(batch.column(self.vec_col))
+        bids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        blab = batch.column(self.label_col).to_numpy(zero_copy_only=False)
+        if vecs.size == 0 or len(self.ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "neg_id": pa.array([], type=pa.int64()),
+                }
+            )
+        sims = _unit(vecs) @ self.unit.T
+        sims[blab[:, None] == self.labels[None, :]] = -np.inf
+        nn = np.argmax(sims, axis=1)  # first hit == smallest id on ties
+        best = sims[np.arange(len(bids)), nn]
+        keep = np.isfinite(best)  # rows whose label covers the whole corpus drop
+        return pa.table(
+            {
+                "vec_id": pa.array(bids[keep], type=pa.int64()),
+                "neg_id": pa.array(self.ids[nn[keep]], type=pa.int64()),
+            }
+        )
+
+
+def hard_negative_mining(
+    ds: Any,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> Any:
+    """Contrastive hard negatives: for every vector, the highest-cosine
+    corpus vector with a DIFFERENT label (ties toward the smaller id).
+
+    Scan-only shape — the corpus (ids, unit vectors, labels) is
+    broadcast once via ``ray.put``, each batch is one masked float64
+    matmul + argmax, output is exactly one row per eligible vector, and
+    there is NO shuffle. Same residency assumption as
+    ``mutual_nn_pairs``; at corpus sizes past object-store residency,
+    route candidates through ``topk_cosine_ivf`` lists per label
+    bucket."""
+    import ray
+
+    mat = ds.materialize()
+    ids_l: list[np.ndarray] = []
+    vecs_l: list[np.ndarray] = []
+    lab_l: list[np.ndarray] = []
+    for t in ray.get(mat.to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        ids_l.append(t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        lab_l.append(t.column(label_col).to_numpy(zero_copy_only=False))
+        m = _to_matrix(t.column(vec_col))
+        if m.size:
+            vecs_l.append(m)
+    if not ids_l:
+        return mat.map_batches(
+            lambda t: pa.table(
+                {"vec_id": pa.array([], pa.int64()), "neg_id": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    ids = np.concatenate(ids_l)
+    labels = np.concatenate(lab_l)
+    order = np.argsort(ids, kind="stable")
+    ref = ray.put(
+        {
+            "ids": ids[order],
+            "vecs": _unit(np.concatenate(vecs_l))[order],
+            "labels": labels[order],
+        }
+    )
+    return mat.map_batches(
+        _BatchHardNegative(ref, id_col, vec_col, label_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

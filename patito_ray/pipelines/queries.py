@@ -9660,3 +9660,34 @@ WHERE t.tspan > 0 AND mo.n_days > 1
 """
 
 QUERIES["user_profile"] = (q_user_profile, SQL_USER_PROFILE)
+
+
+def q_hard_negatives(sf_dir: str) -> Any:
+    """Contrastive hard-negative mining over the embeddings table:
+    each vector's best different-label cosine neighbor. Discrete id
+    output; functions/similarity.py:hard_negative_mining for the
+    broadcast masked-argmax scan (no shuffle at all)."""
+    from patito_ray.functions.similarity import hard_negative_mining
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = hard_negative_mining(ds)
+    schema = pa.schema([("vec_id", pa.int64()), ("neg_id", pa.int64())])
+    return _lazy_norm(out, schema)
+
+
+SQL_HARD_NEGATIVES = """
+WITH scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS cand,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a JOIN embeddings b ON a.label <> b.label
+),
+r AS (
+  SELECT vec_id, cand,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, cand AS neg_id FROM r WHERE rn = 1
+"""
+
+QUERIES["hard_negatives"] = (q_hard_negatives, SQL_HARD_NEGATIVES)

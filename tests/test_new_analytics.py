@@ -333,3 +333,40 @@ def test_user_profile_matches_standalone_operators(ray_session):
         assert p["fano"] == fano[uid]["fano"]
     # profile keeps exactly the users every fused metric is defined for
     assert set(prof) == set(streaks) & set(twa) & set(fano) & set(ent)
+
+
+def test_hard_negatives_planted(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.similarity import hard_negative_mining
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 8)).astype(np.float32)
+    # vec 0 (label 0) is nearly identical to vec 1 (label 1): each is
+    # the other's hard negative. vec 2 shares label 0 with vec 0 and
+    # sits even closer to it — must be masked out.
+    base[1] = base[0] + 1e-4
+    base[2] = base[0] + 1e-6
+    labels = np.array([0, 1] + [0] + [i % 3 for i in range(27)], dtype=np.int32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in base], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    out = _collect(hard_negative_mining(rd.from_arrow(t).repartition(4)))
+    got = dict(zip(out.column("vec_id").to_pylist(), out.column("neg_id").to_pylist()))
+    assert len(got) == 30  # every vector has a different-label candidate
+    assert got[0] == 1 and got[1] in (0, 2)  # 2 is label-0: valid for anchor 1
+    # single-label corpus: nothing to mine
+    t1 = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())),
+            "label": pa.array([7, 7], pa.int32()),
+        }
+    )
+    assert _collect(hard_negative_mining(rd.from_arrow(t1))).num_rows == 0
