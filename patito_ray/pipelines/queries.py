@@ -9193,11 +9193,25 @@ def q_cuped_adjust(sf_dir: str, _limit_bytes: int = 256 << 20) -> Any:
         m = pa.concat_tables(
             [t for t in m.iter_batches(batch_format="pyarrow") if t.num_rows]
         )
-    row = m.to_pylist()[0]
-    n_d, sx_d, sy_d = float(row["n"]), float(row["sx"]), float(row["sy"])
-    sxy_d, sxx_d = float(row["sxy"]), float(row["sxx"])
-    meanpre = sx_d / n_d
-    theta = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+    rows = m.to_pylist()
+    if not rows:
+        return pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("pre", pa.int64()),
+                ("post", pa.int64()),
+                ("adjusted", pa.float64()),
+            ]
+        ).empty_table()
+    row = rows[0]
+    # np.float64 scalars: a zero pre-variance denominator must yield
+    # IEEE inf/nan exactly like the SQL DOUBLE division, not a Python
+    # ZeroDivisionError
+    n_d, sx_d, sy_d = np.float64(row["n"]), np.float64(row["sx"]), np.float64(row["sy"])
+    sxy_d, sxx_d = np.float64(row["sxy"]), np.float64(row["sxx"])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        meanpre = sx_d / n_d
+        theta = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
 
     def adjust(t: pa.Table) -> pa.Table:
         pre = t.column("pre").to_numpy(zero_copy_only=False).astype(np.float64)

@@ -370,3 +370,21 @@ def test_hard_negatives_planted(ray_session):
         }
     )
     assert _collect(hard_negative_mining(rd.from_arrow(t1))).num_rows == 0
+
+
+def test_cuped_zero_variance_and_empty(ray_session, tmp_path):
+    import math
+
+    from patito_ray.pipelines.queries import q_cuped_adjust
+
+    # identical pre sums for every user -> zero pre-variance -> IEEE
+    # nan adjusted values, not a crash (matches SQL DOUBLE division)
+    d0 = datetime.datetime(2024, 1, 5)
+    d1 = datetime.datetime(2024, 1, 20)
+    rows = []
+    for i in (1, 2, 3):
+        rows.append((i * 2, d0, i, "a", 7.0))
+        rows.append((i * 2 + 1, d1, i, "a", float(i)))
+    out = _collect(q_cuped_adjust(_write_events(tmp_path, rows)))
+    assert out.num_rows == 3
+    assert all(math.isnan(v) for v in out.column("adjusted").to_pylist())
