@@ -8758,7 +8758,11 @@ def q_user_event_entropy(sf_dir: str) -> Any:
         n_per = np.add.reduceat(cnt, starts)
         p = cnt / np.repeat(n_per, np.diff(np.r_[starts, len(cnt)]))
         terms = -p * np.log2(p)
-        ent = np.add.reduceat(terms, starts)
+        # + 0.0 canonicalizes the -0.0 a single-type user produces
+        # (reduceat over a singleton segment returns -1.0*log2(1.0) =
+        # -0.0 unchanged; DuckDB's SUM accumulates 0.0 + x = +0.0 —
+        # the two differ BITWISE and the driver hashes bits)
+        ent = np.add.reduceat(terms, starts) + 0.0
         n_types = np.diff(np.r_[starts, len(cnt)])
         return pa.table(
             {
@@ -8870,8 +8874,13 @@ def q_revenue_share(sf_dir: str) -> Any:
     partials = orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
     merged = merge_partial_sums(partials, ["c_nationkey"], ["nat_cents"])
     if not isinstance(merged, pa.Table):
-        merged = pa.concat_tables(
-            [t for t in merged.iter_batches(batch_format="pyarrow") if t.num_rows]
+        from patito_ray.stages.agg import collect_table
+
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("c_nationkey", pa.int64()), ("nat_cents", pa.int64())]
+            ),
         )
 
     nation = pa.concat_tables(
@@ -8939,7 +8948,6 @@ def q_source_simpson(sf_dir: str) -> Any:
 
     from patito_ray.stages.exchange import hash_partition_ids
     from patito_ray.stages.join import default_num_partitions
-    from patito_ray.state.sketches import hash64
 
     P = default_num_partitions()
     ds = _rp(sf_dir, "documents", ["source", "lang"])
@@ -8951,9 +8959,8 @@ def q_source_simpson(sf_dir: str) -> Any:
             .agg(pl.len().cast(pl.Int64).alias("cnt"))
             .to_arrow()
         )
-        h = hash64(pc.cast(out.column("source"), pa.large_binary())).view(np.int64)
-        part = pa.array(np.abs(h) % P, type=pa.int64())
-        return out.append_column("part", part)
+        part = hash_partition_ids(out.column("source"), P, "source_simpson source")
+        return out.append_column("part", pa.array(part, type=pa.int64()))
 
     _schema = pa.schema(
         [
@@ -9077,19 +9084,35 @@ def q_segment_gini(sf_dir: str, _limit_bytes: int = 256 << 20) -> Any:
         starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
         sizes = np.diff(np.r_[starts, len(x)])
         i = np.arange(len(x), dtype=np.int64) - np.repeat(starts, sizes) + 1
-        s0 = np.add.reduceat(x, starts)
-        s1 = np.add.reduceat(i * x, starts)
-        n = sizes.astype(np.int64)
-        num = 2 * s1 - (n + 1) * s0
+        # per-element bound (mirrors the oracle's BIGINT i*cents):
+        # rank * cents < 2^63 / 1024 so the 1024-element chunk sums
+        # below stay exact int64 — ~3.6e7 customers/segment at $2.5M
+        # lifetime revenue
+        prod = i * x
+        # 2*s1 and n*s0 pass 2^63 around sf~7, so segment totals fold
+        # chunked int64 partial sums into UNBOUNDED Python ints (the
+        # oracle side computes them as HUGEINT); gini then mirrors the
+        # SQL CAST(num AS DOUBLE) / CAST(den AS DOUBLE) exactly
+        CH = 1024
+        out = {"segment": [], "n": [], "s0": [], "gini": []}
+        for g in range(len(starts)):
+            lo = int(starts[g])
+            hi = lo + int(sizes[g])
+            bnd = np.arange(0, hi - lo, CH)
+            s0 = sum(int(v) for v in np.add.reduceat(x[lo:hi], bnd))
+            s1 = sum(int(v) for v in np.add.reduceat(prod[lo:hi], bnd))
+            nn = hi - lo
+            num = 2 * s1 - (nn + 1) * s0
+            out["segment"].append(seg[lo])
+            out["n"].append(nn)
+            out["s0"].append(s0)
+            out["gini"].append(float(num) / float(nn * s0))
         return pa.table(
             {
-                "segment": pa.array(seg[starts]),
-                "n": pa.array(n, type=pa.int64()),
-                "s0": pa.array(s0, type=pa.int64()),
-                "gini": pa.array(
-                    num.astype(np.float64) / (n * s0).astype(np.float64),
-                    type=pa.float64(),
-                ),
+                "segment": pa.array(out["segment"], type=pa.string()),
+                "n": pa.array(out["n"], type=pa.int64()),
+                "s0": pa.array(out["s0"], type=pa.int64()),
+                "gini": pa.array(out["gini"], type=pa.float64()),
             }
         )
 
@@ -9113,11 +9136,12 @@ k AS (
 ),
 g AS (
   SELECT segment, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s0,
-         CAST(SUM(i * cents) AS BIGINT) AS s1
+         SUM(i * cents) AS s1
   FROM k GROUP BY segment
 )
 SELECT segment, n, s0,
-       CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE) AS gini
+       CAST(2 * s1 - (CAST(n AS HUGEINT) + 1) * s0 AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * s0 AS DOUBLE) AS gini
 FROM g
 """
 
@@ -9190,8 +9214,13 @@ def q_cuped_adjust(sf_dir: str, _limit_bytes: int = 256 << 20) -> Any:
         limit_bytes=_limit_bytes,
     )
     if not isinstance(m, pa.Table):
-        m = pa.concat_tables(
-            [t for t in m.iter_batches(batch_format="pyarrow") if t.num_rows]
+        from patito_ray.stages.agg import collect_table
+
+        m = collect_table(
+            m,
+            empty_schema=pa.schema(
+                [(c, pa.int64()) for c in ("k", "n", "sx", "sy", "sxy", "sxx")]
+            ),
         )
     rows = m.to_pylist()
     if not rows:
@@ -9284,7 +9313,6 @@ def q_winsorized_mean(sf_dir: str, _limit_bytes: int = 256 << 20) -> Any:
 
     def add_part(t: pa.Table) -> pa.Table:
         from patito_ray.stages.exchange import hash_partition_ids
-        from patito_ray.state.sketches import hash64
 
         price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
@@ -9294,10 +9322,8 @@ def q_winsorized_mean(sf_dir: str, _limit_bytes: int = 256 << 20) -> Any:
                 "cents": pa.array(cents, type=pa.int64()),
             }
         )
-        h = hash64(pc.cast(out.column("flag"), pa.large_binary())).view(np.int64)
-        return out.append_column(
-            "part", pa.array(np.abs(h) % P, type=pa.int64())
-        )
+        part = hash_partition_ids(out.column("flag"), P, "winsorized_mean l_returnflag")
+        return out.append_column("part", pa.array(part, type=pa.int64()))
 
     _schema = pa.schema(
         [
@@ -9560,7 +9586,9 @@ def q_user_profile(sf_dir: str) -> Any:
             {
                 "user_id": uid[starts],
                 "n_types": np.diff(np.r_[starts, len(cnt)]).astype(np.int64),
-                "entropy": _ra(np.add.reduceat(-p * np.log2(p), starts), 6).to_numpy(
+                # + 0.0: canonicalize the -0.0 of single-type users
+                # (same bitwise-hash hazard as q_user_event_entropy)
+                "entropy": _ra(np.add.reduceat(-p * np.log2(p), starts) + 0.0, 6).to_numpy(
                     zero_copy_only=False
                 ),
             }

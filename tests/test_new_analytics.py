@@ -388,3 +388,61 @@ def test_cuped_zero_variance_and_empty(ray_session, tmp_path):
     out = _collect(q_cuped_adjust(_write_events(tmp_path, rows)))
     assert out.num_rows == 3
     assert all(math.isnan(v) for v in out.column("adjusted").to_pylist())
+
+
+def test_segment_gini_overflow_magnitudes_vs_duckdb(ray_session, tmp_path):
+    """2*s1 and n*s0 pass 2^63 at these magnitudes: the kernel must
+    fold chunked partials into Python ints (and the oracle compute
+    HUGEINT), not wrap int64."""
+    import duckdb
+
+    from patito_ray.pipelines.queries import SQL_SEGMENT_GINI, q_segment_gini
+
+    n = 2000
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    price = 4.5e10 + keys.astype(np.float64)  # ~4.5e12 cents each
+    cust = pa.table(
+        {"c_custkey": pa.array(keys), "c_mktsegment": pa.array(["A"] * n)}
+    )
+    orders = pa.table(
+        {"o_custkey": pa.array(keys), "o_totalprice": pa.array(price, pa.float64())}
+    )
+    _write_table(tmp_path, "customer", cust)
+    _write_table(tmp_path, "orders", orders)
+    got = _collect(q_segment_gini(str(tmp_path))).to_pylist()
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    expect = con.sql(SQL_SEGMENT_GINI).fetchall()
+    assert len(got) == 1 and len(expect) == 1
+    e = expect[0]
+    g = got[0]
+    assert (g["segment"], g["n"], g["s0"]) == (e[0], e[1], e[2])
+    assert g["gini"] == e[3]
+    assert 0.0 < g["gini"] < 1.0  # int64 wrap would go negative/garbage
+
+
+def test_entropy_single_type_positive_zero_vs_duckdb(ray_session, tmp_path):
+    """A single-event-type user: numpy's reduceat returns -0.0 where
+    DuckDB SUM returns +0.0 — the engine must canonicalize (the driver
+    hashes BITS)."""
+    import duckdb
+    import math
+
+    from patito_ray.pipelines.queries import (
+        SQL_USER_EVENT_ENTROPY,
+        q_user_event_entropy,
+    )
+
+    d0 = datetime.datetime(2024, 3, 1)
+    rows = [(i, d0 + datetime.timedelta(minutes=i), 1, "only", 1.0) for i in range(4)]
+    sf = _write_events(tmp_path, rows)
+    got = _collect(q_user_event_entropy(sf)).to_pylist()[0]
+    assert got["entropy"] == 0.0
+    assert math.copysign(1.0, got["entropy"]) == 1.0  # +0.0, not -0.0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    oracle = con.sql(SQL_USER_EVENT_ENTROPY).fetchall()[0]
+    assert math.copysign(1.0, oracle[3]) == 1.0
