@@ -308,6 +308,7 @@ def run_bench() -> dict:
         "user_burstiness",
         "user_profile",
         "hard_negatives",
+        "quarantine_split",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -9733,3 +9733,57 @@ SELECT vec_id, cand AS neg_id FROM r WHERE rn = 1
 """
 
 QUERIES["hard_negatives"] = (q_hard_negatives, SQL_HARD_NEGATIVES)
+
+
+class _QuarantineLineitem(pr.Model):
+    l_orderkey: int
+    l_quantity: float = pr.Field(le=30)
+    l_discount: float = pr.Field(ge=0.02, le=0.08)
+
+
+def q_quarantine_split(sf_dir: str) -> pa.Table:
+    """Single-pass quarantine split (validation/violations.py:
+    quarantine_split_write): valid rows to one parquet dir, violating
+    rows + reasons to another, input scanned once. The oracle checks
+    the split DECISION exactly — counts on both sides plus the int64
+    key-sum of the quarantined rows (read back from the small side's
+    parquet, which is itself part of the contract)."""
+    import tempfile
+
+    from patito_ray.validation.violations import quarantine_split_write
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
+    base = tempfile.mkdtemp(prefix="patito_ray_quarantine_")
+    counts = quarantine_split_write(
+        ds, _QuarantineLineitem, f"{base}/valid", f"{base}/quarantine"
+    )
+    quar_key_sum = 0
+    if counts["quarantined"]:
+        from patito_ray.sources.readers import clean_read_parquet
+
+        qds = clean_read_parquet(f"{base}/quarantine", columns=["l_orderkey"])
+        for b in qds.iter_batches(batch_format="pyarrow"):
+            s = pc.sum(b.column("l_orderkey")).as_py()
+            quar_key_sum += int(s or 0)
+    return _one_row(
+        n_valid=counts["valid"],
+        n_quar=counts["quarantined"],
+        quar_key_sum=quar_key_sum,
+    )
+
+
+SQL_QUARANTINE_SPLIT = """
+WITH f AS (
+  SELECT l_orderkey,
+         (l_orderkey IS NULL OR l_quantity IS NULL OR l_discount IS NULL
+          OR NOT (l_quantity <= 30)
+          OR NOT (l_discount >= 0.02) OR NOT (l_discount <= 0.08)) AS bad
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) FILTER (NOT bad) AS BIGINT) AS n_valid,
+       CAST(COUNT(*) FILTER (bad) AS BIGINT) AS n_quar,
+       CAST(COALESCE(SUM(l_orderkey) FILTER (bad), 0) AS BIGINT) AS quar_key_sum
+FROM f
+"""
+
+QUERIES["quarantine_split"] = (q_quarantine_split, SQL_QUARANTINE_SPLIT)

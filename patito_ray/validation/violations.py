@@ -284,3 +284,74 @@ def write_violations(ds: Any, model: Any, path: str) -> dict[str, int]:
         for kind, n in zip(b["kind"].to_pylist(), b["n"].to_pylist()):
             counts[str(kind)] = counts.get(str(kind), 0) + int(n)
     return counts
+
+
+def quarantine_split_write(
+    ds: Any,
+    model: Any,
+    valid_path: str,
+    quarantine_path: str,
+) -> dict[str, int]:
+    """Single-pass split sink: rows passing every ROW-WISE check stream
+    to ``valid_path``; failing rows stream to ``quarantine_path`` with
+    a ``violation_reasons`` column (comma-joined ``loc:kind`` tags in
+    spec order — deterministic). The quarantine side is written from
+    INSIDE the same map_batches that emits the valid rows (one part
+    file per task), so the input is read and validated exactly once —
+    the ETL shape where bad rows must not poison the clean output but
+    also must not cost a second scan. Global checks (uniqueness /
+    aggregates) need the blob exchange and stay a separate pass by
+    design.
+
+    Returns ``{"valid": n, "quarantined": n}`` — both counts from
+    parquet FOOTERS of what was actually written, never re-reading
+    data bytes."""
+    import os
+    import uuid
+
+    import numpy as np
+
+    import pyarrow.parquet as pq
+
+    from patito_ray.sinks import _parquet_dir_rows
+
+    spec = model._spec()
+    os.makedirs(quarantine_path, exist_ok=True)
+    os.makedirs(valid_path, exist_ok=True)
+
+    def split(batch: pa.Table) -> pa.Table:
+        masks = violation_masks(batch, spec)
+        if not masks:
+            return batch
+        any_fail = np.zeros(batch.num_rows, dtype=bool)
+        reason_cols = []
+        for loc, kind, mask in masks:
+            m = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+            any_fail |= m
+            # null where the check passes: binary_join_element_wise
+            # with null_handling="skip" then drops it from the join
+            reason_cols.append(
+                pa.array(np.where(m, f"{loc}:{kind}", None), type=pa.string())
+            )
+        if not any_fail.any():
+            return batch
+        keep = pa.array(~any_fail)
+        quar = batch.filter(pa.array(any_fail))
+        reasons = pc.binary_join_element_wise(
+            *(c.filter(pa.array(any_fail)) for c in reason_cols),
+            ",",
+            null_handling="skip",
+        )
+        quar = quar.append_column("violation_reasons", reasons)
+        pq.write_table(
+            quar, f"{quarantine_path}/part-{uuid.uuid4().hex}.parquet"
+        )
+        return batch.filter(keep)
+
+    ds.map_batches(split, batch_format="pyarrow", batch_size=None).write_parquet(
+        valid_path
+    )
+    return {
+        "valid": _parquet_dir_rows(valid_path),
+        "quarantined": _parquet_dir_rows(quarantine_path),
+    }

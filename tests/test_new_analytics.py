@@ -446,3 +446,42 @@ def test_entropy_single_type_positive_zero_vs_duckdb(ray_session, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
     oracle = con.sql(SQL_USER_EVENT_ENTROPY).fetchall()[0]
     assert math.copysign(1.0, oracle[3]) == 1.0
+
+
+def test_quarantine_split_write_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    import ray.data as rd
+
+    import patito_ray as pr
+    from patito_ray.validation.violations import quarantine_split_write
+
+    class M(pr.Model):
+        k: int
+        v: float = pr.Field(ge=0.0, le=10.0)
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "v": pa.array([1.0, 50.0, 2.0, None, 3.0, -1.0], pa.float64()),
+        }
+    )
+    counts = quarantine_split_write(
+        rd.from_arrow(t).repartition(3), M, f"{tmp_path}/valid", f"{tmp_path}/quar"
+    )
+    assert counts == {"valid": 3, "quarantined": 3}
+    valid = pq2.read_table(f"{tmp_path}/valid")
+    assert sorted(valid.column("k").to_pylist()) == [1, 3, 5]
+    import glob
+
+    quar = pa.concat_tables(
+        [pq2.read_table(f) for f in glob.glob(f"{tmp_path}/quar/*.parquet")]
+    )
+    got = dict(
+        zip(quar.column("k").to_pylist(), quar.column("violation_reasons").to_pylist())
+    )
+    assert set(got) == {2, 4, 6}
+    assert got[2] == "v:value_error" or "v:" in got[2]      # out of bounds
+    assert "missing_value" in got[4]                        # null, non-nullable
+    # every quarantined row carries at least one reason tag
+    assert all(r for r in got.values())
