@@ -309,6 +309,8 @@ def run_bench() -> dict:
         "user_profile",
         "hard_negatives",
         "quarantine_split",
+        "novelty_curve",
+        "source_overlap",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -9787,3 +9787,172 @@ FROM f
 """
 
 QUERIES["quarantine_split"] = (q_quarantine_split, SQL_QUARANTINE_SPLIT)
+
+
+def q_novelty_curve(sf_dir: str) -> Any:
+    """Behavior-adoption curve: how many (user, event_type) pairs see
+    their FIRST-ever event on each day. First-seen day is the day of
+    the pair's MIN timestamp, so the whole operator is partial-min
+    mergeable — per-batch (user, type, min tus) rows ride the adaptive
+    min merge, then a tiny per-day partial-sum count. NO event-volume
+    exchange anywhere. Exact integers end to end."""
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.agg import merge_partial_mins
+
+    ds = _rp(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def partial_first(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "event_type": t.column("event_type"),
+                        "tus": t.column("ts").cast(pa.int64()),
+                    }
+                )
+            )
+            .group_by(["user_id", "event_type"])
+            .agg(pl.col("tus").min())
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial_first, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_mins(partials, ["user_id", "event_type"], ["tus"])
+    if isinstance(merged, pa.Table):
+        merged = rd.from_arrow(merged)
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"dayi": pa.array([], pa.int64()), "n_new": pa.array([], pa.int64())}
+            )
+        dayi = t.column("tus").to_numpy(zero_copy_only=False) // 86_400_000_000
+        return (
+            pl.from_arrow(pa.table({"dayi": pa.array(dayi, type=pa.int64())}))
+            .group_by("dayi")
+            .agg(pl.len().cast(pl.Int64).alias("n_new"))
+            .to_arrow()
+        )
+
+    counts = merge_partial_sums(
+        merged.map_batches(day_counts, batch_format="pyarrow", batch_size=None),
+        ["dayi"],
+        ["n_new"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("day", pa.timestamp("us")), ("n_new", pa.int64())]
+            ).empty_table()
+        day = pc.cast(
+            pc.multiply(t.column("dayi"), pa.scalar(86_400_000_000, pa.int64())),
+            pa.timestamp("us"),
+        )
+        return pa.table({"day": day, "n_new": t.column("n_new").cast(pa.int64())})
+
+    return _apply(counts, finish)
+
+
+SQL_NOVELTY_CURVE = """
+WITH r AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+FROM r WHERE rn = 1 GROUP BY CAST(ts AS DATE)
+"""
+
+QUERIES["novelty_curve"] = (q_novelty_curve, SQL_NOVELTY_CURVE)
+
+
+def q_source_overlap(sf_dir: str) -> Any:
+    """Corpus-mixing audit: for every source pair, how many DISTINCT
+    texts both sources contain — the duplicate-contamination matrix a
+    mixing pipeline checks before weighting sources. Shape: per-batch
+    distinct (source, text) projection, one text-hash exchange, then
+    per-partition co-occurrence BITMASKS per text (sources factorize
+    to <= 63 local codes, np.bitwise_or.reduceat — no per-text Python)
+    with pair expansion only over DISTINCT masks; pair counts ride the
+    adaptive partial-sum merge. All-integer."""
+    import polars as pl
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(sf_dir, "documents", ["source", "text"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        out = pl.from_arrow(t).unique().to_arrow()
+        part = hash_partition_ids(out.column("text"), P, "source_overlap text")
+        return out.append_column("part", pa.array(part, type=pa.int64()))
+
+    _pair_schema = pa.schema(
+        [("s1", pa.string()), ("s2", pa.string()), ("shared_texts", pa.int64())]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return _pair_schema.empty_table()
+        df = pl.from_arrow(t.drop_columns(["part"])).unique().sort(["text", "source"])
+        src = df["source"].to_numpy()
+        txt = df["text"].to_numpy()
+        names, codes = np.unique(src, return_inverse=True)
+        if len(names) > 63:
+            raise ValueError(
+                f"source_overlap bitmask path supports <= 63 distinct "
+                f"sources per partition (got {len(names)}); widen to "
+                "multi-word masks for larger source sets"
+            )
+        starts = np.flatnonzero(np.r_[True, txt[1:] != txt[:-1]])
+        masks = np.bitwise_or.reduceat(
+            np.uint64(1) << codes.astype(np.uint64), starts
+        )
+        u_masks, m_counts = np.unique(masks, return_counts=True)
+        acc: dict[tuple[str, str], int] = {}
+        for m, c in zip(u_masks, m_counts):
+            bits = [b for b in range(len(names)) if int(m) >> b & 1]
+            for i in range(len(bits)):
+                for j in range(i + 1, len(bits)):
+                    key = (str(names[bits[i]]), str(names[bits[j]]))
+                    acc[key] = acc.get(key, 0) + int(c)
+        if not acc:
+            return _pair_schema.empty_table()
+        return pa.table(
+            {
+                "s1": pa.array([k[0] for k in acc]),
+                "s2": pa.array([k[1] for k in acc]),
+                "shared_texts": pa.array(list(acc.values()), type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+    merged = merge_partial_sums(pairs, ["s1", "s2"], ["shared_texts"])
+    if isinstance(merged, pa.Table):
+        if merged.num_rows == 0:
+            return _pair_schema.empty_table()
+        return merged.select(["s1", "s2", "shared_texts"]).cast(_pair_schema)
+    # empty Datasets lose column names in to_pandas — normalize through
+    # the typed-empty-aware finalizer
+    return _lazy_norm(merged, _pair_schema)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH d AS (SELECT DISTINCT source, text FROM documents)
+SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS shared_texts
+FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+QUERIES["source_overlap"] = (q_source_overlap, SQL_SOURCE_OVERLAP)

@@ -485,3 +485,38 @@ def test_quarantine_split_write_roundtrip(ray_session, tmp_path):
     assert "missing_value" in got[4]                        # null, non-nullable
     # every quarantined row carries at least one reason tag
     assert all(r for r in got.values())
+
+
+def test_source_overlap_planted(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_source_overlap
+
+    # texts t1 shared by A,B,C; t2 by A,B (twice in B — distinct-text
+    # semantics must count it once); t3 only in C
+    docs = pa.table(
+        {
+            "source": pa.array(["A", "B", "C", "A", "B", "B", "C"]),
+            "text": pa.array(["t1", "t1", "t1", "t2", "t2", "t2", "t3"]),
+        }
+    )
+    pq.write_table(docs, f"{tmp_path}/documents.parquet")
+    out = _collect(q_source_overlap(str(tmp_path)))
+    got = {
+        (r["s1"], r["s2"]): r["shared_texts"] for r in out.to_pylist()
+    }
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_novelty_curve_reference(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_novelty_curve
+
+    d0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (0, d0, 1, "a", 1.0),                                  # day0: (1,a) new
+        (1, d0 + datetime.timedelta(hours=2), 1, "a", 1.0),    # repeat
+        (2, d0 + datetime.timedelta(days=1), 1, "b", 1.0),     # day1: (1,b) new
+        (3, d0 + datetime.timedelta(days=1), 2, "a", 1.0),     # day1: (2,a) new
+        (4, d0 + datetime.timedelta(days=2), 2, "a", 1.0),     # repeat
+    ]
+    out = _collect(q_novelty_curve(_write_events(tmp_path, rows)))
+    got = {r["day"].date().isoformat(): r["n_new"] for r in out.to_pylist()}
+    assert got == {"2024-03-01": 1, "2024-03-02": 2}
