@@ -311,6 +311,8 @@ def run_bench() -> dict:
         "quarantine_split",
         "novelty_curve",
         "source_overlap",
+        "conversion_lag",
+        "value_concentration",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -9956,3 +9956,204 @@ GROUP BY a.source, b.source
 """
 
 QUERIES["source_overlap"] = (q_source_overlap, SQL_SOURCE_OVERLAP)
+
+
+def q_conversion_lag(sf_dir: str) -> Any:
+    """Funnel latency: per user, microseconds from FIRST view to FIRST
+    purchase. Both endpoints are per-(user, type) MINIMA, so the whole
+    operator rides the adaptive partial-min merge — no event-volume
+    exchange. Exact int64 difference (negative if the user purchased
+    before ever viewing — kept, the sign is the signal)."""
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.agg import merge_partial_mins
+
+    ds = _rp(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def partial_first(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"), value_set=pa.array(["view", "purchase"])
+        )
+        t = t.filter(keep)
+        return (
+            pl.from_arrow(
+                pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "event_type": t.column("event_type"),
+                        "tus": t.column("ts").cast(pa.int64()),
+                    }
+                )
+            )
+            .group_by(["user_id", "event_type"])
+            .agg(pl.col("tus").min())
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(partial_first, batch_format="pyarrow", batch_size=None)
+    merged = merge_partial_mins(partials, ["user_id", "event_type"], ["tus"])
+    if isinstance(merged, pa.Table):
+        merged = rd.from_arrow(merged)
+
+    _schema = pa.schema([("user_id", pa.int64()), ("lag_us", pa.int64())])
+
+    def lag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .pivot(index="user_id", on="event_type", values="tus")
+            .pipe(
+                lambda df: df
+                if {"view", "purchase"} <= set(df.columns)
+                else df.with_columns(
+                    *(
+                        pl.lit(None, dtype=pl.Int64).alias(c)
+                        for c in ("view", "purchase")
+                        if c not in df.columns
+                    )
+                )
+            )
+            .drop_nulls(["view", "purchase"])
+            .select(
+                pl.col("user_id"),
+                (pl.col("purchase") - pl.col("view")).alias("lag_us"),
+            )
+            .to_arrow()
+            .cast(_schema)
+        )
+
+    # the min-merge's distributed branch hash-partitions by the FULL
+    # (user_id, event_type) key, so a user's two rows may land in
+    # different blocks — re-group by user before pivoting
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        part = hash_partition_ids(t.column("user_id"), P, "conversion_lag user_id")
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def lag_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _schema.empty_table()
+        return lag(t.drop_columns(["part"]))
+
+    return (
+        merged.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(lag_part, batch_format="pyarrow")
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH m AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) FILTER (event_type = 'view') AS first_view,
+         MIN(epoch_us(ts)) FILTER (event_type = 'purchase') AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, first_purchase - first_view AS lag_us
+FROM m WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+"""
+
+QUERIES["conversion_lag"] = (q_conversion_lag, SQL_CONVERSION_LAG)
+
+
+def q_value_concentration(sf_dir: str) -> Any:
+    """Whale analysis: the revenue share of the top 1% of customers.
+    Per-customer cents ride the adaptive partial-sum merge; the p99
+    threshold is a SELECTION quantile (rank ceil(0.99*n), bit-exact vs
+    SQL); the share is exact int64 sums with one mirrored division."""
+    import polars as pl
+
+    cents_partials = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pl.from_arrow(
+            pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "cents": pa.array(
+                        np.floor(
+                            t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                            * 100.0
+                            + 0.5
+                        ).astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+        )
+        .group_by("o_custkey")
+        .agg(pl.col("cents").sum())
+        .to_arrow(),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    merged = merge_partial_sums(cents_partials, ["o_custkey"], ["cents"])
+    if not isinstance(merged, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        # one narrow row per customer — small next to the orders scan;
+        # the distributed branch only exists for the >256 MB key space,
+        # where a grouped selection via stages.quantiles would take over
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema([("o_custkey", pa.int64()), ("cents", pa.int64())]),
+        )
+    if merged.num_rows == 0:
+        return pa.schema(
+            [
+                ("n_users", pa.int64()),
+                ("thr_cents", pa.int64()),
+                ("top_cents", pa.int64()),
+                ("total_cents", pa.int64()),
+                ("share", pa.float64()),
+            ]
+        ).empty_table()
+    x = np.sort(merged.column("cents").to_numpy(zero_copy_only=False).astype(np.int64))
+    n = len(x)
+    # 1-based rank ceil(0.99*n) — same IEEE product/ceil as the oracle
+    thr = int(x[max(1, int(np.ceil(n * 0.99))) - 1])
+    top = int(x[x >= thr].sum())
+    total = int(x.sum())
+    return _one_row(
+        n_users=n,
+        thr_cents=thr,
+        top_cents=top,
+        total_cents=total,
+        share=float(top) / float(total),
+    )
+
+
+SQL_VALUE_CONCENTRATION = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+k AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+         COUNT(*) OVER () AS n
+  FROM r
+),
+t AS (
+  SELECT MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT))
+                  THEN cents END) AS thr,
+         CAST(MAX(n) AS BIGINT) AS n_users
+  FROM k
+)
+SELECT t.n_users,
+       t.thr AS thr_cents,
+       CAST(SUM(r.cents) FILTER (r.cents >= t.thr) AS BIGINT) AS top_cents,
+       CAST(SUM(r.cents) AS BIGINT) AS total_cents,
+       CAST(SUM(r.cents) FILTER (r.cents >= t.thr) AS DOUBLE)
+         / CAST(SUM(r.cents) AS DOUBLE) AS share
+FROM r, t GROUP BY t.n_users, t.thr
+"""
+
+QUERIES["value_concentration"] = (q_value_concentration, SQL_VALUE_CONCENTRATION)

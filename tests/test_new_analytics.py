@@ -520,3 +520,42 @@ def test_novelty_curve_reference(ray_session, tmp_path):
     out = _collect(q_novelty_curve(_write_events(tmp_path, rows)))
     got = {r["day"].date().isoformat(): r["n_new"] for r in out.to_pylist()}
     assert got == {"2024-03-01": 1, "2024-03-02": 2}
+
+
+def test_conversion_lag_reference(ray_session, tmp_path):
+    from patito_ray.pipelines.queries import q_conversion_lag
+
+    d0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (0, d0, 1, "view", 1.0),
+        (1, d0 + datetime.timedelta(seconds=90), 1, "purchase", 5.0),
+        (2, d0 + datetime.timedelta(seconds=5), 1, "view", 1.0),     # later view: ignored
+        (3, d0, 2, "purchase", 5.0),                                  # purchase BEFORE view
+        (4, d0 + datetime.timedelta(seconds=10), 2, "view", 1.0),
+        (5, d0, 3, "view", 1.0),                                      # never purchases
+        (6, d0, 4, "click", 1.0),                                     # neither endpoint
+    ]
+    out = _collect(q_conversion_lag(_write_events(tmp_path, rows)))
+    got = {r["user_id"]: r["lag_us"] for r in out.to_pylist()}
+    assert got == {1: 90_000_000, 2: -10_000_000}
+
+
+def test_value_concentration_reference(ray_session, tmp_path):
+    import math
+
+    from patito_ray.pipelines.queries import q_value_concentration
+
+    n = 200
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    price = np.where(keys <= 2, 10_000.0, 10.0)  # two whales
+    orders = pa.table(
+        {"o_custkey": pa.array(keys), "o_totalprice": pa.array(price, pa.float64())}
+    )
+    pq.write_table(orders, f"{tmp_path}/orders.parquet")
+    out = _collect(q_value_concentration(str(tmp_path))).to_pylist()[0]
+    cents = sorted(np.where(keys <= 2, 1_000_000, 1_000).tolist())
+    thr = cents[max(1, math.ceil(0.99 * n)) - 1]
+    top = sum(c for c in cents if c >= thr)
+    assert out["n_users"] == n and out["thr_cents"] == thr
+    assert out["top_cents"] == top and out["total_cents"] == sum(cents)
+    assert out["share"] == top / sum(cents)
