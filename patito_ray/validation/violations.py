@@ -305,9 +305,17 @@ def quarantine_split_write(
 
     Returns ``{"valid": n, "quarantined": n}`` — both counts from
     parquet FOOTERS of what was actually written, never re-reading
-    data bytes."""
+    data bytes.
+
+    Both directories are WIPED at the start of the call (same contract
+    as the WARC frame sink): footer counts cover exactly this run.
+    Quarantine part files are named by a content digest of the source
+    batch, so a retried/speculative Ray task rewrites the SAME file
+    instead of duplicating rows (byte-identical input batches collapse
+    to one file — they produce byte-identical quarantine output)."""
+    import hashlib
     import os
-    import uuid
+    import shutil
 
     import numpy as np
 
@@ -316,8 +324,9 @@ def quarantine_split_write(
     from patito_ray.sinks import _parquet_dir_rows
 
     spec = model._spec()
-    os.makedirs(quarantine_path, exist_ok=True)
-    os.makedirs(valid_path, exist_ok=True)
+    for path in (quarantine_path, valid_path):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
 
     def split(batch: pa.Table) -> pa.Table:
         masks = violation_masks(batch, spec)
@@ -343,9 +352,21 @@ def quarantine_split_write(
             null_handling="skip",
         )
         quar = quar.append_column("violation_reasons", reasons)
-        pq.write_table(
-            quar, f"{quarantine_path}/part-{uuid.uuid4().hex}.parquet"
-        )
+        # content-deterministic name: a retried task writes the same
+        # bytes to the same file (write-to-tmp + rename keeps a racing
+        # retry from exposing a half-written footer)
+        h = hashlib.blake2b(digest_size=16)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, quar.schema) as w:
+            w.write_table(quar)
+        h.update(sink.getvalue())
+        digest = h.hexdigest()
+        name = f"{quarantine_path}/part-{digest}.parquet"
+        # hidden tmp name: Arrow/Ray dataset discovery skips dot-files,
+        # so a crashed task's orphan can never poison reads or counts
+        tmp = f"{quarantine_path}/.tmp-{os.getpid()}-{digest}"
+        pq.write_table(quar, tmp)
+        os.replace(tmp, name)
         return batch.filter(keep)
 
     ds.map_batches(split, batch_format="pyarrow", batch_size=None).write_parquet(

@@ -486,6 +486,24 @@ def test_quarantine_split_write_roundtrip(ray_session, tmp_path):
     # every quarantined row carries at least one reason tag
     assert all(r for r in got.values())
 
+    # rerun into the SAME dirs: stale part files are wiped, counts
+    # cover exactly this run (footer counts would otherwise double)
+    counts2 = quarantine_split_write(
+        rd.from_arrow(t).repartition(3), M, f"{tmp_path}/valid", f"{tmp_path}/quar"
+    )
+    assert counts2 == {"valid": 3, "quarantined": 3}
+
+    # retry idempotence: quarantine part names are content digests, so
+    # the same batch written twice lands on ONE file
+    files_before = sorted(glob.glob(f"{tmp_path}/quar/*.parquet"))
+    n_before = len(files_before)
+    assert n_before >= 1
+    counts3 = quarantine_split_write(
+        rd.from_arrow(t).repartition(3), M, f"{tmp_path}/valid", f"{tmp_path}/quar"
+    )
+    assert counts3 == {"valid": 3, "quarantined": 3}
+    assert sorted(glob.glob(f"{tmp_path}/quar/*.parquet")) == files_before
+
 
 def test_source_overlap_planted(ray_session, tmp_path):
     from patito_ray.pipelines.queries import q_source_overlap
