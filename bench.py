@@ -313,6 +313,7 @@ def run_bench() -> dict:
         "source_overlap",
         "conversion_lag",
         "value_concentration",
+        "time_travel",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -9748,12 +9748,12 @@ def q_quarantine_split(sf_dir: str) -> pa.Table:
     the split DECISION exactly — counts on both sides plus the int64
     key-sum of the quarantined rows (read back from the small side's
     parquet, which is itself part of the contract)."""
-    import tempfile
-
     from patito_ray.validation.violations import quarantine_split_write
 
     ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
-    base = tempfile.mkdtemp(prefix="patito_ray_quarantine_")
+    # ONE bounded directory (the sink wipes its targets) — a mkdtemp
+    # per call would leak corpus-sized dirs across runs
+    base = f"/tmp/patito_ray_quarantine_{abs(hash(sf_dir)) % 10**8}"
     counts = quarantine_split_write(
         ds, _QuarantineLineitem, f"{base}/valid", f"{base}/quarantine"
     )
@@ -10157,3 +10157,103 @@ FROM r, t GROUP BY t.n_users, t.thr
 """
 
 QUERIES["value_concentration"] = (q_value_concentration, SQL_VALUE_CONCENTRATION)
+
+
+def q_time_travel(sf_dir: str) -> Any:
+    """Snapshot-versioned CDC table (sinks.upsert_versioned /
+    snapshot_read): three upserts build versions 1..3, then BOTH
+    historical states v2 and v3 are read back AS-OF and aggregated per
+    partition — proving untouched partitions share files across
+    snapshots and superseded rows stay readable. All-integer cents, so
+    the whole time line is exact against SQL that replays the merge."""
+    import shutil
+
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.sinks import snapshot_read, upsert_versioned
+
+    # ONE bounded directory, wiped per call: upsert_versioned requires a
+    # fresh history, and a mkdtemp per call would leak dirs across runs
+    base = f"/tmp/patito_ray_timetravel_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def batch_ver(t: pa.Table, mod: int, bump: int, ver: int) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        if mod > 1:
+            keep = k % mod == 0
+            k, cents = k[keep], cents[keep]
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "p": pa.array(k % 8, pa.int64()),
+                "cents": pa.array(cents + bump, pa.int64()),
+                "ver": pa.array(np.full(len(k), ver, np.int64()), pa.int64()),
+            }
+        )
+
+    for mod, bump, ver in ((1, 0, 0), (5, 777, 1), (7, 1_000_000, 2)):
+        upsert_versioned(
+            base,
+            orders.map_batches(
+                lambda t, m=mod, b=bump, v=ver: batch_ver(t, m, b, v),
+                batch_format="pyarrow",
+                batch_size=None,
+            ),
+            key="k",
+            partition_col="p",
+            order_col="ver",
+        )
+
+    def agg(version: int) -> Any:
+        return snapshot_read(base, version=version).map_batches(
+            lambda t, v=version: pl.from_arrow(t)
+            .group_by("p")
+            .agg(pl.len().cast(pl.Int64).alias("n"), pl.col("cents").sum())
+            .with_columns(pl.lit(v, dtype=pl.Int64).alias("version"))
+            .to_arrow(),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    merged = merge_partial_sums(agg(2).union(agg(3)), ["version", "p"], ["n", "cents"])
+    schema = pa.schema(
+        [
+            ("version", pa.int64()),
+            ("p", pa.int64()),
+            ("n", pa.int64()),
+            ("cents", pa.int64()),
+        ]
+    )
+    return _apply(merged, lambda t: t.select(schema.names).cast(schema))
+
+
+SQL_TIME_TRAVEL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderkey % 8 AS p,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT 2 AS version, p,
+         CASE WHEN k % 5 = 0 THEN cents + 777 ELSE cents END AS cents
+  FROM base
+),
+v3 AS (
+  SELECT 3 AS version, p,
+         CASE WHEN k % 7 = 0 THEN cents + 1000000
+              WHEN k % 5 = 0 THEN cents + 777
+              ELSE cents END AS cents
+  FROM base
+),
+u AS (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+SELECT CAST(version AS BIGINT) AS version, CAST(p AS BIGINT) AS p,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+FROM u GROUP BY version, p
+"""
+
+QUERIES["time_travel"] = (q_time_travel, SQL_TIME_TRAVEL)

@@ -443,7 +443,6 @@ def upsert_partitioned(
     """
     import glob
 
-    import polars as pl
     import pyarrow.parquet as pq
     import ray
 
@@ -475,7 +474,7 @@ def upsert_partitioned(
         mine = chg.filter(pc_.equal(chg.column(partition_col), pv))
         pdir = os.path.join(base_dir, f"{partition_col}={pv}")
         old_files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
-        frames = [pl.from_arrow(mine)]
+        base = None
         if old_files:
             base = pa.concat_tables(pq.read_table(f) for f in old_files)
             extra = set(base.column_names) - set(mine.column_names)
@@ -486,20 +485,12 @@ def upsert_partitioned(
                     "change stream; upsert requires identical column sets"
                 )
             # align base to the change schema column order
-            frames.append(pl.from_arrow(base.select(mine.column_names)))
-        # latest order_col wins; on exact order ties the CHANGE row
-        # beats the base row (changes concat first -> smaller _src)
-        merged = (
-            pl.concat(frames)
-            .with_row_index("_src")
-            .sort([key, order_col, "_src"], descending=[False, True, False])
-            .unique(subset=[key], keep="first", maintain_order=True)
-            .drop("_src")
-        )
+            base = base.select(mine.column_names)
+        merged = _merge_latest(mine, base, key, order_col)
         os.makedirs(pdir, exist_ok=True)
         out = os.path.join(pdir, "part.parquet")
         tmp_f = out + ".tmp"
-        pq.write_table(merged.to_arrow(), tmp_f)
+        pq.write_table(merged, tmp_f)
         os.replace(tmp_f, out)
         for f in old_files:
             if f != out:
@@ -511,3 +502,200 @@ def upsert_partitioned(
         "partitions_touched": len(parts),
         "rows_upserted": int(sum(applied)),
     }
+
+
+def _merge_latest(
+    mine: "Any", base: "Any | None", key: str, order_col: str
+) -> "Any":
+    """MERGE kernel shared by the upsert sinks: latest ``order_col``
+    per ``key`` wins; on exact order ties the CHANGE row beats the base
+    row (changes concat first -> smaller row index). Returns pa.Table."""
+    import polars as pl
+
+    frames = [pl.from_arrow(mine)]
+    if base is not None:
+        frames.append(pl.from_arrow(base))
+    return (
+        pl.concat(frames)
+        .with_row_index("_src")
+        .sort([key, order_col, "_src"], descending=[False, True, False])
+        .unique(subset=[key], keep="first", maintain_order=True)
+        .drop("_src")
+        .to_arrow()
+    )
+
+
+def _versions_dir(base_dir: str) -> str:
+    return os.path.join(base_dir, "_versions")
+
+
+def list_versions(base_dir: str) -> list[int]:
+    """Snapshot versions present under ``base_dir``, ascending."""
+    vdir = _versions_dir(base_dir)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(base_dir: str, version: int) -> dict[str, Any]:
+    with open(os.path.join(_versions_dir(base_dir), f"v{version:06d}.json")) as f:
+        return json.load(f)
+
+
+def upsert_versioned(
+    base_dir: str,
+    changes: Any,
+    key: str,
+    partition_col: str,
+    order_col: str,
+) -> dict[str, Any]:
+    """Snapshot-versioned CDC upsert (Iceberg/Delta-style time travel
+    on plain Parquet + JSON): like :func:`upsert_partitioned`, but each
+    apply creates a NEW immutable snapshot instead of rewriting in
+    place. Every touched partition writes ``part-v{N}.parquet`` next to
+    the older versions (old files are never modified), and an atomic
+    root manifest ``_versions/v{N}.json`` records, for EVERY partition,
+    which data file is current at snapshot N — untouched partitions
+    keep pointing at their old file, so a trickle of changes costs one
+    small file per touched partition plus one manifest, never a table
+    rewrite. Read any historical state back with :func:`snapshot_read`;
+    reclaim space with :func:`vacuum_versions`.
+
+    A nonexistent ``base_dir`` starts at version 1 (pure insert).
+    Single-writer: concurrent upserts into one table are not supported
+    (the standard lakehouse constraint without a lock service).
+    Returns ``{"version", "partitions_touched", "rows_upserted"}``.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    ch_tabs = [t for t in changes.iter_batches(batch_format="pyarrow") if t.num_rows]
+    versions = list_versions(base_dir)
+    prev = _read_manifest(base_dir, versions[-1]) if versions else {"partitions": {}}
+    new_version = (versions[-1] if versions else 0) + 1
+    if not ch_tabs:
+        return {
+            "version": new_version - 1,
+            "partitions_touched": 0,
+            "rows_upserted": 0,
+        }
+    ch = pa.concat_tables(ch_tabs)
+    for c in (key, partition_col, order_col):
+        if c not in ch.column_names:
+            raise ValueError(f"changes must carry column {c!r}")
+    parts = sorted(set(ch.column(partition_col).drop_null().to_pylist()))
+    if len(parts) != len(set(ch.column(partition_col).to_pylist())):
+        raise ValueError("null partition values are not allowed in the change stream")
+
+    ch_ref = ray.put(ch)
+    mapping = dict(prev["partitions"])
+
+    @ray.remote
+    def _apply(pv: Any, old_rel: "str | None") -> tuple[str, int]:
+        import pyarrow.compute as pc_
+
+        chg = ray.get(ch_ref)
+        mine = chg.filter(pc_.equal(chg.column(partition_col), pv))
+        base = None
+        if old_rel is not None:
+            base = pq.read_table(os.path.join(base_dir, old_rel))
+            extra = set(base.column_names) - set(mine.column_names)
+            if extra:
+                raise ValueError(
+                    f"partition {pv!r}: base columns {sorted(extra)} missing "
+                    "from the change stream; upsert requires identical column sets"
+                )
+            base = base.select(mine.column_names)
+        merged = _merge_latest(mine, base, key, order_col)
+        pdir = os.path.join(base_dir, f"{partition_col}={pv}")
+        os.makedirs(pdir, exist_ok=True)
+        rel = f"{partition_col}={pv}/part-v{new_version:06d}.parquet"
+        out = os.path.join(base_dir, rel)
+        tmp_f = f"{pdir}/.tmp-v{new_version:06d}"
+        pq.write_table(merged, tmp_f)
+        os.replace(tmp_f, out)
+        return rel, mine.num_rows
+
+    results = ray.get(
+        [_apply.remote(pv, mapping.get(str(pv))) for pv in parts]
+    )
+    n_rows = 0
+    for pv, (rel, n) in zip(parts, results):
+        mapping[str(pv)] = rel
+        n_rows += n
+    vdir = _versions_dir(base_dir)
+    os.makedirs(vdir, exist_ok=True)
+    manifest = {
+        "version": new_version,
+        "partition_col": partition_col,
+        "key": key,
+        "order_col": order_col,
+        "partitions": mapping,
+    }
+    _atomic_write(
+        os.path.join(vdir, f"v{new_version:06d}.json"),
+        json.dumps(manifest, sort_keys=True).encode(),
+    )
+    return {
+        "version": new_version,
+        "partitions_touched": len(parts),
+        "rows_upserted": int(n_rows),
+    }
+
+
+def snapshot_read(
+    base_dir: str, version: "int | None" = None, columns: "list[str] | None" = None
+) -> Any:
+    """Read a versioned table AS OF a snapshot (default: latest).
+    Only the files the manifest points at are read — historical and
+    superseded part files in the same directories are invisible."""
+    from patito_ray.sources.readers import clean_read_parquet
+
+    versions = list_versions(base_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {base_dir!r}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"snapshot v{version} does not exist (have {versions})")
+    manifest = _read_manifest(base_dir, version)
+    files = sorted(
+        os.path.join(base_dir, rel) for rel in manifest["partitions"].values()
+    )
+    # partitioning=None: the partition value is a REAL column in every
+    # data file; hive inference over the "col=v" dirs would duplicate it
+    return clean_read_parquet(files, columns=columns, partitioning=None)
+
+
+def vacuum_versions(base_dir: str, keep_latest: int = 1) -> dict[str, int]:
+    """Delete data files and manifests only reachable from snapshots
+    OLDER than the ``keep_latest`` most recent ones. Files shared with
+    a retained snapshot survive (manifests pin files, not versions)."""
+    versions = list_versions(base_dir)
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    keep = set(versions[-keep_latest:])
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(base_dir, v)["partitions"].values())
+    removed = 0
+    for root, _dirs, names in os.walk(base_dir):
+        if os.path.basename(root) == "_versions":
+            continue
+        for name in names:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, base_dir)
+            if name.endswith(".parquet") and rel not in live:
+                os.remove(full)
+                removed += 1
+    dropped_manifests = 0
+    for v in versions:
+        if v not in keep:
+            os.remove(os.path.join(_versions_dir(base_dir), f"v{v:06d}.json"))
+            dropped_manifests += 1
+    return {"files_removed": removed, "manifests_removed": dropped_manifests}

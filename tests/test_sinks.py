@@ -339,3 +339,82 @@ def test_range_write_rejects_null_keys(ray_session, tmp_path):
     t = pa.table({"k": pa.array([1, None, 3], pa.int64())})
     with pytest.raises(Exception, match="null"):
         range_partition_write(rd.from_arrow(t), "k", str(tmp_path / "o3"))
+
+
+def test_upsert_versioned_time_travel(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from patito_ray.sinks import (
+        list_versions,
+        snapshot_read,
+        upsert_versioned,
+        vacuum_versions,
+    )
+
+    base = str(tmp_path / "vtbl")
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "p": pa.array([r[1] for r in rows], pa.int64()),
+                "v": pa.array([r[2] for r in rows]),
+                "ver": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    # v1: pure insert into a nonexistent table
+    r1 = upsert_versioned(
+        base,
+        rd.from_arrow(tbl([(1, 0, "a1", 0), (2, 0, "a2", 0), (3, 1, "a3", 0)])),
+        key="k", partition_col="p", order_col="ver",
+    )
+    assert r1 == {"version": 1, "partitions_touched": 2, "rows_upserted": 3}
+
+    # v2: update k=2, insert k=4, only partition 0 touched
+    r2 = upsert_versioned(
+        base,
+        rd.from_arrow(tbl([(2, 0, "b2", 1), (4, 0, "b4", 1)])),
+        key="k", partition_col="p", order_col="ver",
+    )
+    assert r2["version"] == 2 and r2["partitions_touched"] == 1
+
+    # v3: update partition 1
+    upsert_versioned(
+        base, rd.from_arrow(tbl([(3, 1, "c3", 2)])),
+        key="k", partition_col="p", order_col="ver",
+    )
+    assert list_versions(base) == [1, 2, 3]
+
+    def state(version=None):
+        t = snapshot_read(base, version=version).take_all()
+        return {r["k"]: r["v"] for r in t}
+
+    assert state(1) == {1: "a1", 2: "a2", 3: "a3"}
+    assert state(2) == {1: "a1", 2: "b2", 3: "a3", 4: "b4"}
+    assert state(3) == {1: "a1", 2: "b2", 3: "c3", 4: "b4"}
+    assert state() == state(3)   # default = latest
+
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_read(base, version=9)
+
+    # vacuum keeping the last 2 snapshots: v1 gone, v2/v3 intact
+    res = vacuum_versions(base, keep_latest=2)
+    assert res["manifests_removed"] == 1
+    assert list_versions(base) == [2, 3]
+    assert state(2) == {1: "a1", 2: "b2", 3: "a3", 4: "b4"}
+    assert state(3) == {1: "a1", 2: "b2", 3: "c3", 4: "b4"}
+    # v1's partition-1 file was superseded at v3 and dropped, but the
+    # shared partition-0 file (still referenced by v2) must survive
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_read(base, version=1)
+
+    # empty change stream is a no-op (reports the current version)
+    empty = pa.schema(
+        [("k", pa.int64()), ("p", pa.int64()), ("v", pa.string()), ("ver", pa.int64())]
+    ).empty_table()
+    r0 = upsert_versioned(
+        base, rd.from_arrow(empty), key="k", partition_col="p", order_col="ver"
+    )
+    assert r0 == {"version": 3, "partitions_touched": 0, "rows_upserted": 0}
