@@ -314,6 +314,7 @@ def run_bench() -> dict:
         "conversion_lag",
         "value_concentration",
         "time_travel",
+        "zorder_prune",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

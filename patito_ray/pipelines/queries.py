@@ -31,6 +31,16 @@ from patito_ray.validation.stats import (
 )
 
 
+def _tmp_dir(tag: str, sf_dir: str) -> str:
+    """Stable bounded scratch dir per (tag, sf_dir): str hash() is
+    process-randomized (PYTHONHASHSEED), which would leak one new dir
+    per process — digest the path instead."""
+    import hashlib
+
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=4).hexdigest()
+    return f"/tmp/patito_ray_{tag}_{h}"
+
+
 def _rp(sf_dir: str, table: str, columns: list[str] | None = None) -> Any:
     from patito_ray.sources.readers import clean_read_parquet
 
@@ -7965,7 +7975,7 @@ def q_range_sorted_write(sf_dir: str) -> Any:
     from patito_ray.sinks import range_partition_write
 
     ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    out_dir = f"/tmp/patito_ray_rangewrite_{abs(hash(sf_dir)) % 10**8}"
+    out_dir = _tmp_dir("rangewrite", sf_dir)
     manifest = range_partition_write(
         ds, "o_totalprice", out_dir, num_ranges=8, overwrite=True
     )
@@ -9753,7 +9763,7 @@ def q_quarantine_split(sf_dir: str) -> pa.Table:
     ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_discount"])
     # ONE bounded directory (the sink wipes its targets) — a mkdtemp
     # per call would leak corpus-sized dirs across runs
-    base = f"/tmp/patito_ray_quarantine_{abs(hash(sf_dir)) % 10**8}"
+    base = _tmp_dir("quarantine", sf_dir)
     counts = quarantine_split_write(
         ds, _QuarantineLineitem, f"{base}/valid", f"{base}/quarantine"
     )
@@ -10175,7 +10185,7 @@ def q_time_travel(sf_dir: str) -> Any:
 
     # ONE bounded directory, wiped per call: upsert_versioned requires a
     # fresh history, and a mkdtemp per call would leak dirs across runs
-    base = f"/tmp/patito_ray_timetravel_{abs(hash(sf_dir)) % 10**8}"
+    base = _tmp_dir("timetravel", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
@@ -10257,3 +10267,71 @@ FROM u GROUP BY version, p
 """
 
 QUERIES["time_travel"] = (q_time_travel, SQL_TIME_TRAVEL)
+
+
+def q_zorder_prune(sf_dir: str) -> pa.Table:
+    """Z-order clustered layout + data-skipping read (stages/zorder.py):
+    lineitem is written Morton-clustered on (l_quantity,
+    l_extendedprice), then a 2-D box aggregate reads ONLY the files
+    whose manifest min/max intersect the box — the exact predicate
+    still runs per batch, so pruning is pure I/O savings and the result
+    is bit-identical to a full scan. The oracle is the plain SQL box
+    aggregate; a files_read < files_total assertion lives in pytest
+    (file counts are layout, not data)."""
+    import shutil
+
+    from patito_ray.stages.zorder import prune_files, pruned_read, zorder_write
+
+    ds = _rp(
+        sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]
+    )
+    out = _tmp_dir("zorder", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    zorder_write(ds, ["l_quantity", "l_extendedprice"], out, num_files=32)
+
+    box = {"l_quantity": (10.0, 20.0), "l_extendedprice": (20000.0, 40000.0)}
+    kept, total = prune_files(out, box)
+    if not (0 < len(kept) < total):  # layout sanity, not part of the oracle
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "zorder_prune: box kept %d/%d files (no pruning at this sf)",
+            len(kept),
+            total,
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        p = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        m = (q >= 10.0) & (q <= 20.0) & (p >= 20000.0) & (p <= 40000.0)
+        return _one_row(
+            n=int(m.sum()),
+            price_cents=int(np.floor(p[m] * 100.0 + 0.5).astype(np.int64).sum()),
+            key_sum=int(
+                b.column("l_orderkey").to_numpy(zero_copy_only=False)[m].sum()
+            ),
+        )
+
+    # workers reduce each batch to THREE ints; only those partials
+    # reach the driver (never the pruned files' bytes)
+    parts = pruned_read(out, box).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return _one_row(
+        n=sum(r["n"] for r in parts),
+        price_cents=sum(r["price_cents"] for r in parts),
+        key_sum=sum(r["key_sum"] for r in parts),
+    )
+
+
+SQL_ZORDER_PRUNE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_extendedprice BETWEEN 20000 AND 40000
+"""
+
+QUERIES["zorder_prune"] = (q_zorder_prune, SQL_ZORDER_PRUNE)
