@@ -315,6 +315,7 @@ def run_bench() -> dict:
         "value_concentration",
         "time_travel",
         "zorder_prune",
+        "agg_view",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -10335,3 +10335,94 @@ WHERE l_quantity BETWEEN 10 AND 20
 """
 
 QUERIES["zorder_prune"] = (q_zorder_prune, SQL_ZORDER_PRUNE)
+
+
+def q_agg_view(sf_dir: str) -> Any:
+    """Incrementally-maintained materialized view (stages/aggview.py):
+    the events table arrives as three disjoint CDC slices (event_id mod
+    3); slice 0 creates the view, slices 1 and 2 fold in as refreshes
+    that aggregate ONLY the delta and rewrite only the partitions whose
+    keys the delta touches. The final view state must equal one SQL
+    GROUP BY over the whole table — the maintenance path is invisible
+    in the result. All-integer sums (cents), exact."""
+    import shutil
+
+    import polars as pl
+
+    from patito_ray.stages.aggview import (
+        create_agg_view,
+        read_agg_view,
+        refresh_agg_view,
+    )
+
+    out = _tmp_dir("aggview", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+
+    def slice_mod(m: int) -> Any:
+        def prep(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            keep = eid % 3 == m
+            t = t.filter(pa.array(keep))
+            tus = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            val = t.column("value").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "dayi": pa.array(tus // 86_400_000_000, pa.int64()),
+                    "value_cents": pa.array(
+                        np.floor(val * 100.0 + 0.5).astype(np.int64), pa.int64()
+                    ),
+                    "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            )
+
+        return _rp(sf_dir, "events", ["event_id", "ts", "event_type", "value"]).map_batches(
+            prep, batch_format="pyarrow", batch_size=None
+        )
+
+    create_agg_view(
+        slice_mod(0), ["event_type", "dayi"], ["value_cents", "n"], out
+    )
+    refresh_agg_view(out, slice_mod(1))
+    refresh_agg_view(out, slice_mod(2))
+
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.timestamp("us")),
+            ("value_cents", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        day = pc.cast(
+            pc.multiply(t.column("dayi"), pa.scalar(86_400_000_000, pa.int64())),
+            pa.timestamp("us"),
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": day,
+                "value_cents": t.column("value_cents").cast(pa.int64()),
+                "n": t.column("n").cast(pa.int64()),
+            }
+        )
+
+    return read_agg_view(out).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_AGG_VIEW = """
+SELECT event_type,
+       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+QUERIES["agg_view"] = (q_agg_view, SQL_AGG_VIEW)
