@@ -316,6 +316,7 @@ def run_bench() -> dict:
         "time_travel",
         "zorder_prune",
         "agg_view",
+        "index_search",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

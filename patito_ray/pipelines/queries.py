@@ -10426,3 +10426,33 @@ FROM events GROUP BY event_type, CAST(ts AS DATE)
 """
 
 QUERIES["agg_view"] = (q_agg_view, SQL_AGG_VIEW)
+
+
+def q_index_search(sf_dir: str) -> Any:
+    """Persisted inverted token index + indexed AND-search
+    (functions/invindex.py): one build pass hash-partitions distinct
+    (token, doc_id) postings by token; the 3-term conjunctive query
+    then reads ONLY the partition files its terms hash to (3 of 64 at
+    most) and counts term matches per doc — no corpus scan at query
+    time. Exact list_contains oracle on the same RE2 tokenization."""
+    import shutil
+
+    from patito_ray.functions.invindex import build_token_index, search_index
+
+    out = _tmp_dir("invindex", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    build_token_index(ds, out, num_partitions=64)
+    return search_index(out, ["join", "hash", "filter"], mode="and")
+
+
+SQL_INDEX_SEARCH = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+)
+SELECT doc_id FROM t
+WHERE list_contains(ts, 'join') AND list_contains(ts, 'hash')
+  AND list_contains(ts, 'filter')
+"""
+
+QUERIES["index_search"] = (q_index_search, SQL_INDEX_SEARCH)
