@@ -317,6 +317,9 @@ def run_bench() -> dict:
         "zorder_prune",
         "agg_view",
         "index_search",
+        "target_encode",
+        "cube_revenue",
+        "evolved_read",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -10456,3 +10456,244 @@ WHERE list_contains(ts, 'join') AND list_contains(ts, 'hash')
 """
 
 QUERIES["index_search"] = (q_index_search, SQL_INDEX_SEARCH)
+
+
+def q_target_encode(sf_dir: str) -> Any:
+    """Leave-one-out target encoding (the ML feature-engineering
+    staple): each order's category (o_orderpriority) is encoded as the
+    mean order value of OTHER orders in the category —
+    (sum_c − x_i)/(n_c − 1). One partial-sum pass builds the tiny
+    per-category (sum, n) table; the encode pass is a broadcast lookup
+    + one vectorized division per batch, zero shuffle. Exact: integer
+    cents keep both operands on the int grid (< 2^53), so the single
+    IEEE division is bit-identical to SQL's window form."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def cents_col(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+
+    partials = ds.map_batches(
+        lambda t: pl.from_arrow(
+            pa.table(
+                {
+                    "cat": t.column("o_orderpriority"),
+                    "cents": pa.array(cents_col(t), pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+        )
+        .group_by("cat")
+        .agg(pl.col("cents").sum(), pl.col("n").sum())
+        .to_arrow(),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    from patito_ray.stages.agg import collect_table
+
+    merged = merge_partial_sums(partials, ["cat"], ["cents", "n"])
+    if not isinstance(merged, pa.Table):
+        # category cardinality is tiny by construction of the operator
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("cat", pa.string()), ("cents", pa.int64()), ("n", pa.int64())]
+            ),
+        )
+    cat_values = merged.column("cat").combine_chunks()
+    cat_sums = merged.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    cat_ns = merged.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def encode(t: pa.Table) -> pa.Table:
+        # vectorized dictionary lookup: index_in against the tiny
+        # broadcast category table, then two np gathers
+        idx = pc.index_in(
+            t.column("o_orderpriority"), value_set=cat_values
+        ).combine_chunks().to_numpy(zero_copy_only=False)
+        s = cat_sums[idx]
+        n = cat_ns[idx]
+        x = cents_col(t)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            loo = (s - x).astype(np.float64) / (n - 1).astype(np.float64)
+        enc = pa.array(loo, pa.float64())
+        if (n == 1).any():  # singleton category: no other rows to average
+            enc = pc.if_else(pa.array(n == 1), pa.scalar(None, pa.float64()), enc)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "loo_cents": enc,
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)
+
+
+SQL_TARGET_ENCODE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN COUNT(*) OVER (PARTITION BY o_orderpriority) > 1
+            THEN CAST(SUM(cents) OVER (PARTITION BY o_orderpriority) - cents
+                      AS DOUBLE)
+                 / CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) - 1
+                        AS DOUBLE)
+       END AS loo_cents
+FROM c
+"""
+
+QUERIES["target_encode"] = (q_target_encode, SQL_TARGET_ENCODE)
+
+
+def q_cube_revenue(sf_dir: str) -> Any:
+    """Full CUBE (l_returnflag, l_linestatus) in ONE input pass: every
+    batch emits partials for all FOUR grouping sets through the same
+    grouping-sets machinery as ROLLUP (stages/agg.py). All-integer
+    cents — no rounding anywhere."""
+    from patito_ray.stages.agg import grouping_sets_sums
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "cents": pa.array(
+                    np.floor(
+                        t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                        * 100.0
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    merged = grouping_sets_sums(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        keys=["l_returnflag", "l_linestatus"],
+        sums=["cents"],
+        sets=[(0, 1), (0,), (1,), ()],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "grouping_id": t.column("grouping_id"),
+                "cents": pc.cast(t.column("cents"), pa.int64()),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_CUBE_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_id,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+QUERIES["cube_revenue"] = (q_cube_revenue, SQL_CUBE_REVENUE)
+
+
+def q_evolved_read(sf_dir: str) -> Any:
+    """Schema-evolution union read (sources/readers.py:
+    read_parquet_evolved): the orders table is written as two schema
+    GENERATIONS — gen1 (even keys) with (int32 key, cents) and gen2
+    (odd keys) adding a priority column and widening the key to int64.
+    The evolved read unifies by name (permissive promotion), null-fills
+    the added column for gen1 rows, and must reproduce exactly what SQL
+    computes from the source table."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from patito_ray.sources.readers import read_parquet_evolved
+
+    out = _tmp_dir("evolved", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    import os
+
+    os.makedirs(out)
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def write_gen(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        even = k % 2 == 0
+        g1 = pa.table(
+            {
+                # int32 is safe for the synthetic keyspace; the read
+                # must promote it back to int64
+                "o_orderkey": pa.array(k[even].astype(np.int32), pa.int32()),
+                "cents": pa.array(cents[even], pa.int64()),
+            }
+        )
+        g2 = pa.table(
+            {
+                "o_orderkey": pa.array(k[~even], pa.int64()),
+                "cents": pa.array(cents[~even], pa.int64()),
+                "priority": t.column("o_orderpriority").filter(pa.array(~even)),
+            }
+        )
+        for tag, g in (("gen1", g1), ("gen2", g2)):
+            if g.num_rows == 0:
+                continue
+            h = hashlib.blake2b(digest_size=8)
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, g.schema) as w:
+                w.write_table(g)
+            h.update(sink.getvalue())
+            # content-deterministic name: task retries rewrite, never dup
+            name = f"{out}/{tag}-{h.hexdigest()}.parquet"
+            tmp = f"{out}/.tmp-{os.getpid()}-{tag}-{h.hexdigest()}"
+            pq.write_table(g, tmp)
+            os.replace(tmp, name)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    # side-effect write pass (consumed for its counts only)
+    for _ in ds.map_batches(
+        write_gen, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        pass
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("cents", pa.int64()),
+            ("priority", pa.string()),
+        ]
+    )
+    return read_parquet_evolved(out).map_batches(
+        lambda t: t.select(out_schema.names).cast(out_schema),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+SQL_EVOLVED_READ = """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+FROM orders
+"""
+
+QUERIES["evolved_read"] = (q_evolved_read, SQL_EVOLVED_READ)

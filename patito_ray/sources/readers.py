@@ -272,3 +272,68 @@ def parquet_footer_stats(
         out[f"{c}_max"] = [pc.max(merged.column(f"{c}_max")).as_py()]
         out[f"{c}_nulls"] = [pc.sum(merged.column(f"{c}_nulls")).as_py()]
     return pa.table(out)
+
+
+def read_parquet_evolved(
+    paths: "str | list[str]", columns: "list[str] | None" = None
+) -> Any:
+    """Union-by-name read across schema GENERATIONS of a dataset: a
+    long-lived 100-TB table accretes files written under different
+    schema versions (a column added, an int widened), and a plain
+    reader either crashes on the mismatch or silently drops data.
+    Files are grouped by exact schema (one footer-metadata read per
+    file, no data bytes), the group schemas unify by NAME with
+    permissive numeric promotion, and every group's batches align to
+    the unified schema per batch — missing columns null-fill, narrower
+    types cast. Returns ONE Dataset in the unified schema.
+
+    A column whose types cannot unify (e.g. string vs int64) raises at
+    plan time with both offending types — silent coercion would be
+    data corruption."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    file_list = list(pads.dataset(paths, format="parquet").files)
+    if not file_list:
+        raise FileNotFoundError(f"no parquet files under {paths!r}")
+    groups: dict[Any, list[str]] = {}
+    for f in sorted(file_list):
+        schema = pq.read_schema(f).remove_metadata()
+        groups.setdefault(schema, []).append(f)
+    try:
+        unified = pa.unify_schemas(
+            list(groups.keys()), promote_options="permissive"
+        )
+    except pa.ArrowTypeError as e:
+        raise ValueError(
+            f"schema generations cannot unify by name: {e}"
+        ) from None
+    if columns is not None:
+        unified = pa.schema([unified.field(c) for c in columns])
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for field in unified:
+            if field.name in t.column_names:
+                cols.append(t.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, field.type))
+        return pa.table(dict(zip(unified.names, cols)))
+
+    parts = []
+    for schema, files in groups.items():
+        present = [c for c in unified.names if schema.get_field_index(c) >= 0]
+        # a generation with none of the projected columns still
+        # contributes all-null ROWS: read one narrow column to keep
+        # the row count (align only emits unified fields)
+        read_cols = present or [schema.names[0]]
+        parts.append(
+            clean_read_parquet(files, columns=read_cols).map_batches(
+                align, batch_format="pyarrow", batch_size=None
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds

@@ -326,3 +326,47 @@ def test_violation_masks_nested_parity():
     assert masks[("s.v", "out_of_bounds")] == [False, True, False]
     assert masks[("s.tag", "invalid_value")] == [False, False, True]
     assert masks[("items.v", "out_of_bounds")] == [False, False, True]
+
+
+def test_read_parquet_evolved(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+
+    from patito_ray.sources.readers import read_parquet_evolved
+
+    gen1 = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int32()),       # narrower int
+            "v": pa.array([10, 20], pa.int64()),
+        }
+    )
+    gen2 = pa.table(
+        {
+            "id": pa.array([3, 4], pa.int64()),
+            "v": pa.array([30, 40], pa.int64()),
+            "tag": pa.array(["x", "y"]),               # added column
+        }
+    )
+    d = tmp_path / "evo"
+    d.mkdir()
+    pq.write_table(gen1, d / "gen1.parquet")
+    pq.write_table(gen2, d / "gen2.parquet")
+
+    ds = read_parquet_evolved(str(d))
+    rows = sorted(ds.take_all(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [1, 2, 3, 4]
+    assert [r["tag"] for r in rows] == [None, None, "x", "y"]
+    # int32 generation promoted to int64
+    assert ds.schema().base_schema.field("id").type == pa.int64()
+
+    # column projection, including a column one generation lacks
+    ds2 = read_parquet_evolved(str(d), columns=["tag"])
+    assert sorted(
+        (r["tag"] is None) for r in ds2.take_all()
+    ) == [False, False, True, True]
+
+    # un-unifiable types raise loudly
+    bad = pa.table({"id": pa.array(["a"]), "v": pa.array([1], pa.int64())})
+    pq.write_table(bad, d / "gen3.parquet")
+    with pytest.raises(ValueError, match="cannot unify"):
+        read_parquet_evolved(str(d))
