@@ -92,8 +92,12 @@ def build_token_index(
             .sort(["token", "doc_id"])
             .to_arrow()
         )
-        tmp = os.path.join(out_dir + ".tmp", f"part-{pid:05d}.parquet")
+        # write-to-hidden-tmp + atomic rename: a task that dies mid-
+        # write can never leave a truncated visible partition file
+        final = os.path.join(out_dir + ".tmp", f"part-{pid:05d}.parquet")
+        tmp = os.path.join(out_dir + ".tmp", f".tmp-{pid:05d}")
         pq.write_table(body, tmp)
+        os.replace(tmp, final)
         return pa.table(
             {
                 "pid": pa.array([pid], pa.int64()),

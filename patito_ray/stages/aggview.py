@@ -130,7 +130,18 @@ def refresh_agg_view(out_dir: str, delta: Any) -> dict[str, Any]:
     in it — one Ray task per touched partition, atomic file swap.
     Groups new to the view insert; sums are additive, so out-of-order
     or repeated-window deltas fold correctly as long as each fact row
-    is delivered exactly once (the caller's CDC contract)."""
+    is delivered exactly once (the caller's CDC contract).
+
+    Retry-safe: a fold is ADDITIVE, so a Ray task that wrote its file
+    and then died would double-fold on retry. Every refresh gets an id
+    (digest of the delta content + the view's refresh counter); each
+    partition file records the last refresh id folded into it in its
+    Parquet metadata, and a fold that finds its own id already recorded
+    skips — exactly-once per partition. Single-writer; a refresh that
+    crashed mid-way must be RE-RUN (same delta) before issuing a new
+    one, so every partition reaches the same state."""
+    import hashlib
+
     import polars as pl
     import pyarrow.parquet as pq
     import ray
@@ -147,10 +158,24 @@ def refresh_agg_view(out_dir: str, delta: Any) -> dict[str, Any]:
                 f"group key {k!r} contains nulls; a null key has no "
                 "stable hash partition — filter or fill first"
             )
-    df = pl.from_arrow(agg).with_columns(
-        _pid_expr(keys, meta["num_partitions"])
+    # canonical row order: group_by output order is nondeterministic,
+    # and the refresh id must hash IDENTICALLY when a crashed refresh
+    # is re-run with the same delta
+    df = (
+        pl.from_arrow(agg)
+        .with_columns(_pid_expr(keys, meta["num_partitions"]))
+        .sort(keys)
     )
-    delta_ref = ray.put(df.to_arrow())
+    seq = int(meta.get("refreshes", 0)) + 1
+    h = hashlib.blake2b(digest_size=12)
+    h.update(str(seq).encode())
+    sink = pa.BufferOutputStream()
+    dt = df.to_arrow()
+    with pa.ipc.new_stream(sink, dt.schema) as w:
+        w.write_table(dt)
+    h.update(sink.getvalue())
+    rid = h.hexdigest()
+    delta_ref = ray.put(dt)
 
     @ray.remote
     def _fold(pid: int) -> int:
@@ -163,13 +188,18 @@ def refresh_agg_view(out_dir: str, delta: Any) -> dict[str, Any]:
         path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
         frames = [mine]
         if os.path.exists(path):
-            frames.append(pl.from_arrow(pq.read_table(path)))
+            existing = pq.read_table(path)
+            md = existing.schema.metadata or {}
+            if md.get(b"refresh_id", b"").decode() == rid:
+                return mine.height  # this refresh already folded here
+            frames.append(pl.from_arrow(existing))
         merged = (
             pl.concat(frames)
             .group_by(keys)
             .agg([pl.col(s).sum() for s in sums])
             .to_arrow()
         )
+        merged = merged.replace_schema_metadata({"refresh_id": rid})
         tmp = f"{out_dir}/.tmp-{pid:05d}"
         pq.write_table(merged, tmp)
         os.replace(tmp, path)
@@ -177,6 +207,13 @@ def refresh_agg_view(out_dir: str, delta: Any) -> dict[str, Any]:
 
     pids = sorted(int(p) for p in df["_pid"].unique())
     updated = ray.get([_fold.remote(pid) for pid in pids])
+    meta["refreshes"] = seq
+    from patito_ray.validation.checkpoint import _atomic_write
+
+    _atomic_write(
+        os.path.join(out_dir, "_VIEW.json"),
+        json.dumps(meta, sort_keys=True).encode(),
+    )
     return {"partitions_touched": len(pids), "groups_updated": int(sum(updated))}
 
 

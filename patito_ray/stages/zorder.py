@@ -35,6 +35,24 @@ import pyarrow as pa
 _BITS = 16  # per-column code width; k columns use k*16 <= 64 bits
 
 
+def _stat_down(v: Any) -> float:
+    """Conservative float64 for a manifest MIN: an int64 beyond 2^53
+    can round UP under float(), which would let pruning wrongly skip a
+    file whose true min matches the box — nudge down one ulp instead.
+    (Python compares int to float exactly, so the check is precise.)"""
+    f = float(v)
+    if isinstance(v, int) and f > v:
+        f = float(np.nextafter(f, -np.inf))
+    return f
+
+
+def _stat_up(v: Any) -> float:
+    f = float(v)
+    if isinstance(v, int) and f < v:
+        f = float(np.nextafter(f, np.inf))
+    return f
+
+
 def interleave_codes(codes: list[np.ndarray]) -> np.ndarray:
     """Bit-interleave k uint64 arrays of 16-bit codes into one uint64
     z-key: output bit ``j*k + i`` is bit ``j`` of column ``i``. 64 shift
@@ -200,8 +218,8 @@ def zorder_write(
         }
         for c in cols:
             mm = pc.min_max(body.column(c))
-            row[f"{c}_min"] = [float(mm["min"].as_py())]
-            row[f"{c}_max"] = [float(mm["max"].as_py())]
+            row[f"{c}_min"] = [_stat_down(mm["min"].as_py())]
+            row[f"{c}_max"] = [_stat_up(mm["max"].as_py())]
         return pa.table(row).cast(_mschema)
 
     manifest_tabs = [

@@ -149,3 +149,48 @@ def _state_one(out):
         [b for b in read_agg_view(out).iter_batches(batch_format="pyarrow")]
     )
     return {r["k"]: (r["cents"], r["n"]) for r in t.to_pylist()}
+
+
+def test_refresh_retry_is_exactly_once(ray_session, tmp_path):
+    """A crashed refresh re-run with the same delta must not double-
+    fold: partition files record the refresh id, and a fold that finds
+    its own id skips."""
+    import json
+
+    import ray.data as rd
+
+    out = str(tmp_path / "view_retry")
+    base = _facts(1000, 8)
+    base = base.append_column("n", pa.array(np.ones(base.num_rows, np.int64)))
+    create_agg_view(rd.from_arrow(base), ["k", "grp"], ["cents", "n"], out)
+
+    d1 = _facts(300, 9)
+    d1n = d1.append_column("n", pa.array(np.ones(d1.num_rows, np.int64)))
+    refresh_agg_view(out, rd.from_arrow(d1n).repartition(2))
+    want = _state(out)
+
+    # simulate "folded everything, died before bumping the manifest":
+    # revert the refresh counter and re-run the SAME delta
+    meta = json.load(open(f"{out}/_VIEW.json"))
+    assert meta["refreshes"] == 1
+    meta["refreshes"] = 0
+    open(f"{out}/_VIEW.json", "w").write(json.dumps(meta))
+    refresh_agg_view(out, rd.from_arrow(d1n).repartition(2))
+    assert _state(out) == want  # NOT double-folded
+
+    # a genuinely new refresh (bumped counter) with identical delta
+    # content must fold normally
+    refresh_agg_view(out, rd.from_arrow(d1n))
+    assert _state(out) == _expect([base.drop_columns(["n"]), d1, d1])
+
+
+def test_zorder_stat_widening():
+    from patito_ray.stages.zorder import _stat_down, _stat_up
+
+    v = (1 << 53) + 1           # rounds UP under float()
+    assert _stat_down(v) <= v
+    assert _stat_up(v) >= v
+    w = (1 << 54) - 1           # rounds... whichever way, both safe
+    assert _stat_down(w) <= w <= _stat_up(w)
+    assert _stat_down(10) == 10.0 and _stat_up(10) == 10.0
+    assert _stat_down(0.25) == 0.25 == _stat_up(0.25)
