@@ -201,3 +201,107 @@ def search_index(
     if isinstance(counts, pa.Table):
         return finish(counts)
     return counts.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def refresh_token_index(index_dir: str, new_docs: Any) -> dict[str, Any]:
+    """Fold NEW documents into an existing index without rebuilding:
+    the delta's distinct (token, doc_id) postings hash with the SAME
+    partition count the index was built with, and only the partitions
+    a delta token hashes to are read + merged + atomically rewritten —
+    O(delta postings + touched partitions), never O(corpus).
+
+    Exactly-once under Ray task retry: like the aggregate view, each
+    refresh id (delta content + refresh counter) is recorded in the
+    partition file's Parquet metadata and an already-folded partition
+    skips. Insert-only (re-adding an existing (token, doc) pair is a
+    no-op by the distinct-postings invariant); deletions need a
+    rebuild. Returns ``{"partitions_touched", "new_postings"}``."""
+    import hashlib
+
+    import polars as pl
+    import pyarrow.parquet as pq
+    import ray
+
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.validation.checkpoint import _atomic_write
+
+    with open(os.path.join(index_dir, "_INDEX.json")) as f:
+        meta = json.load(f)
+    P = meta["num_partitions"]
+    id_col, text_col = meta["id_col"], meta["text_col"]
+
+    def postings(t: pa.Table) -> pa.Table:
+        flat, parents, _n = re2_split_tokens(t.column(text_col))
+        if len(flat) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)[parents]
+        return (
+            pl.from_arrow(
+                pa.table({"token": flat, "doc_id": pa.array(ids, pa.int64())})
+            )
+            .unique()
+            .to_arrow()
+        )
+
+    parts = [
+        t
+        for t in new_docs.map_batches(
+            postings, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not parts:
+        return {"partitions_touched": 0, "new_postings": 0}
+    delta = (
+        pl.from_arrow(pa.concat_tables(parts))
+        .unique()
+        .sort(["token", "doc_id"])  # canonical order -> stable refresh id
+        .to_arrow()
+    )
+    pid = hash_partition_ids(delta.column("token"), P, "index token")
+    delta = delta.append_column("part", pa.array(pid, type=pa.int64()))
+
+    seq = int(meta.get("refreshes", 0)) + 1
+    h = hashlib.blake2b(digest_size=12)
+    h.update(str(seq).encode())
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, delta.schema) as w:
+        w.write_table(delta)
+    h.update(sink.getvalue())
+    rid = h.hexdigest()
+    delta_ref = ray.put(delta)
+
+    @ray.remote
+    def _fold(p: int) -> int:
+        import pyarrow.compute as pc
+
+        d = ray.get(delta_ref)
+        mine = d.filter(pc.equal(d.column("part"), p)).drop_columns(["part"])
+        path = os.path.join(index_dir, f"part-{p:05d}.parquet")
+        frames = [pl.from_arrow(mine)]
+        if os.path.exists(path):
+            existing = pq.read_table(path)
+            md = existing.schema.metadata or {}
+            if md.get(b"refresh_id", b"").decode() == rid:
+                return 0  # this refresh already folded here
+            frames.append(pl.from_arrow(existing))
+        before = 0 if len(frames) == 1 else frames[1].height
+        merged = (
+            pl.concat(frames).unique().sort(["token", "doc_id"]).to_arrow()
+        )
+        merged = merged.replace_schema_metadata({"refresh_id": rid})
+        tmp = f"{index_dir}/.tmp-{p:05d}"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, path)
+        return merged.num_rows - before
+
+    pids = sorted(int(v) for v in np.unique(pid))
+    added = ray.get([_fold.remote(p) for p in pids])
+    meta["refreshes"] = seq
+    _atomic_write(
+        os.path.join(index_dir, "_INDEX.json"),
+        json.dumps(meta, sort_keys=True).encode(),
+    )
+    return {"partitions_touched": len(pids), "new_postings": int(sum(added))}

@@ -58,3 +58,41 @@ def test_build_and_search(ray_session, tmp_path):
         search_index(out, ["red"], mode="xor")
     with pytest.raises(FileExistsError):
         build_token_index(rd.from_arrow(_docs()), out)
+
+
+def test_refresh_token_index(ray_session, tmp_path):
+    import json
+
+    import ray.data as rd
+
+    from patito_ray.functions.invindex import refresh_token_index
+
+    docs = _docs()
+    out_full = str(tmp_path / "idx_full")
+    out_inc = str(tmp_path / "idx_inc")
+    build_token_index(rd.from_arrow(docs), out_full, num_partitions=8)
+    build_token_index(rd.from_arrow(docs.slice(0, 2)), out_inc, num_partitions=8)
+    r = refresh_token_index(out_inc, rd.from_arrow(docs.slice(2)))
+    assert r["new_postings"] == 5  # docs 3-4 postings (doc 5 is null)
+
+    for terms, mode in ([["red"], "and"], [["red", "fox"], "or"], [["dog"], "and"]):
+        assert _ids(search_index(out_inc, terms, mode=mode)) == _ids(
+            search_index(out_full, terms, mode=mode)
+        )
+
+    # re-adding already-indexed docs is a no-op (distinct postings)
+    r2 = refresh_token_index(out_inc, rd.from_arrow(docs.slice(0, 2)))
+    assert r2["new_postings"] == 0
+    assert _ids(search_index(out_inc, ["red"])) == [1, 2]
+
+    # crash-rerun: revert the counter, re-run the same delta -> skipped
+    meta = json.load(open(f"{out_inc}/_INDEX.json"))
+    meta["refreshes"] -= 1
+    open(f"{out_inc}/_INDEX.json", "w").write(json.dumps(meta))
+    r3 = refresh_token_index(out_inc, rd.from_arrow(docs.slice(0, 2)))
+    assert r3["new_postings"] == 0
+    assert _ids(search_index(out_inc, ["red"])) == [1, 2]
+
+    # empty delta no-op
+    r4 = refresh_token_index(out_inc, rd.from_arrow(docs.schema.empty_table()))
+    assert r4 == {"partitions_touched": 0, "new_postings": 0}
