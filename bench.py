@@ -320,6 +320,7 @@ def run_bench() -> dict:
         "target_encode",
         "cube_revenue",
         "evolved_read",
+        "tolerant_validate",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -10697,3 +10697,52 @@ FROM orders
 """
 
 QUERIES["evolved_read"] = (q_evolved_read, SQL_EVOLVED_READ)
+
+
+class _TolerantLineitem(pr.Model):
+    l_quantity: float = pr.Field(le=45)
+    l_discount: float = pr.Field(le=0.095)
+
+
+def q_tolerant_validate(sf_dir: str) -> pa.Table:
+    """Tolerance-thresholded validation (ValidationReport.waive /
+    validate(tolerances=...)): both bounds checks fail strictly, but at
+    a 5% 'mostly' threshold the discount check (4.9% violating) waives
+    while the quantity check (9.9%) still fails. The oracle recomputes
+    each violation count AND the waive decision — same integer counts,
+    same single IEEE division and comparison."""
+    from patito_ray.validation.engine import validate_report
+
+    ds = _rp(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+    rep = validate_report(ds, _TolerantLineitem)
+    waived_rep = rep.waive(_TolerantLineitem, {"*": 0.05})
+    waived_locs = {w["loc"] for w in waived_rep.waived}
+    rows = sorted(
+        (loc, int(cnt), loc in waived_locs)
+        for loc, cnt in rep.merged.bounds_fail.items()
+    )
+    return pa.table(
+        {
+            "loc": pa.array([r[0] for r in rows], pa.string()),
+            "cnt": pa.array([r[1] for r in rows], pa.int64()),
+            "waived": pa.array([r[2] for r in rows], pa.bool_()),
+        }
+    )
+
+
+SQL_TOLERANT_VALIDATE = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN NOT l_quantity <= 45 THEN 1 ELSE 0 END)
+              AS BIGINT) AS qc,
+         CAST(SUM(CASE WHEN NOT l_discount <= 0.095 THEN 1 ELSE 0 END)
+              AS BIGINT) AS dc
+  FROM lineitem
+)
+SELECT 'l_discount' AS loc, dc AS cnt,
+       CAST(dc AS DOUBLE) / n <= 0.05 AS waived FROM s
+UNION ALL
+SELECT 'l_quantity', qc, CAST(qc AS DOUBLE) / n <= 0.05 FROM s
+"""
+
+QUERIES["tolerant_validate"] = (q_tolerant_validate, SQL_TOLERANT_VALIDATE)

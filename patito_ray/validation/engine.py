@@ -627,10 +627,16 @@ def validate(
     collect_samples: bool = False,
     references: Mapping[str, Any] | None = None,
     hash_unique_keys: bool = True,
+    tolerances: Mapping[str, float] | None = None,
 ) -> Any:
     """Reference-compatible validate: raise DataFrameValidationError on
     any failure, else return the (alias-renamed, possibly
-    superfluous-dropped) data (``validators.py:442-492``)."""
+    superfluous-dropped) data (``validators.py:442-492``).
+
+    ``tolerances``: Great-Expectations-style 'mostly' thresholds —
+    ``{"col": 0.01}`` tolerates up to 1% violating rows on that loc
+    before the run fails (``"*"`` sets the default; see
+    ``ValidationReport.waive``). Structural errors never waive."""
     if drop_superfluous_columns and columns:
         raise ValueError("Cannot specify both 'columns' and 'drop_superfluous_columns'.")
     report, transformed = _validate_any(
@@ -645,6 +651,8 @@ def validate(
         hash_unique_keys,
         None,
     )
+    if tolerances:
+        report = report.waive(model, tolerances)
     report.raise_if_failed(model)
     return transformed
 

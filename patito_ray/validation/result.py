@@ -18,7 +18,7 @@ values.", "Rows with invalid values: {...}." and the
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Any
+from typing import Any, Mapping
 
 from patito_ray.exceptions import (
     ColumnDTypeError,
@@ -236,6 +236,75 @@ class ValidationReport:
     # per-column stats summaries when the run collected them
     # (checkpointed runs with collect_stats=True)
     column_stats: dict[str, dict[str, Any]] | None = None
+    # row-level findings dropped by waive(): {loc, kind, count, fraction}
+    waived: list[dict[str, Any]] | None = None
+
+    # the count-based ROW-LEVEL counter families a fraction tolerance
+    # can waive; structural findings (missing/superfluous/dtype) and
+    # enum value sets (no per-row count is tracked for them) never are
+    _WAIVABLE = (
+        ("null", "null_counts"),
+        ("list_null", "list_null_counts"),
+        ("bounds", "bounds_fail"),
+        ("constraint", "constraint_fail"),
+        ("duplicate", "dup_counts"),
+        ("referential", "ref_fail"),
+    )
+
+    def waive(
+        self, model: Any, tolerances: Mapping[str, float]
+    ) -> "ValidationReport":
+        """Great-Expectations-style 'mostly' thresholds: return a new
+        report where a count-based row-level finding whose violating
+        fraction is <= the tolerance for its loc is WAIVED (removed
+        from the error list, recorded in ``report.waived``). Keys are
+        exact locs (nested as ``parent.child``, composite uniqueness by
+        its ``a+b`` label); ``"*"`` sets the default for every loc.
+        Fractions are violating rows / total rows. Structural findings
+        (missing/superfluous columns, dtype) and enum value sets are
+        never waivable — a tolerance cannot make a schema right. An
+        aggregate-constraint failure counts every row, so it only
+        waives at tolerance >= 1 (deliberately: it is a dataset-level
+        fact, not a row fraction)."""
+        import copy
+
+        for loc, frac in tolerances.items():
+            if not 0.0 <= float(frac) <= 1.0:
+                raise ValueError(
+                    f"tolerance for {loc!r} must be in [0, 1], got {frac}"
+                )
+        merged = copy.deepcopy(self.merged)
+        waived: list[dict[str, Any]] = []
+        default = tolerances.get("*")
+        n_rows = max(1, merged.row_count)
+        for kind, attr in self._WAIVABLE:
+            counters: dict[str, int] = getattr(merged, attr)
+            for loc in list(counters):
+                tol = tolerances.get(loc, default)
+                if tol is None:
+                    continue
+                frac = counters[loc] / n_rows
+                if frac <= float(tol):
+                    waived.append(
+                        {
+                            "loc": loc,
+                            "kind": kind,
+                            "count": counters.pop(loc),
+                            "fraction": frac,
+                        }
+                    )
+                    merged.samples.pop((loc, kind), None)
+        wrappers = assemble_errors(merged, list(getattr(model, "columns", [])))
+        errors = [w.as_dict() for w in wrappers]
+        return ValidationReport(
+            model_name=self.model_name,
+            row_count=self.row_count,
+            errors=errors,
+            merged=merged,
+            ok=not errors,
+            column_stats=self.column_stats,
+            waived=waived,
+        )
 
     def raise_if_failed(self, model: Any) -> None:
         if not self.ok:
