@@ -321,6 +321,7 @@ def run_bench() -> dict:
         "cube_revenue",
         "evolved_read",
         "tolerant_validate",
+        "infer_contract",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

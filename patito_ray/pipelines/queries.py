@@ -10746,3 +10746,61 @@ SELECT 'l_quantity', qc, CAST(qc AS DOUBLE) / n <= 0.05 FROM s
 """
 
 QUERIES["tolerant_validate"] = (q_tolerant_validate, SQL_TOLERANT_VALIDATE)
+
+
+def q_infer_contract(sf_dir: str) -> pa.Table:
+    """Constraint inference (validation/infer.py): scaffold a Model
+    from the lineitem data in ONE streaming profile pass and report the
+    inferred contract — nullability, numeric bounds (observed
+    extremes), enum cardinality. The oracle recomputes each inferred
+    fact with MIN/MAX/COUNT(DISTINCT); self-consistency (inferred model
+    accepts its own corpus) is pytested."""
+    from patito_ray.validation.infer import infer_model
+
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"],
+    )
+    model, _info = infer_model(ds, name="InferredLineitem")
+    spec = model._spec()
+    rows = []
+    for col in sorted(spec.columns):
+        c = spec.columns[col]
+        rows.append(
+            {
+                "col": col,
+                "nullable": bool(c.nullable),
+                "vmin": float(c.bounds["minimum"]) if "minimum" in c.bounds else None,
+                "vmax": float(c.bounds["maximum"]) if "maximum" in c.bounds else None,
+                "n_enum": len(c.enum_values) if c.enum_values else None,
+            }
+        )
+    return pa.table(
+        {
+            "col": pa.array([r["col"] for r in rows], pa.string()),
+            "nullable": pa.array([r["nullable"] for r in rows], pa.bool_()),
+            "vmin": pa.array([r["vmin"] for r in rows], pa.float64()),
+            "vmax": pa.array([r["vmax"] for r in rows], pa.float64()),
+            "n_enum": pa.array([r["n_enum"] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_INFER_CONTRACT = """
+SELECT 'l_extendedprice' AS col, FALSE AS nullable,
+       MIN(l_extendedprice) AS vmin, MAX(l_extendedprice) AS vmax,
+       CAST(NULL AS BIGINT) AS n_enum
+FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', FALSE, NULL, NULL, COUNT(DISTINCT l_linestatus)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', FALSE, MIN(l_quantity), MAX(l_quantity), NULL
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', FALSE, NULL, NULL, COUNT(DISTINCT l_returnflag)
+FROM lineitem
+"""
+
+QUERIES["infer_contract"] = (q_infer_contract, SQL_INFER_CONTRACT)
