@@ -14,6 +14,8 @@ Commands:
             [--stats] [--violations DIR] [--files-per-shard N]
   profile   --input GLOB [--columns a,b,c]
   dedup     --input GLOB [--text-col text] [--id-col doc_id] [--near [--threshold 0.8]] --output DIR
+  infer     --input GLOB --output spec.json [--name Inferred] [--enum-max 20]
+  quarantine --input GLOB --model NAME|spec.json --valid DIR --bad DIR
 """
 
 from __future__ import annotations
@@ -192,6 +194,46 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_infer(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+
+    from patito_ray.manifest import spec_to_json
+    from patito_ray.sources.readers import clean_read_parquet
+    from patito_ray.validation.infer import infer_model
+
+    files = sorted(glob.glob(args.input))
+    model, info = infer_model(
+        clean_read_parquet(files), name=args.name, enum_max=args.enum_max
+    )
+    with open(args.output, "w") as f:
+        f.write(spec_to_json(model._spec()))
+    print(
+        json.dumps(
+            {
+                "spec": args.output,
+                "columns": len(info["profile"]),
+                "rows": next(iter(info["profile"].values()))["n"],
+                "unique_candidates": info["unique_candidates"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_quarantine(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+
+    from patito_ray.sources.readers import clean_read_parquet
+    from patito_ray.validation.violations import quarantine_split_write
+
+    files = sorted(glob.glob(args.input))
+    counts = quarantine_split_write(
+        clean_read_parquet(files), _resolve_model(args.model), args.valid, args.bad
+    )
+    print(json.dumps(counts))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="patito_ray")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -228,6 +270,24 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--threshold", type=float, default=0.8, help="near-dup jaccard threshold")
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_dedup)
+
+    i = sub.add_parser("infer", help="scaffold a model spec (data contract) from data")
+    i.add_argument("--input", required=True)
+    i.add_argument("--output", required=True, help="spec .json to write")
+    i.add_argument("--name", default="Inferred")
+    i.add_argument("--enum-max", type=int, default=20)
+    i.add_argument("--num-cpus", type=int, default=None)
+    i.set_defaults(fn=cmd_infer)
+
+    q = sub.add_parser(
+        "quarantine", help="single-pass split: valid rows one dir, violations+reasons another"
+    )
+    q.add_argument("--input", required=True)
+    q.add_argument("--model", required=True, help="'webpage' or a spec .json")
+    q.add_argument("--valid", required=True)
+    q.add_argument("--bad", required=True)
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_quarantine)
 
     args = parser.parse_args(argv)
     code = args.fn(args)

@@ -151,3 +151,31 @@ def test_cli_dedup_refuses_dirty_output(data_dir, tmp_path):
     )
     assert res.returncode == 2
     assert "not empty" in res.stderr
+
+
+def test_cli_infer_then_quarantine_roundtrip(data_dir, tmp_path):
+    spec = tmp_path / "inferred.json"
+    res = run_cli(
+        "infer", "--input", f"{data_dir}/*.parquet",
+        "--output", str(spec), "--name", "Docs", "--num-cpus", "4",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout.strip().splitlines()[-1])
+    assert out["columns"] == 3 and out["rows"] == 500
+    assert "doc_id" in out["unique_candidates"]
+    body = json.loads(spec.read_text())
+    cols = {c["name"]: c for c in body["columns"]}
+    assert cols["score"]["bounds"]["minimum"] == -1.0
+    assert cols["score"]["bounds"]["maximum"] == 99.0
+
+    # the inferred spec drives the quarantine sink: the same data has
+    # zero violations against its own contract
+    res2 = run_cli(
+        "quarantine", "--input", f"{data_dir}/*.parquet",
+        "--model", str(spec),
+        "--valid", str(tmp_path / "ok"), "--bad", str(tmp_path / "bad"),
+        "--num-cpus", "4",
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    counts = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert counts == {"valid": 500, "quarantined": 0}
