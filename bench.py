@@ -322,6 +322,7 @@ def run_bench() -> dict:
         "evolved_read",
         "tolerant_validate",
         "infer_contract",
+        "bucketed_join",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

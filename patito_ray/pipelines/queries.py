@@ -10804,3 +10804,87 @@ FROM lineitem
 """
 
 QUERIES["infer_contract"] = (q_infer_contract, SQL_INFER_CONTRACT)
+
+
+def q_bucketed_join(sf_dir: str) -> Any:
+    """Bucketed-storage join (stages/bucketed.py): orders and lineitem
+    are each written ONCE hash-bucketed on the order key (the ingest-
+    time exchange); the revenue-per-priority join then reads bucket i
+    of both sides in one task and joins locally — ZERO movement at
+    query time, the Hive/Spark bucketed layout. Exact cents oracle."""
+    import shutil
+
+    import polars as pl
+
+    from patito_ray.stages.bucketed import bucketed_join, bucketed_write
+
+    base = _tmp_dir("bucketed", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    bucketed_write(
+        _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        "o_orderkey",
+        f"{base}/orders",
+        num_buckets=32,
+    )
+    bucketed_write(
+        _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "cents": pa.array(
+                        np.floor(
+                            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                            * 100.0
+                            + 0.5
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        "l_orderkey",
+        f"{base}/lineitem",
+        num_buckets=32,
+    )
+
+    joined = bucketed_join(f"{base}/orders", f"{base}/lineitem", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderpriority" not in t.column_names:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            pl.from_arrow(t.select(["o_orderpriority", "cents"]))
+            .group_by("o_orderpriority")
+            .agg(pl.col("cents").sum(), pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    merged = merge_partial_sums(
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["o_orderpriority"],
+        ["cents", "n"],
+    )
+    schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("cents", pa.int64()), ("n", pa.int64())]
+    )
+    return _apply(merged, lambda t: t.select(schema.names).cast(schema))
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+QUERIES["bucketed_join"] = (q_bucketed_join, SQL_BUCKETED_JOIN)
