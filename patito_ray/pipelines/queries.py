@@ -10888,3 +10888,53 @@ GROUP BY o_orderpriority
 """
 
 QUERIES["bucketed_join"] = (q_bucketed_join, SQL_BUCKETED_JOIN)
+
+
+def q_skyline_parts(sf_dir: str) -> Any:
+    """2-D skyline (Pareto frontier) over part: the parts no other part
+    beats on BOTH price (cheaper-or-equal) and size (bigger-or-equal,
+    one strict). Exact-integer contract: price snapped to cents on both
+    engines. Distributes with ZERO exchange — one map_batches prunes
+    each block to its local frontier, tiny survivors merge once
+    (functions/skyline.py)."""
+    from patito_ray.functions.skyline import skyline_2d
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "cents": pa.array(
+                    np.floor(
+                        t.column("p_retailprice").to_numpy(zero_copy_only=False)
+                        * 100.0
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "size": pc.cast(t.column("p_size"), pa.int64()),
+            }
+        )
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None
+    )
+    return skyline_2d(ds, minimize="cents", maximize="size")
+
+
+SQL_SKYLINE_PARTS = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT a.p_partkey, a.cents, a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.cents <= a.cents AND b.size >= a.size
+    AND (b.cents < a.cents OR b.size > a.size)
+)
+"""
+
+QUERIES["skyline_parts"] = (q_skyline_parts, SQL_SKYLINE_PARTS)
