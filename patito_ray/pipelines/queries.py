@@ -10938,3 +10938,44 @@ WHERE NOT EXISTS (
 """
 
 QUERIES["skyline_parts"] = (q_skyline_parts, SQL_SKYLINE_PARTS)
+
+
+def q_basket_rules(sf_dir: str) -> Any:
+    """Directed association rules over order baskets (support /
+    confidence / lift from exact int64 counts; the float ops mirror the
+    SQL expression order, so the doubles are bit-identical — no
+    rounding). Same single hash exchange as basket_pairs; item
+    marginals are the broadcast small side
+    (functions/basket.py:association_rules)."""
+    from patito_ray.functions.basket import association_rules
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return association_rules(li, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+SQL_BASKET_RULES = """
+WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT g) AS n FROM items),
+ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+dir AS (
+  SELECT item_a AS ante, item_b AS cons, n_ab FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_ab FROM pairs
+)
+SELECT d.ante, d.cons, d.n_ab, ia.cnt AS n_ante, ib.cnt AS n_cons,
+       CAST(d.n_ab AS DOUBLE) / (SELECT n FROM tot) AS support,
+       CAST(d.n_ab AS DOUBLE) / ia.cnt AS confidence,
+       (CAST(d.n_ab AS DOUBLE) * (SELECT n FROM tot))
+         / (CAST(ia.cnt AS DOUBLE) * ib.cnt) AS lift
+FROM dir d
+JOIN ic ia ON d.ante = ia.i
+JOIN ic ib ON d.cons = ib.i
+"""
+
+QUERIES["basket_rules"] = (q_basket_rules, SQL_BASKET_RULES)

@@ -388,3 +388,79 @@ def test_cooccurrence_pairs_rejects_string_keys(ray_session):
     t = pa.table({"grp": pa.array(["a"]), "item": pa.array([1], pa.int64())})
     with pytest.raises(TypeError, match="integer"):
         cooccurrence_pairs(rd.from_arrow(t), "grp", "item")
+
+
+def test_association_rules_both_branches(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from patito_ray.functions.basket import association_rules
+
+    rng = np.random.default_rng(11)
+    groups, items = [], []
+    baskets = {}
+    for g in range(60):
+        basket = sorted(rng.choice(25, size=rng.integers(1, 6), replace=False))
+        baskets[g] = set(int(x) for x in basket)
+        for it in basket:
+            # duplicates within a basket must not inflate counts
+            for _ in range(int(rng.integers(1, 3))):
+                groups.append(g)
+                items.append(int(it))
+    t = pa.table(
+        {"g": pa.array(groups, pa.int64()), "i": pa.array(items, pa.int64())}
+    )
+    # python reference
+    N = len(baskets)
+    icnt: dict[int, int] = {}
+    pcnt: dict[tuple[int, int], int] = {}
+    for b in baskets.values():
+        for it in b:
+            icnt[it] = icnt.get(it, 0) + 1
+        for a, c in itertools.combinations(sorted(b), 2):
+            pcnt[(a, c)] = pcnt.get((a, c), 0) + 1
+    expect = {}
+    for (a, c), nab in pcnt.items():
+        if nab < 2:
+            continue
+        for ante, cons in ((a, c), (c, a)):
+            expect[(ante, cons)] = (
+                nab,
+                icnt[ante],
+                icnt[cons],
+                nab / N,
+                nab / icnt[ante],
+                (nab * N) / (icnt[ante] * icnt[cons]),
+            )
+
+    ds = rd.from_arrow(t).repartition(7)
+    for lb in (None, 0):
+        out = association_rules(ds, "g", "i", min_pair_count=2, limit_bytes=lb)
+        if not isinstance(out, pa.Table):
+            import ray
+
+            tabs = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+            out = pa.concat_tables(tabs) if tabs else pa.table({})
+        got = {
+            (r["ante"], r["cons"]): (
+                r["n_ab"],
+                r["n_ante"],
+                r["n_cons"],
+                r["support"],
+                r["confidence"],
+                r["lift"],
+            )
+            for r in out.to_pylist()
+        }
+        assert got == expect, f"limit_bytes={lb}"
+
+
+def test_association_rules_rejects_string_keys(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.basket import association_rules
+
+    t = pa.table({"g": ["a"], "i": pa.array([1], pa.int64())})
+    with pytest.raises(TypeError, match="integer"):
+        association_rules(rd.from_arrow(t), "g", "i")
