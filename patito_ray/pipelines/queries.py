@@ -10979,3 +10979,309 @@ JOIN ic ib ON d.cons = ib.i
 """
 
 QUERIES["basket_rules"] = (q_basket_rules, SQL_BASKET_RULES)
+
+
+def q_rolling_zscore(sf_dir: str) -> Any:
+    """Rolling z-score anomaly detection: events whose value deviates
+    > 3 sigma from their user's trailing 5-event window. PURE-INTEGER
+    contract — the |z| > 3 test is rewritten as
+    (w*x - s1)^2 > 9*(w*s2 - s1^2) over exact cent/window sums, so the
+    result is bit-exact with zero float ops. One hash exchange
+    (stages/window.py:window_over), vectorized polars frames."""
+    from patito_ray.stages.window import window_over
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts": t.column("ts"),
+                "x": pa.array(x, pa.int64()),
+                "x2": pa.array(x * x, pa.int64()),
+            }
+        )
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None
+    )
+    out = window_over(
+        ds,
+        by="user_id",
+        order=["ts", "event_id"],
+        cols={
+            "s1": ("rolling_sum", "x"),
+            "s2": ("rolling_sum", "x2"),
+            "rn": ("row_number", None),
+        },
+        frame=5,
+    )
+
+    _schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("x", pa.int64()),
+            ("w", pa.int64()),
+            ("s1", pa.int64()),
+            ("s2", pa.int64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rn" not in t.column_names:
+            return _schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        w = np.minimum(t.column("rn").to_numpy(zero_copy_only=False), 5)
+        d = w * x - s1
+        mask = (w >= 2) & (4 * d * d > 9 * (w * s2 - s1 * s1))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "x": t.column("x"),
+                "w": pa.array(w, pa.int64()),
+                "s1": t.column("s1"),
+                "s2": t.column("s2"),
+            }
+        ).filter(pa.array(mask))
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ROLLING_ZSCORE = """
+WITH q AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, x,
+         CAST(COUNT(*) OVER win AS BIGINT) AS w,
+         CAST(SUM(x) OVER win AS BIGINT) AS s1,
+         CAST(SUM(x * x) OVER win AS BIGINT) AS s2
+  FROM q
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, x, w, s1, s2
+FROM w
+WHERE w >= 2 AND 4*(w*x - s1)*(w*x - s1) > 9*(w*s2 - s1*s1)
+"""
+
+QUERIES["rolling_zscore"] = (q_rolling_zscore, SQL_ROLLING_ZSCORE)
+
+
+def q_event_moments(sf_dir: str) -> Any:
+    """Grouped skewness/kurtosis per event type from ONE streaming
+    moment pass: per-batch exact int64 sums of x^1..x^4 on the
+    floor(value) integer grid, adaptive partial merge, then the
+    central-moment doubles via an expression tree mirrored token-for-
+    token in the SQL oracle (only IEEE +,-,*,/,sqrt — bit-identical,
+    no rounding). Overflow contract: |x| <= 1024 so x^4 sums stay in
+    int64 for >= 8e6 rows/group-batch (checked loudly)."""
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("value").to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        if x.size and int(np.abs(x).max()) > 1024:
+            raise ValueError(
+                "event_moments: |floor(value)| > 1024 breaks the int64 "
+                "x^4-sum overflow budget; rescale the grid"
+            )
+        x2 = x * x
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "x": x,
+                    "x2": x2,
+                    "x3": x2 * x,
+                    "x4": x2 * x2,
+                }
+            )
+            .group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("x").sum().alias("s1"),
+                pl.col("x2").sum().alias("s2"),
+                pl.col("x3").sum().alias("s3"),
+                pl.col("x4").sum().alias("s4"),
+            )
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_sums(
+        ds, ["event_type"], ["n", "s1", "s2", "s3", "s4"]
+    )
+
+    _schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("m2", pa.float64()),
+            ("skewness", pa.float64()),
+            ("kurtosis", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return _schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(np.float64)
+        s3 = t.column("s3").to_numpy(zero_copy_only=False).astype(np.float64)
+        s4 = t.column("s4").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = s1 / n
+        r2 = s2 / n
+        r3 = s3 / n
+        r4 = s4 / n
+        m2 = r2 - m * m
+        m3 = r3 - 3.0 * m * r2 + 2.0 * m * m * m
+        m4 = r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": t.column("n"),
+                "m2": m2,
+                "skewness": m3 / (m2 * np.sqrt(m2)),
+                "kurtosis": m4 / (m2 * m2),
+            }
+        ).cast(_schema)
+
+    return _apply(merged, finish)
+
+
+SQL_EVENT_MOMENTS = """
+WITH q AS (
+  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS x FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DOUBLE) AS s1,
+         CAST(SUM(x*x) AS DOUBLE) AS s2,
+         CAST(SUM(x*x*x) AS DOUBLE) AS s3,
+         CAST(SUM(x*x*x*x) AS DOUBLE) AS s4
+  FROM q GROUP BY event_type
+),
+r AS (
+  SELECT event_type, n,
+         s1 / CAST(n AS DOUBLE) AS m,
+         s2 / CAST(n AS DOUBLE) AS r2,
+         s3 / CAST(n AS DOUBLE) AS r3,
+         s4 / CAST(n AS DOUBLE) AS r4
+  FROM s
+),
+c AS (
+  SELECT event_type, n, m,
+         r2 - m*m AS m2,
+         r3 - 3.0*m*r2 + 2.0*m*m*m AS m3,
+         r4 - 4.0*m*r3 + 6.0*m*m*r2 - 3.0*m*m*m*m AS m4
+  FROM r
+)
+SELECT event_type, n, m2,
+       m3 / (m2 * SQRT(m2)) AS skewness,
+       m4 / (m2 * m2) AS kurtosis
+FROM c
+"""
+
+QUERIES["event_moments"] = (q_event_moments, SQL_EVENT_MOMENTS)
+
+
+def q_survival_counts(sf_dir: str) -> Any:
+    """Survival curve: for each day d in 0..30, how many users were
+    still active d+ days after their first event (lifespan = last
+    event date - first event date, exact integer days). Per-batch
+    (min_day, -max_day) partials merge through merge_partial_mins;
+    the 31-row curve is a cumulative-from-above histogram."""
+    import polars as pl
+
+    from patito_ray.stages.agg import merge_partial_mins
+
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // US_PER_DAY
+        return (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+                    "min_day": day,
+                    "neg_max_day": -day,
+                }
+            )
+            .group_by("user_id")
+            .agg(pl.col("min_day").min(), pl.col("neg_max_day").min())
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_mins(ds, ["user_id"], ["min_day", "neg_max_day"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "min_day" not in t.column_names:
+            return pa.table(
+                {"life": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        life = (
+            -t.column("neg_max_day").to_numpy(zero_copy_only=False)
+        ) - t.column("min_day").to_numpy(zero_copy_only=False)
+        counts = np.bincount(np.minimum(life, 30), minlength=31).astype(np.int64)
+        return pa.table(
+            {"life": np.arange(31, dtype=np.int64), "cnt": counts}
+        )
+
+    if isinstance(merged, pa.Table):
+        h = hist(merged)
+    else:
+        h = merge_partial_sums(
+            merged.map_batches(hist, batch_format="pyarrow", batch_size=None),
+            ["life"],
+            ["cnt"],
+        )
+        if not isinstance(h, pa.Table):
+            from patito_ray.stages.agg import collect_table
+
+            h = collect_table(h)
+
+    full = np.zeros(31, dtype=np.int64)
+    life = h.column("life").to_numpy(zero_copy_only=False)
+    cnt = h.column("cnt").to_numpy(zero_copy_only=False)
+    full[life] = cnt
+    surv = np.cumsum(full[::-1])[::-1]
+    return pa.table(
+        {
+            "day": np.arange(31, dtype=np.int64),
+            "n_surviving": surv.astype(np.int64),
+        }
+    )
+
+
+SQL_SURVIVAL_COUNTS = """
+WITH u AS (
+  SELECT user_id,
+         CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT) AS life
+  FROM events GROUP BY user_id
+),
+d AS (SELECT UNNEST(RANGE(0, 31)) AS day)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST((SELECT COUNT(*) FROM u WHERE u.life >= d.day) AS BIGINT)
+         AS n_surviving
+FROM d
+"""
+
+QUERIES["survival_counts"] = (q_survival_counts, SQL_SURVIVAL_COUNTS)

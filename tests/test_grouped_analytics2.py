@@ -361,3 +361,66 @@ def test_welch_ttest_zero_variance(ray_session, tmp_path):
     assert out.column("df")[0].as_py() is None
     assert ref.column("t_stat")[0].as_py() is None
     assert ref.column("df")[0].as_py() is None
+
+
+# ---------------------------------------------------- round-3 additions
+
+
+def test_rolling_zscore_oracle_parity(ray_session):
+    """Ray pipeline vs an in-process DuckDB window query on sf0.001."""
+    import duckdb
+    import ray
+
+    from patito_ray.pipelines.queries import QUERIES, SQL_ROLLING_ZSCORE
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["rolling_zscore"][0](sf)
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    got = pa.concat_tables(tabs) if tabs else None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    exp = con.execute(SQL_ROLLING_ZSCORE).arrow()
+    assert got is not None and got.num_rows == exp.num_rows > 0
+    key = lambda t: sorted(
+        zip(*(t.column(c).to_pylist() for c in sorted(t.column_names)))
+    )
+    assert key(got) == key(exp)
+
+
+def test_survival_counts_monotone(ray_session):
+    from patito_ray.pipelines.queries import QUERIES
+
+    t = QUERIES["survival_counts"][0]("/root/testdata/sf0.001")
+    n = t.column("n_surviving").to_pylist()
+    assert len(n) == 31
+    assert all(a >= b for a, b in zip(n, n[1:]))  # survival never rises
+    assert n[0] > 0
+
+
+def test_event_moments_matches_scipy_style_reference(ray_session):
+    """Moment formulas vs a direct per-group numpy computation."""
+    import pyarrow.parquet as pq
+
+    from patito_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["event_moments"][0](sf)
+    if not isinstance(out, pa.Table):
+        import ray
+
+        out = pa.concat_tables(
+            [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+        )
+    raw = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"])
+    x_all = np.floor(raw.column("value").to_numpy()).astype(np.float64)
+    types = np.asarray(raw.column("event_type").to_pylist())
+    for row in out.to_pylist():
+        x = x_all[types == row["event_type"]]
+        m2 = x.var()
+        skew = ((x - x.mean()) ** 3).mean() / m2**1.5
+        kurt = ((x - x.mean()) ** 4).mean() / m2**2
+        assert row["n"] == x.size
+        assert abs(row["skewness"] - skew) < 1e-9
+        assert abs(row["kurtosis"] - kurt) < 1e-9
