@@ -11285,3 +11285,55 @@ FROM d
 """
 
 QUERIES["survival_counts"] = (q_survival_counts, SQL_SURVIVAL_COUNTS)
+
+
+def q_unique_index(sf_dir: str) -> pa.Table:
+    """Persisted cross-run uniqueness: the previous crawl's (doc_id % 10
+    == 7) text hashes are folded into an on-disk bucketed key index;
+    checking the full corpus against it then costs one narrow exchange
+    over the delta + touched-bucket reads — never a rescan of past
+    corpora (state/keyindex.py). Summary ints are exact."""
+    import shutil
+
+    from patito_ray.state.keyindex import create_key_index, key_index_update
+
+    idx = _tmp_dir("keyindex", sf_dir)
+    shutil.rmtree(idx, ignore_errors=True)
+    create_key_index(idx, num_buckets=16)
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def pick_prev(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 7))
+
+    key_index_update(
+        ds.map_batches(pick_prev, batch_format="pyarrow", batch_size=None),
+        "text",
+        idx,
+        fold=True,
+    )
+    return key_index_update(ds, "text", idx, fold=False)
+
+
+SQL_UNIQUE_INDEX = """
+WITH prev AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 = 7),
+cnt AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY text),
+m AS (
+  SELECT c.n, (p.text IS NOT NULL) AS seen
+  FROM cnt c LEFT JOIN prev p ON c.text = p.text
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS distinct_keys,
+       CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT) AS new_keys,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_keys_within_run,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_rows_within_run,
+       CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_keys_vs_index,
+       CAST(SUM(CASE WHEN seen THEN n ELSE 0 END) AS BIGINT)
+         AS dup_rows_vs_index
+FROM m
+"""
+
+QUERIES["unique_index"] = (q_unique_index, SQL_UNIQUE_INDEX)
