@@ -323,6 +323,12 @@ def run_bench() -> dict:
         "tolerant_validate",
         "infer_contract",
         "bucketed_join",
+        "skyline_parts",
+        "basket_rules",
+        "rolling_zscore",
+        "event_moments",
+        "survival_counts",
+        "unique_index",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
