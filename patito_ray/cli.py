@@ -234,6 +234,38 @@ def cmd_quarantine(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index(args: argparse.Namespace) -> int:
+    from patito_ray.state.keyindex import (
+        create_key_index,
+        key_index_size,
+        key_index_update,
+    )
+
+    if args.action == "create":
+        create_key_index(args.dir, num_buckets=args.buckets, overwrite=args.overwrite)
+        print(json.dumps(key_index_size(args.dir)))
+        return 0
+    if args.action == "stats":
+        print(json.dumps(key_index_size(args.dir)))
+        return 0
+    # update / check need data + a Ray session
+    _init_ray(args.num_cpus)
+    from patito_ray.sources.readers import clean_read_parquet
+
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(json.dumps({"error": f"no files match {args.input!r}"}))
+        return 2
+    summary = key_index_update(
+        clean_read_parquet(files, columns=[args.key_col]),
+        args.key_col,
+        args.dir,
+        fold=(args.action == "update"),
+    )
+    print(json.dumps(summary.to_pylist()[0]))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="patito_ray")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -288,6 +320,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--bad", required=True)
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_quarantine)
+
+    k = sub.add_parser(
+        "index",
+        help="persisted cross-run uniqueness index: create / update "
+        "(check + fold) / check (read-only) / stats",
+    )
+    k.add_argument("action", choices=["create", "update", "check", "stats"])
+    k.add_argument("--dir", required=True, help="index directory")
+    k.add_argument("--input", help="glob of parquet files (update/check)")
+    k.add_argument("--key-col", default="url")
+    k.add_argument("--buckets", type=int, default=64)
+    k.add_argument("--overwrite", action="store_true")
+    k.add_argument("--num-cpus", type=int, default=None)
+    k.set_defaults(fn=cmd_index)
 
     args = parser.parse_args(argv)
     code = args.fn(args)

@@ -179,3 +179,35 @@ def test_cli_infer_then_quarantine_roundtrip(data_dir, tmp_path):
     assert res2.returncode == 0, res2.stderr[-2000:]
     counts = json.loads(res2.stdout.strip().splitlines()[-1])
     assert counts == {"valid": 500, "quarantined": 0}
+
+
+def test_cli_index_lifecycle(data_dir, tmp_path):
+    idx = str(tmp_path / "kidx")
+    res = run_cli("index", "create", "--dir", idx, "--buckets", "4")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert json.loads(res.stdout.strip().splitlines()[-1])["num_buckets"] == 4
+
+    # data_dir has 500 rows over 400 distinct texts
+    res = run_cli(
+        "index", "update", "--dir", idx,
+        "--input", f"{data_dir}/*.parquet",
+        "--key-col", "text", "--num-cpus", "4",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    s = json.loads(res.stdout.strip().splitlines()[-1])
+    assert s["n_rows"] == 500 and s["distinct_keys"] == 400
+    assert s["new_keys"] == 400 and s["dup_rows_within_run"] == 100
+
+    # read-only re-check: everything is now a cross-run duplicate
+    res = run_cli(
+        "index", "check", "--dir", idx,
+        "--input", f"{data_dir}/*.parquet",
+        "--key-col", "text", "--num-cpus", "4",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    s = json.loads(res.stdout.strip().splitlines()[-1])
+    assert s["dup_keys_vs_index"] == 400 and s["new_keys"] == 0
+
+    res = run_cli("index", "stats", "--dir", idx)
+    meta = json.loads(res.stdout.strip().splitlines()[-1])
+    assert meta == {"num_buckets": 4, "refreshes": 1, "total_keys": 400}
