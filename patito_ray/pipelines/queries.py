@@ -11337,3 +11337,276 @@ FROM m
 """
 
 QUERIES["unique_index"] = (q_unique_index, SQL_UNIQUE_INDEX)
+
+
+def q_cusum_revenue(sf_dir: str) -> pa.Table:
+    """CUSUM changepoint scan over daily order revenue: flags days
+    where the one-sided cumulative deviation above the global mean
+    daily revenue exceeds 10x that mean. The recurrence max(0, prev +
+    (r - mean)) is rewritten as S_d - min_{j<=d} S_j (cumsum minus
+    running min) — pure integer cents, bit-exact vs the SQL window
+    form. Daily sums stream through the adaptive partial merge; the
+    scan itself runs over the calendar (<= a few thousand rows —
+    bounded regardless of corpus size)."""
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame({"d": t.column("o_orderdate").to_numpy(), "r": cents})
+            .group_by("d")
+            .agg(pl.col("r").sum())
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_sums(ds, ["d"], ["r"])
+    if not isinstance(merged, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        # calendar-bounded: #days rows, never corpus-sized
+        merged = collect_table(merged)
+
+    order = np.argsort(merged.column("d").to_numpy(zero_copy_only=False))
+    d = merged.column("d").to_numpy(zero_copy_only=False)[order]
+    r = merged.column("r").to_numpy(zero_copy_only=False)[order]
+    target = int(r.sum()) // r.size
+    s = np.cumsum(r - target)
+    cusum = s - np.minimum.accumulate(s)
+    mask = cusum > 10 * target
+    return pa.table(
+        {
+            # date32 -> timestamp[us]: DuckDB DATE comes back as
+            # datetime64 (dev-notes hashing precedent)
+            "d": pc.cast(
+                pa.array(d[mask], pa.date32()), pa.timestamp("us")
+            ),
+            "r": pa.array(r[mask], pa.int64()),
+            "cusum": pa.array(cusum[mask], pa.int64()),
+        }
+    )
+
+
+SQL_CUSUM_REVENUE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(r) AS BIGINT) AS tr, CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily),
+c AS (
+  SELECT d, r,
+         CAST(SUM(r - (SELECT tr // nd FROM tot)) OVER (ORDER BY d) AS BIGINT)
+           AS s
+  FROM daily
+),
+m AS (SELECT d, r, s, CAST(MIN(s) OVER (ORDER BY d) AS BIGINT) AS smin FROM c)
+SELECT d, r, s - smin AS cusum
+FROM m WHERE s - smin > 10 * (SELECT tr // nd FROM tot)
+"""
+
+QUERIES["cusum_revenue"] = (q_cusum_revenue, SQL_CUSUM_REVENUE)
+
+
+def q_abc_parts(sf_dir: str) -> Any:
+    """ABC (Pareto) classification: rank parts by lineitem revenue,
+    class A = parts within the first 80% of cumulative revenue, B to
+    95%, C after — thresholds tested as pure-integer inequalities
+    (5*cum <= 4*total etc). The ranked cumulative sum is the
+    distributed ordered_prefix_sum (range-partitioned, one narrow
+    exchange) — no single-task global window."""
+    import ray.data as rd
+
+    from patito_ray.stages.prefix import ordered_prefix_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "l_partkey": t.column("l_partkey").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "cents": cents,
+                }
+            )
+            .group_by("l_partkey")
+            .agg(pl.col("cents").sum())
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_sums(ds, ["l_partkey"], ["cents"])
+    if isinstance(merged, pa.Table):
+        total = int(merged.column("cents").to_numpy(zero_copy_only=False).sum())
+        per_part = rd.from_arrow(merged)
+    else:
+        per_part = merged.materialize()
+        import ray
+
+        total = sum(
+            int(t.column("cents").to_numpy(zero_copy_only=False).sum())
+            for t in ray.get(per_part.to_arrow_refs())
+            if t.num_rows and "cents" in t.column_names
+        )
+
+    def neg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "neg_cents": pa.array([], pa.int64()),
+                }
+            )
+        return t.append_column(
+            "neg_cents",
+            pc.negate_checked(t.column("cents")),
+        )
+
+    pref = ordered_prefix_sum(
+        per_part.map_batches(neg, batch_format="pyarrow", batch_size=None),
+        order_col="neg_cents",
+        value_col="cents",
+        out_col="offset",
+        tie_col="l_partkey",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "offset" not in t.column_names:
+            return pa.schema(
+                [
+                    ("l_partkey", pa.int64()),
+                    ("cents", pa.int64()),
+                    ("cum", pa.int64()),
+                    ("klass", pa.string()),
+                ]
+            ).empty_table()
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        cum = t.column("offset").to_numpy(zero_copy_only=False) + cents
+        klass = np.where(
+            5 * cum <= 4 * total, "A", np.where(20 * cum <= 19 * total, "B", "C")
+        )
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "cents": t.column("cents"),
+                "cum": pa.array(cum, pa.int64()),
+                "klass": pa.array(klass.tolist(), pa.string()),
+            }
+        )
+
+    return pref.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ABC_PARTS = """
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM pr),
+r AS (
+  SELECT l_partkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT) AS cum
+  FROM pr
+)
+SELECT l_partkey, cents, cum,
+       CASE WHEN 5*cum <= 4*(SELECT t FROM tot) THEN 'A'
+            WHEN 20*cum <= 19*(SELECT t FROM tot) THEN 'B'
+            ELSE 'C' END AS klass
+FROM r
+"""
+
+QUERIES["abc_parts"] = (q_abc_parts, SQL_ABC_PARTS)
+
+
+def q_daily_autocorr(sf_dir: str) -> pa.Table:
+    """Periodicity probe: per event type, the lag-k co-count
+    sum(c_d * c_{d+k}) of daily event counts for k = 1..7 — exact
+    integers (a missing day is an implicit zero on both engines).
+    Daily counts ride the adaptive partial merge; the lag products run
+    over the calendar (#days x #types, bounded)."""
+    import polars as pl
+
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "day": us // US_PER_DAY,
+                }
+            )
+            .group_by(["event_type", "day"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_sums(ds, ["event_type", "day"], ["c"])
+    if not isinstance(merged, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        merged = collect_table(merged)  # calendar-bounded
+
+    types: list[str] = []
+    lags: list[int] = []
+    sxys: list[int] = []
+    df = merged.to_pydict()
+    et = np.asarray(df["event_type"])
+    day = np.asarray(df["day"], dtype=np.int64)
+    c = np.asarray(df["c"], dtype=np.int64)
+    for typ in sorted(set(et.tolist())):
+        m = et == typ
+        d_t, c_t = day[m], c[m]
+        order = np.argsort(d_t)
+        d_t, c_t = d_t[order], c_t[order]
+        for k in range(1, 8):
+            idx = np.searchsorted(d_t, d_t + k)
+            ok = (idx < d_t.size) & (d_t[np.minimum(idx, d_t.size - 1)] == d_t + k)
+            types.append(typ)
+            lags.append(k)
+            sxys.append(int((c_t[ok] * c_t[np.minimum(idx, d_t.size - 1)][ok]).sum()))
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "lag": pa.array(lags, pa.int64()),
+            "sxy": pa.array(sxys, pa.int64()),
+        }
+    )
+
+
+SQL_DAILY_AUTOCORR = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+k AS (SELECT UNNEST(RANGE(1, 8)) AS lag)
+SELECT a.event_type, CAST(k.lag AS BIGINT) AS lag,
+       CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+FROM daily a
+JOIN k ON TRUE
+JOIN daily b
+  ON b.event_type = a.event_type AND b.d = a.d + CAST(k.lag AS INTEGER)
+GROUP BY 1, 2
+"""
+
+QUERIES["daily_autocorr"] = (q_daily_autocorr, SQL_DAILY_AUTOCORR)
