@@ -329,6 +329,10 @@ def run_bench() -> dict:
         "event_moments",
         "survival_counts",
         "unique_index",
+        "cube_lineitem",
+        "cusum_revenue",
+        "abc_parts",
+        "daily_autocorr",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

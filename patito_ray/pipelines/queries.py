@@ -10550,7 +10550,7 @@ FROM c
 QUERIES["target_encode"] = (q_target_encode, SQL_TARGET_ENCODE)
 
 
-def q_cube_revenue(sf_dir: str) -> Any:
+def q_cube_lineitem(sf_dir: str) -> Any:
     """Full CUBE (l_returnflag, l_linestatus) in ONE input pass: every
     batch emits partials for all FOUR grouping sets through the same
     grouping-sets machinery as ROLLUP (stages/agg.py). All-integer
@@ -10596,7 +10596,7 @@ def q_cube_revenue(sf_dir: str) -> Any:
     return _apply(merged, finish)
 
 
-SQL_CUBE_REVENUE = """
+SQL_CUBE_LINEITEM = """
 SELECT l_returnflag, l_linestatus,
        CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT)
          AS grouping_id,
@@ -10607,7 +10607,7 @@ FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
-QUERIES["cube_revenue"] = (q_cube_revenue, SQL_CUBE_REVENUE)
+QUERIES["cube_lineitem"] = (q_cube_lineitem, SQL_CUBE_LINEITEM)
 
 
 def q_evolved_read(sf_dir: str) -> Any:
