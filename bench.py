@@ -333,6 +333,8 @@ def run_bench() -> dict:
         "cusum_revenue",
         "abc_parts",
         "daily_autocorr",
+        "decayed_value",
+        "sssp_weighted",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -1146,3 +1146,279 @@ def bfs_hops(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def sssp_hops(
+    edges: Any,
+    seeds: Any,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_col: str = "node",
+    broadcast_limit_ids: int = _BFS_BROADCAST_IDS,
+) -> Any:
+    """Multi-source bounded-hop WEIGHTED shortest path (Bellman-Ford,
+    ``max_hops`` relaxation rounds) over the directed edge set with
+    int64 edge weights -> Dataset[node:int64, dist:int64] (minimum
+    total weight over any path of <= ``max_hops`` edges from any seed).
+
+    Same adaptive two-branch shape as :func:`bfs_hops`:
+
+    - while the distance table fits ``broadcast_limit_ids`` ids, each
+      round is ONE streaming pass over the (once-materialized) edges
+      with the frontier broadcast via ``ray.put``; batches pre-min
+      candidates per dst before a bounded driver merge;
+    - past the limit the round switches permanently to co-partitioned
+      relaxation (edges x frontier on ``hash(src)``) followed by ONE
+      fused improvement exchange (candidates x distance table on
+      ``hash(node)``) that both updates the table and extracts the new
+      frontier — 2 all-to-alls per round, nothing corpus-sized on the
+      driver. ``broadcast_limit_ids=0`` forces this branch (test hook).
+
+    Unlike BFS, a node can be re-relaxed in a later round with a
+    smaller total weight, so rounds track IMPROVEMENTS (strict ``<``),
+    not first-visits.
+    """
+    import polars as pl
+    import ray
+    import ray.data as rd
+
+    from patito_ray.stages.agg import collect_table
+    from patito_ray.stages.join import copartition_apply
+
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    _check_edges(edges, src, dst)
+    if weight not in edges.schema().names:
+        raise ValueError(f"edges has no weight column {weight!r}")
+    edges = edges.materialize()
+
+    def _seed_tab(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or seed_col not in t.column_names:
+            return _BFS_SCHEMA.empty_table()
+        u = pc.unique(pc.cast(t.column(seed_col), pa.int64()).combine_chunks())
+        return pa.table(
+            {"node": u, "dist": pa.array(np.zeros(len(u), np.int64))},
+            schema=_BFS_SCHEMA,
+        )
+
+    seeds_p = seeds.map_batches(_seed_tab, batch_format="pyarrow", batch_size=None)
+    seed_count = seeds.count()
+    driver_mode = seed_count <= broadcast_limit_ids
+
+    def _min_per_node(nodes: np.ndarray, dists: np.ndarray):
+        order = np.lexsort((dists, nodes))
+        n, d = nodes[order], dists[order]
+        first = np.ones(len(n), dtype=bool)
+        first[1:] = n[1:] != n[:-1]
+        return n[first], d[first]
+
+    if driver_mode:
+        st = collect_table(seeds_p, empty_schema=_BFS_SCHEMA)
+        dn, dd = _min_per_node(
+            st.column("node").to_numpy(zero_copy_only=False),
+            st.column("dist").to_numpy(zero_copy_only=False),
+        )
+        fn, fd = dn, dd
+        d_ds = f_ds = None
+        frontier_count = table_count = len(dn)
+    else:
+        from patito_ray.stages.agg import merge_partial_mins
+
+        merged0 = merge_partial_mins(seeds_p, ["node"], ["dist"], limit_bytes=0)
+        d_ds = f_ds = (
+            merged0 if not isinstance(merged0, pa.Table) else rd.from_arrow(merged0)
+        ).materialize()
+        dn = dd = fn = fd = None
+        frontier_count = table_count = d_ds.count()
+
+    for _ in range(max_hops):
+        if frontier_count == 0:
+            break
+        if driver_mode and table_count + frontier_count > broadcast_limit_ids:
+            driver_mode = False
+            d_ds = rd.from_arrow(
+                pa.table(
+                    {"node": pa.array(dn, pa.int64()), "dist": pa.array(dd, pa.int64())},
+                    schema=_BFS_SCHEMA,
+                )
+            )
+            f_ds = rd.from_arrow(
+                pa.table(
+                    {"node": pa.array(fn, pa.int64()), "dist": pa.array(fd, pa.int64())},
+                    schema=_BFS_SCHEMA,
+                )
+            )
+            dn = dd = fn = fd = None
+
+        if driver_mode:
+            ref = ray.put({"n": fn, "d": fd})
+
+            def relax(t: pa.Table, _ref=ref) -> pa.Table:
+                if t.num_rows == 0:
+                    return _BFS_SCHEMA.empty_table()
+                f = ray.get(_ref)
+                if len(f["n"]) == 0:
+                    return _BFS_SCHEMA.empty_table()
+                s = pc.cast(t.column(src), pa.int64()).to_numpy(zero_copy_only=False)
+                idx = np.minimum(
+                    np.searchsorted(f["n"], s), len(f["n"]) - 1
+                )
+                hit = f["n"][idx] == s
+                if not hit.any():
+                    return _BFS_SCHEMA.empty_table()
+                dsts = pc.cast(t.column(dst), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )[hit]
+                cand = (
+                    f["d"][idx[hit]]
+                    + pc.cast(t.column(weight), pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )[hit]
+                )
+                cn, cd = _min_per_node(dsts, cand)
+                return pa.table(
+                    {"node": pa.array(cn, pa.int64()), "dist": pa.array(cd, pa.int64())},
+                    schema=_BFS_SCHEMA,
+                )
+
+            out = collect_table(
+                edges.map_batches(relax, batch_format="pyarrow", batch_size=None),
+                empty_schema=_BFS_SCHEMA,
+            )
+            cn, cd = _min_per_node(
+                out.column("node").to_numpy(zero_copy_only=False),
+                out.column("dist").to_numpy(zero_copy_only=False),
+            )
+            if len(cn) == 0:
+                frontier_count = 0
+                continue
+            pos = np.minimum(np.searchsorted(dn, cn), len(dn) - 1)
+            known = dn[pos] == cn
+            imp_known = known & (cd < dd[pos])
+            dd[pos[imp_known]] = cd[imp_known]
+            new = ~known
+            if new.any():
+                dn = np.concatenate([dn, cn[new]])
+                dd = np.concatenate([dd, cd[new]])
+                order = np.argsort(dn)
+                dn, dd = dn[order], dd[order]
+            keep = imp_known | new
+            fn, fd = cn[keep], cd[keep]
+            frontier_count = len(fn)
+            table_count = len(dn)
+        else:
+
+            def _as_front(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "node" not in t.column_names:
+                    return pa.schema(
+                        [("_fnode", pa.int64()), ("_fdist", pa.int64())]
+                    ).empty_table()
+                return pa.table(
+                    {"_fnode": t.column("node"), "_fdist": t.column("dist")}
+                )
+
+            def relax_part(lt: pa.Table, rt: pa.Table) -> pa.Table:
+                if lt.num_rows == 0 or rt.num_rows == 0:
+                    return pa.schema(
+                        [("_cnode", pa.int64()), ("_cdist", pa.int64())]
+                    ).empty_table()
+                e = pl.from_arrow(lt).select(
+                    pl.col(src).cast(pl.Int64).alias("_s"),
+                    pl.col(dst).cast(pl.Int64).alias("_cnode"),
+                    pl.col(weight).cast(pl.Int64).alias("_w"),
+                )
+                f = pl.from_arrow(rt)
+                j = e.join(f, left_on="_s", right_on="_fnode", how="inner")
+                return (
+                    j.select(
+                        "_cnode", (pl.col("_w") + pl.col("_fdist")).alias("_cdist")
+                    )
+                    .group_by("_cnode")
+                    .agg(pl.col("_cdist").min())
+                    .to_arrow()
+                )
+
+            cands = copartition_apply(
+                edges,
+                f_ds.map_batches(_as_front, batch_format="pyarrow", batch_size=None),
+                by=src,
+                right_by="_fnode",
+                part_fn=relax_part,
+            )
+
+            def improve(ct: pa.Table, dt: pa.Table) -> pa.Table:
+                imp_schema = pa.schema(
+                    [("node", pa.int64()), ("dist", pa.int64()), ("imp", pa.bool_())]
+                )
+                have_c = ct.num_rows > 0 and "_cnode" in ct.column_names
+                have_d = dt.num_rows > 0 and "node" in dt.column_names
+                if not have_c and not have_d:
+                    return imp_schema.empty_table()
+                if not have_c:
+                    d = pl.from_arrow(dt)
+                    return (
+                        d.with_columns(imp=pl.lit(False)).to_arrow().cast(imp_schema)
+                    )
+                c = (
+                    pl.from_arrow(ct)
+                    .group_by("_cnode")
+                    .agg(pl.col("_cdist").min())
+                )
+                d = (
+                    pl.from_arrow(dt)
+                    if have_d
+                    else pl.DataFrame(
+                        schema={"node": pl.Int64, "dist": pl.Int64}
+                    )
+                )
+                j = d.join(c, left_on="node", right_on="_cnode", how="full")
+                out = j.select(
+                    node=pl.coalesce(pl.col("node"), pl.col("_cnode")),
+                    dist=pl.min_horizontal("dist", "_cdist"),
+                    imp=(
+                        pl.col("dist").is_null()
+                        | (pl.col("_cdist") < pl.col("dist"))
+                    ).fill_null(False),
+                )
+                return out.to_arrow().cast(imp_schema)
+
+            merged = copartition_apply(
+                cands, d_ds, by="_cnode", right_by="node", part_fn=improve
+            ).materialize()
+
+            def _keep_table(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "node" not in t.column_names:
+                    return _BFS_SCHEMA.empty_table()
+                return pa.table(
+                    {"node": t.column("node"), "dist": t.column("dist")},
+                    schema=_BFS_SCHEMA,
+                )
+
+            def _keep_front(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "node" not in t.column_names:
+                    return _BFS_SCHEMA.empty_table()
+                f = t.filter(t.column("imp").combine_chunks())
+                return pa.table(
+                    {"node": f.column("node"), "dist": f.column("dist")},
+                    schema=_BFS_SCHEMA,
+                )
+
+            d_ds = merged.map_batches(
+                _keep_table, batch_format="pyarrow", batch_size=None
+            ).materialize()
+            f_ds = merged.map_batches(
+                _keep_front, batch_format="pyarrow", batch_size=None
+            ).materialize()
+            frontier_count = f_ds.count()
+            table_count = d_ds.count()
+
+    if driver_mode:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array(dn, pa.int64()), "dist": pa.array(dd, pa.int64())},
+                schema=_BFS_SCHEMA,
+            )
+        )
+    return d_ds

@@ -11610,3 +11610,188 @@ GROUP BY 1, 2
 """
 
 QUERIES["daily_autocorr"] = (q_daily_autocorr, SQL_DAILY_AUTOCORR)
+
+
+def q_decayed_value(sf_dir: str) -> Any:
+    """Truncated dyadic EWMA per customer: over each customer's 16 most
+    recent orders (by date desc, orderkey asc tie), the decayed score
+    sum(cents_k * 2^(16-rank_k)) — pure int64 (weight halves with age,
+    alpha=1/2 truncated at 16 lags), so both engines compute identical
+    integers. The recency top-16 rides the grouped_top_k spine
+    (per-batch prune to <= 16 rows/customer, then ONE hash exchange);
+    the weighted fold merges through the adaptive partial-sum merge."""
+    from patito_ray.stages.topk import grouped_top_k
+
+    ds = _rp(
+        sf_dir,
+        "orders",
+        ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        # timestamp[us] -> int64 microseconds (ordering-equivalent)
+        us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "days": pa.array(us, pa.int64()),
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    top = grouped_top_k(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        group="o_custkey",
+        value="days",
+        k=16,
+        tie="o_orderkey",
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rank" not in t.column_names:
+            return pa.schema(
+                [("o_custkey", pa.int64()), ("decayed", pa.int64())]
+            ).empty_table()
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        weighted = cents * np.left_shift(np.int64(1), 16 - rank)
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "decayed": pa.array(weighted, pa.int64()),
+            }
+        )
+
+    merged = merge_partial_sums(
+        top.map_batches(contrib, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"],
+        ["decayed"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "decayed": pc.cast(t.column("decayed"), pa.int64()),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_DECAYED_VALUE = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(SUM(cents * (CAST(1 AS BIGINT) << (16 - rn))) AS BIGINT) AS decayed
+FROM o WHERE rn <= 16 GROUP BY 1
+"""
+
+QUERIES["decayed_value"] = (q_decayed_value, SQL_DECAYED_VALUE)
+
+
+def _doc_weighted_edges(sf_dir: str, out_links: int) -> "tuple[Any, int]":
+    """`_doc_link_edges` plus an int64 weight 1..9 carved from the SAME
+    splitmix64 hash's high bits (dst uses ``h % N`` — low bits; weight
+    uses ``(h >> 33) % 9`` — disjoint bit range, so dst and weight are
+    independent-ish while both engines recompute identical values)."""
+    from patito_ray.generate import _splitmix64
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    n = docs.count()
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        assert ids.min() >= 0 and ids.max() < n, "doc_ids must be dense 0..N-1"
+        src = np.repeat(ids.astype(np.int64), out_links)
+        j = np.tile(np.arange(out_links, dtype=np.uint64), len(ids))
+        h = _splitmix64(src.astype(np.uint64) * np.uint64(out_links) + j)
+        dst = (h % np.uint64(n)).astype(np.int64)
+        w = (
+            (h >> np.uint64(33)) % np.uint64(9)
+        ).astype(np.int64) + 1
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "w": pa.array(w, type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(mk, batch_format="pyarrow", batch_size=None), n
+
+
+def _sql_weighted_edges(out_links: int) -> str:
+    """The weighted variant of `_sql_link_edges`: same splitmix64 chain,
+    final SELECT emits both dst (h % N) and w (1 + (h >> 33) % 9)."""
+    js = ", ".join(str(j) for j in range(out_links))
+    return f"""
+nn AS (SELECT COUNT(*) AS n FROM documents),
+jj AS (SELECT UNNEST([{js}]) AS j),
+gz0 AS (
+  SELECT d.doc_id AS src,
+    CAST((CAST({out_links}*d.doc_id + jj.j AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents d CROSS JOIN jj
+),
+gx1 AS (SELECT src, xor(z, z >> 30) AS z FROM gz0),
+gz1 AS (SELECT src, {_sql_mul64(3210233709, 484763065)} AS z FROM gx1),
+gx2 AS (SELECT src, xor(z, z >> 27) AS z FROM gz1),
+gz2 AS (SELECT src, {_sql_mul64(2496678331, 321982955)} AS z FROM gx2),
+edges AS (
+  SELECT src,
+         CAST(CAST(xor(z, z >> 31) AS HUGEINT) % (SELECT n FROM nn) AS BIGINT)
+           AS dst,
+         CAST(1 + CAST(xor(z, z >> 31) >> 33 AS HUGEINT) % 9 AS BIGINT) AS w
+  FROM gz2
+)"""
+
+
+def q_sssp_weighted(sf_dir: str) -> Any:
+    """Multi-source bounded-hop weighted shortest path: minimum total
+    edge weight within <= 4 hops from the seed set (doc_id % 97 == 0)
+    over the deterministic weighted link graph. Bellman-Ford rounds
+    track strict improvements; adaptive frontier-broadcast vs
+    co-partitioned relaxation (functions/graph.py:sssp_hops). Oracle:
+    recursive CTE over the identical splitmix64 edge+weight
+    derivation."""
+    from patito_ray.functions.graph import sssp_hops
+
+    edges, _n = _doc_weighted_edges(sf_dir, 3)
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def mk_seeds(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({"node": pa.array(ids[ids % 97 == 0], type=pa.int64())})
+
+    seeds = docs.map_batches(mk_seeds, batch_format="pyarrow", batch_size=None)
+    return sssp_hops(edges, seeds, max_hops=4)
+
+
+SQL_SSSP_WEIGHTED = f"""
+WITH RECURSIVE
+{_sql_weighted_edges(3)},
+paths(node, dist, hops) AS (
+  SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst, p.dist + e.w, p.hops + 1
+  FROM paths p JOIN edges e ON e.src = p.node
+  WHERE p.hops < 4
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM paths GROUP BY node
+"""
+
+QUERIES["sssp_weighted"] = (q_sssp_weighted, SQL_SSSP_WEIGHTED)

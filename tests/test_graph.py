@@ -464,3 +464,100 @@ def test_association_rules_rejects_string_keys(ray_session):
     t = pa.table({"g": ["a"], "i": pa.array([1], pa.int64())})
     with pytest.raises(TypeError, match="integer"):
         association_rules(rd.from_arrow(t), "g", "i")
+
+
+# ---------------------------------------------------------------- sssp_hops
+
+
+def _wedges_ds(src, dst, w, blocks=3):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "src": pa.array(np.asarray(src, dtype=np.int64), type=pa.int64()),
+            "dst": pa.array(np.asarray(dst, dtype=np.int64), type=pa.int64()),
+            "w": pa.array(np.asarray(w, dtype=np.int64), type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def _sssp_reference(src, dst, w, seeds, max_hops):
+    """Dict node -> min total weight within max_hops edges (plain
+    Bellman-Ford over hop-indexed best tables)."""
+    best = {int(s): 0 for s in seeds}
+    frontier = dict(best)
+    for _ in range(max_hops):
+        nxt = {}
+        for s, d, wt in zip(src, dst, w):
+            s, d, wt = int(s), int(d), int(wt)
+            if s in frontier:
+                c = frontier[s] + wt
+                if c < best.get(d, c + 1):
+                    if c < nxt.get(d, c + 1):
+                        nxt[d] = c
+        for n, c in nxt.items():
+            best[n] = c
+        frontier = nxt
+        if not frontier:
+            break
+    return best
+
+
+def test_sssp_hops_matches_reference_both_branches(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import sssp_hops
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 70, size=360)
+    dst = rng.integers(0, 70, size=360)
+    w = rng.integers(1, 10, size=360)
+    seeds = [0, 9, 41]
+    ref = _sssp_reference(src, dst, w, seeds, max_hops=4)
+
+    edges = _wedges_ds(src, dst, w, blocks=4)
+    seeds_ds = rd.from_arrow(pa.table({"node": pa.array(seeds, pa.int64())}))
+
+    got_driver = _bfs_out(sssp_hops(edges, seeds_ds, max_hops=4))
+    assert got_driver == ref
+
+    got_dist = _bfs_out(
+        sssp_hops(edges, seeds_ds, max_hops=4, broadcast_limit_ids=0)
+    )
+    assert got_dist == ref
+
+
+def test_sssp_hops_improvement_rounds(ray_session):
+    """A later round must LOWER an already-reached node's distance:
+    1 -(10)-> 3 direct, but 1 -(1)-> 2 -(1)-> 3 is cheaper."""
+    import ray.data as rd
+
+    from patito_ray.functions.graph import sssp_hops
+
+    edges = _wedges_ds([1, 1, 2], [3, 2, 3], [10, 1, 1], blocks=2)
+    seeds_ds = rd.from_arrow(pa.table({"node": pa.array([1], pa.int64())}))
+    assert _bfs_out(sssp_hops(edges, seeds_ds, max_hops=1)) == {1: 0, 3: 10, 2: 1}
+    for limit in (32_000_000, 0):
+        got = _bfs_out(
+            sssp_hops(edges, seeds_ds, max_hops=2, broadcast_limit_ids=limit)
+        )
+        assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_sssp_hops_edge_cases(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import sssp_hops
+
+    edges = _wedges_ds([1, 2], [2, 3], [5, 7], blocks=2)
+    seeds_ds = rd.from_arrow(pa.table({"node": pa.array([1], pa.int64())}))
+    assert _bfs_out(sssp_hops(edges, seeds_ds, max_hops=0)) == {1: 0}
+    lone = rd.from_arrow(pa.table({"node": pa.array([99], pa.int64())}))
+    assert _bfs_out(sssp_hops(edges, lone, max_hops=5)) == {99: 0}
+    with pytest.raises(ValueError):
+        sssp_hops(edges, seeds_ds, max_hops=-1)
+    with pytest.raises(ValueError):
+        sssp_hops(
+            _edges_ds([1], [2], blocks=1), seeds_ds, max_hops=1
+        )  # no weight column
