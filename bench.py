@@ -335,6 +335,8 @@ def run_bench() -> dict:
         "daily_autocorr",
         "decayed_value",
         "sssp_weighted",
+        "theilsen_trend",
+        "pca_project",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

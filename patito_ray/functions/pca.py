@@ -29,6 +29,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def moment_partials(
@@ -142,7 +143,57 @@ def pca_embeddings(
     total = float(evals.sum())
     return {
         "n": n,
+        "mean": mu,
         "eigenvalues": evals_k,
         "explained_variance_ratio": evals_k / total if total else evals_k * 0.0,
         "components": comps,
     }
+
+
+def pca_project(
+    ds: Any,
+    col: str,
+    dim: int,
+    k: int,
+    id_col: str | None = None,
+    limit_bytes: int | None = None,
+) -> Any:
+    """Fit top-``k`` PCA (one moment pass + driver d x d ``eigh``) and
+    PROJECT every embedding onto the components in a second streaming
+    pass -> Dataset[[id_col,] pc1..pck:float64]. The (mean, components)
+    pair is broadcast ONCE via ``ray.put`` and resolved lazily inside
+    the batch fn (zero-copy object-store read per task — never pickled
+    into task specs; the topk_cosine lesson); each batch is ONE
+    (rows x d) @ (d x k) float64 matmul. Deterministic across
+    eigensolver sign flips via pca_embeddings' sign convention."""
+    import ray
+
+    fit = pca_embeddings(ds, col, dim, k, limit_bytes=limit_bytes)
+    ref = ray.put(
+        {
+            "mu": np.asarray(fit["mean"], dtype=np.float64),
+            "comps": np.asarray(fit["components"], dtype=np.float64).T,  # (d, k)
+        }
+    )
+    names = [f"pc{i + 1}" for i in range(k)]
+    fields = ([(id_col, pa.int64())] if id_col else []) + [
+        (nm, pa.float64()) for nm in names
+    ]
+    out_schema = pa.schema(fields)
+
+    def project(t: pa.Table, _ref=ref) -> pa.Table:
+        if t.num_rows == 0 or col not in t.column_names:
+            return out_schema.empty_table()
+        from patito_ray.functions.similarity import _to_matrix
+
+        m = _to_matrix(t.column(col))
+        p = ray.get(_ref)
+        coords = (m - p["mu"]) @ p["comps"]
+        cols: "dict[str, Any]" = {}
+        if id_col:
+            cols[id_col] = pc.cast(t.column(id_col), pa.int64())
+        for i, nm in enumerate(names):
+            cols[nm] = pa.array(coords[:, i], pa.float64())
+        return pa.table(cols, schema=out_schema)
+
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=None)

@@ -11795,3 +11795,125 @@ SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM paths GROUP BY node
 """
 
 QUERIES["sssp_weighted"] = (q_sssp_weighted, SQL_SSSP_WEIGHTED)
+
+
+def q_theilsen_trend(sf_dir: str) -> Any:
+    """Theil-Sen robust trend per customer: the MEDIAN of all pairwise
+    slopes (cents_b - cents_a) / (day_b - day_a) over the customer's
+    orders (equal-day pairs dropped — slope undefined). ONE hash
+    exchange co-locates each customer's orders; inside each partition
+    the pair set is generated with the vectorized offset scan
+    (graph._run_pairs — no per-customer Python) and per-group medians
+    come from one lexsort + offset selection. Slopes are single IEEE
+    divisions of exact integers and np.median's mean-of-two-middles is
+    bit-identical to DuckDB MEDIAN (dev-notes precedent) — NO rounding
+    anywhere. Assumes per-customer order counts are bounded (pair count
+    is quadratic per group — Theil-Sen's inherent cost)."""
+    from patito_ray.functions.graph import _run_pairs
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    ds = _rp(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        cust = pc.cast(t.column("o_custkey"), pa.int64())
+        day = (
+            pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // US_PER_DAY
+        )
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        part = hash_partition_ids(cust, P, "theilsen customer key")
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "cust": cust,
+                "day": pa.array(day, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema([("o_custkey", pa.int64()), ("slope", pa.float64())])
+
+    def ts_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cust" not in t.column_names:
+            return out_schema.empty_table()
+        cust = t.column("cust").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, cust))
+        cust, day, cents = cust[order], day[order], cents[order]
+        ia, ib = _run_pairs(cust, np.arange(len(cust), dtype=np.int64))
+        if len(ia) == 0:
+            return out_schema.empty_table()
+        dd = day[ib] - day[ia]
+        m = dd != 0
+        if not m.any():
+            return out_schema.empty_table()
+        slope = (cents[ib[m]] - cents[ia[m]]).astype(np.float64) / dd[m].astype(
+            np.float64
+        )
+        g = cust[ia[m]]
+        o2 = np.lexsort((slope, g))
+        g, slope = g[o2], slope[o2]
+        uniq, starts, counts = np.unique(g, return_index=True, return_counts=True)
+        hi = starts + counts // 2
+        med = slope[hi].copy()
+        even = counts % 2 == 0
+        med[even] = (slope[hi[even] - 1] + slope[hi[even]]) / 2.0
+        return pa.table(
+            {
+                "o_custkey": pa.array(uniq, pa.int64()),
+                "slope": pa.array(med, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(ts_part, batch_format="pyarrow")
+    )
+
+
+SQL_THEILSEN_TREND = """
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS cust,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+p AS (
+  SELECT a.cust,
+         CAST(b.cents - a.cents AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+           AS slope
+  FROM o a JOIN o b ON a.cust = b.cust AND a.day < b.day
+)
+SELECT cust AS o_custkey, MEDIAN(slope) AS slope
+FROM p GROUP BY 1
+"""
+
+QUERIES["theilsen_trend"] = (q_theilsen_trend, SQL_THEILSEN_TREND)
+
+
+def q_pca_project(sf_dir: str) -> Any:
+    """PCA projection of every embedding onto the top-2 principal
+    components (functions/pca.py:pca_project): one moment pass (d^2
+    partials), driver eigh, then a second streaming pass with the
+    (mean, components) broadcast via ray.put — rows-only (eigenvectors
+    are not SQL-expressible); numerical parity with numpy is
+    pytest-verified (tests/test_pca.py)."""
+    from patito_ray.functions.pca import pca_project
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pca_project(emb, "embedding", dim=64, k=2, id_col="vec_id")
+
+
+QUERIES["pca_project"] = (q_pca_project, None)

@@ -91,3 +91,54 @@ def test_pca_errors(ray_session):
     one = _emb_ds(np.zeros((1, 3)), blocks=1)
     with pytest.raises(ValueError, match=">= 2 rows"):
         pca_embeddings(one, "embedding", dim=3, k=1)
+
+
+def test_pca_project_matches_numpy(ray_session):
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(200, 6)) @ np.diag([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    ds = _emb_ds(mat)
+
+    from patito_ray.functions.pca import pca_embeddings, pca_project
+
+    out = (
+        pca_project(ds, "embedding", dim=6, k=3)
+        .to_pandas()
+        .to_numpy(dtype=np.float64)
+    )
+
+    fit = pca_embeddings(ds, "embedding", dim=6, k=3)
+    # _emb_ds stores float32 embeddings: replicate the cast the dataset
+    # path sees before comparing
+    m32 = mat.astype(np.float32).astype(np.float64)
+    expect = (m32 - fit["mean"]) @ np.asarray(fit["components"]).T
+    assert out.shape == (200, 3)
+    assert np.allclose(out, expect, atol=1e-9)
+    # the dominant direction must capture the dominant variance
+    assert out[:, 0].var() > out[:, 1].var() > out[:, 2].var()
+
+
+def test_pca_project_id_column_and_empty_guard(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    mat = rng.normal(size=(50, 4))
+    t = pa.table(
+        {
+            "vid": pa.array(np.arange(50), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in mat],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    from patito_ray.functions.pca import pca_project
+
+    got = (
+        pca_project(
+            rd.from_arrow(t).repartition(3), "embedding", dim=4, k=2, id_col="vid"
+        )
+        .to_pandas()
+        .sort_values("vid")
+    )
+    assert list(got.columns) == ["vid", "pc1", "pc2"]
+    assert len(got) == 50
