@@ -337,6 +337,8 @@ def run_bench() -> dict:
         "sssp_weighted",
         "theilsen_trend",
         "pca_project",
+        "snapshot_drift",
+        "hhi_suppliers",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

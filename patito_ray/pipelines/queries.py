@@ -11917,3 +11917,225 @@ def q_pca_project(sf_dir: str) -> Any:
 
 
 QUERIES["pca_project"] = (q_pca_project, None)
+
+
+def q_snapshot_drift(sf_dir: str) -> Any:
+    """Cross-SNAPSHOT distribution drift: PSI between the cents
+    distribution at CDC version 2 and version 3 of the snapshot-
+    versioned table (sinks.upsert_versioned / snapshot_read — the
+    time_travel machinery feeding the psi_drift kernel). Exact integer
+    (bin, n_a, n_b) partials through the adaptive merge; PSI is the
+    identical IEEE expression on both engines (1e-6 round). The oracle
+    replays the merge timeline in SQL like SQL_TIME_TRAVEL."""
+    import shutil
+
+    import polars as pl
+
+    from patito_ray.sinks import snapshot_read, upsert_versioned
+
+    base = _tmp_dir("snapdrift", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def batch_ver(t: pa.Table, mod: int, bump: int, ver: int) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        if mod > 1:
+            keep = k % mod == 0
+            k, cents = k[keep], cents[keep]
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "p": pa.array(k % 8, pa.int64()),
+                "cents": pa.array(cents + bump, pa.int64()),
+                "ver": pa.array(np.full(len(k), ver, np.int64()), pa.int64()),
+            }
+        )
+
+    for mod, bump, ver in ((1, 0, 0), (5, 777, 1), (7, 1_000_000, 2)):
+        upsert_versioned(
+            base,
+            orders.map_batches(
+                lambda t, m=mod, b=bump, v=ver: batch_ver(t, m, b, v),
+                batch_format="pyarrow",
+                batch_size=None,
+            ),
+            key="k",
+            partition_col="p",
+            order_col="ver",
+        )
+
+    def bins(version: int, col: str) -> Any:
+        def part(t: pa.Table, _c=col) -> pa.Table:
+            c = t.column("cents").to_numpy(zero_copy_only=False)
+            other = "n_b" if _c == "n_a" else "n_a"
+            return (
+                pl.DataFrame({"bin": c // np.int64(100_000)})
+                .group_by("bin")
+                .agg(pl.len().cast(pl.Int64).alias(_c))
+                .with_columns(pl.lit(0, dtype=pl.Int64).alias(other))
+                .to_arrow()
+                .select(["bin", "n_a", "n_b"])
+            )
+
+        return snapshot_read(base, version=version).map_batches(
+            part, batch_format="pyarrow", batch_size=None
+        )
+
+    merged = merge_partial_sums(
+        bins(2, "n_a").union(bins(3, "n_b")), ["bin"], ["n_a", "n_b"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = t.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        ta, tb = na.sum(), nb.sum()
+        m = (na > 0) & (nb > 0)
+        p = na[m] / ta
+        q = nb[m] / tb
+        psi = float(((p - q) * np.log(p / q)).sum()) if m.any() else 0.0
+        return pa.table(
+            {
+                "n_bins": pa.array([int(m.sum())], pa.int64()),
+                "psi": _r(pa.array([psi], pa.float64()), 6),
+            }
+        )
+
+    if not isinstance(merged, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        merged = collect_table(merged)  # bin-bounded, never corpus-sized
+    return finish(merged)
+
+
+SQL_SNAPSHOT_DRIFT = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT CASE WHEN k % 5 = 0 THEN cents + 777 ELSE cents END AS cents
+  FROM base
+),
+v3 AS (
+  SELECT CASE WHEN k % 7 = 0 THEN cents + 1000000
+              WHEN k % 5 = 0 THEN cents + 777
+              ELSE cents END AS cents
+  FROM base
+),
+b AS (
+  SELECT bin, SUM(n_a) AS n_a, SUM(n_b) AS n_b FROM (
+    SELECT cents // 100000 AS bin, 1 AS n_a, 0 AS n_b FROM v2
+    UNION ALL
+    SELECT cents // 100000 AS bin, 0 AS n_a, 1 AS n_b FROM v3
+  ) GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb
+  FROM b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(SUM((n_a/(SELECT ta FROM t) - n_b/(SELECT tb FROM t))
+                 * LN((n_a/(SELECT ta FROM t)) / (n_b/(SELECT tb FROM t)))),
+             6) AS psi
+FROM b WHERE n_a > 0 AND n_b > 0
+"""
+
+QUERIES["snapshot_drift"] = (q_snapshot_drift, SQL_SNAPSHOT_DRIFT)
+
+
+def q_hhi_suppliers(sf_dir: str) -> pa.Table:
+    """Herfindahl-Hirschman revenue concentration per supplier nation:
+    HHI = sum_s c_s^2 / (sum_s c_s)^2 over each nation's suppliers'
+    lineitem revenue (cents). Two-level aggregation: the corpus-sized
+    pass partial-sums cents per (nation, supplier) with the supplier ->
+    nation map BROADCAST via ray.put (dimension-sized); the per-
+    supplier totals are dimension-bounded, so the square/normalize
+    step runs on the driver in exact arbitrary-precision ints (c^2
+    overflows int64 at scale) — the single int->double conversion and
+    one IEEE division match DuckDB's HUGEINT->DOUBLE cast bit-for-bit."""
+    import ray
+
+    from patito_ray.stages.agg import collect_table
+
+    sup_tab = collect_table(
+        _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        empty_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]
+        ),
+    )
+    sk = pc.cast(sup_tab.column("s_suppkey"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    nk = pc.cast(sup_tab.column("s_nationkey"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    order = np.argsort(sk)
+    ref = ray.put({"sk": sk[order], "nk": nk[order]})
+
+    def partial(t: pa.Table, _ref=ref) -> pa.Table:
+        import polars as pl
+
+        d = ray.get(_ref)
+        s = pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.searchsorted(d["sk"], s)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame({"n": d["nk"][idx], "s": s, "cents": cents})
+            .group_by(["n", "s"])
+            .agg(pl.col("cents").sum())
+            .to_arrow()
+        )
+
+    li = _rp(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_sums(li, ["n", "s"], ["cents"])
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(merged)  # dimension-bounded (#suppliers)
+
+    n = merged.column("n").to_numpy(zero_copy_only=False)
+    c = merged.column("cents").to_numpy(zero_copy_only=False)
+    order = np.argsort(n, kind="stable")
+    n, c = n[order], c[order]
+    uniq, starts, counts = np.unique(n, return_index=True, return_counts=True)
+    hhis: "list[float]" = []
+    # driver loop over NATIONS (25) x suppliers — dimension-bounded,
+    # exact python-int arithmetic (c^2 sums exceed int64)
+    for st, ct in zip(starts, counts):
+        cs = [int(x) for x in c[st : st + ct]]
+        num = sum(x * x for x in cs)
+        tot = sum(cs)
+        hhis.append(float(num) / (float(tot) * float(tot)))
+    return pa.table(
+        {
+            "s_nationkey": pa.array(uniq, pa.int64()),
+            "hhi": pa.array(hhis, pa.float64()),
+        }
+    )
+
+
+SQL_HHI_SUPPLIERS = """
+WITH ps AS (
+  SELECT CAST(s.s_nationkey AS BIGINT) AS n, l.l_suppkey AS s,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT n AS s_nationkey,
+       CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE)
+         / (CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE)
+            * CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE)) AS hhi
+FROM ps GROUP BY 1
+"""
+
+QUERIES["hhi_suppliers"] = (q_hhi_suppliers, SQL_HHI_SUPPLIERS)
