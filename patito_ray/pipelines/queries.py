@@ -12083,9 +12083,14 @@ def q_hhi_suppliers(sf_dir: str) -> pa.Table:
         s = pc.cast(t.column("l_suppkey"), pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        idx = np.searchsorted(d["sk"], s)
+        idx = np.minimum(np.searchsorted(d["sk"], s), max(len(d["sk"]) - 1, 0))
+        # inner-join semantics: a suppkey missing from the dimension is
+        # dropped (matches the SQL oracle), never silently mis-mapped
+        hit = (d["sk"][idx] == s) if len(d["sk"]) else np.zeros(len(s), bool)
+        s, idx = s[hit], idx[hit]
         cents = np.floor(
-            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)[hit]
+            * 100.0
             + 0.5
         ).astype(np.int64)
         return (
