@@ -1340,13 +1340,17 @@ def sssp_hops(
                     .to_arrow()
                 )
 
+            # materialize: the improvement exchange below fetches this
+            # dataset's schema, which would EXECUTE the whole relax
+            # all-to-all once, and .materialize() would run it AGAIN
+            # (dev-notes schema-fetch fact; bfs_hops does the same)
             cands = copartition_apply(
                 edges,
                 f_ds.map_batches(_as_front, batch_format="pyarrow", batch_size=None),
                 by=src,
                 right_by="_fnode",
                 part_fn=relax_part,
-            )
+            ).materialize()
 
             def improve(ct: pa.Table, dt: pa.Table) -> pa.Table:
                 imp_schema = pa.schema(

@@ -4279,12 +4279,17 @@ FROM documents
 QUERIES["regex_extract_all"] = (q_regex_extract_all, SQL_REGEX_EXTRACT_ALL)
 
 
-def _doc_link_edges(sf_dir: str, out_links: int) -> "tuple[Any, int]":
+def _doc_link_edges(
+    sf_dir: str, out_links: int, with_weight: bool = False
+) -> "tuple[Any, int]":
     """Deterministic synthetic link graph over the documents table:
     doc i emits ``out_links`` directed edges whose targets are
     ``splitmix64(out_links*i + j) % N`` (N = doc count, doc_ids dense
     0..N-1 — asserted). Both engines recompute the SAME edges — the
-    splitmix64-in-SQL precedent from ``SQL_STRATIFIED_SAMPLE``."""
+    splitmix64-in-SQL precedent from ``SQL_STRATIFIED_SAMPLE``.
+    ``with_weight`` adds an int64 ``w`` in 1..9 carved from the SAME
+    hash's high bits (dst uses ``h % N`` — low bits; weight uses
+    ``(h >> 33) % 9`` — a disjoint bit range)."""
     from patito_ray.generate import _splitmix64
 
     docs = _rp(sf_dir, "documents", ["doc_id"])
@@ -4297,20 +4302,29 @@ def _doc_link_edges(sf_dir: str, out_links: int) -> "tuple[Any, int]":
         j = np.tile(np.arange(out_links, dtype=np.uint64), len(ids))
         h = _splitmix64(src.astype(np.uint64) * np.uint64(out_links) + j)
         dst = (h % np.uint64(n)).astype(np.int64)
-        return pa.table(
-            {
-                "src": pa.array(src, type=pa.int64()),
-                "dst": pa.array(dst, type=pa.int64()),
-            }
-        )
+        cols = {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+        }
+        if with_weight:
+            w = ((h >> np.uint64(33)) % np.uint64(9)).astype(np.int64) + 1
+            cols["w"] = pa.array(w, type=pa.int64())
+        return pa.table(cols)
 
     return docs.map_batches(mk, batch_format="pyarrow", batch_size=None), n
 
 
-def _sql_link_edges(out_links: int) -> str:
+def _sql_link_edges(out_links: int, with_weight: bool = False) -> str:
     """The same edge derivation in DuckDB SQL (splitmix64 via 32-bit
-    partial products; shared ``_sql_mul64`` macro)."""
+    partial products; shared ``_sql_mul64`` macro). ``with_weight``
+    adds the 1..9 high-bit weight column matching _doc_link_edges."""
     js = ", ".join(str(j) for j in range(out_links))
+    w_sel = (
+        ",\n         CAST(1 + CAST(xor(z, z >> 31) >> 33 AS HUGEINT) % 9"
+        " AS BIGINT) AS w"
+        if with_weight
+        else ""
+    )
     return f"""
 nn AS (SELECT COUNT(*) AS n FROM documents),
 jj AS (SELECT UNNEST([{js}]) AS j),
@@ -4327,7 +4341,7 @@ gz2 AS (SELECT src, {_sql_mul64(2496678331, 321982955)} AS z FROM gx2),
 edges AS (
   SELECT src,
          CAST(CAST(xor(z, z >> 31) AS HUGEINT) % (SELECT n FROM nn) AS BIGINT)
-           AS dst
+           AS dst{w_sel}
   FROM gz2
 )"""
 
@@ -10169,6 +10183,54 @@ FROM r, t GROUP BY t.n_users, t.thr
 QUERIES["value_concentration"] = (q_value_concentration, SQL_VALUE_CONCENTRATION)
 
 
+def _cdc_orders_history(sf_dir: str, tag: str) -> str:
+    """Build the 3-version CDC timeline over orders shared by the
+    time_travel and snapshot_drift queries (and hand-replayed by both
+    SQL oracles — keep the (mod, bump) constants in lockstep with
+    SQL_TIME_TRAVEL / SQL_SNAPSHOT_DRIFT): v1 = all keys at base cents,
+    v2 = keys %5==0 bumped +777, v3 = keys %7==0 bumped +1e6. ONE
+    bounded directory per (tag, sf), wiped per call (upsert_versioned
+    requires a fresh history; mkdtemp would leak dirs across runs)."""
+    import shutil
+
+    from patito_ray.sinks import upsert_versioned
+
+    base = _tmp_dir(tag, sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def batch_ver(t: pa.Table, mod: int, bump: int, ver: int) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        if mod > 1:
+            keep = k % mod == 0
+            k, cents = k[keep], cents[keep]
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "p": pa.array(k % 8, pa.int64()),
+                "cents": pa.array(cents + bump, pa.int64()),
+                "ver": pa.array(np.full(len(k), ver, np.int64()), pa.int64()),
+            }
+        )
+
+    for mod, bump, ver in ((1, 0, 0), (5, 777, 1), (7, 1_000_000, 2)):
+        upsert_versioned(
+            base,
+            orders.map_batches(
+                lambda t, m=mod, b=bump, v=ver: batch_ver(t, m, b, v),
+                batch_format="pyarrow",
+                batch_size=None,
+            ),
+            key="k",
+            partition_col="p",
+            order_col="ver",
+        )
+    return base
+
+
 def q_time_travel(sf_dir: str) -> Any:
     """Snapshot-versioned CDC table (sinks.upsert_versioned /
     snapshot_read): three upserts build versions 1..3, then BOTH
@@ -11365,11 +11427,18 @@ def q_cusum_revenue(sf_dir: str) -> pa.Table:
         partial, batch_format="pyarrow", batch_size=None
     )
     merged = merge_partial_sums(ds, ["d"], ["r"])
+    cusum_schema = pa.schema(
+        [("d", pa.timestamp("us")), ("r", pa.int64()), ("cusum", pa.int64())]
+    )
     if not isinstance(merged, pa.Table):
         from patito_ray.stages.agg import collect_table
 
         # calendar-bounded: #days rows, never corpus-sized
-        merged = collect_table(merged)
+        merged = collect_table(
+            merged, empty_schema=pa.schema([("d", pa.timestamp("us")), ("r", pa.int64())])
+        )
+    if merged.num_rows == 0:
+        return cusum_schema.empty_table()
 
     order = np.argsort(merged.column("d").to_numpy(zero_copy_only=False))
     d = merged.column("d").to_numpy(zero_copy_only=False)[order]
@@ -11380,14 +11449,14 @@ def q_cusum_revenue(sf_dir: str) -> pa.Table:
     mask = cusum > 10 * target
     return pa.table(
         {
-            # date32 -> timestamp[us]: DuckDB DATE comes back as
-            # datetime64 (dev-notes hashing precedent)
-            "d": pc.cast(
-                pa.array(d[mask], pa.date32()), pa.timestamp("us")
-            ),
+            # already timestamp[us] in the corpus — keep it lossless
+            # (DuckDB DATE/TIMESTAMP comes back as datetime64; a date32
+            # round-trip would silently truncate sub-day components)
+            "d": pa.array(d[mask], pa.timestamp("us")),
             "r": pa.array(r[mask], pa.int64()),
             "cusum": pa.array(cusum[mask], pa.int64()),
-        }
+        },
+        schema=cusum_schema,
     )
 
 
@@ -11454,13 +11523,25 @@ def q_abc_parts(sf_dir: str) -> Any:
         per_part = rd.from_arrow(merged)
     else:
         per_part = merged.materialize()
-        import ray
+        from patito_ray.stages.agg import collect_table
 
-        total = sum(
-            int(t.column("cents").to_numpy(zero_copy_only=False).sum())
-            for t in ray.get(per_part.to_arrow_refs())
-            if t.num_rows and "cents" in t.column_names
+        def block_total(t: pa.Table) -> pa.Table:
+            s = (
+                int(t.column("cents").to_numpy(zero_copy_only=False).sum())
+                if t.num_rows and "cents" in t.column_names
+                else 0
+            )
+            return pa.table({"s": pa.array([s], pa.int64())})
+
+        # one 8-byte row per block reaches the driver — never the
+        # dimension-sized merged table itself
+        totals = collect_table(
+            per_part.map_batches(
+                block_total, batch_format="pyarrow", batch_size=None
+            ),
+            empty_schema=pa.schema([("s", pa.int64())]),
         )
+        total = int(totals.column("s").to_numpy(zero_copy_only=False).sum())
 
     def neg(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "cents" not in t.column_names:
@@ -11565,7 +11646,12 @@ def q_daily_autocorr(sf_dir: str) -> pa.Table:
     if not isinstance(merged, pa.Table):
         from patito_ray.stages.agg import collect_table
 
-        merged = collect_table(merged)  # calendar-bounded
+        merged = collect_table(  # calendar-bounded
+            merged,
+            empty_schema=pa.schema(
+                [("event_type", pa.string()), ("day", pa.int64()), ("c", pa.int64())]
+            ),
+        )
 
     types: list[str] = []
     lags: list[int] = []
@@ -11582,6 +11668,10 @@ def q_daily_autocorr(sf_dir: str) -> pa.Table:
         for k in range(1, 8):
             idx = np.searchsorted(d_t, d_t + k)
             ok = (idx < d_t.size) & (d_t[np.minimum(idx, d_t.size - 1)] == d_t + k)
+            if not ok.any():
+                # the SQL inner join emits NO row for a lag with no
+                # matching day pair — mirror that, don't emit sxy=0
+                continue
             types.append(typ)
             lags.append(k)
             sxys.append(int((c_t[ok] * c_t[np.minimum(idx, d_t.size - 1)][ok]).sum()))
@@ -11675,6 +11765,10 @@ def q_decayed_value(sf_dir: str) -> Any:
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.schema(
+                [("o_custkey", pa.int64()), ("decayed", pa.int64())]
+            ).empty_table()
         return pa.table(
             {
                 "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
@@ -11701,63 +11795,6 @@ FROM o WHERE rn <= 16 GROUP BY 1
 QUERIES["decayed_value"] = (q_decayed_value, SQL_DECAYED_VALUE)
 
 
-def _doc_weighted_edges(sf_dir: str, out_links: int) -> "tuple[Any, int]":
-    """`_doc_link_edges` plus an int64 weight 1..9 carved from the SAME
-    splitmix64 hash's high bits (dst uses ``h % N`` — low bits; weight
-    uses ``(h >> 33) % 9`` — disjoint bit range, so dst and weight are
-    independent-ish while both engines recompute identical values)."""
-    from patito_ray.generate import _splitmix64
-
-    docs = _rp(sf_dir, "documents", ["doc_id"])
-    n = docs.count()
-
-    def mk(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        assert ids.min() >= 0 and ids.max() < n, "doc_ids must be dense 0..N-1"
-        src = np.repeat(ids.astype(np.int64), out_links)
-        j = np.tile(np.arange(out_links, dtype=np.uint64), len(ids))
-        h = _splitmix64(src.astype(np.uint64) * np.uint64(out_links) + j)
-        dst = (h % np.uint64(n)).astype(np.int64)
-        w = (
-            (h >> np.uint64(33)) % np.uint64(9)
-        ).astype(np.int64) + 1
-        return pa.table(
-            {
-                "src": pa.array(src, type=pa.int64()),
-                "dst": pa.array(dst, type=pa.int64()),
-                "w": pa.array(w, type=pa.int64()),
-            }
-        )
-
-    return docs.map_batches(mk, batch_format="pyarrow", batch_size=None), n
-
-
-def _sql_weighted_edges(out_links: int) -> str:
-    """The weighted variant of `_sql_link_edges`: same splitmix64 chain,
-    final SELECT emits both dst (h % N) and w (1 + (h >> 33) % 9)."""
-    js = ", ".join(str(j) for j in range(out_links))
-    return f"""
-nn AS (SELECT COUNT(*) AS n FROM documents),
-jj AS (SELECT UNNEST([{js}]) AS j),
-gz0 AS (
-  SELECT d.doc_id AS src,
-    CAST((CAST({out_links}*d.doc_id + jj.j AS HUGEINT) + 11400714819323198485)
-         % 18446744073709551616 AS UBIGINT) AS z
-  FROM documents d CROSS JOIN jj
-),
-gx1 AS (SELECT src, xor(z, z >> 30) AS z FROM gz0),
-gz1 AS (SELECT src, {_sql_mul64(3210233709, 484763065)} AS z FROM gx1),
-gx2 AS (SELECT src, xor(z, z >> 27) AS z FROM gz1),
-gz2 AS (SELECT src, {_sql_mul64(2496678331, 321982955)} AS z FROM gx2),
-edges AS (
-  SELECT src,
-         CAST(CAST(xor(z, z >> 31) AS HUGEINT) % (SELECT n FROM nn) AS BIGINT)
-           AS dst,
-         CAST(1 + CAST(xor(z, z >> 31) >> 33 AS HUGEINT) % 9 AS BIGINT) AS w
-  FROM gz2
-)"""
-
-
 def q_sssp_weighted(sf_dir: str) -> Any:
     """Multi-source bounded-hop weighted shortest path: minimum total
     edge weight within <= 4 hops from the seed set (doc_id % 97 == 0)
@@ -11768,7 +11805,7 @@ def q_sssp_weighted(sf_dir: str) -> Any:
     derivation."""
     from patito_ray.functions.graph import sssp_hops
 
-    edges, _n = _doc_weighted_edges(sf_dir, 3)
+    edges, _n = _doc_link_edges(sf_dir, 3, with_weight=True)
     docs = _rp(sf_dir, "documents", ["doc_id"])
 
     def mk_seeds(t: pa.Table) -> pa.Table:
@@ -11783,7 +11820,7 @@ def q_sssp_weighted(sf_dir: str) -> Any:
 
 SQL_SSSP_WEIGHTED = f"""
 WITH RECURSIVE
-{_sql_weighted_edges(3)},
+{_sql_link_edges(3, with_weight=True)},
 paths(node, dist, hops) AS (
   SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents WHERE doc_id % 97 = 0
   UNION
@@ -11927,45 +11964,11 @@ def q_snapshot_drift(sf_dir: str) -> Any:
     (bin, n_a, n_b) partials through the adaptive merge; PSI is the
     identical IEEE expression on both engines (1e-6 round). The oracle
     replays the merge timeline in SQL like SQL_TIME_TRAVEL."""
-    import shutil
-
     import polars as pl
 
-    from patito_ray.sinks import snapshot_read, upsert_versioned
+    from patito_ray.sinks import snapshot_read
 
-    base = _tmp_dir("snapdrift", sf_dir)
-    shutil.rmtree(base, ignore_errors=True)
-    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-
-    def batch_ver(t: pa.Table, mod: int, bump: int, ver: int) -> pa.Table:
-        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        cents = np.floor(
-            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
-        ).astype(np.int64)
-        if mod > 1:
-            keep = k % mod == 0
-            k, cents = k[keep], cents[keep]
-        return pa.table(
-            {
-                "k": pa.array(k, pa.int64()),
-                "p": pa.array(k % 8, pa.int64()),
-                "cents": pa.array(cents + bump, pa.int64()),
-                "ver": pa.array(np.full(len(k), ver, np.int64()), pa.int64()),
-            }
-        )
-
-    for mod, bump, ver in ((1, 0, 0), (5, 777, 1), (7, 1_000_000, 2)):
-        upsert_versioned(
-            base,
-            orders.map_batches(
-                lambda t, m=mod, b=bump, v=ver: batch_ver(t, m, b, v),
-                batch_format="pyarrow",
-                batch_size=None,
-            ),
-            key="k",
-            partition_col="p",
-            order_col="ver",
-        )
+    base = _cdc_orders_history(sf_dir, "snapdrift")
 
     def bins(version: int, col: str) -> Any:
         def part(t: pa.Table, _c=col) -> pa.Table:
@@ -12006,7 +12009,12 @@ def q_snapshot_drift(sf_dir: str) -> Any:
     if not isinstance(merged, pa.Table):
         from patito_ray.stages.agg import collect_table
 
-        merged = collect_table(merged)  # bin-bounded, never corpus-sized
+        merged = collect_table(  # bin-bounded, never corpus-sized
+            merged,
+            empty_schema=pa.schema(
+                [("bin", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64())]
+            ),
+        )
     return finish(merged)
 
 
@@ -12105,7 +12113,12 @@ def q_hhi_suppliers(sf_dir: str) -> pa.Table:
     )
     merged = merge_partial_sums(li, ["n", "s"], ["cents"])
     if not isinstance(merged, pa.Table):
-        merged = collect_table(merged)  # dimension-bounded (#suppliers)
+        merged = collect_table(  # dimension-bounded (#suppliers)
+            merged,
+            empty_schema=pa.schema(
+                [("n", pa.int64()), ("s", pa.int64()), ("cents", pa.int64())]
+            ),
+        )
 
     n = merged.column("n").to_numpy(zero_copy_only=False)
     c = merged.column("cents").to_numpy(zero_copy_only=False)
