@@ -247,3 +247,56 @@ def test_checkpoint_aggregate_constraint_is_global(ray_session, tmp_path):
         files + [extra], Frac, str(tmp_path / "fck"), files_per_shard=1
     )
     assert rep3.merged.constraint_fail.get("fraction", 0) == 160
+
+
+def test_revalidate_after_partition_rewrite(ray_session, tmp_path):
+    """Incremental re-validation after a CDC-style partition rewrite:
+    shard ids encode (path, size), so rewriting ONE partition file must
+    re-run ONLY that shard (unchanged manifests byte-preserved) and the
+    resumed report must equal a from-scratch validation of the new
+    corpus — the north-rule resumability contract under data change,
+    not just under restart."""
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    files = _write_files(tmp_path / "data")
+    ck = str(tmp_path / "ckpt")
+    validate_files_checkpointed(files, Page, ck, files_per_shard=1)
+    m1 = {m["shard_id"]: m["finished_at"] for m in read_manifests(ck)}
+    assert len(m1) == 6
+
+    # "upsert" partition 1: rewrite with one bounds violation + one new
+    # duplicate of a url that lives in partition 3
+    t = pq.read_table(files[1])
+    score = t.column("score").to_numpy(zero_copy_only=False).copy()
+    score[7] = -5.0
+    urls = t.column("url").to_pylist()
+    urls[9] = "https://x.org/3/11"
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls),
+                "lang": t.column("lang"),
+                "score": pa.array(score),
+            }
+        ),
+        files[1],
+    )
+
+    r2 = validate_files_checkpointed(files, Page, ck, files_per_shard=1)
+    m2 = {m["shard_id"]: m["finished_at"] for m in read_manifests(ck)}
+    # exactly ONE new shard id (the rewritten partition — ids encode
+    # (path, size)); every pre-existing manifest is byte-untouched (the
+    # superseded shard's stale manifest simply stops being referenced)
+    assert len(set(m2) - set(m1)) == 1
+    assert all(m2[sid] == ts for sid, ts in m1.items())
+
+    fresh = validate_files_checkpointed(
+        files, Page, str(tmp_path / "ckpt_fresh"), files_per_shard=1
+    )
+    assert {(e["loc"], e["msg"]) for e in r2.errors} == {
+        (e["loc"], e["msg"]) for e in fresh.errors
+    }
+    assert r2.row_count == fresh.row_count
+    assert r2.merged.dup_counts == fresh.merged.dup_counts
+    # the new violations are visible in the resumed report
+    locs = {e["loc"] for e in r2.errors}
+    assert ("score",) in locs and ("url",) in locs
