@@ -339,6 +339,7 @@ def run_bench() -> dict:
         "pca_project",
         "snapshot_drift",
         "hhi_suppliers",
+        "bloom_lookup",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

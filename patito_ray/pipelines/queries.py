@@ -12157,3 +12157,61 @@ FROM ps GROUP BY 1
 """
 
 QUERIES["hhi_suppliers"] = (q_hhi_suppliers, SQL_HHI_SUPPLIERS)
+
+
+def q_bloom_lookup(sf_dir: str) -> Any:
+    """Point-lookup through the per-file Bloom data-skipping layout
+    (stages/bloomidx.py): orders are written UNCLUSTERED by key into 32
+    files each carrying a Bloom sidecar over o_orderkey; the lookup of
+    the ~0.1% probe keys touches only files whose bloom may contain one
+    (no false negatives — the exact is_in filter makes the result
+    bit-identical to a full scan). Pruning evidence lives in
+    tests/test_bloomidx.py (file counts are layout, not data)."""
+    import shutil
+
+    from patito_ray.stages.agg import collect_table
+    from patito_ray.stages.bloomidx import bloom_index_write, bloom_pruned_read
+
+    out = _tmp_dir("bloomidx", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    bloom_index_write(
+        orders.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "o_orderkey",
+        out,
+        num_files=32,
+    )
+
+    def keysel(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({"k": pa.array(k[k % 997 == 0], pa.int64())})
+
+    keys = collect_table(
+        orders.map_batches(keysel, batch_format="pyarrow", batch_size=None),
+        empty_schema=pa.schema([("k", pa.int64())]),
+    ).column("k")
+
+    return bloom_pruned_read(out, keys.combine_chunks())
+
+
+SQL_BLOOM_LOOKUP = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 997 = 0
+"""
+
+QUERIES["bloom_lookup"] = (q_bloom_lookup, SQL_BLOOM_LOOKUP)
