@@ -340,6 +340,7 @@ def run_bench() -> dict:
         "snapshot_drift",
         "hhi_suppliers",
         "bloom_lookup",
+        "isotonic_price",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -12215,3 +12215,66 @@ FROM orders WHERE o_orderkey % 997 = 0
 """
 
 QUERIES["bloom_lookup"] = (q_bloom_lookup, SQL_BLOOM_LOOKUP)
+
+
+def q_isotonic_price(sf_dir: str) -> pa.Table:
+    """Grouped isotonic regression: the best NONDECREASING fit of
+    lineitem price (cents) over quantity per returnflag — the
+    monotone-calibration primitive (functions/isotonic.py, PAVA). The
+    corpus pass reduces to exact integer (flag, qty, sum, n) level
+    partials; PAVA pools on the driver (level-bounded). The oracle is
+    the minimax CLOSED FORM iso[i] = max_{j<=i} min_{k>=i} mean(j..k)
+    over prefix sums — bit-identical because each range mean is ONE
+    IEEE division of exact ints and rounding is monotone (commutes
+    with max/min), so SQL's max-of-min picks the same double PAVA's
+    pooled division produces."""
+    from patito_ray.functions.isotonic import grouped_isotonic
+
+    ds = _rp(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    out = grouped_isotonic(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice", quantize=100.0
+    )
+    return pa.table(
+        {
+            "l_returnflag": out.column("g"),
+            "l_quantity": out.column("x"),
+            "n": out.column("n"),
+            "iso": out.column("iso"),
+        }
+    )
+
+
+SQL_ISOTONIC_PRICE = """
+WITH lv AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+pre AS (
+  SELECT g, x, s, n,
+         CAST(SUM(s) OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS cs,
+         CAST(SUM(n) OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS cn
+  FROM lv
+),
+rm AS (
+  SELECT a.g, a.x AS xj, b.x AS xk,
+         CAST(b.cs - a.cs + a.s AS DOUBLE)
+           / CAST(b.cn - a.cn + a.n AS DOUBLE) AS m
+  FROM pre a JOIN pre b ON a.g = b.g AND a.x <= b.x
+),
+mins AS (
+  SELECT r.g, l.x, r.xj, MIN(r.m) AS mn
+  FROM rm r JOIN lv l ON l.g = r.g AND r.xj <= l.x AND r.xk >= l.x
+  GROUP BY 1, 2, 3
+)
+SELECT m.g AS l_returnflag, m.x AS l_quantity, lv.n,
+       MAX(m.mn) / 100 AS iso
+FROM mins m JOIN lv ON lv.g = m.g AND lv.x = m.x
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["isotonic_price"] = (q_isotonic_price, SQL_ISOTONIC_PRICE)
