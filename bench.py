@@ -341,6 +341,8 @@ def run_bench() -> dict:
         "hhi_suppliers",
         "bloom_lookup",
         "isotonic_price",
+        "weekday_seasonality",
+        "mann_whitney",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

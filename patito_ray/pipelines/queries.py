@@ -12278,3 +12278,167 @@ GROUP BY 1, 2, 3
 """
 
 QUERIES["isotonic_price"] = (q_isotonic_price, SQL_ISOTONIC_PRICE)
+
+
+def q_weekday_seasonality(sf_dir: str) -> Any:
+    """Weekly seasonality index per event type: for each epoch-aligned
+    weekday bucket (day % 7 — same phase on both engines, no calendar
+    semantics to disagree on), index = 7 * c_dow / c_total. Counts ride
+    the adaptive partial merge (7 rows per type); the index is ONE IEEE
+    division of exact ints."""
+    import polars as pl
+
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "dow": (us // US_PER_DAY) % np.int64(7),
+                }
+            )
+            .group_by(["event_type", "dow"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_sums(ds, ["event_type", "dow"], ["c"])
+    if not isinstance(merged, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        merged = collect_table(  # 7 rows per type — type-bounded
+            merged,
+            empty_schema=pa.schema(
+                [("event_type", pa.string()), ("dow", pa.int64()), ("c", pa.int64())]
+            ),
+        )
+    import polars as pl
+
+    df = pl.from_arrow(merged).with_columns(
+        pl.col("c").sum().over("event_type").alias("tot")
+    )
+    c = df.get_column("c").to_numpy()
+    tot = df.get_column("tot").to_numpy()
+    return pa.table(
+        {
+            "event_type": pa.array(df.get_column("event_type").to_list(), pa.string()),
+            "dow": pa.array(df.get_column("dow").to_numpy(), pa.int64()),
+            "c": pa.array(c, pa.int64()),
+            "idx": pa.array(
+                (7.0 * c).astype(np.float64) / tot.astype(np.float64), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_WEEKDAY_SEASONALITY = """
+WITH d AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, dow, c,
+       CAST(7 * c AS DOUBLE)
+         / CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS idx
+FROM d
+"""
+
+QUERIES["weekday_seasonality"] = (q_weekday_seasonality, SQL_WEEKDAY_SEASONALITY)
+
+
+def q_mann_whitney(sf_dir: str) -> pa.Table:
+    """Mann-Whitney U between the purchase and view value
+    distributions, tie-corrected, in PURE integers: both engines
+    compute 2U = sum over purchase cells of (2 * #view-below +
+    #view-equal) on the 1-cent quantized grid — counts ride the
+    adaptive merge (grid-bounded exchange), the prefix scan runs over
+    the sorted grid. No float appears anywhere (the 0.5 tie weight is
+    folded into the doubling), so the statistic is exact at any corpus
+    size that fits BIGINT."""
+    import polars as pl
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"), value_set=pa.array(["purchase", "view"])
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.schema(
+                [("q", pa.int64()), ("cp", pa.int64()), ("cv", pa.int64())]
+            ).empty_table()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        q = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        is_p = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        return (
+            pl.DataFrame(
+                {"q": q, "cp": is_p.astype(np.int64), "cv": (~is_p).astype(np.int64)}
+            )
+            .group_by("q")
+            .agg(pl.col("cp").sum(), pl.col("cv").sum())
+            .to_arrow()
+        )
+
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["q"],
+        ["cp", "cv"],
+    )
+    if not isinstance(merged, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        merged = collect_table(  # value-grid-bounded
+            merged,
+            empty_schema=pa.schema(
+                [("q", pa.int64()), ("cp", pa.int64()), ("cv", pa.int64())]
+            ),
+        )
+    qv = merged.column("q").to_numpy(zero_copy_only=False)
+    cp = merged.column("cp").to_numpy(zero_copy_only=False)
+    cv = merged.column("cv").to_numpy(zero_copy_only=False)
+    order = np.argsort(qv)
+    cp, cv = cp[order], cv[order]
+    cv_less = np.concatenate([[0], np.cumsum(cv)[:-1]])
+    # python ints: 2U ~ 2*n_p*n_v overflows int64 beyond ~2e9 rows/side
+    u2 = int(sum(int(a) * (2 * int(b) + int(c)) for a, b, c in zip(cp, cv_less, cv)))
+    return pa.table(
+        {
+            "u2": pa.array([u2], pa.int64()),
+            "n_p": pa.array([int(cp.sum())], pa.int64()),
+            "n_v": pa.array([int(cv.sum())], pa.int64()),
+        }
+    )
+
+
+SQL_MANN_WHITNEY = """
+WITH g AS (
+  SELECT CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS q,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cp,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cv
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+),
+w AS (
+  SELECT q, cp, cv,
+         COALESCE(SUM(cv) OVER (ORDER BY q
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cv_less
+  FROM g
+)
+SELECT CAST(SUM(cp * (2*cv_less + cv)) AS BIGINT) AS u2,
+       CAST(SUM(cp) AS BIGINT) AS n_p,
+       CAST(SUM(cv) AS BIGINT) AS n_v
+FROM w
+"""
+
+QUERIES["mann_whitney"] = (q_mann_whitney, SQL_MANN_WHITNEY)
