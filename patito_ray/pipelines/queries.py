@@ -12442,3 +12442,119 @@ FROM w
 """
 
 QUERIES["mann_whitney"] = (q_mann_whitney, SQL_MANN_WHITNEY)
+
+
+def q_golden_records(sf_dir: str) -> Any:
+    """Entity resolution end-to-end ("golden record"): typo-level
+    linkage over part names (edit distance <= 2 — the edit_near_dups
+    machinery), transitive closure via distributed connected
+    components, one row per linked part with its cluster's canonical
+    (minimum) partkey and member count. The oracle replays the closure
+    as a recursive CTE over the identical levenshtein pair predicate.
+    Pairs and components are worker-side; the per-cluster member count
+    is a partial-sum merge over the (root) key — dimension-bounded."""
+    import ray.data as rd
+
+    from patito_ray.functions.editdist import edit_distance_near_dups
+    from patito_ray.functions.graph import connected_components
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+    pairs = edit_distance_near_dups(
+        ds, id_col="p_partkey", text_col="p_name", max_dist=2, max_len=64
+    )
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "src": pc.cast(t.column("a"), pa.int64()),
+                "dst": pc.cast(t.column("b"), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow", batch_size=None)
+    comp = connected_components(edges)
+    if not hasattr(comp, "map_batches"):
+        comp = rd.from_arrow(comp)
+
+    def root_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if t.num_rows == 0 or "root" not in t.column_names:
+            return pa.schema(
+                [("root", pa.int64()), ("n_members", pa.int64())]
+            ).empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("root")
+            .agg(pl.len().cast(pl.Int64).alias("n_members"))
+            .to_arrow()
+        )
+
+    sizes = merge_partial_sums(
+        comp.map_batches(root_partial, batch_format="pyarrow", batch_size=None),
+        ["root"],
+        ["n_members"],
+    )
+    if not isinstance(sizes, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        sizes = collect_table(  # cluster-bounded
+            sizes,
+            empty_schema=pa.schema(
+                [("root", pa.int64()), ("n_members", pa.int64())]
+            ),
+        )
+    import ray
+
+    ref = ray.put(
+        {
+            "root": sizes.column("root").to_numpy(zero_copy_only=False),
+            "n": sizes.column("n_members").to_numpy(zero_copy_only=False),
+        }
+    )
+
+    def attach(t: pa.Table, _ref=ref) -> pa.Table:
+        out_schema = pa.schema(
+            [("node", pa.int64()), ("root", pa.int64()), ("n_members", pa.int64())]
+        )
+        if t.num_rows == 0 or "root" not in t.column_names:
+            return out_schema.empty_table()
+        d = ray.get(_ref)
+        order = np.argsort(d["root"])
+        r = pc.cast(t.column("root"), pa.int64()).to_numpy(zero_copy_only=False)
+        idx = order[np.searchsorted(d["root"], r, sorter=order)]
+        return pa.table(
+            {
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "root": pa.array(r, pa.int64()),
+                "n_members": pa.array(d["n"][idx], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return comp.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+SQL_GOLDEN_RECORDS = """
+WITH RECURSIVE
+p AS (
+  SELECT x.p_partkey AS a, y.p_partkey AS b
+  FROM part x JOIN part y ON x.p_partkey < y.p_partkey
+  WHERE abs(len(x.p_name) - len(y.p_name)) <= 2
+    AND levenshtein(x.p_name, y.p_name) <= 2
+),
+und AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+roots AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a)
+SELECT node, root,
+       CAST(COUNT(*) OVER (PARTITION BY root) AS BIGINT) AS n_members
+FROM roots
+"""
+
+QUERIES["golden_records"] = (q_golden_records, SQL_GOLDEN_RECORDS)
