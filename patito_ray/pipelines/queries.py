@@ -10238,48 +10238,11 @@ def q_time_travel(sf_dir: str) -> Any:
     partition — proving untouched partitions share files across
     snapshots and superseded rows stay readable. All-integer cents, so
     the whole time line is exact against SQL that replays the merge."""
-    import shutil
-
     import polars as pl
-    import ray.data as rd
 
-    from patito_ray.sinks import snapshot_read, upsert_versioned
+    from patito_ray.sinks import snapshot_read
 
-    # ONE bounded directory, wiped per call: upsert_versioned requires a
-    # fresh history, and a mkdtemp per call would leak dirs across runs
-    base = _tmp_dir("timetravel", sf_dir)
-    shutil.rmtree(base, ignore_errors=True)
-    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-
-    def batch_ver(t: pa.Table, mod: int, bump: int, ver: int) -> pa.Table:
-        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        cents = np.floor(
-            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
-        ).astype(np.int64)
-        if mod > 1:
-            keep = k % mod == 0
-            k, cents = k[keep], cents[keep]
-        return pa.table(
-            {
-                "k": pa.array(k, pa.int64()),
-                "p": pa.array(k % 8, pa.int64()),
-                "cents": pa.array(cents + bump, pa.int64()),
-                "ver": pa.array(np.full(len(k), ver, np.int64()), pa.int64()),
-            }
-        )
-
-    for mod, bump, ver in ((1, 0, 0), (5, 777, 1), (7, 1_000_000, 2)):
-        upsert_versioned(
-            base,
-            orders.map_batches(
-                lambda t, m=mod, b=bump, v=ver: batch_ver(t, m, b, v),
-                batch_format="pyarrow",
-                batch_size=None,
-            ),
-            key="k",
-            partition_col="p",
-            order_col="ver",
-        )
+    base = _cdc_orders_history(sf_dir, "timetravel")
 
     def agg(version: int) -> Any:
         return snapshot_read(base, version=version).map_batches(

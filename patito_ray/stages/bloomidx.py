@@ -40,13 +40,18 @@ def bloom_index_write(
     overwrite: bool = False,
 ) -> list[dict[str, Any]]:
     """Write ``ds`` as ``num_files`` Parquet files, each with a Bloom
-    sidecar over ``key_col``. Rows are routed by batch (content-hash of
-    the batch's first key), NOT clustered by key — the honest bloom
-    regime: min/max stats could not prune these files, the bitmap can.
-    Null keys raise (membership must be a pure function of the key).
-    The directory is written to ``<out_dir>.tmp`` and renamed into
-    place atomically (a crashed write never leaves a readable
-    half-layout). Returns the manifest rows."""
+    sidecar over ``key_col``. Rows are HASH-routed by key
+    (``hash64(key) % num_files``): file sizes stay uniform, every
+    key's rows land in exactly one file, and file key-RANGES all span
+    the domain — min/max stats cannot prune a point lookup here, the
+    bitmap is the only skipping mechanism (readers never assume the
+    routing; the bloom answers). Null keys raise (membership must be a
+    pure function of the key). The directory is written to
+    ``<out_dir>.tmp`` and renamed into place atomically (a crashed
+    write never leaves a readable half-layout). The manifest records a
+    SENTINEL hash so a layout written under a different hash build
+    (polars seeds its hash per version) fails loudly on probe instead
+    of silently false-negating. Returns the manifest rows."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -70,12 +75,8 @@ def bloom_index_write(
                 f"bloom_index_write: key column {key_col!r} contains "
                 f"{col.null_count} null(s); filter or fill them first"
             )
-        h = hash64(col)
-        fid = int(h[0] % np.uint64(num_files))
-        return t.append_column(
-            "_fid",
-            pa.array(np.full(t.num_rows, fid, np.int64), pa.int64()),
-        )
+        fid = (hash64(col) % np.uint64(num_files)).view(np.int64)
+        return t.append_column("_fid", pa.array(fid, pa.int64()))
 
     tmp = out_dir + ".tmp"
     if os.path.exists(tmp):
@@ -130,7 +131,15 @@ def bloom_index_write(
     _atomic_write(
         os.path.join(tmp, "_MANIFEST.json"),
         json.dumps(
-            {"key_col": key_col, "fp_rate": fp_rate, "files": manifest}
+            {
+                "key_col": key_col,
+                "fp_rate": fp_rate,
+                # probe-time guard: hash64 must produce the same bits
+                # it produced at write time (polars hash is stable only
+                # within a build) — verified before any bloom is trusted
+                "sentinel_hash": int(_SENTINEL_HASH()),
+                "files": manifest,
+            }
         ).encode(),
     )
     os.rename(tmp, out_dir)
@@ -142,23 +151,43 @@ def _probe_hashes(keys: Any) -> np.ndarray:
     return hash64(arr)
 
 
-def bloom_prune(out_dir: str, keys: Any) -> tuple[list[str], int]:
+def _SENTINEL_HASH() -> np.uint64:
+    return hash64(pa.array([0], pa.int64()))[0]
+
+
+def bloom_prune(
+    out_dir: str, keys: Any, _manifest: "dict | None" = None
+) -> tuple[list[str], int]:
     """File paths whose Bloom MAY contain any of ``keys`` (pa array or
     python list), plus the total file count. Skipped files provably
     contain none of the keys; kept files may still miss (the caller
-    applies the exact filter)."""
-    with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
-        manifest = json.load(f)
+    applies the exact filter). Raises if the layout was written under
+    a DIFFERENT hash build (sentinel mismatch) — a silently different
+    hash would turn the no-false-negative guarantee into data loss."""
+    manifest = _manifest
+    if manifest is None:
+        with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+            manifest = json.load(f)
+    stored = manifest.get("sentinel_hash")
+    if stored is not None and int(_SENTINEL_HASH()) != int(stored):
+        raise ValueError(
+            f"bloom layout {out_dir!r} was written under a different "
+            "hash build (sentinel mismatch); rebuild the layout — "
+            "probing it would silently drop real rows"
+        )
+    total = len(manifest["files"])
     h = _probe_hashes(keys)
+    if not len(h):
+        return [], total
     kept = []
     for row in manifest["files"]:
         b = BloomFilter.__new__(BloomFilter)
         b.m_bits, b.k = int(row["m_bits"]), int(row["k"])
         with open(os.path.join(out_dir, row["path"] + ".bloom"), "rb") as f:
             b.words = np.frombuffer(f.read(), dtype=np.uint64)
-        if len(h) and bool(b.contains_hashes(h).any()):
+        if bool(b.contains_hashes(h).any()):
             kept.append(os.path.join(out_dir, row["path"]))
-    return kept, len(manifest["files"])
+    return kept, total
 
 
 def bloom_pruned_read(
@@ -180,7 +209,7 @@ def bloom_pruned_read(
         keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) else pa.array(keys)
     )
 
-    paths, _total = bloom_prune(out_dir, key_arr)
+    paths, _total = bloom_prune(out_dir, key_arr, _manifest=manifest)
     if not paths:
         import pyarrow.parquet as pq
 
