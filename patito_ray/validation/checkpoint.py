@@ -413,11 +413,20 @@ def validate_files_checkpointed(
         wall = time.time() - t0
         from patito_ray.manifest import spec_to_json_dict
 
+        # per-partition pass/fail verdict (north-rule surface): the
+        # shard-LOCAL report — structural/dtype/null/bounds/enum/
+        # constraint findings within this shard's files. Global checks
+        # (cross-shard uniqueness, corpus aggregates) resolve only at
+        # the final merge and cannot be attributed to one shard.
+        shard_report = _finalize(partial, model)
+
         manifest = {
             "shard_id": sid,
             "model": spec_to_json_dict(spec),
             "files": shard_files,
             "sizes": [os.path.getsize(f) for f in shard_files],
+            "ok": bool(shard_report.ok),
+            "error_count": len(shard_report.errors),
             "row_count": partial.row_count,
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(partial.row_count / wall, 1) if wall else None,
@@ -518,3 +527,23 @@ def read_manifests(checkpoint_dir: str) -> list[dict[str, Any]]:
             with open(f"{shard_dir}/{name}") as f:
                 out.append(json.load(f))
     return out
+
+
+def shard_verdicts(checkpoint_dir: str) -> pa.Table:
+    """Per-partition pass/fail table from the shard manifests: one row
+    per finished shard with its shard-LOCAL verdict (structural/dtype/
+    null/bounds/enum/constraint — global uniqueness resolves only at
+    the merged report). Manifests written before the verdict field
+    existed surface ``ok`` as null rather than guessing."""
+    rows = read_manifests(checkpoint_dir)
+    return pa.table(
+        {
+            "shard_id": pa.array([m["shard_id"] for m in rows], pa.string()),
+            "ok": pa.array([m.get("ok") for m in rows], pa.bool_()),
+            "error_count": pa.array(
+                [m.get("error_count") for m in rows], pa.int64()
+            ),
+            "row_count": pa.array([m["row_count"] for m in rows], pa.int64()),
+            "n_files": pa.array([len(m["files"]) for m in rows], pa.int64()),
+        }
+    )

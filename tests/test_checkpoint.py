@@ -300,3 +300,45 @@ def test_revalidate_after_partition_rewrite(ray_session, tmp_path):
     # the new violations are visible in the resumed report
     locs = {e["loc"] for e in r2.errors}
     assert ("score",) in locs and ("url",) in locs
+
+
+def test_shard_verdicts_per_partition(ray_session, tmp_path):
+    """North-rule surface: per-partition pass/fail. With one file per
+    shard, exactly the partitions carrying violations (file 2: bad
+    lang + cross-shard dup is GLOBAL so not counted here; file 4: bad
+    score; every file has 'xx' langs) report ok=False shard-locally."""
+    from patito_ray.validation.checkpoint import shard_verdicts
+
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    files = _write_files(tmp_path / "data")
+    ck = str(tmp_path / "ckpt")
+    validate_files_checkpointed(files, Page, ck, files_per_shard=1)
+    v = shard_verdicts(ck)
+    assert v.num_rows == 6
+    assert v.column("ok").null_count == 0
+    # the 'xx' lang rows appear in every file (p=0.05 over 300 rows)
+    # so every shard fails locally — and error_count is populated
+    oks = v.column("ok").to_pylist()
+    ecs = v.column("error_count").to_pylist()
+    assert all(isinstance(o, bool) for o in oks)
+    assert all((ec > 0) == (not ok) for ok, ec in zip(oks, ecs))
+    assert sum(v.column("row_count").to_pylist()) == 1800
+
+    # a clean corpus yields all-pass verdicts
+    clean = []
+    for i in range(2):
+        t = pa.table(
+            {
+                "url": pa.array([f"https://ok.org/{i}/{j}" for j in range(50)]),
+                "lang": pa.array(["en"] * 50),
+                "score": pa.array(np.linspace(0.1, 0.9, 50)),
+            }
+        )
+        p = str(tmp_path / f"clean-{i}.parquet")
+        pq.write_table(t, p)
+        clean.append(p)
+    ck2 = str(tmp_path / "ckpt_clean")
+    validate_files_checkpointed(clean, Page, ck2, files_per_shard=1)
+    v2 = shard_verdicts(ck2)
+    assert v2.column("ok").to_pylist() == [True, True]
+    assert v2.column("error_count").to_pylist() == [0, 0]
