@@ -343,6 +343,7 @@ def run_bench() -> dict:
         "isotonic_price",
         "weekday_seasonality",
         "mann_whitney",
+        "video_frames",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

@@ -315,3 +315,54 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     top = arr[y0][:, x0] * (1 - wx) + arr[y0][:, x1] * wx
     bot = arr[y1][:, x0] * (1 - wx) + arr[y1][:, x1] * wx
     return top * (1 - wy) + bot * wy
+
+
+# ---------------------------------------------------------------- video
+# Minimal REAL video container ("MPNG" — motion-PNG): a fixed header
+# (magic, frame count, fps numerator/denominator) followed by
+# length-prefixed PNG frames. Every byte is parseable with the stdlib,
+# so the video path exercises true container parsing + per-frame image
+# decode without ffmpeg; an ffmpeg/MP4 branch would slot in at
+# decode_video_frame unchanged (sniff_format names the library).
+
+_MPNG_MAGIC = b"MPNG"
+
+
+def encode_mpng(frames: "list[np.ndarray]", fps: int = 10) -> bytes:
+    """Encode RGB frames (uint8 HxWx3, equal shapes) as an MPNG blob."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_mpng needs at least one frame")
+    out = [_MPNG_MAGIC, struct.pack("<II", len(frames), fps)]
+    for f in frames:
+        png = encode_png(f)
+        out.append(struct.pack("<I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def parse_mpng_index(payload: bytes) -> "tuple[int, int, list[tuple[int, int]]]":
+    """Container parse ONLY (no pixel decode): returns (n_frames, fps,
+    [(offset, length)] per frame). The cheap pass a frame-sampling
+    stage runs before touching any pixels."""
+    import struct
+
+    if payload[:4] != _MPNG_MAGIC:
+        raise ValueError("not an MPNG payload (magic mismatch)")
+    n, fps = struct.unpack_from("<II", payload, 4)
+    spans = []
+    pos = 12
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        spans.append((pos, ln))
+        pos += ln
+    if pos != len(payload):
+        raise ValueError("MPNG payload has trailing bytes (corrupt container)")
+    return int(n), int(fps), spans
+
+
+def decode_video_frame(payload: bytes, offset: int, length: int) -> np.ndarray:
+    """Decode ONE frame given its container span (REAL PNG decode)."""
+    return decode_image(payload[offset : offset + length])

@@ -493,3 +493,116 @@ def audio_near_dups(
         num_partitions=num_partitions,
         limit_bytes=limit_bytes,
     )
+
+
+class VideoFrameSample:
+    """binary video -> (n_frames, fps, duration_s, frame_lumas) columns:
+    parse the container index (cheap — no pixels), pick ``frames``
+    evenly spaced keyframes, decode ONLY those (real PNG decode via the
+    stdlib codecs for MPNG payloads) and emit each sampled frame's mean
+    luma as a list<float64>. The container-parse-then-selective-decode
+    split is the shape that matters at scale: a 2-hour video's index is
+    bytes, its pixels are gigabytes. ``fake=True`` derives metadata from
+    the payload hash (plumbing-only mode); real non-MPNG containers
+    (MP4/WebM) raise NotImplementedError naming ffmpeg at the exact
+    call site. Null payloads yield null metadata."""
+
+    def __init__(
+        self, frames: int = 3, fake: bool = True, video_col: str = "video"
+    ) -> None:
+        self.frames = frames
+        self.fake = fake
+        self.video_col = video_col
+        if not fake:
+            from patito_ray.functions import codecs
+
+            self._index = codecs.parse_mpng_index
+            self._frame = codecs.decode_video_frame
+            self._gray = codecs.to_gray
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch.column(self.video_col)
+        if self.fake:
+            h = hash64(payload)
+            n_frames = (h % np.uint64(240) + np.uint64(10)).astype(np.int64)
+            fps = np.full(len(h), 10, np.int64)
+            lumas = [
+                [float((int(x) >> (8 * i)) & 0xFF) for i in range(self.frames)]
+                for x in h
+            ]
+        else:
+            n_frames_l: "list[Any]" = []
+            fps_l: "list[Any]" = []
+            lumas = []
+            for blob in payload.to_pylist():
+                if blob is None:
+                    n_frames_l.append(None)
+                    fps_l.append(None)
+                    lumas.append(None)
+                    continue
+                if blob[:4] != b"MPNG":
+                    raise NotImplementedError(
+                        "real decode for non-MPNG video containers needs "
+                        "ffmpeg (not in this environment); payload starts "
+                        f"with {blob[:4]!r}"
+                    )
+                n, fps_v, spans = self._index(blob)
+                picks = [
+                    spans[min(n - 1, (i + 1) * n // (self.frames + 1))]
+                    for i in range(self.frames)
+                ]
+                row = []
+                for off, ln in picks:
+                    img = self._frame(blob, off, ln)
+                    row.append(float(self._gray(img).mean()))
+                n_frames_l.append(n)
+                fps_l.append(fps_v)
+                lumas.append(row)
+            n_frames = n_frames_l  # type: ignore[assignment]
+            fps = fps_l  # type: ignore[assignment]
+        out = batch.append_column(
+            "n_frames", pa.array(n_frames, type=pa.int64())
+        ).append_column("fps", pa.array(fps, type=pa.int64()))
+        nf = out.column("n_frames").to_numpy(zero_copy_only=False).astype(np.float64)
+        fp = out.column("fps").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dur = np.where(fp > 0, nf / fp, np.nan)
+        return out.append_column(
+            "duration_s", pa.array([None if d != d else float(d) for d in dur], pa.float64())
+        ).append_column("frame_lumas", pa.array(lumas, type=pa.list_(pa.float64())))
+
+
+def sample_video_frames(
+    ds: Any, frames: int = 3, concurrency: int = 4, fake: bool = True
+) -> Any:
+    return ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"fake": fake, "frames": frames},
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency,
+    )
+
+
+def synth_video_batch(
+    batch: pa.Table, id_col: str = "doc_id", n_frames: int = 6
+) -> pa.Table:
+    """Deterministic MPNG payloads from an id column: ``n_frames`` tiny
+    RGB frames whose gradient phase advances per frame (real PNG
+    encoder, real container) — the video analogue of synth_media_batch."""
+    from patito_ray.functions import codecs as cx
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    yy, xx = np.mgrid[0:8, 0:8].astype(np.float64)
+    vids = []
+    for i in ids:
+        frames = []
+        for f in range(n_frames):
+            phase = ((i * 31 + f * 17) % 89) / 89.0
+            img = np.empty((8, 8, 3), np.uint8)
+            img[:, :, 0] = ((xx / 8 + phase) * 255) % 256
+            img[:, :, 1] = ((yy / 8 + phase / 3) * 255) % 256
+            img[:, :, 2] = ((i + f) % 256)
+            frames.append(img)
+        vids.append(cx.encode_mpng(frames, fps=10))
+    return batch.append_column("video", pa.array(vids, type=pa.binary()))

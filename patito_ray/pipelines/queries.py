@@ -12521,3 +12521,32 @@ FROM roots
 """
 
 QUERIES["golden_records"] = (q_golden_records, SQL_GOLDEN_RECORDS)
+
+
+def q_video_frames(sf_dir: str) -> Any:
+    """Video frame-sampling over REAL containers end-to-end:
+    deterministic MPNG payloads (6 tiny PNG frames each, real encoder +
+    container — functions/codecs.py) are built per doc id, then an
+    actor pool parses each container INDEX (no pixels), decodes only
+    the 3 evenly-spaced keyframes it samples, and emits per-video
+    metadata + per-frame mean luma. The parse-index-then-selective-
+    decode split is the shape that matters for real video at scale.
+    Rows-only: SQL cannot parse containers."""
+    from patito_ray.functions.multimodal import (
+        sample_video_frames,
+        synth_video_batch,
+    )
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    media = ds.map_batches(
+        synth_video_batch, batch_format="pyarrow", batch_size=256
+    )
+    out = sample_video_frames(media, frames=3, concurrency=4, fake=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "n_frames", "fps", "duration_s", "frame_lumas"])
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+QUERIES["video_frames"] = (q_video_frames, None)
