@@ -12544,7 +12544,22 @@ def q_video_frames(sf_dir: str) -> Any:
     out = sample_video_frames(media, frames=3, concurrency=4, fake=False)
 
     def finish(t: pa.Table) -> pa.Table:
-        return t.select(["doc_id", "n_frames", "fps", "duration_s", "frame_lumas"])
+        # scalar luma columns: the driver comparator sorts by every
+        # column and list columns are unhashable in pandas
+        lum = t.column("frame_lumas")
+        if isinstance(lum, pa.ChunkedArray):
+            lum = lum.combine_chunks()
+        flat = pc.list_flatten(lum).to_numpy(zero_copy_only=False)
+        mat = flat.reshape(-1, 3) if t.num_rows else np.empty((0, 3))
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "n_frames": t.column("n_frames"),
+            "fps": t.column("fps"),
+            "duration_s": t.column("duration_s"),
+        }
+        for i in range(3):
+            cols[f"luma_{i}"] = pa.array(mat[:, i], pa.float64())
+        return pa.table(cols)
 
     return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
