@@ -266,6 +266,17 @@ def cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_verdicts(args: argparse.Namespace) -> int:
+    """Per-partition pass/fail table from a checkpoint dir (no Ray
+    session needed — reads manifests only)."""
+    from patito_ray.validation.checkpoint import shard_verdicts
+
+    t = shard_verdicts(args.checkpoint)
+    for row in t.to_pylist():
+        print(json.dumps(row))
+    return 0 if all(r or r is None for r in t.column("ok").to_pylist()) else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="patito_ray")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -334,6 +345,14 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--overwrite", action="store_true")
     k.add_argument("--num-cpus", type=int, default=None)
     k.set_defaults(fn=cmd_index)
+
+    w = sub.add_parser(
+        "verdicts",
+        help="per-partition pass/fail verdict table from a checkpoint "
+        "dir (exit 1 if any shard failed its local checks)",
+    )
+    w.add_argument("checkpoint", help="checkpoint directory")
+    w.set_defaults(fn=cmd_verdicts)
 
     args = parser.parse_args(argv)
     code = args.fn(args)

@@ -106,3 +106,33 @@ def test_bloom_write_guards(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="null"):
         bloom_index_write(_ds(nulls, 1), "k", str(tmp_path / "y"), num_files=2)
+
+
+# ---------------------------------------------------------- properties
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=60
+    ),
+    probe=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=20
+    ),
+)
+def test_bloom_never_false_negative(keys, probe):
+    """For ANY key set and probe set: every probed key that exists must
+    survive pruning (the layout-level no-false-negative guarantee,
+    independent of hashes colliding or keys being negative)."""
+    from patito_ray.state.sketches import BloomFilter, hash64
+
+    b = BloomFilter(max(len(keys), 1), 0.01)
+    b.add_hashes(hash64(pa.array(keys, pa.int64())))
+    hits = b.contains_hashes(hash64(pa.array(probe, pa.int64()))) if probe else []
+    present = set(keys)
+    for k, hit in zip(probe, hits):
+        if k in present:
+            assert hit

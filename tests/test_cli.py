@@ -211,3 +211,35 @@ def test_cli_index_lifecycle(data_dir, tmp_path):
     res = run_cli("index", "stats", "--dir", idx)
     meta = json.loads(res.stdout.strip().splitlines()[-1])
     assert meta == {"num_buckets": 4, "refreshes": 1, "total_keys": 400}
+
+
+def test_cli_verdicts(data_dir, tmp_path):
+    from patito_ray.manifest import spec_to_json
+
+    class Doc(pr.Model):
+        doc_id: int = pr.Field(unique=True)
+        text: str
+        score: float = pr.Field(ge=0)
+
+    spec_path = tmp_path / "doc_spec.json"
+    spec_path.write_text(spec_to_json(Doc._spec()))
+    ck = str(tmp_path / "ckpt")
+    run_cli(
+        "validate",
+        "--input",
+        f"{data_dir}/*.parquet",
+        "--model",
+        str(spec_path),
+        "--checkpoint",
+        ck,
+        "--num-cpus",
+        "4",
+    )
+
+    res = run_cli("verdicts", ck)
+    # file a holds the score<0 rows -> one failing shard, exit 1
+    assert res.returncode == 1, res.stderr[-2000:]
+    rows = [json.loads(line) for line in res.stdout.strip().splitlines()]
+    assert len(rows) == 1  # default files_per_shard covers both files
+    assert rows[0]["ok"] is False and rows[0]["error_count"] > 0
+    assert rows[0]["row_count"] == 500

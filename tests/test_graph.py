@@ -561,3 +561,33 @@ def test_sssp_hops_edge_cases(ray_session):
         sssp_hops(
             _edges_ds([1], [2], blocks=1), seeds_ds, max_hops=1
         )  # no weight column
+
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    m=st.integers(min_value=1, max_value=120),
+    seed=st.integers(min_value=0, max_value=10_000),
+    seeds=st.lists(st.integers(min_value=0, max_value=29), min_size=1, max_size=4),
+)
+def test_sssp_hops_property_random_graphs(ray_session, m, seed, seeds):
+    """Any random weighted digraph, any seed set: both sssp branches
+    must equal the plain-python bounded Bellman-Ford."""
+    import ray.data as rd
+
+    from patito_ray.functions.graph import sssp_hops
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 30, size=m)
+    dst = rng.integers(0, 30, size=m)
+    w = rng.integers(1, 6, size=m)
+    ref = _sssp_reference(src, dst, w, set(seeds), max_hops=3)
+
+    edges = _wedges_ds(src, dst, w, blocks=2)
+    seeds_ds = rd.from_arrow(
+        pa.table({"node": pa.array(sorted(set(seeds)), pa.int64())})
+    )
+    assert _bfs_out(sssp_hops(edges, seeds_ds, max_hops=3)) == ref
