@@ -344,6 +344,7 @@ def run_bench() -> dict:
         "weekday_seasonality",
         "mann_whitney",
         "video_frames",
+        "ann_int8",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

@@ -594,3 +594,118 @@ def hard_negative_mining(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+class BatchTopKInt8:
+    """Int8-quantized batch scorer: queries and corpus vectors are
+    unit-normalized then quantized to ``round(x * 127)`` int8; scores
+    are exact int32 dot products of the quantized vectors (int8
+    storage, widened accumulate — the memory layout real engines use:
+    4x less vector RAM/network than float32, 8x less than float64).
+    Ranking is approximate relative to float cosine (recall@k is
+    pytested); scores are INTEGERS so ordering is bit-deterministic.
+    Same lazy-ObjectRef broadcast contract as BatchTopK."""
+
+    def __init__(self, queries_ref: Any, k: int, id_col: str, vec_col: str) -> None:
+        self._ref = queries_ref
+        self.q_ids: "np.ndarray | None" = None
+        self.q_int8: "np.ndarray | None" = None
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @staticmethod
+    def quantize(m: np.ndarray) -> np.ndarray:
+        u = _unit(np.asarray(m, dtype=np.float64))
+        return np.clip(np.round(u * 127.0), -127, 127).astype(np.int8)
+
+    def _resolve(self) -> None:
+        if self.q_ids is None:
+            import ray
+
+            q = self._ref
+            if not isinstance(q, dict):
+                q = ray.get(q)
+            self.q_ids = np.asarray(q["ids"])
+            self.q_int8 = self.quantize(np.asarray(q["vecs"]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._resolve()
+        vecs = _to_matrix(batch.column(self.vec_col))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "score_q": pa.array([], type=pa.int64()),
+            }
+        )
+        if vecs.size == 0:
+            return empty
+        c = self.quantize(vecs)
+        # int8 storage, int32 accumulate (an int8@int8 matmul would
+        # overflow at d > 2 — the widening is the accumulator, the
+        # broadcast/storage stays int8)
+        sims = self.q_int8.astype(np.int32) @ c.astype(np.int32).T  # (q, n)
+        k = min(self.k + 1, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q = np.repeat(self.q_ids.astype(np.int64), part.shape[1])
+        out_n = ids[part.ravel()].astype(np.int64)
+        out_s = np.take_along_axis(sims, part, axis=1).ravel().astype(np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "score_q": pa.array(out_s, type=pa.int64()),
+            }
+        )
+
+
+def topk_cosine_int8(
+    ds: Any,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Approximate global top-k via int8 quantization: the scale path
+    when 10^9+ float vectors don't fit — quantized broadcast + integer
+    matmuls per batch, then ONE grouped-top-k merge over integer
+    scores (bit-deterministic ordering: score desc, neighbor id asc).
+    Recall@k vs exact float cosine is pytested (tests/test_pca.py
+    sibling file tests/test_functions.py pattern)."""
+    import ray
+    import ray.data as rd
+
+    from patito_ray.stages.agg import collect_table
+
+    ref = ray.put({"ids": np.asarray(query_ids), "vecs": np.asarray(query_vecs)})
+    partials = ds.map_batches(
+        BatchTopKInt8(ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    tab = collect_table(
+        partials,
+        empty_schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("score_q", pa.int64()),
+            ]
+        ),
+    )
+    import polars as pl
+
+    df = pl.from_arrow(tab)
+    if exclude_self:
+        df = df.filter(pl.col("query_id") != pl.col("neighbor_id"))
+    out = (
+        df.sort(["score_q", "neighbor_id"], descending=[True, False])
+        .group_by("query_id", maintain_order=True)
+        .head(k)
+        .sort(["query_id", "score_q", "neighbor_id"], descending=[False, True, False])
+    )
+    return out.to_arrow()

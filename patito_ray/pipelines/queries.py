@@ -12565,3 +12565,33 @@ def q_video_frames(sf_dir: str) -> Any:
 
 
 QUERIES["video_frames"] = (q_video_frames, None)
+
+
+def q_ann_int8(sf_dir: str) -> pa.Table:
+    """Int8-quantized ANN over the embeddings table: unit-normalize,
+    quantize to int8 (4x less vector RAM/network than float32), score
+    with exact int32 accumulators — the memory layout for 10^9+ vector
+    corpora. Integer scores make ordering bit-deterministic; recall vs
+    exact float cosine is pytested. Rows-only (quantized ranks are
+    approximate by design)."""
+    from patito_ray.functions.similarity import topk_cosine_int8
+    from patito_ray.stages.agg import collect_table
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = collect_table(
+        emb.limit(8),
+        empty_schema=pa.schema(
+            [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+        ),
+    )
+    q_ids = head.column("vec_id").to_numpy(zero_copy_only=False)
+    import pyarrow.compute as _pc
+
+    flat = _pc.list_flatten(head.column("embedding")).to_numpy(
+        zero_copy_only=False
+    )
+    q_vecs = flat.reshape(len(q_ids), -1)
+    return topk_cosine_int8(emb, q_ids, q_vecs, k=10)
+
+
+QUERIES["ann_int8"] = (q_ann_int8, None)

@@ -1989,3 +1989,42 @@ def test_compression_ratio_signal(ray_session, tmp_path):
     assert out[0]["comp_len"] < out[0]["raw_len"]
     out2 = {r["doc_id"]: r for r in fn(str(tmp_path)).take_all()}
     assert out == out2
+
+
+def test_topk_cosine_int8_recall_and_determinism(ray_session):
+    """Int8-quantized ANN: recall@10 vs exact float cosine >= 0.9 on a
+    random corpus, integer scores bit-deterministic across runs."""
+    import ray.data as rd
+
+    from patito_ray.functions.similarity import topk_cosine, topk_cosine_int8
+
+    rng = np.random.default_rng(17)
+    n, d = 400, 32
+    mat = rng.normal(size=(n, d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32) for r in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    q_ids = np.arange(5)
+    q_vecs = mat[:5]
+
+    exact = topk_cosine(ds, q_ids, q_vecs, k=10)
+    quant = topk_cosine_int8(ds, q_ids, q_vecs, k=10)
+    quant2 = topk_cosine_int8(ds, q_ids, q_vecs, k=10)
+    assert quant.equals(quant2)  # integer scores: bit-deterministic
+
+    def neighbors(tab):
+        out = {}
+        for r in tab.to_pylist():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, qu = neighbors(exact), neighbors(quant)
+    assert set(ex) == set(qu) == set(range(5))
+    recalls = [len(ex[q] & qu[q]) / len(ex[q]) for q in ex]
+    assert min(recalls) >= 0.8 and sum(recalls) / len(recalls) >= 0.9, recalls
