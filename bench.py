@@ -345,6 +345,7 @@ def run_bench() -> dict:
         "mann_whitney",
         "video_frames",
         "ann_int8",
+        "orphan_rate_monthly",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

@@ -12595,3 +12595,91 @@ def q_ann_int8(sf_dir: str) -> pa.Table:
 
 
 QUERIES["ann_int8"] = (q_ann_int8, None)
+
+
+def q_orphan_rate_monthly(sf_dir: str) -> Any:
+    """Referential drift over time: per order month, how many orders
+    reference a customer OUTSIDE the 'good' dimension slice (acctbal >=
+    0) — the orphan-rate monitor a warehouse runs after each load. The
+    good-key set is dimension-sized and broadcasts once via ray.put;
+    the fact pass emits exact (month, n, orphans) partials through the
+    adaptive merge. Month = numpy datetime64[M] truncation, identical
+    to SQL date_trunc('month', ...)."""
+    import ray
+
+    from patito_ray.stages.agg import collect_table
+
+    cust = collect_table(
+        _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+        empty_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_acctbal", pa.float64())]
+        ),
+    )
+    keys = pc.cast(cust.column("c_custkey"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    bal = cust.column("c_acctbal").to_numpy(zero_copy_only=False)
+    good = np.sort(keys[bal >= 0])
+    ref = ray.put(good)
+
+    def partial(t: pa.Table, _ref=ref) -> pa.Table:
+        import polars as pl
+
+        g = ray.get(_ref)
+        ck = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.minimum(np.searchsorted(g, ck), max(len(g) - 1, 0))
+        orphan = (g[idx] != ck) if len(g) else np.ones(len(ck), bool)
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        month = d.astype("datetime64[M]").astype("datetime64[us]").astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "m": month,
+                    "n": np.ones(len(ck), np.int64),
+                    "orphans": orphan.astype(np.int64),
+                }
+            )
+            .group_by("m")
+            .agg(pl.col("n").sum(), pl.col("orphans").sum())
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_sums(ds, ["m"], ["n", "orphans"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "m" not in t.column_names:
+            return pa.schema(
+                [
+                    ("m", pa.timestamp("us")),
+                    ("n", pa.int64()),
+                    ("orphans", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "m": pc.cast(t.column("m"), pa.timestamp("us")),
+                "n": pc.cast(t.column("n"), pa.int64()),
+                "orphans": pc.cast(t.column("orphans"), pa.int64()),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_ORPHAN_RATE_MONTHLY = """
+SELECT date_trunc('month', o_orderdate) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphans
+FROM orders o
+LEFT JOIN (SELECT c_custkey FROM customer WHERE c_acctbal >= 0) c
+  ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+QUERIES["orphan_rate_monthly"] = (q_orphan_rate_monthly, SQL_ORPHAN_RATE_MONTHLY)
