@@ -346,6 +346,8 @@ def run_bench() -> dict:
         "video_frames",
         "ann_int8",
         "orphan_rate_monthly",
+        "hierarchy_rollup",
+        "item_cosine",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

@@ -12683,3 +12683,205 @@ GROUP BY 1
 """
 
 QUERIES["orphan_rate_monthly"] = (q_orphan_rate_monthly, SQL_ORPHAN_RATE_MONTHLY)
+
+
+def q_hierarchy_rollup(sf_dir: str) -> Any:
+    """Hierarchical aggregation up a 3-level category tree (synthetic:
+    leaf = p_partkey // 50, mid = leaf // 10, root = mid // 10): every
+    lineitem contributes its cents to ALL its ancestors in ONE pass —
+    the per-batch partial emits (level, node) rows for the three
+    ancestors (a bounded fan-out of 3, not a recursive walk), then one
+    adaptive merge. The oracle unions the three levels explicitly."""
+    import polars as pl
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = pc.cast(t.column("l_partkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        leaf = pk // 50
+        mid = leaf // 10
+        root = mid // 10
+        lvl = np.concatenate(
+            [
+                np.zeros(len(pk), np.int64),
+                np.ones(len(pk), np.int64),
+                np.full(len(pk), 2, np.int64),
+            ]
+        )
+        node = np.concatenate([leaf, mid, root])
+        c3 = np.concatenate([cents, cents, cents])
+        return (
+            pl.DataFrame({"lvl": lvl, "node": node, "cents": c3})
+            .group_by(["lvl", "node"])
+            .agg(pl.col("cents").sum())
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    merged = merge_partial_sums(ds, ["lvl", "node"], ["cents"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lvl" not in t.column_names:
+            return pa.schema(
+                [("lvl", pa.int64()), ("node", pa.int64()), ("cents", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "lvl": pc.cast(t.column("lvl"), pa.int64()),
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "cents": pc.cast(t.column("cents"), pa.int64()),
+            }
+        )
+
+    return _apply(merged, finish)
+
+
+SQL_HIERARCHY_ROLLUP = """
+WITH f AS (
+  SELECT l_partkey // 50 AS leaf,
+         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+u AS (
+  SELECT 0 AS lvl, leaf AS node, cents FROM f
+  UNION ALL
+  SELECT 1, leaf // 10, cents FROM f
+  UNION ALL
+  SELECT 2, leaf // 100, cents FROM f
+)
+SELECT CAST(lvl AS BIGINT) AS lvl, CAST(node AS BIGINT) AS node,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM u GROUP BY 1, 2
+"""
+
+QUERIES["hierarchy_rollup"] = (q_hierarchy_rollup, SQL_HIERARCHY_ROLLUP)
+
+
+def q_item_cosine(sf_dir: str) -> Any:
+    """Item-item cosine similarity over order co-occurrence: for part
+    pairs bought together in >= 2 orders, cos = co / sqrt(n_a * n_b)
+    (co-counts from the basket exchange, per-item marginals from a
+    broadcast map). sqrt of an exact int product and ONE division —
+    identical IEEE on both engines, no rounding."""
+    import ray
+
+    from patito_ray.functions.basket import cooccurrence_pairs
+    from patito_ray.stages.agg import collect_table
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = cooccurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+
+    # per-item DISTINCT-order marginals: an (order, part) pair can span
+    # batches, so per-batch unique + sum double-counts — dedupe through
+    # a min-merge over the pair key first, then count per part
+    import polars as pl
+
+    from patito_ray.stages.agg import merge_partial_mins
+
+    def pairkeys(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .unique(["l_orderkey", "l_partkey"])
+            .with_columns(one=pl.lit(1, dtype=pl.Int64))
+            .to_arrow()
+        )
+
+    distinct_pairs = merge_partial_mins(
+        li.map_batches(pairkeys, batch_format="pyarrow", batch_size=None),
+        ["l_orderkey", "l_partkey"],
+        ["one"],
+    )
+    if isinstance(distinct_pairs, pa.Table):
+        m = (
+            pl.from_arrow(distinct_pairs)
+            .group_by("l_partkey")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+    else:
+
+        def cnt(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "l_partkey" not in t.column_names:
+                return pa.schema(
+                    [("l_partkey", pa.int64()), ("n", pa.int64())]
+                ).empty_table()
+            return (
+                pl.from_arrow(t)
+                .group_by("l_partkey")
+                .agg(pl.len().cast(pl.Int64).alias("n"))
+                .to_arrow()
+            )
+
+        m = merge_partial_sums(
+            distinct_pairs.map_batches(cnt, batch_format="pyarrow", batch_size=None),
+            ["l_partkey"],
+            ["n"],
+        )
+    if not isinstance(m, pa.Table):
+        m = collect_table(
+            m, empty_schema=pa.schema([("l_partkey", pa.int64()), ("n", pa.int64())])
+        )
+    mk = pc.cast(m.column("l_partkey"), pa.int64()).to_numpy(zero_copy_only=False)
+    mn = m.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(mk)
+    ref = ray.put({"k": mk[order], "n": mn[order]})
+
+    def finish(t: pa.Table, _ref=ref) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("part_a", pa.int64()),
+                ("part_b", pa.int64()),
+                ("co", pa.int64()),
+                ("cos", pa.float64()),
+            ]
+        )
+        if t.num_rows == 0 or "item_a" not in t.column_names:
+            return out_schema.empty_table()
+        d = ray.get(_ref)
+        a = pc.cast(t.column("item_a"), pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t.column("item_b"), pa.int64()).to_numpy(zero_copy_only=False)
+        co = pc.cast(t.column("n_groups"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        na = d["n"][np.searchsorted(d["k"], a)]
+        nb = d["n"][np.searchsorted(d["k"], b)]
+        cos = co.astype(np.float64) / np.sqrt((na * nb).astype(np.float64))
+        return pa.table(
+            {
+                "part_a": pa.array(a, pa.int64()),
+                "part_b": pa.array(b, pa.int64()),
+                "co": pa.array(co, pa.int64()),
+                "cos": pa.array(cos, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return _apply(pairs, finish)
+
+
+SQL_ITEM_COSINE = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+marg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+),
+co AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT co.part_a, co.part_b, co.co,
+       CAST(co.co AS DOUBLE)
+         / sqrt(CAST(ma.n * mb.n AS DOUBLE)) AS cos
+FROM co JOIN marg ma ON ma.l_partkey = co.part_a
+        JOIN marg mb ON mb.l_partkey = co.part_b
+"""
+
+QUERIES["item_cosine"] = (q_item_cosine, SQL_ITEM_COSINE)
