@@ -12885,3 +12885,197 @@ FROM co JOIN marg ma ON ma.l_partkey = co.part_a
 """
 
 QUERIES["item_cosine"] = (q_item_cosine, SQL_ITEM_COSINE)
+
+
+def q_cumulative_distinct(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Cumulative distinct users per day (the growth-curve metric SQL
+    writes as a windowed COUNT(DISTINCT), which no engine can
+    hash-partition directly). Decomposition: cumulative distinct at day
+    d == number of users whose FIRST-seen day <= d, so the pipeline is
+    per-batch (user, min day) partials -> the adaptive min merge (one
+    narrow exchange over distinct users, 16 B/row) -> per-day new-user
+    counts -> a driver prefix sum over the calendar-bounded day domain.
+    Exact integer counting end to end; the exchange volume is bounded
+    by distinct users, never by event volume."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_mins
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def first_seen(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("fday", pa.int64())]
+            ).empty_table()
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+                    "fday": us // 86_400_000_000,
+                }
+            )
+            .group_by("user_id")
+            .agg(pl.col("fday").min())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_mins(
+        ds.map_batches(first_seen, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        ["fday"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        # distributed branch: reduce each merged block to per-day counts
+        # before anything reaches the driver (<= #days rows per block).
+        def per_day(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "fday" not in t.column_names:
+                return pa.schema(
+                    [("fday", pa.int64()), ("new_users", pa.int64())]
+                ).empty_table()
+            return (
+                pl.from_arrow(t)
+                .group_by("fday")
+                .agg(pl.len().cast(pl.Int64).alias("new_users"))
+                .to_arrow()
+            )
+
+        from patito_ray.stages.agg import merge_partial_sums
+
+        counts = merge_partial_sums(
+            merged.map_batches(per_day, batch_format="pyarrow", batch_size=None),
+            ["fday"],
+            ["new_users"],
+            **_kw,
+        )
+        if not isinstance(counts, pa.Table):
+            counts = collect_table(
+                counts,
+                empty_schema=pa.schema(
+                    [("fday", pa.int64()), ("new_users", pa.int64())]
+                ),
+            )
+        days = counts.column("fday").to_numpy(zero_copy_only=False)
+        news = counts.column("new_users").to_numpy(zero_copy_only=False)
+    else:
+        g = (
+            pl.from_arrow(merged)
+            .group_by("fday")
+            .agg(pl.len().cast(pl.Int64).alias("new_users"))
+        )
+        days = g["fday"].to_numpy()
+        news = g["new_users"].to_numpy()
+    order = np.argsort(days)
+    days = days[order].astype(np.int64)
+    news = news[order].astype(np.int64)
+    day_ts = pc.cast(
+        pc.cast(pa.array(days.astype(np.int32)), pa.date32()), pa.timestamp("us")
+    )
+    return pa.table(
+        {
+            "day": day_ts,
+            "new_users": pa.array(news, pa.int64()),
+            "cum_users": pa.array(np.cumsum(news), pa.int64()),
+        }
+    )
+
+
+SQL_CUMULATIVE_DISTINCT = """
+WITH fs AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+d AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""
+
+QUERIES["cumulative_distinct"] = (q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT)
+
+
+def q_freshness_audit(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Data-ops freshness check: per event_type, the newest event
+    timestamp, its lag in whole minutes behind the global newest event,
+    and a stale flag (> 30 min behind). One pass of per-batch (type, max
+    ts-us) partials through the adaptive max merge (negated min merge);
+    the comparison is pure integer microsecond arithmetic so the flag
+    is bit-exact against SQL. The exchange moves <= #types rows per
+    batch regardless of event volume."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_mins
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts"])
+
+    def maxima(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [("event_type", pa.string()), ("neg_us", pa.int64())]
+            ).empty_table()
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "neg_us": -us,
+                }
+            )
+            .group_by("event_type")
+            .agg(pl.col("neg_us").min())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_mins(
+        ds.map_batches(maxima, batch_format="pyarrow", batch_size=None),
+        ["event_type"],
+        ["neg_us"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("event_type", pa.string()), ("neg_us", pa.int64())]
+            ),
+        )
+    # a second driver-side fold is safe: <= #types rows survive the merge
+    pl_df = (
+        pl.from_arrow(merged)
+        .group_by("event_type")
+        .agg(pl.col("neg_us").min())
+        .sort("event_type")
+    )
+    types = pl_df["event_type"].to_list()
+    max_us = (-pl_df["neg_us"].to_numpy()).astype(np.int64)
+    global_max = int(max_us.max()) if len(max_us) else 0
+    lag_minutes = (global_max - max_us) // 60_000_000
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "last_ts": pa.array(max_us, pa.timestamp("us")),
+            "lag_minutes": pa.array(lag_minutes, pa.int64()),
+            "stale": pa.array(lag_minutes > 30, pa.bool_()),
+        }
+    )
+
+
+SQL_FRESHNESS_AUDIT = """
+WITH m AS (
+  SELECT event_type, MAX(ts) AS last_ts FROM events GROUP BY event_type
+),
+g AS (SELECT MAX(ts) AS gmax FROM events)
+SELECT m.event_type, m.last_ts,
+       CAST(datediff('microsecond', m.last_ts, g.gmax)
+            // 60000000 AS BIGINT) AS lag_minutes,
+       (CAST(datediff('microsecond', m.last_ts, g.gmax)
+            // 60000000 AS BIGINT) > 30) AS stale
+FROM m, g
+"""
+
+QUERIES["freshness_audit"] = (q_freshness_audit, SQL_FRESHNESS_AUDIT)
