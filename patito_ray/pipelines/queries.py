@@ -13079,3 +13079,143 @@ FROM m, g
 """
 
 QUERIES["freshness_audit"] = (q_freshness_audit, SQL_FRESHNESS_AUDIT)
+
+
+# Poisson(1) inverse-CDF thresholds scaled to 2^64, as LITERAL constants
+# shared by the numpy kernel and the SQL oracle (exactness never depends
+# on runtime float math — only on these nine integers).
+_POISSON_T = (
+    6786177901268885504,
+    13572355802537771008,
+    16965444753172213760,
+    18096474403383695360,
+    18379231815936565248,
+    18435783298447138816,
+    18445208545532233728,
+    18446555009401532416,
+    18446723317385195520,
+)
+_BOOT_REPS = 16
+_BOOT_SEED = 13
+
+
+def q_poisson_bootstrap(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Distributed Poisson bootstrap (the big-data bootstrap: resample
+    weights drawn independently per row, so no replicate ever
+    materializes and the pass stays embarrassingly parallel — one
+    map_batches, B partial-sum rows per batch, one tiny merge).
+
+    Each (row, replicate) draws a truncated-Poisson(1) weight from
+    splitmix64(rid*B + rep ^ seed) via nine shared integer thresholds;
+    replicate means of l_extendedprice (exact cents grid) summarize the
+    sampling distribution. Everything up to the final mean division is
+    exact integer arithmetic, so the SQL oracle (which re-rolls the
+    identical hashes) matches bit for bit."""
+    from patito_ray.functions.dedup import _splitmix
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    thresholds = np.array(_POISSON_T, dtype=np.uint64)
+
+    def partials(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("rep", pa.int64()), ("s_cents", pa.int64()), ("n_eff", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ok = pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ln = pc.cast(t.column("l_linenumber"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        rid = (ok * 8 + ln).astype(np.uint64)
+        reps = np.arange(_BOOT_REPS, dtype=np.int64)
+        s = np.zeros(_BOOT_REPS, dtype=np.int64)
+        c = np.zeros(_BOOT_REPS, dtype=np.int64)
+        base = rid * np.uint64(_BOOT_REPS)
+        for b in range(_BOOT_REPS):  # B iterations, each vectorized over rows
+            h = _splitmix((base + np.uint64(b)) ^ np.uint64(_BOOT_SEED))
+            w = np.searchsorted(thresholds, h, side="right").astype(np.int64)
+            s[b] = int(np.dot(w, cents))
+            c[b] = int(w.sum())
+        return pa.table(
+            {"rep": reps, "s_cents": s, "n_eff": c}, schema=schema
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None),
+        ["rep"],
+        ["s_cents", "n_eff"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("rep", pa.int64()), ("s_cents", pa.int64()), ("n_eff", pa.int64())]
+            ),
+        )
+    rep = pc.cast(merged.column("rep"), pa.int64()).to_numpy(zero_copy_only=False)
+    s = merged.column("s_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = merged.column("n_eff").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(rep)
+    rep, s, c = rep[order], s[order], c[order]
+    mean = np.where(
+        c == 0, np.nan, s.astype(np.float64) / np.where(c == 0, 1, c)
+    )
+    return pa.table(
+        {
+            "rep": pa.array(rep, pa.int64()),
+            "s_cents": pa.array(s, pa.int64()),
+            "n_eff": pa.array(c, pa.int64()),
+            "mean_cents": pa.array(
+                [None if cc == 0 else float(m) for m, cc in zip(mean, c)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sql_poisson_case() -> str:
+    parts = [f"WHEN h64 < {_POISSON_T[0]} THEN 0"]
+    for k in range(1, len(_POISSON_T)):
+        parts.append(f"WHEN h64 < {_POISSON_T[k]} THEN {k}")
+    parts.append(f"ELSE {len(_POISSON_T)}")
+    return "CASE " + " ".join(parts) + " END"
+
+
+SQL_POISSON_BOOTSTRAP = f"""
+WITH r AS (
+  SELECT l_orderkey*8 + l_linenumber AS rid,
+         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+reps AS (SELECT UNNEST(range(0, {_BOOT_REPS})) AS rep),
+z0 AS (
+  SELECT rep, cents,
+    CAST((CAST(xor(CAST(rid*{_BOOT_REPS}+rep AS UBIGINT),
+                   CAST({_BOOT_SEED} AS UBIGINT)) AS HUGEINT)
+          + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+  FROM r, reps
+), x1 AS (SELECT rep, cents, xor(z, z >> 30) AS z FROM z0
+), z1 AS (SELECT rep, cents, {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (SELECT rep, cents, xor(z, z >> 27) AS z FROM z1
+), z2 AS (SELECT rep, cents, {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), h AS (SELECT rep, cents, CAST(xor(z, z >> 31) AS HUGEINT) AS h64 FROM z2
+), w AS (SELECT rep, cents, {_sql_poisson_case()} AS wt FROM h)
+SELECT rep,
+       CAST(SUM(wt*cents) AS BIGINT) AS s_cents,
+       CAST(SUM(wt) AS BIGINT) AS n_eff,
+       CASE WHEN CAST(SUM(wt) AS BIGINT) = 0 THEN NULL
+            ELSE CAST(CAST(SUM(wt*cents) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE) END AS mean_cents
+FROM w GROUP BY rep
+"""
+
+QUERIES["poisson_bootstrap"] = (q_poisson_bootstrap, SQL_POISSON_BOOTSTRAP)
