@@ -1426,3 +1426,311 @@ def sssp_hops(
             )
         )
     return d_ds
+
+
+def degree_assortativity(
+    edges: Any,
+    src: str = "src",
+    dst: str = "dst",
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> pa.Table:
+    """Bipartite degree assortativity: Pearson correlation between the
+    two endpoint degrees across the DISTINCT edge set (src and dst live
+    in separate node spaces — a customer×item or order×part graph).
+    Returns one row of the six exact integer moments
+    ``(m, sx, sy, sxy, sxx, syy)`` plus ``assortativity`` (the one
+    float expression, rounded once at 1e-6).
+
+    Shape for scale: three of the five moments never touch an edge
+    join — ``Σ deg_x`` over edges equals ``Σ deg²`` over src nodes (a
+    node of degree d appears on d edges), and ``Σ deg_x²`` equals
+    ``Σ deg³`` — so they ride the narrow degree tables. Only
+    ``Σ deg_x·deg_y`` needs degrees attached to edges: broadcast
+    (``ray.put`` once, searchsorted per batch) when the degree tables
+    fit ``limit_bytes``, else two co-partition exchanges with a
+    materialize between them (a copartition output feeding another must
+    be materialized — dev notes). Driver state is O(1): six integers.
+    """
+    import ray
+
+    from patito_ray.stages.join import copartition_apply
+
+    _check_edges(edges, src, dst)
+
+    # ---- 1. distinct edges (per-batch local dedup, one narrow merge) ----
+    def ded(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {
+                "s": pa.array(pairs[:, 0], type=pa.int64()),
+                "d": pa.array(pairs[:, 1], type=pa.int64()),
+                "one": pa.array(np.ones(len(pairs), dtype=np.int64)),
+            }
+        )
+
+    _sd = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+    distinct = merge_partial_sums(
+        edges.map_batches(ded, batch_format="pyarrow", batch_size=None),
+        ["s", "d"],
+        ["one"],
+        limit_bytes=limit_bytes,
+    )
+    if isinstance(distinct, pa.Table):
+        import ray.data as rd
+
+        distinct = rd.from_arrow(
+            distinct.select(["s", "d"]) if distinct.num_rows else _sd.empty_table()
+        )
+    else:
+        distinct = distinct.map_batches(
+            lambda t: t.select(["s", "d"])
+            if t.num_rows and "s" in t.column_names
+            else _sd.empty_table(),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    distinct = distinct.materialize()
+
+    # ---- 2. per-side degrees (one tagged merge) ----
+    def deg_partial(t: pa.Table) -> pa.Table:
+        out_s = pa.schema(
+            [("side", pa.int64()), ("node", pa.int64()), ("deg", pa.int64())]
+        )
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return out_s.empty_table()
+        su, sc = np.unique(t.column("s").to_numpy(zero_copy_only=False), return_counts=True)
+        du, dc = np.unique(t.column("d").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(su), np.int64), np.ones(len(du), np.int64)]
+                    )
+                ),
+                "node": pa.array(np.concatenate([su, du]).astype(np.int64)),
+                "deg": pa.array(np.concatenate([sc, dc]).astype(np.int64)),
+            },
+            schema=out_s,
+        )
+
+    degrees = merge_partial_sums(
+        distinct.map_batches(deg_partial, batch_format="pyarrow", batch_size=None),
+        ["side", "node"],
+        ["deg"],
+        limit_bytes=limit_bytes,
+    )
+
+    empty = pa.table(
+        {
+            "m": pa.array([0], pa.int64()),
+            "sx": pa.array([0], pa.int64()),
+            "sy": pa.array([0], pa.int64()),
+            "sxy": pa.array([0], pa.int64()),
+            "sxx": pa.array([0], pa.int64()),
+            "syy": pa.array([0], pa.int64()),
+            "assortativity": pa.array([None], pa.float64()),
+        }
+    )
+
+    def _moment_partial(t: pa.Table) -> pa.Table:
+        """Per-block (side, Σdeg, Σdeg², Σdeg³) — the joinless moments."""
+        out_s = pa.schema(
+            [
+                ("side", pa.int64()),
+                ("m", pa.int64()),
+                ("s1", pa.int64()),
+                ("s2", pa.int64()),
+                ("s3", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0 or "deg" not in t.column_names:
+            return out_s.empty_table()
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for sv in (0, 1):
+            dd = deg[side == sv]
+            rows.append(
+                (sv, int(dd.sum()), int((dd * dd).sum()), int((dd * dd * dd).sum()))
+            )
+        return pa.table(
+            {
+                "side": pa.array([r[0] for r in rows], pa.int64()),
+                "m": pa.array([r[1] for r in rows], pa.int64()),
+                "s1": pa.array([r[1] for r in rows], pa.int64()),
+                "s2": pa.array([r[2] for r in rows], pa.int64()),
+                "s3": pa.array([r[3] for r in rows], pa.int64()),
+            },
+            schema=out_s,
+        )
+
+    if isinstance(degrees, pa.Table):
+        deg_local = degrees
+    else:
+        deg_local = None
+
+    if deg_local is not None:
+        side = deg_local.column("side").to_numpy(zero_copy_only=False)
+        node = deg_local.column("node").to_numpy(zero_copy_only=False)
+        deg = deg_local.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(side) == 0:
+            return empty
+        moments = {}
+        for sv in (0, 1):
+            dd = deg[side == sv]
+            moments[sv] = (
+                int(dd.sum()),
+                int((dd * dd).sum()),
+                int((dd * dd * dd).sum()),
+            )
+        # broadcast attach for the one cross moment
+        s_mask = side == 0
+        s_order = np.argsort(node[s_mask])
+        d_order = np.argsort(node[~s_mask])
+        ref = ray.put(
+            {
+                "sn": node[s_mask][s_order],
+                "sd": deg[s_mask][s_order],
+                "dn": node[~s_mask][d_order],
+                "dd": deg[~s_mask][d_order],
+            }
+        )
+
+        def cross_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            if t.num_rows == 0 or "s" not in t.column_names:
+                return pa.schema([("k", pa.int64()), ("sxy", pa.int64())]).empty_table()
+            d = ray.get(_ref)
+            a = t.column("s").to_numpy(zero_copy_only=False)
+            b = t.column("d").to_numpy(zero_copy_only=False)
+            dx = d["sd"][np.searchsorted(d["sn"], a)]
+            dy = d["dd"][np.searchsorted(d["dn"], b)]
+            return pa.table(
+                {
+                    "k": pa.array([0], pa.int64()),
+                    "sxy": pa.array([int(np.dot(dx, dy))], pa.int64()),
+                }
+            )
+
+        cross = merge_partial_sums(
+            distinct.map_batches(cross_partial, batch_format="pyarrow", batch_size=None),
+            ["k"],
+            ["sxy"],
+            limit_bytes=max(limit_bytes, 1 << 20),
+        )
+        if not isinstance(cross, pa.Table):
+            cross = collect_table(
+                cross, empty_schema=pa.schema([("k", pa.int64()), ("sxy", pa.int64())])
+            )
+        sxy = int(cross.column("sxy")[0].as_py()) if cross.num_rows else 0
+        # m == Σ_src deg == #edges
+        m = moments[0][0]
+        sx, sxx = moments[0][1], moments[0][2]
+        sy, syy = moments[1][1], moments[1][2]
+    else:
+        mom = merge_partial_sums(
+            degrees.map_batches(_moment_partial, batch_format="pyarrow", batch_size=None),
+            ["side"],
+            ["m", "s1", "s2", "s3"],
+            limit_bytes=max(limit_bytes, 1 << 20),
+        )
+        if not isinstance(mom, pa.Table):
+            mom = collect_table(mom)
+        if mom.num_rows == 0:
+            return empty
+        by_side = {
+            int(sv): (int(a), int(b), int(cc))
+            for sv, a, b, cc in zip(
+                mom.column("side").to_pylist(),
+                mom.column("s1").to_pylist(),
+                mom.column("s2").to_pylist(),
+                mom.column("s3").to_pylist(),
+            )
+        }
+        m = by_side[0][0]
+        sx, sxx = by_side[0][1], by_side[0][2]
+        sy, syy = by_side[1][1], by_side[1][2]
+
+        # cross moment through two co-partition attaches
+        def _side_ds(sv: int, kcol: str, vcol: str):
+            sch = pa.schema([(kcol, pa.int64()), (vcol, pa.int64())])
+
+            def pick(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "side" not in t.column_names:
+                    return sch.empty_table()
+                mask = pc.equal(t.column("side"), sv)
+                ft = t.filter(mask)
+                return pa.table(
+                    {kcol: ft.column("node"), vcol: ft.column("deg")}, schema=sch
+                )
+
+            return degrees.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+        def attach(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            if lt.num_rows == 0:
+                cols = list(lt.column_names) + [rt.column_names[1]]
+                return pa.schema(
+                    [(c, pa.int64()) for c in cols]
+                ).empty_table()
+            kcol, vcol = rt.column_names[0], rt.column_names[1]
+            kn = rt.column(kcol).to_numpy(zero_copy_only=False)
+            kv = rt.column(vcol).to_numpy(zero_copy_only=False)
+            o = np.argsort(kn)
+            kn, kv = kn[o], kv[o]
+            join_on = "s" if kcol == "sn" else "d"
+            keys = lt.column(join_on).to_numpy(zero_copy_only=False)
+            vals = kv[np.searchsorted(kn, keys)]
+            return lt.append_column(vcol, pa.array(vals.astype(np.int64)))
+
+        with_dx = copartition_apply(
+            distinct, _side_ds(0, "sn", "dx"), "s", "sn", attach
+        ).materialize()
+        with_both = copartition_apply(
+            with_dx, _side_ds(1, "dn", "dy"), "d", "dn", attach
+        )
+
+        def cross_partial2(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "dx" not in t.column_names:
+                return pa.schema([("k", pa.int64()), ("sxy", pa.int64())]).empty_table()
+            dx = t.column("dx").to_numpy(zero_copy_only=False)
+            dy = t.column("dy").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "k": pa.array([0], pa.int64()),
+                    "sxy": pa.array([int(np.dot(dx, dy))], pa.int64()),
+                }
+            )
+
+        cross = merge_partial_sums(
+            with_both.map_batches(cross_partial2, batch_format="pyarrow", batch_size=None),
+            ["k"],
+            ["sxy"],
+            limit_bytes=max(limit_bytes, 1 << 20),
+        )
+        if not isinstance(cross, pa.Table):
+            cross = collect_table(
+                cross, empty_schema=pa.schema([("k", pa.int64()), ("sxy", pa.int64())])
+            )
+        sxy = int(cross.column("sxy")[0].as_py()) if cross.num_rows else 0
+
+    if m == 0:
+        return empty
+    num = float(m * sxy - sx * sy)
+    den = float(m * sxx - sx * sx) ** 0.5 * float(m * syy - sy * sy) ** 0.5
+    if den == 0.0:
+        r = None
+    else:
+        v = num / den
+        r = float(np.floor(abs(v) * 1e6 + 0.5) / 1e6) * (1.0 if v >= 0 else -1.0)
+    return pa.table(
+        {
+            "m": pa.array([m], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sy": pa.array([sy], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "syy": pa.array([syy], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )

@@ -13219,3 +13219,49 @@ FROM w GROUP BY rep
 """
 
 QUERIES["poisson_bootstrap"] = (q_poisson_bootstrap, SQL_POISSON_BOOTSTRAP)
+
+
+def q_degree_assortativity(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Degree assortativity of the order×part bipartite graph (do large
+    orders contain popular parts?): exact integer degree moments over
+    the distinct edge set plus ONE float Pearson expression, rounded
+    once. Three of the five moments never join — Σdeg over edges is
+    Σdeg² over nodes — so only the cross moment attaches degrees to
+    edges (broadcast under the limit, two co-partition exchanges
+    beyond it)."""
+    from patito_ray.functions.graph import degree_assortativity
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    return degree_assortativity(ds, src="l_orderkey", dst="l_partkey", **_kw)
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH e AS (SELECT DISTINCT l_orderkey AS s, l_partkey AS d FROM lineitem),
+ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS dx FROM e GROUP BY s),
+dd AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dy FROM e GROUP BY d),
+j AS (
+  SELECT ds.dx, dd.dy
+  FROM e JOIN ds ON ds.s = e.s JOIN dd ON dd.d = e.d
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx*dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx*dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy*dy) AS BIGINT) AS syy
+  FROM j
+)
+SELECT m, sx, sy, sxy, sxx, syy,
+       ROUND(
+         CAST(m*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6) AS assortativity
+FROM mom
+"""
+
+QUERIES["degree_assortativity"] = (
+    q_degree_assortativity,
+    SQL_DEGREE_ASSORTATIVITY,
+)
