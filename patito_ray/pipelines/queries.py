@@ -13265,3 +13265,75 @@ QUERIES["degree_assortativity"] = (
     q_degree_assortativity,
     SQL_DEGREE_ASSORTATIVITY,
 )
+
+
+def q_kendall_tau(sf_dir: str, limit_bytes: int | None = None) -> Any:
+    """Exact Kendall tau-b per event type between spend (cents grid)
+    and time (epoch µs): does value trend with time? Pair counts are
+    exact integers from Knight's O(n log n) vectorized kernel
+    (functions/kendall.py) against SQL's O(n²) pairwise self-join —
+    the house trick of re-expressing a quadratic definition as a
+    loglinear distributed computation with a bit-identical answer."""
+    from patito_ray.functions.kendall import grouped_kendall
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def grid(t: pa.Table) -> pa.Table:
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": pa.array(np.floor(val * 100.0 + 0.5).astype(np.int64)),
+                "y": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    return grouped_kendall(
+        ds.map_batches(grid, batch_format="pyarrow", batch_size=None),
+        by="event_type",
+        x="x",
+        y="y",
+        **_kw,
+    )
+
+
+SQL_KENDALL_TAU = """
+WITH g AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS x,
+         CAST(epoch_us(ts) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+p AS (
+  SELECT a.event_type,
+    CAST(COUNT(*) FILTER (WHERE (a.x < b.x AND a.y < b.y)
+                             OR (a.x > b.x AND a.y > b.y)) AS BIGINT)
+      AS concordant,
+    CAST(COUNT(*) FILTER (WHERE (a.x < b.x AND a.y > b.y)
+                             OR (a.x > b.x AND a.y < b.y)) AS BIGINT)
+      AS discordant,
+    CAST(COUNT(*) FILTER (WHERE a.x = b.x AND a.y <> b.y) AS BIGINT)
+      AS ties_x,
+    CAST(COUNT(*) FILTER (WHERE a.y = b.y AND a.x <> b.x) AS BIGINT)
+      AS ties_y,
+    CAST(COUNT(*) FILTER (WHERE a.x = b.x AND a.y = b.y) AS BIGINT)
+      AS ties_xy
+  FROM g a JOIN g b ON a.event_type = b.event_type
+                   AND a.event_id < b.event_id
+  GROUP BY a.event_type
+),
+nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY event_type
+)
+SELECT nn.event_type, nn.n, p.concordant, p.discordant,
+       p.ties_x, p.ties_y, p.ties_xy,
+       ROUND(
+         CAST(p.concordant - p.discordant AS DOUBLE)
+         / (sqrt(CAST(nn.n*(nn.n-1)//2 - p.ties_x - p.ties_xy AS DOUBLE))
+            * sqrt(CAST(nn.n*(nn.n-1)//2 - p.ties_y - p.ties_xy AS DOUBLE))),
+         6) AS tau_b
+FROM nn JOIN p ON p.event_type = nn.event_type
+"""
+
+QUERIES["kendall_tau"] = (q_kendall_tau, SQL_KENDALL_TAU)

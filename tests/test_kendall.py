@@ -1,0 +1,113 @@
+"""Kendall kernels vs brute force (random + adversarial tie shapes),
+and grouped_kendall through BOTH merge paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from patito_ray.functions.kendall import (
+    count_inversions,
+    grouped_kendall,
+    kendall_counts,
+    tau_b,
+)
+
+
+def _brute_counts(x, y):
+    n = len(x)
+    c = d = tx = ty = txy = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = x[i] - x[j], y[i] - y[j]
+            if dx == 0 and dy == 0:
+                txy += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif (dx > 0) == (dy > 0):
+                c += 1
+            else:
+                d += 1
+    return dict(n=n, concordant=c, discordant=d, ties_x=tx, ties_y=ty, ties_xy=txy)
+
+
+def test_count_inversions_brute():
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n = int(rng.integers(0, 70))
+        y = rng.integers(-5, 6, size=n)
+        brute = sum(1 for i in range(n) for j in range(i + 1, n) if y[i] > y[j])
+        assert count_inversions(y) == brute
+
+
+def test_count_inversions_edges():
+    assert count_inversions(np.array([], dtype=np.int64)) == 0
+    assert count_inversions(np.array([3])) == 0
+    assert count_inversions(np.array([1, 1, 1, 1])) == 0  # ties are not inversions
+    assert count_inversions(np.arange(100)) == 0
+    assert count_inversions(np.arange(100)[::-1].copy()) == 100 * 99 // 2
+    # int64 extremes survive the sentinel padding
+    big = np.array([np.iinfo(np.int64).max - 1, np.iinfo(np.int64).min, 0])
+    assert count_inversions(big) == 2
+
+
+def test_kendall_counts_brute():
+    rng = np.random.default_rng(1)
+    for _ in range(200):
+        n = int(rng.integers(0, 45))
+        x = rng.integers(-3, 4, size=n)
+        y = rng.integers(-3, 4, size=n)
+        assert kendall_counts(x, y) == _brute_counts(x, y)
+
+
+def test_tau_b_degenerate():
+    # all-x-tied group: zero x variance -> undefined tau
+    counts = kendall_counts(np.zeros(5, dtype=np.int64), np.arange(5))
+    assert tau_b(counts) is None
+    # perfect concordance / discordance hit exactly +-1
+    counts = kendall_counts(np.arange(10), np.arange(10) * 3)
+    assert tau_b(counts) == 1.0
+    counts = kendall_counts(np.arange(10), -np.arange(10))
+    assert tau_b(counts) == -1.0
+
+
+@pytest.mark.parametrize("limit_bytes", [None, 0])
+def test_grouped_kendall_paths(ray_session, limit_bytes):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    key = rng.integers(0, 4, size=n)
+    x = rng.integers(0, 25, size=n)
+    y = rng.integers(0, 50, size=n)
+    # null x/y rows must drop like SQL aggregates
+    xa = x.astype(object)
+    xa[0] = None
+    t = pa.table(
+        {
+            "k": pa.array(key, pa.int64()),
+            "x": pa.array(list(xa), pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    out = grouped_kendall(
+        rd.from_arrow(t),
+        by="k",
+        x="x",
+        y="y",
+        **({} if limit_bytes is None else {"limit_bytes": limit_bytes}),
+    )
+    if not isinstance(out, pa.Table):
+        out = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+    cols = ("n", "concordant", "discordant", "ties_x", "ties_y", "ties_xy")
+    got = {r["k"]: {c: r[c] for c in cols} for r in out.to_pylist()}
+    for kv in range(4):
+        # row 0 has a null x and must be excluded, like SQL aggregates
+        mask = (key == kv) & (np.arange(n) != 0)
+        ref = kendall_counts(x[mask], y[mask])  # kernel brute-verified above
+        assert got[kv] == {c: ref[c] for c in cols}
