@@ -179,10 +179,7 @@ def grouped_kendall(
         )
         return t.append_column("part", pa.array(part, type=pa.int64()))
 
-    key_type = None
-
     def per_partition(group_table: pa.Table) -> pa.Table:
-        nonlocal key_type
         kt = group_table.schema.field(by).type
         out_schema = pa.schema([(by, kt)] + _OUT_SCHEMA)
         if group_table.num_rows == 0:
@@ -214,6 +211,132 @@ def grouped_kendall(
                 "ties_y": pa.array(cols[5], pa.int64()),
                 "ties_xy": pa.array(cols[6], pa.int64()),
                 "tau_b": pa.array(cols[7], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return _adaptive_grouped_holistic(ds, add_part, per_partition, limit_bytes)
+
+
+def avg_rank2(a: np.ndarray) -> np.ndarray:
+    """Twice the average (midrank) of each element — lo+hi of its tie
+    run in 1-based sorted order — so tied ranks stay EXACT integers
+    (the .5 grid scaled by 2). Vectorized: one argsort + run bounds."""
+    a = np.asarray(a)
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.argsort(a, kind="stable")
+    s = a[order]
+    newrun = np.concatenate([[0], (np.diff(s) != 0).astype(np.int64)])
+    run_id = np.cumsum(newrun)
+    breaks = np.nonzero(np.diff(s))[0]
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [n - 1]])
+    r2_sorted = (starts[run_id] + 1) + (ends[run_id] + 1)
+    out = np.empty(n, dtype=np.int64)
+    out[order] = r2_sorted
+    return out
+
+
+def spearman_moments(x: np.ndarray, y: np.ndarray) -> dict[str, int]:
+    """Exact integer moments of the doubled midranks: Σrx·ry, Σrx²,
+    Σry² (Σrx = Σry = n(n+1), constant, folded into the rho formula).
+    Valid while 4n³ < 2^63 (n ≲ 1.3 M per group) — beyond that the
+    int64 moment itself overflows; raise loudly."""
+    n = len(x)
+    if n > 1_300_000:
+        raise ValueError(
+            "spearman_moments: group too large for exact int64 rank "
+            f"moments (n={n} > 1.3e6) — sample or shard the group first"
+        )
+    rx = avg_rank2(x)
+    ry = avg_rank2(y)
+    return dict(
+        n=n,
+        sxy=int(np.dot(rx, ry)),
+        sxx=int(np.dot(rx, rx)),
+        syy=int(np.dot(ry, ry)),
+    )
+
+
+def spearman_rho(m: dict[str, int], ndigits: int = 6) -> float | None:
+    """(nΣxy − ΣxΣy) / (√(nΣxx−Σx²)·√(nΣyy−Σy²)) over the doubled
+    midranks, with Σx = Σy = n(n+1); arbitrary-precision integers feed
+    one float expression, rounded half-away once (SQL ROUND parity)."""
+    n = m["n"]
+    s1 = n * (n + 1)
+    num = n * m["sxy"] - s1 * s1
+    dx = n * m["sxx"] - s1 * s1
+    dy = n * m["syy"] - s1 * s1
+    if dx <= 0 or dy <= 0:
+        return None
+    v = float(num) / (float(dx) ** 0.5 * float(dy) ** 0.5)
+    scale = 10.0**ndigits
+    return float(np.floor(abs(v) * scale + 0.5) / scale) * (1.0 if v >= 0 else -1.0)
+
+
+def grouped_spearman(
+    ds: Any,
+    by: str,
+    x: str,
+    y: str,
+    num_partitions: int | None = None,
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> Any:
+    """One row per group: ``(by, n, sxy, sxx, syy, rho)`` — Spearman
+    rank correlation with midrank tie handling, exact to the last
+    integer. Same grouped-holistic spine and null semantics as
+    :func:`grouped_kendall`."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from patito_ray.stages.join import default_num_partitions
+    from patito_ray.stages.quantiles import _adaptive_grouped_holistic
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from patito_ray.stages.exchange import hash_partition_ids
+
+        t = pa.table({by: t.column(by), x: t.column(x), y: t.column(y)})
+        valid = pc.and_kleene(pc.is_valid(t.column(x)), pc.is_valid(t.column(y)))
+        if pc.any(pc.invert(valid)).as_py():
+            t = t.filter(valid)
+        part = hash_partition_ids(
+            t.column(by), num_partitions, f"grouped_spearman key column {by!r}"
+        )
+        return t.append_column("part", pa.array(part, type=pa.int64()))
+
+    def per_partition(group_table: pa.Table) -> pa.Table:
+        kt = group_table.schema.field(by).type
+        out_schema = pa.schema(
+            [
+                (by, kt),
+                ("n", pa.int64()),
+                ("sxy", pa.int64()),
+                ("sxx", pa.int64()),
+                ("syy", pa.int64()),
+                ("rho", pa.float64()),
+            ]
+        )
+        if group_table.num_rows == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(group_table.drop_columns(["part"]))
+        rows: list[tuple] = []
+        for (key,), sub in df.group_by(by, maintain_order=False):
+            m = spearman_moments(sub[x].to_numpy(), sub[y].to_numpy())
+            rows.append((key, m["n"], m["sxy"], m["sxx"], m["syy"], spearman_rho(m)))
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                by: pa.array(cols[0], kt),
+                "n": pa.array(cols[1], pa.int64()),
+                "sxy": pa.array(cols[2], pa.int64()),
+                "sxx": pa.array(cols[3], pa.int64()),
+                "syy": pa.array(cols[4], pa.int64()),
+                "rho": pa.array(cols[5], pa.float64()),
             },
             schema=out_schema,
         )

@@ -13337,3 +13337,67 @@ FROM nn JOIN p ON p.event_type = nn.event_type
 """
 
 QUERIES["kendall_tau"] = (q_kendall_tau, SQL_KENDALL_TAU)
+
+
+def q_spearman_corr(sf_dir: str, limit_bytes: int | None = None) -> Any:
+    """Exact Spearman rank correlation per event type (spend cents vs
+    epoch µs) — midrank ties on a doubled-integer grid so every moment
+    is an exact int64; the SQL oracle rebuilds the same doubled
+    midranks with RANK() + a tie-count window. Companion to
+    `kendall_tau` on the same columns."""
+    from patito_ray.functions.kendall import grouped_spearman
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def grid(t: pa.Table) -> pa.Table:
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "x": pa.array(np.floor(val * 100.0 + 0.5).astype(np.int64)),
+                "y": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    return grouped_spearman(
+        ds.map_batches(grid, batch_format="pyarrow", batch_size=None),
+        by="event_type",
+        x="x",
+        y="y",
+        **_kw,
+    )
+
+
+SQL_SPEARMAN_CORR = """
+WITH g AS (
+  SELECT event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS x,
+         CAST(epoch_us(ts) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+r AS (
+  SELECT event_type,
+    CAST(2*RANK() OVER (PARTITION BY event_type ORDER BY x)
+         + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS BIGINT) AS rx,
+    CAST(2*RANK() OVER (PARTITION BY event_type ORDER BY y)
+         + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS BIGINT) AS ry
+  FROM g
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx*ry) AS BIGINT) AS sxy,
+         CAST(SUM(rx*rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry*ry) AS BIGINT) AS syy
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n, sxy, sxx, syy,
+       ROUND(
+         CAST(n*sxy - (n*(n+1))*(n*(n+1)) AS DOUBLE)
+         / (sqrt(CAST(n*sxx - (n*(n+1))*(n*(n+1)) AS DOUBLE))
+            * sqrt(CAST(n*syy - (n*(n+1))*(n*(n+1)) AS DOUBLE))), 6) AS rho
+FROM mom
+"""
+
+QUERIES["spearman_corr"] = (q_spearman_corr, SQL_SPEARMAN_CORR)

@@ -111,3 +111,71 @@ def test_grouped_kendall_paths(ray_session, limit_bytes):
         mask = (key == kv) & (np.arange(n) != 0)
         ref = kendall_counts(x[mask], y[mask])  # kernel brute-verified above
         assert got[kv] == {c: ref[c] for c in cols}
+
+
+def _brute_rank2(a):
+    return [int((a < v).sum()) + 1 + int((a <= v).sum()) for v in a]
+
+
+def test_avg_rank2_brute():
+    from patito_ray.functions.kendall import avg_rank2
+
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        n = int(rng.integers(0, 50))
+        a = rng.integers(-4, 5, size=n)
+        assert avg_rank2(a).tolist() == _brute_rank2(a)
+
+
+def test_spearman_moments_overflow_guard():
+    from patito_ray.functions.kendall import spearman_moments
+
+    with pytest.raises(ValueError, match="group too large"):
+        spearman_moments(
+            np.zeros(1_300_001, dtype=np.int8), np.zeros(1_300_001, dtype=np.int8)
+        )
+
+
+@pytest.mark.parametrize("limit_bytes", [None, 0])
+def test_grouped_spearman_paths(ray_session, limit_bytes):
+    import ray.data as rd
+
+    from patito_ray.functions.kendall import grouped_spearman, spearman_moments, spearman_rho
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    key = rng.integers(0, 3, size=n)
+    x = rng.integers(0, 20, size=n)  # tie-heavy
+    y = rng.integers(0, 500, size=n)
+    t = pa.table(
+        {
+            "k": pa.array(key, pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    out = grouped_spearman(
+        rd.from_arrow(t),
+        by="k",
+        x="x",
+        y="y",
+        **({} if limit_bytes is None else {"limit_bytes": limit_bytes}),
+    )
+    if not isinstance(out, pa.Table):
+        out = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+    got = {r["k"]: r for r in out.to_pylist()}
+    for kv in range(3):
+        xs, ys = x[key == kv], y[key == kv]
+        m = spearman_moments(xs, ys)
+        assert got[kv]["n"] == m["n"]
+        assert got[kv]["sxy"] == m["sxy"]
+        assert got[kv]["sxx"] == m["sxx"]
+        assert got[kv]["syy"] == m["syy"]
+        assert got[kv]["rho"] == spearman_rho(m)
+        # float cross-check: pearson of float midranks
+        rx = np.array(_brute_rank2(xs), dtype=np.float64)
+        ry = np.array(_brute_rank2(ys), dtype=np.float64)
+        ref = np.corrcoef(rx, ry)[0, 1]
+        assert abs(got[kv]["rho"] - ref) < 1e-6
