@@ -348,6 +348,12 @@ def run_bench() -> dict:
         "orphan_rate_monthly",
         "hierarchy_rollup",
         "item_cosine",
+        "cumulative_distinct",
+        "freshness_audit",
+        "poisson_bootstrap",
+        "degree_assortativity",
+        "kendall_tau",
+        "spearman_corr",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

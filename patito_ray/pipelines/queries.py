@@ -13401,3 +13401,104 @@ FROM mom
 """
 
 QUERIES["spearman_corr"] = (q_spearman_corr, SQL_SPEARMAN_CORR)
+
+
+def q_volume_anomaly(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Pipeline-volume monitor: daily event counts flagged when they
+    sit more than 3×MAD from the selection median of all days — the
+    robust ingest-anomaly gate (a mean/stddev version would let one
+    crashed day drag the threshold). Integer counts, selection median,
+    integer MAD, integer comparison: NOTHING is float, so the oracle
+    match is unconditional. One partial-sum merge (≤ #days rows per
+    batch); the day domain is calendar-bounded, so the driver fold is
+    O(days)."""
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "events", ["ts"])
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("aday", pa.int64()), ("n_events", pa.int64())])
+        if t.num_rows == 0:
+            return sch.empty_table()
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        day, cnt = np.unique(us // 86_400_000_000, return_counts=True)
+        return pa.table(
+            {"aday": pa.array(day.astype(np.int64)), "n_events": pa.array(cnt.astype(np.int64))},
+            schema=sch,
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(day_counts, batch_format="pyarrow", batch_size=None),
+        ["aday"],
+        ["n_events"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema([("aday", pa.int64()), ("n_events", pa.int64())]),
+        )
+    days = merged.column("aday").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = merged.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(days)
+    days, cnt = days[order], cnt[order]
+    n = len(cnt)
+    if n == 0:
+        return pa.schema(
+            [
+                ("day", pa.timestamp("us")),
+                ("n_events", pa.int64()),
+                ("med", pa.int64()),
+                ("mad", pa.int64()),
+                ("anomaly", pa.bool_()),
+            ]
+        ).empty_table()
+    rank = max(1, -(-n // 2))  # ceil(n/2), selection median
+    med = int(np.sort(cnt)[rank - 1])
+    ad = np.abs(cnt - med)
+    mad = int(np.sort(ad)[rank - 1])
+    day_ts = pc.cast(pc.cast(pa.array(days.astype(np.int32)), pa.date32()), pa.timestamp("us"))
+    return pa.table(
+        {
+            "day": day_ts,
+            "n_events": pa.array(cnt, pa.int64()),
+            "med": pa.array(np.full(n, med, np.int64)),
+            "mad": pa.array(np.full(n, mad, np.int64)),
+            "anomaly": pa.array(ad > 3 * mad, pa.bool_()),
+        }
+    )
+
+
+SQL_VOLUME_ANOMALY = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY day
+),
+ranked AS (
+  SELECT n_events, ROW_NUMBER() OVER (ORDER BY n_events) AS rn,
+         COUNT(*) OVER () AS n
+  FROM d
+),
+med AS (
+  SELECT n_events AS med FROM ranked
+  WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+),
+ad AS (
+  SELECT d.day, d.n_events, med.med,
+         ABS(d.n_events - med.med) AS a
+  FROM d, med
+),
+adr AS (
+  SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn, COUNT(*) OVER () AS n
+  FROM ad
+),
+mad AS (
+  SELECT a AS mad FROM adr
+  WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+)
+SELECT ad.day, ad.n_events, ad.med, mad.mad, (ad.a > 3 * mad.mad) AS anomaly
+FROM ad, mad
+"""
+
+QUERIES["volume_anomaly"] = (q_volume_anomaly, SQL_VOLUME_ANOMALY)

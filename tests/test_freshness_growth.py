@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import collections
 
+import pyarrow as pa
+
 import pyarrow.parquet as pq
 import pytest
 
@@ -77,3 +79,67 @@ def test_freshness_audit_reference(ray_session, limit_bytes):
     assert got == expect
     # exactly one type sits at the global maximum (lag 0)
     assert sum(1 for _, lag, _ in got.values() if lag == 0) >= 1
+
+
+@pytest.mark.parametrize("limit_bytes", [None, 0])
+def test_volume_anomaly_reference(ray_session, limit_bytes):
+    from patito_ray.pipelines.queries import q_volume_anomaly
+
+    ev = _events()
+    us = ev.column("ts").cast("int64").to_pylist()
+    per_day = collections.Counter(t // 86_400_000_000 for t in us)
+    days = sorted(per_day)
+    cnt = [per_day[d] for d in days]
+    n = len(cnt)
+    rank = max(1, -(-n // 2))
+    med = sorted(cnt)[rank - 1]
+    ad = [abs(c - med) for c in cnt]
+    mad = sorted(ad)[rank - 1]
+    expect = [
+        (d, c, med, mad, a > 3 * mad) for d, c, a in zip(days, cnt, ad)
+    ]
+
+    out = q_volume_anomaly(SF, limit_bytes=limit_bytes)
+    got = list(
+        zip(
+            [v // 86_400_000_000 for v in out.column("day").cast("int64").to_pylist()],
+            out.column("n_events").to_pylist(),
+            out.column("med").to_pylist(),
+            out.column("mad").to_pylist(),
+            out.column("anomaly").to_pylist(),
+        )
+    )
+    assert got == expect
+
+
+def test_volume_anomaly_flags_constructed_spike(ray_session, tmp_path, monkeypatch):
+    import pyarrow.parquet as pq_mod
+
+    # 14 calm days of 100 events + one 10x spike day
+    rows = []
+    eid = 0
+    for d in range(14):
+        for _ in range(100):
+            rows.append((eid, d * 86_400_000_000 + eid % 1000))
+            eid += 1
+    for _ in range(1000):
+        rows.append((eid, 14 * 86_400_000_000 + eid % 1000))
+        eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq_mod.write_table(t, str(tmp_path / "events.parquet"))
+    from patito_ray.pipelines.queries import q_volume_anomaly
+
+    out = q_volume_anomaly(str(tmp_path))
+    flags = dict(
+        zip(
+            [v // 86_400_000_000 for v in out.column("day").cast("int64").to_pylist()],
+            out.column("anomaly").to_pylist(),
+        )
+    )
+    assert flags[14] is True
+    assert all(flags[d] is False for d in range(14))
