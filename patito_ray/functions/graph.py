@@ -66,14 +66,21 @@ _CC_SCHEMA = pa.schema([("node", pa.int64()), ("root", pa.int64())])
 
 
 def _pagerank_local(
-    src: np.ndarray, dst: np.ndarray, num_iters: int, damping: float
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_iters: int,
+    damping: float,
+    seed_arr: "np.ndarray | None" = None,
 ) -> pa.Table:
     """Driver fast path: identical formula, vectorized numpy.
 
     ``bincount`` plays the role of the distributed groupby-sum; the
     dangling-mass and base terms use the exact same float expression
     tree as the distributed path so both land within summation-order
-    noise of each other.
+    noise of each other. The uniform branch keeps its original
+    expressions byte-for-byte (the pagerank oracle is 1e-9-rounded —
+    re-associating ``(1-d)/n`` would shift ulps); the personalized
+    branch (``seed_arr``) restarts to ``1/|S|`` on seeds, 0 elsewhere.
     """
     nodes = np.unique(np.concatenate([src, dst]))
     if len(nodes) == 0:
@@ -82,14 +89,25 @@ def _pagerank_local(
     src_idx = np.searchsorted(nodes, src)
     dst_idx = np.searchsorted(nodes, dst)
     outdeg = np.bincount(src_idx, minlength=n).astype(np.float64)
-    rank = np.full(n, 1.0 / n, dtype=np.float64)
-    base = (1.0 - damping) / n
     sender = outdeg > 0
-    for _ in range(num_iters):
-        contrib = rank[src_idx] / outdeg[src_idx]
-        w = np.bincount(dst_idx, weights=contrib, minlength=n)
-        dangling = float(rank[~sender].sum())
-        rank = base + damping * (w + dangling / n)
+    if seed_arr is None:
+        rank = np.full(n, 1.0 / n, dtype=np.float64)
+        base = (1.0 - damping) / n
+        for _ in range(num_iters):
+            contrib = rank[src_idx] / outdeg[src_idx]
+            w = np.bincount(dst_idx, weights=contrib, minlength=n)
+            dangling = float(rank[~sender].sum())
+            rank = base + damping * (w + dangling / n)
+    else:
+        inv_s = 1.0 / len(seed_arr)
+        s_vec = np.where(np.isin(nodes, seed_arr), inv_s, 0.0)
+        rank = s_vec.copy()
+        base_vec = (1.0 - damping) * s_vec
+        for _ in range(num_iters):
+            contrib = rank[src_idx] / outdeg[src_idx]
+            w = np.bincount(dst_idx, weights=contrib, minlength=n)
+            dangling = float(rank[~sender].sum())
+            rank = base_vec + damping * (w + dangling * s_vec)
     return pa.table(
         {
             "node": pa.array(nodes.astype(np.int64), type=pa.int64()),
@@ -106,6 +124,7 @@ def pagerank(
     dst: str = "dst",
     num_partitions: int | None = None,
     limit_bytes: int = _DRIVER_MERGE_BYTES,
+    seeds: Any = None,
 ) -> "pa.Table | Any":
     """PageRank by power iteration over a directed edge Dataset.
 
@@ -114,6 +133,14 @@ def pagerank(
     nodes with no out-edges. Node universe = every id appearing as
     ``src`` or ``dst``; parallel edges and self-loops count like any
     other edge (same as an unrolled SQL formulation).
+
+    ``seeds`` switches to PERSONALIZED PageRank (the TrustRank family:
+    propagate trust from a vetted seed set; Gyöngyi et al. 2004):
+    restart mass ``s(v) = 1/|S|`` on seeds and 0 elsewhere replaces
+    every ``1/N`` — init, base and dangling redistribution — so rank
+    can only enter the graph through seeds. The seed id array is
+    broadcast once (``ray.put``); the uniform branch's float
+    expression tree is untouched.
 
     Returns a driver ``pa.Table(node, pr)`` when the edge set fits
     ``limit_bytes``, else a lazy Ray ``Dataset`` with the same columns
@@ -134,6 +161,12 @@ def pagerank(
         raise ValueError(f"damping must be in [0, 1), got {damping}")
     _check_edges(edges, src, dst)
 
+    seed_arr = None
+    if seeds is not None:
+        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        if len(seed_arr) == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+
     edges_m = edges.materialize()
     if edges_m.size_bytes() <= limit_bytes:
         t = collect_table(edges_m, empty_schema=pa.schema([(src, pa.int64()), (dst, pa.int64())]))
@@ -142,6 +175,7 @@ def pagerank(
             t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64),
             num_iters,
             damping,
+            seed_arr,
         )
 
     if num_partitions is None:
@@ -177,15 +211,27 @@ def pagerank(
         return _PR_SCHEMA.empty_table()
     init_rank = 1.0 / n
     base = (1.0 - damping) / n
+    if seed_arr is not None:
+        _seed_ref = ray.put(seed_arr)
+        _inv_s = 1.0 / len(seed_arr)
+
+        def _seed_vec(node_np: np.ndarray) -> np.ndarray:
+            import ray as _ray
+
+            return np.where(np.isin(node_np, _ray.get(_seed_ref)), _inv_s, 0.0)
 
     def add_rank(t: pa.Table) -> pa.Table:
+        if seed_arr is None:
+            rank0 = np.full(t.num_rows, init_rank, np.float64)
+        else:
+            rank0 = _seed_vec(
+                pc.cast(t.column("node"), pa.int64()).to_numpy(zero_copy_only=False)
+            )
         return pa.table(
             {
                 "node": pc.cast(t.column("node"), pa.int64()),
                 "outdeg": pc.cast(t.column("outdeg"), pa.int64()),
-                "rank": pa.array(
-                    np.full(t.num_rows, init_rank, np.float64), type=pa.float64()
-                ),
+                "rank": pa.array(rank0, type=pa.float64()),
             }
         )
 
@@ -261,7 +307,11 @@ def pagerank(
                     (keys[pos_c] == node) if len(keys) else np.zeros(len(node), bool)
                 )
                 w = np.where(hit, ws[pos_c] if len(keys) else 0.0, 0.0)
-                rank = base + damping * (w + _d / n)
+                if seed_arr is None:
+                    rank = base + damping * (w + _d / n)
+                else:
+                    sv = _seed_vec(np.asarray(node))
+                    rank = (1.0 - damping) * sv + damping * (w + _d * sv)
                 return pa.table(
                     {
                         "node": t.column("node"),
@@ -296,7 +346,15 @@ def pagerank(
                     ).empty_table()
                 w = pc.fill_null(pc.cast(t.column("w"), pa.float64()), 0.0)
                 w_np = w.to_numpy(zero_copy_only=False)
-                rank = base + damping * (w_np + _d / n)
+                if seed_arr is None:
+                    rank = base + damping * (w_np + _d / n)
+                else:
+                    sv = _seed_vec(
+                        pc.cast(t.column("node"), pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        )
+                    )
+                    rank = (1.0 - damping) * sv + damping * (w_np + _d * sv)
                 return pa.table(
                     {
                         "node": pc.cast(t.column("node"), pa.int64()),

@@ -13502,3 +13502,86 @@ FROM ad, mad
 """
 
 QUERIES["volume_anomaly"] = (q_volume_anomaly, SQL_VOLUME_ANOMALY)
+
+
+def q_trustrank_docs(sf_dir: str, limit_bytes: int | None = None) -> Any:
+    """Personalized PageRank (TrustRank, Gyöngyi et al. 2004) over the
+    deterministic doc link graph: restart mass confined to the vetted
+    seed set (doc_id % 17 == 3), so rank reaches a page only through
+    link paths from seeds — the classic spam-demotion signal. Same
+    power-iteration machinery as `pagerank_docs` (co-partitioned
+    rank↔edge exchange, partial-sum merges); ranks rounded at 1e-9,
+    seeds at 1/|S| (|S| has no power-of-ten factor, keeping values off
+    finite-decimal rounding midpoints)."""
+    from patito_ray.functions.graph import pagerank
+
+    edges, n = _doc_link_edges(sf_dir, 3)
+    seeds = np.arange(3, n, 17, dtype=np.int64)
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    res = pagerank(edges, num_iters=3, damping=0.85, seeds=seeds, **_kw)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("node", pa.int64()), ("pr", pa.float64())]).empty_table()
+        return pa.table(
+            {
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "pr": _ra(pc.cast(t.column("pr"), pa.float64()), 9),
+            }
+        )
+
+    return _apply(res, finish)
+
+
+SQL_TRUSTRANK_DOCS = f"""
+WITH
+{_sql_link_edges(3)},
+sn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM documents WHERE doc_id % 17 = 3
+),
+r0 AS (
+  SELECT doc_id AS node,
+         CASE WHEN doc_id % 17 = 3
+              THEN 1.0/(SELECT ns FROM sn) ELSE 0.0 END AS pr
+  FROM documents
+),
+s1 AS (
+  SELECT e.dst AS node, SUM(r.pr/3.0) AS w
+  FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+),
+r1 AS (
+  SELECT d.doc_id AS node,
+         CASE WHEN d.doc_id % 17 = 3
+              THEN (1 - CAST(0.85 AS DOUBLE)) * (1.0/(SELECT ns FROM sn))
+              ELSE 0.0 END
+           + CAST(0.85 AS DOUBLE) * COALESCE(s1.w, 0.0) AS pr
+  FROM documents d LEFT JOIN s1 ON s1.node = d.doc_id
+),
+s2 AS (
+  SELECT e.dst AS node, SUM(r.pr/3.0) AS w
+  FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+),
+r2 AS (
+  SELECT d.doc_id AS node,
+         CASE WHEN d.doc_id % 17 = 3
+              THEN (1 - CAST(0.85 AS DOUBLE)) * (1.0/(SELECT ns FROM sn))
+              ELSE 0.0 END
+           + CAST(0.85 AS DOUBLE) * COALESCE(s2.w, 0.0) AS pr
+  FROM documents d LEFT JOIN s2 ON s2.node = d.doc_id
+),
+s3 AS (
+  SELECT e.dst AS node, SUM(r.pr/3.0) AS w
+  FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+),
+r3 AS (
+  SELECT d.doc_id AS node,
+         CASE WHEN d.doc_id % 17 = 3
+              THEN (1 - CAST(0.85 AS DOUBLE)) * (1.0/(SELECT ns FROM sn))
+              ELSE 0.0 END
+           + CAST(0.85 AS DOUBLE) * COALESCE(s3.w, 0.0) AS pr
+  FROM documents d LEFT JOIN s3 ON s3.node = d.doc_id
+)
+SELECT node, ROUND(pr, 9) AS pr FROM r3
+"""
+
+QUERIES["trustrank_docs"] = (q_trustrank_docs, SQL_TRUSTRANK_DOCS)

@@ -591,3 +591,64 @@ def test_sssp_hops_property_random_graphs(ray_session, m, seed, seeds):
         pa.table({"node": pa.array(sorted(set(seeds)), pa.int64())})
     )
     assert _bfs_out(sssp_hops(edges, seeds_ds, max_hops=3)) == ref
+
+
+def test_personalized_pagerank_unreachable_component_gets_zero(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import pagerank
+
+    # two disjoint 3-cycles; seeds only in the first
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    out = pagerank(ds, num_iters=5, damping=0.85, seeds=[0])
+    got = {r["node"]: r["pr"] for r in out.to_pylist()}
+    assert all(got[v] == 0.0 for v in (10, 11, 12))
+    assert all(got[v] > 0.0 for v in (0, 1, 2))
+    # trust mass never exceeds the restart total
+    assert sum(got.values()) <= 1.0 + 1e-12
+
+
+def test_personalized_pagerank_paths_agree(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(23)
+    n = 400
+    src = rng.integers(0, n, size=3 * n)
+    dst = rng.integers(0, n, size=3 * n)
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    seeds = list(range(0, n, 13))
+    local = pagerank(ds, num_iters=3, damping=0.85, seeds=seeds)
+    dist = pagerank(ds, num_iters=3, damping=0.85, seeds=seeds, limit_bytes=0)
+    if not isinstance(dist, pa.Table):
+        dist = pa.concat_tables(
+            [b for b in dist.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+    lg = {r["node"]: r["pr"] for r in local.to_pylist()}
+    dg = {r["node"]: r["pr"] for r in dist.to_pylist()}
+    assert set(lg) == set(dg)
+    for k in lg:
+        assert abs(lg[k] - dg[k]) < 1e-12, k
+
+
+def test_personalized_pagerank_empty_seeds_rejected(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import pagerank
+
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="non-empty seed set"):
+        pagerank(ds, seeds=[])
