@@ -13585,3 +13585,198 @@ SELECT node, ROUND(pr, 9) AS pr FROM r3
 """
 
 QUERIES["trustrank_docs"] = (q_trustrank_docs, SQL_TRUSTRANK_DOCS)
+
+
+def q_link_reciprocity(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Directed-link reciprocity of the doc graph (how often does a
+    link get linked back? — the mutual-citation signal). Two narrow
+    exchanges: distinct directed edges (16 B/edge), then direction
+    bits OR-folded per unordered pair via a partial-sum merge (bit 1 =
+    forward, bit 2 = reverse; a sum of 3 means both directions exist —
+    safe because the first exchange made edges globally unique).
+    Integer counts, one ROUND(…, 6) division."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    edges, _n = _doc_link_edges(sf_dir, 3)
+    _kw = {"limit_bytes": limit_bytes} if limit_bytes is not None else {}
+
+    def ded(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        pairs = np.unique(np.stack([s[keep], d[keep]], axis=1), axis=0)
+        return pa.table(
+            {
+                "s": pa.array(pairs[:, 0], pa.int64()),
+                "d": pa.array(pairs[:, 1], pa.int64()),
+                "one": pa.array(np.ones(len(pairs), dtype=np.int64)),
+            }
+        )
+
+    distinct = merge_partial_sums(
+        edges.map_batches(ded, batch_format="pyarrow", batch_size=None),
+        ["s", "d"],
+        ["one"],
+        **_kw,
+    )
+    _sch = pa.schema([("lo", pa.int64()), ("hi", pa.int64()), ("bit", pa.int64())])
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return _sch.empty_table()
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        bit = np.where(s < d, 1, 2).astype(np.int64)
+        return pa.table(
+            {"lo": pa.array(lo.astype(np.int64)), "hi": pa.array(hi.astype(np.int64)),
+             "bit": pa.array(bit)},
+            schema=_sch,
+        )
+
+    if isinstance(distinct, pa.Table):
+        import ray.data as rd
+
+        n_edges = distinct.num_rows
+        bits_src = rd.from_arrow(to_bits(distinct))
+    else:
+        distinct = distinct.materialize()
+        n_edges = distinct.count()
+        bits_src = distinct.map_batches(to_bits, batch_format="pyarrow", batch_size=None)
+
+    folded = merge_partial_sums(bits_src, ["lo", "hi"], ["bit"], **_kw)
+    if not isinstance(folded, pa.Table):
+        folded = collect_table(folded, empty_schema=_sch)
+    both = int(
+        pc.sum(pc.cast(pc.equal(folded.column("bit"), 3), pa.int64())).as_py() or 0
+    )
+    reciprocal = 2 * both
+    r = (
+        None
+        if n_edges == 0
+        else float(np.floor((reciprocal / n_edges) * 1e6 + 0.5) / 1e6)
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "reciprocal_edges": pa.array([reciprocal], pa.int64()),
+            "reciprocity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+SQL_LINK_RECIPROCITY = f"""
+WITH
+{_sql_link_edges(3)},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+rec AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS reciprocal_edges
+  FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT tot.n_edges, rec.reciprocal_edges,
+       ROUND(CAST(rec.reciprocal_edges AS DOUBLE) / tot.n_edges, 6)
+         AS reciprocity
+FROM tot, rec
+"""
+
+QUERIES["link_reciprocity"] = (q_link_reciprocity, SQL_LINK_RECIPROCITY)
+
+
+def q_clustering_coeff(sf_dir: str) -> pa.Table:
+    """Global clustering coefficient (transitivity) of the undirected
+    doc link graph: 3·triangles / wedges. Triangles ride the
+    degree-ordered exact counter (`functions/graph.py:triangle_count`,
+    hub-safe by orientation); wedges are the joinless degree moment
+    Σ d(d−1)/2 from one distinct-edge + one degree merge. Integer
+    counts, one ROUND(…, 6) division."""
+    import polars as pl
+
+    from patito_ray.functions.graph import triangle_count
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    edges, _n = _doc_link_edges(sf_dir, 3)
+    edges = edges.materialize()
+    tri_tab = triangle_count(edges)
+    triangles = int(tri_tab.column("triangles")[0].as_py())
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        lo = np.minimum(s[keep], d[keep])
+        hi = np.maximum(s[keep], d[keep])
+        pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table(
+            {
+                "lo": pa.array(pairs[:, 0], pa.int64()),
+                "hi": pa.array(pairs[:, 1], pa.int64()),
+                "one": pa.array(np.ones(len(pairs), dtype=np.int64)),
+            }
+        )
+
+    distinct = merge_partial_sums(
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=None),
+        ["lo", "hi"],
+        ["one"],
+    )
+    if not isinstance(distinct, pa.Table):
+        distinct = collect_table(
+            distinct,
+            empty_schema=pa.schema(
+                [("lo", pa.int64()), ("hi", pa.int64()), ("one", pa.int64())]
+            ),
+        )
+    nodes = np.concatenate(
+        [
+            distinct.column("lo").to_numpy(zero_copy_only=False),
+            distinct.column("hi").to_numpy(zero_copy_only=False),
+        ]
+    )
+    _u, deg = np.unique(nodes, return_counts=True)
+    deg = deg.astype(np.int64)
+    wedges = int((deg * (deg - 1) // 2).sum())
+    cc = (
+        None
+        if wedges == 0
+        else float(np.floor((3 * triangles / wedges) * 1e6 + 0.5) / 1e6)
+    )
+    return pa.table(
+        {
+            "triangles": pa.array([triangles], pa.int64()),
+            "wedges": pa.array([wedges], pa.int64()),
+            "global_cc": pa.array([cc], pa.float64()),
+        }
+    )
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH
+{_sql_link_edges(3)},
+eu AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+w AS (
+  SELECT e1.b AS u, e2.b AS v
+  FROM eu e1 JOIN eu e2 ON e2.a = e1.a AND e2.b > e1.b
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM w JOIN eu ON eu.a = w.u AND eu.b = w.v
+),
+degs AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM eu UNION ALL SELECT b AS node FROM eu
+  ) GROUP BY node
+),
+wc AS (SELECT CAST(SUM(deg*(deg-1)//2) AS BIGINT) AS wedges FROM degs)
+SELECT tri.triangles, wc.wedges,
+       ROUND(CAST(3*tri.triangles AS DOUBLE) / wc.wedges, 6) AS global_cc
+FROM tri, wc
+"""
+
+QUERIES["clustering_coeff"] = (q_clustering_coeff, SQL_CLUSTERING_COEFF)

@@ -652,3 +652,51 @@ def test_personalized_pagerank_empty_seeds_rejected(ray_session):
     )
     with pytest.raises(ValueError, match="non-empty seed set"):
         pagerank(ds, seeds=[])
+
+
+@pytest.mark.parametrize("limit_bytes", [None, 0])
+def test_link_reciprocity_constructed(ray_session, tmp_path, limit_bytes, monkeypatch):
+    # constructed edge list via a stubbed _doc_link_edges
+    import ray.data as rd
+
+    import patito_ray.pipelines.queries as q
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (4, 4), (0, 1)]
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    monkeypatch.setattr(
+        q, "_doc_link_edges", lambda sf_dir, k, with_weight=False: (rd.from_arrow(t), 5)
+    )
+    out = q.q_link_reciprocity("ignored", limit_bytes=limit_bytes)
+    # distinct non-loop edges: (0,1),(1,0),(1,2),(2,3),(3,2) -> 5
+    # reciprocal: (0,1)/(1,0) and (2,3)/(3,2) -> 4 edges
+    assert out.column("n_edges")[0].as_py() == 5
+    assert out.column("reciprocal_edges")[0].as_py() == 4
+    assert out.column("reciprocity")[0].as_py() == 0.8
+
+
+def test_clustering_coeff_triangle_plus_tail(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import patito_ray.pipelines.queries as q
+
+    # triangle 0-1-2 plus a tail 2-3: T=1, degs (1,2,2,3)? ->
+    # degrees: 0:2, 1:2, 2:3, 3:1 -> wedges = 1+1+3+0 = 5
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    monkeypatch.setattr(
+        q, "_doc_link_edges", lambda sf_dir, k, with_weight=False: (rd.from_arrow(t), 4)
+    )
+    out = q.q_clustering_coeff("ignored")
+    assert out.column("triangles")[0].as_py() == 1
+    assert out.column("wedges")[0].as_py() == 5
+    assert out.column("global_cc")[0].as_py() == 0.6
