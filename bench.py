@@ -354,6 +354,10 @@ def run_bench() -> dict:
         "degree_assortativity",
         "kendall_tau",
         "spearman_corr",
+        "volume_anomaly",
+        "trustrank_docs",
+        "link_reciprocity",
+        "clustering_coeff",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)
