@@ -358,6 +358,7 @@ def run_bench() -> dict:
         "trustrank_docs",
         "link_reciprocity",
         "clustering_coeff",
+        "mutual_info",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

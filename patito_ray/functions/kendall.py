@@ -95,6 +95,13 @@ def kendall_counts(x: np.ndarray, y: np.ndarray) -> dict[str, int]:
     x = np.asarray(x).astype(np.int64)
     y = np.asarray(y).astype(np.int64)
     n = len(x)
+    if n > 4_000_000_000:
+        # n(n-1)/2 would overflow the int64 pair-count columns (and the
+        # group wouldn't fit one partition task long before that)
+        raise ValueError(
+            f"kendall_counts: group of {n} rows exceeds the exact int64 "
+            "pair-count range — shard or sample the group first"
+        )
     n0 = n * (n - 1) // 2
     if n < 2:
         return dict(n=n, concordant=0, discordant=0, ties_x=0, ties_y=0, ties_xy=0)

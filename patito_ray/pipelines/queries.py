@@ -13780,3 +13780,101 @@ FROM tri, wc
 """
 
 QUERIES["clustering_coeff"] = (q_clustering_coeff, SQL_CLUSTERING_COEFF)
+
+
+def q_mutual_info(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Mutual information between two categorical columns (lang ×
+    source) — the dependence audit chi² can't rank across column pairs
+    (MI is in bits). One distinct-pair partial-sum merge (≤ |langs|×
+    |sources| rows per batch); marginals and the Σ p·log2 fold happen
+    on the ≤100-cell driver table with the same per-cell expression the
+    SQL evaluates, rounded once at 1e-6 (log2 is the only libm call;
+    a 1-ulp libm skew per cell is ~1e-16 against a 1e-6 grid)."""
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "documents", ["lang", "source"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        sch = pa.schema(
+            [("lang", pa.string()), ("source", pa.string()), ("n", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return sch.empty_table()
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by(["lang", "source"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+            .cast(sch)
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["lang", "source"],
+        ["n"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("lang", pa.string()), ("source", pa.string()), ("n", pa.int64())]
+            ),
+        )
+    langs = merged.column("lang").to_pylist()
+    srcs = merged.column("source").to_pylist()
+    n = merged.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(n) == 0:
+        return pa.table(
+            {
+                "n_total": pa.array([0], pa.int64()),
+                "n_cells": pa.array([0], pa.int64()),
+                "mutual_info": pa.array([None], pa.float64()),
+            }
+        )
+    import collections
+
+    nl = collections.Counter()
+    ns = collections.Counter()
+    for lg, sc, c in zip(langs, srcs, n):
+        nl[lg] += int(c)
+        ns[sc] += int(c)
+    nt = int(n.sum())
+    mi = 0.0
+    for lg, sc, c in zip(langs, srcs, n):
+        c = int(c)
+        mi += (c / nt) * np.log2((c * nt) / (nl[lg] * ns[sc]))
+    mi_r = float(np.floor(abs(mi) * 1e6 + 0.5) / 1e6) * (1.0 if mi >= 0 else -1.0)
+    return pa.table(
+        {
+            "n_total": pa.array([nt], pa.int64()),
+            "n_cells": pa.array([len(n)], pa.int64()),
+            "mutual_info": pa.array([mi_r], pa.float64()),
+        }
+    )
+
+
+SQL_MUTUAL_INFO = """
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+m AS (
+  SELECT lang, source, n,
+         CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS nl,
+         CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS ns,
+         CAST(SUM(n) OVER () AS BIGINT) AS nt
+  FROM c
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM( (CAST(n AS DOUBLE)/nt)
+                  * log2( (CAST(n AS DOUBLE)*nt)
+                          / (CAST(nl AS DOUBLE)*ns) ) ), 6) AS mutual_info
+FROM m
+"""
+
+QUERIES["mutual_info"] = (q_mutual_info, SQL_MUTUAL_INFO)

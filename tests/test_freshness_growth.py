@@ -143,3 +143,30 @@ def test_volume_anomaly_flags_constructed_spike(ray_session, tmp_path, monkeypat
     )
     assert flags[14] is True
     assert all(flags[d] is False for d in range(14))
+
+
+@pytest.mark.parametrize("limit_bytes", [None, 0])
+def test_mutual_info_reference(ray_session, limit_bytes):
+    import numpy as np
+
+    from patito_ray.pipelines.queries import q_mutual_info
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "source"])
+    pairs = list(zip(t.column("lang").to_pylist(), t.column("source").to_pylist()))
+    cnt = collections.Counter(pairs)
+    nl = collections.Counter(l for l, _ in pairs)
+    ns = collections.Counter(s for _, s in pairs)
+    nt = len(pairs)
+    mi = sum(
+        (c / nt) * np.log2((c * nt) / (nl[lg] * ns[sc]))
+        for (lg, sc), c in cnt.items()
+    )
+
+    out = q_mutual_info(SF, limit_bytes=limit_bytes)
+    assert out.column("n_total")[0].as_py() == nt
+    assert out.column("n_cells")[0].as_py() == len(cnt)
+    assert abs(out.column("mutual_info")[0].as_py() - mi) < 2e-6
+    # MI is non-negative and bounded by min marginal entropy
+    hl = -sum((c / nt) * np.log2(c / nt) for c in nl.values())
+    hs = -sum((c / nt) * np.log2(c / nt) for c in ns.values())
+    assert -1e-9 <= out.column("mutual_info")[0].as_py() <= min(hl, hs) + 1e-9
