@@ -472,6 +472,7 @@ def triangle_count(
     dst: str = "dst",
     num_partitions: int | None = None,
     limit_bytes: int = _DRIVER_MERGE_BYTES,
+    with_wedges: bool = False,
 ) -> pa.Table:
     """Exact triangle count of the UNDIRECTED simple graph underlying
     an edge Dataset (directions, duplicates and self-loops are
@@ -500,6 +501,11 @@ def triangle_count(
 
     Node ids must be int64 in [0, 2^32) with degree < 2^31 (the packed
     orientation key) — hash bigger id spaces down first.
+
+    ``with_wedges`` adds a ``wedges`` column (Σ d(d−1)/2, the open +
+    closed 2-path count) computed from the degree table step 2 already
+    built — the global clustering coefficient 3T/wedges then costs no
+    extra pass over the edges.
     """
     import polars as pl
 
@@ -545,8 +551,11 @@ def triangle_count(
     distinct = distinct.materialize()
     n_edges = distinct.count()
     if n_edges == 0:
-        return pa.table({"triangles": pa.array([0], type=pa.int64()),
-                         "n_edges": pa.array([0], type=pa.int64())})
+        cols = {"triangles": pa.array([0], type=pa.int64()),
+                "n_edges": pa.array([0], type=pa.int64())}
+        if with_wedges:
+            cols["wedges"] = pa.array([0], type=pa.int64())
+        return pa.table(cols)
 
     # ---- 2. degrees over the simple graph ----
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -568,6 +577,28 @@ def triangle_count(
         ["deg"],
         limit_bytes=limit_bytes,
     )
+
+    wedge_total = None
+    if with_wedges:
+        if isinstance(degrees, pa.Table):
+            dd = degrees.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+            wedge_total = int((dd * (dd - 1) // 2).sum())
+        else:
+            degrees = degrees.materialize()  # consumed twice below
+
+            def _wedge_partial(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "deg" not in t.column_names:
+                    return pa.schema([("w", pa.int64())]).empty_table()
+                dd = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table({"w": pa.array([int((dd * (dd - 1) // 2).sum())])})
+
+            wt = collect_table(
+                degrees.map_batches(
+                    _wedge_partial, batch_format="pyarrow", batch_size=None
+                ),
+                pa.schema([("w", pa.int64())]),
+            )
+            wedge_total = int(pc.sum(wt.column("w")).as_py() or 0)
 
     def _pack(deg: np.ndarray, node: np.ndarray) -> np.ndarray:
         if deg.size and int(deg.max()) >= 1 << 31:
@@ -728,10 +759,11 @@ def triangle_count(
     )
     total = collect_table(partial_tris, pa.schema([("tri", pa.int64())]))
     tri = int(pc.sum(total.column("tri")).as_py() or 0)
-    return pa.table(
-        {"triangles": pa.array([tri], type=pa.int64()),
-         "n_edges": pa.array([n_edges], type=pa.int64())}
-    )
+    cols = {"triangles": pa.array([tri], type=pa.int64()),
+            "n_edges": pa.array([n_edges], type=pa.int64())}
+    if with_wedges:
+        cols["wedges"] = pa.array([wedge_total], type=pa.int64())
+    return pa.table(cols)
 
 
 _KC_SCHEMA = pa.schema([("node", pa.int64())])
@@ -1597,7 +1629,6 @@ def degree_assortativity(
         out_s = pa.schema(
             [
                 ("side", pa.int64()),
-                ("m", pa.int64()),
                 ("s1", pa.int64()),
                 ("s2", pa.int64()),
                 ("s3", pa.int64()),
@@ -1616,7 +1647,6 @@ def degree_assortativity(
         return pa.table(
             {
                 "side": pa.array([r[0] for r in rows], pa.int64()),
-                "m": pa.array([r[1] for r in rows], pa.int64()),
                 "s1": pa.array([r[1] for r in rows], pa.int64()),
                 "s2": pa.array([r[2] for r in rows], pa.int64()),
                 "s3": pa.array([r[3] for r in rows], pa.int64()),
@@ -1687,10 +1717,14 @@ def degree_assortativity(
         sx, sxx = moments[0][1], moments[0][2]
         sy, syy = moments[1][1], moments[1][2]
     else:
+        # degrees is a lazy exchange pipeline consumed by three stages
+        # below (moment merge + two side attaches, whose copartition
+        # schema fetch executes the plan) — materialize ONCE
+        degrees = degrees.materialize()
         mom = merge_partial_sums(
             degrees.map_batches(_moment_partial, batch_format="pyarrow", batch_size=None),
             ["side"],
-            ["m", "s1", "s2", "s3"],
+            ["s1", "s2", "s3"],
             limit_bytes=max(limit_bytes, 1 << 20),
         )
         if not isinstance(mom, pa.Table):

@@ -134,11 +134,12 @@ def tau_b(counts: dict[str, int], ndigits: int = 6) -> float | None:
     dy = n0 - ty
     if dx <= 0 or dy <= 0:
         return None
+    from patito_ray.stages.agg import round_half_away
+
     v = float(counts["concordant"] - counts["discordant"]) / (
         float(dx) ** 0.5 * float(dy) ** 0.5
     )
-    scale = 10.0**ndigits
-    return float(np.floor(abs(v) * scale + 0.5) / scale) * (1.0 if v >= 0 else -1.0)
+    return round_half_away(v, ndigits)
 
 
 _OUT_SCHEMA = [
@@ -278,9 +279,10 @@ def spearman_rho(m: dict[str, int], ndigits: int = 6) -> float | None:
     dy = n * m["syy"] - s1 * s1
     if dx <= 0 or dy <= 0:
         return None
+    from patito_ray.stages.agg import round_half_away
+
     v = float(num) / (float(dx) ** 0.5 * float(dy) ** 0.5)
-    scale = 10.0**ndigits
-    return float(np.floor(abs(v) * scale + 0.5) / scale) * (1.0 if v >= 0 else -1.0)
+    return round_half_away(v, ndigits)
 
 
 def grouped_spearman(

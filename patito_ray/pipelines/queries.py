@@ -13279,6 +13279,13 @@ def q_kendall_tau(sf_dir: str, limit_bytes: int | None = None) -> Any:
     ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
 
     def grid(t: pa.Table) -> pa.Table:
+        # drop null value/ts ROWS before the numpy conversion — a null
+        # would otherwise become NaN -> garbage int64 with no null flag
+        valid = pc.and_kleene(
+            pc.is_valid(t.column("value")), pc.is_valid(t.column("ts"))
+        )
+        if pc.any(pc.invert(valid)).as_py():
+            t = t.filter(valid)
         val = t.column("value").to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -13326,14 +13333,21 @@ p AS (
 nn AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY event_type
 )
-SELECT nn.event_type, nn.n, p.concordant, p.discordant,
-       p.ties_x, p.ties_y, p.ties_xy,
-       ROUND(
+SELECT nn.event_type, nn.n,
+       COALESCE(p.concordant, 0) AS concordant,
+       COALESCE(p.discordant, 0) AS discordant,
+       COALESCE(p.ties_x, 0) AS ties_x,
+       COALESCE(p.ties_y, 0) AS ties_y,
+       COALESCE(p.ties_xy, 0) AS ties_xy,
+       CASE WHEN nn.n*(nn.n-1)//2 - COALESCE(p.ties_x,0) - COALESCE(p.ties_xy,0) <= 0
+              OR nn.n*(nn.n-1)//2 - COALESCE(p.ties_y,0) - COALESCE(p.ties_xy,0) <= 0
+            THEN NULL
+            ELSE ROUND(
          CAST(p.concordant - p.discordant AS DOUBLE)
          / (sqrt(CAST(nn.n*(nn.n-1)//2 - p.ties_x - p.ties_xy AS DOUBLE))
             * sqrt(CAST(nn.n*(nn.n-1)//2 - p.ties_y - p.ties_xy AS DOUBLE))),
-         6) AS tau_b
-FROM nn JOIN p ON p.event_type = nn.event_type
+         6) END AS tau_b
+FROM nn LEFT JOIN p ON p.event_type = nn.event_type
 """
 
 QUERIES["kendall_tau"] = (q_kendall_tau, SQL_KENDALL_TAU)
@@ -13350,6 +13364,13 @@ def q_spearman_corr(sf_dir: str, limit_bytes: int | None = None) -> Any:
     ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
 
     def grid(t: pa.Table) -> pa.Table:
+        # drop null value/ts ROWS before the numpy conversion — a null
+        # would otherwise become NaN -> garbage int64 with no null flag
+        valid = pc.and_kleene(
+            pc.is_valid(t.column("value")), pc.is_valid(t.column("ts"))
+        )
+        if pc.any(pc.invert(valid)).as_py():
+            t = t.filter(valid)
         val = t.column("value").to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -13393,10 +13414,13 @@ mom AS (
   FROM r GROUP BY event_type
 )
 SELECT event_type, n, sxy, sxx, syy,
-       ROUND(
+       CASE WHEN n*sxx - (n*(n+1))*(n*(n+1)) <= 0
+              OR n*syy - (n*(n+1))*(n*(n+1)) <= 0
+            THEN NULL
+            ELSE ROUND(
          CAST(n*sxy - (n*(n+1))*(n*(n+1)) AS DOUBLE)
          / (sqrt(CAST(n*sxx - (n*(n+1))*(n*(n+1)) AS DOUBLE))
-            * sqrt(CAST(n*syy - (n*(n+1))*(n*(n+1)) AS DOUBLE))), 6) AS rho
+            * sqrt(CAST(n*syy - (n*(n+1))*(n*(n+1)) AS DOUBLE))), 6) END AS rho
 FROM mom
 """
 
@@ -13595,8 +13619,6 @@ def q_link_reciprocity(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
     forward, bit 2 = reverse; a sum of 3 means both directions exist —
     safe because the first exchange made edges globally unique).
     Integer counts, one ROUND(…, 6) division."""
-    import polars as pl
-
     from patito_ray.stages.agg import collect_table, merge_partial_sums
 
     edges, _n = _doc_link_edges(sf_dir, 3)
@@ -13654,11 +13676,7 @@ def q_link_reciprocity(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
         pc.sum(pc.cast(pc.equal(folded.column("bit"), 3), pa.int64())).as_py() or 0
     )
     reciprocal = 2 * both
-    r = (
-        None
-        if n_edges == 0
-        else float(np.floor((reciprocal / n_edges) * 1e6 + 0.5) / 1e6)
-    )
+    r = None if n_edges == 0 else _rf(reciprocal / n_edges, 6)
     return pa.table(
         {
             "n_edges": pa.array([n_edges], pa.int64()),
@@ -13688,62 +13706,18 @@ QUERIES["link_reciprocity"] = (q_link_reciprocity, SQL_LINK_RECIPROCITY)
 
 def q_clustering_coeff(sf_dir: str) -> pa.Table:
     """Global clustering coefficient (transitivity) of the undirected
-    doc link graph: 3·triangles / wedges. Triangles ride the
-    degree-ordered exact counter (`functions/graph.py:triangle_count`,
-    hub-safe by orientation); wedges are the joinless degree moment
-    Σ d(d−1)/2 from one distinct-edge + one degree merge. Integer
-    counts, one ROUND(…, 6) division."""
-    import polars as pl
-
+    doc link graph: 3·triangles / wedges. One triangle_count pass
+    (hub-safe degree-ordered counter) with `with_wedges=True` — the
+    wedge moment Σ d(d−1)/2 falls out of the degree table the counter
+    already builds, so no second scan of the edges. Integer counts,
+    one ROUND(…, 6) division."""
     from patito_ray.functions.graph import triangle_count
-    from patito_ray.stages.agg import collect_table, merge_partial_sums
 
     edges, _n = _doc_link_edges(sf_dir, 3)
-    edges = edges.materialize()
-    tri_tab = triangle_count(edges)
+    tri_tab = triangle_count(edges, with_wedges=True)
     triangles = int(tri_tab.column("triangles")[0].as_py())
-
-    def canon(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        lo = np.minimum(s[keep], d[keep])
-        hi = np.maximum(s[keep], d[keep])
-        pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
-        return pa.table(
-            {
-                "lo": pa.array(pairs[:, 0], pa.int64()),
-                "hi": pa.array(pairs[:, 1], pa.int64()),
-                "one": pa.array(np.ones(len(pairs), dtype=np.int64)),
-            }
-        )
-
-    distinct = merge_partial_sums(
-        edges.map_batches(canon, batch_format="pyarrow", batch_size=None),
-        ["lo", "hi"],
-        ["one"],
-    )
-    if not isinstance(distinct, pa.Table):
-        distinct = collect_table(
-            distinct,
-            empty_schema=pa.schema(
-                [("lo", pa.int64()), ("hi", pa.int64()), ("one", pa.int64())]
-            ),
-        )
-    nodes = np.concatenate(
-        [
-            distinct.column("lo").to_numpy(zero_copy_only=False),
-            distinct.column("hi").to_numpy(zero_copy_only=False),
-        ]
-    )
-    _u, deg = np.unique(nodes, return_counts=True)
-    deg = deg.astype(np.int64)
-    wedges = int((deg * (deg - 1) // 2).sum())
-    cc = (
-        None
-        if wedges == 0
-        else float(np.floor((3 * triangles / wedges) * 1e6 + 0.5) / 1e6)
-    )
+    wedges = int(tri_tab.column("wedges")[0].as_py())
+    cc = None if wedges == 0 else _rf(3 * triangles / wedges, 6)
     return pa.table(
         {
             "triangles": pa.array([triangles], pa.int64()),
@@ -13847,7 +13821,7 @@ def q_mutual_info(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
     for lg, sc, c in zip(langs, srcs, n):
         c = int(c)
         mi += (c / nt) * np.log2((c * nt) / (nl[lg] * ns[sc]))
-    mi_r = float(np.floor(abs(mi) * 1e6 + 0.5) / 1e6) * (1.0 if mi >= 0 else -1.0)
+    mi_r = _rf(mi, 6)
     return pa.table(
         {
             "n_total": pa.array([nt], pa.int64()),

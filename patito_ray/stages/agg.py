@@ -522,3 +522,15 @@ def string_agg_per_group(
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
     return parted.groupby("part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def round_half_away(v: float, nd: int) -> float:
+    """DuckDB-ROUND-compatible scalar rounding (half AWAY from zero,
+    floor(|v|·10^nd + 0.5)/10^nd) — the one rounding semantics every
+    float that meets a SQL oracle must use (pipelines.queries._rf is
+    the same formula; this copy exists so functions/ modules don't
+    import the query registry)."""
+    import math
+
+    f = 10.0**nd
+    return math.copysign(math.floor(abs(v) * f + 0.5), v) / f

@@ -179,3 +179,63 @@ def test_grouped_spearman_paths(ray_session, limit_bytes):
         ry = np.array(_brute_rank2(ys), dtype=np.float64)
         ref = np.corrcoef(rx, ry)[0, 1]
         assert abs(got[kv]["rho"] - ref) < 1e-6
+
+
+def test_query_grid_drops_null_values(ray_session, tmp_path):
+    """A null events.value must DROP the row (SQL aggregate semantics),
+    not become NaN -> garbage int64 (the review-found latent bug)."""
+    import pyarrow.parquet as pq
+
+    from patito_ray.pipelines.queries import q_kendall_tau, q_spearman_corr
+
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(6)), pa.int64()),
+            "event_type": pa.array(["a"] * 6, pa.string()),
+            "ts": pa.array([10, 20, 30, 40, 50, 60], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, None, 3.0, 4.0, 5.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_kendall_tau(str(tmp_path))
+    if not isinstance(out, pa.Table):
+        out = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+    row = out.to_pylist()[0]
+    assert row["n"] == 5  # null row gone
+    # the 5 remaining rows are perfectly concordant
+    assert row["concordant"] == 10 and row["discordant"] == 0
+    assert row["tau_b"] == 1.0
+
+    sp = q_spearman_corr(str(tmp_path))
+    if not isinstance(sp, pa.Table):
+        sp = pa.concat_tables(
+            [b for b in sp.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+    srow = sp.to_pylist()[0]
+    assert srow["n"] == 5 and srow["rho"] == 1.0
+
+
+def test_triangle_count_with_wedges(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import triangle_count
+
+    # triangle + tail: T=1, degrees (2,2,3,1) -> wedges 1+1+3+0 = 5
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    for lb in (None, 0):
+        kw = {} if lb is None else {"limit_bytes": lb}
+        out = triangle_count(rd.from_arrow(t), with_wedges=True, **kw)
+        assert out.column("triangles")[0].as_py() == 1
+        assert out.column("wedges")[0].as_py() == 5
+    # empty graph
+    e = pa.schema([("src", pa.int64()), ("dst", pa.int64())]).empty_table()
+    out = triangle_count(rd.from_arrow(e), with_wedges=True)
+    assert out.column("wedges")[0].as_py() == 0
