@@ -359,6 +359,7 @@ def run_bench() -> dict:
         "link_reciprocity",
         "clustering_coeff",
         "mutual_info",
+        "cvm_test",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

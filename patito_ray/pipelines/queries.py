@@ -13852,3 +13852,151 @@ FROM m
 """
 
 QUERIES["mutual_info"] = (q_mutual_info, SQL_MUTUAL_INFO)
+
+
+def q_cvm_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Two-sample Cramér–von Mises test (purchase vs view value
+    distributions) with midrank ties on the doubled-integer grid —
+    the omnibus distribution-shape companion to `mann_whitney` (which
+    only detects location shift). The rank-deviation sums Σ(R−I)² per
+    side are EXACT integers: counts per 1-cent grid cell ride one
+    adaptive merge (grid-bounded exchange), and each tie run's sum is
+    a closed form in its run boundaries (c·a² − 2a·c(c+1) +
+    2·c(c+1)(2c+1)/3), so no per-row work exists anywhere. The
+    statistic T = U/(N·n·m) − (4nm−1)/(6N) is the one float
+    expression, rounded once at 1e-6 (Anderson 1962 formulation)."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("q", pa.int64()), ("cp", pa.int64()), ("cv", pa.int64())])
+        keep = pc.and_kleene(
+            pc.is_in(t.column("event_type"), value_set=pa.array(["purchase", "view"])),
+            pc.is_valid(t.column("value")),
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return sch.empty_table()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        q = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        is_p = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        return (
+            pl.DataFrame(
+                {"q": q, "cp": is_p.astype(np.int64), "cv": (~is_p).astype(np.int64)}
+            )
+            .group_by("q")
+            .agg(pl.col("cp").sum(), pl.col("cv").sum())
+            .to_arrow()
+            .cast(sch)
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["q"],
+        ["cp", "cv"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(  # value-grid-bounded
+            merged,
+            empty_schema=pa.schema(
+                [("q", pa.int64()), ("cp", pa.int64()), ("cv", pa.int64())]
+            ),
+        )
+    out_schema = pa.schema(
+        [
+            ("n", pa.int64()),
+            ("m", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("cvm_t", pa.float64()),
+        ]
+    )
+    qv = merged.column("q").to_numpy(zero_copy_only=False)
+    cp = merged.column("cp").to_numpy(zero_copy_only=False).astype(np.int64)
+    cv = merged.column("cv").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(qv)
+    cp, cv = cp[order], cv[order]
+    n, m = int(cp.sum()), int(cv.sum())
+    if n == 0 or m == 0:
+        return pa.table(
+            {
+                "n": [n],
+                "m": [m],
+                "sx": [0],
+                "sy": [0],
+                "cvm_t": pa.array([None], pa.float64()),
+            },
+            schema=out_schema,
+        )
+    big_n = n + m
+    if big_n > 1_300_000:
+        raise ValueError(
+            "cvm_test: combined sample too large for exact int64 "
+            f"rank-deviation sums (N={big_n} > 1.3e6)"
+        )
+    tv = cp + cv
+    start = np.concatenate([[0], np.cumsum(tv)[:-1]])
+    r2 = 2 * start + tv + 1  # doubled midrank, constant per tie run
+
+    def side_sum(c: np.ndarray) -> int:
+        ostart = np.concatenate([[0], np.cumsum(c)[:-1]])
+        a = r2 - 2 * ostart
+        t3 = c * (c + 1) * (2 * c + 1)
+        contrib = c * a * a - 2 * a * c * (c + 1) + 2 * (t3 // 3)
+        return int(contrib.sum())
+
+    sx = side_sum(cp)
+    sy = side_sum(cv)
+    u4 = n * sx + m * sy
+    t_stat = float(u4) / float(4 * big_n * n * m) - float(4 * n * m - 1) / float(
+        6 * big_n
+    )
+    return pa.table(
+        {
+            "n": [n],
+            "m": [m],
+            "sx": [sx],
+            "sy": [sy],
+            "cvm_t": pa.array([_rf(t_stat, 6)], pa.float64()),
+        },
+        schema=out_schema,
+    )
+
+
+SQL_CVM_TEST = """
+WITH s AS (
+  SELECT CASE event_type WHEN 'purchase' THEN 1 ELSE 0 END AS grp,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+),
+r AS (
+  SELECT grp,
+    CAST(2*RANK() OVER (ORDER BY v)
+         + COUNT(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS r2,
+    CAST(2*ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS i2
+  FROM s
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m,
+    CAST(SUM(CASE WHEN grp = 1 THEN (r2-i2)*(r2-i2) ELSE 0 END) AS BIGINT) AS sx,
+    CAST(SUM(CASE WHEN grp = 0 THEN (r2-i2)*(r2-i2) ELSE 0 END) AS BIGINT) AS sy
+  FROM r
+)
+SELECT n, m, sx, sy,
+       ROUND(
+         CAST(n*sx + m*sy AS DOUBLE) / CAST(4*(n+m)*n*m AS DOUBLE)
+         - CAST(4*n*m - 1 AS DOUBLE) / CAST(6*(n+m) AS DOUBLE), 6) AS cvm_t
+FROM agg
+"""
+
+QUERIES["cvm_test"] = (q_cvm_test, SQL_CVM_TEST)
