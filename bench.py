@@ -360,6 +360,7 @@ def run_bench() -> dict:
         "clustering_coeff",
         "mutual_info",
         "cvm_test",
+        "weighted_pagerank",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

@@ -71,6 +71,7 @@ def _pagerank_local(
     num_iters: int,
     damping: float,
     seed_arr: "np.ndarray | None" = None,
+    w_arr: "np.ndarray | None" = None,
 ) -> pa.Table:
     """Driver fast path: identical formula, vectorized numpy.
 
@@ -88,14 +89,27 @@ def _pagerank_local(
     n = len(nodes)
     src_idx = np.searchsorted(nodes, src)
     dst_idx = np.searchsorted(nodes, dst)
-    outdeg = np.bincount(src_idx, minlength=n).astype(np.float64)
+    if w_arr is None:
+        outdeg = np.bincount(src_idx, minlength=n).astype(np.float64)
+    else:
+        # total out-WEIGHT per node (exact: int64 sums represented in f64)
+        outdeg = np.bincount(src_idx, weights=w_arr.astype(np.float64), minlength=n)
     sender = outdeg > 0
+
+    def _contrib(rank: np.ndarray) -> np.ndarray:
+        if w_arr is None:
+            per_edge = rank[src_idx] / outdeg[src_idx]
+        else:
+            # same expression order as the distributed polars kernel:
+            # (rank * w) / out_weight
+            per_edge = rank[src_idx] * w_arr / outdeg[src_idx]
+        return np.bincount(dst_idx, weights=per_edge, minlength=n)
+
     if seed_arr is None:
         rank = np.full(n, 1.0 / n, dtype=np.float64)
         base = (1.0 - damping) / n
         for _ in range(num_iters):
-            contrib = rank[src_idx] / outdeg[src_idx]
-            w = np.bincount(dst_idx, weights=contrib, minlength=n)
+            w = _contrib(rank)
             dangling = float(rank[~sender].sum())
             rank = base + damping * (w + dangling / n)
     else:
@@ -104,8 +118,7 @@ def _pagerank_local(
         rank = s_vec.copy()
         base_vec = (1.0 - damping) * s_vec
         for _ in range(num_iters):
-            contrib = rank[src_idx] / outdeg[src_idx]
-            w = np.bincount(dst_idx, weights=contrib, minlength=n)
+            w = _contrib(rank)
             dangling = float(rank[~sender].sum())
             rank = base_vec + damping * (w + dangling * s_vec)
     return pa.table(
@@ -125,6 +138,7 @@ def pagerank(
     num_partitions: int | None = None,
     limit_bytes: int = _DRIVER_MERGE_BYTES,
     seeds: Any = None,
+    weight: "str | None" = None,
 ) -> "pa.Table | Any":
     """PageRank by power iteration over a directed edge Dataset.
 
@@ -141,6 +155,11 @@ def pagerank(
     can only enter the graph through seeds. The seed id array is
     broadcast once (``ray.put``); the uniform branch's float
     expression tree is untouched.
+
+    ``weight`` names an int64 edge-weight column: contributions become
+    ``rank(u)·w(e)/Σw_out(u)`` (anchor-weighted link analysis); a node
+    whose total out-weight is 0 is dangling exactly like an
+    out-edge-less node. Composes with ``seeds``.
 
     Returns a driver ``pa.Table(node, pr)`` when the edge set fits
     ``limit_bytes``, else a lazy Ray ``Dataset`` with the same columns
@@ -169,13 +188,19 @@ def pagerank(
 
     edges_m = edges.materialize()
     if edges_m.size_bytes() <= limit_bytes:
-        t = collect_table(edges_m, empty_schema=pa.schema([(src, pa.int64()), (dst, pa.int64())]))
+        cols = [(src, pa.int64()), (dst, pa.int64())]
+        if weight is not None:
+            cols.append((weight, pa.int64()))
+        t = collect_table(edges_m, empty_schema=pa.schema(cols))
         return _pagerank_local(
             t.column(src).to_numpy(zero_copy_only=False).astype(np.int64),
             t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64),
             num_iters,
             damping,
             seed_arr,
+            t.column(weight).to_numpy(zero_copy_only=False).astype(np.int64)
+            if weight is not None
+            else None,
         )
 
     if num_partitions is None:
@@ -187,7 +212,12 @@ def pagerank(
     def deg_partials(t: pa.Table) -> pa.Table:
         s = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
         d = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
-        su, sc = np.unique(s, return_counts=True)
+        if weight is None:
+            su, sc = np.unique(s, return_counts=True)
+        else:
+            w = t.column(weight).to_numpy(zero_copy_only=False).astype(np.int64)
+            su, inv = np.unique(s, return_inverse=True)
+            sc = np.bincount(inv, weights=w).astype(np.int64)
         du = np.unique(d)
         return pa.table(
             {
@@ -245,10 +275,15 @@ def pagerank(
         # partial-merge exchange
         import polars as pl
 
+        contrib = (
+            (pl.col("rank") / pl.col("outdeg"))
+            if weight is None
+            else (pl.col("rank") * pl.col(weight) / pl.col("outdeg"))
+        )
         out = (
             pl.from_arrow(lt)
             .join(pl.from_arrow(rt), left_on=src, right_on="node", how="inner")
-            .with_columns((pl.col("rank") / pl.col("outdeg")).alias("w"))
+            .with_columns(contrib.alias("w"))
             .group_by(dst)
             .agg(pl.col("w").sum())
             .select(pl.col(dst).alias("cdst"), pl.col("w"))

@@ -14000,3 +14000,77 @@ FROM agg
 """
 
 QUERIES["cvm_test"] = (q_cvm_test, SQL_CVM_TEST)
+
+
+def q_weighted_pagerank(sf_dir: str, limit_bytes: int | None = None) -> Any:
+    """Anchor-weighted PageRank over the doc link graph: each link
+    carries an int64 weight 1..9 (carved from the same hash's high
+    bits) and contributions become rank·w/Σw_out — the crawl-ranking
+    variant where link prominence matters. Same co-partitioned
+    power-iteration machinery; the out-weight sums replace out-degrees
+    in the SAME state column, so dangling handling and the adaptive
+    merge shape are untouched. Ranks rounded at 1e-9 (summation order
+    is the only cross-engine difference)."""
+    from patito_ray.functions.graph import pagerank
+
+    edges, _n = _doc_link_edges(sf_dir, 3, with_weight=True)
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    res = pagerank(edges, num_iters=3, damping=0.85, weight="w", **_kw)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("node", pa.int64()), ("pr", pa.float64())]).empty_table()
+        return pa.table(
+            {
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "pr": _ra(pc.cast(t.column("pr"), pa.float64()), 9),
+            }
+        )
+
+    return _apply(res, finish)
+
+
+SQL_WEIGHTED_PAGERANK = f"""
+WITH
+{_sql_link_edges(3, with_weight=True)},
+sw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS swt FROM edges GROUP BY src),
+r0 AS (
+  SELECT doc_id AS node, 1.0/(SELECT n FROM nn) AS pr FROM documents
+),
+s1 AS (
+  SELECT e.dst AS node, SUM(r.pr * e.w / sw.swt) AS w
+  FROM edges e JOIN r0 r ON e.src = r.node JOIN sw ON sw.src = e.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT d.doc_id AS node,
+         (1 - CAST(0.85 AS DOUBLE))/(SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * COALESCE(s1.w, 0.0) AS pr
+  FROM documents d LEFT JOIN s1 ON s1.node = d.doc_id
+),
+s2 AS (
+  SELECT e.dst AS node, SUM(r.pr * e.w / sw.swt) AS w
+  FROM edges e JOIN r1 r ON e.src = r.node JOIN sw ON sw.src = e.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT d.doc_id AS node,
+         (1 - CAST(0.85 AS DOUBLE))/(SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * COALESCE(s2.w, 0.0) AS pr
+  FROM documents d LEFT JOIN s2 ON s2.node = d.doc_id
+),
+s3 AS (
+  SELECT e.dst AS node, SUM(r.pr * e.w / sw.swt) AS w
+  FROM edges e JOIN r2 r ON e.src = r.node JOIN sw ON sw.src = e.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT d.doc_id AS node,
+         (1 - CAST(0.85 AS DOUBLE))/(SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * COALESCE(s3.w, 0.0) AS pr
+  FROM documents d LEFT JOIN s3 ON s3.node = d.doc_id
+)
+SELECT node, ROUND(pr, 9) AS pr FROM r3
+"""
+
+QUERIES["weighted_pagerank"] = (q_weighted_pagerank, SQL_WEIGHTED_PAGERANK)

@@ -700,3 +700,43 @@ def test_clustering_coeff_triangle_plus_tail(ray_session, monkeypatch):
     assert out.column("triangles")[0].as_py() == 1
     assert out.column("wedges")[0].as_py() == 5
     assert out.column("global_cc")[0].as_py() == 0.6
+
+
+def test_weighted_pagerank_paths_agree_and_reduce(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(31)
+    n = 300
+    src = rng.integers(0, n, size=2 * n)
+    dst = rng.integers(0, n, size=2 * n)
+    w = rng.integers(1, 10, size=2 * n)
+    t = pa.table(
+        {
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    local = pagerank(ds, num_iters=3, weight="w")
+    dist = pagerank(ds, num_iters=3, weight="w", limit_bytes=0)
+    if not isinstance(dist, pa.Table):
+        dist = pa.concat_tables(
+            [b for b in dist.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+    lg = {r["node"]: r["pr"] for r in local.to_pylist()}
+    dg = {r["node"]: r["pr"] for r in dist.to_pylist()}
+    assert set(lg) == set(dg)
+    for k in lg:
+        assert abs(lg[k] - dg[k]) < 1e-12, k
+
+    # all-equal weights reduce EXACTLY to unweighted pagerank:
+    # w/Σw == 1/outdeg when every w == c... only bit-exact for c=1
+    t1 = t.set_column(2, "w", pa.array(np.ones(2 * n, np.int64)))
+    wg = pagerank(rd.from_arrow(t1), num_iters=3, weight="w")
+    ug = pagerank(rd.from_arrow(t1.select(["src", "dst"])), num_iters=3)
+    wgm = {r["node"]: r["pr"] for r in wg.to_pylist()}
+    for r in ug.to_pylist():
+        assert abs(wgm[r["node"]] - r["pr"]) < 1e-15
