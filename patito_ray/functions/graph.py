@@ -65,6 +65,20 @@ _PR_SCHEMA = pa.schema([("node", pa.int64()), ("pr", pa.float64())])
 _CC_SCHEMA = pa.schema([("node", pa.int64()), ("root", pa.int64())])
 
 
+def _coalesce_state(state: Any, num_partitions: int) -> Any:
+    """Fold an iteratively-rebuilt narrow state Dataset back to
+    partition granularity. Every co-partition / union round MULTIPLIES
+    block count (map_groups emits per-group + empty blocks, union
+    concatenates block lists) and each later exchange pays per-block
+    scheduling: 3 pagerank rounds took a 20k-row state to 975 blocks
+    of ~20 rows and made iteration wall time grow 3x per round.
+    The guard makes the extra repartition self-limiting — it only
+    fires once fragmentation exceeds 2x the partition count."""
+    if state.num_blocks() > 2 * num_partitions:
+        return state.repartition(num_partitions).materialize()
+    return state
+
+
 def _pagerank_local(
     src: np.ndarray,
     dst: np.ndarray,
@@ -299,7 +313,11 @@ def pagerank(
 
     dangle_schema = pa.schema([("w", pa.float64())])
 
-    for _ in range(num_iters):
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("PATITO_PR_DEBUG")
+    for _it in range(num_iters):
+        _t0 = _time.time()
         contribs = copartition_apply(
             edges_m,
             state,
@@ -359,6 +377,12 @@ def pagerank(
                 upd_bcast, batch_format="pyarrow", batch_size=None
             ).materialize()
         else:
+            # merged is a lazy exchange pipeline consumed by the join's
+            # schema fetch AND its tagged-union pass AND (transitively)
+            # the state materialize — without this it re-executes ~3x
+            # per iteration (dev notes: lazy dataset per-consumer
+            # re-execution)
+            merged = merged.materialize()
             joined = copartition_join(
                 state,
                 merged,
@@ -401,6 +425,13 @@ def pagerank(
             state = joined.map_batches(
                 upd_join, batch_format="pyarrow", batch_size=None
             ).materialize()
+        state = _coalesce_state(state, num_partitions)
+        if _dbg:
+            print(
+                f"[pr-debug] iter={_it} {_time.time() - _t0:.1f}s "
+                f"state_blocks={state.num_blocks()} rows={state.count()}",
+                flush=True,
+            )
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -934,9 +965,12 @@ def k_core(
                 )
                 return t.filter(keep)
 
-            und = und.map_batches(
-                drop, batch_format="pyarrow", batch_size=None
-            ).materialize()
+            und = _coalesce_state(
+                und.map_batches(
+                    drop, batch_format="pyarrow", batch_size=None
+                ).materialize(),
+                P,
+            )
         else:
             # frontier too big to broadcast: two co-partitioned anti
             # passes (u side, then v side)
@@ -965,9 +999,12 @@ def k_core(
             und = copartition_apply(
                 und, bad_ds, by="u", right_by="_bad", part_fn=anti("u")
             ).materialize()
-            und = copartition_apply(
-                und, bad_ds, by="v", right_by="_bad", part_fn=anti("v")
-            ).materialize()
+            und = _coalesce_state(
+                copartition_apply(
+                    und, bad_ds, by="v", right_by="_bad", part_fn=anti("v")
+                ).materialize(),
+                P,
+            )
     else:
         raise RuntimeError(
             f"k_core did not converge within max_iters={max_iters} rounds"
@@ -1225,7 +1262,9 @@ def bfs_hops(
             ).materialize()
             frontier_count = frontier_ds.count()
             if frontier_count:
-                visited_ds = visited_ds.union(frontier_ds).materialize()
+                visited_ds = _coalesce_state(
+                    visited_ds.union(frontier_ds).materialize(), P
+                )
                 visited_count += frontier_count
                 levels_ds.append((dist, frontier_ds))
 
@@ -1534,12 +1573,20 @@ def sssp_hops(
                     schema=_BFS_SCHEMA,
                 )
 
-            d_ds = merged.map_batches(
-                _keep_table, batch_format="pyarrow", batch_size=None
-            ).materialize()
-            f_ds = merged.map_batches(
-                _keep_front, batch_format="pyarrow", batch_size=None
-            ).materialize()
+            from patito_ray.stages.join import default_num_partitions as _dnp
+
+            d_ds = _coalesce_state(
+                merged.map_batches(
+                    _keep_table, batch_format="pyarrow", batch_size=None
+                ).materialize(),
+                _dnp(),
+            )
+            f_ds = _coalesce_state(
+                merged.map_batches(
+                    _keep_front, batch_format="pyarrow", batch_size=None
+                ).materialize(),
+                _dnp(),
+            )
             frontier_count = f_ds.count()
             table_count = d_ds.count()
 
