@@ -78,7 +78,14 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # num_cpus matches the taskset pin (dev notes: auto-detected 32
+        # workers on 8 pinned cores collapse into scheduler thrash)
+        ray.init(
+            address="local",
+            num_cpus=8,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     import logging
 
     import ray.data as rd
