@@ -14074,3 +14074,105 @@ SELECT node, ROUND(pr, 9) AS pr FROM r3
 """
 
 QUERIES["weighted_pagerank"] = (q_weighted_pagerank, SQL_WEIGHTED_PAGERANK)
+
+
+def q_seq_patterns(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Sequential-pattern support: for every ordered event-type pair
+    (a, b), how many users have SOME a strictly before SOME b (gaps
+    allowed — the PrefixSpan length-2 support table). The existential
+    collapses exactly to min/max: a-then-b holds iff min_ts(a) <
+    max_ts(b) within the user, so the pipeline is per-batch (user,
+    type, min_us, max_us) partials -> one adaptive min/max merge
+    (≤ users×types rows) -> a vectorized type×type comparison per user
+    on the driver-or-worker side. Pure integer-µs comparisons, exact
+    at any scale; the exchange never carries event volume."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_mins
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("min_us", pa.int64()),
+                ("neg_max_us", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return sch.empty_table()
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+                    "event_type": t.column("event_type").to_pylist(),
+                    "min_us": us,
+                    "neg_max_us": -us,
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .agg(pl.col("min_us").min(), pl.col("neg_max_us").min())
+            .to_arrow()
+            .cast(sch)
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_mins(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["user_id", "event_type"],
+        ["min_us", "neg_max_us"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("min_us", pa.int64()),
+                    ("neg_max_us", pa.int64()),
+                ]
+            ),
+        )
+    out_schema = pa.schema(
+        [("type_a", pa.string()), ("type_b", pa.string()), ("users", pa.int64())]
+    )
+    if merged.num_rows == 0:
+        return out_schema.empty_table()
+    df = pl.from_arrow(merged)
+    # per user: every (a, b) with min_us(a) < max_us(b)
+    pairs = (
+        df.join(df, on="user_id", suffix="_b")
+        .filter(pl.col("min_us") < -pl.col("neg_max_us_b"))
+        .group_by(["event_type", "event_type_b"])
+        .agg(pl.col("user_id").n_unique().cast(pl.Int64).alias("users"))
+        .sort(["event_type", "event_type_b"])
+    )
+    return pa.table(
+        {
+            "type_a": pairs["event_type"].to_list(),
+            "type_b": pairs["event_type_b"].to_list(),
+            "users": pairs["users"].to_list(),
+        },
+        schema=out_schema,
+    )
+
+
+SQL_SEQ_PATTERNS = """
+WITH g AS (
+  SELECT user_id, event_type,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_us,
+         CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_us
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+FROM g a JOIN g b ON a.user_id = b.user_id AND a.min_us < b.max_us
+GROUP BY 1, 2
+"""
+
+QUERIES["seq_patterns"] = (q_seq_patterns, SQL_SEQ_PATTERNS)

@@ -170,3 +170,47 @@ def test_mutual_info_reference(ray_session, limit_bytes):
     hl = -sum((c / nt) * np.log2(c / nt) for c in nl.values())
     hs = -sum((c / nt) * np.log2(c / nt) for c in ns.values())
     assert -1e-9 <= out.column("mutual_info")[0].as_py() <= min(hl, hs) + 1e-9
+
+
+@pytest.mark.parametrize("limit_bytes", [None, 0])
+def test_seq_patterns_reference(ray_session, limit_bytes):
+    from patito_ray.pipelines.queries import q_seq_patterns
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    rows = list(
+        zip(
+            ev.column("user_id").to_pylist(),
+            ev.column("event_type").to_pylist(),
+            ev.column("ts").cast("int64").to_pylist(),
+        )
+    )
+    # brute: per user, per ordered type pair, EXISTS e_a before e_b
+    per_user: dict = {}
+    for u, ty, t in rows:
+        per_user.setdefault(u, []).append((ty, t))
+    expect: collections.Counter = collections.Counter()
+    types = sorted({ty for _, ty, _ in rows})
+    for u, evs in per_user.items():
+        for a in types:
+            for b in types:
+                if any(
+                    ta < tb
+                    for (tya, ta) in evs
+                    if tya == a
+                    for (tyb, tb) in evs
+                    if tyb == b
+                ):
+                    expect[(a, b)] += 1
+
+    out = q_seq_patterns(SF, limit_bytes=limit_bytes)
+    got = {
+        (a, b): u
+        for a, b, u in zip(
+            out.column("type_a").to_pylist(),
+            out.column("type_b").to_pylist(),
+            out.column("users").to_pylist(),
+        )
+    }
+    assert got == {k: v for k, v in expect.items() if v > 0}
