@@ -106,6 +106,12 @@ def _pagerank_local(
     if w_arr is None:
         outdeg = np.bincount(src_idx, minlength=n).astype(np.float64)
     else:
+        if w_arr.size and int(w_arr.min()) <= 0:
+            raise ValueError(
+                "pagerank weights must be strictly positive — a zero "
+                "weight would make rank*w/out_weight evaluate 0/0=NaN "
+                "and poison every downstream rank"
+            )
         # total out-WEIGHT per node (exact: int64 sums represented in f64)
         outdeg = np.bincount(src_idx, weights=w_arr.astype(np.float64), minlength=n)
     sender = outdeg > 0
@@ -171,9 +177,10 @@ def pagerank(
     expression tree is untouched.
 
     ``weight`` names an int64 edge-weight column: contributions become
-    ``rank(u)·w(e)/Σw_out(u)`` (anchor-weighted link analysis); a node
-    whose total out-weight is 0 is dangling exactly like an
-    out-edge-less node. Composes with ``seeds``.
+    ``rank(u)·w(e)/Σw_out(u)`` (anchor-weighted link analysis).
+    Weights must be strictly positive (a zero weight would put 0/0=NaN
+    into the contribution fold — rejected loudly); only nodes with NO
+    out-edges are dangling. Composes with ``seeds``.
 
     Returns a driver ``pa.Table(node, pr)`` when the edge set fits
     ``limit_bytes``, else a lazy Ray ``Dataset`` with the same columns
@@ -230,6 +237,12 @@ def pagerank(
             su, sc = np.unique(s, return_counts=True)
         else:
             w = t.column(weight).to_numpy(zero_copy_only=False).astype(np.int64)
+            if w.size and int(w.min()) <= 0:
+                raise ValueError(
+                    "pagerank weights must be strictly positive — a zero "
+                    "weight would make rank*w/out_weight evaluate 0/0=NaN "
+                    "and poison every downstream rank"
+                )
             su, inv = np.unique(s, return_inverse=True)
             sc = np.bincount(inv, weights=w).astype(np.int64)
         du = np.unique(d)
@@ -313,11 +326,7 @@ def pagerank(
 
     dangle_schema = pa.schema([("w", pa.float64())])
 
-    import os as _os
-    import time as _time
-    _dbg = _os.environ.get("PATITO_PR_DEBUG")
     for _it in range(num_iters):
-        _t0 = _time.time()
         contribs = copartition_apply(
             edges_m,
             state,
@@ -426,12 +435,6 @@ def pagerank(
                 upd_join, batch_format="pyarrow", batch_size=None
             ).materialize()
         state = _coalesce_state(state, num_partitions)
-        if _dbg:
-            print(
-                f"[pr-debug] iter={_it} {_time.time() - _t0:.1f}s "
-                f"state_blocks={state.num_blocks()} rows={state.count()}",
-                flush=True,
-            )
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -13924,17 +13924,6 @@ def q_cvm_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
     order = np.argsort(qv)
     cp, cv = cp[order], cv[order]
     n, m = int(cp.sum()), int(cv.sum())
-    if n == 0 or m == 0:
-        return pa.table(
-            {
-                "n": [n],
-                "m": [m],
-                "sx": [0],
-                "sy": [0],
-                "cvm_t": pa.array([None], pa.float64()),
-            },
-            schema=out_schema,
-        )
     big_n = n + m
     if big_n > 1_300_000:
         raise ValueError(
@@ -13952,19 +13941,35 @@ def q_cvm_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
         contrib = c * a * a - 2 * a * c * (c + 1) + 2 * (t3 // 3)
         return int(contrib.sum())
 
+    if big_n == 0:
+        return pa.table(
+            {"n": [0], "m": [0], "sx": [0], "sy": [0],
+             "cvm_t": pa.array([None], pa.float64())},
+            schema=out_schema,
+        )
     sx = side_sum(cp)
     sy = side_sum(cv)
-    u4 = n * sx + m * sy
-    t_stat = float(u4) / float(4 * big_n * n * m) - float(4 * n * m - 1) / float(
-        6 * big_n
-    )
+    if n == 0 or m == 0:
+        # one-sided corpus: deviation sums are still well-defined (and
+        # the SQL oracle computes them), but T divides by n·m — NULL
+        t_stat = None
+    else:
+        # numerator folds to float BEFORE the n·/m· multiplies: the
+        # BIGINT products n*sx overflow int64 around N≈150k while the
+        # guard admits N up to 1.3e6 (the SQL mirrors this CAST order)
+        u4f = float(n) * float(sx) + float(m) * float(sy)
+        t_stat = u4f / float(4 * big_n * n * m) - float(4 * n * m - 1) / float(
+            6 * big_n
+        )
     return pa.table(
         {
             "n": [n],
             "m": [m],
             "sx": [sx],
             "sy": [sy],
-            "cvm_t": pa.array([_rf(t_stat, 6)], pa.float64()),
+            "cvm_t": pa.array(
+                [None if t_stat is None else _rf(t_stat, 6)], pa.float64()
+            ),
         },
         schema=out_schema,
     )
@@ -13993,9 +13998,11 @@ agg AS (
   FROM r
 )
 SELECT n, m, sx, sy,
-       ROUND(
-         CAST(n*sx + m*sy AS DOUBLE) / CAST(4*(n+m)*n*m AS DOUBLE)
-         - CAST(4*n*m - 1 AS DOUBLE) / CAST(6*(n+m) AS DOUBLE), 6) AS cvm_t
+       CASE WHEN n = 0 OR m = 0 THEN NULL
+            ELSE ROUND(
+         (CAST(n AS DOUBLE)*sx + CAST(m AS DOUBLE)*sy)
+           / CAST(4*(n+m)*n*m AS DOUBLE)
+         - CAST(4*n*m - 1 AS DOUBLE) / CAST(6*(n+m) AS DOUBLE), 6) END AS cvm_t
 FROM agg
 """
 
@@ -14014,6 +14021,20 @@ def q_weighted_pagerank(sf_dir: str, limit_bytes: int | None = None) -> Any:
     from patito_ray.functions.graph import pagerank
 
     edges, _n = _doc_link_edges(sf_dir, 3, with_weight=True)
+
+    def triple(t: pa.Table) -> pa.Table:
+        # scale weights x3 on BOTH engines: rank·(3w)/(3Σw) is the same
+        # real number, but the float DIVISOR gains a factor of 3 that
+        # never cancels a power of ten — out-weight sums like 4/5/8/10
+        # would otherwise put some ranks back on terminating decimals,
+        # the documented 1e-9 rounding-midpoint hazard (dev notes)
+        return t.set_column(
+            t.column_names.index("w"),
+            "w",
+            pc.multiply(t.column("w"), pa.scalar(3, pa.int64())),
+        )
+
+    edges = edges.map_batches(triple, batch_format="pyarrow", batch_size=None)
     _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
     res = pagerank(edges, num_iters=3, damping=0.85, weight="w", **_kw)
 
@@ -14033,12 +14054,12 @@ def q_weighted_pagerank(sf_dir: str, limit_bytes: int | None = None) -> Any:
 SQL_WEIGHTED_PAGERANK = f"""
 WITH
 {_sql_link_edges(3, with_weight=True)},
-sw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS swt FROM edges GROUP BY src),
+sw AS (SELECT src, CAST(SUM(w*3) AS BIGINT) AS swt FROM edges GROUP BY src),
 r0 AS (
   SELECT doc_id AS node, 1.0/(SELECT n FROM nn) AS pr FROM documents
 ),
 s1 AS (
-  SELECT e.dst AS node, SUM(r.pr * e.w / sw.swt) AS w
+  SELECT e.dst AS node, SUM(r.pr * (e.w*3) / sw.swt) AS w
   FROM edges e JOIN r0 r ON e.src = r.node JOIN sw ON sw.src = e.src
   GROUP BY e.dst
 ),
@@ -14049,7 +14070,7 @@ r1 AS (
   FROM documents d LEFT JOIN s1 ON s1.node = d.doc_id
 ),
 s2 AS (
-  SELECT e.dst AS node, SUM(r.pr * e.w / sw.swt) AS w
+  SELECT e.dst AS node, SUM(r.pr * (e.w*3) / sw.swt) AS w
   FROM edges e JOIN r1 r ON e.src = r.node JOIN sw ON sw.src = e.src
   GROUP BY e.dst
 ),
@@ -14060,7 +14081,7 @@ r2 AS (
   FROM documents d LEFT JOIN s2 ON s2.node = d.doc_id
 ),
 s3 AS (
-  SELECT e.dst AS node, SUM(r.pr * e.w / sw.swt) AS w
+  SELECT e.dst AS node, SUM(r.pr * (e.w*3) / sw.swt) AS w
   FROM edges e JOIN r2 r ON e.src = r.node JOIN sw ON sw.src = e.src
   GROUP BY e.dst
 ),

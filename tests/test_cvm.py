@@ -76,6 +76,17 @@ def test_cvm_shift_sensitivity(ray_session, tmp_path):
 
 
 def test_cvm_degenerate_one_sided(ray_session, tmp_path):
-    _write_events(tmp_path, [1, 2, 3], [])
+    # one-sided WITH ties: T is undefined but the surviving side's
+    # deviation sum must match the per-row definition (the SQL oracle
+    # computes it — hardcoding 0 was a review-found divergence)
+    x = [5, 5, 1, 2, 3]
+    _write_events(tmp_path, x, [])
     out = q_cvm_test(str(tmp_path)).to_pylist()[0]
     assert out["m"] == 0 and out["cvm_t"] is None
+    # per-row definition of the surviving side's deviation sum
+    allv = sorted(x)
+    sx = sum(
+        (sum(1 for w in allv if w < v) + 1 + sum(1 for w in allv if w <= v) - 2 * (k + 1)) ** 2
+        for k, v in enumerate(sorted(x))
+    )
+    assert out["sx"] == sx

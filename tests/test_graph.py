@@ -740,3 +740,19 @@ def test_weighted_pagerank_paths_agree_and_reduce(ray_session):
     wgm = {r["node"]: r["pr"] for r in wg.to_pylist()}
     for r in ug.to_pylist():
         assert abs(wgm[r["node"]] - r["pr"]) < 1e-15
+
+
+def test_weighted_pagerank_rejects_zero_weights(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import pagerank
+
+    t = pa.table(
+        {
+            "src": pa.array([0, 1], pa.int64()),
+            "dst": pa.array([1, 0], pa.int64()),
+            "w": pa.array([0, 3], pa.int64()),
+        }
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        pagerank(rd.from_arrow(t), weight="w")
