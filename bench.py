@@ -362,6 +362,7 @@ def run_bench() -> dict:
         "cvm_test",
         "weighted_pagerank",
         "seq_patterns",
+        "seq_patterns3",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

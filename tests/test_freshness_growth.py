@@ -214,3 +214,57 @@ def test_seq_patterns_reference(ray_session, limit_bytes):
         )
     }
     assert got == {k: v for k, v in expect.items() if v > 0}
+
+
+@pytest.mark.parametrize("limit_bytes", [None, 0])
+def test_seq_patterns3_reference(ray_session, limit_bytes):
+    import itertools
+
+    from patito_ray.pipelines.queries import q_seq_patterns3
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    rows = list(
+        zip(
+            ev.column("user_id").to_pylist(),
+            ev.column("event_type").to_pylist(),
+            ev.column("ts").cast("int64").to_pylist(),
+        )
+    )
+    per_user: dict = {}
+    for u, ty, t in rows:
+        per_user.setdefault(u, []).append((ty, t))
+    types = sorted({ty for _, ty, _ in rows})
+    expect: collections.Counter = collections.Counter()
+    for u, evs in per_user.items():
+        evs.sort(key=lambda x: x[1])
+        for a, b, c in itertools.product(types, repeat=3):
+            # true sequential existence, brute per-row (not the
+            # interval shortcut — independently validates it)
+            ok = False
+            for i, (tya, ta) in enumerate(evs):
+                if tya != a:
+                    continue
+                for tyb, tb in evs:
+                    if tyb != b or tb <= ta:
+                        continue
+                    if any(tyc == c and tc > tb for tyc, tc in evs):
+                        ok = True
+                        break
+                if ok:
+                    break
+            if ok:
+                expect[(a, b, c)] += 1
+
+    out = q_seq_patterns3(SF, limit_bytes=limit_bytes)
+    got = {
+        (a, b, c): u
+        for a, b, c, u in zip(
+            out.column("type_a").to_pylist(),
+            out.column("type_b").to_pylist(),
+            out.column("type_c").to_pylist(),
+            out.column("users").to_pylist(),
+        )
+    }
+    assert got == {k: v for k, v in expect.items() if v > 0}
