@@ -2472,3 +2472,70 @@ def dedup_near_best(
         return lt.filter(keep)
 
     return copartition_apply(ds, drops, by=id_col, right_by="node", part_fn=anti)
+
+
+def pair_overlap_dataset(
+    ds: Any,
+    pairs: Any,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_partitions: "int | None" = None,
+) -> Any:
+    """:func:`verify_pairs_dataset` variant emitting the exact integer
+    overlap decomposition per surviving pair — ``(a, b, inter, size_a,
+    size_b)`` — the inputs for DIRECTIONAL containment (|A∩B|/|A| vs
+    |A∩B|/|B|: which near-dup is the near-superset, i.e. who copied
+    whom plus boilerplate), which symmetric Jaccard cannot
+    distinguish. Same co-location, same vectorized gram-set kernel,
+    same empty-text semantics; integers are exact, so the SQL oracle
+    comparison has no float tolerance at all on the counts."""
+    joined = pair_payload_join(ds, pairs, id_col, text_col, num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out_schema = pa.schema(
+            [
+                ("a", pa.int64()),
+                ("b", pa.int64()),
+                ("inter", pa.int64()),
+                ("size_a", pa.int64()),
+                ("size_b", pa.int64()),
+            ]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        va = batch.column("val_a")
+        vb = batch.column("val_b")
+        null_payloads = va.null_count + vb.null_count
+        if null_payloads:
+            raise ValueError(
+                f"text column {text_col!r} contains {null_payloads} null "
+                "payload row(s) among candidate pairs; filter or impute "
+                "nulls before overlap scoring"
+            )
+        ra, ha, ca = _gram_hash_sets(va, shingle_n)
+        rb, hb, cb = _gram_hash_sets(vb, shingle_n)
+        r = np.concatenate([ra, rb])
+        h = np.concatenate([ha, hb])
+        order = np.lexsort((h, r))
+        r, h = r[order], h[order]
+        dup = (r[1:] == r[:-1]) & (h[1:] == h[:-1])
+        inter = np.bincount(r[1:][dup], minlength=n)
+        union = ca + cb - inter
+        both_empty = (ca == 0) & (cb == 0)
+        jac = np.where(both_empty, 1.0, inter / np.maximum(union, 1))
+        keep = pa.array(jac >= threshold)
+        return pa.table(
+            {
+                "a": batch.column("a").filter(keep),
+                "b": batch.column("b").filter(keep),
+                "inter": pa.array(inter[jac >= threshold].astype(np.int64)),
+                "size_a": pa.array(ca[jac >= threshold].astype(np.int64)),
+                "size_b": pa.array(cb[jac >= threshold].astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -14375,3 +14375,92 @@ FROM trip GROUP BY 1, 2, 3
 """
 
 QUERIES["seq_patterns3"] = (q_seq_patterns3, SQL_SEQ_PATTERNS3)
+
+
+def q_containment_pairs(sf_dir: str) -> Any:
+    """Directional containment over the verified near-dup pair set:
+    for every pair with exact 3-gram Jaccard >= 0.8, the integer
+    overlap decomposition (|A∩B|, |A|, |B|) plus both containment
+    ratios — the who-is-the-near-superset signal (a page that contains
+    another plus boilerplate has cont_b ≈ 1 > cont_a) that symmetric
+    Jaccard can't express. Same MinHash candidates and vectorized
+    gram-set kernel as `minhash_pairs`; the counts are exact integers,
+    so only the two ratio columns carry a (shared, 1e-4) rounding."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs_ds = f_dedup.minhash_candidate_pairs(ds, num_perm=128, bands=32)
+    ov = f_dedup.pair_overlap_dataset(ds, pairs_ds, threshold=0.8)
+    out_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("inter", pa.int64()),
+            ("size_a", pa.int64()),
+            ("size_b", pa.int64()),
+            ("cont_a", pa.float64()),
+            ("cont_b", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return out_schema.empty_table()
+        inter = t.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = t.column("size_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = t.column("size_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        cont_a = _ra(pa.array(inter / np.maximum(sa, 1.0)), 4)
+        cont_b = _ra(pa.array(inter / np.maximum(sb, 1.0)), 4)
+        return pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "inter": t.column("inter"),
+                "size_a": t.column("size_a"),
+                "size_b": t.column("size_b"),
+                "cont_a": cont_a,
+                "cont_b": cont_b,
+            },
+            schema=out_schema,
+        )
+
+    return ov.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i, len(ts) AS n
+  FROM tok
+),
+g3 AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram,
+         i, n
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+long_grams AS (
+  SELECT doc_id, list(DISTINCT gram) AS gs FROM g3 WHERE i + 2 <= n GROUP BY doc_id
+),
+grams AS (
+  SELECT t.doc_id,
+         COALESCE(lg.gs,
+                  CASE WHEN len(t.ts) >= 1 THEN [array_to_string(t.ts, ' ')]
+                       ELSE [] END) AS gs
+  FROM tok t LEFT JOIN long_grams lg ON t.doc_id = lg.doc_id
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS inter,
+         CAST(len(x.gs) AS BIGINT) AS size_a,
+         CAST(len(y.gs) AS BIGINT) AS size_b
+  FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+)
+SELECT a, b, inter, size_a, size_b,
+       ROUND(CAST(inter AS DOUBLE) / GREATEST(size_a, 1), 4) AS cont_a,
+       ROUND(CAST(inter AS DOUBLE) / GREATEST(size_b, 1), 4) AS cont_b
+FROM cand
+WHERE size_a + size_b - inter > 0
+  AND CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.8
+"""
+
+QUERIES["containment_pairs"] = (q_containment_pairs, SQL_CONTAINMENT_PAIRS)

@@ -268,3 +268,37 @@ def test_seq_patterns3_reference(ray_session, limit_bytes):
         )
     }
     assert got == {k: v for k, v in expect.items() if v > 0}
+
+
+def test_containment_pairs_detects_superset(ray_session, tmp_path):
+    """A doc that contains another plus boilerplate: the contained
+    side's containment must be ~1 and strictly above the container's."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    superset = base + " " + " ".join(f"extra{i}" for i in range(8))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [base, superset, "completely different words entirely here"],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from patito_ray.pipelines.queries import q_containment_pairs
+
+    out = q_containment_pairs(str(tmp_path))
+    if not isinstance(out, pa.Table):
+        out = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow") if b.num_rows]
+        )
+    rows = out.to_pylist()
+    assert len(rows) == 1
+    r = rows[0]
+    assert {r["a"], r["b"]} == {1, 2}
+    # doc 1 has 58 3-grams, all inside doc 2
+    cont_small = r["cont_a"] if r["a"] == 1 else r["cont_b"]
+    cont_big = r["cont_b"] if r["a"] == 1 else r["cont_a"]
+    assert cont_small == 1.0
+    assert cont_big < 1.0
+    assert r["inter"] == min(r["size_a"], r["size_b"])
