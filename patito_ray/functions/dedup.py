@@ -912,6 +912,36 @@ def _gram_hash_sets(
     return rows, flat, np.bincount(rows, minlength=n_rows)
 
 
+def _pair_intersections(
+    batch: pa.Table, text_col: str, shingle_n: int, action: str
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Shared exact-overlap kernel for the pair-verify family: both
+    payload columns' gram hash SETS built once per batch, per-pair
+    intersection sizes from one lexsort + adjacent-equality bincount.
+    Returns (inter, size_a, size_b) int arrays, one entry per pair."""
+    va = batch.column("val_a")
+    vb = batch.column("val_b")
+    null_payloads = va.null_count + vb.null_count
+    if null_payloads:
+        raise ValueError(
+            f"text column {text_col!r} contains {null_payloads} null "
+            f"payload row(s) among candidate pairs; filter or impute "
+            f"nulls before {action}"
+        )
+    n = batch.num_rows
+    ra, ha, ca = _gram_hash_sets(va, shingle_n)
+    rb, hb, cb = _gram_hash_sets(vb, shingle_n)
+    # both sides deduped per row -> an adjacent equal (row, hash) run
+    # in the combined sort has length exactly 2 == intersection
+    r = np.concatenate([ra, rb])
+    h = np.concatenate([ha, hb])
+    order = np.lexsort((h, r))
+    r, h = r[order], h[order]
+    dup = (r[1:] == r[:-1]) & (h[1:] == h[:-1])
+    inter = np.bincount(r[1:][dup], minlength=n)
+    return inter, ca, cb
+
+
 def verify_pairs_dataset(
     ds: Any,
     pairs: Any,
@@ -935,26 +965,9 @@ def verify_pairs_dataset(
     joined = pair_payload_join(ds, pairs, id_col, text_col, num_partitions)
 
     def score(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        va = batch.column("val_a")
-        vb = batch.column("val_b")
-        null_payloads = va.null_count + vb.null_count
-        if null_payloads:
-            raise ValueError(
-                f"text column {text_col!r} contains {null_payloads} null "
-                "payload row(s) among candidate pairs; filter or impute "
-                "nulls before near-dup verification"
-            )
-        ra, ha, ca = _gram_hash_sets(va, shingle_n)
-        rb, hb, cb = _gram_hash_sets(vb, shingle_n)
-        # both sides deduped per row -> an adjacent equal (row, hash)
-        # run in the combined sort has length exactly 2 == intersection
-        r = np.concatenate([ra, rb])
-        h = np.concatenate([ha, hb])
-        order = np.lexsort((h, r))
-        r, h = r[order], h[order]
-        dup = (r[1:] == r[:-1]) & (h[1:] == h[:-1])
-        inter = np.bincount(r[1:][dup], minlength=n)
+        inter, ca, cb = _pair_intersections(
+            batch, text_col, shingle_n, "near-dup verification"
+        )
         union = ca + cb - inter
         # empty-gram semantics match ngram_jaccard: both sides empty
         # (whitespace-only texts) -> 1.0; exactly one empty -> 0.0
@@ -2506,23 +2519,9 @@ def pair_overlap_dataset(
         )
         if n == 0:
             return out_schema.empty_table()
-        va = batch.column("val_a")
-        vb = batch.column("val_b")
-        null_payloads = va.null_count + vb.null_count
-        if null_payloads:
-            raise ValueError(
-                f"text column {text_col!r} contains {null_payloads} null "
-                "payload row(s) among candidate pairs; filter or impute "
-                "nulls before overlap scoring"
-            )
-        ra, ha, ca = _gram_hash_sets(va, shingle_n)
-        rb, hb, cb = _gram_hash_sets(vb, shingle_n)
-        r = np.concatenate([ra, rb])
-        h = np.concatenate([ha, hb])
-        order = np.lexsort((h, r))
-        r, h = r[order], h[order]
-        dup = (r[1:] == r[:-1]) & (h[1:] == h[:-1])
-        inter = np.bincount(r[1:][dup], minlength=n)
+        inter, ca, cb = _pair_intersections(
+            batch, text_col, shingle_n, "overlap scoring"
+        )
         union = ca + cb - inter
         both_empty = (ca == 0) & (cb == 0)
         jac = np.where(both_empty, 1.0, inter / np.maximum(union, 1))
