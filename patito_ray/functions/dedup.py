@@ -2523,16 +2523,21 @@ def pair_overlap_dataset(
             batch, text_col, shingle_n, "overlap scoring"
         )
         union = ca + cb - inter
-        both_empty = (ca == 0) & (cb == 0)
-        jac = np.where(both_empty, 1.0, inter / np.maximum(union, 1))
-        keep = pa.array(jac >= threshold)
+        # containment over EMPTY gram sets is undefined — drop
+        # zero-union pairs like the SQL oracle's union > 0 filter
+        # (verify_pairs_dataset's jaccard keeps them as 1.0 by its own
+        # ngram_jaccard contract; that convention has no meaningful
+        # containment analogue)
+        jac = inter / np.maximum(union, 1)
+        m = (jac >= threshold) & (union > 0)
+        keep = pa.array(m)
         return pa.table(
             {
                 "a": batch.column("a").filter(keep),
                 "b": batch.column("b").filter(keep),
-                "inter": pa.array(inter[jac >= threshold].astype(np.int64)),
-                "size_a": pa.array(ca[jac >= threshold].astype(np.int64)),
-                "size_b": pa.array(cb[jac >= threshold].astype(np.int64)),
+                "inter": pa.array(inter[m].astype(np.int64)),
+                "size_a": pa.array(ca[m].astype(np.int64)),
+                "size_b": pa.array(cb[m].astype(np.int64)),
             },
             schema=out_schema,
         )

@@ -14097,31 +14097,26 @@ SELECT node, ROUND(pr, 9) AS pr FROM r3
 QUERIES["weighted_pagerank"] = (q_weighted_pagerank, SQL_WEIGHTED_PAGERANK)
 
 
-def q_seq_patterns(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
-    """Sequential-pattern support: for every ordered event-type pair
-    (a, b), how many users have SOME a strictly before SOME b (gaps
-    allowed — the PrefixSpan length-2 support table). The existential
-    collapses exactly to min/max: a-then-b holds iff min_ts(a) <
-    max_ts(b) within the user, so the pipeline is per-batch (user,
-    type, min_us, max_us) partials -> one adaptive min/max merge
-    (≤ users×types rows) -> a vectorized type×type comparison per user
-    on the driver-or-worker side. Pure integer-µs comparisons, exact
-    at any scale; the exchange never carries event volume."""
+def _seq_minmax(sf_dir: str, limit_bytes: "int | None") -> pa.Table:
+    """Shared (user, type) -> (min_us, neg_max_us) merge for the
+    sequential-pattern family: per-batch polars min partials through
+    the adaptive min merge; always collected (the table is bounded by
+    users x types, never event volume)."""
     import polars as pl
 
     from patito_ray.stages.agg import collect_table, merge_partial_mins
 
     ds = _rp(sf_dir, "events", ["user_id", "event_type", "ts"])
+    sch = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("min_us", pa.int64()),
+            ("neg_max_us", pa.int64()),
+        ]
+    )
 
     def partial(t: pa.Table) -> pa.Table:
-        sch = pa.schema(
-            [
-                ("user_id", pa.int64()),
-                ("event_type", pa.string()),
-                ("min_us", pa.int64()),
-                ("neg_max_us", pa.int64()),
-            ]
-        )
         if t.num_rows == 0:
             return sch.empty_table()
         us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
@@ -14148,17 +14143,23 @@ def q_seq_patterns(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
         **_kw,
     )
     if not isinstance(merged, pa.Table):
-        merged = collect_table(
-            merged,
-            empty_schema=pa.schema(
-                [
-                    ("user_id", pa.int64()),
-                    ("event_type", pa.string()),
-                    ("min_us", pa.int64()),
-                    ("neg_max_us", pa.int64()),
-                ]
-            ),
-        )
+        merged = collect_table(merged, empty_schema=sch)
+    return merged
+
+
+def q_seq_patterns(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Sequential-pattern support: for every ordered event-type pair
+    (a, b), how many users have SOME a strictly before SOME b (gaps
+    allowed — the PrefixSpan length-2 support table). The existential
+    collapses exactly to min/max: a-then-b holds iff min_ts(a) <
+    max_ts(b) within the user, so the pipeline is per-batch (user,
+    type, min_us, max_us) partials -> one adaptive min/max merge
+    (≤ users×types rows) -> a vectorized type×type comparison per user
+    on the driver-or-worker side. Pure integer-µs comparisons, exact
+    at any scale; the exchange never carries event volume."""
+    import polars as pl
+
+    merged = _seq_minmax(sf_dir, limit_bytes)
     out_schema = pa.schema(
         [("type_a", pa.string()), ("type_b", pa.string()), ("users", pa.int64())]
     )
@@ -14212,63 +14213,13 @@ def q_seq_patterns3(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
     event volume) -> one distinct merge -> per-triple user counts.
     Broadcast side is users×|T| rows; at crawl scale swap it for a
     user-key co-partition (same kernel), noted here for the judge."""
-    import polars as pl
     import ray
 
-    from patito_ray.stages.agg import (
-        collect_table,
-        merge_partial_mins,
-        merge_partial_sums,
-    )
+    from patito_ray.stages.agg import collect_table, merge_partial_mins, merge_partial_sums
 
     ds = _rp(sf_dir, "events", ["user_id", "event_type", "ts"])
-
-    def mm_partial(t: pa.Table) -> pa.Table:
-        sch = pa.schema(
-            [
-                ("user_id", pa.int64()),
-                ("event_type", pa.string()),
-                ("min_us", pa.int64()),
-                ("neg_max_us", pa.int64()),
-            ]
-        )
-        if t.num_rows == 0:
-            return sch.empty_table()
-        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        return (
-            pl.DataFrame(
-                {
-                    "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
-                    "event_type": t.column("event_type").to_pylist(),
-                    "min_us": us,
-                    "neg_max_us": -us,
-                }
-            )
-            .group_by(["user_id", "event_type"])
-            .agg(pl.col("min_us").min(), pl.col("neg_max_us").min())
-            .to_arrow()
-            .cast(sch)
-        )
-
     _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
-    mm = merge_partial_mins(
-        ds.map_batches(mm_partial, batch_format="pyarrow", batch_size=None),
-        ["user_id", "event_type"],
-        ["min_us", "neg_max_us"],
-        **_kw,
-    )
-    if not isinstance(mm, pa.Table):
-        mm = collect_table(
-            mm,
-            empty_schema=pa.schema(
-                [
-                    ("user_id", pa.int64()),
-                    ("event_type", pa.string()),
-                    ("min_us", pa.int64()),
-                    ("neg_max_us", pa.int64()),
-                ]
-            ),
-        )
+    mm = _seq_minmax(sf_dir, limit_bytes)
     out_schema = pa.schema(
         [
             ("type_a", pa.string()),
@@ -14304,19 +14255,25 @@ def q_seq_patterns3(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
         ui = np.searchsorted(d["users"], u)
         bi = np.array([ti[ty] for ty in t.column("event_type").to_pylist()])
         tv = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        # (n, |T|) interval flags against the broadcast per-user rows
-        f_a = tv[:, None] > d["minmat"][ui]  # some a strictly before
-        f_c = tv[:, None] < d["maxmat"][ui]  # some c strictly after
-        # true (a, c) combos per event -> packed (user, a, b, c) keys
-        combo = f_a[:, :, None] & f_c[:, None, :]  # (n, a, c)
-        ei, ai, ci = np.nonzero(combo)
-        key = (
-            ui[ei] * (nt_ * nt_ * nt_)
-            + ai * (nt_ * nt_)
-            + bi[ei] * nt_
-            + ci
-        ).astype(np.int64)
-        key = np.unique(key)
+        # chunk the event axis: the (chunk, |T|, |T|) flag cube and its
+        # nonzero index arrays stay bounded regardless of block size
+        # (a full 1M-row block x |T|=10 would be ~GBs before the dedup)
+        chunk = 65_536
+        parts = []
+        for lo in range(0, len(tv), chunk):
+            hi = lo + chunk
+            f_a = tv[lo:hi, None] > d["minmat"][ui[lo:hi]]  # a strictly before
+            f_c = tv[lo:hi, None] < d["maxmat"][ui[lo:hi]]  # c strictly after
+            combo = f_a[:, :, None] & f_c[:, None, :]  # (chunk, a, c)
+            ei, ai, ci = np.nonzero(combo)
+            key = (
+                ui[lo:hi][ei] * (nt_ * nt_ * nt_)
+                + ai * (nt_ * nt_)
+                + bi[lo:hi][ei] * nt_
+                + ci
+            ).astype(np.int64)
+            parts.append(np.unique(key))
+        key = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
         return pa.table(
             {"key": pa.array(key), "one": pa.array(np.ones(len(key), np.int64))},
             schema=sch,
@@ -14328,25 +14285,47 @@ def q_seq_patterns3(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
         ["one"],
         **_kw,
     )
-    if not isinstance(distinct, pa.Table):
-        distinct = collect_table(
-            distinct,
-            empty_schema=pa.schema([("key", pa.int64()), ("one", pa.int64())]),
+    _abc_sch = pa.schema([("abc", pa.int64()), ("users", pa.int64())])
+
+    def abc_counts(t: pa.Table) -> pa.Table:
+        # globally-distinct keys -> per-block |T|^3-bounded partials;
+        # the driver only ever sees <= |T|^3 rows (never the key set)
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return _abc_sch.empty_table()
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        c = np.bincount(k % (nt * nt * nt), minlength=nt * nt * nt)
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"abc": pa.array(nz.astype(np.int64)), "users": pa.array(c[nz].astype(np.int64))},
+            schema=_abc_sch,
         )
-    if distinct.num_rows == 0:
+
+    if isinstance(distinct, pa.Table):
+        import ray.data as rd
+
+        distinct = rd.from_arrow(distinct) if distinct.num_rows else None
+    if distinct is None:
         return out_schema.empty_table()
-    key = distinct.column("key").to_numpy(zero_copy_only=False)
-    abc = key % (nt * nt * nt)
-    cnt = np.bincount(abc, minlength=nt * nt * nt)
-    rows = np.nonzero(cnt)[0]
+    counts = merge_partial_sums(
+        distinct.map_batches(abc_counts, batch_format="pyarrow", batch_size=None),
+        ["abc"],
+        ["users"],
+        **_kw,
+    )
+    if not isinstance(counts, pa.Table):
+        counts = collect_table(counts, empty_schema=_abc_sch)
+    if counts.num_rows == 0:
+        return out_schema.empty_table()
+    rows = counts.column("abc").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt_vals = counts.column("users").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(rows)
-    rows = rows[order]
+    rows, cnt_vals = rows[order], cnt_vals[order]
     return pa.table(
         {
             "type_a": [types[r // (nt * nt)] for r in rows],
             "type_b": [types[(r // nt) % nt] for r in rows],
             "type_c": [types[r % nt] for r in rows],
-            "users": pa.array(cnt[rows].astype(np.int64)),
+            "users": pa.array(cnt_vals),
         },
         schema=out_schema,
     )
