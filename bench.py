@@ -364,6 +364,7 @@ def run_bench() -> dict:
         "seq_patterns",
         "seq_patterns3",
         "containment_pairs",
+        "theil_index",
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)

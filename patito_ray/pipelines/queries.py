@@ -14443,3 +14443,115 @@ WHERE size_a + size_b - inter > 0
 """
 
 QUERIES["containment_pairs"] = (q_containment_pairs, SQL_CONTAINMENT_PAIRS)
+
+
+def q_theil_index(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Theil T inequality index over per-customer spend (the
+    decomposable companion to `segment_gini`): T = Σ(x/X)·ln(x/(X/n))
+    rewritten as (Σ x·ln x)/X − ln(X/n), so ONE partial-sum pass over
+    the customer-total table suffices — no second data-dependent pass.
+    Spend totals are exact integer cents (first merge); n, X stay
+    integers to the end; Σ x·ln x is the one float fold, rounded once
+    at 1e-6 (summation-order skew ~1e-13 relative against that grid)."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_custkey", pa.int64()), ("cents", pa.int64())])
+        if t.num_rows == 0:
+            return sch.empty_table()
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "o_custkey": t.column("o_custkey").to_numpy(zero_copy_only=False),
+                    "cents": np.floor(price * 100.0 + 0.5).astype(np.int64),
+                }
+            )
+            .group_by("o_custkey")
+            .agg(pl.col("cents").sum())
+            .to_arrow()
+            .cast(sch)
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    totals = merge_partial_sums(
+        ds.map_batches(cust_partial, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"],
+        ["cents"],
+        **_kw,
+    )
+    _mom_sch = pa.schema(
+        [("k", pa.int64()), ("n", pa.int64()), ("x", pa.int64()), ("sxlx", pa.float64())]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return _mom_sch.empty_table()
+        c = t.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        cf = c.astype(np.float64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([len(c)], pa.int64()),
+                "x": pa.array([int(c.sum())], pa.int64()),
+                "sxlx": pa.array([float(np.dot(cf, np.log(cf)))], pa.float64()),
+            },
+            schema=_mom_sch,
+        )
+
+    if isinstance(totals, pa.Table):
+        import ray.data as rd
+
+        totals = rd.from_arrow(totals)
+    mom = merge_partial_sums(
+        totals.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        ["n", "x", "sxlx"],
+        **_kw,
+    )
+    if not isinstance(mom, pa.Table):
+        mom = collect_table(mom, empty_schema=_mom_sch)
+    if mom.num_rows == 0 or int(mom.column("n")[0].as_py() or 0) == 0:
+        return pa.table(
+            {
+                "n": pa.array([0], pa.int64()),
+                "x": pa.array([0], pa.int64()),
+                "theil": pa.array([None], pa.float64()),
+            }
+        )
+    n = int(mom.column("n")[0].as_py())
+    x = int(mom.column("x")[0].as_py())
+    sxlx = float(mom.column("sxlx")[0].as_py())
+    theil = sxlx / float(x) - float(np.log(float(x) / n))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "x": pa.array([x], pa.int64()),
+            "theil": pa.array([_rf(theil, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_THEIL_INDEX = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS x,
+         SUM(CAST(cents AS DOUBLE) * ln(CAST(cents AS DOUBLE))) AS sxlx
+  FROM s
+)
+SELECT n, x,
+       ROUND(sxlx / CAST(x AS DOUBLE) - ln(CAST(x AS DOUBLE)/n), 6) AS theil
+FROM agg
+"""
+
+QUERIES["theil_index"] = (q_theil_index, SQL_THEIL_INDEX)

@@ -302,3 +302,28 @@ def test_containment_pairs_detects_superset(ray_session, tmp_path):
     assert cont_small == 1.0
     assert cont_big < 1.0
     assert r["inter"] == min(r["size_a"], r["size_b"])
+
+
+@pytest.mark.parametrize("limit_bytes", [None, 0])
+def test_theil_index_reference(ray_session, limit_bytes):
+    import numpy as np
+
+    from patito_ray.pipelines.queries import q_theil_index
+
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    totals = collections.Counter()
+    for k, p in zip(
+        t.column("o_custkey").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        totals[k] += int(np.floor(p * 100.0 + 0.5))
+    x = np.array(sorted(totals.values()), dtype=np.float64)
+    n, X = len(x), x.sum()
+    ref = float(np.sum((x / X) * np.log(x / (X / n))))
+
+    out = q_theil_index(SF, limit_bytes=limit_bytes).to_pylist()[0]
+    assert out["n"] == n and out["x"] == int(X)
+    assert abs(out["theil"] - ref) < 2e-6
+    # Theil T is bounded by [0, ln n]
+    assert -1e-9 <= out["theil"] <= np.log(n) + 1e-9
