@@ -50,6 +50,69 @@ def broadcast_join(
     return ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
 
 
+_KEEP_L = "__pr_join_keep_l"
+_KEEP_R = "__pr_join_keep_r"
+
+
+def _arrow_schema(ds: Any) -> pa.Schema | None:
+    """Arrow schema of a Dataset, or None when it is unknowable — which
+    happens exactly when the dataset executed to zero rows through a
+    schema-erasing op (Ray's filter emits schema-less empty bundles).
+    Metadata-backed sources (parquet) answer without execution; lazy
+    map chains peek one block; an all-to-all upstream executes its plan
+    — materialize such inputs first, same invariant as
+    copartition_apply chaining."""
+    sch = ds.schema()
+    if sch is None:
+        return None
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(sch.names, sch.types)))
+
+
+def _shuffle_safe_side(ds: Any, schema: pa.Schema, keep_col: str | None) -> Any:
+    """Armor one join side against Ray's hash-shuffle empty-block hole.
+
+    ``_shuffle_block`` (ray/data/_internal/execution/operators/
+    hash_shuffle.py:223) returns without sending ANYTHING for a 0-row
+    block, yet the one-shot schema-broadcast flag is consumed by the
+    first block submitted — so a side whose first (or every) block is
+    empty never delivers its schema to the aggregators and acero dies
+    with ``ArrowInvalid: No match ... FieldRef`` at finalize. Two
+    counter-measures, both streaming and O(1) extra state:
+
+    - drop empty blocks (generator ``map_batches`` yields nothing), so
+      the first block the shuffle sees is guaranteed non-empty and the
+      schema broadcast seeds every partition;
+    - union ONE sentinel row with all-null columns, so even an
+      entirely-empty side (filter matched nothing) still ships a
+      schema-ful block. Null join keys match nothing under acero's SQL
+      semantics, so the sentinel is invisible to inner joins; outer
+      joins tag real rows with ``keep_col`` and prune the sentinel
+      after the join.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    if keep_col is not None and keep_col in schema.names:
+        raise ValueError(f"column name {keep_col!r} is reserved by hash_join")
+
+    def dense(b: pa.Table):
+        if b.num_rows:
+            if keep_col is not None:
+                b = b.append_column(
+                    keep_col, pa.array(np.ones(b.num_rows, dtype=bool))
+                )
+            yield b
+
+    out = ds.map_batches(dense, batch_format="pyarrow", batch_size=None)
+    sent = pa.table({f.name: pa.nulls(1, f.type) for f in schema})
+    if keep_col is not None:
+        sent = sent.append_column(keep_col, pa.array([False]))
+    return out.union(rd.from_arrow(sent))
+
+
 def hash_join(
     left: Any,
     right: Any,
@@ -57,9 +120,22 @@ def hash_join(
     how: str = "inner",
     num_partitions: int | None = None,
     right_on: str | tuple[str, ...] | None = None,
+    safe: bool = True,
 ) -> Any:
     """Both sides large: Ray Data's partitioned hash join (an explicit
-    all-to-all exchange on the key)."""
+    all-to-all exchange on the key).
+
+    ``safe=True`` (default) makes the native operator correct on
+    arbitrary upstreams: a side whose blocks are all empty (a filter
+    that matched nothing) crashes Ray's join aggregator because empty
+    blocks are silently not shuffled and the schema broadcast is lost
+    (see :func:`_shuffle_safe_side`). The guard drops empty blocks and
+    unions a null-key sentinel row per side; inner joins need no
+    post-pass (null keys match nothing), outer joins prune the sentinel
+    via a per-side keep flag. ``safe=False`` skips the armor for
+    pipelines that guarantee dense non-empty blocks (e.g. direct
+    parquet reads).
+    """
     on_t = (on,) if isinstance(on, str) else tuple(on)
     right_t = None
     if right_on is not None:
@@ -73,13 +149,49 @@ def hash_join(
 
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         num_partitions = max(2, min(64, cpus // 4))
-    return left.join(
+    keep_l = _KEEP_L if how in ("left_outer", "full_outer") else None
+    keep_r = _KEEP_R if how in ("right_outer", "full_outer") else None
+    if safe:
+        lsch, rsch = _arrow_schema(left), _arrow_schema(right)
+        if lsch is None or rsch is None:
+            # a None schema means that side provably executed to zero
+            # rows AND its column set is unknowable (schema-less empty
+            # bundles) — the join result is computable without the
+            # native operator. The vanished side's columns cannot
+            # appear in the output (best effort, documented).
+            import ray.data as rd
+
+            if lsch is None and rsch is None:
+                return rd.from_items([])
+            if lsch is None:
+                return right if how in ("right_outer", "full_outer") else right.limit(0)
+            return left if how in ("left_outer", "full_outer") else left.limit(0)
+        left = _shuffle_safe_side(left, lsch, keep_l)
+        right = _shuffle_safe_side(right, rsch, keep_r)
+    out = left.join(
         right,
         join_type=how,
         num_partitions=num_partitions,
         on=on_t,
         right_on=right_t,
     )
+    if safe and (keep_l or keep_r):
+
+        def prune(b: pa.Table) -> pa.Table:
+            mask = None
+            for col in (keep_l, keep_r):
+                if col is None:
+                    continue
+                # unmatched rows carry null in the other side's flag —
+                # they are real rows, keep them (only explicit False is
+                # the sentinel)
+                m = pc.fill_null(b.column(col), True)
+                mask = m if mask is None else pc.and_(mask, m)
+                b = b.drop_columns([col])
+            return b.filter(mask)
+
+        out = out.map_batches(prune, batch_format="pyarrow", batch_size=None)
+    return out
 
 
 def default_num_partitions() -> int:

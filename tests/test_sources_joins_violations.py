@@ -98,6 +98,93 @@ def test_hash_join(ray_session):
     assert out.count() == 50
 
 
+def test_hash_join_empty_side_safe(ray_session):
+    """Regression: Ray's native join aggregator dies with ArrowInvalid
+    when a side's blocks are all empty (hash_shuffle never ships the
+    schema for 0-row blocks). hash_join's safe armor (drop empty
+    blocks + null-key sentinel) must survive every such shape."""
+    import ray.data as rd
+
+    from patito_ray.stages.join import hash_join
+
+    right = rd.from_arrow(pa.table({"k": [2, 3, 4], "w": [10, 20, 30]}))
+
+    # left filtered to nothing -> inner join is empty, correct schema
+    left_empty = rd.from_items([{"k": i, "v": i} for i in range(100)]).filter(
+        lambda r: r["k"] < 0
+    )
+    out = hash_join(left_empty, right, on="k", num_partitions=2)
+    assert out.take_all() == []
+
+    # right filtered to nothing (schema-less empty: Ray's filter erases
+    # it) -> left outer preserves all left rows; the vanished side's
+    # columns are unknowable and absent (documented best effort)
+    left = rd.from_arrow(pa.table({"k": [1, 2], "v": ["a", "b"]}))
+    right_empty = right.filter(lambda r: r["k"] < 0)
+    rows = sorted(
+        (r["k"], r["v"])
+        for r in hash_join(
+            left, right_empty, on="k", how="left_outer", num_partitions=2
+        ).take_all()
+    )
+    assert rows == [(1, "a"), (2, "b")]
+
+    # right empty but schema-ful (arrow empty block keeps its schema)
+    # -> full join semantics incl. the null-filled right columns
+    right_schemaful = rd.from_arrow(
+        pa.table({"k": pa.array([], type=pa.int64()), "w": pa.array([], type=pa.int64())})
+    )
+    rows = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in hash_join(
+            left, right_schemaful, on="k", how="left_outer", num_partitions=2
+        ).take_all()
+    )
+    assert rows == [(1, "a", None), (2, "b", None)]
+
+    # both sides empty -> empty result, no crash
+    out = hash_join(
+        left_empty, right_empty, on="k", how="full_outer", num_partitions=2
+    )
+    assert out.take_all() == []
+
+
+def test_hash_join_safe_matches_polars(ray_session):
+    """safe=True must not change results on dense inputs: all four join
+    types against a polars oracle, including unmatched rows and a block
+    that a filter empties mid-stream."""
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.join import hash_join
+
+    lt = pa.table({"k": [1, 2, 2, 5, 7], "v": ["a", "b", "c", "d", "e"]})
+    rt = pa.table({"k": [2, 5, 5, 9], "w": [10, 20, 30, 40]})
+    # two blocks each; the second left block is emptied by a filter
+    left = rd.from_arrow([lt.slice(0, 3), lt.slice(3)]).filter(lambda r: r["k"] != 5)
+    lt_f = lt.filter(pa.compute.not_equal(lt.column("k"), 5))
+    for how, pl_how in [
+        ("inner", "inner"),
+        ("left_outer", "left"),
+        ("right_outer", "right"),
+        ("full_outer", "full"),
+    ]:
+        got = hash_join(
+            left, rd.from_arrow(rt), on="k", how=how, num_partitions=2
+        ).take_all()
+        want = (
+            pl.from_arrow(lt_f)
+            .join(pl.from_arrow(rt), on="k", how=pl_how, coalesce=True)
+            .to_dicts()
+        )
+        key = lambda r: tuple(
+            (v is None, v) for v in (r.get("k"), r.get("v"), r.get("w"))
+        )
+        got_n = sorted(({"k": r.get("k"), "v": r.get("v"), "w": r.get("w")} for r in got), key=key)
+        want_n = sorted(({"k": r.get("k"), "v": r.get("v"), "w": r.get("w")} for r in want), key=key)
+        assert got_n == want_n, how
+
+
 def test_semi_anti_join(ray_session):
     import ray.data as rd
 
