@@ -45,8 +45,12 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def ensure_corpus(n: int) -> str:
-    """Generate (once) and cache the deterministic web-page parquet."""
-    path = f"{BENCH_TMP}/webpages_{n}"
+    """Generate (once) and cache the deterministic web-page parquet
+    (cache key carries the generator version so a generator change
+    invalidates stale corpora)."""
+    from patito_ray.generate import CORPUS_VERSION
+
+    path = f"{BENCH_TMP}/webpages_{n}_v{CORPUS_VERSION}"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         from patito_ray.generate import write_webpages

@@ -1813,9 +1813,38 @@ def benchmark_gram_hashes(
     return np.unique(flat)
 
 
+def benchmark_gram_hashes_dataset(
+    bench_ds: Any, n: int = 3, text_col: str = "text"
+) -> np.ndarray:
+    """Distributed form of :func:`benchmark_gram_hashes`: reduce a
+    benchmark **Dataset** to its sorted unique gram-hash set without
+    ever materializing benchmark TEXT on the driver. Each batch emits
+    its per-batch-unique 8-byte gram hashes (int64 view — Ray block
+    building rejects uint64 > 2^63); only those narrow rows reach the
+    driver, so the collection is O(distinct grams x 8 B) regardless of
+    corpus text volume."""
+    import ray
+
+    def grams(batch: pa.Table) -> pa.Table:
+        _, flat, _ = _gram_hash_sets(batch.column(text_col), n)
+        u = np.unique(flat)
+        return pa.table({"g": pa.array(u.view(np.int64), type=pa.int64())})
+
+    m = bench_ds.map_batches(
+        grams, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    tabs = [t for t in ray.get(m.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return np.empty(0, dtype=np.uint64)
+    flat = np.concatenate(
+        [t.column("g").to_numpy(zero_copy_only=False) for t in tabs]
+    ).view(np.uint64)
+    return np.unique(flat)
+
+
 def contamination_flags(
     ds: Any,
-    benchmark: "pa.Array | pa.ChunkedArray | list[str] | np.ndarray",
+    benchmark: "pa.Array | pa.ChunkedArray | list[str] | np.ndarray | Any",
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1828,6 +1857,11 @@ def contamination_flags(
     input doc: ``n_grams`` = the doc's distinct-gram count, ``n_hits``
     = how many of those grams appear in the benchmark, ``contaminated``
     = n_hits > 0.
+
+    ``benchmark`` may be in-memory strings, a prehashed uint64 array,
+    or a ray ``Dataset`` — the Dataset form reduces to the gram-hash
+    set worker-side (:func:`benchmark_gram_hashes_dataset`) so no
+    benchmark text ever reaches the driver.
 
     Execution shape: the benchmark's unique gram hashes are broadcast
     ONCE via ``ray.put`` (an eval set is MBs — broadcasting it beats
@@ -1848,11 +1882,12 @@ def contamination_flags(
     """
     import ray
 
-    bench = (
-        np.asarray(benchmark, dtype=np.uint64)
-        if isinstance(benchmark, np.ndarray)
-        else benchmark_gram_hashes(benchmark, n)
-    )
+    if isinstance(benchmark, np.ndarray):
+        bench = np.asarray(benchmark, dtype=np.uint64)
+    elif hasattr(benchmark, "map_batches"):  # ray.data.Dataset benchmark
+        bench = benchmark_gram_hashes_dataset(benchmark, n, text_col=text_col)
+    else:
+        bench = benchmark_gram_hashes(benchmark, n)
     bench_ref = ray.put(np.sort(bench))
 
     def flag(batch: pa.Table) -> pa.Table:

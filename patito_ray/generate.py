@@ -90,6 +90,28 @@ def page_texts(idx: np.ndarray) -> list[str]:
     return out
 
 
+#: bump when webpage_batch's output changes — keys the bench corpus
+#: cache so a stale /tmp corpus never mixes generator generations
+CORPUS_VERSION = 2
+
+
+def page_markup_html(i: int, text: str) -> str:
+    """Real-markup html for row ``i`` whose parser-extracted text is
+    BYTE-IDENTICAL to ``text``: nested head/style, an h1/p split of the
+    text, the first body character encoded as a numeric charref (so
+    entity decoding is exercised), and a script block that must be
+    dropped. ``extract_html_text`` on this document returns ``text``
+    exactly (whitespace between tags collapses under the RE2-ASCII
+    normalizer)."""
+    head, rest = text.split(". ", 1)
+    enc = f"&#{ord(rest[0])};" + rest[1:]
+    return (
+        f"<html><head><style>p{{margin:0}}</style></head><body>\n"
+        f"<h1>{head}.</h1>\n<p>{enc}</p>\n<script>var q={i};</script>\n"
+        f"</body></html>"
+    )
+
+
 def webpage_batch(
     indices: np.ndarray,
     hot_domain_fraction: float = 0.1,
@@ -125,9 +147,21 @@ def webpage_batch(
     texts = page_texts(idx)
     htmls: list[bytes | None] = []
     h3 = _mix(idx.astype(np.uint64), 6)
-    null_html = (h3 % np.uint64(100)) < np.uint64(5)  # 5% missing html
-    for t, missing in zip(texts, null_html.tolist()):
-        htmls.append(None if missing else b"<html><body>" + t.encode() + b"</body></html>")
+    r100 = h3 % np.uint64(100)
+    null_html = r100 < np.uint64(5)  # 5% missing html
+    # 2% real markup (nested tags, entities, script/style) so the
+    # flagship invariant exercises the actual html.parser extraction
+    # branch, not just the vectorized wrapper strip
+    marked = (r100 >= np.uint64(5)) & (r100 < np.uint64(7))
+    for t, missing, m, i in zip(
+        texts, null_html.tolist(), marked.tolist(), idx.tolist()
+    ):
+        if missing:
+            htmls.append(None)
+        elif m:
+            htmls.append(page_markup_html(i, t).encode())
+        else:
+            htmls.append(b"<html><body>" + t.encode() + b"</body></html>")
 
     langs = [LANGS[int(v)] for v in (h2 % np.uint64(len(LANGS))).tolist()]
 

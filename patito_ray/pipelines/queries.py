@@ -1365,11 +1365,13 @@ SELECT doc_id, source FROM r WHERE rn <= 3
 def q_contamination(sf_dir: str) -> Any:
     """Train/test decontamination: every 100th document plays the
     benchmark/eval set; flag all docs sharing any word-3-gram with it.
-    The benchmark gram-hash set broadcasts once via ray.put; the flag
-    pass is one shuffle-free vectorized membership scan. Exact oracle:
-    the SQL side builds the same distinct 3-gram sets (incl. the
-    short-doc whole-text fallback) and joins on gram STRINGS — hash
-    collisions would surface as a value mismatch."""
+    The benchmark is a DATASET: its gram-hash set is reduced
+    worker-side (8 B per distinct gram reaches the driver — benchmark
+    TEXT never does) and broadcasts once via ray.put; the flag pass is
+    one shuffle-free vectorized membership scan. Exact oracle: the SQL
+    side builds the same distinct 3-gram sets (incl. the short-doc
+    whole-text fallback) and joins on gram STRINGS — hash collisions
+    would surface as a value mismatch."""
     from patito_ray.functions.dedup import contamination_flags
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -1378,13 +1380,8 @@ def q_contamination(sf_dir: str) -> Any:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % 100 == 0)).select(["text"])
 
-    bench_texts = [
-        r["text"]
-        for r in ds.map_batches(
-            pick_bench, batch_format="pyarrow", batch_size=None
-        ).take_all()
-    ]
-    return contamination_flags(ds, bench_texts, n=3)
+    bench_ds = ds.map_batches(pick_bench, batch_format="pyarrow", batch_size=None)
+    return contamination_flags(ds, bench_ds, n=3)
 
 
 SQL_CONTAMINATION = """

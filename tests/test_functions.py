@@ -764,6 +764,50 @@ def test_contamination_flags(ray_session):
     }
 
 
+def test_contamination_flags_dataset_benchmark(ray_session):
+    """The Dataset-benchmark form reduces to the gram-hash set
+    worker-side: agrees with the in-memory string form, and the driver
+    collection is bounded at 8 B per distinct gram (never text)."""
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import (
+        benchmark_gram_hashes,
+        benchmark_gram_hashes_dataset,
+        contamination_flags,
+    )
+
+    texts = [f"shared prefix gram {i % 7} plus unique tail {i}" for i in range(200)]
+    docs = pa.table(
+        {"doc_id": pa.array(range(200), type=pa.int64()), "text": pa.array(texts)}
+    )
+    ds = rd.from_arrow(docs).repartition(5)
+    bench_texts = texts[::20]
+    bench_ds = rd.from_arrow(pa.table({"text": pa.array(bench_texts)})).repartition(3)
+
+    want = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_flags(ds, bench_texts).take_all()
+    }
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_flags(ds, bench_ds).take_all()
+    }
+    assert got == want and any(v > 0 for v in got.values())
+
+    # the distributed reduction returns exactly the local gram-hash set:
+    # what crosses to the driver is 8 B x |distinct grams|, not corpus text
+    hashes = benchmark_gram_hashes_dataset(bench_ds, 3)
+    local = benchmark_gram_hashes(bench_texts, 3)
+    assert hashes.dtype == np.uint64
+    assert np.array_equal(hashes, local)
+    assert hashes.nbytes == 8 * len(local)
+
+    # empty benchmark Dataset (schema-ful) -> no contamination, no crash
+    empty = rd.from_arrow(pa.table({"text": pa.array([], type=pa.string())}))
+    clean = contamination_flags(ds, empty).take_all()
+    assert not any(r["contaminated"] for r in clean)
+
+
 def test_sample_edge_cases():
     from patito_ray.functions.sampling import sample_batch, stratified_sample
 

@@ -50,6 +50,36 @@ def test_extraction_invariant_catches_corruption():
     assert c["text_mismatches"] == (1 if d["html"][3] is not None else 0)
 
 
+def test_generator_marks_real_markup_subset():
+    """~2% of synthetic pages carry real nested/entity markup so the
+    flagship invariant's parser branch does genuine work; their
+    parser-extracted text stays byte-identical to the text column, and
+    a tampered marked row is still caught (through the parser path)."""
+    from patito_ray.functions.htmltext import extract_html_text
+
+    t = webpage_table(3000)
+    htmls = t.column("html").to_pylist()
+    texts = t.column("text").to_pylist()
+    marked = [
+        k
+        for k, h in enumerate(htmls)
+        if h is not None and not h.startswith(b"<html><body>Document")
+    ]
+    assert 20 <= len(marked) <= 120  # ~2% of 3000
+    for k in marked[:40]:
+        assert b"<script>" in htmls[k] and b"&#" in htmls[k]
+        assert extract_html_text(htmls[k]) == texts[k]
+    c = text_invariant_counts(t)
+    assert c["text_mismatches"] == 0
+
+    d = t.to_pydict()
+    d["text"][marked[0]] = d["text"][marked[0]] + "X"
+    t2 = pa.table(
+        {k: pa.array(v, type=t.schema.field(k).type) for k, v in d.items()}
+    )
+    assert text_invariant_counts(t2)["text_mismatches"] == 1
+
+
 def test_extract_text_roundtrip():
     t = webpage_table(100)
     mask = [h is not None for h in t.column("html").to_pylist()]
