@@ -1690,6 +1690,91 @@ def _hyperplanes(seed: int, dim: int, total: int) -> np.ndarray:
     return _PLANE_CACHE[key]
 
 
+def _fixed_binary_rows(q: np.ndarray) -> pa.Array:
+    """(n, d) int8 matrix -> fixed_size_binary(d) array, one buffer, no
+    per-row Python objects."""
+    n, d = q.shape
+    return pa.Array.from_buffers(
+        pa.binary(d), n, [None, pa.py_buffer(np.ascontiguousarray(q).tobytes())]
+    )
+
+
+def _fixed_binary_matrix(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Uniform-width binary column -> (n, d) int8 matrix (zero-copy
+    view of the values buffer). Handles fixed_size_binary AND plain
+    binary/large_binary — the pair exchange widens fixed-size payloads
+    to variable binary on concat."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_binary(t):
+        d = t.byte_width
+        flat = np.frombuffer(col.buffers()[1], dtype=np.int8)
+        return flat[col.offset * d : (col.offset + len(col)) * d].reshape(-1, d)
+    odt = np.int64 if pa.types.is_large_binary(t) else np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    widths = np.diff(off)
+    d = int(widths[0]) if len(widths) else 0
+    if len(widths) and not (widths == d).all():
+        raise ValueError("int8 payload column has non-uniform row widths")
+    data = np.frombuffer(col.buffers()[2], dtype=np.int8)
+    return data[off[0] : off[-1]].reshape(-1, d) if len(widths) else data.reshape(0, 0)
+
+
+def _int8_prune_pairs(
+    ds: Any,
+    pairs: Any,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_partitions: int | None,
+) -> Any:
+    """Drop candidate pairs provably below ``threshold`` using an
+    int8-quantized payload join (8x less exchange volume than float64).
+    Sound: |approx_cos - true_cos| <= 2δ + δ² with δ = sqrt(d)/254, so
+    keeping approx >= threshold - eps can never lose a true pair."""
+    from patito_ray.functions.similarity import _to_matrix, _unit
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        vecs = _unit(_to_matrix(batch.column(vec_col)))
+        if vecs.size == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "q8": pa.array([], type=pa.binary(1)),
+                }
+            )
+        q = np.clip(np.round(vecs * 127.0), -127, 127).astype(np.int8)
+        return pa.table(
+            {id_col: batch.column(id_col), "q8": _fixed_binary_rows(q)}
+        )
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow", batch_size=None)
+    joined = pair_payload_join(qds, pairs, id_col, "q8", num_partitions)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        qa = _fixed_binary_matrix(batch.column("val_a")).astype(np.float32)
+        qb = _fixed_binary_matrix(batch.column("val_b")).astype(np.float32)
+        d = qa.shape[1]
+        dots = np.einsum("ij,ij->i", qa, qb)
+        norms = np.sqrt(np.einsum("ij,ij->i", qa, qa) * np.einsum("ij,ij->i", qb, qb))
+        approx = np.where(norms > 0, dots / np.maximum(norms, 1e-12), 0.0)
+        delta = np.sqrt(d) / 254.0
+        eps = 2.0 * delta + delta * delta
+        keep = pa.array(approx >= threshold - eps)
+        return pa.table(
+            {"a": batch.column("a").filter(keep), "b": batch.column("b").filter(keep)}
+        )
+
+    return joined.map_batches(prune, batch_format="pyarrow", batch_size=None)
+
+
 def embedding_near_dups(
     ds: Any,
     id_col: str = "vec_id",
@@ -1701,6 +1786,7 @@ def embedding_near_dups(
     max_bucket: int = 1000,
     max_collision_keys: int = 10_000_000,
     num_partitions: int | None = None,
+    int8_prune: bool = True,
 ) -> Any:
     """Near-duplicate pairs on an embedding column -> Dataset[a, b,
     cosine] (exact cosine >= threshold).
@@ -1726,6 +1812,19 @@ def embedding_near_dups(
     verification through ``pair_payload_join`` — one vectorized
     row-wise kernel per batch, never an O(k^2) within-bucket matmul and
     never a per-row ``to_pylist`` conversion.
+
+    ``int8_prune`` (default): candidate verification is dominated by
+    payload VOLUME through the pair join (float64 embeddings are
+    8 B/dim/side/pair, and random LSH collisions far outnumber true
+    dups). A first pass joins int8-quantized unit vectors (1 B/dim —
+    8x less exchange traffic), scores the approximate cosine and drops
+    pairs provably below threshold: with û = round(127u)/127 the
+    per-vector L2 error is δ <= sqrt(d)/254, so the normalized-int8
+    cosine differs from the true cosine by at most eps = 2δ + δ²
+    (two angle perturbations of at most asin(δ)). Only pairs with
+    approx >= threshold - eps — true dups plus a thin margin — ride
+    the full-precision join, whose final cosine is EXACT float on the
+    original values (the prune can only discard, never alter).
     """
     from patito_ray.functions.similarity import _to_matrix, _unit
 
@@ -1773,6 +1872,11 @@ def embedding_near_dups(
     rows = ds.map_batches(code_rows, batch_format="pyarrow", batch_size=None).materialize()
     hits, n_keys = _colliding_subset(rows, max_collision_keys)
     pairs = _bucket_pairs(hits, id_col, max_bucket, n_keys_hint=n_keys)
+
+    if int8_prune:
+        pairs = _int8_prune_pairs(
+            ds, pairs, id_col, vec_col, threshold, num_partitions
+        )
 
     joined = pair_payload_join(ds, pairs, id_col, vec_col, num_partitions)
 

@@ -270,7 +270,14 @@ def synth_media_batch(
             img[:, :, 0] = ((xx / 16 + phase) * 255) % 256
             img[:, :, 1] = ((yy / 12 + phase / 2) * 255) % 256
             img[:, :, 2] = (i % 256)
-            images.append(cx.encode_png(img))
+            # container mix like a real crawl: PNG / BMP / JPEG by id
+            m = i % 3
+            if m == 0:
+                images.append(cx.encode_png(img))
+            elif m == 1:
+                images.append(cx.encode_bmp(img))
+            else:
+                images.append(cx.encode_jpeg(img, quality=90))
         out = out.append_column("image", pa.array(images, type=pa.binary()))
     if media in ("audio", "both"):
         audios = []
@@ -288,7 +295,7 @@ def synth_media_batch(
 class ImagePHash:
     """binary image -> 64-bit perceptual aHash (int64 column ``phash``).
 
-    Real decode path only (PNG/BMP via the pure-stdlib codecs): decode,
+    Real decode path only (PNG/BMP/JPEG via the pure-stdlib codecs): decode,
     grayscale, bilinear-resize to 8x8, threshold each cell at the image
     mean, pack the 64 bits. Near-identical images (re-encodes, small
     brightness shifts, single-pixel edits) land within a few bits;

@@ -94,11 +94,15 @@ def _rolling_hashes(
 
 
 def _batch_window_rows(
-    t: pa.Table, text_col: str, id_col: str, L: int, stride: int
+    t: pa.Table, text_col: str, id_col: str, L: int, stride: int,
+    hash_rate: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(h1, h2, doc_id) for every DISTINCT (window, document) pair in
     the batch — windows never cross document boundaries, start offsets
-    follow ``generate_series(1, n_chars - L + 1, stride)`` per doc."""
+    follow ``generate_series(1, n_chars - L + 1, stride)`` per doc.
+    ``hash_rate`` k > 1 additionally keeps only windows whose content
+    hash clears 2^64/k (content-keyed 1/k sampling — both copies of a
+    duplicated span make the SAME keep decision, unlike stride)."""
     text = t.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -123,6 +127,13 @@ def _batch_window_rows(
     if len(starts) == 0:
         return empty
     h1 = _rolling_hashes(data, starts, L, _R1, _R1_INV)
+    if hash_rate > 1:
+        # hashing all windows is vectorized O(bytes) local work; the
+        # savings land where they matter — the exchange moves 1/k rows
+        keep_m = h1 < np.uint64(2**64 // hash_rate)
+        starts, rows, h1 = starts[keep_m], rows[keep_m], h1[keep_m]
+        if len(starts) == 0:
+            return empty
     h2 = _rolling_hashes(data, starts, L, _R2, _R2_INV)
     ids = t.column(id_col)
     if isinstance(ids, pa.ChunkedArray):
@@ -188,6 +199,7 @@ def duplicated_span_stats(
     L: int = 20,
     stride: int = 1,
     num_buckets: int = 64,
+    hash_rate: int = 1,
 ) -> Any:
     """Per-document span-duplication profile: for every document with
     at least one length-``L`` window, ``n_grams`` distinct windows and
@@ -204,11 +216,25 @@ def duplicated_span_stats(
     the naive per-row groupby exchange took >7 min for 1M docs /
     ~30M gram rows on the bench host; this shape runs the same input
     in well under a minute.
+
+    The 100-TB volume knobs, measured by scripts/scale_span.py
+    --stride-sweep (table in BASELINE.md): ``stride`` s keeps every
+    s-th POSITION — a span duplicated at unrelated offsets in two
+    documents co-samples only when the offsets agree mod s, so
+    cross-document recall is ~1/s regardless of span length. Prefer
+    ``hash_rate`` k (content-keyed 1/k sampling, winnowing-style):
+    both copies of a window make the same keep decision, so a span
+    with W = S - L + 1 windows is caught with prob 1 - (1 - 1/k)^W —
+    ~1 once W >> k, at the same 1/k exchange volume. With either knob
+    active, ``n_grams``/``n_dup_grams`` count SAMPLED windows (a
+    sampled duplication profile, not the full census).
     """
     if L < 2:
         raise ValueError(f"window length L must be >= 2, got {L}")
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
+    if hash_rate < 1:
+        raise ValueError(f"hash_rate must be >= 1, got {hash_rate}")
     if num_buckets < 2 or num_buckets & (num_buckets - 1):
         raise ValueError(f"num_buckets must be a power of two >= 2, got {num_buckets}")
     B = num_buckets
@@ -224,7 +250,7 @@ def duplicated_span_stats(
     )
 
     def emit(t: pa.Table) -> pa.Table:
-        h1, h2, doc = _batch_window_rows(t, text_col, id_col, L, stride)
+        h1, h2, doc = _batch_window_rows(t, text_col, id_col, L, stride, hash_rate)
         if len(h1) == 0:
             return _gram_schema.empty_table()
         bucket = (h1 >> shift).astype(np.int64)

@@ -127,8 +127,9 @@ def main() -> None:
             batch_format="pyarrow",
             batch_size=None,
         ).materialize()
+        int8 = os.environ.get("EMBED_INT8", "1") != "0"  # A/B the prune
         t0 = time.time()
-        pairs = embedding_near_dups(vs, threshold=0.99).count()
+        pairs = embedding_near_dups(vs, threshold=0.99, int8_prune=int8).count()
         wall = time.time() - t0
         peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         print(
@@ -136,6 +137,7 @@ def main() -> None:
                 {
                     "experiment": "embedding_near_dups",
                     "n_vecs": n_vecs,
+                    "int8_prune": int8,
                     "pairs": int(pairs),
                     "sec": round(wall, 2),
                     "vecs_per_sec": round(n_vecs / wall),

@@ -51,7 +51,7 @@ def _span_for_pair(pair: int) -> str:
     return b.tobytes().decode()
 
 
-def doc_batch(batch: pa.Table, n_docs: int) -> pa.Table:
+def doc_batch(batch: pa.Table, n_docs: int, random_offsets: bool = False) -> pa.Table:
     ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
     letters = _rand_letters(ids, DOC_LEN, salt=0xC0FFEE)
     data = letters.reshape(-1)
@@ -68,7 +68,14 @@ def doc_batch(batch: pa.Table, n_docs: int) -> pa.Table:
             did = int(ids[k])
             pair = did if did < N_PAIRS else did - half
             t = out[k]
-            out[k] = t[:INSERT_AT] + _span_for_pair(pair) + t[INSERT_AT:]
+            if random_offsets:
+                # per-DOC random insertion (the realistic regime: the
+                # same span sits at unrelated offsets in each member, so
+                # stride-sampling recall is what the sweep measures)
+                at = 32 + int(_splitmix(np.array([did], np.int64).view(np.uint64) ^ np.uint64(0xA11A))[0] % np.uint64(128))
+            else:
+                at = INSERT_AT
+            out[k] = t[:at] + _span_for_pair(pair) + t[at:]
         text_arr = pa.array(out, type=pa.string())
     else:
         text_arr = pc.cast(texts, pa.string())
@@ -77,7 +84,80 @@ def doc_batch(batch: pa.Table, n_docs: int) -> pa.Table:
     )
 
 
+def stride_sweep(n_docs: int) -> None:
+    """Measure the stride knob: spans planted at RANDOM per-doc offsets
+    (stride-aligned planting, as in the main harness, is the best case
+    — identical substrings only co-sample when both members' offsets
+    agree mod stride, so recall decays with stride and this sweep
+    quantifies the tradeoff the 100-TB knob buys). One JSON line per
+    stride: wall time, pair-level recall (planted doc flagged at all),
+    and sampled-window volume (the exchange traffic stride divides)."""
+    import ray
+    import ray.data as rd
+
+    from patito_ray.functions.spandedup import duplicated_span_stats
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=8, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    ds = (
+        rd.range(n_docs, override_num_blocks=64)
+        .map_batches(
+            doc_batch,
+            fn_kwargs={"n_docs": n_docs, "random_offsets": True},
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .materialize()
+    )
+    half = n_docs // 2
+    arms = [("stride", k) for k in (1, 2, 4, 8, 16)] + [
+        ("winnow", k) for k in (2, 4, 8, 16)
+    ]
+    for mode, k in arms:
+        t0 = time.time()
+        out = duplicated_span_stats(
+            ds,
+            L=L,
+            stride=k if mode == "stride" else 1,
+            hash_rate=k if mode == "winnow" else 1,
+        )
+        if not isinstance(out, pa.Table):
+            out = out.materialize()
+            tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+            out = pa.concat_tables(tabs)
+        wall = time.time() - t0
+        doc = out.column("doc_id").to_numpy(zero_copy_only=False)
+        dup = out.column("n_dup_grams").to_numpy(zero_copy_only=False)
+        planted = (doc < N_PAIRS) | ((doc >= half) & (doc < half + N_PAIRS))
+        flagged = int((dup[planted] > 0).sum())
+        false_docs = int((dup[~planted] > 0).sum())
+        windows = (DOC_LEN + SPAN_LEN - L) // k * n_docs  # ~sampled rows
+        print(
+            json.dumps(
+                {
+                    "metric": "span_sample_sweep",
+                    "n_docs": n_docs,
+                    "mode": mode,
+                    "k": k,
+                    "wall_s": round(wall, 1),
+                    "recall_docs": round(flagged / (2 * N_PAIRS), 4),
+                    "false_dup_docs": false_docs,
+                    "approx_window_rows": windows,
+                }
+            ),
+            flush=True,
+        )
+    ray.shutdown()
+
+
 def main() -> None:
+    if "--stride-sweep" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        stride_sweep(int(args[0]) if args else 200_000)
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 
     import ray

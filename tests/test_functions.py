@@ -1082,6 +1082,69 @@ def test_embedding_near_dups_planted(ray_session):
         a, b = r["a"], r["b"]
         assert abs(r["cosine"] - s[a, b]) < 1e-9  # exact verify, not LSH estimate
 
+    # the int8 pre-prune is output-invariant: same pairs, identical
+    # (exact float) cosines with and without it — the prune may only
+    # drop pairs provably below threshold
+    plain = sorted(
+        (r["a"], r["b"], r["cosine"])
+        for r in f_dedup.embedding_near_dups(
+            ds, threshold=0.95, int8_prune=False
+        ).take_all()
+    )
+    pruned = sorted(
+        (r["a"], r["b"], r["cosine"])
+        for r in f_dedup.embedding_near_dups(
+            ds, threshold=0.95, int8_prune=True
+        ).take_all()
+    )
+    assert plain == pruned
+
+
+def test_int8_prune_margin_keeps_boundary_pairs(ray_session):
+    """Pairs sitting exactly at the threshold (worst case for a lossy
+    prune) must survive: the eps margin is a proof, not a tuning."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    d = 48
+    base = rng.standard_normal(d)
+    base /= np.linalg.norm(base)
+    vecs = [base]
+    # construct companions at cosine ~0.950..0.9501 (barely above)
+    for k in range(1, 6):
+        perp = rng.standard_normal(d)
+        perp -= (perp @ base) * base
+        perp /= np.linalg.norm(perp)
+        c = 0.9500 + 1e-4 * k
+        vecs.append(c * base + np.sqrt(1 - c * c) * perp)
+    for _ in range(60):  # background noise
+        vecs.append(rng.standard_normal(d))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    got = {
+        (r["a"], r["b"])
+        for r in f_dedup.embedding_near_dups(
+            ds, threshold=0.95, n_tables=64, int8_prune=True
+        ).take_all()
+    }
+    u = np.array(vecs)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    s = u @ u.T
+    ai, bi = np.triu_indices(len(vecs), k=1)
+    want = {
+        (int(x), int(y))
+        for x, y in zip(ai[s[ai, bi] >= 0.95], bi[s[ai, bi] >= 0.95])
+    }
+    assert want and want <= got  # every boundary pair survives the prune
+    assert got <= want  # and the exact verify keeps precision 1.0
+
 
 def test_cluster_pairs_distributed_matches_union_find(ray_session):
     import ray.data as rd
@@ -1786,6 +1849,55 @@ def test_image_near_dups_planted_pairs(ray_session):
     # random 16x16 noise bases differ in ~32 bits; none may collide
     extras = pairs - planted
     assert not extras, extras
+
+
+def test_image_near_dups_jpeg_reencode(ray_session):
+    """The real-crawl shape JPEG decode unlocks: near-dup = the SAME
+    picture re-encoded as JPEG (lossy) vs its PNG original. Every
+    (png, jpeg-re-encode) pair must be found; distinct structured
+    images must not pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from patito_ray.functions import codecs as cx
+    from patito_ray.functions.multimodal import image_near_dups
+
+    rng = np.random.default_rng(7)
+
+    def smooth() -> np.ndarray:
+        # low-frequency random image: JPEG-friendly (smooth content
+        # survives q88 nearly bit-exact in pHash space) yet hash-diverse
+        # across draws (unlike regular gradients, which collide)
+        coarse = rng.integers(0, 256, (3, 4, 3)).astype(np.float32)
+        return np.clip(cx.resize_bilinear(coarse, 24, 32), 0, 255).astype(np.uint8)
+
+    ids, payloads, planted = [], [], set()
+    next_id = 0
+    for base in range(24):
+        img = smooth()
+        orig = next_id
+        ids.append(orig)
+        payloads.append(cx.encode_png(img))
+        next_id += 1
+        if base % 3 == 0:
+            ids.append(next_id)
+            payloads.append(cx.encode_jpeg(img, quality=88, subsampling="420"))
+            planted.add((orig, next_id))
+            next_id += 1
+    tab = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "image": pa.array(payloads, pa.binary())}
+    )
+    out = image_near_dups(
+        rd.from_arrow(tab).repartition(3), max_hamming=3, concurrency=2
+    )
+    pairs = set()
+    for t in [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]:
+        for r in t.to_pylist():
+            pairs.add((min(r["a"], r["b"]), max(r["a"], r["b"])))
+    assert planted <= pairs, planted - pairs
+    assert not (pairs - planted), pairs - planted
 
 
 def test_image_phash_null_payload(ray_session):

@@ -81,6 +81,60 @@ def test_span_stats_stride_and_short_docs(ray_session):
     assert len(texts) - 1 not in got and len(texts) - 2 not in got
 
 
+def test_span_stats_hash_rate_content_keyed(ray_session):
+    """hash_rate sampling vs a python reference that applies the SAME
+    content-hash keep rule; and the property stride cannot give: a span
+    duplicated at UNALIGNED offsets is still caught (both copies make
+    the same keep decisions), while stride=k at those offsets misses."""
+    import ray.data as rd
+
+    from patito_ray.functions.spandedup import (
+        _R1,
+        _R1_INV,
+        _rolling_hashes,
+    )
+
+    L, k = 20, 4
+
+    def ref_hash_rate(texts: list[str]) -> dict:
+        thr = np.uint64(2**64 // k)
+        per = {}
+        for i, t in enumerate(texts):
+            data = np.frombuffer(t.encode(), np.uint8)
+            if len(data) < L:
+                continue
+            starts = np.arange(len(data) - L + 1, dtype=np.int64)
+            h = _rolling_hashes(data, starts, L, _R1, _R1_INV)
+            per[i] = {t[j : j + L] for j in starts[h < thr]}
+        c = Counter(g for s in per.values() for g in s)
+        return {
+            i: (len(s), sum(1 for g in s if c[g] > 1))
+            for i, s in per.items()
+            if s
+        }
+
+    texts = [t for t in _corpus(120) if len(t.encode()) == len(t)]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+        )
+    ).repartition(5)
+    got = _collect(duplicated_span_stats(ds, L=L, hash_rate=k))
+    assert got == ref_hash_rate(texts)
+
+    # unaligned duplicated span: offsets 0 and 3 (3 % 4 != 0); pads are
+    # per-doc distinct so the span is the ONLY shared content
+    span = "the-exact-duplicated-span-of-sixty-characters-in-two-docs!!"
+    t2 = [span + "left-pad-one-0123456789abcdef", "xyz" + span + "other-pad-ghijklmnopqrstuvw"]
+    ds2 = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], type=pa.int64()), "text": t2})
+    ).repartition(2)
+    winnow = _collect(duplicated_span_stats(ds2, L=L, hash_rate=k))
+    assert all(nd > 0 for (_, nd) in winnow.values())  # both docs flagged
+    strided = _collect(duplicated_span_stats(ds2, L=L, stride=k))
+    assert all(nd == 0 for (_, nd) in strided.values())  # stride misses
+
+
 def test_span_stats_guards(ray_session):
     import ray.data as rd
 
@@ -91,6 +145,8 @@ def test_span_stats_guards(ray_session):
         duplicated_span_stats(ds, stride=0)
     with pytest.raises(ValueError):
         duplicated_span_stats(ds, num_buckets=48)
+    with pytest.raises(ValueError):
+        duplicated_span_stats(ds, hash_rate=0)
 
 
 def test_span_stats_duplicate_doc_id_rows(ray_session):
