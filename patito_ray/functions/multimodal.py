@@ -215,6 +215,16 @@ class AudioFrameSample:
         )
 
 
+#: media decode actors ask for HALF a CPU each: a pipeline chaining two
+#: pools (images -> audio) at concurrency c would otherwise reserve 2c
+#: whole CPUs and, on a small cluster (tests run Ray at 4 CPUs), starve
+#: the upstream read/synth TASKS entirely — every actor waits for input
+#: that can never be produced (observed as a clean deadlock, 0% CPU).
+#: 2x oversubscription of decode actors is harmless: they alternate
+#: with the producing stages under streaming backpressure anyway.
+_MEDIA_ACTOR_CPUS = 0.5
+
+
 def decode_images(ds: Any, concurrency: int = 4, fake: bool = True) -> Any:
     return ds.map_batches(
         ImageDecode,
@@ -222,6 +232,7 @@ def decode_images(ds: Any, concurrency: int = 4, fake: bool = True) -> Any:
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
+        num_cpus=_MEDIA_ACTOR_CPUS,
     )
 
 
@@ -232,6 +243,7 @@ def image_features(ds: Any, dim: int = 16, concurrency: int = 4, fake: bool = Tr
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
+        num_cpus=_MEDIA_ACTOR_CPUS,
     )
 
 
@@ -242,6 +254,7 @@ def sample_audio_frames(ds: Any, frames: int = 4, concurrency: int = 4, fake: bo
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
+        num_cpus=_MEDIA_ACTOR_CPUS,
     )
 
 
@@ -402,6 +415,7 @@ def image_near_dups(
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
+        num_cpus=_MEDIA_ACTOR_CPUS,
     )
 
     def narrow(t: pa.Table) -> pa.Table:
@@ -480,6 +494,7 @@ def audio_near_dups(
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
+        num_cpus=_MEDIA_ACTOR_CPUS,
     )
 
     def narrow(t: pa.Table) -> pa.Table:
@@ -588,6 +603,7 @@ def sample_video_frames(
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=concurrency,
+        num_cpus=_MEDIA_ACTOR_CPUS,
     )
 
 

@@ -308,10 +308,19 @@ def test_multimodal_stubs(ray_session):
     assert all(len(r["features"]) == 8 for r in feats)
     audio = f_mm.sample_audio_frames(ds, frames=3, concurrency=1).take_all()
     assert all(len(r["frame_offsets"]) == 3 for r in audio)
-    # JPEG genuinely needs an external codec: clear error at decode time
+    # JPEG decodes natively now; corrupt jpeg bytes still fail loudly
     jpeg = pa.table({"image": [b"\xff\xd8\xff\xe0fakejpeg"]})
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    with pytest.raises(Exception, match="JPEG"):
         f_mm.ImageDecode(fake=False)(jpeg)
+    # a real baseline jpeg decodes through the same stage
+    from patito_ray.functions import codecs as cx
+
+    real = pa.table(
+        {"image": [cx.encode_jpeg(np.full((16, 16, 3), 99, np.uint8), 90)]}
+    )
+    out = f_mm.ImageDecode(fake=False)(real)
+    assert out.column("width")[0].as_py() == 16
+    assert out.column("n_channels")[0].as_py() == 3
 
 
 def test_multimodal_real_decode(ray_session):

@@ -668,8 +668,12 @@ def test_link_reciprocity_constructed(ray_session, tmp_path, limit_bytes, monkey
             "dst": pa.array([b for _, b in edges], pa.int64()),
         }
     )
+    # patch the DEFINING chunk module: q.* is a re-export, but the
+    # consumer's __globals__ live in q_wave6 (queries.py split)
+    import patito_ray.pipelines.q_wave6 as qmod
+
     monkeypatch.setattr(
-        q, "_doc_link_edges", lambda sf_dir, k, with_weight=False: (rd.from_arrow(t), 5)
+        qmod, "_doc_link_edges", lambda sf_dir, k, with_weight=False: (rd.from_arrow(t), 5)
     )
     out = q.q_link_reciprocity("ignored", limit_bytes=limit_bytes)
     # distinct non-loop edges: (0,1),(1,0),(1,2),(2,3),(3,2) -> 5
@@ -693,8 +697,10 @@ def test_clustering_coeff_triangle_plus_tail(ray_session, monkeypatch):
             "dst": pa.array([b for _, b in edges], pa.int64()),
         }
     )
+    import patito_ray.pipelines.q_wave6 as qmod
+
     monkeypatch.setattr(
-        q, "_doc_link_edges", lambda sf_dir, k, with_weight=False: (rd.from_arrow(t), 4)
+        qmod, "_doc_link_edges", lambda sf_dir, k, with_weight=False: (rd.from_arrow(t), 4)
     )
     out = q.q_clustering_coeff("ignored")
     assert out.column("triangles")[0].as_py() == 1
