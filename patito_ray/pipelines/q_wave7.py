@@ -1,0 +1,1289 @@
+"""Query registry chunk (round 4, registered LAST — the driver
+correctness window pins the first 50 names, so new entries must only
+ever append).
+
+Registers: runs_test, ewma_daily, acf_lags, trend_ma, kruskal_wallis,
+anova_oneway, levene_bf, permutation_test, soft_dedup_weights,
+dsir_weights, completeness_by_source, conditional_referential,
+compact_small_files.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from patito_ray.pipelines.qcommon import (  # noqa: F401
+    QUERIES,
+    _apply,
+    _one_row,
+    _r,
+    _ra,
+    _rf,
+    _rp,
+    _tmp_dir,
+)
+
+_US_PER_DAY = np.int64(86_400_000_000)
+
+
+# ---------------------------------------------------------------------------
+# shared daily-revenue pass: ONE distributed partial-sum exchange over
+# lineitem (narrow: (day, cents) partials per batch), merged adaptively;
+# the calendar-bounded result (~#days rows) is driver-resident by design.
+# ---------------------------------------------------------------------------
+
+
+def _daily_lineitem_cents(sf_dir: str, limit_bytes: int | None = None):
+    """(day:int64, cents:int64) daily revenue on the exact cents grid,
+    sorted by day. Day = shipdate // 86400s, identical to the SQL
+    CAST(l_shipdate AS DATE) bucketing (the synthetic dates carry no
+    sub-day component hazard: epoch-us floor-div equals date trunc for
+    non-negative timestamps)."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame({"day": us // _US_PER_DAY, "cents": cents})
+            .group_by("day")
+            .agg(pl.col("cents").sum())
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "lineitem", ["l_shipdate", "l_extendedprice"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(ds, ["day"], ["cents"], **_kw)
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(  # calendar-bounded (#days rows)
+            merged,
+            empty_schema=pa.schema([("day", pa.int64()), ("cents", pa.int64())]),
+        )
+    day = merged.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = merged.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(day)
+    return day[order], cents[order]
+
+
+def _day_ts(day: np.ndarray) -> pa.Array:
+    # DuckDB DATE comes back from .df() as datetime64 — emit timestamp[us]
+    # so the comparator sees identical values (cohort_retention precedent).
+    return pa.array(day * _US_PER_DAY, pa.int64()).cast(pa.timestamp("us"))
+
+
+def q_runs_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Wald-Wolfowitz runs test on daily revenue vs its median: is the
+    above/below-median sequence random in time, or do high-revenue days
+    clump? Daily sums ride the one partial-sum exchange; the run count
+    walks the calendar-bounded series on the driver. Counts are exact
+    integers (median of an even day count lands on the half-cent grid,
+    so `above` is the exact integer compare 2*cents > 2*median); only
+    the final z expression is float, evaluated identically on both
+    engines from the integer triple (runs, n_above, n_below)."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    n = cents.size
+    if n == 0:
+        return _one_row(
+            n_days=0, n_above=0, n_below=0, runs=0, z=None
+        )
+    # doubled median is integer: mean of the two middle ints
+    s = np.sort(cents)
+    m2 = int(s[(n - 1) // 2]) + int(s[n // 2])
+    above = (2 * cents) > m2
+    n_pos = int(above.sum())
+    n_neg = n - n_pos
+    runs = 1 + int((above[1:] != above[:-1]).sum()) if n else 0
+    if n_pos == 0 or n_neg == 0 or n < 2:
+        z = None
+    else:
+        mu = 1.0 + (2.0 * n_pos * n_neg) / n
+        var = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+        z = _rf((runs - mu) / float(np.sqrt(var)), 6) if var > 0 else None
+    return _one_row(
+        n_days=n, n_above=n_pos, n_below=n_neg, runs=runs, z=z
+    )
+
+
+SQL_RUNS_TEST = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+med AS (
+  -- doubled median of an int column is an exact integer
+  SELECT CAST(2*MEDIAN(cents) AS BIGINT) AS m2 FROM daily
+),
+flags AS (
+  SELECT d, CASE WHEN 2*cents > (SELECT m2 FROM med) THEN 1 ELSE 0 END AS up,
+         ROW_NUMBER() OVER (ORDER BY d) AS rn
+  FROM daily
+),
+steps AS (
+  SELECT f.up, LAG(f.up) OVER (ORDER BY f.rn) AS prev FROM flags f
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(up) AS BIGINT) AS n_above,
+         CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_below,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND up <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM steps
+)
+SELECT n_days, n_above, n_below, runs,
+       CASE WHEN n_above = 0 OR n_below = 0 OR n_days < 2 THEN NULL
+            ELSE ROUND(
+              (CAST(runs AS DOUBLE)
+               - (1.0 + (2.0*n_above*n_below)/n_days))
+              / sqrt(((1.0 + (2.0*n_above*n_below)/n_days) - 1.0)
+                     * ((1.0 + (2.0*n_above*n_below)/n_days) - 2.0)
+                     / (n_days - 1.0)), 6) END AS z
+FROM agg
+"""
+
+QUERIES["runs_test"] = (q_runs_test, SQL_RUNS_TEST)
+
+
+def q_ewma_daily(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """EWMA (alpha=0.25) over the daily-revenue series — sequential
+    state that SQL needs a recursive CTE for and the engine computes as
+    a driver fold over the calendar-bounded series (the distributed
+    work is the daily partial-sum pass). NO rounding: both engines run
+    the identical recursion `0.25*c + 0.75*prev` in the identical day
+    order, so every intermediate double is bit-equal (multiply and add
+    are each correctly rounded; same expression tree, same order)."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    ewma = np.empty(cents.size, dtype=np.float64)
+    e = 0.0
+    for i, c in enumerate(cents.tolist()):
+        e = float(c) if i == 0 else 0.25 * float(c) + 0.75 * e
+        ewma[i] = e
+    return pa.table(
+        {
+            "d": _day_ts(day),
+            "cents": pa.array(cents, pa.int64()),
+            "ewma": pa.array(ewma, pa.float64()),
+        }
+    )
+
+
+SQL_EWMA_DAILY = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+idx AS (
+  SELECT d, cents, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
+),
+rec AS (
+  SELECT rn, d, cents, CAST(cents AS DOUBLE) AS ewma FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.d, i.cents, 0.25*CAST(i.cents AS DOUBLE) + 0.75*r.ewma
+  FROM rec r JOIN idx i ON i.rn = r.rn + 1
+)
+SELECT d, cents, ewma FROM rec
+"""
+
+QUERIES["ewma_daily"] = (q_ewma_daily, SQL_EWMA_DAILY)
+
+
+def q_acf_lags(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Exact Pearson autocorrelation of daily revenue at lags 1..7 over
+    aligned day pairs (both d and d+k present). The five moments per
+    lag are exact integers — Σx² at cents scale exceeds int64, so the
+    driver folds them as Python ints and the oracle uses HUGEINT; the
+    single float Pearson expression is evaluated identically and
+    rounded once."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    lags, ns, rs = [], [], []
+    for k in range(1, 8):
+        idx = np.searchsorted(day, day + k)
+        ok = (idx < day.size) & (day[np.minimum(idx, day.size - 1)] == day + k)
+        if not ok.any():
+            continue  # SQL inner join emits no row for an empty lag
+        x = cents[ok]
+        y = cents[np.minimum(idx, day.size - 1)[ok]]
+        m = int(ok.sum())
+        sx = int(x.sum())
+        sy = int(y.sum())
+        sxy = sum(int(a) * int(b) for a, b in zip(x.tolist(), y.tolist()))
+        sxx = sum(int(a) * int(a) for a in x.tolist())
+        syy = sum(int(b) * int(b) for b in y.tolist())
+        num = float(m * sxy - sx * sy)
+        dx = float(m * sxx - sx * sx)
+        dy = float(m * syy - sy * sy)
+        lags.append(k)
+        ns.append(m)
+        rs.append(
+            None
+            if dx <= 0 or dy <= 0
+            else _rf(num / (float(np.sqrt(dx)) * float(np.sqrt(dy))), 6)
+        )
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "n_pairs": pa.array(ns, pa.int64()),
+            "r": pa.array(rs, pa.float64()),
+        }
+    )
+
+
+SQL_ACF_LAGS = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+k AS (SELECT UNNEST(RANGE(1, 8)) AS lag),
+pairs AS (
+  SELECT k.lag, a.cents AS x, b.cents AS y
+  FROM daily a
+  JOIN k ON TRUE
+  JOIN daily b ON b.d = a.d + CAST(k.lag AS INTEGER)
+),
+mom AS (
+  SELECT lag,
+         CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT)*CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT)*CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CAST(m AS BIGINT) AS n_pairs,
+       CASE WHEN m*sxx - sx*sx <= 0 OR m*syy - sy*sy <= 0 THEN NULL
+            ELSE ROUND(CAST(m*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(m*syy - sy*sy AS DOUBLE))), 6)
+       END AS r
+FROM mom
+"""
+
+QUERIES["acf_lags"] = (q_acf_lags, SQL_ACF_LAGS)
+
+
+def q_trend_ma(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Centered 7-day moving-average detrend of daily revenue: rows
+    only for days whose full +-3-day window exists (inner-join window,
+    no partial edges). ma7 = windowsum/7 and det = cents/ma7 are the
+    only float ops, identical on both engines, rounded once."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    if day.size == 0:
+        return pa.table(
+            {
+                "d": pa.array([], pa.timestamp("us")),
+                "cents": pa.array([], pa.int64()),
+                "ma7": pa.array([], pa.float64()),
+                "det": pa.array([], pa.float64()),
+            }
+        )
+    csum = np.concatenate([[0], np.cumsum(cents)])
+    lo = np.searchsorted(day, day - 3)
+    hi = np.searchsorted(day, day + 3, side="right")
+    full = (hi - lo) == 7  # all 7 calendar days present
+    wsum = csum[hi] - csum[lo]
+    d = day[full]
+    c = cents[full]
+    w = wsum[full]
+    ma = w.astype(np.float64) / 7.0
+    det = c.astype(np.float64) / ma
+    return pa.table(
+        {
+            "d": _day_ts(d),
+            "cents": pa.array(c, pa.int64()),
+            "ma7": _ra(ma, 6),
+            "det": _ra(det, 6),
+        }
+    )
+
+
+SQL_TREND_MA = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+win AS (
+  SELECT a.d, a.cents,
+         CAST(SUM(b.cents) AS BIGINT) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS wn
+  FROM daily a
+  JOIN daily b ON b.d BETWEEN a.d - 3 AND a.d + 3
+  GROUP BY a.d, a.cents
+)
+SELECT d, cents,
+       ROUND(CAST(wsum AS DOUBLE)/7.0, 6) AS ma7,
+       ROUND(CAST(cents AS DOUBLE)/(CAST(wsum AS DOUBLE)/7.0), 6) AS det
+FROM win WHERE wn = 7
+"""
+
+QUERIES["trend_ma"] = (q_trend_ma, SQL_TREND_MA)
+
+
+# ---------------------------------------------------------------------------
+# grouped rank-test family over events.value by event_type: ONE shared
+# narrow exchange of (event_type, cents, cnt) distinct-value partials;
+# every downstream statistic is driver math over the value-grid-bounded
+# counts table (the documented knob: a continuous-valued column at 100 TB
+# switches to the t-digest/approx path; the exact path is for gridded
+# values, whose distinct count — not row count — bounds driver work).
+# ---------------------------------------------------------------------------
+
+
+def _grouped_value_counts(sf_dir: str, limit_bytes: int | None = None):
+    """(event_type, cents, cnt) over non-null event values, exact cents
+    grid. Per-batch polars group_by collapses each batch to its distinct
+    pairs before the adaptive partial-sum merge."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "cents": cents,
+                }
+            )
+            .group_by(["event_type", "cents"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(ds, ["event_type", "cents"], ["cnt"], **_kw)
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("cents", pa.int64()),
+                    ("cnt", pa.int64()),
+                ]
+            ),
+        )
+    et = np.asarray(merged.column("event_type").to_pylist())
+    cents = merged.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = merged.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    return et, cents, cnt
+
+
+def q_kruskal_wallis(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Kruskal-Wallis H across event types (doubled midranks keep every
+    rank integral; Σ(doubled rank) per group and the tie term Σ(t³-t)
+    are exact integers, so the only float math is the one shared H
+    expression). Doubled-rank moments overflow int64 at N ≳ 1.3e6 rows
+    per the Spearman precedent — the same loud guard applies."""
+    et, cents, cnt = _grouped_value_counts(sf_dir, limit_bytes)
+    if cents.size == 0:
+        return _one_row(n=0, n_groups=0, tie_t=0, h=None, h_c=None)
+    n = int(cnt.sum())
+    if n > 1_300_000:
+        raise ValueError(
+            "kruskal_wallis exact integer rank moments overflow int64 "
+            f"beyond ~1.3e6 rows (got {n}); use the approx-quantile path"
+        )
+    # pooled tie runs and doubled midranks per distinct value
+    order = np.argsort(cents, kind="stable")
+    vc, vv = cents[order], cnt[order]
+    uniq, start = np.unique(vc, return_index=True)
+    tot = np.add.reduceat(vv, start)  # pooled count per distinct value
+    below = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    dr = 2 * below + tot + 1  # doubled midrank of each distinct value
+    dr_of = dict(zip(uniq.tolist(), dr.tolist()))
+    tie_t = int((tot.astype(object) ** 3 - tot.astype(object)).sum())
+    # per-group doubled-rank sums
+    rows = []
+    for g in sorted(set(et.tolist())):
+        m = et == g
+        ng = int(cnt[m].sum())
+        drs = sum(int(c) * dr_of[int(v)] for v, c in zip(cents[m], cnt[m]))
+        rows.append((g, ng, drs))
+    s = 0.0
+    for _, ng, drs in rows:
+        s += float(drs) * float(drs) / (4.0 * ng)
+    h = 12.0 * s / (float(n) * (n + 1.0)) - 3.0 * (n + 1.0)
+    denom = float(n) ** 3 - float(n)
+    c = 1.0 - float(tie_t) / denom if denom > 0 else 0.0
+    h_c = None if c <= 0 else _rf(h / c, 6)
+    return _one_row(
+        n=n,
+        n_groups=len(rows),
+        tie_t=tie_t,
+        h=_rf(h, 6),
+        h_c=h_c,
+    )
+
+
+SQL_KRUSKAL_WALLIS = """
+WITH v AS (
+  SELECT event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type,
+         2*RANK() OVER (ORDER BY cents)
+           + COUNT(*) OVER (PARTITION BY cents) - 1 AS dr
+  FROM v
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(dr) AS BIGINT) AS drs
+  FROM r GROUP BY event_type
+),
+ties AS (
+  SELECT CAST(SUM(CAST(t AS HUGEINT)*t*t - t) AS HUGEINT) AS tie_t
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY cents)
+),
+agg AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         SUM(CAST(drs AS DOUBLE)*CAST(drs AS DOUBLE)/(4.0*ng)) AS s
+  FROM g
+)
+SELECT a.n, a.n_groups, CAST(t.tie_t AS BIGINT) AS tie_t,
+       ROUND(12.0*a.s/(CAST(a.n AS DOUBLE)*(a.n + 1.0)) - 3.0*(a.n + 1.0), 6)
+         AS h,
+       CASE WHEN 1.0 - CAST(t.tie_t AS DOUBLE)
+                       /(POWER(CAST(a.n AS DOUBLE), 3) - a.n) <= 0 THEN NULL
+            ELSE ROUND(
+              (12.0*a.s/(CAST(a.n AS DOUBLE)*(a.n + 1.0)) - 3.0*(a.n + 1.0))
+              / (1.0 - CAST(t.tie_t AS DOUBLE)
+                       /(POWER(CAST(a.n AS DOUBLE), 3) - a.n)), 6) END AS h_c
+FROM agg a, ties t
+"""
+
+QUERIES["kruskal_wallis"] = (q_kruskal_wallis, SQL_KRUSKAL_WALLIS)
+
+
+def q_anova_oneway(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """One-way ANOVA F across event types from exact integer moments
+    (n, Σc, Σc² per group on the cents grid): SSB/SSW assemble from the
+    integer moments in one shared float expression, rounded once."""
+    et, cents, cnt = _grouped_value_counts(sf_dir, limit_bytes)
+    if cents.size == 0:
+        return _one_row(n=0, n_groups=0, f=None)
+    groups = sorted(set(et.tolist()))
+    n = int(cnt.sum())
+    k = len(groups)
+    s_all = 0
+    sq_all = 0
+    sb = 0.0  # Σ s_g²/n_g
+    for g in groups:
+        m = et == g
+        ng = int(cnt[m].sum())
+        sg = sum(int(v) * int(c) for v, c in zip(cents[m], cnt[m]))
+        qg = sum(int(v) * int(v) * int(c) for v, c in zip(cents[m], cnt[m]))
+        s_all += sg
+        sq_all += qg
+        sb += float(sg) * float(sg) / float(ng)
+    ssb = sb - float(s_all) * float(s_all) / float(n)
+    ssw = float(sq_all) - sb
+    if k < 2 or n <= k or ssw <= 0:
+        f = None
+    else:
+        f = _rf((ssb / (k - 1.0)) / (ssw / (n - float(k))), 6)
+    return _one_row(n=n, n_groups=k, f=f)
+
+
+SQL_ANOVA_ONEWAY = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(c) AS HUGEINT) AS sg,
+         CAST(SUM(CAST(c AS HUGEINT)*c) AS HUGEINT) AS qg
+  FROM v GROUP BY event_type
+),
+agg AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sg) AS HUGEINT) AS s_all,
+         CAST(SUM(qg) AS HUGEINT) AS sq_all,
+         SUM(CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE)) AS sb
+  FROM g
+)
+SELECT n, k AS n_groups,
+       CASE WHEN k < 2 OR n <= k
+                 OR CAST(sq_all AS DOUBLE) - sb <= 0 THEN NULL
+            ELSE ROUND(
+              ((sb - CAST(s_all AS DOUBLE)*CAST(s_all AS DOUBLE)
+                     /CAST(n AS DOUBLE)) / (k - 1.0))
+              / ((CAST(sq_all AS DOUBLE) - sb) / (CAST(n AS DOUBLE) - k)), 6)
+       END AS f
+FROM agg
+"""
+
+QUERIES["anova_oneway"] = (q_anova_oneway, SQL_ANOVA_ONEWAY)
+
+
+def q_levene_bf(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Brown-Forsythe (median-centered Levene) equality-of-spread test
+    across event types. The doubled group median of an int column is an
+    exact integer, so the deviations z = |2c - m2| live on the exact
+    half-cent integer grid and the whole test is ANOVA-F over integer
+    moments — computable entirely from the same (group, value, count)
+    exchange, no second pass over the rows."""
+    et, cents, cnt = _grouped_value_counts(sf_dir, limit_bytes)
+    if cents.size == 0:
+        return _one_row(n=0, n_groups=0, f=None)
+    groups = sorted(set(et.tolist()))
+    n = int(cnt.sum())
+    k = len(groups)
+    s_all = 0
+    sq_all = 0
+    sb = 0.0
+    for g in groups:
+        m = et == g
+        v = cents[m]
+        c = cnt[m]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        ng = int(c.sum())
+        cum = np.cumsum(c)
+        # doubled median: ints at positions (ng-1)//2 and ng//2 (0-based)
+        lo = int(v[np.searchsorted(cum, (ng - 1) // 2 + 1)])
+        hi = int(v[np.searchsorted(cum, ng // 2 + 1)])
+        m2 = lo + hi
+        z = np.abs(2 * v - m2)
+        sg = sum(int(a) * int(b) for a, b in zip(z, c))
+        qg = sum(int(a) * int(a) * int(b) for a, b in zip(z, c))
+        s_all += sg
+        sq_all += qg
+        sb += float(sg) * float(sg) / float(ng)
+    ssb = sb - float(s_all) * float(s_all) / float(n)
+    ssw = float(sq_all) - sb
+    if k < 2 or n <= k or ssw <= 0:
+        f = None
+    else:
+        f = _rf((ssb / (k - 1.0)) / (ssw / (n - float(k))), 6)
+    return _one_row(n=n, n_groups=k, f=f)
+
+
+SQL_LEVENE_BF = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, CAST(2*MEDIAN(c) AS BIGINT) AS m2
+  FROM v GROUP BY event_type
+),
+z AS (
+  SELECT v.event_type, ABS(2*v.c - med.m2) AS zc
+  FROM v JOIN med ON med.event_type = v.event_type
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(zc) AS HUGEINT) AS sg,
+         CAST(SUM(CAST(zc AS HUGEINT)*zc) AS HUGEINT) AS qg
+  FROM z GROUP BY event_type
+),
+agg AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sg) AS HUGEINT) AS s_all,
+         CAST(SUM(qg) AS HUGEINT) AS sq_all,
+         SUM(CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE)) AS sb
+  FROM g
+)
+SELECT n, k AS n_groups,
+       CASE WHEN k < 2 OR n <= k
+                 OR CAST(sq_all AS DOUBLE) - sb <= 0 THEN NULL
+            ELSE ROUND(
+              ((sb - CAST(s_all AS DOUBLE)*CAST(s_all AS DOUBLE)
+                     /CAST(n AS DOUBLE)) / (k - 1.0))
+              / ((CAST(sq_all AS DOUBLE) - sb) / (CAST(n AS DOUBLE) - k)), 6)
+       END AS f
+FROM agg
+"""
+
+QUERIES["levene_bf"] = (q_levene_bf, SQL_LEVENE_BF)
+
+
+# ---------------------------------------------------------------------------
+# Monte-Carlo randomization test: embarrassingly parallel (the big-data
+# permutation test — per-row splitmix relabels mean no replica ever
+# materializes; one map_batches emits R partial rows per batch).
+# ---------------------------------------------------------------------------
+
+_PERM_REPS = 64
+_PERM_SEED = 29
+
+
+def q_permutation_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Randomization test for mean-value difference between 'purchase'
+    and 'click' events: each of the R=64 replicas relabels every row
+    with a fair splitmix64 coin (row-level randomization — the
+    exchangeable-null Monte Carlo variant that stays one streaming
+    pass; a fixed-margin permutation would need a global shuffle).
+    Everything through the exceedance count is EXACT integer
+    arithmetic: |T_rep| >= |T_obs| is cross-multiplied onto the integer
+    grid (driver uses Python ints, the oracle HUGEINT), so the p-value
+    numerator is bit-determined; only t_obs and p are floats, computed
+    identically and rounded once."""
+    from patito_ray.functions.dedup import _splitmix
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    half = np.uint64(1) << np.uint64(63)
+    schema = pa.schema(
+        [
+            ("rep", pa.int64()),
+            ("sa", pa.int64()),
+            ("na", pa.int64()),
+            ("sb", pa.int64()),
+            ("nb", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        mask = pc.and_kleene(
+            pc.is_valid(t.column("value")),
+            pc.is_in(
+                t.column("event_type"),
+                value_set=pa.array(["purchase", "click"]),
+            ),
+        )
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return schema.empty_table()
+        eid = (
+            pc.cast(t.column("event_id"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        is_a = np.asarray(t.column("event_type").to_pylist()) == "purchase"
+        # rep -1: the OBSERVED labels ride the same merge
+        reps = np.arange(-1, _PERM_REPS, dtype=np.int64)
+        sa = np.zeros(reps.size, dtype=np.int64)
+        na = np.zeros(reps.size, dtype=np.int64)
+        sb = np.zeros(reps.size, dtype=np.int64)
+        nb = np.zeros(reps.size, dtype=np.int64)
+        sa[0] = int(cents[is_a].sum())
+        na[0] = int(is_a.sum())
+        sb[0] = int(cents[~is_a].sum())
+        nb[0] = int((~is_a).sum())
+        base = eid * np.uint64(_PERM_REPS)
+        for b in range(_PERM_REPS):
+            h = _splitmix((base + np.uint64(b)) ^ np.uint64(_PERM_SEED))
+            a = h < half
+            sa[b + 1] = int(cents[a].sum())
+            na[b + 1] = int(a.sum())
+            sb[b + 1] = int(cents[~a].sum())
+            nb[b + 1] = int((~a).sum())
+        return pa.table(
+            {"rep": reps, "sa": sa, "na": na, "sb": sb, "nb": nb},
+            schema=schema,
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None),
+        ["rep"],
+        ["sa", "na", "sb", "nb"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(merged, empty_schema=schema)
+    rows = {
+        int(r["rep"]): (int(r["sa"]), int(r["na"]), int(r["sb"]), int(r["nb"]))
+        for r in merged.to_pylist()
+    }
+    sa_o, na_o, sb_o, nb_o = rows.pop(-1, (0, 0, 0, 0))
+    if na_o == 0 or nb_o == 0:
+        return _one_row(
+            na=na_o, nb=nb_o, t_obs=None, r=_PERM_REPS, exceed=0, p=None
+        )
+    lhs_scale = na_o * nb_o  # Python ints: exact at any magnitude
+    obs_num = abs(sa_o * nb_o - sb_o * na_o)
+    exceed = 0
+    for b in range(_PERM_REPS):
+        sa, na, sb, nb = rows.get(b, (0, 0, 0, 0))
+        if na == 0 or nb == 0:
+            exceed += 1  # degenerate relabel counts as extreme
+        elif abs(sa * nb - sb * na) * lhs_scale >= obs_num * (na * nb):
+            exceed += 1
+    t_obs = float(sa_o) / na_o - float(sb_o) / nb_o
+    p = (1.0 + exceed) / (_PERM_REPS + 1.0)
+    return _one_row(
+        na=na_o,
+        nb=nb_o,
+        t_obs=_rf(t_obs, 6),
+        r=_PERM_REPS,
+        exceed=exceed,
+        p=_rf(p, 6),
+    )
+
+
+def _sql_permutation_test() -> str:
+    from patito_ray.pipelines.q_training import _sql_mul64
+
+    return f"""
+WITH r AS (
+  SELECT event_id AS rid,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN is_a = 1 THEN cents ELSE 0 END) AS HUGEINT) AS sa,
+         CAST(SUM(is_a) AS HUGEINT) AS na,
+         CAST(SUM(CASE WHEN is_a = 0 THEN cents ELSE 0 END) AS HUGEINT) AS sb,
+         CAST(COUNT(*) - SUM(is_a) AS HUGEINT) AS nb
+  FROM r
+),
+reps AS (SELECT UNNEST(range(0, {_PERM_REPS})) AS rep),
+z0 AS (
+  SELECT rep, cents,
+    CAST((CAST(xor(CAST(rid*{_PERM_REPS}+rep AS UBIGINT),
+                   CAST({_PERM_SEED} AS UBIGINT)) AS HUGEINT)
+          + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+  FROM r, reps
+), x1 AS (SELECT rep, cents, xor(z, z >> 30) AS z FROM z0
+), z1 AS (SELECT rep, cents, {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (SELECT rep, cents, xor(z, z >> 27) AS z FROM z1
+), z2 AS (SELECT rep, cents, {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), h AS (SELECT rep, cents,
+                CAST(xor(z, z >> 31) AS HUGEINT) < 9223372036854775808 AS a
+         FROM z2
+),
+per AS (
+  SELECT rep,
+         CAST(SUM(CASE WHEN a THEN cents ELSE 0 END) AS HUGEINT) AS sa,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE cents END) AS HUGEINT) AS sb,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS nb
+  FROM h GROUP BY rep
+),
+exc AS (
+  SELECT CAST(SUM(CASE
+    WHEN per.na = 0 OR per.nb = 0 THEN 1
+    WHEN ABS(per.sa*per.nb - per.sb*per.na) * (obs.na*obs.nb)
+         >= ABS(obs.sa*obs.nb - obs.sb*obs.na) * (per.na*per.nb) THEN 1
+    ELSE 0 END) AS BIGINT) AS exceed
+  FROM per, obs
+)
+SELECT CAST(obs.na AS BIGINT) AS na,
+       CAST(obs.nb AS BIGINT) AS nb,
+       ROUND(CAST(obs.sa AS DOUBLE)/CAST(obs.na AS DOUBLE)
+             - CAST(obs.sb AS DOUBLE)/CAST(obs.nb AS DOUBLE), 6) AS t_obs,
+       {_PERM_REPS} AS r,
+       exc.exceed AS exceed,
+       ROUND((1.0 + exc.exceed)/({_PERM_REPS} + 1.0), 6) AS p
+FROM obs, exc
+"""
+
+
+QUERIES["permutation_test"] = (q_permutation_test, _sql_permutation_test())
+
+
+def q_soft_dedup_weights(sf_dir: str, limit_bytes: int | None = None) -> Any:
+    """SoftDeDup-style training weights: instead of dropping exact
+    duplicates, each document is weighted 1/k where k is its exact-dup
+    cluster size (identical text bytes). One narrow content-hash count
+    exchange (16 B/doc partials); text never moves. Weight sums then
+    equal the distinct-content count — the soft analogue of dedup."""
+    import polars as pl
+
+    from patito_ray.functions.dedup import hash64
+    from patito_ray.stages.agg import merge_partial_sums
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def hpart(t: pa.Table) -> pa.Table:
+        h = hash64(t.column("text")).view(np.int64)
+        return (
+            pl.DataFrame({"h": h})
+            .group_by("h")
+            .agg(pl.len().cast(pl.Int64).alias("k"))
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    counts = merge_partial_sums(
+        ds.map_batches(hpart, batch_format="pyarrow", batch_size=None),
+        ["h"],
+        ["k"],
+        **_kw,
+    )
+    # broadcast the (hash -> k) table; at 100 TB this is the distinct-
+    # content count table (bounded by content cardinality, and itself
+    # shardable via the bucketed-blob exchange if it outgrew memory)
+    if not isinstance(counts, pa.Table):
+        from patito_ray.stages.agg import collect_table
+
+        counts = collect_table(
+            counts, empty_schema=pa.schema([("h", pa.int64()), ("k", pa.int64())])
+        )
+    import ray
+
+    ref = ray.put(
+        (
+            np.sort(counts.column("h").to_numpy(zero_copy_only=False)),
+            counts.column("k")
+            .to_numpy(zero_copy_only=False)[
+                np.argsort(counts.column("h").to_numpy(zero_copy_only=False))
+            ]
+            .astype(np.int64),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        hs, ks = ray.get(ref)
+        h = hash64(t.column("text")).view(np.int64)
+        idx = np.searchsorted(hs, h)
+        k = ks[np.minimum(idx, ks.size - 1)]
+        w = 1.0 / k.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "dup_count": pa.array(k, pa.int64()),
+                "weight": _ra(w, 6),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+    return out
+
+
+SQL_SOFT_DEDUP_WEIGHTS = """
+WITH k AS (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS dup_count
+  FROM documents GROUP BY text
+)
+SELECT d.doc_id, k.dup_count,
+       ROUND(1.0/CAST(k.dup_count AS DOUBLE), 6) AS weight
+FROM documents d JOIN k ON k.text = d.text
+"""
+
+QUERIES["soft_dedup_weights"] = (q_soft_dedup_weights, SQL_SOFT_DEDUP_WEIGHTS)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting, per-source completeness audit,
+# conditional referential validation, small-file compaction parity.
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_weights(sf_dir: str, limit_bytes: int | None = None) -> Any:
+    """DSIR (data-selection-by-importance-resampling, Xie et al. 2023)
+    log-importance weights: target distribution = English documents,
+    raw = the whole corpus; per-document weight is the unigram
+    log-likelihood ratio sum count(tok)·(ln p_t(tok) − ln p_r(tok))
+    with add-one smoothing. ONE distributed (token, target?, count)
+    stats pass feeds a driver-built per-token ratio table that is
+    broadcast once (ray.put) for a second zero-exchange scoring pass.
+    Per-token log-ratios quantize to an integer 1e-9 grid on BOTH
+    engines before the per-doc sum, so the weight is an exact integer
+    (nano-units) plus one display division — no float-summation-order
+    hazard. The token-identity feature table is the oracle-exact mode;
+    at 100 TB the same pipeline hashes tokens into a fixed bucket count
+    (vocab-unbounded corpora), which SQL cannot replay."""
+    import polars as pl
+    import ray
+
+    from patito_ray.functions.tfidf import re2_split_tokens
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def tok_partials(t: pa.Table) -> pa.Table:
+        flat, parents, _ = re2_split_tokens(t.column("text"))
+        is_t = (
+            pc.equal(t.column("lang"), "en")
+            .to_numpy(zero_copy_only=False)[parents]
+            .astype(np.int64)
+        )
+        return (
+            pl.DataFrame(
+                {
+                    "tok": flat.to_pylist(),
+                    "c_all": np.ones(len(flat), dtype=np.int64),
+                    "c_t": is_t,
+                }
+            )
+            .group_by("tok")
+            .agg(pl.col("c_all").sum(), pl.col("c_t").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    stats = merge_partial_sums(
+        ds.map_batches(tok_partials, batch_format="pyarrow", batch_size=None),
+        ["tok"],
+        ["c_all", "c_t"],
+        **_kw,
+    )
+    if not isinstance(stats, pa.Table):
+        stats = collect_table(
+            stats,
+            empty_schema=pa.schema(
+                [("tok", pa.string()), ("c_all", pa.int64()), ("c_t", pa.int64())]
+            ),
+        )
+    toks = np.asarray(stats.column("tok").to_pylist())
+    c_all = stats.column("c_all").to_numpy(zero_copy_only=False).astype(np.int64)
+    c_t = stats.column("c_t").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = int(toks.size)  # raw-corpus vocab
+    tt = int(c_t.sum())  # target token total
+    tr = int(c_all.sum())  # raw token total
+    # per-token log-ratio on the 1e-9 integer grid (identical doubles
+    # in, floor+0.5 out — the grid absorbs any ulp-level libm skew)
+    lam = np.log((c_t + 1.0) / (tt + v)) - np.log((c_all + 1.0) / (tr + v))
+    lam_n = np.floor(lam * 1e9 + 0.5).astype(np.int64)
+    order = np.argsort(toks)
+    ref = ray.put((toks[order], lam_n[order]))
+
+    def score(t: pa.Table) -> pa.Table:
+        tok_s, lam_s = ray.get(ref)
+        flat, parents, nrows = re2_split_tokens(t.column("text"))
+        w = np.zeros(nrows, dtype=np.int64)
+        if len(flat):
+            fa = np.asarray(flat.to_pylist())
+            idx = np.searchsorted(tok_s, fa)
+            idx = np.minimum(idx, lam_s.size - 1)
+            hit = tok_s[idx] == fa  # unseen tokens contribute nothing
+            np.add.at(w, parents[hit], lam_s[idx[hit]])
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "w_nano": pa.array(w, pa.int64()),
+                "logw": pa.array(w.astype(np.float64) / 1e9, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DSIR_WEIGHTS = """
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(regexp_extract_all(text, '\\S+')) AS t
+  FROM documents
+),
+stats AS (
+  SELECT t,
+         CAST(COUNT(*) AS BIGINT) AS c_all,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM tok GROUP BY t
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(c_t) AS BIGINT) AS tt,
+         CAST(SUM(c_all) AS BIGINT) AS tr
+  FROM stats
+),
+lam AS (
+  SELECT s.t,
+         CAST(FLOOR((ln((s.c_t + 1.0)/(tot.tt + tot.v))
+                     - ln((s.c_all + 1.0)/(tot.tr + tot.v))) * 1e9 + 0.5)
+              AS BIGINT) AS lam_n
+  FROM stats s, tot
+),
+docsum AS (
+  SELECT tok.doc_id, CAST(SUM(lam.lam_n) AS BIGINT) AS w_nano
+  FROM tok JOIN lam ON lam.t = tok.t
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ds.w_nano, 0) AS w_nano,
+       CAST(COALESCE(ds.w_nano, 0) AS DOUBLE)/1e9 AS logw
+FROM documents d LEFT JOIN docsum ds ON ds.doc_id = d.doc_id
+"""
+
+QUERIES["dsir_weights"] = (q_dsir_weights, SQL_DSIR_WEIGHTS)
+
+
+def q_completeness_by_source(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Per-source completeness audit (the per-partition face of the V4
+    null checks): empty/whitespace-only text rate and short-doc rate
+    per source with a pass verdict at the 25% short threshold. Exact
+    integer counts through the adaptive merge; one rounded rate."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "documents", ["source", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        empty = pc.fill_null(
+            pc.equal(pc.utf8_trim_whitespace(txt), ""), True
+        ).to_numpy(zero_copy_only=False)
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        short = (nch < 50) & ~empty
+        return (
+            pl.DataFrame(
+                {
+                    "source": t.column("source").to_pylist(),
+                    "n": np.ones(t.num_rows, dtype=np.int64),
+                    "n_empty": empty.astype(np.int64),
+                    "n_short": short.astype(np.int64),
+                }
+            )
+            .group_by("source")
+            .agg(
+                pl.col("n").sum(),
+                pl.col("n_empty").sum(),
+                pl.col("n_short").sum(),
+            )
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["source"],
+        ["n", "n_empty", "n_short"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n", pa.int64()),
+                    ("n_empty", pa.int64()),
+                    ("n_short", pa.int64()),
+                ]
+            ),
+        )
+    n = merged.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_short = merged.column("n_short").to_numpy(zero_copy_only=False)
+    rate = n_short.astype(np.float64) / n
+    return pa.table(
+        {
+            "source": merged.column("source"),
+            "n": merged.column("n"),
+            "n_empty": merged.column("n_empty"),
+            "n_short": merged.column("n_short"),
+            "short_rate": _ra(rate, 6),
+            "ok": pa.array(4 * n_short <= merged.column("n").to_numpy(
+                zero_copy_only=False
+            ), pa.bool_()),
+        }
+    )
+
+
+SQL_COMPLETENESS_BY_SOURCE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+       CAST(SUM(CASE WHEN n_chars < 50
+                     AND NOT (text IS NULL OR TRIM(text) = '')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       ROUND(CAST(SUM(CASE WHEN n_chars < 50
+                     AND NOT (text IS NULL OR TRIM(text) = '')
+                     THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 6) AS short_rate,
+       4*SUM(CASE WHEN n_chars < 50
+                  AND NOT (text IS NULL OR TRIM(text) = '')
+                  THEN 1 ELSE 0 END) <= COUNT(*) AS ok
+FROM documents GROUP BY source
+"""
+
+QUERIES["completeness_by_source"] = (
+    q_completeness_by_source,
+    SQL_COMPLETENESS_BY_SOURCE,
+)
+
+
+def q_conditional_referential(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Conditional referential check (predicate-scoped foreign-key
+    validation): every lineitem of an URGENT-priority order must ship
+    within 90 days of the order date. The urgent order side is filtered
+    AT THE READ and joined via the empty-block-safe hash join; the
+    verdict is exact integer counts (checked lineitems, violations)."""
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+    from patito_ray.stages.join import hash_join
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def urgent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "odate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(narrow, batch_format="pyarrow", batch_size=None),
+        orders.map_batches(urgent, batch_format="pyarrow", batch_size=None),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+    lim = np.int64(90) * _US_PER_DAY
+
+    def verdict(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("checked", pa.int64()), ("violations", pa.int64())])
+        if t.num_rows == 0:
+            return sch.empty_table()
+        ship = t.column("ship_us").to_numpy(zero_copy_only=False)
+        od = t.column("odate_us").to_numpy(zero_copy_only=False)
+        bad = int((ship - od > lim).sum())
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "checked": pa.array([t.num_rows], pa.int64()),
+                "violations": pa.array([bad], pa.int64()),
+            },
+            schema=sch,
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        joined.map_batches(verdict, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        ["checked", "violations"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("k", pa.int64()), ("checked", pa.int64()), ("violations", pa.int64())]
+            ),
+        )
+    checked = int(merged.column("checked")[0].as_py()) if merged.num_rows else 0
+    bad = int(merged.column("violations")[0].as_py()) if merged.num_rows else 0
+    return _one_row(checked=checked, violations=bad, ok=bad == 0)
+
+
+SQL_CONDITIONAL_REFERENTIAL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS checked,
+       CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END) = 0 AS ok
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+QUERIES["conditional_referential"] = (
+    q_conditional_referential,
+    SQL_CONDITIONAL_REFERENTIAL,
+)
+
+
+def q_compact_small_files(sf_dir: str) -> pa.Table:
+    """Small-file compaction parity (sinks.compact_parquet): orders
+    land as 32 tiny files, compact into ~4 via driver-side first-fit
+    bin-packing + one streaming read→write task per bin (no shuffle),
+    then the per-status revenue aggregate reads back from the COMPACTED
+    directory — bit-identical to aggregating the source table."""
+    import glob
+    import os
+    import shutil
+
+    import polars as pl
+
+    from patito_ray.sinks import compact_parquet
+    from patito_ray.sources.readers import clean_read_parquet
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    base = _tmp_dir("compactq", sf_dir)
+    small = f"{base}/small"
+    out = f"{base}/compacted"
+    shutil.rmtree(base, ignore_errors=True)
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    ds.repartition(32).write_parquet(small)
+    sizes = [os.path.getsize(f) for f in glob.glob(f"{small}/*.parquet")]
+    compact_parquet(small, out, target_bytes=8 * max(sizes))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "o_orderstatus": t.column("o_orderstatus").to_pylist(),
+                    "n": np.ones(t.num_rows, dtype=np.int64),
+                    "cents": cents,
+                }
+            )
+            .group_by("o_orderstatus")
+            .agg(pl.col("n").sum(), pl.col("cents").sum())
+            .to_arrow()
+        )
+
+    merged = merge_partial_sums(
+        clean_read_parquet(out).map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["o_orderstatus"],
+        ["n", "cents"],
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("o_orderstatus", pa.string()), ("n", pa.int64()), ("cents", pa.int64())]
+            ),
+        )
+    return merged.sort_by("o_orderstatus")
+
+
+SQL_COMPACT_SMALL_FILES = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderstatus
+"""
+
+QUERIES["compact_small_files"] = (q_compact_small_files, SQL_COMPACT_SMALL_FILES)

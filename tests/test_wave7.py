@@ -1,0 +1,317 @@
+"""Wave-7 operators: grouped rank tests, randomization test, daily
+series, DSIR weights, soft-dedup weights, completeness / conditional
+referential audits. Each exact query is checked against a brute-force
+numpy reference on crafted inputs, and every adaptive merge runs BOTH
+paths (driver fast path and limit_bytes=0 forced-distributed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write(dirpath, name, table):
+    pq.write_table(table, f"{dirpath}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dual-path equality over the real testdata
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "runs_test",
+        "ewma_daily",
+        "acf_lags",
+        "trend_ma",
+        "kruskal_wallis",
+        "anova_oneway",
+        "levene_bf",
+        "permutation_test",
+    ],
+)
+def test_dual_path_equality(ray_session, qname):
+    from patito_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES[qname][0]
+    fast = fn(SF)
+    forced = fn(SF, limit_bytes=0)
+    assert fast.equals(forced), qname
+
+
+# ---------------------------------------------------------------------------
+# brute-force references on crafted groups (ties included)
+# ---------------------------------------------------------------------------
+
+
+def _crafted_events(tmp_path):
+    rng = np.random.default_rng(7)
+    groups = ["a"] * 40 + ["b"] * 30 + ["c"] * 30
+    # integer cents grid with heavy ties
+    vals = np.concatenate(
+        [
+            rng.integers(0, 20, 40),
+            rng.integers(5, 25, 30),
+            rng.integers(10, 30, 30),
+        ]
+    ).astype(np.float64)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(100), pa.int64()),
+            "ts": pa.array(np.arange(100) * 10**6, pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array(np.zeros(100), pa.int64()),
+            "event_type": pa.array(groups, pa.string()),
+            "value": pa.array(vals / 100.0, pa.float64()),
+            "props": pa.array([""] * 100, pa.string()),
+        }
+    )
+    _write(tmp_path, "events", t)
+    return np.asarray(groups), vals.astype(np.int64)
+
+
+def _midranks(v):
+    order = np.argsort(v, kind="stable")
+    r = np.empty(v.size, dtype=np.float64)
+    sv = v[order]
+    i = 0
+    while i < sv.size:
+        j = i
+        while j < sv.size and sv[j] == sv[i]:
+            j += 1
+        r[order[i:j]] = (i + j + 1) / 2.0  # 1-based midrank
+        i = j
+    return r
+
+
+def test_kruskal_vs_brute(ray_session, tmp_path):
+    from patito_ray.pipelines.q_wave7 import q_kruskal_wallis
+
+    g, v = _crafted_events(tmp_path)
+    out = q_kruskal_wallis(str(tmp_path)).to_pydict()
+    n = v.size
+    r = _midranks(v)
+    h = (
+        12.0 / (n * (n + 1.0))
+        * sum(
+            (r[g == k].sum()) ** 2 / (g == k).sum() for k in ["a", "b", "c"]
+        )
+        - 3.0 * (n + 1.0)
+    )
+    _, t = np.unique(v, return_counts=True)
+    c = 1.0 - float((t.astype(np.int64) ** 3 - t).sum()) / (n**3 - n)
+    assert out["n"] == [n]
+    assert out["n_groups"] == [3]
+    assert abs(out["h"][0] - h) < 1e-6
+    assert abs(out["h_c"][0] - h / c) < 1e-6
+
+
+def test_anova_levene_vs_brute(ray_session, tmp_path):
+    from patito_ray.pipelines.q_wave7 import q_anova_oneway, q_levene_bf
+
+    g, v = _crafted_events(tmp_path)
+
+    def anova_f(x, labels):
+        ks = sorted(set(labels.tolist()))
+        n = x.size
+        gm = x.mean()
+        ssb = sum(
+            (labels == k).sum() * (x[labels == k].mean() - gm) ** 2 for k in ks
+        )
+        ssw = sum(
+            ((x[labels == k] - x[labels == k].mean()) ** 2).sum() for k in ks
+        )
+        return (ssb / (len(ks) - 1)) / (ssw / (n - len(ks)))
+
+    f = q_anova_oneway(str(tmp_path)).to_pydict()["f"][0]
+    assert abs(f - anova_f(v.astype(np.float64), g)) < 1e-5
+
+    # Brown-Forsythe = ANOVA over |x - group median|; the engine's
+    # doubled-grid z = |2x - 2m| scales SSB/SSW by 4 and F not at all
+    z = np.concatenate(
+        [
+            np.abs(v[g == k] - np.median(v[g == k]))
+            for k in ["a", "b", "c"]
+        ]
+    )
+    zg = np.concatenate([g[g == k] for k in ["a", "b", "c"]])
+    f_bf = q_levene_bf(str(tmp_path)).to_pydict()["f"][0]
+    assert abs(f_bf - anova_f(z, zg)) < 1e-5
+
+
+def test_permutation_bounds_and_determinism(ray_session):
+    from patito_ray.pipelines.q_wave7 import _PERM_REPS, q_permutation_test
+
+    a = q_permutation_test(SF).to_pydict()
+    b = q_permutation_test(SF).to_pydict()
+    assert a == b  # splitmix relabels are deterministic
+    assert 0 <= a["exceed"][0] <= _PERM_REPS
+    lo = 1.0 / (_PERM_REPS + 1.0)
+    assert lo <= a["p"][0] <= 1.0
+    assert a["na"][0] > 0 and a["nb"][0] > 0
+
+
+def test_ewma_recursion_exact(ray_session):
+    from patito_ray.pipelines.q_wave7 import q_ewma_daily
+
+    out = q_ewma_daily(SF).to_pydict()
+    c = out["cents"]
+    e = out["ewma"]
+    assert e[0] == float(c[0])
+    for i in range(1, len(c)):
+        assert e[i] == 0.25 * float(c[i]) + 0.75 * e[i - 1]  # bit-exact
+
+
+def test_runs_and_acf_invariants(ray_session):
+    from patito_ray.pipelines.q_wave7 import q_acf_lags, q_runs_test
+
+    r = q_runs_test(SF).to_pydict()
+    assert r["n_above"][0] + r["n_below"][0] == r["n_days"][0]
+    assert 1 <= r["runs"][0] <= r["n_days"][0]
+
+    acf = q_acf_lags(SF).to_pydict()
+    assert len(acf["lag"]) > 0
+    for val in acf["r"]:
+        assert val is None or -1.0 <= val <= 1.0
+
+
+def test_trend_ma_window_exact(ray_session):
+    from patito_ray.pipelines.q_wave7 import (
+        _daily_lineitem_cents,
+        q_trend_ma,
+    )
+
+    day, cents = _daily_lineitem_cents(SF)
+    out = q_trend_ma(SF).to_pydict()
+    # every output day has all 7 window days present and ma7 == mean
+    lut = dict(zip(day.tolist(), cents.tolist()))
+    assert len(out["d"]) > 0
+    for d, ma in zip(out["d"], out["ma7"]):
+        di = int(d.timestamp() // 86400) if hasattr(d, "timestamp") else None
+        if di is None:
+            continue
+        w = [lut.get(di + k) for k in range(-3, 4)]
+        assert all(x is not None for x in w)
+        assert abs(ma - sum(w) / 7.0) < 1e-5
+
+
+def test_soft_dedup_weights_clusters(ray_session, tmp_path):
+    from patito_ray.pipelines.q_wave7 import q_soft_dedup_weights
+
+    texts = ["dup one"] * 3 + ["solo a", "solo b"] + ["dup two"] * 2
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    _write(tmp_path, "documents", t)
+    out = q_soft_dedup_weights(str(tmp_path))
+    tab = out if isinstance(out, pa.Table) else pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    d = dict(zip(tab.column("doc_id").to_pylist(), tab.column("dup_count").to_pylist()))
+    assert [d[i] for i in range(7)] == [3, 3, 3, 1, 1, 2, 2]
+    wsum = sum(tab.column("weight").to_pylist())
+    assert abs(wsum - 4.0) < 1e-4  # 4 distinct contents
+
+
+def test_dsir_weights_direction(ray_session, tmp_path):
+    from patito_ray.pipelines.q_wave7 import q_dsir_weights
+
+    # 'en' docs use token 'alpha'; others use 'beta' — an alpha-heavy
+    # doc must score higher than a beta-heavy one
+    texts = ["alpha alpha alpha", "alpha alpha alpha", "beta beta beta", "beta beta beta"]
+    langs = ["en", "en", "de", "de"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    _write(tmp_path, "documents", t)
+    out = q_dsir_weights(str(tmp_path))
+    tab = out if isinstance(out, pa.Table) else pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    w = dict(zip(tab.column("doc_id").to_pylist(), tab.column("logw").to_pylist()))
+    assert w[0] > w[2] and w[1] > w[3]
+    assert w[0] > 0 > w[2]
+
+
+def test_completeness_and_conditional_referential(ray_session, tmp_path):
+    from patito_ray.pipelines.q_wave7 import (
+        q_completeness_by_source,
+        q_conditional_referential,
+    )
+
+    texts = ["long enough document text here", "", "   ", "tiny", None]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(["s1", "s1", "s1", "s1", "s2"], pa.string()),
+            "n_chars": pa.array([60, 0, 3, 4, 0], pa.int64()),
+        }
+    )
+    _write(tmp_path, "documents", t)
+    out = q_completeness_by_source(str(tmp_path))
+    d = {
+        r["source"]: r for r in out.to_pylist()
+    }
+    assert d["s1"]["n"] == 4 and d["s1"]["n_empty"] == 2 and d["s1"]["n_short"] == 1
+    assert d["s2"]["n_empty"] == 1 and d["s2"]["n_short"] == 0
+    assert d["s1"]["ok"] and d["s2"]["ok"]
+
+    day_us = 86_400_000_000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["F", "F", "F"], pa.string()),
+            "o_totalprice": pa.array([1.0, 1.0, 1.0], pa.float64()),
+            "o_orderdate": pa.array([0, 0, 0], pa.int64()).cast(pa.timestamp("us")),
+            "o_orderpriority": pa.array(
+                ["1-URGENT", "1-URGENT", "5-LOW"], pa.string()
+            ),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_partkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 1, 1], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1, 1], pa.int32()),
+            "l_quantity": pa.array([1.0] * 4, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * 4, pa.float64()),
+            "l_discount": pa.array([0.0] * 4, pa.float64()),
+            "l_tax": pa.array([0.0] * 4, pa.float64()),
+            "l_returnflag": pa.array(["N"] * 4, pa.string()),
+            "l_linestatus": pa.array(["O"] * 4, pa.string()),
+            "l_shipdate": pa.array(
+                [10 * day_us, 120 * day_us, 30 * day_us, 200 * day_us],
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    _write(tmp_path, "orders", orders)
+    _write(tmp_path, "lineitem", li)
+    out = q_conditional_referential(str(tmp_path)).to_pydict()
+    # urgent orders 1,2 cover 3 lineitems; the 120-day ship violates
+    assert out["checked"] == [3]
+    assert out["violations"] == [1]
+    assert out["ok"] == [False]
