@@ -1911,3 +1911,166 @@ def degree_assortativity(
             "assortativity": pa.array([r], pa.float64()),
         }
     )
+
+
+def edge_jaccard(
+    edges: Any,
+    src: str = "src",
+    dst: str = "dst",
+    num_partitions: int | None = None,
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> Any:
+    """Out-neighbor Jaccard similarity for every distinct directed edge
+    (u, v): |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over out-neighbor SETS — the
+    co-citation/structural-similarity signal (do linked pages link to
+    the same places?).
+
+    Scale shape: candidate pairs are the EDGES themselves (never a
+    shared-neighbor self-join, whose wedge volume is quadratic in a hub
+    target's in-degree). Distinct edges merge adaptively (16 B/row);
+    each side's neighbor set attaches through one co-partition exchange
+    (adjacency grouped in-task from the same edge rows, so total moved
+    volume is O(E·outdeg) narrow rows); the per-row set intersection is
+    a vectorized polars list kernel. Two chained co-partitions — the
+    intermediate is materialized (dev-notes invariant: a co-partition
+    feeding another must not re-execute its upstream all-to-all).
+
+    Returns a Dataset with columns (src, dst, common, du, dv, jaccard);
+    ``jaccard`` is rounded half-away at 6 decimals.
+    """
+    import polars as pl
+    import ray.data as rd
+
+    from patito_ray.stages.join import copartition_apply, default_num_partitions
+
+    _check_edges(edges, src, dst)
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)
+        return pa.table(
+            {
+                "u": pa.array(pairs[:, 0], type=pa.int64()),
+                "v": pa.array(pairs[:, 1], type=pa.int64()),
+                "one": pa.array(np.ones(len(pairs), dtype=np.int64)),
+            }
+        )
+
+    distinct = merge_partial_sums(
+        edges.map_batches(canon, batch_format="pyarrow", batch_size=None),
+        ["u", "v"],
+        ["one"],
+        limit_bytes=limit_bytes,
+    )
+    _uv = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    if isinstance(distinct, pa.Table):
+        distinct = rd.from_arrow(distinct.select(["u", "v"]))
+    else:
+        distinct = distinct.map_batches(
+            lambda t: t.select(["u", "v"])
+            if t.num_rows and "u" in t.column_names
+            else _uv.empty_table(),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    distinct = distinct.materialize()
+
+    adj1 = distinct.map_batches(
+        lambda t: t.rename_columns(["a1", "n1"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    _wu = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("nu", pa.large_list(pa.int64()))]
+    )
+
+    def attach_u(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return _wu.empty_table()
+        adf = (
+            pl.from_arrow(rt)
+            .group_by("a1")
+            .agg(pl.col("n1").sort().alias("nu"))
+            if rt.num_rows
+            else pl.DataFrame(
+                {"a1": pl.Series([], dtype=pl.Int64)}
+            ).with_columns(nu=pl.lit([], dtype=pl.List(pl.Int64)))
+        )
+        j = pl.from_arrow(lt).join(adf, left_on="u", right_on="a1", how="left")
+        return j.select(["u", "v", "nu"]).to_arrow().cast(_wu)
+
+    with_u = copartition_apply(
+        distinct, adj1, "u", "a1", attach_u, num_partitions=num_partitions
+    ).materialize()
+
+    adj2 = distinct.map_batches(
+        lambda t: t.rename_columns(["a2", "n2"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    _out = pa.schema(
+        [
+            (src, pa.int64()),
+            (dst, pa.int64()),
+            ("common", pa.int64()),
+            ("du", pa.int64()),
+            ("dv", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def attach_v(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0:
+            return _out.empty_table()
+        adf = (
+            pl.from_arrow(rt)
+            .group_by("a2")
+            .agg(pl.col("n2").sort().alias("nv"))
+            if rt.num_rows
+            else pl.DataFrame(
+                {"a2": pl.Series([], dtype=pl.Int64)}
+            ).with_columns(nv=pl.lit([], dtype=pl.List(pl.Int64)))
+        )
+        j = (
+            pl.from_arrow(lt)
+            .join(adf, left_on="v", right_on="a2", how="left")
+            .with_columns(
+                pl.col("nu").fill_null([]),
+                pl.col("nv").fill_null([]),
+            )
+            .with_columns(
+                common=pl.col("nu")
+                .list.set_intersection(pl.col("nv"))
+                .list.len()
+                .cast(pl.Int64),
+                du=pl.col("nu").list.len().cast(pl.Int64),
+                dv=pl.col("nv").list.len().cast(pl.Int64),
+            )
+        )
+        common = j.get_column("common").to_numpy().astype(np.int64)
+        du = j.get_column("du").to_numpy().astype(np.int64)
+        dv = j.get_column("dv").to_numpy().astype(np.int64)
+        union = du + dv - common
+        jac = np.where(union > 0, common / np.maximum(union, 1), 0.0)
+        jac = np.floor(jac * 1e6 + 0.5) / 1e6  # half-away, jac >= 0
+        return pa.table(
+            {
+                src: j.get_column("u").to_numpy().astype(np.int64),
+                dst: j.get_column("v").to_numpy().astype(np.int64),
+                "common": common,
+                "du": du,
+                "dv": dv,
+                "jaccard": jac,
+            },
+            schema=_out,
+        )
+
+    return copartition_apply(
+        with_u, adj2, "v", "a2", attach_v, num_partitions=num_partitions
+    )

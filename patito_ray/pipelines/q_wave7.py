@@ -5,7 +5,8 @@ ever append).
 Registers: runs_test, ewma_daily, acf_lags, trend_ma, kruskal_wallis,
 anova_oneway, levene_bf, permutation_test, soft_dedup_weights,
 dsir_weights, completeness_by_source, conditional_referential,
-compact_small_files.
+compact_small_files, bh_pairs, edge_jaccard, late_events,
+harmonic_centrality.
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ import pyarrow.compute as pc
 from patito_ray.pipelines.qcommon import (  # noqa: F401
     QUERIES,
     _apply,
+    _lazy_norm,
     _one_row,
     _r,
     _ra,
@@ -652,105 +654,32 @@ def q_permutation_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
     with a fair splitmix64 coin (row-level randomization — the
     exchangeable-null Monte Carlo variant that stays one streaming
     pass; a fixed-margin permutation would need a global shuffle).
-    Everything through the exceedance count is EXACT integer
-    arithmetic: |T_rep| >= |T_obs| is cross-multiplied onto the integer
-    grid (driver uses Python ints, the oracle HUGEINT), so the p-value
-    numerator is bit-determined; only t_obs and p are floats, computed
-    identically and rounded once."""
-    from patito_ray.functions.dedup import _splitmix
-    from patito_ray.stages.agg import collect_table, merge_partial_sums
+    Core in `functions/randtest.py:randomization_test`; everything
+    through the exceedance count is exact integer arithmetic (Python
+    ints vs the oracle's HUGEINT), so the p numerator is
+    bit-determined; only t_obs and p are floats, computed identically
+    and rounded once."""
+    from patito_ray.functions.randtest import randomization_test
 
     ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
-    half = np.uint64(1) << np.uint64(63)
-    schema = pa.schema(
-        [
-            ("rep", pa.int64()),
-            ("sa", pa.int64()),
-            ("na", pa.int64()),
-            ("sb", pa.int64()),
-            ("nb", pa.int64()),
-        ]
+    r = randomization_test(
+        ds,
+        id_col="event_id",
+        group_col="event_type",
+        value_col="value",
+        group_a="purchase",
+        group_b="click",
+        reps=_PERM_REPS,
+        seed=_PERM_SEED,
+        limit_bytes=limit_bytes,
     )
-
-    def partials(t: pa.Table) -> pa.Table:
-        mask = pc.and_kleene(
-            pc.is_valid(t.column("value")),
-            pc.is_in(
-                t.column("event_type"),
-                value_set=pa.array(["purchase", "click"]),
-            ),
-        )
-        t = t.filter(mask)
-        if t.num_rows == 0:
-            return schema.empty_table()
-        eid = (
-            pc.cast(t.column("event_id"), pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
-        )
-        cents = np.floor(
-            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
-        ).astype(np.int64)
-        is_a = np.asarray(t.column("event_type").to_pylist()) == "purchase"
-        # rep -1: the OBSERVED labels ride the same merge
-        reps = np.arange(-1, _PERM_REPS, dtype=np.int64)
-        sa = np.zeros(reps.size, dtype=np.int64)
-        na = np.zeros(reps.size, dtype=np.int64)
-        sb = np.zeros(reps.size, dtype=np.int64)
-        nb = np.zeros(reps.size, dtype=np.int64)
-        sa[0] = int(cents[is_a].sum())
-        na[0] = int(is_a.sum())
-        sb[0] = int(cents[~is_a].sum())
-        nb[0] = int((~is_a).sum())
-        base = eid * np.uint64(_PERM_REPS)
-        for b in range(_PERM_REPS):
-            h = _splitmix((base + np.uint64(b)) ^ np.uint64(_PERM_SEED))
-            a = h < half
-            sa[b + 1] = int(cents[a].sum())
-            na[b + 1] = int(a.sum())
-            sb[b + 1] = int(cents[~a].sum())
-            nb[b + 1] = int((~a).sum())
-        return pa.table(
-            {"rep": reps, "sa": sa, "na": na, "sb": sb, "nb": nb},
-            schema=schema,
-        )
-
-    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
-    merged = merge_partial_sums(
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=None),
-        ["rep"],
-        ["sa", "na", "sb", "nb"],
-        **_kw,
-    )
-    if not isinstance(merged, pa.Table):
-        merged = collect_table(merged, empty_schema=schema)
-    rows = {
-        int(r["rep"]): (int(r["sa"]), int(r["na"]), int(r["sb"]), int(r["nb"]))
-        for r in merged.to_pylist()
-    }
-    sa_o, na_o, sb_o, nb_o = rows.pop(-1, (0, 0, 0, 0))
-    if na_o == 0 or nb_o == 0:
-        return _one_row(
-            na=na_o, nb=nb_o, t_obs=None, r=_PERM_REPS, exceed=0, p=None
-        )
-    lhs_scale = na_o * nb_o  # Python ints: exact at any magnitude
-    obs_num = abs(sa_o * nb_o - sb_o * na_o)
-    exceed = 0
-    for b in range(_PERM_REPS):
-        sa, na, sb, nb = rows.get(b, (0, 0, 0, 0))
-        if na == 0 or nb == 0:
-            exceed += 1  # degenerate relabel counts as extreme
-        elif abs(sa * nb - sb * na) * lhs_scale >= obs_num * (na * nb):
-            exceed += 1
-    t_obs = float(sa_o) / na_o - float(sb_o) / nb_o
-    p = (1.0 + exceed) / (_PERM_REPS + 1.0)
     return _one_row(
-        na=na_o,
-        nb=nb_o,
-        t_obs=_rf(t_obs, 6),
+        na=r["na"],
+        nb=r["nb"],
+        t_obs=None if r["t_obs"] is None else _rf(r["t_obs"], 6),
         r=_PERM_REPS,
-        exceed=exceed,
-        p=_rf(p, 6),
+        exceed=r["exceed"],
+        p=None if r["p"] is None else _rf(r["p"], 6),
     )
 
 
@@ -1287,3 +1216,492 @@ FROM orders GROUP BY o_orderstatus
 """
 
 QUERIES["compact_small_files"] = (q_compact_small_files, SQL_COMPACT_SMALL_FILES)
+
+
+# ---------------------------------------------------------------------------
+# multiple-testing composition: all-pairs randomization tests + exact
+# integer Benjamini-Hochberg. ONE streaming pass emits per-TYPE per-rep
+# partials; every pair statistic assembles from type sums (the row
+# relabel coin is keyed by (event_id, rep) only, so a pair's relabeled
+# group-A sum is s1[A]+s1[B]) — pair count never touches the data pass.
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA_PCT = 10  # alpha = 0.10 as an integer percentage — exact BH
+
+
+def q_bh_pairs(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Benjamini-Hochberg FDR over the 10 pairwise mean-value
+    randomization tests between the 5 event types. The per-(type, rep)
+    partials ride one adaptive merge; each pair's replicate statistic
+    assembles from type sums; exceedance counts and the BH step-up
+    rule 100*(1+e_(i)) <= alpha%*i*(R+1)/10 ... are EXACT integer
+    comparisons (shared denominators), so the reject set is
+    bit-determined on both engines."""
+    from patito_ray.functions.dedup import _splitmix
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    half = np.uint64(1) << np.uint64(63)
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("rep", pa.int64()),
+            ("s1", pa.int64()),
+            ("n1", pa.int64()),
+            ("s", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        if t.num_rows == 0:
+            return schema.empty_table()
+        eid = (
+            pc.cast(t.column("event_id"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        types = np.asarray(t.column("event_type").to_pylist())
+        uniq = np.unique(types)
+        out_t, out_r, out_s1, out_n1, out_s, out_n = [], [], [], [], [], []
+        base = eid * np.uint64(_PERM_REPS)
+        coins = np.empty((_PERM_REPS, eid.size), dtype=bool)
+        for b in range(_PERM_REPS):
+            coins[b] = _splitmix((base + np.uint64(b)) ^ np.uint64(_PERM_SEED)) < half
+        for ty in uniq:
+            m = types == ty
+            cm = cents[m]
+            stot = int(cm.sum())
+            ntot = int(m.sum())
+            for b in range(_PERM_REPS):
+                cb = coins[b][m]
+                out_t.append(str(ty))
+                out_r.append(b)
+                out_s1.append(int(cm[cb].sum()))
+                out_n1.append(int(cb.sum()))
+                out_s.append(stot)
+                out_n.append(ntot)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "rep": pa.array(out_r, pa.int64()),
+                "s1": pa.array(out_s1, pa.int64()),
+                "n1": pa.array(out_n1, pa.int64()),
+                "s": pa.array(out_s, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            },
+            schema=schema,
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=None),
+        ["event_type", "rep"],
+        ["s1", "n1", "s", "n"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(merged, empty_schema=schema)
+    # type -> (per-rep s1/n1 arrays, totals)
+    data: dict[str, dict[str, Any]] = {}
+    for r in merged.to_pylist():
+        d = data.setdefault(
+            r["event_type"],
+            {"s1": [0] * _PERM_REPS, "n1": [0] * _PERM_REPS, "s": 0, "n": 0},
+        )
+        d["s1"][r["rep"]] = r["s1"]
+        d["n1"][r["rep"]] = r["n1"]
+        d["s"] = r["s"]
+        d["n"] = r["n"]
+    types = sorted(data)
+    pairs = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            da, db = data[a], data[b]
+            st, nt = da["s"] + db["s"], da["n"] + db["n"]
+            if da["n"] == 0 or db["n"] == 0:
+                continue
+            obs_num = abs(da["s"] * db["n"] - db["s"] * da["n"])
+            obs_den = da["n"] * db["n"]
+            exceed = 0
+            for rep in range(_PERM_REPS):
+                sa = da["s1"][rep] + db["s1"][rep]
+                na = da["n1"][rep] + db["n1"][rep]
+                sb, nb = st - sa, nt - na
+                if na == 0 or nb == 0:
+                    exceed += 1
+                elif abs(sa * nb - sb * na) * obs_den >= obs_num * (na * nb):
+                    exceed += 1
+            pairs.append((a, b, exceed))
+    # exact BH step-up at alpha = _BH_ALPHA_PCT / 100: sort by
+    # (exceed, a, b); reject ranks <= k where k = max{i : 100*(1+e_(i))
+    # <= alpha_pct * i * (R+1)}
+    pairs.sort()
+    order = sorted(range(len(pairs)), key=lambda i: (pairs[i][2], pairs[i][0], pairs[i][1]))
+    m = len(pairs)
+    k = 0
+    for rank, i in enumerate(order, start=1):
+        if 100 * (1 + pairs[i][2]) <= _BH_ALPHA_PCT * rank * (_PERM_REPS + 1):
+            k = rank
+    rej = {i: rank <= k for rank, i in enumerate(order, start=1)}
+    rnk = {i: rank for rank, i in enumerate(order, start=1)}
+    return pa.table(
+        {
+            "type_a": pa.array([p[0] for p in pairs], pa.string()),
+            "type_b": pa.array([p[1] for p in pairs], pa.string()),
+            "exceed": pa.array([p[2] for p in pairs], pa.int64()),
+            "p": pa.array(
+                [_rf((1.0 + p[2]) / (_PERM_REPS + 1.0), 6) for p in pairs],
+                pa.float64(),
+            ),
+            "p_rank": pa.array([rnk[i] for i in range(m)], pa.int64()),
+            "reject": pa.array([rej[i] for i in range(m)], pa.bool_()),
+        }
+    )
+
+
+def _sql_bh_pairs() -> str:
+    from patito_ray.pipelines.q_training import _sql_mul64
+
+    return f"""
+WITH r AS (
+  SELECT event_id AS rid, event_type,
+         CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+reps AS (SELECT UNNEST(range(0, {_PERM_REPS})) AS rep),
+z0 AS (
+  SELECT rep, event_type, cents,
+    CAST((CAST(xor(CAST(rid*{_PERM_REPS}+rep AS UBIGINT),
+                   CAST({_PERM_SEED} AS UBIGINT)) AS HUGEINT)
+          + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+  FROM r, reps
+), x1 AS (SELECT rep, event_type, cents, xor(z, z >> 30) AS z FROM z0
+), z1 AS (SELECT rep, event_type, cents,
+                 {_sql_mul64(3210233709, 484763065)} AS z FROM x1
+), x2 AS (SELECT rep, event_type, cents, xor(z, z >> 27) AS z FROM z1
+), z2 AS (SELECT rep, event_type, cents,
+                 {_sql_mul64(2496678331, 321982955)} AS z FROM x2
+), h AS (SELECT rep, event_type, cents,
+                CAST(xor(z, z >> 31) AS HUGEINT) < 9223372036854775808 AS a
+         FROM z2
+),
+per AS (
+  SELECT event_type, rep,
+         CAST(SUM(CASE WHEN a THEN cents ELSE 0 END) AS HUGEINT) AS s1,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS n1
+  FROM h GROUP BY event_type, rep
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(cents) AS HUGEINT) AS s,
+         CAST(COUNT(*) AS HUGEINT) AS n
+  FROM r GROUP BY event_type
+),
+prs AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         ta.s AS sa_o, ta.n AS na_o, tb.s AS sb_o, tb.n AS nb_o
+  FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+  WHERE ta.n > 0 AND tb.n > 0
+),
+exc AS (
+  SELECT p.type_a, p.type_b,
+         CAST(SUM(CASE
+           WHEN pa.n1 + pb.n1 = 0
+                OR (p.na_o + p.nb_o) - (pa.n1 + pb.n1) = 0 THEN 1
+           WHEN ABS((pa.s1 + pb.s1)
+                      * ((p.na_o + p.nb_o) - (pa.n1 + pb.n1))
+                    - ((p.sa_o + p.sb_o) - (pa.s1 + pb.s1))
+                      * (pa.n1 + pb.n1))
+                * (p.na_o * p.nb_o)
+                >= ABS(p.sa_o*p.nb_o - p.sb_o*p.na_o)
+                   * ((pa.n1 + pb.n1)
+                      * ((p.na_o + p.nb_o) - (pa.n1 + pb.n1))) THEN 1
+           ELSE 0 END) AS BIGINT) AS exceed
+  FROM prs p
+  JOIN per pa ON pa.event_type = p.type_a
+  JOIN per pb ON pb.event_type = p.type_b AND pb.rep = pa.rep
+  GROUP BY p.type_a, p.type_b
+),
+ranked AS (
+  SELECT type_a, type_b, exceed,
+         ROW_NUMBER() OVER (ORDER BY exceed, type_a, type_b) AS p_rank,
+         COUNT(*) OVER () AS m
+  FROM exc
+),
+kmax AS (
+  SELECT COALESCE(MAX(p_rank), 0) AS k FROM ranked
+  WHERE 100*(1 + exceed) <= {_BH_ALPHA_PCT} * p_rank * ({_PERM_REPS} + 1)
+)
+SELECT type_a, type_b, exceed,
+       ROUND((1.0 + exceed)/({_PERM_REPS} + 1.0), 6) AS p,
+       CAST(p_rank AS BIGINT) AS p_rank,
+       p_rank <= (SELECT k FROM kmax) AS reject
+FROM ranked
+"""
+
+
+QUERIES["bh_pairs"] = (q_bh_pairs, _sql_bh_pairs())
+
+
+def q_edge_jaccard(sf_dir: str, limit_bytes: int | None = None) -> Any:
+    """Structural similarity of linked documents: out-neighbor Jaccard
+    per distinct edge of the deterministic doc link graph (co-citation
+    signal). Candidate pairs are the edges themselves — never a
+    shared-target self-join whose wedge volume is quadratic in a hub's
+    in-degree (`functions/graph.py:edge_jaccard`)."""
+    from patito_ray.functions.graph import edge_jaccard
+    from patito_ray.pipelines.q_wave3 import _doc_link_edges
+
+    edges, _n = _doc_link_edges(sf_dir, 3)
+    kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    out = edge_jaccard(edges, src="src", dst="dst", **kw)
+    return _lazy_norm(
+        out,
+        pa.schema(
+            [
+                ("src", pa.int64()),
+                ("dst", pa.int64()),
+                ("common", pa.int64()),
+                ("du", pa.int64()),
+                ("dv", pa.int64()),
+                ("jaccard", pa.float64()),
+            ]
+        ),
+    )
+
+
+def _sql_edge_jaccard() -> str:
+    from patito_ray.pipelines.q_wave3 import _sql_link_edges
+
+    return f"""
+WITH {_sql_link_edges(3)},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+com AS (
+  SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON b.dst = a.dst AND a.src <> b.src
+  GROUP BY a.src, b.src
+)
+SELECT e.src, e.dst,
+       COALESCE(c.common, 0) AS common,
+       du.d AS du,
+       COALESCE(dv.d, 0) AS dv,
+       CASE WHEN du.d + COALESCE(dv.d, 0) - COALESCE(c.common, 0) > 0
+            THEN ROUND(CAST(COALESCE(c.common, 0) AS DOUBLE)
+                       / (du.d + COALESCE(dv.d, 0) - COALESCE(c.common, 0)), 6)
+            ELSE 0.0 END AS jaccard
+FROM e
+JOIN deg du ON du.node = e.src
+LEFT JOIN deg dv ON dv.node = e.dst
+LEFT JOIN com c ON c.u = e.src AND c.v = e.dst
+"""
+
+
+QUERIES["edge_jaccard"] = (q_edge_jaccard, _sql_edge_jaccard())
+
+
+def q_late_events(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Out-of-order arrival audit (the streaming-watermark question
+    asked of a static table): per event type, how many events carry a
+    timestamp more than 1 hour behind the running per-user max at their
+    ingest position (event_id = arrival order)? ONE user-key exchange;
+    per-partition vectorized cummax over the arrival order; exact
+    integer µs lateness."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+    from patito_ray.stages.exchange import hash_partition_ids
+    from patito_ray.stages.join import default_num_partitions
+
+    P = default_num_partitions()
+    late_us = 3_600_000_000  # 1 hour
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = hash_partition_ids(t.column("user_id"), P, "late_events user")
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "tu": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    _p_sch = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("n_late", pa.int64()),
+            ("max_late_us", pa.int64()),
+        ]
+    )
+
+    def per_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return _p_sch.empty_table()
+        df = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .sort(["user_id", "event_id"], maintain_order=True)
+            .with_columns(
+                prevmax=pl.col("tu")
+                .cum_max()
+                .shift(1)
+                .over("user_id")
+            )
+            .with_columns(
+                late=(pl.col("prevmax") - pl.col("tu")).fill_null(0)
+            )
+        )
+        return (
+            df.group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                (pl.col("late") > late_us).sum().cast(pl.Int64).alias("n_late"),
+                pl.col("late").max().cast(pl.Int64).alias("max_late_us"),
+            )
+            .to_arrow()
+            .cast(_p_sch)
+        )
+
+    grouped = (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+    # per-type partials from disjoint user partitions: n/n_late sum,
+    # max_late maxes — run sums and mins (of negated max) separately?
+    # merge_partial_sums handles sums; fold max on the driver (type
+    # count is tiny) via collect.
+    parts = collect_table(grouped, empty_schema=_p_sch)
+    import polars as pl2
+
+    out = (
+        pl2.from_arrow(parts)
+        .group_by("event_type")
+        .agg(
+            pl2.col("n").sum(),
+            pl2.col("n_late").sum(),
+            pl2.col("max_late_us").max(),
+        )
+        .sort("event_type")
+        .to_arrow()
+        .cast(_p_sch)
+    )
+    return out
+
+
+SQL_LATE_EVENTS = """
+WITH w AS (
+  SELECT event_type,
+         epoch_us(ts) AS tu,
+         MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prevmax
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN COALESCE(prevmax - tu, 0) > 3600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(MAX(COALESCE(prevmax - tu, 0)) AS BIGINT) AS max_late_us
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["late_events"] = (q_late_events, SQL_LATE_EVENTS)
+
+
+_HC_SEEDS = list(range(8))
+_HC_HOPS = 3
+
+
+def q_harmonic_centrality(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Bounded-horizon harmonic centrality of 8 seed documents over the
+    deterministic link graph: H(s) = Σ_{d(s,v)<=3} 1/d(s,v), assembled
+    from the EXACT integer hop histogram (r1 + r2/2 + r3/3 — no
+    order-dependent float sum) of one multi-round BFS per seed
+    (`functions/graph.py:bfs_hops`, adaptive broadcast/co-partition
+    rounds)."""
+    from patito_ray.functions.graph import bfs_hops
+    from patito_ray.pipelines.q_wave3 import _doc_link_edges
+
+    import ray.data as rd
+
+    edges, _n = _doc_link_edges(sf_dir, 3)
+    edges = edges.materialize()
+    rows = []
+    for s in _HC_SEEDS:
+        seeds = rd.from_arrow(pa.table({"node": pa.array([s], pa.int64())}))
+        dist = bfs_hops(edges, seeds, _HC_HOPS)
+        if not isinstance(dist, pa.Table):
+            import ray
+
+            dist = dist.materialize()
+            tabs = [t for t in ray.get(dist.to_arrow_refs()) if t.num_rows]
+            dist = (
+                pa.concat_tables(tabs)
+                if tabs
+                else pa.schema(
+                    [("node", pa.int64()), ("dist", pa.int64())]
+                ).empty_table()
+            )
+        d = dist.column("dist").to_numpy(zero_copy_only=False)
+        r1 = int((d == 1).sum())
+        r2 = int((d == 2).sum())
+        r3 = int((d == 3).sum())
+        h = _rf(r1 + r2 / 2.0 + r3 / 3.0, 6)
+        rows.append((s, r1, r2, r3, h))
+    return pa.table(
+        {
+            "seed": pa.array([r[0] for r in rows], pa.int64()),
+            "r1": pa.array([r[1] for r in rows], pa.int64()),
+            "r2": pa.array([r[2] for r in rows], pa.int64()),
+            "r3": pa.array([r[3] for r in rows], pa.int64()),
+            "h": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _sql_harmonic_centrality() -> str:
+    from patito_ray.pipelines.q_wave3 import _sql_link_edges
+
+    seeds = ", ".join(str(s) for s in _HC_SEEDS)
+    return f"""
+WITH RECURSIVE {_sql_link_edges(3)},
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+sd AS (SELECT UNNEST([{seeds}]) AS seed),
+walk(seed, node, d) AS (
+  SELECT seed, CAST(seed AS BIGINT) AS node, 0 FROM sd
+  UNION ALL
+  SELECT w.seed, e.dst, w.d + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < {_HC_HOPS}
+),
+md AS (
+  SELECT seed, node, CAST(MIN(d) AS BIGINT) AS d
+  FROM walk GROUP BY seed, node
+),
+hist AS (
+  SELECT seed,
+         CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+         CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS r3
+  FROM md GROUP BY seed
+)
+SELECT CAST(seed AS BIGINT) AS seed, r1, r2, r3,
+       ROUND(r1 + r2/2.0 + r3/3.0, 6) AS h
+FROM hist
+"""
+
+
+QUERIES["harmonic_centrality"] = (
+    q_harmonic_centrality,
+    _sql_harmonic_centrality(),
+)

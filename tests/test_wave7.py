@@ -315,3 +315,151 @@ def test_completeness_and_conditional_referential(ray_session, tmp_path):
     assert out["checked"] == [3]
     assert out["violations"] == [1]
     assert out["ok"] == [False]
+
+
+def test_bh_pairs_stepup_and_dual_path(ray_session):
+    from patito_ray.pipelines.q_wave7 import q_bh_pairs
+
+    fast = q_bh_pairs(SF)
+    forced = q_bh_pairs(SF, limit_bytes=0)
+    assert fast.equals(forced)
+    rows = sorted(fast.to_pylist(), key=lambda r: r["p_rank"])
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    # BH rejections are a prefix of the p-rank order
+    flags = [r["reject"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
+    # p is the exact (1+exceed)/(R+1) rational
+    for r in rows:
+        assert abs(r["p"] - (1 + r["exceed"]) / 65.0) < 1e-6
+
+
+def test_edge_jaccard_brute(ray_session):
+    import ray.data as rd
+
+    from patito_ray.functions.graph import edge_jaccard
+
+    edges = pa.table(
+        {
+            "src": pa.array([0, 0, 1, 1, 2, 2, 3, 0, 0], pa.int64()),
+            "dst": pa.array([1, 2, 2, 3, 3, 0, 3, 1, 0], pa.int64()),
+        }
+    )  # includes a duplicate (0,1) and a self-loop (3,3), (0,0)
+    out_ds = edge_jaccard(rd.from_arrow(edges), limit_bytes=0)
+    tabs = [pa.table(b) for b in out_ds.iter_batches(batch_format="pyarrow")]
+    out = pa.concat_tables([t for t in tabs if t.num_rows])
+    # brute force
+    import collections
+
+    adj = collections.defaultdict(set)
+    dedup = set()
+    for s, d in zip(edges.column("src").to_pylist(), edges.column("dst").to_pylist()):
+        if s != d:
+            dedup.add((s, d))
+            adj[s].add(d)
+    got = {
+        (r["src"], r["dst"]): r for r in out.to_pylist()
+    }
+    assert set(got) == dedup
+    for (u, v), r in got.items():
+        nu, nv = adj[u], adj.get(v, set())
+        common = len(nu & nv)
+        union = len(nu | nv)
+        assert r["common"] == common, (u, v)
+        assert r["du"] == len(nu) and r["dv"] == len(nv)
+        expect = common / union if union else 0.0
+        assert abs(r["jaccard"] - expect) < 1e-5
+
+
+def test_randomization_test_property(ray_session):
+    """Distributed partial assembly == single-pass brute replay of the
+    identical splitmix coins, across random inputs and block splits."""
+    import ray.data as rd
+
+    from patito_ray.functions.dedup import _splitmix
+    from patito_ray.functions.randtest import randomization_test
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        n = int(rng.integers(5, 200))
+        ids = rng.permutation(10_000)[:n].astype(np.int64)
+        grp = rng.choice(["a", "b", "c"], size=n)  # 'c' rows are ignored
+        cents = rng.integers(0, 500, n).astype(np.int64)
+        t = pa.table(
+            {
+                "rid": pa.array(ids, pa.int64()),
+                "g": pa.array(grp, pa.string()),
+                "v": pa.array(cents.astype(np.float64) / 100.0, pa.float64()),
+            }
+        )
+        ds = rd.from_arrow(t).repartition(4)
+        reps, seed = 16, 77
+        got = randomization_test(
+            ds,
+            id_col="rid",
+            group_col="g",
+            value_col="v",
+            group_a="a",
+            group_b="b",
+            reps=reps,
+            seed=seed,
+            limit_bytes=0 if trial % 2 else None,
+        )
+        # brute single-pass replay
+        m = np.isin(grp, ["a", "b"])
+        rid, g, c = ids[m].astype(np.uint64), grp[m], cents[m]
+        is_a = g == "a"
+        sa_o, na_o = int(c[is_a].sum()), int(is_a.sum())
+        sb_o, nb_o = int(c[~is_a].sum()), int((~is_a).sum())
+        if na_o == 0 or nb_o == 0:
+            assert got["p"] is None
+            continue
+        obs_num = abs(sa_o * nb_o - sb_o * na_o)
+        exceed = 0
+        for b in range(reps):
+            h = _splitmix((rid * np.uint64(reps) + np.uint64(b)) ^ np.uint64(seed))
+            a = h < np.uint64(1) << np.uint64(63)
+            sa, na = int(c[a].sum()), int(a.sum())
+            sb, nb = int(c[~a].sum()), int((~a).sum())
+            if na == 0 or nb == 0:
+                exceed += 1
+            elif abs(sa * nb - sb * na) * (na_o * nb_o) >= obs_num * (na * nb):
+                exceed += 1
+        assert got["na"] == na_o and got["nb"] == nb_o
+        assert got["sa"] == sa_o and got["sb"] == sb_o
+        assert got["exceed"] == exceed, trial
+
+
+def test_late_events_brute(ray_session, tmp_path):
+    from patito_ray.pipelines.q_wave7 import q_late_events
+
+    hour = 3_600_000_000
+    # user 1: arrival order 0,1,2 with ts 10h, 2h (8h late), 9h30 (late 30m)
+    ts = [10 * hour, 2 * hour, int(9.5 * hour), 5 * hour, 6 * hour]
+    uid = [1, 1, 1, 2, 2]
+    et = ["view", "view", "click", "view", "view"]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(5), pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array([1.0] * 5, pa.float64()),
+            "props": pa.array([""] * 5, pa.string()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    out = {r["event_type"]: r for r in q_late_events(str(tmp_path)).to_pylist()}
+    assert out["view"]["n"] == 4 and out["view"]["n_late"] == 1
+    assert out["view"]["max_late_us"] == 8 * hour
+    assert out["click"]["n"] == 1 and out["click"]["n_late"] == 0
+    assert out["click"]["max_late_us"] == hour // 2
+
+
+def test_harmonic_centrality_histogram(ray_session):
+    from patito_ray.pipelines.q_wave7 import q_harmonic_centrality
+
+    out = q_harmonic_centrality(SF).to_pydict()
+    assert len(out["seed"]) == 8
+    for r1, r2, r3, h in zip(out["r1"], out["r2"], out["r3"], out["h"]):
+        assert abs(h - (r1 + r2 / 2.0 + r3 / 3.0)) < 1e-6
+        assert r1 <= 3  # out-degree bound of the generator
