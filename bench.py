@@ -372,6 +372,26 @@ def run_bench() -> dict:
         # golden_records is oracle-checked but out of the sweep like
         # triangle_count (6.7 s at sf0.1 — the dense part-name corpus
         # makes closure volume quadratic in the dup factor)
+        # --- wave 7 (round 4) ---
+        "runs_test",
+        "ewma_daily",
+        "acf_lags",
+        "trend_ma",
+        "kruskal_wallis",
+        "anova_oneway",
+        "levene_bf",
+        "permutation_test",
+        "bh_pairs",
+        "soft_dedup_weights",
+        "dsir_weights",
+        "completeness_by_source",
+        "conditional_referential",
+        "compact_small_files",
+        "edge_jaccard",
+        "late_events",
+        "harmonic_centrality",
+        "audience_overlap",
+        "changepoint_day",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

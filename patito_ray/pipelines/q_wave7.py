@@ -6,7 +6,7 @@ Registers: runs_test, ewma_daily, acf_lags, trend_ma, kruskal_wallis,
 anova_oneway, levene_bf, permutation_test, soft_dedup_weights,
 dsir_weights, completeness_by_source, conditional_referential,
 compact_small_files, bh_pairs, edge_jaccard, late_events,
-harmonic_centrality.
+harmonic_centrality, audience_overlap, changepoint_day.
 """
 
 from __future__ import annotations
@@ -1705,3 +1705,209 @@ QUERIES["harmonic_centrality"] = (
     q_harmonic_centrality,
     _sql_harmonic_centrality(),
 )
+
+
+_AUD_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_audience_overlap(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Exact audience overlap between every pair of event types via
+    per-user type BITMASKS: distinct (user, type-bit) pairs merge
+    adaptively, a second narrow merge ORs each user's bits (the rows
+    are distinct, so SUM == OR), and the per-mask histogram (<= 2^5
+    rows) answers ALL 10 pairwise intersections by inclusion — the
+    exact version of the HLL-union/intersection estimate, at O(users)
+    exchange volume and a 32-row final table."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+    bit_of = {t: 1 << i for i, t in enumerate(_AUD_TYPES)}
+
+    def pairs(t: pa.Table) -> pa.Table:
+        bits = np.asarray(
+            [bit_of[x] for x in t.column("event_type").to_pylist()],
+            dtype=np.int64,
+        )
+        return (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_pylist(),
+                    "bit": bits,
+                }
+            )
+            .unique()
+            .with_columns(pl.lit(1, dtype=pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    ub = merge_partial_sums(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        ["user_id", "bit"],
+        ["c"],
+        **_kw,
+    )
+    if isinstance(ub, pa.Table):
+        import ray.data as rd
+
+        ub = rd.from_arrow(ub)
+    _ub_sch = pa.schema([("user_id", pa.int64()), ("bit", pa.int64())])
+    ub = ub.map_batches(
+        lambda t: t.select(["user_id", "bit"])
+        if t.num_rows and "user_id" in t.column_names
+        else _ub_sch.empty_table(),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    masks = merge_partial_sums(ub, ["user_id"], ["bit"], **_kw)  # SUM == OR
+    if not isinstance(masks, pa.Table):
+        masks = collect_table(masks, empty_schema=_ub_sch)
+    mk = masks.column("bit").to_numpy(zero_copy_only=False).astype(np.int64)
+    hist = np.bincount(mk, minlength=32)
+    rows = []
+    for i, a in enumerate(_AUD_TYPES):
+        for b in _AUD_TYPES[i + 1 :]:
+            ba, bb = bit_of[a], bit_of[b]
+            na = int(hist[(np.arange(32) & ba) > 0].sum())
+            nb = int(hist[(np.arange(32) & bb) > 0].sum())
+            inter = int(
+                hist[((np.arange(32) & ba) > 0) & ((np.arange(32) & bb) > 0)].sum()
+            )
+            union = na + nb - inter
+            rows.append(
+                (
+                    a,
+                    b,
+                    na,
+                    nb,
+                    inter,
+                    _rf(inter / union, 6) if union else 0.0,
+                )
+            )
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "na": pa.array([r[2] for r in rows], pa.int64()),
+            "nb": pa.array([r[3] for r in rows], pa.int64()),
+            "inter": pa.array([r[4] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _sql_audience_overlap() -> str:
+    bit_case = " ".join(
+        f"WHEN '{t}' THEN {1 << i}" for i, t in enumerate(_AUD_TYPES)
+    )
+    pair_rows = ", ".join(
+        f"('{a}', '{b}', {1 << i}, {1 << (i + 1 + j)})"
+        for i, a in enumerate(_AUD_TYPES)
+        for j, b in enumerate(_AUD_TYPES[i + 1 :])
+    )
+    return f"""
+WITH m AS (
+  SELECT user_id,
+         CAST(SUM(DISTINCT CASE event_type {bit_case} END) AS BIGINT) AS mask
+  FROM events GROUP BY user_id
+),
+h AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY mask),
+p(type_a, type_b, ba, bb) AS (VALUES {pair_rows})
+SELECT p.type_a, p.type_b,
+       CAST(COALESCE(SUM(CASE WHEN (h.mask & p.ba) > 0 THEN h.c END), 0)
+            AS BIGINT) AS na,
+       CAST(COALESCE(SUM(CASE WHEN (h.mask & p.bb) > 0 THEN h.c END), 0)
+            AS BIGINT) AS nb,
+       CAST(COALESCE(SUM(CASE WHEN (h.mask & p.ba) > 0
+                               AND (h.mask & p.bb) > 0 THEN h.c END), 0)
+            AS BIGINT) AS inter,
+       CASE WHEN COALESCE(SUM(CASE WHEN (h.mask & p.ba) > 0 THEN h.c END), 0)
+                 + COALESCE(SUM(CASE WHEN (h.mask & p.bb) > 0 THEN h.c END), 0)
+                 - COALESCE(SUM(CASE WHEN (h.mask & p.ba) > 0
+                                      AND (h.mask & p.bb) > 0 THEN h.c END), 0)
+                 = 0 THEN 0.0
+            ELSE ROUND(
+              CAST(COALESCE(SUM(CASE WHEN (h.mask & p.ba) > 0
+                                      AND (h.mask & p.bb) > 0 THEN h.c END), 0)
+                   AS DOUBLE)
+              / (COALESCE(SUM(CASE WHEN (h.mask & p.ba) > 0 THEN h.c END), 0)
+                 + COALESCE(SUM(CASE WHEN (h.mask & p.bb) > 0 THEN h.c END), 0)
+                 - COALESCE(SUM(CASE WHEN (h.mask & p.ba) > 0
+                                      AND (h.mask & p.bb) > 0 THEN h.c END), 0)),
+              6) END AS jaccard
+FROM p LEFT JOIN h ON TRUE
+GROUP BY p.type_a, p.type_b
+"""
+
+
+QUERIES["audience_overlap"] = (q_audience_overlap, _sql_audience_overlap())
+
+
+def q_changepoint_day(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Exact single-changepoint detection on the daily-revenue series:
+    the split minimizing total within-segment SSE, i.e. maximizing
+    g(t) = S_l²/n_l + S_r²/n_r. Both engines evaluate the IDENTICAL
+    double expression (CAST(S AS DOUBLE)² / n) over the identical
+    integer prefix sums and break ties toward the earlier day, so the
+    argmax is bit-determined. Daily sums ride the one narrow exchange;
+    the scan over the calendar-bounded series is driver-side."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    n = cents.size
+    if n < 2:
+        return _one_row(
+            split_d=None, n_l=0, n_r=0, mean_l=None, mean_r=None
+        )
+    csum = np.cumsum(cents)
+    total = int(csum[-1])
+    nl = np.arange(1, n, dtype=np.int64)  # split AFTER position t-1
+    sl = csum[:-1].astype(np.float64)
+    sr = (total - csum[:-1]).astype(np.float64)
+    g = sl * sl / nl + sr * sr / (n - nl)
+    t = int(np.argmax(g))  # first max == earliest-day tie-break
+    n_l = int(nl[t])
+    n_r = n - n_l
+    s_l = int(csum[t])
+    s_r = total - s_l
+    return pa.table(
+        {
+            "split_d": _day_ts(day[t : t + 1]),
+            "n_l": pa.array([n_l], pa.int64()),
+            "n_r": pa.array([n_r], pa.int64()),
+            "mean_l": pa.array([_rf(s_l / n_l, 6)], pa.float64()),
+            "mean_r": pa.array([_rf(s_r / n_r, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_CHANGEPOINT_DAY = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+pre AS (
+  SELECT d,
+         CAST(SUM(cents) OVER (ORDER BY d) AS BIGINT) AS sl,
+         CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS nl,
+         CAST(SUM(cents) OVER () AS BIGINT) AS s,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+),
+g AS (
+  SELECT d, sl, nl, s, n,
+         CAST(sl AS DOUBLE)*CAST(sl AS DOUBLE)/nl
+         + CAST(s - sl AS DOUBLE)*CAST(s - sl AS DOUBLE)/(n - nl) AS gval
+  FROM pre WHERE nl < n
+)
+SELECT d AS split_d,
+       nl AS n_l,
+       n - nl AS n_r,
+       ROUND(CAST(sl AS DOUBLE)/nl, 6) AS mean_l,
+       ROUND(CAST(s - sl AS DOUBLE)/(n - nl), 6) AS mean_r
+FROM g ORDER BY gval DESC, d ASC LIMIT 1
+"""
+
+QUERIES["changepoint_day"] = (q_changepoint_day, SQL_CHANGEPOINT_DAY)

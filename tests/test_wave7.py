@@ -463,3 +463,69 @@ def test_harmonic_centrality_histogram(ray_session):
     for r1, r2, r3, h in zip(out["r1"], out["r2"], out["r3"], out["h"]):
         assert abs(h - (r1 + r2 / 2.0 + r3 / 3.0)) < 1e-6
         assert r1 <= 3  # out-degree bound of the generator
+
+
+def test_audience_overlap_brute(ray_session, tmp_path):
+    from patito_ray.pipelines.q_wave7 import q_audience_overlap
+
+    uid = [1, 1, 1, 2, 2, 3, 4, 4]
+    et = ["click", "view", "click", "view", "purchase", "click", "error", "signup"]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(8), pa.int64()),
+            "ts": pa.array(np.arange(8), pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array([1.0] * 8, pa.float64()),
+            "props": pa.array([""] * 8, pa.string()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+    for lb in (None, 0):
+        out = {
+            (r["type_a"], r["type_b"]): r
+            for r in q_audience_overlap(str(tmp_path), limit_bytes=lb).to_pylist()
+        }
+        assert len(out) == 10
+        import collections
+
+        users = collections.defaultdict(set)
+        for u, e in zip(uid, et):
+            users[e].add(u)
+        for (a, b), r in out.items():
+            inter = len(users[a] & users[b])
+            assert r["na"] == len(users[a]) and r["nb"] == len(users[b])
+            assert r["inter"] == inter
+            union = len(users[a] | users[b])
+            assert abs(r["jaccard"] - (inter / union if union else 0.0)) < 1e-6
+
+
+def test_changepoint_planted(ray_session, tmp_path):
+    from patito_ray.pipelines.q_wave7 import q_changepoint_day
+
+    day_us = 86_400_000_000
+    # 30 days at ~$10, then 30 days at ~$100: split must land at day 29
+    days = np.arange(60, dtype=np.int64)
+    price = np.where(days < 30, 10.0, 100.0) + (days % 3) * 0.01
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(days + 1, pa.int64()),
+            "l_partkey": pa.array(np.ones(60), pa.int64()),
+            "l_suppkey": pa.array(np.ones(60), pa.int64()),
+            "l_linenumber": pa.array(np.ones(60), pa.int32()),
+            "l_quantity": pa.array(np.ones(60), pa.float64()),
+            "l_extendedprice": pa.array(price, pa.float64()),
+            "l_discount": pa.array(np.zeros(60), pa.float64()),
+            "l_tax": pa.array(np.zeros(60), pa.float64()),
+            "l_returnflag": pa.array(["N"] * 60, pa.string()),
+            "l_linestatus": pa.array(["O"] * 60, pa.string()),
+            "l_shipdate": pa.array(days * day_us, pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/lineitem.parquet")
+    out = q_changepoint_day(str(tmp_path)).to_pylist()[0]
+    assert out["n_l"] == 30 and out["n_r"] == 30
+    assert abs(out["mean_l"] - 1001.0) < 1.0  # ~$10.01 in cents
+    assert abs(out["mean_r"] - 10001.0) < 1.0
