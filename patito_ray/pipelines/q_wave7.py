@@ -1087,13 +1087,35 @@ def q_conditional_referential(sf_dir: str, limit_bytes: int | None = None) -> pa
             }
         )
 
-    joined = hash_join(
-        li.map_batches(narrow, batch_format="pyarrow", batch_size=None),
-        orders.map_batches(urgent, batch_format="pyarrow", batch_size=None),
-        on="l_orderkey",
-        right_on="o_orderkey",
-        how="inner",
-    )
+    # the urgent side is ~20% of orders — broadcast it below the limit
+    # (bloom_semi_join precedent: an exact small side beats a shuffle),
+    # shuffle hash join beyond (limit_bytes=0 forces that branch)
+    urgent_ds = orders.map_batches(
+        urgent, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    lim = 64 << 20 if limit_bytes is None else limit_bytes
+    li_narrow = li.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+    if urgent_ds.size_bytes() <= lim:
+        from patito_ray.stages.agg import collect_table as _ct
+        from patito_ray.stages.join import broadcast_join
+
+        small = _ct(
+            urgent_ds,
+            empty_schema=pa.schema(
+                [("o_orderkey", pa.int64()), ("odate_us", pa.int64())]
+            ),
+        )
+        joined = broadcast_join(
+            li_narrow, small, on="l_orderkey", right_on="o_orderkey"
+        )
+    else:
+        joined = hash_join(
+            li_narrow,
+            urgent_ds,
+            on="l_orderkey",
+            right_on="o_orderkey",
+            how="inner",
+        )
     lim = np.int64(90) * _US_PER_DAY
 
     def verdict(t: pa.Table) -> pa.Table:

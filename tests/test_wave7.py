@@ -34,6 +34,7 @@ def _write(dirpath, name, table):
         "anova_oneway",
         "levene_bf",
         "permutation_test",
+        "conditional_referential",
     ],
 )
 def test_dual_path_equality(ray_session, qname):
@@ -529,3 +530,47 @@ def test_changepoint_planted(ray_session, tmp_path):
     assert out["n_l"] == 30 and out["n_r"] == 30
     assert abs(out["mean_l"] - 1001.0) < 1.0  # ~$10.01 in cents
     assert abs(out["mean_r"] - 10001.0) < 1.0
+
+
+def test_edge_jaccard_random_graphs(ray_session):
+    """Randomized regression armor: edge_jaccard == brute force over
+    random directed multigraphs with self-loops, both merge paths."""
+    import collections
+
+    import ray.data as rd
+
+    from patito_ray.functions.graph import edge_jaccard
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n_nodes = int(rng.integers(4, 20))
+        n_edges = int(rng.integers(5, 80))
+        src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        out_ds = edge_jaccard(
+            rd.from_arrow(t).repartition(3),
+            limit_bytes=0 if trial % 2 else 256 << 20,
+        )
+        tabs = [
+            b for b in out_ds.iter_batches(batch_format="pyarrow") if b.num_rows
+        ]
+        rows = (
+            pa.concat_tables([pa.table(b) for b in tabs]).to_pylist()
+            if tabs
+            else []
+        )
+        adj = collections.defaultdict(set)
+        dedup = set()
+        for s, d in zip(src.tolist(), dst.tolist()):
+            if s != d:
+                dedup.add((s, d))
+                adj[s].add(d)
+        got = {(r["src"], r["dst"]): r for r in rows}
+        assert set(got) == dedup, trial
+        for (u, v), r in got.items():
+            nu, nv = adj[u], adj.get(v, set())
+            assert r["common"] == len(nu & nv)
+            union = len(nu | nv)
+            expect = len(nu & nv) / union if union else 0.0
+            assert abs(r["jaccard"] - expect) < 1e-5
