@@ -1656,28 +1656,57 @@ def q_harmonic_centrality(sf_dir: str, limit_bytes: int | None = None) -> pa.Tab
 
     import ray.data as rd
 
-    edges, _n = _doc_link_edges(sf_dir, 3)
-    edges = edges.materialize()
-    rows = []
-    for s in _HC_SEEDS:
-        seeds = rd.from_arrow(pa.table({"node": pa.array([s], pa.int64())}))
-        dist = bfs_hops(edges, seeds, _HC_HOPS)
-        if not isinstance(dist, pa.Table):
-            import ray
+    edges, n = _doc_link_edges(sf_dir, 3)
+    # per-seed distances from ONE multi-round BFS: lift the graph to
+    # its product with the seed set (edge (u,v) -> (s_idx*N+u,
+    # s_idx*N+v) for every seed) so k seeds cost k-fold edge-scan WORK
+    # (which k sequential BFS runs pay anyway) but only ONE set of
+    # fixed per-round exchange/broadcast latencies instead of k.
+    k = len(_HC_SEEDS)
 
-            dist = dist.materialize()
-            tabs = [t for t in ray.get(dist.to_arrow_refs()) if t.num_rows]
-            dist = (
-                pa.concat_tables(tabs)
-                if tabs
-                else pa.schema(
-                    [("node", pa.int64()), ("dist", pa.int64())]
-                ).empty_table()
-            )
-        d = dist.column("dist").to_numpy(zero_copy_only=False)
-        r1 = int((d == 1).sum())
-        r2 = int((d == 2).sum())
-        r3 = int((d == 3).sum())
+    def lift(t: pa.Table) -> pa.Table:
+        s_arr = t.column("src").to_numpy(zero_copy_only=False)
+        d_arr = t.column("dst").to_numpy(zero_copy_only=False)
+        off = np.repeat(np.arange(k, dtype=np.int64) * n, s_arr.size)
+        return pa.table(
+            {
+                "src": pa.array(np.tile(s_arr, k) + off, pa.int64()),
+                "dst": pa.array(np.tile(d_arr, k) + off, pa.int64()),
+            }
+        )
+
+    lifted = edges.map_batches(lift, batch_format="pyarrow", batch_size=None)
+    seeds = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(
+                    [i * n + s for i, s in enumerate(_HC_SEEDS)], pa.int64()
+                )
+            }
+        )
+    )
+    dist = bfs_hops(lifted, seeds, _HC_HOPS)
+    if not isinstance(dist, pa.Table):
+        import ray
+
+        dist = dist.materialize()
+        tabs = [t for t in ray.get(dist.to_arrow_refs()) if t.num_rows]
+        dist = (
+            pa.concat_tables(tabs)
+            if tabs
+            else pa.schema(
+                [("node", pa.int64()), ("dist", pa.int64())]
+            ).empty_table()
+        )
+    node = dist.column("node").to_numpy(zero_copy_only=False)
+    d = dist.column("dist").to_numpy(zero_copy_only=False)
+    sidx = node // n
+    rows = []
+    for i, s in enumerate(_HC_SEEDS):
+        m = sidx == i
+        r1 = int(((d == 1) & m).sum())
+        r2 = int(((d == 2) & m).sum())
+        r3 = int(((d == 3) & m).sum())
         h = _rf(r1 + r2 / 2.0 + r3 / 3.0, 6)
         rows.append((s, r1, r2, r3, h))
     return pa.table(
