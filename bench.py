@@ -392,6 +392,7 @@ def run_bench() -> dict:
         "harmonic_centrality",
         "audience_overlap",
         "changepoint_day",
+        "label_separability",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

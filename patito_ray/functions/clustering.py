@@ -240,3 +240,142 @@ def kmeans_assign(
         return t.append_column(out_col, pa.array(assign, type=pa.int64()))
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def kmeans_scalable_init(
+    ds: Any,
+    k: int,
+    l: int | None = None,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0x5CA1AB1E,
+    max_candidates: int = 100_000,
+) -> np.ndarray:
+    """k-means|| (scalable k-means++, Bahmani et al. 2012) seeding —
+    the init for corpora where "vectors of the k smallest ids" lands
+    all seeds in one region and Lloyd stalls in a bad local optimum.
+
+    Each round is two streaming passes (no shuffle anywhere):
+      1. cost pass — per-batch partial Σ min-dist²(x, C) against the
+         centroid set broadcast via ``ray.put``;
+      2. sample pass — every row keeps itself with probability
+         min(1, l·d²/cost) decided by a DETERMINISTIC splitmix64 coin
+         keyed on (id, round, seed), so the run is reproducible and
+         retry-safe (a re-executed batch draws identical coins).
+    After ``rounds``, one weighting pass counts how many corpus points
+    each candidate owns, and the driver reduces the ≤ l·rounds+1
+    weighted candidates to k seeds by deterministic weighted
+    farthest-first (max w·d²; ties -> smaller candidate index).
+
+    Returns a (k, d) float64 centroid matrix for ``kmeans_fit(init=)``.
+    ``max_candidates`` is the loud guard against a degenerate l·rounds
+    blow-up — candidates live on the driver by design (KBs per row).
+    """
+    import ray
+
+    from patito_ray.functions.dedup import _splitmix
+
+    if l is None:
+        l = 2 * k
+    two64 = float(2**64)
+
+    centroids = initial_centroids(ds, 1, id_col, vec_col)  # 1 x d
+
+    def _cost_and_sample(c: np.ndarray, rnd: int, cost: float | None):
+        """cost is None -> cost pass; else sample pass at that cost."""
+        ref = ray.put(c)
+
+        def fn(t: pa.Table, _ref=ref, _cost=cost, _rnd=rnd) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cc = ray.get(_ref)
+            vecs = _to_matrix(t.column(vec_col)).astype(np.float64)
+            if not len(vecs):
+                if _cost is None:
+                    return pa.table({"s": pa.array([], pa.float64())})
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        vec_col: pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            d2 = _exact_dists(vecs, cc).min(axis=1)
+            if _cost is None:
+                return pa.table({"s": pa.array([float(d2.sum())], pa.float64())})
+            ids = (
+                pc.cast(t.column(id_col), pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            h = _splitmix(
+                ids * np.uint64(1013) + np.uint64(_rnd) ^ np.uint64(seed)
+            )
+            u = h.astype(np.float64) / two64
+            keep = u < np.minimum(1.0, l * d2 / _cost)
+            return pa.table(
+                {
+                    id_col: pa.array(ids[keep].astype(np.int64), pa.int64()),
+                    vec_col: pa.array(list(vecs[keep])),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+    for rnd in range(rounds):
+        cost_rows = _cost_and_sample(centroids, rnd, None).take_all()
+        cost = float(sum(r["s"] for r in cost_rows))
+        if cost <= 0.0:
+            break  # every point already a centroid
+        picked = _cost_and_sample(centroids, rnd, cost).take_all()
+        if not picked:
+            continue
+        if len(picked) + len(centroids) > max_candidates:
+            raise ValueError(
+                f"kmeans||: candidate set would exceed {max_candidates} "
+                f"(l={l}, round {rnd} drew {len(picked)}) — lower l"
+            )
+        picked.sort(key=lambda r: r[id_col])  # deterministic order
+        new = np.asarray(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in picked]
+        )
+        centroids = np.vstack([centroids, new])
+
+    # weight pass: corpus points owned by each candidate
+    ref = ray.put(centroids)
+
+    def wpart(t: pa.Table, _ref=ref) -> pa.Table:
+        cc = ray.get(_ref)
+        vecs = _to_matrix(t.column(vec_col)).astype(np.float64)
+        if not len(vecs):
+            return pa.table(
+                {"cid": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        assign = np.argmin(_exact_dists(vecs, cc), axis=1)
+        counts = np.bincount(assign, minlength=len(cc))
+        live = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cid": pa.array(live, pa.int64()),
+                "n": pa.array(counts[live], pa.int64()),
+            }
+        )
+
+    w = np.zeros(len(centroids), dtype=np.int64)
+    for row in ds.map_batches(
+        wpart, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        w[row["cid"]] += row["n"]
+
+    # driver: weighted farthest-first down to k (deterministic)
+    if len(centroids) <= k:
+        return centroids
+    chosen = [int(np.argmax(w))]  # heaviest candidate first
+    d2 = ((centroids - centroids[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        score = w.astype(np.float64) * d2
+        score[chosen] = -1.0
+        nxt = int(np.argmax(score))  # first max -> smallest index tie-break
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((centroids - centroids[nxt]) ** 2).sum(axis=1))
+    return centroids[sorted(chosen)]

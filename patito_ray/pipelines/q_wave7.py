@@ -6,7 +6,8 @@ Registers: runs_test, ewma_daily, acf_lags, trend_ma, kruskal_wallis,
 anova_oneway, levene_bf, permutation_test, soft_dedup_weights,
 dsir_weights, completeness_by_source, conditional_referential,
 compact_small_files, bh_pairs, edge_jaccard, late_events,
-harmonic_centrality, audience_overlap, changepoint_day.
+harmonic_centrality, audience_overlap, changepoint_day,
+label_separability.
 """
 
 from __future__ import annotations
@@ -1962,3 +1963,148 @@ FROM g ORDER BY gval DESC, d ASC LIMIT 1
 """
 
 QUERIES["changepoint_day"] = (q_changepoint_day, SQL_CHANGEPOINT_DAY)
+
+
+def q_label_separability(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Per-dimension class separability of the embedding space: the
+    ANOVA F ratio of between-label to within-label variance for every
+    one of the 64 dimensions, from ONE streaming (label, dim) integer
+    moment pass on the 1e-3 quantized grid (embed_covariance
+    precedent). Ranks which embedding dimensions carry the label
+    signal — the feature-selection question asked before training a
+    cheap probe."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "embeddings", ["embedding", "label"])
+    D = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema(
+            [
+                ("label", pa.int64()),
+                ("dim", pa.int64()),
+                ("n", pa.int64()),
+                ("s", pa.int64()),
+                ("qq", pa.int64()),
+            ]
+        )
+        if t.num_rows == 0:
+            return sch.empty_table()
+        lab = (
+            pc.cast(t.column("label"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # list<float> -> (rows, 64) int64 on the 1e-3 grid
+        flat = pc.list_flatten(t.column("embedding")).to_numpy(
+            zero_copy_only=False
+        )
+        q = np.floor(flat.astype(np.float64) * 1000.0 + 0.5).astype(
+            np.int64
+        ).reshape(-1, D)
+        labs, dims, ns, ss, qqs = [], [], [], [], []
+        for lv in np.unique(lab):
+            m = lab == lv
+            qm = q[m]
+            labs.extend([int(lv)] * D)
+            dims.extend(range(D))
+            ns.extend([int(m.sum())] * D)
+            ss.extend(qm.sum(axis=0).tolist())
+            qqs.extend((qm * qm).sum(axis=0).tolist())
+        return pa.table(
+            {
+                "label": pa.array(labs, pa.int64()),
+                "dim": pa.array(dims, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+                "qq": pa.array(qqs, pa.int64()),
+            },
+            schema=sch,
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["label", "dim"],
+        ["n", "s", "qq"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [
+                    ("label", pa.int64()),
+                    ("dim", pa.int64()),
+                    ("n", pa.int64()),
+                    ("s", pa.int64()),
+                    ("qq", pa.int64()),
+                ]
+            ),
+        )
+    df = pl.from_arrow(merged)
+    out_dim, out_f = [], []
+    for d in range(D):
+        g = df.filter(pl.col("dim") == d)
+        n = int(g.get_column("n").sum())
+        k = g.height
+        s_all = int(g.get_column("s").sum())
+        qq_all = int(g.get_column("qq").sum())
+        sb = float(
+            (
+                g.get_column("s").cast(pl.Float64) ** 2
+                / g.get_column("n").cast(pl.Float64)
+            ).sum()
+        )
+        ssb = sb - float(s_all) * float(s_all) / float(n)
+        ssw = float(qq_all) - sb
+        out_dim.append(d)
+        if k < 2 or n <= k or ssw <= 0:
+            out_f.append(None)
+        else:
+            out_f.append(_rf((ssb / (k - 1.0)) / (ssw / (n - float(k))), 6))
+    return pa.table(
+        {
+            "dim": pa.array(out_dim, pa.int64()),
+            "f": pa.array(out_f, pa.float64()),
+        }
+    )
+
+
+SQL_LABEL_SEPARABILITY = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, t.i AS i,
+         CAST(FLOOR(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
+                    * 1000 + 0.5) AS BIGINT) AS q
+  FROM embeddings, range(64) t(i)
+),
+g AS (
+  SELECT label, i,
+         CAST(COUNT(*) AS BIGINT) AS n_l,
+         CAST(SUM(q) AS BIGINT) AS s_l,
+         CAST(SUM(q*q) AS BIGINT) AS qq
+  FROM e GROUP BY 1, 2
+),
+agg AS (
+  SELECT i,
+         CAST(SUM(n_l) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(s_l) AS BIGINT) AS s_all,
+         CAST(SUM(qq) AS BIGINT) AS qq_all,
+         SUM(CAST(s_l AS DOUBLE)*CAST(s_l AS DOUBLE)/CAST(n_l AS DOUBLE)) AS sb
+  FROM g GROUP BY i
+)
+SELECT CAST(i AS BIGINT) AS dim,
+       CASE WHEN k < 2 OR n <= k
+                 OR CAST(qq_all AS DOUBLE) - sb <= 0 THEN NULL
+            ELSE ROUND(
+              ((sb - CAST(s_all AS DOUBLE)*CAST(s_all AS DOUBLE)
+                     /CAST(n AS DOUBLE)) / (k - 1.0))
+              / ((CAST(qq_all AS DOUBLE) - sb) / (CAST(n AS DOUBLE) - k)), 6)
+       END AS f
+FROM agg
+"""
+
+QUERIES["label_separability"] = (q_label_separability, SQL_LABEL_SEPARABILITY)

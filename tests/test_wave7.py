@@ -574,3 +574,57 @@ def test_edge_jaccard_random_graphs(ray_session):
             union = len(nu | nv)
             expect = len(nu & nv) / union if union else 0.0
             assert abs(r["jaccard"] - expect) < 1e-5
+
+
+def test_kmeans_scalable_init_beats_degenerate_seed(ray_session):
+    """k-means|| seeding on data where the naive 'k smallest ids' init
+    is degenerate (ids 0..k-1 all in ONE planted cluster): the sampled
+    seeds must cover every planted center, and Lloyd from them must
+    reach a much lower inertia than from the naive seed."""
+    import ray.data as rd
+
+    from patito_ray.functions.clustering import (
+        initial_centroids,
+        kmeans_fit,
+        kmeans_scalable_init,
+    )
+    from patito_ray.functions.dedup import _splitmix
+
+    k, per, d = 8, 50, 8
+    n = k * per
+    ids = np.arange(n, dtype=np.int64)
+    cluster = ids // per  # smallest k ids all in cluster 0
+    centers = np.eye(k, d) * 10.0
+    noise = (
+        _splitmix(ids.view(np.uint64)[:, None] * np.uint64(d)
+                  + np.arange(d, dtype=np.uint64)[None, :]).astype(np.float64)
+        / 2**64
+        - 0.5
+    ) * 0.2
+    vecs = centers[cluster] + noise
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4).materialize()
+
+    init = kmeans_scalable_init(ds, k, l=2 * k, rounds=3)
+    assert init.shape == (k, d)
+    # every planted center has a seed within the noise radius
+    for c in centers:
+        assert (((init - c) ** 2).sum(axis=1).min()) < 1.0
+
+    def inertia(cent):
+        d2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return float(d2.min(axis=1).sum())
+
+    fit_pp = kmeans_fit(ds, k, n_iter=5, init=init)
+    fit_naive = kmeans_fit(
+        ds, k, n_iter=5, init=initial_centroids(ds, k)
+    )
+    assert inertia(fit_pp) < 0.5 * inertia(fit_naive)
+    # determinism: same data + seed -> identical seeds
+    init2 = kmeans_scalable_init(ds, k, l=2 * k, rounds=3)
+    assert np.array_equal(init, init2)
