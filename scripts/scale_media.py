@@ -32,10 +32,12 @@ def _rss_mb() -> int:
     return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024)
 
 
-def media_batch(n_distinct: int):
-    """Batch fn: id -> (doc_id, image PNG, audio WAV), content keyed by
-    id % n_distinct. Key-seeded noise via splitmix-style mixing keeps
-    the generator deterministic and vectorizable per key."""
+def media_batch(n_distinct: int, img_format: str = "png"):
+    """Batch fn: id -> (doc_id, image PNG/JPEG, audio WAV), content
+    keyed by id % n_distinct. Key-seeded noise via splitmix-style
+    mixing keeps the generator deterministic and vectorizable per key.
+    JPEG copies are byte-identical per key, so planted-pair counts stay
+    exact through the lossy codec."""
 
     def fn(batch: pa.Table) -> pa.Table:
         from patito_ray.functions import codecs as cx
@@ -46,7 +48,10 @@ def media_batch(n_distinct: int):
             key = int(i) % n_distinct
             rng = np.random.default_rng(key)
             img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
-            images.append(cx.encode_png(img))
+            if img_format == "jpeg":
+                images.append(cx.encode_jpeg(img, quality=85))
+            else:
+                images.append(cx.encode_png(img))
             # audio: key-seeded piecewise energy profile (64 windows of
             # 16 samples, amplitudes drawn per window) -> distinct keys
             # get distinct energy fingerprints
@@ -67,8 +72,10 @@ def media_batch(n_distinct: int):
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    dup_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    img_format = "jpeg" if "--jpeg" in sys.argv else "png"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if len(args) > 0 else 100_000
+    dup_factor = int(args[1]) if len(args) > 1 else 10
     n_distinct = n_docs // dup_factor
     planted = n_distinct * (dup_factor * (dup_factor - 1) // 2)
 
@@ -82,7 +89,7 @@ def main() -> None:
 
     media = (
         rd.range(n_docs, override_num_blocks=64)
-        .map_batches(media_batch(n_distinct), batch_format="pyarrow", batch_size=4096)
+        .map_batches(media_batch(n_distinct, img_format), batch_format="pyarrow", batch_size=4096)
         .materialize()
     )
 
@@ -97,6 +104,7 @@ def main() -> None:
             json.dumps(
                 {
                     "experiment": name,
+                    "img_format": img_format,
                     "n_docs": n_docs,
                     "dup_factor": dup_factor,
                     "planted_pairs": planted,
