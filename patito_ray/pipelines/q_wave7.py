@@ -2108,3 +2108,96 @@ FROM agg
 """
 
 QUERIES["label_separability"] = (q_label_separability, SQL_LABEL_SEPARABILITY)
+
+
+def q_srm_check(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Sample-ratio-mismatch audit of the deterministic 80/10/10 split
+    (the experiment-assignment validation every A/B platform runs):
+    exact per-split counts from the splitmix assignment, then ONE fixed
+    chi-square expression against the declared proportions, flagged at
+    the df=2 / alpha=0.05 critical value. Counts are bit-determined
+    (the same splitmix-in-SQL twin as split_assign), the chi2 term
+    order is written out explicitly so both engines evaluate the
+    identical float expression."""
+    import polars as pl
+
+    from patito_ray.functions.sampling import assign_splits
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+    assigned = assign_splits(
+        ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=0
+    )
+
+    def cpart(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["split"]))
+            .group_by("split")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        assigned.map_batches(cpart, batch_format="pyarrow", batch_size=None),
+        ["split"],
+        ["c"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema([("split", pa.string()), ("c", pa.int64())]),
+        )
+    counts = dict(
+        zip(
+            merged.column("split").to_pylist(),
+            merged.column("c").to_pylist(),
+        )
+    )
+    nt = int(counts.get("train", 0))
+    nv = int(counts.get("val", 0))
+    ns = int(counts.get("test", 0))
+    n = nt + nv + ns
+    if n == 0:
+        return _one_row(n=0, n_train=0, n_val=0, n_test=0, chi2=None, srm=None)
+    chi2 = (
+        (nt - n * 0.8) * (nt - n * 0.8) / (n * 0.8)
+        + (nv - n * 0.1) * (nv - n * 0.1) / (n * 0.1)
+        + (ns - n * 0.1) * (ns - n * 0.1) / (n * 0.1)
+    )
+    return _one_row(
+        n=n,
+        n_train=nt,
+        n_val=nv,
+        n_test=ns,
+        chi2=_rf(chi2, 6),
+        srm=chi2 > 5.991,
+    )
+
+
+def _sql_srm_check() -> str:
+    from patito_ray.pipelines.q_wave2 import _sql_split_assign
+
+    return f"""
+WITH counts AS (
+  SELECT
+    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({_sql_split_assign()}) a
+)
+SELECT n, nt AS n_train, nv AS n_val, ns AS n_test,
+       ROUND(
+         (nt - n*0.8)*(nt - n*0.8)/(n*0.8)
+         + (nv - n*0.1)*(nv - n*0.1)/(n*0.1)
+         + (ns - n*0.1)*(ns - n*0.1)/(n*0.1), 6) AS chi2,
+       (nt - n*0.8)*(nt - n*0.8)/(n*0.8)
+         + (nv - n*0.1)*(nv - n*0.1)/(n*0.1)
+         + (ns - n*0.1)*(ns - n*0.1)/(n*0.1) > 5.991 AS srm
+FROM counts
+"""
+
+
+QUERIES["srm_check"] = (q_srm_check, _sql_srm_check())
