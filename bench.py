@@ -393,6 +393,8 @@ def run_bench() -> dict:
         "audience_overlap",
         "changepoint_day",
         "label_separability",
+        "srm_check",
+        "zipf_slope",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7,7 +7,7 @@ anova_oneway, levene_bf, permutation_test, soft_dedup_weights,
 dsir_weights, completeness_by_source, conditional_referential,
 compact_small_files, bh_pairs, edge_jaccard, late_events,
 harmonic_centrality, audience_overlap, changepoint_day,
-label_separability.
+label_separability, srm_check, zipf_slope.
 """
 
 from __future__ import annotations
@@ -2201,3 +2201,86 @@ FROM counts
 
 
 QUERIES["srm_check"] = (q_srm_check, _sql_srm_check())
+
+
+def q_zipf_slope(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Zipf's-law fit over the corpus vocabulary: the OLS slope of
+    ln(freq) on ln(rank) (rank by freq desc, token asc). One
+    distributed term-count pass; both ln values quantize to the integer
+    1e-9 grid on BOTH engines (dsir precedent), so the regression
+    moments are exact integers (Python-int folds past 2^63, HUGEINT in
+    SQL) and only the final slope expression is float."""
+    import polars as pl
+
+    from patito_ray.functions.tfidf import re2_split_tokens
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def tok_partials(t: pa.Table) -> pa.Table:
+        flat, _parents, _ = re2_split_tokens(t.column("text"))
+        return (
+            pl.DataFrame({"tok": flat.to_pylist()})
+            .group_by("tok")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    counts = merge_partial_sums(
+        ds.map_batches(tok_partials, batch_format="pyarrow", batch_size=None),
+        ["tok"],
+        ["c"],
+        **_kw,
+    )
+    if not isinstance(counts, pa.Table):
+        counts = collect_table(
+            counts,
+            empty_schema=pa.schema([("tok", pa.string()), ("c", pa.int64())]),
+        )
+    if counts.num_rows == 0:
+        return _one_row(v=0, slope=None)
+    df = pl.from_arrow(counts).sort(
+        ["c", "tok"], descending=[True, False], maintain_order=True
+    )
+    c = df.get_column("c").to_numpy().astype(np.int64)
+    v = c.size
+    rank = np.arange(1, v + 1, dtype=np.int64)
+    x = np.floor(np.log(rank.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+    y = np.floor(np.log(c.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+    sx = sum(int(a) for a in x)
+    sy = sum(int(a) for a in y)
+    sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+    sxx = sum(int(a) * int(a) for a in x)
+    num = v * sxy - sx * sy
+    den = v * sxx - sx * sx
+    slope = None if den == 0 else _rf(float(num) / float(den), 6)
+    return _one_row(v=v, slope=slope)
+
+
+SQL_ZIPF_SLOPE = """
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS t FROM documents
+),
+counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS r FROM counts
+),
+q AS (
+  SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS x,
+         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS y
+  FROM ranked
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS v,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM q
+)
+SELECT CAST(v AS BIGINT) AS v,
+       CASE WHEN v*sxx - sx*sx = 0 THEN NULL
+            ELSE ROUND(CAST(v*sxy - sx*sy AS DOUBLE)
+                       / CAST(v*sxx - sx*sx AS DOUBLE), 6) END AS slope
+FROM mom
+"""
+
+QUERIES["zipf_slope"] = (q_zipf_slope, SQL_ZIPF_SLOPE)

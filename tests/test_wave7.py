@@ -35,6 +35,9 @@ def _write(dirpath, name, table):
         "levene_bf",
         "permutation_test",
         "conditional_referential",
+        "srm_check",
+        "zipf_slope",
+        "label_separability",
     ],
 )
 def test_dual_path_equality(ray_session, qname):
