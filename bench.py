@@ -395,6 +395,7 @@ def run_bench() -> dict:
         "label_separability",
         "srm_check",
         "zipf_slope",
+        "ljung_box",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7,7 +7,7 @@ anova_oneway, levene_bf, permutation_test, soft_dedup_weights,
 dsir_weights, completeness_by_source, conditional_referential,
 compact_small_files, bh_pairs, edge_jaccard, late_events,
 harmonic_centrality, audience_overlap, changepoint_day,
-label_separability, srm_check, zipf_slope.
+label_separability, srm_check, zipf_slope, ljung_box.
 """
 
 from __future__ import annotations
@@ -2284,3 +2284,96 @@ FROM mom
 """
 
 QUERIES["zipf_slope"] = (q_zipf_slope, SQL_ZIPF_SLOPE)
+
+
+def q_ljung_box(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Ljung-Box portmanteau statistic over the daily-revenue series at
+    lags 1..7: Q = n(n+2)·Σ_k r_k²/(n−k). The r_k come from the same
+    exact integer lag moments as acf_lags (Pearson over aligned day
+    pairs); the Σ_k spans <= 7 O(1e-3) terms, so any summation-order
+    skew is ~1e-19 — far inside the 1e-6 rounding. Lags with no aligned
+    pairs or zero variance contribute nothing (both sides skip them
+    identically)."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    n = int(day.size)
+    if n == 0:
+        return _one_row(n_days=0, k_used=0, q=None)
+    q_acc = 0.0
+    k_used = 0
+    for k in range(1, 8):
+        idx = np.searchsorted(day, day + k)
+        ok = (idx < day.size) & (day[np.minimum(idx, day.size - 1)] == day + k)
+        if not ok.any():
+            continue
+        x = cents[ok]
+        y = cents[np.minimum(idx, day.size - 1)[ok]]
+        m = int(ok.sum())
+        sx = int(x.sum())
+        sy = int(y.sum())
+        sxy = sum(int(a) * int(b) for a, b in zip(x.tolist(), y.tolist()))
+        sxx = sum(int(a) * int(a) for a in x.tolist())
+        syy = sum(int(b) * int(b) for b in y.tolist())
+        dx = float(m * sxx - sx * sx)
+        dy = float(m * syy - sy * sy)
+        if dx <= 0 or dy <= 0 or n <= k:
+            continue
+        r = float(m * sxy - sx * sy) / (float(np.sqrt(dx)) * float(np.sqrt(dy)))
+        q_acc += r * r / (n - k)
+        k_used += 1
+    q = _rf(float(n) * (n + 2.0) * q_acc, 6) if k_used else None
+    return _one_row(n_days=n, k_used=k_used, q=q)
+
+
+SQL_LJUNG_BOX = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+k AS (SELECT UNNEST(RANGE(1, 8)) AS lag),
+mom AS (
+  SELECT k.lag,
+         CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(CAST(a.cents AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(b.cents AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(a.cents AS HUGEINT)*CAST(b.cents AS HUGEINT))
+              AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(a.cents AS HUGEINT)*CAST(a.cents AS HUGEINT))
+              AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(b.cents AS HUGEINT)*CAST(b.cents AS HUGEINT))
+              AS HUGEINT) AS syy
+  FROM daily a
+  JOIN k ON TRUE
+  JOIN daily b ON b.d = a.d + CAST(k.lag AS INTEGER)
+  GROUP BY k.lag
+),
+terms AS (
+  SELECT lag,
+         CAST(m*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(m*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(m*syy - sy*sy AS DOUBLE))) AS r
+  FROM mom, nn
+  WHERE m*sxx - sx*sx > 0 AND m*syy - sy*sy > 0 AND nn.n > lag
+),
+-- the SUM over <=7 O(1e-3) terms tolerates any order: a reorder
+-- perturbs Q by ~1e-19, absorbed by the 1e-6 rounding
+ordered AS (
+  SELECT r, CAST(lag AS BIGINT) AS lag,
+         ROW_NUMBER() OVER (ORDER BY lag) AS i
+  FROM terms
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_used FROM ordered
+)
+SELECT nn.n AS n_days, agg.k_used,
+       CASE WHEN agg.k_used = 0 THEN NULL
+            ELSE ROUND(CAST(nn.n AS DOUBLE) * (nn.n + 2.0) * (
+              SELECT COALESCE(SUM(o.r*o.r/(nn2.n - o.lag)), 0)
+              FROM ordered o, nn nn2
+            ), 6) END AS q
+FROM nn, agg
+"""
+
+QUERIES["ljung_box"] = (q_ljung_box, SQL_LJUNG_BOX)

@@ -38,6 +38,7 @@ def _write(dirpath, name, table):
         "srm_check",
         "zipf_slope",
         "label_separability",
+        "ljung_box",
     ],
 )
 def test_dual_path_equality(ray_session, qname):
