@@ -396,6 +396,7 @@ def run_bench() -> dict:
         "srm_check",
         "zipf_slope",
         "ljung_box",
+        "adf_test",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -7,7 +7,7 @@ anova_oneway, levene_bf, permutation_test, soft_dedup_weights,
 dsir_weights, completeness_by_source, conditional_referential,
 compact_small_files, bh_pairs, edge_jaccard, late_events,
 harmonic_centrality, audience_overlap, changepoint_day,
-label_separability, srm_check, zipf_slope, ljung_box.
+label_separability, srm_check, zipf_slope, ljung_box, adf_test.
 """
 
 from __future__ import annotations
@@ -2377,3 +2377,92 @@ FROM nn, agg
 """
 
 QUERIES["ljung_box"] = (q_ljung_box, SQL_LJUNG_BOX)
+
+
+def q_adf_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Simplified Dickey-Fuller unit-root probe on the daily-revenue
+    series (no lag terms, intercept included): regress Δc_t on c_{t-1}
+    over consecutive-day pairs. Every regression moment is an exact
+    integer (Python-int folds, HUGEINT oracle); beta and the t
+    statistic are one shared float expression each, rounded once. A
+    strongly negative t rejects the unit root (mean-reverting
+    revenue)."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    idx = np.searchsorted(day, day + 1)
+    ok = (idx < day.size) & (day[np.minimum(idx, day.size - 1)] == day + 1)
+    if not ok.any():
+        return _one_row(n_pairs=0, beta=None, t_stat=None)
+    x = cents[ok]
+    ynext = cents[np.minimum(idx, day.size - 1)[ok]]
+    m = int(ok.sum())
+    sx = sum(int(a) for a in x.tolist())
+    sxy = 0
+    sy = 0
+    syy = 0
+    sxx = 0
+    for a, b in zip(x.tolist(), ynext.tolist()):
+        dchg = int(b) - int(a)
+        sy += dchg
+        syy += dchg * dchg
+        sxy += int(a) * dchg
+        sxx += int(a) * int(a)
+    den = m * sxx - sx * sx
+    if den <= 0 or m <= 2:
+        return _one_row(n_pairs=m, beta=None, t_stat=None)
+    num = m * sxy - sx * sy
+    beta = float(num) / float(den)
+    syy_c = float(m * syy - sy * sy)
+    sxy_c = float(num)
+    s2 = (syy_c - beta * sxy_c) / float(m) / (m - 2.0)
+    t_stat = (
+        None
+        if s2 <= 0
+        else _rf(beta / float(np.sqrt(s2 * m / float(den))), 6)
+    )
+    return _one_row(n_pairs=m, beta=_rf(beta, 6), t_stat=t_stat)
+
+
+SQL_ADF_TEST = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+p AS (
+  SELECT a.cents AS x, b.cents - a.cents AS dy
+  FROM daily a JOIN daily b ON b.d = a.d + 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(dy AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT)*CAST(dy AS HUGEINT)) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(dy AS HUGEINT)*CAST(dy AS HUGEINT)) AS HUGEINT) AS syy
+  FROM p
+)
+SELECT CAST(m AS BIGINT) AS n_pairs,
+       CASE WHEN m*sxx - sx*sx <= 0 OR m <= 2 THEN NULL
+            ELSE ROUND(CAST(m*sxy - sx*sy AS DOUBLE)
+                       / CAST(m*sxx - sx*sx AS DOUBLE), 6) END AS beta,
+       CASE WHEN m*sxx - sx*sx <= 0 OR m <= 2 THEN NULL
+            WHEN (CAST(m*syy - sy*sy AS DOUBLE)
+                  - (CAST(m*sxy - sx*sy AS DOUBLE)
+                     / CAST(m*sxx - sx*sx AS DOUBLE))
+                    * CAST(m*sxy - sx*sy AS DOUBLE))
+                 / CAST(m AS DOUBLE) / (CAST(m AS DOUBLE) - 2.0) <= 0 THEN NULL
+            ELSE ROUND(
+              (CAST(m*sxy - sx*sy AS DOUBLE) / CAST(m*sxx - sx*sx AS DOUBLE))
+              / sqrt(
+                  ((CAST(m*syy - sy*sy AS DOUBLE)
+                    - (CAST(m*sxy - sx*sy AS DOUBLE)
+                       / CAST(m*sxx - sx*sx AS DOUBLE))
+                      * CAST(m*sxy - sx*sy AS DOUBLE))
+                   / CAST(m AS DOUBLE) / (CAST(m AS DOUBLE) - 2.0))
+                  * CAST(m AS DOUBLE) / CAST(m*sxx - sx*sx AS DOUBLE)), 6)
+       END AS t_stat
+FROM mom
+"""
+
+QUERIES["adf_test"] = (q_adf_test, SQL_ADF_TEST)

@@ -39,6 +39,7 @@ def _write(dirpath, name, table):
         "zipf_slope",
         "label_separability",
         "ljung_box",
+        "adf_test",
     ],
 )
 def test_dual_path_equality(ray_session, qname):
