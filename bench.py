@@ -401,11 +401,17 @@ def run_bench() -> dict:
     for name in bench_queries:
         fn, _sql = QUERIES[name]
         tq = time.time()
-        result = fn(SF_DIR)
-        # consume lazily-returned datasets
-        if hasattr(result, "materialize"):
-            result.materialize()
-        query_times[name] = round(time.time() - tq, 3)
+        try:
+            result = fn(SF_DIR)
+            # consume lazily-returned datasets
+            if hasattr(result, "materialize"):
+                result.materialize()
+            query_times[name] = round(time.time() - tq, 3)
+        except Exception as exc:  # a guard (e.g. kruskal's int64-overflow
+            # ValueError past ~1.3M rows) must not kill the whole sweep;
+            # -1.0 marks the entry as errored, detail goes to stderr
+            print(f"bench: {name} raised {exc!r}", file=sys.stderr)
+            query_times[name] = -1.0
 
     out = {
         "metric": "webpage validation seconds (full schema+constraint pass incl. uniqueness shuffle + text invariant)",

@@ -368,7 +368,12 @@ def kmeans_scalable_init(
         w[row["cid"]] += row["n"]
 
     # driver: weighted farthest-first down to k (deterministic)
-    if len(centroids) <= k:
+    if len(centroids) < k:
+        raise ValueError(
+            f"kmeans||: only {len(centroids)} candidates sampled for k={k} "
+            f"— raise l (now {l}) or rounds (now {rounds})"
+        )
+    if len(centroids) == k:
         return centroids
     chosen = [int(np.argmax(w))]  # heaviest candidate first
     d2 = ((centroids - centroids[chosen[0]]) ** 2).sum(axis=1)

@@ -206,6 +206,27 @@ SELECT d, cents, ewma FROM rec
 QUERIES["ewma_daily"] = (q_ewma_daily, SQL_EWMA_DAILY)
 
 
+def _lag_moments(day: np.ndarray, cents: np.ndarray, k: int):
+    """Exact integer Pearson moments of the lag-k aligned day pairs
+    (Python-int folds — Σx² at cents scale exceeds int64). Returns
+    (m, sx, sy, sxy, sxx, syy) or None when no pair aligns. Shared by
+    acf_lags and ljung_box so the alignment and overflow handling can
+    never diverge between the two oracle-matched statistics."""
+    idx = np.searchsorted(day, day + k)
+    ok = (idx < day.size) & (day[np.minimum(idx, day.size - 1)] == day + k)
+    if not ok.any():
+        return None
+    x = cents[ok]
+    y = cents[np.minimum(idx, day.size - 1)[ok]]
+    m = int(ok.sum())
+    sx = sum(int(a) for a in x.tolist())
+    sy = sum(int(b) for b in y.tolist())
+    sxy = sum(int(a) * int(b) for a, b in zip(x.tolist(), y.tolist()))
+    sxx = sum(int(a) * int(a) for a in x.tolist())
+    syy = sum(int(b) * int(b) for b in y.tolist())
+    return m, sx, sy, sxy, sxx, syy
+
+
 def q_acf_lags(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
     """Exact Pearson autocorrelation of daily revenue at lags 1..7 over
     aligned day pairs (both d and d+k present). The five moments per
@@ -216,18 +237,10 @@ def q_acf_lags(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
     day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
     lags, ns, rs = [], [], []
     for k in range(1, 8):
-        idx = np.searchsorted(day, day + k)
-        ok = (idx < day.size) & (day[np.minimum(idx, day.size - 1)] == day + k)
-        if not ok.any():
+        mom = _lag_moments(day, cents, k)
+        if mom is None:
             continue  # SQL inner join emits no row for an empty lag
-        x = cents[ok]
-        y = cents[np.minimum(idx, day.size - 1)[ok]]
-        m = int(ok.sum())
-        sx = int(x.sum())
-        sy = int(y.sum())
-        sxy = sum(int(a) * int(b) for a, b in zip(x.tolist(), y.tolist()))
-        sxx = sum(int(a) * int(a) for a in x.tolist())
-        syy = sum(int(b) * int(b) for b in y.tolist())
+        m, sx, sy, sxy, sxx, syy = mom
         num = float(m * sxy - sx * sy)
         dx = float(m * sxx - sx * sx)
         dy = float(m * syy - sy * sy)
@@ -735,11 +748,16 @@ exc AS (
 )
 SELECT CAST(obs.na AS BIGINT) AS na,
        CAST(obs.nb AS BIGINT) AS nb,
-       ROUND(CAST(obs.sa AS DOUBLE)/CAST(obs.na AS DOUBLE)
-             - CAST(obs.sb AS DOUBLE)/CAST(obs.nb AS DOUBLE), 6) AS t_obs,
+       CASE WHEN obs.na = 0 OR obs.nb = 0 THEN NULL
+            ELSE ROUND(CAST(obs.sa AS DOUBLE)/CAST(obs.na AS DOUBLE)
+                       - CAST(obs.sb AS DOUBLE)/CAST(obs.nb AS DOUBLE), 6)
+       END AS t_obs,
        {_PERM_REPS} AS r,
-       exc.exceed AS exceed,
-       ROUND((1.0 + exc.exceed)/({_PERM_REPS} + 1.0), 6) AS p
+       CASE WHEN obs.na = 0 OR obs.nb = 0 THEN 0
+            ELSE COALESCE(exc.exceed, 0) END AS exceed,
+       CASE WHEN obs.na = 0 OR obs.nb = 0 THEN NULL
+            ELSE ROUND((1.0 + COALESCE(exc.exceed, 0))
+                       /({_PERM_REPS} + 1.0), 6) END AS p
 FROM obs, exc
 """
 
@@ -976,8 +994,11 @@ def q_completeness_by_source(sf_dir: str, limit_bytes: int | None = None) -> pa.
 
     def partial(t: pa.Table) -> pa.Table:
         txt = t.column("text")
+        # DuckDB TRIM strips SPACES only; arrow utf8_trim_whitespace is
+        # Unicode and would call "\t" empty where the oracle does not
+        # (CLAUDE.md text-kernel rule) — trim ' ' explicitly
         empty = pc.fill_null(
-            pc.equal(pc.utf8_trim_whitespace(txt), ""), True
+            pc.equal(pc.utf8_trim(txt, characters=" "), ""), True
         ).to_numpy(zero_copy_only=False)
         nch = t.column("n_chars").to_numpy(zero_copy_only=False)
         short = (nch < 50) & ~empty
@@ -1528,7 +1549,7 @@ LEFT JOIN com c ON c.u = e.src AND c.v = e.dst
 QUERIES["edge_jaccard"] = (q_edge_jaccard, _sql_edge_jaccard())
 
 
-def q_late_events(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+def q_late_events(sf_dir: str) -> pa.Table:
     """Out-of-order arrival audit (the streaming-watermark question
     asked of a static table): per event type, how many events carry a
     timestamp more than 1 hour behind the running per-user max at their
@@ -1686,7 +1707,8 @@ def q_harmonic_centrality(sf_dir: str, limit_bytes: int | None = None) -> pa.Tab
             }
         )
     )
-    dist = bfs_hops(lifted, seeds, _HC_HOPS)
+    _bfs_kw = {} if limit_bytes is None else {"broadcast_limit_ids": limit_bytes}
+    dist = bfs_hops(lifted, seeds, _HC_HOPS, **_bfs_kw)
     if not isinstance(dist, pa.Table):
         import ray
 
@@ -2301,18 +2323,10 @@ def q_ljung_box(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
     q_acc = 0.0
     k_used = 0
     for k in range(1, 8):
-        idx = np.searchsorted(day, day + k)
-        ok = (idx < day.size) & (day[np.minimum(idx, day.size - 1)] == day + k)
-        if not ok.any():
+        mom = _lag_moments(day, cents, k)
+        if mom is None:
             continue
-        x = cents[ok]
-        y = cents[np.minimum(idx, day.size - 1)[ok]]
-        m = int(ok.sum())
-        sx = int(x.sum())
-        sy = int(y.sum())
-        sxy = sum(int(a) * int(b) for a, b in zip(x.tolist(), y.tolist()))
-        sxx = sum(int(a) * int(a) for a in x.tolist())
-        syy = sum(int(b) * int(b) for b in y.tolist())
+        m, sx, sy, sxy, sxx, syy = mom
         dx = float(m * sxx - sx * sx)
         dy = float(m * syy - sy * sy)
         if dx <= 0 or dy <= 0 or n <= k:

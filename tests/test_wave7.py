@@ -264,14 +264,16 @@ def test_completeness_and_conditional_referential(ray_session, tmp_path):
         q_conditional_referential,
     )
 
-    texts = ["long enough document text here", "", "   ", "tiny", None]
+    # "\t" row: DuckDB TRIM strips spaces only, so tab-only text is
+    # NOT empty on either engine (it lands in n_short via n_chars < 50)
+    texts = ["long enough document text here", "", "   ", "tiny", None, "\t"]
     t = pa.table(
         {
-            "doc_id": pa.array(np.arange(5), pa.int64()),
+            "doc_id": pa.array(np.arange(6), pa.int64()),
             "text": pa.array(texts, pa.string()),
-            "lang": pa.array(["en"] * 5, pa.string()),
-            "source": pa.array(["s1", "s1", "s1", "s1", "s2"], pa.string()),
-            "n_chars": pa.array([60, 0, 3, 4, 0], pa.int64()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+            "source": pa.array(["s1", "s1", "s1", "s1", "s2", "s2"], pa.string()),
+            "n_chars": pa.array([60, 0, 3, 4, 0, 1], pa.int64()),
         }
     )
     _write(tmp_path, "documents", t)
@@ -280,8 +282,8 @@ def test_completeness_and_conditional_referential(ray_session, tmp_path):
         r["source"]: r for r in out.to_pylist()
     }
     assert d["s1"]["n"] == 4 and d["s1"]["n_empty"] == 2 and d["s1"]["n_short"] == 1
-    assert d["s2"]["n_empty"] == 1 and d["s2"]["n_short"] == 0
-    assert d["s1"]["ok"] and d["s2"]["ok"]
+    assert d["s2"]["n"] == 2 and d["s2"]["n_empty"] == 1 and d["s2"]["n_short"] == 1
+    assert d["s1"]["ok"] and not d["s2"]["ok"]  # 4*1 > 2
 
     day_us = 86_400_000_000
     orders = pa.table(
@@ -633,3 +635,32 @@ def test_kmeans_scalable_init_beats_degenerate_seed(ray_session):
     # determinism: same data + seed -> identical seeds
     init2 = kmeans_scalable_init(ds, k, l=2 * k, rounds=3)
     assert np.array_equal(init, init2)
+
+
+def _canon_table(out):
+    import pandas as pd
+
+    if isinstance(out, pa.Table):
+        df = out.to_pandas()
+    else:
+        tabs = [
+            pa.table(b) for b in out.iter_batches(batch_format="pyarrow")
+        ]
+        tabs = [t for t in tabs if t.num_rows]
+        df = pa.concat_tables(tabs).to_pandas() if tabs else pd.DataFrame()
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "qname", ["soft_dedup_weights", "dsir_weights", "completeness_by_source"]
+)
+def test_dual_path_dataset_queries(ray_session, qname):
+    """Dataset-returning adaptive queries: the forced-distributed merge
+    branch (limit_bytes=0) must produce the identical canonical rows."""
+    from patito_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES[qname][0]
+    a = _canon_table(fn(SF))
+    b = _canon_table(fn(SF, limit_bytes=0))
+    assert a.equals(b), qname
