@@ -664,3 +664,85 @@ def test_dual_path_dataset_queries(ray_session, qname):
     a = _canon_table(fn(SF))
     b = _canon_table(fn(SF, limit_bytes=0))
     assert a.equals(b), qname
+
+
+def test_rank_family_random_property(ray_session, tmp_path):
+    """Randomized regression armor for the grouped rank-test family:
+    kruskal/anova/levene vs brute-force numpy references over random
+    group layouts with ties, both merge paths."""
+    from patito_ray.pipelines.q_wave7 import (
+        q_anova_oneway,
+        q_kruskal_wallis,
+        q_levene_bf,
+    )
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        sizes = rng.integers(3, 40, size=int(rng.integers(2, 5)))
+        groups = np.repeat(
+            [f"g{i}" for i in range(sizes.size)], sizes
+        )
+        vals = rng.integers(0, 15, int(sizes.sum())).astype(np.int64)
+        n = vals.size
+        sub = tmp_path / f"t{trial}"
+        sub.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(np.arange(n), pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(n), pa.int64()),
+                "event_type": pa.array(groups, pa.string()),
+                "value": pa.array(vals.astype(np.float64) / 100.0, pa.float64()),
+                "props": pa.array([""] * n, pa.string()),
+            }
+        )
+        pq.write_table(t, f"{sub}/events.parquet")
+        lb = 0 if trial % 2 else None
+
+        # brute references
+        r = _midranks(vals)
+        ks = sorted(set(groups.tolist()))
+        h = (
+            12.0 / (n * (n + 1.0))
+            * sum((r[groups == k].sum()) ** 2 / (groups == k).sum() for k in ks)
+            - 3.0 * (n + 1.0)
+        )
+        _, tt = np.unique(vals, return_counts=True)
+        c = 1.0 - float((tt.astype(np.int64) ** 3 - tt).sum()) / (n**3 - n)
+
+        out = q_kruskal_wallis(str(sub), limit_bytes=lb).to_pydict()
+        assert abs(out["h"][0] - h) < 1e-5, trial
+        if c > 0:
+            assert abs(out["h_c"][0] - h / c) < 1e-4, trial
+
+        def anova_f(x, labels):
+            gm = x.mean()
+            ssb = sum(
+                (labels == k).sum() * (x[labels == k].mean() - gm) ** 2
+                for k in ks
+            )
+            ssw = sum(
+                ((x[labels == k] - x[labels == k].mean()) ** 2).sum()
+                for k in ks
+            )
+            if ssw <= 0:
+                return None
+            return (ssb / (len(ks) - 1)) / (ssw / (x.size - len(ks)))
+
+        f_ref = anova_f(vals.astype(np.float64), groups)
+        f_got = q_anova_oneway(str(sub), limit_bytes=lb).to_pydict()["f"][0]
+        if f_ref is None:
+            assert f_got is None
+        else:
+            assert abs(f_got - f_ref) < 1e-4, trial
+
+        z = np.concatenate(
+            [np.abs(vals[groups == k] - np.median(vals[groups == k])) for k in ks]
+        )
+        zg = np.concatenate([groups[groups == k] for k in ks])
+        bf_ref = anova_f(z.astype(np.float64), zg)
+        bf_got = q_levene_bf(str(sub), limit_bytes=lb).to_pydict()["f"][0]
+        if bf_ref is None:
+            assert bf_got is None
+        else:
+            assert abs(bf_got - bf_ref) < 1e-4, trial
