@@ -1382,14 +1382,15 @@ def q_bh_pairs(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
                     exceed += 1
             pairs.append((a, b, exceed))
     # exact BH step-up at alpha = _BH_ALPHA_PCT / 100: sort by
-    # (exceed, a, b); reject ranks <= k where k = max{i : 100*(1+e_(i))
-    # <= alpha_pct * i * (R+1)}
+    # (exceed, a, b); reject ranks <= k where k = max{i : p_(i) <=
+    # alpha*i/m}, i.e. 100*m*(1+e_(i)) <= alpha_pct * i * (R+1) —
+    # every quantity integer, so the reject set is bit-determined
     pairs.sort()
     order = sorted(range(len(pairs)), key=lambda i: (pairs[i][2], pairs[i][0], pairs[i][1]))
     m = len(pairs)
     k = 0
     for rank, i in enumerate(order, start=1):
-        if 100 * (1 + pairs[i][2]) <= _BH_ALPHA_PCT * rank * (_PERM_REPS + 1):
+        if 100 * m * (1 + pairs[i][2]) <= _BH_ALPHA_PCT * rank * (_PERM_REPS + 1):
             k = rank
     rej = {i: rank <= k for rank, i in enumerate(order, start=1)}
     rnk = {i: rank for rank, i in enumerate(order, start=1)}
@@ -1479,7 +1480,7 @@ ranked AS (
 ),
 kmax AS (
   SELECT COALESCE(MAX(p_rank), 0) AS k FROM ranked
-  WHERE 100*(1 + exceed) <= {_BH_ALPHA_PCT} * p_rank * ({_PERM_REPS} + 1)
+  WHERE 100*m*(1 + exceed) <= {_BH_ALPHA_PCT} * p_rank * ({_PERM_REPS} + 1)
 )
 SELECT type_a, type_b, exceed,
        ROUND((1.0 + exceed)/({_PERM_REPS} + 1.0), 6) AS p,

@@ -13,6 +13,12 @@
    population means (per-doc sums carry sampling noise, so the
    assertion is on means, not extremes).
 
+3. all-pairs BH randomization (bh_pairs) at the same event volume over
+   5 event types (only 'purchase' carries the planted shift): ONE
+   streaming pass emits per-TYPE per-rep partials; all 10 pair tests +
+   the exact integer BH step-up assemble from type sums. Ground truth:
+   every purchase pair rejects with exceed == 0.
+
 Usage: taskset -c 0-7 python scripts/scale_randstats.py [n_events] [n_docs]
 Prints one JSON line per section.
 """
@@ -52,6 +58,25 @@ def event_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+_TYPES = np.array(["click", "error", "purchase", "signup", "view"])
+
+
+def event5_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    base = (_splitmix(ids.view(np.uint64) ^ np.uint64(0xE5E5)) % np.uint64(1000)).astype(
+        np.int64
+    )
+    tid = ids % 5
+    cents = base + np.where(tid == 2, 50, 0)  # only 'purchase' shifted
+    return pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "event_type": pa.array(_TYPES[tid], pa.string()),
+            "value": pa.array(cents.astype(np.float64) / 100.0, pa.float64()),
+        }
+    )
+
+
 def doc_batch(batch: pa.Table) -> pa.Table:
     from patito_ray.generate import page_texts
 
@@ -85,7 +110,7 @@ def main() -> None:
 
     from patito_ray.functions.randtest import randomization_test
 
-    # ---- 1. randomization test ----
+    # ---- 1. two-sample randomization test ----
     ev = (
         rd.range(n_events, override_num_blocks=256)
         .map_batches(event_batch, batch_format="pyarrow", batch_size=None)
@@ -130,7 +155,43 @@ def main() -> None:
     )
     del ev
 
-    # ---- 2. DSIR weights ----
+    # ---- 2. all-pairs BH randomization over 5 types ----
+    from patito_ray.pipelines.q_wave7 import q_bh_pairs
+
+    tmp_ev = "/tmp/patito_ray_scale_bh"
+    shutil.rmtree(tmp_ev, ignore_errors=True)
+    (
+        rd.range(n_events, override_num_blocks=256)
+        .map_batches(event5_batch, batch_format="pyarrow", batch_size=None)
+        .write_parquet(f"{tmp_ev}/events.parquet")
+    )
+    t0 = time.time()
+    bh = q_bh_pairs(tmp_ev)
+    wall = time.time() - t0
+    rows = bh.to_pylist()
+    purchase = [r for r in rows if "purchase" in (r["type_a"], r["type_b"])]
+    assert len(rows) == 10 and len(purchase) == 4
+    assert all(r["exceed"] == 0 and r["reject"] for r in purchase), purchase
+    print(
+        json.dumps(
+            {
+                "metric": "bh_pairs_10m",
+                "n_events": n_events,
+                "wall_s": round(wall, 1),
+                "events_per_sec": round(n_events / wall),
+                "pairs": len(rows),
+                "purchase_pairs_rejected": sum(
+                    1 for r in purchase if r["reject"]
+                ),
+                "null_pairs_rejected": sum(
+                    1 for r in rows if r["reject"]
+                ) - 4,
+            }
+        ),
+        flush=True,
+    )
+
+    # ---- 3. DSIR weights ----
     from patito_ray.pipelines.q_wave7 import q_dsir_weights
 
     tmp = "/tmp/patito_ray_scale_dsir"

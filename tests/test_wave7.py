@@ -339,6 +339,12 @@ def test_bh_pairs_stepup_and_dual_path(ray_session):
     # p is the exact (1+exceed)/(R+1) rational
     for r in rows:
         assert abs(r["p"] - (1 + r["exceed"]) / 65.0) < 1e-6
+    # BH guarantee: every rejected pair satisfies p_(i) <= alpha*i/m
+    # (the missing /m once rejected a p=0.97 pair — pin the bound)
+    m = len(rows)
+    for r in rows:
+        if r["reject"]:
+            assert r["p"] <= 0.1 * r["p_rank"] / m + 1e-9, r
 
 
 def test_edge_jaccard_brute(ray_session):
