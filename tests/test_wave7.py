@@ -752,3 +752,133 @@ def test_rank_family_random_property(ray_session, tmp_path):
             assert bf_got is None
         else:
             assert abs(bf_got - bf_ref) < 1e-4, trial
+
+
+def _write_lineitem_series(dirpath, cents_by_day):
+    day_us = 86_400_000_000
+    n = len(cents_by_day)
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(np.arange(n) + 1, pa.int64()),
+            "l_partkey": pa.array(np.ones(n), pa.int64()),
+            "l_suppkey": pa.array(np.ones(n), pa.int64()),
+            "l_linenumber": pa.array(np.ones(n), pa.int32()),
+            "l_quantity": pa.array(np.ones(n), pa.float64()),
+            "l_extendedprice": pa.array(
+                np.asarray(cents_by_day, dtype=np.float64) / 100.0, pa.float64()
+            ),
+            "l_discount": pa.array(np.zeros(n), pa.float64()),
+            "l_tax": pa.array(np.zeros(n), pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                np.arange(n, dtype=np.int64) * day_us, pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, f"{dirpath}/lineitem.parquet")
+
+
+def test_runs_test_planted_sequences(ray_session, tmp_path):
+    """External ground truth: a perfectly alternating series has runs
+    == n; a half/half block series has runs == 2."""
+    from patito_ray.pipelines.q_wave7 import q_runs_test
+
+    a = tmp_path / "alt"
+    a.mkdir()
+    _write_lineitem_series(a, [100, 900] * 20)
+    out = q_runs_test(str(a)).to_pydict()
+    assert out["runs"] == [40] and out["n_above"] == [20]
+    assert out["z"][0] > 5.0  # far more runs than random
+
+    b = tmp_path / "blocks"
+    b.mkdir()
+    _write_lineitem_series(b, [100] * 20 + [900] * 20)
+    out = q_runs_test(str(b)).to_pydict()
+    assert out["runs"] == [2]
+    assert out["z"][0] < -5.0  # far fewer runs than random
+
+
+def test_acf_ljung_planted_period2(ray_session, tmp_path):
+    """External ground truth: a period-2 series has ACF ~ -1 at odd
+    lags and ~ +1 at even lags, and a huge Ljung-Box Q."""
+    from patito_ray.pipelines.q_wave7 import q_acf_lags, q_ljung_box
+
+    _write_lineitem_series(tmp_path, [100, 900] * 30)
+    acf = q_acf_lags(str(tmp_path)).to_pydict()
+    by_lag = dict(zip(acf["lag"], acf["r"]))
+    for k in (1, 3, 5, 7):
+        assert by_lag[k] < -0.9, (k, by_lag[k])
+    for k in (2, 4, 6):
+        assert by_lag[k] > 0.9, (k, by_lag[k])
+    q = q_ljung_box(str(tmp_path)).to_pydict()["q"][0]
+    assert q > 100.0  # overwhelming autocorrelation
+
+
+def test_adf_zipf_vs_numpy_reference(ray_session, tmp_path):
+    """External ground truth: adf beta/t against numpy OLS on the same
+    pairs; zipf slope against numpy lstsq over the same quantized
+    log grid."""
+    from patito_ray.pipelines.q_wave7 import (
+        _daily_lineitem_cents,
+        q_adf_test,
+        q_zipf_slope,
+    )
+
+    rng = np.random.default_rng(5)
+    series = (1000 + np.cumsum(rng.integers(-50, 51, 80))).tolist()
+    _write_lineitem_series(tmp_path, series)
+    out = q_adf_test(str(tmp_path)).to_pydict()
+    day, cents = _daily_lineitem_cents(str(tmp_path))
+    x = cents[:-1].astype(np.float64)
+    dy = np.diff(cents).astype(np.float64)
+    X = np.stack([np.ones_like(x), x], axis=1)
+    beta_hat, res, *_ = np.linalg.lstsq(X, dy, rcond=None)
+    resid = dy - X @ beta_hat
+    s2 = float((resid**2).sum()) / (x.size - 2)
+    se = np.sqrt(s2 / float(((x - x.mean()) ** 2).sum()))
+    assert abs(out["beta"][0] - beta_hat[1]) < 1e-5
+    assert abs(out["t_stat"][0] - beta_hat[1] / se) < 1e-3
+
+    texts = ["alpha " * 8 + "beta " * 4 + "gamma " * 2 + "delta"] * 3
+    doc = pa.table(
+        {
+            "doc_id": pa.array(np.arange(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([len(texts[0])] * 3, pa.int64()),
+        }
+    )
+    pq.write_table(doc, f"{tmp_path}/documents.parquet")
+    z = q_zipf_slope(str(tmp_path)).to_pydict()
+    assert z["v"] == [4]
+    freqs = np.array([24, 12, 6, 3], dtype=np.float64)
+    lx = np.log(np.arange(1, 5, dtype=np.float64))
+    ly = np.log(freqs)
+    slope_ref = np.polyfit(lx, ly, 1)[0]
+    assert abs(z["slope"][0] - slope_ref) < 1e-4
+
+
+def test_label_separability_planted_dims(ray_session, tmp_path):
+    """External ground truth: a dimension that encodes the label must
+    score a far higher F than pure-noise dimensions."""
+    from patito_ray.pipelines.q_wave7 import q_label_separability
+
+    rng = np.random.default_rng(9)
+    n = 200
+    labels = (np.arange(n) % 4).astype(np.int32)
+    vecs = rng.normal(0, 1, (n, 64)).astype(np.float32)
+    vecs[:, 7] = labels * 5.0 + rng.normal(0, 0.1, n)  # planted signal dim
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+    out = q_label_separability(str(tmp_path)).to_pydict()
+    f = dict(zip(out["dim"], out["f"]))
+    noise_max = max(v for d, v in f.items() if d != 7 and v is not None)
+    assert f[7] > 100 * noise_max, (f[7], noise_max)
