@@ -397,6 +397,7 @@ def run_bench() -> dict:
         "zipf_slope",
         "ljung_box",
         "adf_test",
+        "grouped_changepoint",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

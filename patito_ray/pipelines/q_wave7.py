@@ -7,7 +7,8 @@ anova_oneway, levene_bf, permutation_test, soft_dedup_weights,
 dsir_weights, completeness_by_source, conditional_referential,
 compact_small_files, bh_pairs, edge_jaccard, late_events,
 harmonic_centrality, audience_overlap, changepoint_day,
-label_separability, srm_check, zipf_slope, ljung_box, adf_test.
+label_separability, srm_check, zipf_slope, ljung_box, adf_test,
+grouped_changepoint.
 """
 
 from __future__ import annotations
@@ -2481,3 +2482,132 @@ FROM mom
 """
 
 QUERIES["adf_test"] = (q_adf_test, SQL_ADF_TEST)
+
+
+def q_grouped_changepoint(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Exact single-changepoint detection PER EVENT TYPE over each
+    type's daily event-value series (the per-segment form of
+    changepoint_day): one narrow (type, day, cents) partial-sum
+    exchange, then the same bit-determined argmax of
+    S_l²/n_l + S_r²/n_r with the earliest-day tie-break, evaluated
+    per type on the calendar-bounded driver table."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "day": us // _US_PER_DAY,
+                    "cents": cents,
+                }
+            )
+            .group_by(["event_type", "day"])
+            .agg(pl.col("cents").sum())
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(ds, ["event_type", "day"], ["cents"], **_kw)
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("day", pa.int64()),
+                    ("cents", pa.int64()),
+                ]
+            ),
+        )
+    et = np.asarray(merged.column("event_type").to_pylist())
+    day = merged.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = merged.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+    types, split_ds, nls, nrs, mls, mrs = [], [], [], [], [], []
+    for g in sorted(set(et.tolist())):
+        m = et == g
+        d = day[m]
+        c = cents[m]
+        order = np.argsort(d)
+        d, c = d[order], c[order]
+        n = c.size
+        if n < 2:
+            continue  # SQL emits no row for a 1-day type
+        csum = np.cumsum(c)
+        total = int(csum[-1])
+        nl = np.arange(1, n, dtype=np.int64)
+        sl = csum[:-1].astype(np.float64)
+        sr = (total - csum[:-1]).astype(np.float64)
+        gval = sl * sl / nl + sr * sr / (n - nl)
+        t_i = int(np.argmax(gval))
+        n_l = int(nl[t_i])
+        n_r = n - n_l
+        s_l = int(csum[t_i])
+        s_r = total - s_l
+        types.append(g)
+        split_ds.append(int(d[t_i]))
+        nls.append(n_l)
+        nrs.append(n_r)
+        mls.append(_rf(s_l / n_l, 6))
+        mrs.append(_rf(s_r / n_r, 6))
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "split_d": _day_ts(np.asarray(split_ds, dtype=np.int64)),
+            "n_l": pa.array(nls, pa.int64()),
+            "n_r": pa.array(nrs, pa.int64()),
+            "mean_l": pa.array(mls, pa.float64()),
+            "mean_r": pa.array(mrs, pa.float64()),
+        }
+    )
+
+
+SQL_GROUPED_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, d,
+         CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS sl,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS nl,
+         CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+),
+g AS (
+  SELECT event_type, d, sl, nl, s, n,
+         CAST(sl AS DOUBLE)*CAST(sl AS DOUBLE)/nl
+         + CAST(s - sl AS DOUBLE)*CAST(s - sl AS DOUBLE)/(n - nl) AS gval,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(sl AS DOUBLE)*CAST(sl AS DOUBLE)/nl
+                    + CAST(s - sl AS DOUBLE)*CAST(s - sl AS DOUBLE)/(n - nl)
+                    DESC, d ASC
+         ) AS pick
+  FROM pre WHERE nl < n
+)
+SELECT event_type,
+       CAST(d AS TIMESTAMP) AS split_d,
+       nl AS n_l,
+       n - nl AS n_r,
+       ROUND(CAST(sl AS DOUBLE)/nl, 6) AS mean_l,
+       ROUND(CAST(s - sl AS DOUBLE)/(n - nl), 6) AS mean_r
+FROM g WHERE pick = 1
+"""
+
+QUERIES["grouped_changepoint"] = (q_grouped_changepoint, SQL_GROUPED_CHANGEPOINT)

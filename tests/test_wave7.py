@@ -40,6 +40,7 @@ def _write(dirpath, name, table):
         "label_separability",
         "ljung_box",
         "adf_test",
+        "grouped_changepoint",
     ],
 )
 def test_dual_path_equality(ray_session, qname):
