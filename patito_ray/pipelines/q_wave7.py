@@ -2611,3 +2611,404 @@ FROM g WHERE pick = 1
 """
 
 QUERIES["grouped_changepoint"] = (q_grouped_changepoint, SQL_GROUPED_CHANGEPOINT)
+
+
+# ---------------------------------------------------------------------------
+# wave 8: paired/ordered categorical tests + calendar ANOVA + grouped runs
+# ---------------------------------------------------------------------------
+
+
+def q_mcnemar_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """McNemar's paired test: did per-user conversion (any event with
+    value > 150) CHANGE between the first and second half of the
+    observation window? The halves split at the integer-µs midpoint of
+    (min_ts, max_ts) — one tiny min/max pass — then ONE narrow user
+    exchange carries (user, conv_h1, conv_h2) indicator partials. The
+    discordant counts b (converted then not) and c (not then converted)
+    are exact integers; the statistic (b−c)²/(b+c) is one float."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        if us.size == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.int64()),
+                 "mx": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "mn": pa.array([-int(us.min())], pa.int64()),  # max of -x
+                "mx": pa.array([int(us.max())], pa.int64()),
+            }
+        )
+
+    from patito_ray.stages.agg import merge_partial_mins  # noqa: F401
+
+    # min/max via one tiny max-merge (mn negated)
+    import ray
+
+    mmt = collect_table(
+        ds.map_batches(mm, batch_format="pyarrow", batch_size=None),
+        empty_schema=pa.schema(
+            [("k", pa.int64()), ("mn", pa.int64()), ("mx", pa.int64())]
+        ),
+    )
+    if mmt.num_rows == 0:
+        return _one_row(n_pairs=0, b=0, c=0, chi2=None)
+    mn = -int(pc.max(mmt.column("mn")).as_py())
+    mx = int(pc.max(mmt.column("mx")).as_py())
+    mid = (mn + mx) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("value")))
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        conv = (
+            t.column("value").to_numpy(zero_copy_only=False) > 150.0
+        )
+        h1 = (us <= mid) & conv
+        h2 = (us > mid) & conv
+        return (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_pylist(),
+                    "c1": h1.astype(np.int64),
+                    "c2": h2.astype(np.int64),
+                }
+            )
+            .group_by("user_id")
+            .agg(pl.col("c1").sum(), pl.col("c2").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        ["c1", "c2"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("user_id", pa.int64()), ("c1", pa.int64()), ("c2", pa.int64())]
+            ),
+        )
+    c1 = merged.column("c1").to_numpy(zero_copy_only=False) > 0
+    c2 = merged.column("c2").to_numpy(zero_copy_only=False) > 0
+    b = int((c1 & ~c2).sum())
+    c = int((~c1 & c2).sum())
+    chi2 = None if b + c == 0 else _rf(float(b - c) * (b - c) / (b + c), 6)
+    return _one_row(n_pairs=merged.num_rows, b=b, c=c, chi2=chi2)
+
+
+SQL_MCNEMAR_TEST = """
+WITH mm AS (
+  SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+),
+u AS (
+  SELECT user_id,
+         MAX(CASE WHEN epoch_us(ts) <= (SELECT (mn + mx)//2 FROM mm)
+                   AND value > 150.0 THEN 1 ELSE 0 END) AS c1,
+         MAX(CASE WHEN epoch_us(ts) > (SELECT (mn + mx)//2 FROM mm)
+                   AND value > 150.0 THEN 1 ELSE 0 END) AS c2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN c1 = 1 AND c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN c1 = 0 AND c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM u
+)
+SELECT n_pairs, b, c,
+       CASE WHEN b + c = 0 THEN NULL
+            ELSE ROUND(CAST(b - c AS DOUBLE)*(b - c)/(b + c), 6) END AS chi2
+FROM agg
+"""
+
+QUERIES["mcnemar_test"] = (q_mcnemar_test, SQL_MCNEMAR_TEST)
+
+
+def q_cochran_armitage(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Cochran-Armitage trend test: does the high-value-order rate
+    (o_totalprice > 200k) trend monotonically across the FIVE ordered
+    priority levels (scores 1..5 from the level prefix)? Per-level
+    (n_i, r_i) integer partials ride one tiny merge; the z² statistic
+    N(N·Σw r − R·Σw n)² / (R(N−R)(N·Σw²n − (Σw n)²)) assembles from
+    exact integers (Python ints vs HUGEINT) with one final float."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pr = np.asarray(t.column("o_orderpriority").to_pylist())
+        conv = (
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) > 200_000.0
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "w": np.asarray([int(p[0]) for p in pr], dtype=np.int64),
+                    "n": np.ones(len(pr), dtype=np.int64),
+                    "r": conv,
+                }
+            )
+            .group_by("w")
+            .agg(pl.col("n").sum(), pl.col("r").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["w"],
+        ["n", "r"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("w", pa.int64()), ("n", pa.int64()), ("r", pa.int64())]
+            ),
+        )
+    w = merged.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_i = merged.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    r_i = merged.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(n_i.sum())
+    r = int(r_i.sum())
+    swr = sum(int(a) * int(b) for a, b in zip(w, r_i))
+    swn = sum(int(a) * int(b) for a, b in zip(w, n_i))
+    sw2n = sum(int(a) * int(a) * int(b) for a, b in zip(w, n_i))
+    num = n * swr - r * swn
+    den = r * (n - r) * (n * sw2n - swn * swn)
+    z2 = None if den <= 0 else _rf(float(n) * float(num) * float(num) / float(den), 6)
+    return _one_row(n=n, converted=r, z2=z2)
+
+
+SQL_COCHRAN_ARMITAGE = """
+WITH g AS (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+mom AS (
+  SELECT CAST(SUM(n) AS HUGEINT) AS n,
+         CAST(SUM(r) AS HUGEINT) AS r,
+         CAST(SUM(CAST(w AS HUGEINT)*r) AS HUGEINT) AS swr,
+         CAST(SUM(CAST(w AS HUGEINT)*n) AS HUGEINT) AS swn,
+         CAST(SUM(CAST(w AS HUGEINT)*w*n) AS HUGEINT) AS sw2n
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS converted,
+       CASE WHEN r*(n - r)*(n*sw2n - swn*swn) <= 0 THEN NULL
+            ELSE ROUND(CAST(n AS DOUBLE)
+                       * CAST(n*swr - r*swn AS DOUBLE)
+                       * CAST(n*swr - r*swn AS DOUBLE)
+                       / CAST(r*(n - r)*(n*sw2n - swn*swn) AS DOUBLE), 6)
+       END AS z2
+FROM mom
+"""
+
+QUERIES["cochran_armitage"] = (q_cochran_armitage, SQL_COCHRAN_ARMITAGE)
+
+
+def q_weekday_anova(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Is daily revenue weekday-dependent? One-way ANOVA of the daily
+    cents series across the 7 weekday groups, from exact integer
+    moments (dow = (epoch_day + 4) % 7, identical to DuckDB's
+    Sunday=0 dayofweek). The same shared F expression as
+    anova_oneway."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    if day.size == 0:
+        return _one_row(n_days=0, n_groups=0, f=None)
+    dow = (day + 4) % 7
+    n = int(day.size)
+    k = 0
+    s_all = 0
+    sq_all = 0
+    sb = 0.0
+    for g in range(7):
+        m = dow == g
+        ng = int(m.sum())
+        if ng == 0:
+            continue
+        k += 1
+        sg = sum(int(v) for v in cents[m].tolist())
+        qg = sum(int(v) * int(v) for v in cents[m].tolist())
+        s_all += sg
+        sq_all += qg
+        sb += float(sg) * float(sg) / float(ng)
+    ssb = sb - float(s_all) * float(s_all) / float(n)
+    ssw = float(sq_all) - sb
+    f = (
+        None
+        if k < 2 or n <= k or ssw <= 0
+        else _rf((ssb / (k - 1.0)) / (ssw / (n - float(k))), 6)
+    )
+    return _one_row(n_days=n, n_groups=k, f=f)
+
+
+SQL_WEEKDAY_ANOVA = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY 1
+),
+g AS (
+  SELECT dayofweek(d) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(c) AS HUGEINT) AS sg,
+         CAST(SUM(CAST(c AS HUGEINT)*c) AS HUGEINT) AS qg
+  FROM daily GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(sg) AS HUGEINT) AS s_all,
+         CAST(SUM(qg) AS HUGEINT) AS sq_all,
+         SUM(CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE)) AS sb
+  FROM g
+)
+SELECT n AS n_days, k AS n_groups,
+       CASE WHEN k < 2 OR n <= k
+                 OR CAST(sq_all AS DOUBLE) - sb <= 0 THEN NULL
+            ELSE ROUND(
+              ((sb - CAST(s_all AS DOUBLE)*CAST(s_all AS DOUBLE)
+                     /CAST(n AS DOUBLE)) / (k - 1.0))
+              / ((CAST(sq_all AS DOUBLE) - sb) / (CAST(n AS DOUBLE) - k)), 6)
+       END AS f
+FROM agg
+"""
+
+QUERIES["weekday_anova"] = (q_weekday_anova, SQL_WEEKDAY_ANOVA)
+
+
+def q_grouped_runs(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Per-event-type Wald-Wolfowitz runs test over each type's daily
+    COUNT series vs its own doubled median — the grouped form of
+    runs_test over event volumes. One narrow (type, day, count)
+    exchange; per-type driver scan over the calendar-bounded series."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "day": us // _US_PER_DAY,
+                }
+            )
+            .group_by(["event_type", "day"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(ds, ["event_type", "day"], ["c"], **_kw)
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("event_type", pa.string()), ("day", pa.int64()), ("c", pa.int64())]
+            ),
+        )
+    et = np.asarray(merged.column("event_type").to_pylist())
+    day = merged.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    types, nds, nas, nbs, runss, zs = [], [], [], [], [], []
+    for g in sorted(set(et.tolist())):
+        m = et == g
+        d = day[m]
+        c = cnt[m]
+        order = np.argsort(d)
+        c = c[order]
+        n = c.size
+        s = np.sort(c)
+        m2 = int(s[(n - 1) // 2]) + int(s[n // 2])
+        above = (2 * c) > m2
+        n_pos = int(above.sum())
+        n_neg = n - n_pos
+        runs = 1 + int((above[1:] != above[:-1]).sum()) if n else 0
+        if n_pos == 0 or n_neg == 0 or n < 2:
+            z = None
+        else:
+            mu = 1.0 + (2.0 * n_pos * n_neg) / n
+            var = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+            z = _rf((runs - mu) / float(np.sqrt(var)), 6) if var > 0 else None
+        types.append(g)
+        nds.append(n)
+        nas.append(n_pos)
+        nbs.append(n_neg)
+        runss.append(runs)
+        zs.append(z)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_days": pa.array(nds, pa.int64()),
+            "n_above": pa.array(nas, pa.int64()),
+            "n_below": pa.array(nbs, pa.int64()),
+            "runs": pa.array(runss, pa.int64()),
+            "z": pa.array(zs, pa.float64()),
+        }
+    )
+
+
+SQL_GROUPED_RUNS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, CAST(2*MEDIAN(c) AS BIGINT) AS m2
+  FROM daily GROUP BY event_type
+),
+flags AS (
+  SELECT daily.event_type, daily.d,
+         CASE WHEN 2*daily.c > med.m2 THEN 1 ELSE 0 END AS up
+  FROM daily JOIN med ON med.event_type = daily.event_type
+),
+steps AS (
+  SELECT event_type, up,
+         LAG(up) OVER (PARTITION BY event_type ORDER BY d) AS prev
+  FROM flags
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(up) AS BIGINT) AS n_above,
+         CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_below,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND up <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM steps GROUP BY event_type
+)
+SELECT event_type, n_days, n_above, n_below, runs,
+       CASE WHEN n_above = 0 OR n_below = 0 OR n_days < 2 THEN NULL
+            ELSE ROUND(
+              (CAST(runs AS DOUBLE)
+               - (1.0 + (2.0*n_above*n_below)/n_days))
+              / sqrt(((1.0 + (2.0*n_above*n_below)/n_days) - 1.0)
+                     * ((1.0 + (2.0*n_above*n_below)/n_days) - 2.0)
+                     / (n_days - 1.0)), 6) END AS z
+FROM agg
+"""
+
+QUERIES["grouped_runs"] = (q_grouped_runs, SQL_GROUPED_RUNS)
