@@ -35,6 +35,7 @@ from patito_ray.stages.agg import (
     _DRIVER_MERGE_BYTES,
     collect_table,
     merge_partial_sums,
+    round_half_away,
 )
 
 _LOG = logging.getLogger(__name__)
@@ -2073,4 +2074,227 @@ def edge_jaccard(
 
     return copartition_apply(
         with_u, adj2, "v", "a2", attach_v, num_partitions=num_partitions
+    )
+
+
+def moran_i(
+    edges: Any,
+    values: Any,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    x: str = "x",
+    limit_bytes: int = _DRIVER_MERGE_BYTES,
+) -> pa.Table:
+    """Moran's I spatial autocorrelation of an integer node attribute
+    over a directed graph (w_ij = 1 per edge, self-loops excluded):
+
+        I = (n / W) * sum_edges (n*x_s - S)(n*x_d - S)
+                    / sum_nodes (n*x_i - S)^2
+
+    re-expressed so every term is an exact integer — the centered
+    products expand to n^2*sum(x_s*x_d) - n*S*(sum x_s + sum x_d)
+    + S^2*W over edges and n^2*sum(x^2) - n*S^2 over nodes, with the
+    final assembly in unbounded Python ints and ONE float expression.
+
+    Shape for scale: node moments (n, S, sum x^2) ride a 24-byte
+    partial merge; the edge pass needs x attached to both endpoints —
+    broadcast (``ray.put`` once, searchsorted per batch) when the
+    values table fits ``limit_bytes``, else two co-partition exchanges
+    with a materialize between them (the assortativity pattern). Edge
+    moments are 32-byte per-block partials either way; driver state is
+    O(1). Per-edge int64 partials are safe while x < 2^31 and a block
+    holds < 2^31 edges; the cross-block accumulation is Python-int."""
+    import ray
+
+    from patito_ray.stages.join import copartition_apply
+
+    # ---- node moments: one tiny merge ----
+    def node_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema(
+            [("k", pa.int64()), ("n", pa.int64()), ("s", pa.int64()),
+             ("sq", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return sch.empty_table()
+        xv = t.column(x).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([len(xv)], pa.int64()),
+                "s": pa.array([int(xv.sum())], pa.int64()),
+                "sq": pa.array([int((xv * xv).sum())], pa.int64()),
+            },
+            schema=sch,
+        )
+
+    nm = merge_partial_sums(
+        values.map_batches(node_partial, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        ["n", "s", "sq"],
+        limit_bytes=max(limit_bytes, 1 << 20),
+    )
+    if not isinstance(nm, pa.Table):
+        nm = collect_table(nm)
+    empty = pa.table(
+        {
+            "n_nodes": pa.array([0], pa.int64()),
+            "n_edges": pa.array([0], pa.int64()),
+            "i": pa.array([None], pa.float64()),
+        }
+    )
+    if nm.num_rows == 0:
+        return empty
+    n = int(nm.column("n")[0].as_py())
+    s = int(nm.column("s")[0].as_py())
+    sq = int(nm.column("sq")[0].as_py())
+
+    edge_sch = pa.schema(
+        [("k", pa.int64()), ("m", pa.int64()), ("sxs", pa.int64()),
+         ("sxd", pa.int64()), ("sxx", pa.int64())]
+    )
+
+    def _edge_moments(xs: "np.ndarray", xd: "np.ndarray") -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "m": pa.array([len(xs)], pa.int64()),
+                "sxs": pa.array([int(xs.sum())], pa.int64()),
+                "sxd": pa.array([int(xd.sum())], pa.int64()),
+                "sxx": pa.array([int(np.dot(xs, xd))], pa.int64()),
+            },
+            schema=edge_sch,
+        )
+
+    vals = merge_partial_sums(
+        values.map_batches(
+            lambda t: pa.table(
+                {
+                    "vn": pc.cast(t.column(node), pa.int64()),
+                    "vx": pc.cast(t.column(x), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["vn"],
+        ["vx"],
+        limit_bytes=limit_bytes,
+    )
+
+    if isinstance(vals, pa.Table):
+        kn = vals.column("vn").to_numpy(zero_copy_only=False)
+        kv = vals.column("vx").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(kn)
+        ref = ray.put({"kn": kn[o], "kv": kv[o]})
+
+        def edge_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            if t.num_rows == 0:
+                return edge_sch.empty_table()
+            d = ray.get(_ref)
+            a = t.column(src).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = a != b
+            a, b = a[keep], b[keep]
+            if len(a) == 0:
+                return edge_sch.empty_table()
+            xs = d["kv"][np.searchsorted(d["kn"], a)]
+            xd = d["kv"][np.searchsorted(d["kn"], b)]
+            return _edge_moments(xs, xd)
+
+        em = merge_partial_sums(
+            edges.map_batches(edge_partial, batch_format="pyarrow", batch_size=None),
+            ["k"],
+            ["m", "sxs", "sxd", "sxx"],
+            limit_bytes=max(limit_bytes, 1 << 20),
+        )
+    else:
+        vals = vals.materialize()
+        e_sch = pa.schema([("es", pa.int64()), ("ed", pa.int64())])
+
+        def loopless(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or src not in t.column_names:
+                return e_sch.empty_table()
+            a = pc.cast(t.column(src), pa.int64())
+            b = pc.cast(t.column(dst), pa.int64())
+            tt = pa.table({"es": a, "ed": b}, schema=e_sch)
+            return tt.filter(pc.invert(pc.equal(tt.column("es"), tt.column("ed"))))
+
+        eds = edges.map_batches(loopless, batch_format="pyarrow", batch_size=None)
+
+        def _side(kcol: str, vcol: str):
+            sch = pa.schema([(kcol, pa.int64()), (vcol, pa.int64())])
+
+            def pick(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or "vn" not in t.column_names:
+                    return sch.empty_table()
+                return pa.table(
+                    {kcol: t.column("vn"), vcol: t.column("vx")}, schema=sch
+                )
+
+            return vals.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+        def attach(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            kcol, vcol = rt.column_names[0], rt.column_names[1]
+            if lt.num_rows == 0:
+                cols = list(lt.column_names) + [vcol]
+                return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
+            kn = rt.column(kcol).to_numpy(zero_copy_only=False)
+            kv = rt.column(vcol).to_numpy(zero_copy_only=False)
+            o = np.argsort(kn)
+            kn, kv = kn[o], kv[o]
+            join_on = "es" if kcol == "an" else "ed"
+            keys = lt.column(join_on).to_numpy(zero_copy_only=False)
+            vv = kv[np.searchsorted(kn, keys)]
+            return lt.append_column(vcol, pa.array(vv.astype(np.int64)))
+
+        with_xs = copartition_apply(
+            eds, _side("an", "xs"), "es", "an", attach
+        ).materialize()
+        with_both = copartition_apply(
+            with_xs, _side("bn", "xd"), "ed", "bn", attach
+        )
+
+        def edge_partial2(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "xs" not in t.column_names:
+                return edge_sch.empty_table()
+            xs = t.column("xs").to_numpy(zero_copy_only=False).astype(np.int64)
+            xd = t.column("xd").to_numpy(zero_copy_only=False).astype(np.int64)
+            return _edge_moments(xs, xd)
+
+        em = merge_partial_sums(
+            with_both.map_batches(
+                edge_partial2, batch_format="pyarrow", batch_size=None
+            ),
+            ["k"],
+            ["m", "sxs", "sxd", "sxx"],
+            limit_bytes=max(limit_bytes, 1 << 20),
+        )
+
+    if not isinstance(em, pa.Table):
+        em = collect_table(em, empty_schema=edge_sch)
+    if em.num_rows == 0:
+        return empty
+    m = int(em.column("m")[0].as_py())
+    sxs = int(em.column("sxs")[0].as_py())
+    sxd = int(em.column("sxd")[0].as_py())
+    sxx = int(em.column("sxx")[0].as_py())
+    num = n * n * sxx - n * s * (sxs + sxd) + s * s * m
+    den = n * n * sq - n * s * s
+    if m == 0 or den <= 0:
+        return pa.table(
+            {
+                "n_nodes": pa.array([n], pa.int64()),
+                "n_edges": pa.array([m], pa.int64()),
+                "i": pa.array([None], pa.float64()),
+            }
+        )
+    i_val = float(n) * float(num) / (float(m) * float(den))
+    i_val = round_half_away(i_val, 6)
+    return pa.table(
+        {
+            "n_nodes": pa.array([n], pa.int64()),
+            "n_edges": pa.array([m], pa.int64()),
+            "i": pa.array([i_val], pa.float64()),
+        }
     )

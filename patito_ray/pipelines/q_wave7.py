@@ -3012,3 +3012,657 @@ FROM agg
 """
 
 QUERIES["grouped_runs"] = (q_grouped_runs, SQL_GROUPED_RUNS)
+
+
+# ---------------------------------------------------------------------------
+# wave 8 (cont.): ordered-group trend, serial correlation, agreement,
+# ordinal association
+# ---------------------------------------------------------------------------
+
+
+def q_jonckheere(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Jonckheere-Terpstra ordered-alternative trend test: does
+    o_totalprice shift monotonically across the FIVE ordered priority
+    levels? The k-group generalization of mann_whitney, in PURE
+    integers: 2JT = sum over ordered level pairs i<j of
+    (2*#{a in g_i < b} + #{a in g_i = b}) summed over b in g_j, all
+    evaluated on the 1-cent grid. One (level, cents)-grid partial-sum
+    exchange (grid-bounded); the prefix scan and the pair assembly run
+    driver-side over the sorted grid with Python-int accumulation (no
+    overflow at any corpus size). z uses the standard no-tie moments
+    E[2JT] = sum_{i<j} n_i n_j and Var[2JT] = (N^2(2N+3) -
+    sum n_i^2(2n_i+3))/18 — deterministic and identical in SQL."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority").to_pylist()
+        q = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "w": np.asarray([int(p[0]) for p in pr], dtype=np.int64),
+                    "q": q,
+                    "c": np.ones(len(pr), dtype=np.int64),
+                }
+            )
+            .group_by(["w", "q"])
+            .agg(pl.col("c").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["w", "q"],
+        ["c"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("w", pa.int64()), ("q", pa.int64()), ("c", pa.int64())]
+            ),
+        )
+    w = merged.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+    q = merged.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    levels = sorted(set(w.tolist()))
+    lidx = {lv: i for i, lv in enumerate(levels)}
+    k = len(levels)
+    qs = np.unique(q)
+    mat = np.zeros((qs.size, k), dtype=np.int64)
+    mat[np.searchsorted(qs, q), np.fromiter((lidx[v] for v in w), np.int64)] = c
+    pref = [0] * k  # strictly-below running counts, python ints
+    jt2 = 0
+    for row in mat:
+        below = 0  # 2*sum_{i<j} pref_i + sum_{i<j} c_i, built incrementally
+        for j in range(k):
+            cj = int(row[j])
+            if j > 0 and cj:
+                jt2 += cj * below
+            below += 2 * pref[j] + cj
+        for j in range(k):
+            pref[j] += int(row[j])
+    n_i = [int(mat[:, j].sum()) for j in range(k)]
+    n = sum(n_i)
+    e2 = sum(
+        n_i[i] * n_i[j] for i in range(k) for j in range(i + 1, k)
+    )
+    raw = n * n * (2 * n + 3) - sum(m * m * (2 * m + 3) for m in n_i)
+    z = (
+        None
+        if raw <= 0
+        else _rf(float(jt2 - e2) / float(np.sqrt(raw / 18.0)), 6)
+    )
+    return _one_row(n=n, jt2=jt2, z=z)
+
+
+SQL_JONCKHEERE = """
+WITH g AS (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+piv AS (
+  SELECT q,
+         SUM(CASE WHEN w = 1 THEN c ELSE 0 END) AS c1,
+         SUM(CASE WHEN w = 2 THEN c ELSE 0 END) AS c2,
+         SUM(CASE WHEN w = 3 THEN c ELSE 0 END) AS c3,
+         SUM(CASE WHEN w = 4 THEN c ELSE 0 END) AS c4,
+         SUM(CASE WHEN w = 5 THEN c ELSE 0 END) AS c5
+  FROM g GROUP BY q
+),
+win AS (
+  SELECT q, c1, c2, c3, c4, c5,
+         COALESCE(SUM(c1) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS p1,
+         COALESCE(SUM(c2) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS p2,
+         COALESCE(SUM(c3) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS p3,
+         COALESCE(SUM(c4) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS p4
+  FROM piv
+),
+jt AS (
+  SELECT CAST(SUM(
+           c2*(2*p1 + c1)
+         + c3*(2*(p1 + p2) + c1 + c2)
+         + c4*(2*(p1 + p2 + p3) + c1 + c2 + c3)
+         + c5*(2*(p1 + p2 + p3 + p4) + c1 + c2 + c3 + c4)
+         ) AS HUGEINT) AS jt2
+  FROM win
+),
+nn AS (
+  SELECT CAST(SUM(c) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN w = 1 THEN c ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(SUM(CASE WHEN w = 2 THEN c ELSE 0 END) AS HUGEINT) AS n2,
+         CAST(SUM(CASE WHEN w = 3 THEN c ELSE 0 END) AS HUGEINT) AS n3,
+         CAST(SUM(CASE WHEN w = 4 THEN c ELSE 0 END) AS HUGEINT) AS n4,
+         CAST(SUM(CASE WHEN w = 5 THEN c ELSE 0 END) AS HUGEINT) AS n5
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(jt2 AS BIGINT) AS jt2,
+       CASE WHEN n*n*(2*n + 3)
+                 - (n1*n1*(2*n1+3) + n2*n2*(2*n2+3) + n3*n3*(2*n3+3)
+                    + n4*n4*(2*n4+3) + n5*n5*(2*n5+3)) <= 0 THEN NULL
+            ELSE ROUND(
+              CAST(jt2 - (n1*n2 + n1*n3 + n1*n4 + n1*n5 + n2*n3 + n2*n4
+                          + n2*n5 + n3*n4 + n3*n5 + n4*n5) AS DOUBLE)
+              / sqrt(CAST(n*n*(2*n + 3)
+                          - (n1*n1*(2*n1+3) + n2*n2*(2*n2+3)
+                             + n3*n3*(2*n3+3) + n4*n4*(2*n4+3)
+                             + n5*n5*(2*n5+3)) AS DOUBLE) / 18.0), 6)
+       END AS z
+FROM jt, nn
+"""
+
+QUERIES["jonckheere"] = (q_jonckheere, SQL_JONCKHEERE)
+
+
+def q_durbin_watson(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Durbin-Watson serial-correlation statistic of the daily revenue
+    cents series (row-ordered by day; calendar gaps, if any, are
+    adjacent rows on both engines — LAG over ORDER BY day is the SQL
+    twin). DW = n*SUM(diff^2) / (n*SUM(c^2) - S^2): every moment is an
+    exact Python int (diff^2 sums overflow int64 at daily-cents scale,
+    so the driver fold is object-int), ONE float division at the end."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    n = int(day.size)
+    if n < 2:
+        return _one_row(n_days=n, dw=None)
+    vals = [int(v) for v in cents.tolist()]
+    s = sum(vals)
+    sq = sum(v * v for v in vals)
+    num = sum((b - a) * (b - a) for a, b in zip(vals, vals[1:]))
+    den = n * sq - s * s
+    dw = None if den <= 0 else _rf(float(n * num) / float(den), 6)
+    return _one_row(n_days=n, dw=dw)
+
+
+SQL_DURBIN_WATSON = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY 1
+),
+lagged AS (
+  SELECT c, LAG(c) OVER (ORDER BY d) AS prev FROM daily
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(c AS HUGEINT)*c) AS HUGEINT) AS sq,
+         CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                       ELSE CAST(c - prev AS HUGEINT)*(c - prev) END)
+              AS HUGEINT) AS num
+  FROM lagged
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n < 2 OR n*sq - s*s <= 0 THEN NULL
+            ELSE ROUND(CAST(n*num AS DOUBLE) / CAST(n*sq - s*s AS DOUBLE), 6)
+       END AS dw
+FROM agg
+"""
+
+QUERIES["durbin_watson"] = (q_durbin_watson, SQL_DURBIN_WATSON)
+
+
+def q_cohen_kappa(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Cohen's kappa between two per-user binary "raters": A = the
+    user ever made a high-value purchase-grade event (value > 150), B =
+    the user ever hit an error event. One narrow per-user indicator
+    merge (MAX-style via SUM>0), then the 2x2 contingency is four
+    integers and kappa is the exact rational
+    (n*(n11+n00) - (r1*c1 + r0*c0)) / (n*n - (r1*c1 + r0*c0))
+    evaluated with ONE float division."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        a = (
+            np.nan_to_num(val, nan=0.0) > 150.0
+        ).astype(np.int64)
+        b = pc.equal(t.column("event_type"), "error").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_pylist(),
+                    "a": a,
+                    "b": b,
+                }
+            )
+            .group_by("user_id")
+            .agg(pl.col("a").sum(), pl.col("b").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        ["a", "b"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("user_id", pa.int64()), ("a", pa.int64()), ("b", pa.int64())]
+            ),
+        )
+    a = merged.column("a").to_numpy(zero_copy_only=False) > 0
+    b = merged.column("b").to_numpy(zero_copy_only=False) > 0
+    n11 = int((a & b).sum())
+    n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum())
+    n00 = int((~a & ~b).sum())
+    n = n11 + n10 + n01 + n00
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    den = n * n - pe_num
+    kappa = (
+        None
+        if n == 0 or den == 0
+        else _rf(float(n * (n11 + n00) - pe_num) / float(den), 6)
+    )
+    return _one_row(n_users=n, n11=n11, n10=n10, n01=n01, n00=n00, kappa=kappa)
+
+
+SQL_COHEN_KAPPA = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(SUM(a*b) AS BIGINT) AS n11,
+         CAST(SUM(a*(1-b)) AS BIGINT) AS n10,
+         CAST(SUM((1-a)*b) AS BIGINT) AS n01,
+         CAST(SUM((1-a)*(1-b)) AS BIGINT) AS n00,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM u
+)
+SELECT n AS n_users, n11, n10, n01, n00,
+       CASE WHEN n = 0 OR n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) = 0
+            THEN NULL
+            ELSE ROUND(
+              CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+                   AS DOUBLE)
+              / CAST(n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+                     AS DOUBLE), 6) END AS kappa
+FROM c
+"""
+
+QUERIES["cohen_kappa"] = (q_cohen_kappa, SQL_COHEN_KAPPA)
+
+
+def q_gk_gamma(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Goodman-Kruskal gamma between the ordered priority level (1..5)
+    and the 100k totalprice band (0..4): ordinal association from the
+    5x5 contingency. The exchange is a tiny (level, band) partial-sum
+    merge; concordant/discordant pair counts are exact integer
+    double-sums over the 25 cells (Python ints), and gamma = (C-D)/(C+D)
+    is ONE float division."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pr = t.column("o_orderpriority").to_pylist()
+        band = np.minimum(
+            np.floor(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                / 100_000.0
+            ).astype(np.int64),
+            4,
+        )
+        return (
+            pl.DataFrame(
+                {
+                    "w": np.asarray([int(p[0]) for p in pr], dtype=np.int64),
+                    "b": band,
+                    "c": np.ones(len(pr), dtype=np.int64),
+                }
+            )
+            .group_by(["w", "b"])
+            .agg(pl.col("c").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["w", "b"],
+        ["c"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("w", pa.int64()), ("b", pa.int64()), ("c", pa.int64())]
+            ),
+        )
+    cells = {
+        (int(w), int(b)): int(c)
+        for w, b, c in zip(
+            merged.column("w").to_pylist(),
+            merged.column("b").to_pylist(),
+            merged.column("c").to_pylist(),
+        )
+    }
+    conc = disc = 0
+    for (w1, b1), c1 in cells.items():
+        for (w2, b2), c2 in cells.items():
+            if w2 > w1 and b2 > b1:
+                conc += c1 * c2
+            elif w2 > w1 and b2 < b1:
+                disc += c1 * c2
+    gamma = (
+        None if conc + disc == 0 else _rf(float(conc - disc) / (conc + disc), 6)
+    )
+    return _one_row(concordant=conc, discordant=disc, gamma=gamma)
+
+
+SQL_GK_GAMMA = """
+WITH g AS (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         LEAST(CAST(FLOOR(o_totalprice/100000.0) AS BIGINT), 4) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+p AS (
+  SELECT CAST(SUM(CASE WHEN g2.w > g1.w AND g2.b > g1.b
+                       THEN g1.c*g2.c ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN g2.w > g1.w AND g2.b < g1.b
+                       THEN g1.c*g2.c ELSE 0 END) AS BIGINT) AS discordant
+  FROM g g1 CROSS JOIN g g2
+)
+SELECT concordant, discordant,
+       CASE WHEN concordant + discordant = 0 THEN NULL
+            ELSE ROUND(CAST(concordant - discordant AS DOUBLE)
+                       / CAST(concordant + discordant AS DOUBLE), 6)
+       END AS gamma
+FROM p
+"""
+
+QUERIES["gk_gamma"] = (q_gk_gamma, SQL_GK_GAMMA)
+
+
+def q_friedman_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Friedman repeated-measures test: rank the 7 weekdays within
+    each COMPLETE epoch week of the daily revenue series and test
+    whether weekday rank profiles differ. Doubled midranks (lo+hi)
+    keep every moment integral (the doubling cancels in the
+    tie-corrected Conover form F = (k-1)*S'/(A'-C') with
+    S' = sum_j (R'_j - n(k+1))^2, A' = sum d^2, C' = nk(k+1)^2), so
+    both engines assemble exact integers and divide once."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    if day.size == 0:
+        return _one_row(n_weeks=0, f=None)
+    wk = day // 7
+    dow = (day + 4) % 7
+    # complete weeks only
+    wku, wkc = np.unique(wk, return_counts=True)
+    keep = np.isin(wk, wku[wkc == 7])
+    wk, dow, c = wk[keep], dow[keep], cents[keep]
+    n = int(np.unique(wk).size)
+    if n == 0:
+        return _one_row(n_weeks=0, f=None)
+    rj = [0] * 7  # doubled rank sums per weekday, python ints
+    a_p = 0  # sum of squared doubled ranks
+    order = np.lexsort((c, wk))
+    wk_s, dow_s, c_s = wk[order], dow[order], c[order]
+    i = 0
+    m = wk_s.size
+    while i < m:
+        j = i
+        while j < m and wk_s[j] == wk_s[i]:
+            j += 1
+        base = i
+        ii = i
+        while ii < j:
+            jj = ii
+            while jj < j and c_s[jj] == c_s[ii]:
+                jj += 1
+            dr = (ii - base + 1) + (jj - base)  # lo+hi 1-based ranks
+            for t in range(ii, jj):
+                rj[int(dow_s[t])] += dr
+                a_p += dr * dr
+            ii = jj
+        i = j
+    c_p = n * 7 * 64  # n*k*(k+1)^2 with k=7
+    s_p = sum((r - n * 8) * (r - n * 8) for r in rj)
+    f = None if a_p - c_p <= 0 else _rf(float(6 * s_p) / float(a_p - c_p), 6)
+    return _one_row(n_weeks=n, f=f)
+
+
+SQL_FRIEDMAN_TEST = """
+WITH daily AS (
+  SELECT CAST(epoch(CAST(l_shipdate AS DATE)) AS BIGINT) // 86400 AS day,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY 1
+),
+wkd AS (
+  SELECT day // 7 AS wk, (day + 4) % 7 AS dow, c FROM daily
+),
+complete AS (
+  SELECT wk FROM wkd GROUP BY wk HAVING COUNT(*) = 7
+),
+ranked AS (
+  SELECT wkd.wk, wkd.dow,
+         2*RANK() OVER (PARTITION BY wkd.wk ORDER BY wkd.c)
+           + COUNT(*) OVER (PARTITION BY wkd.wk, wkd.c) - 1 AS dr
+  FROM wkd JOIN complete ON complete.wk = wkd.wk
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM complete),
+mom AS (
+  SELECT CAST(SUM(CAST(dr AS HUGEINT)*dr) AS HUGEINT) AS ap FROM ranked
+),
+rsum AS (
+  SELECT dow, CAST(SUM(dr) AS HUGEINT) AS r FROM ranked GROUP BY dow
+),
+sp AS (
+  SELECT CAST(SUM((r - (SELECT n FROM nn)*8)
+               * (r - (SELECT n FROM nn)*8)) AS HUGEINT) AS s
+  FROM rsum
+)
+SELECT nn.n AS n_weeks,
+       CASE WHEN mom.ap - CAST(nn.n*7*64 AS HUGEINT) <= 0 THEN NULL
+            ELSE ROUND(CAST(6*sp.s AS DOUBLE)
+                       / CAST(mom.ap - nn.n*7*64 AS DOUBLE), 6)
+       END AS f
+FROM nn, mom, sp
+"""
+
+QUERIES["friedman_test"] = (q_friedman_test, SQL_FRIEDMAN_TEST)
+
+
+def q_cross_corr_lag(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Lead-lag discovery: at which day offset (lag in -7..+7) does the
+    daily 'view' count series best align with the daily 'purchase'
+    series? r(lag) = sum_d v(d)*p(d+lag) — PURE integer dot products
+    over the (type, day)-count merge (absent days contribute 0 on both
+    engines via the inner join), argmax with the deterministic
+    (r DESC, lag ASC) tiebreak. No float appears anywhere."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t.column("event_type"), value_set=pa.array(["view", "purchase"])
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("day", pa.int64()),
+                    ("c", pa.int64()),
+                ]
+            ).empty_table()
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "day": us // _US_PER_DAY,
+                }
+            )
+            .group_by(["event_type", "day"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(ds, ["event_type", "day"], ["c"], **_kw)
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("day", pa.int64()),
+                    ("c", pa.int64()),
+                ]
+            ),
+        )
+    et = np.asarray(merged.column("event_type").to_pylist())
+    day = merged.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    vm, pm = et == "view", et == "purchase"
+    vd, vc = day[vm], cnt[vm]
+    pdays, pcs = day[pm], cnt[pm]
+    po = np.argsort(pdays)
+    pdays, pcs = pdays[po], pcs[po]
+    best_lag, best_r = None, None
+    for lag in range(-7, 8):
+        tgt = vd + lag
+        idx = np.searchsorted(pdays, tgt)
+        idx = np.clip(idx, 0, pdays.size - 1) if pdays.size else idx
+        if pdays.size == 0:
+            r = 0
+        else:
+            hit = pdays[idx] == tgt
+            r = int(
+                sum(
+                    int(a) * int(b)
+                    for a, b in zip(vc[hit].tolist(), pcs[idx[hit]].tolist())
+                )
+            )
+        if best_r is None or r > best_r:
+            best_lag, best_r = lag, r
+    return _one_row(best_lag=best_lag, r_best=best_r)
+
+
+SQL_CROSS_CORR_LAG = """
+WITH v AS (
+  SELECT CAST(epoch(CAST(ts AS DATE)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT CAST(epoch(CAST(ts AS DATE)) AS BIGINT) // 86400 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+lags AS (SELECT UNNEST(range(-7, 8)) AS lag),
+r AS (
+  SELECT lags.lag,
+         CAST(COALESCE(SUM(v.c * p.c), 0) AS BIGINT) AS r
+  FROM lags
+  LEFT JOIN v ON TRUE
+  LEFT JOIN p ON p.day = v.day + lags.lag
+  GROUP BY lags.lag
+)
+SELECT CAST(lag AS BIGINT) AS best_lag, r AS r_best
+FROM r ORDER BY r DESC, lag ASC LIMIT 1
+"""
+
+QUERIES["cross_corr_lag"] = (q_cross_corr_lag, SQL_CROSS_CORR_LAG)
+
+
+def q_moran_docs(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Moran's I spatial autocorrelation of document LENGTH (n_chars)
+    over the deterministic doc link graph: do long documents link to
+    long documents? The random splitmix graph should sit near the null
+    E[I] = -1/(n-1) ~ 0 — itself a ground-truth anchor. All moments
+    are exact integers (functions/graph.py:moran_i); the oracle
+    recomputes the identical edges via the splitmix64-in-SQL macro."""
+    from patito_ray.functions.graph import moran_i
+    from patito_ray.pipelines.q_wave3 import _doc_link_edges
+
+    edges, _n = _doc_link_edges(sf_dir, 3)
+    values = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    return moran_i(
+        edges, values, src="src", dst="dst", node="doc_id", x="n_chars", **_kw
+    )
+
+
+def _sql_moran_docs() -> str:
+    from patito_ray.pipelines.q_wave3 import _sql_link_edges
+
+    return f"""
+WITH
+{_sql_link_edges(3)},
+e AS (SELECT src AS s, dst AS d FROM edges WHERE src <> dst),
+nodes AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(n_chars) AS HUGEINT) AS s,
+         CAST(SUM(CAST(n_chars AS HUGEINT)*n_chars) AS HUGEINT) AS sq
+  FROM documents
+),
+em AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(a.n_chars) AS HUGEINT) AS sxs,
+         CAST(SUM(b.n_chars) AS HUGEINT) AS sxd,
+         CAST(SUM(CAST(a.n_chars AS HUGEINT)*b.n_chars) AS HUGEINT) AS sxx
+  FROM e
+  JOIN documents a ON a.doc_id = e.s
+  JOIN documents b ON b.doc_id = e.d
+)
+SELECT CAST(nodes.n AS BIGINT) AS n_nodes,
+       CAST(em.m AS BIGINT) AS n_edges,
+       CASE WHEN em.m = 0
+                 OR nodes.n*nodes.n*nodes.sq - nodes.n*nodes.s*nodes.s <= 0
+            THEN NULL
+            ELSE ROUND(
+              CAST(nodes.n AS DOUBLE)
+              * CAST(nodes.n*nodes.n*em.sxx
+                     - nodes.n*nodes.s*(em.sxs + em.sxd)
+                     + nodes.s*nodes.s*em.m AS DOUBLE)
+              / (CAST(em.m AS DOUBLE)
+                 * CAST(nodes.n*nodes.n*nodes.sq
+                        - nodes.n*nodes.s*nodes.s AS DOUBLE)), 6)
+       END AS i
+FROM nodes, em
+"""
+
+
+QUERIES["moran_docs"] = (q_moran_docs, _sql_moran_docs())

@@ -235,3 +235,254 @@ def test_grouped_runs_planted_sequences(ray_session, tmp_path):
         assert r["runs"] == runs
         assert abs(r["z"] - (runs - mu) / sd) < 1e-5
     assert rows["alt"]["z"] > 2.5 and rows["blk"]["z"] < -2.5
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "jonckheere",
+        "durbin_watson",
+        "cohen_kappa",
+        "gk_gamma",
+        "friedman_test",
+        "cross_corr_lag",
+        "moran_docs",
+    ],
+)
+def test_dual_path_equality_batch2(ray_session, qname):
+    from patito_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES[qname][0]
+    assert fn(SF).equals(fn(SF, limit_bytes=0)), qname
+
+
+def test_jonckheere_perfect_separation(ray_session, tmp_path):
+    """Values strictly increase with level => EVERY cross-level pair is
+    concordant: 2JT == 2*sum_{i<j} n_i n_j, its maximum."""
+    from patito_ray.pipelines.q_wave7 import q_jonckheere
+
+    prio, price = [], []
+    n_i = [4, 6, 5, 3, 7]
+    for w in range(1, 6):
+        for _ in range(n_i[w - 1]):
+            prio.append(f"{w}-LEVEL")
+            price.append(1000.0 * w)
+    _write(tmp_path, "orders", _orders_table(prio, price))
+    out = q_jonckheere(str(tmp_path)).to_pydict()
+    maxjt = 2 * sum(
+        n_i[i] * n_i[j] for i in range(5) for j in range(i + 1, 5)
+    )
+    assert out["n"] == [sum(n_i)]
+    assert out["jt2"] == [maxjt]
+    assert out["z"][0] > 3.0
+
+
+def test_jonckheere_identical_groups_near_zero(ray_session, tmp_path):
+    """Identical value multiset at every level => 2JT equals its
+    expectation exactly (every cross pair contributes its tie-average)
+    => z == 0."""
+    from patito_ray.pipelines.q_wave7 import q_jonckheere
+
+    prio, price = [], []
+    for w in range(1, 6):
+        for v in (10.0, 20.0, 30.0):
+            prio.append(f"{w}-LEVEL")
+            price.append(v)
+    _write(tmp_path, "orders", _orders_table(prio, price))
+    out = q_jonckheere(str(tmp_path)).to_pydict()
+    # per cross pair of groups: 3 equal + 3 less + 3 greater per 9 pairs
+    # -> 2*#less + #eq = 2*3 + 3 = 9 per group pair = n_i*n_j
+    assert out["jt2"] == [sum(3 * 3 for _ in range(10))]
+    assert out["z"] == [0.0]
+
+
+def test_durbin_watson_planted(ray_session, tmp_path):
+    """Alternating daily revenue => strong negative serial correlation
+    (DW > 3); a monotone ramp => strong positive (DW < 0.5). Exact
+    value checked against an independent numpy evaluation."""
+    from patito_ray.pipelines.q_wave7 import q_durbin_watson
+
+    day = list(range(40))
+    alt = [1.0 if d % 2 else 3.0 for d in day]
+    _write(tmp_path, "lineitem", _lineitem_table(day, alt))
+    out = q_durbin_watson(str(tmp_path)).to_pydict()
+    c = np.asarray([round(v * 100) for v in alt], np.float64)
+    dw_brute = (np.diff(c) ** 2).sum() / ((c - c.mean()) ** 2).sum()
+    assert out["n_days"] == [40]
+    assert abs(out["dw"][0] - dw_brute) < 1e-4
+    assert out["dw"][0] > 3.0
+
+    ramp_dir = tmp_path / "ramp"
+    ramp_dir.mkdir()
+    ramp = [float(d + 1) for d in day]
+    _write(ramp_dir, "lineitem", _lineitem_table(day, ramp))
+    out2 = q_durbin_watson(str(ramp_dir)).to_pydict()
+    assert out2["dw"][0] < 0.5
+
+
+def test_cohen_kappa_agreement_extremes(ray_session, tmp_path):
+    """Perfect agreement => kappa == 1; an exactly balanced
+    independent 2x2 (all four cells equal) => kappa == 0."""
+    from patito_ray.pipelines.q_wave7 import q_cohen_kappa
+
+    # perfect agreement: 5 users with both flags, 5 with neither
+    ts, uid, val, et = [], [], [], []
+    for u in range(5):
+        ts += [u, u]
+        uid += [u, u]
+        val += [200.0, 1.0]
+        et += ["purchase", "error"]
+    for u in range(5, 10):
+        ts += [u]
+        uid += [u]
+        val += [1.0]
+        et += ["view"]
+    _write(tmp_path, "events", _events_table(ts, uid, val, et))
+    out = q_cohen_kappa(str(tmp_path)).to_pydict()
+    assert out["n11"] == [5] and out["n00"] == [5]
+    assert out["kappa"] == [1.0]
+
+    ind = tmp_path / "ind"
+    ind.mkdir()
+    ts, uid, val, et = [], [], [], []
+    cells = [(True, True), (True, False), (False, True), (False, False)]
+    u = 0
+    for a, b in cells:
+        for _ in range(3):
+            ts += [u, u]
+            uid += [u, u]
+            val += [200.0 if a else 1.0, 1.0]
+            et += ["purchase", "error" if b else "view"]
+            u += 1
+    _write(ind, "events", _events_table(ts, uid, val, et))
+    out2 = q_cohen_kappa(str(ind)).to_pydict()
+    assert out2["n11"] == [3] and out2["n10"] == [3]
+    assert out2["n01"] == [3] and out2["n00"] == [3]
+    assert out2["kappa"] == [0.0]
+
+
+def test_gk_gamma_monotone_extremes(ray_session, tmp_path):
+    """Band == level-1 exactly => gamma == 1; band reversed => -1."""
+    from patito_ray.pipelines.q_wave7 import q_gk_gamma
+
+    prio = [f"{w}-LEVEL" for w in range(1, 6) for _ in range(4)]
+    up = [100_000.0 * (w - 1) + 50_000.0 for w in range(1, 6) for _ in range(4)]
+    _write(tmp_path, "orders", _orders_table(prio, up))
+    out = q_gk_gamma(str(tmp_path)).to_pydict()
+    assert out["discordant"] == [0]
+    assert out["gamma"] == [1.0]
+
+    rev = tmp_path / "rev"
+    rev.mkdir()
+    dn = [100_000.0 * (5 - w) + 50_000.0 for w in range(1, 6) for _ in range(4)]
+    _write(rev, "orders", _orders_table(prio, dn))
+    out2 = q_gk_gamma(str(rev)).to_pydict()
+    assert out2["concordant"] == [0]
+    assert out2["gamma"] == [-1.0]
+
+
+def test_friedman_perfect_agreement(ray_session, tmp_path):
+    """Every week ranks the weekdays identically (strict weekday
+    effect) => the Friedman statistic hits its analytic maximum
+    n*(k-1) = 4 weeks * 6 = 24 exactly."""
+    from patito_ray.pipelines.q_wave7 import q_friedman_test
+
+    day = list(range(28))
+    price = [float(1 + ((d + 4) % 7)) * 10.0 for d in day]
+    _write(tmp_path, "lineitem", _lineitem_table(day, price))
+    out = q_friedman_test(str(tmp_path)).to_pydict()
+    assert out["n_weeks"] == [4]
+    assert out["f"] == [24.0]
+
+
+def test_friedman_null_is_zero(ray_session, tmp_path):
+    """A weekday-independent pattern whose per-week rank sums come out
+    equal across weekdays => S' == 0 => statistic == 0 (needs the
+    weekday assignment rotated per week so rank sums balance)."""
+    from patito_ray.pipelines.q_wave7 import q_friedman_test
+
+    # 7 weeks; week w gives the day with dow == (d+4)%7 value
+    # depending on (dow - w) % 7 -> a latin square: every weekday
+    # receives each rank exactly once over the 7 weeks.
+    day = list(range(49))
+    price = []
+    for d in day:
+        w = d // 7
+        dow = (d + 4) % 7
+        price.append(float(1 + (dow - w) % 7) * 10.0)
+    _write(tmp_path, "lineitem", _lineitem_table(day, price))
+    out = q_friedman_test(str(tmp_path)).to_pydict()
+    assert out["n_weeks"] == [7]
+    assert out["f"] == [0.0]
+
+
+def test_cross_corr_lag_planted_shift(ray_session, tmp_path):
+    """Purchases are exactly the view series shifted +3 days with one
+    dominant spike => best_lag == 3 and r_best is the known integer
+    dot product."""
+    from patito_ray.pipelines.q_wave7 import q_cross_corr_lag
+
+    ts, uid, val, et = [], [], [], []
+
+    def add(etype, d, count):
+        for i in range(count):
+            ts.append(d * DAY_US + i * US)
+            uid.append(0)
+            val.append(1.0)
+            et.append(etype)
+
+    for d in range(20):
+        add("view", d, 100 if d == 10 else 1)
+        add("purchase", d, 100 if d == 13 else 1)
+    out = None
+    _write(tmp_path, "events", _events_table(ts, uid, val, et))
+    out = q_cross_corr_lag(str(tmp_path)).to_pydict()
+    assert out["best_lag"] == [3]
+    # spike*spike + the aligned background ones
+    v = np.asarray([100 if d == 10 else 1 for d in range(20)], np.int64)
+    p = np.asarray([100 if d == 13 else 1 for d in range(20)], np.int64)
+    assert out["r_best"] == [int(np.dot(v[:17], p[3:]))]
+
+
+def test_moran_i_smooth_vs_random(ray_session, tmp_path):
+    """Path graph with x == node index (perfectly smooth signal) =>
+    Moran's I near +1, matched to an independent float evaluation of
+    the definition; a fixed permutation of the same values => |I|
+    small. Both paths (broadcast and forced-copartition) agree."""
+    import ray.data as rd
+
+    from patito_ray.functions.graph import moran_i
+
+    n = 200
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+    xs = np.arange(n, dtype=np.int64)
+    values = rd.from_arrow(
+        pa.table({"node": pa.array(xs), "x": pa.array(xs)})
+    )
+    out = moran_i(edges, values, node="node", x="x").to_pydict()
+    # independent brute evaluation of the textbook definition
+    z = xs - xs.mean()
+    i_brute = (n / float(n - 1)) * float(
+        (z[src] * z[dst]).sum()
+    ) / float((z * z).sum())
+    assert out["n_nodes"] == [n] and out["n_edges"] == [n - 1]
+    assert abs(out["i"][0] - i_brute) < 1e-4
+    assert out["i"][0] > 0.9
+
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(n).astype(np.int64)
+    values_p = rd.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(perm)})
+    )
+    out_p = moran_i(edges, values_p, node="node", x="x").to_pydict()
+    assert abs(out_p["i"][0]) < 0.25
+
+    forced = moran_i(
+        edges, values, node="node", x="x", limit_bytes=0
+    ).to_pydict()
+    assert forced == out
