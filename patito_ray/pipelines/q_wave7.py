@@ -3666,3 +3666,435 @@ FROM nodes, em
 
 
 QUERIES["moran_docs"] = (q_moran_docs, _sql_moran_docs())
+
+
+def q_partial_corr(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Partial Pearson correlation of price vs quantity CONTROLLING
+    for discount, over lineitem on integer grids (whole dollars /
+    units / discount cents). The exchange is ONE 10-integer moment
+    partial (n, three sums, three squares, three cross products);
+    the three pairwise r's and the partial formula
+    (r_xy - r_xz*r_yz)/sqrt((1-r_xz^2)(1-r_yz^2)) are the identical
+    IEEE expression on both engines, rounded once."""
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(
+        sf_dir, "lineitem", ["l_extendedprice", "l_quantity", "l_discount"]
+    )
+    names = ["n", "sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz", "syz"]
+    sch = pa.schema([("k", pa.int64())] + [(c, pa.int64()) for c in names])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sch.empty_table()
+        x = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        y = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        z = np.floor(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        vals = [
+            len(x),
+            int(x.sum()), int(y.sum()), int(z.sum()),
+            int((x * x).sum()), int((y * y).sum()), int((z * z).sum()),
+            int((x * y).sum()), int((x * z).sum()), int((y * z).sum()),
+        ]
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             **{c: pa.array([v], pa.int64()) for c, v in zip(names, vals)}},
+            schema=sch,
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        names,
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(merged, empty_schema=sch)
+    if merged.num_rows == 0:
+        return _one_row(n=0, r_xy=None, r_partial=None)
+    g = {c: int(merged.column(c)[0].as_py()) for c in names}
+    n = g["n"]
+
+    def _r_pair(sab, sa, sb, saa, sbb):
+        den = float(n * saa - sa * sa) ** 0.5 * float(n * sbb - sb * sb) ** 0.5
+        return None if den == 0.0 else float(n * sab - sa * sb) / den
+
+    rxy = _r_pair(g["sxy"], g["sx"], g["sy"], g["sxx"], g["syy"])
+    rxz = _r_pair(g["sxz"], g["sx"], g["sz"], g["sxx"], g["szz"])
+    ryz = _r_pair(g["syz"], g["sy"], g["sz"], g["syy"], g["szz"])
+    if rxy is None or rxz is None or ryz is None:
+        return _one_row(n=n, r_xy=None, r_partial=None)
+    den = ((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) ** 0.5
+    rp = None if den == 0.0 else _rf((rxy - rxz * ryz) / den, 6)
+    return _one_row(n=n, r_xy=_rf(rxy, 6), r_partial=rp)
+
+
+SQL_PARTIAL_CORR = """
+WITH g AS (
+  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS x,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS y,
+         CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS z
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(z) AS HUGEINT) AS sz,
+         CAST(SUM(x*x) AS HUGEINT) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy,
+         CAST(SUM(z*z) AS HUGEINT) AS szz,
+         CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*z) AS HUGEINT) AS sxz,
+         CAST(SUM(y*z) AS HUGEINT) AS syz
+  FROM g
+),
+r AS (
+  SELECT n,
+    CAST(n*sxy - sx*sy AS DOUBLE)
+      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS rxy,
+    CAST(n*sxz - sx*sz AS DOUBLE)
+      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         * sqrt(CAST(n*szz - sz*sz AS DOUBLE))) AS rxz,
+    CAST(n*syz - sy*sz AS DOUBLE)
+      / (sqrt(CAST(n*syy - sy*sy AS DOUBLE))
+         * sqrt(CAST(n*szz - sz*sz AS DOUBLE))) AS ryz
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n, ROUND(rxy, 6) AS r_xy,
+       CASE WHEN sqrt((1.0 - rxz*rxz) * (1.0 - ryz*ryz)) = 0 THEN NULL
+            ELSE ROUND((rxy - rxz*ryz)
+                       / sqrt((1.0 - rxz*rxz) * (1.0 - ryz*ryz)), 6)
+       END AS r_partial
+FROM r
+"""
+
+QUERIES["partial_corr"] = (q_partial_corr, SQL_PARTIAL_CORR)
+
+
+def q_cronbach_alpha(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Cronbach's alpha treating the 7 weekdays as "items" scored by
+    each complete week (internal consistency of the weekly revenue
+    profile). The variance divisor cancels in the ratio, so both
+    engines use the RAW sums of squares v_j = n*sum(x^2) - (sum x)^2
+    per item and V_tot over weekly totals — exact integers end to end,
+    alpha = (7/6)*(1 - sum v_j / V_tot) with ONE float division."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    if day.size == 0:
+        return _one_row(n_weeks=0, alpha=None)
+    wk = day // 7
+    dow = (day + 4) % 7
+    wku, wkc = np.unique(wk, return_counts=True)
+    keep = np.isin(wk, wku[wkc == 7])
+    wk, dow, c = wk[keep], dow[keep], cents[keep]
+    weeks = np.unique(wk)
+    n = int(weeks.size)
+    if n < 2:
+        return _one_row(n_weeks=n, alpha=None)
+    vals = [int(v) for v in c.tolist()]
+    sum_v = 0
+    for j in range(7):
+        xs = [v for v, d in zip(vals, dow.tolist()) if d == j]
+        sum_v += n * sum(v * v for v in xs) - sum(xs) ** 2
+    tot = {}
+    for v, w in zip(vals, wk.tolist()):
+        tot[w] = tot.get(w, 0) + v
+    ts = list(tot.values())
+    v_tot = n * sum(t * t for t in ts) - sum(ts) ** 2
+    alpha = (
+        None
+        if v_tot == 0
+        else _rf((7.0 / 6.0) * (1.0 - float(sum_v) / float(v_tot)), 6)
+    )
+    return _one_row(n_weeks=n, alpha=alpha)
+
+
+SQL_CRONBACH_ALPHA = """
+WITH daily AS (
+  SELECT CAST(epoch(CAST(l_shipdate AS DATE)) AS BIGINT) // 86400 AS day,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY 1
+),
+wkd AS (
+  SELECT day // 7 AS wk, (day + 4) % 7 AS dow, c FROM daily
+),
+complete AS (SELECT wk FROM wkd GROUP BY wk HAVING COUNT(*) = 7),
+kept AS (
+  SELECT wkd.wk, wkd.dow, CAST(wkd.c AS HUGEINT) AS c
+  FROM wkd JOIN complete ON complete.wk = wkd.wk
+),
+nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM complete),
+items AS (
+  SELECT CAST(SUM((SELECT n FROM nn) * sq - s*s) AS HUGEINT) AS sum_v
+  FROM (
+    SELECT dow, SUM(c*c) AS sq, SUM(c) AS s FROM kept GROUP BY dow
+  )
+),
+tots AS (
+  SELECT CAST((SELECT n FROM nn) * SUM(t*t) - SUM(t)*SUM(t) AS HUGEINT)
+    AS v_tot
+  FROM (SELECT wk, SUM(c) AS t FROM kept GROUP BY wk)
+)
+SELECT CAST(nn.n AS BIGINT) AS n_weeks,
+       CASE WHEN nn.n < 2 OR tots.v_tot = 0 THEN NULL
+            ELSE ROUND((7.0/6.0) * (1.0 - CAST(items.sum_v AS DOUBLE)
+                                          / CAST(tots.v_tot AS DOUBLE)), 6)
+       END AS alpha
+FROM nn, items, tots
+"""
+
+QUERIES["cronbach_alpha"] = (q_cronbach_alpha, SQL_CRONBACH_ALPHA)
+
+
+def q_js_divergence(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Jensen-Shannon divergence between the event-type mix of the
+    first and second half of the observation window (distribution
+    drift in nats). Counts per (half, type) ride one tiny merge; the
+    5+5 transcendental terms p*ln(p/m) quantize to the integer 1e-9
+    grid on BOTH engines (dsir precedent — absorbs libm ulp skew;
+    boundary risk ~1e-7/term), so the final statistic is assembled
+    from exact integers."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("mn", pa.int64()), ("mx", pa.int64())])
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        if us.size == 0:
+            return sch.empty_table()
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "mn": pa.array([-int(us.min())], pa.int64()),
+                "mx": pa.array([int(us.max())], pa.int64()),
+            },
+            schema=sch,
+        )
+
+    mmt = collect_table(
+        ds.map_batches(mm, batch_format="pyarrow", batch_size=None),
+        empty_schema=pa.schema(
+            [("k", pa.int64()), ("mn", pa.int64()), ("mx", pa.int64())]
+        ),
+    )
+    if mmt.num_rows == 0:
+        return _one_row(n1=0, n2=0, js=None)
+    mn = -int(pc.max(mmt.column("mn")).as_py())
+    mx = int(pc.max(mmt.column("mx")).as_py())
+    mid = (mn + mx) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "h": (us > mid).astype(np.int64),
+                }
+            )
+            .group_by(["event_type", "h"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["event_type", "h"],
+        ["c"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("event_type", pa.string()), ("h", pa.int64()), ("c", pa.int64())]
+            ),
+        )
+    c1, c2 = {}, {}
+    for et, h, c in zip(
+        merged.column("event_type").to_pylist(),
+        merged.column("h").to_pylist(),
+        merged.column("c").to_pylist(),
+    ):
+        (c1 if h == 0 else c2)[et] = int(c)
+    n1 = sum(c1.values())
+    n2 = sum(c2.values())
+    if n1 == 0 or n2 == 0:
+        return _one_row(n1=n1, n2=n2, js=None)
+    t_nano = 0
+    for et in set(c1) | set(c2):
+        p = float(c1.get(et, 0)) / n1
+        q = float(c2.get(et, 0)) / n2
+        m = (p + q) / 2.0
+        if p > 0.0:
+            t_nano += int(np.floor(p * np.log(p / m) * 1e9 + 0.5))
+        if q > 0.0:
+            t_nano += int(np.floor(q * np.log(q / m) * 1e9 + 0.5))
+    return _one_row(n1=n1, n2=n2, js=_rf(float(t_nano) / 2e9, 6))
+
+
+SQL_JS_DIVERGENCE = """
+WITH mm AS (
+  SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+),
+g AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) > (SELECT (mn + mx)//2 FROM mm)
+              THEN 1 ELSE 0 END AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+nn AS (
+  SELECT CAST(SUM(CASE WHEN h = 0 THEN c ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN h = 1 THEN c ELSE 0 END) AS BIGINT) AS n2
+  FROM g
+),
+per_type AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN h = 0 THEN c ELSE 0 END) AS DOUBLE)
+           / (SELECT n1 FROM nn) AS p,
+         CAST(SUM(CASE WHEN h = 1 THEN c ELSE 0 END) AS DOUBLE)
+           / (SELECT n2 FROM nn) AS q
+  FROM g GROUP BY event_type
+),
+terms AS (
+  SELECT CAST(SUM(
+           (CASE WHEN p > 0
+                 THEN CAST(FLOOR(p * ln(p / ((p + q)/2.0)) * 1e9 + 0.5)
+                           AS BIGINT) ELSE 0 END)
+         + (CASE WHEN q > 0
+                 THEN CAST(FLOOR(q * ln(q / ((p + q)/2.0)) * 1e9 + 0.5)
+                           AS BIGINT) ELSE 0 END)
+         ) AS BIGINT) AS t_nano
+  FROM per_type
+)
+SELECT nn.n1, nn.n2,
+       CASE WHEN nn.n1 = 0 OR nn.n2 = 0 THEN NULL
+            ELSE ROUND(CAST(terms.t_nano AS DOUBLE) / 2e9, 6) END AS js
+FROM nn, terms
+"""
+
+QUERIES["js_divergence"] = (q_js_divergence, SQL_JS_DIVERGENCE)
+
+
+def q_decision_stump(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Best single Gini split: which totalprice threshold best
+    separates URGENT orders from the rest? Candidate splits are the
+    distinct cents-grid values (one (q, pos, neg)-count exchange,
+    grid-bounded); the split score (pos_L^2+neg_L^2)/n_L +
+    (pos_R^2+neg_R^2)/n_R is the identical double expression over
+    exact integer cumulative counts on both engines, and the argmax
+    tie-breaks deterministically on the smaller threshold
+    (changepoint_day precedent)."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        pos = pc.match_substring_regex(
+            t.column("o_orderpriority"), "^1-"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return (
+            pl.DataFrame({"q": q, "p": pos, "ng": 1 - pos})
+            .group_by("q")
+            .agg(pl.col("p").sum(), pl.col("ng").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["q"],
+        ["p", "ng"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("q", pa.int64()), ("p", pa.int64()), ("ng", pa.int64())]
+            ),
+        )
+    if merged.num_rows < 2:
+        return _one_row(split_cents=None, n_left=None, pos_left=None,
+                        score=None)
+    qv = merged.column("q").to_numpy(zero_copy_only=False)
+    p = merged.column("p").to_numpy(zero_copy_only=False)
+    ng = merged.column("ng").to_numpy(zero_copy_only=False)
+    order = np.argsort(qv)
+    qv, p, ng = qv[order], p[order], ng[order]
+    cp = np.cumsum(p)
+    cn = np.cumsum(ng)
+    tp, tn = int(cp[-1]), int(cn[-1])
+    # exclude the last grid value (empty right side)
+    cp, cn, qv2 = cp[:-1], cn[:-1], qv[:-1]
+    nl = (cp + cn).astype(np.float64)
+    nr = float(tp + tn) - nl
+    score = (
+        (cp.astype(np.float64) ** 2 + cn.astype(np.float64) ** 2) / nl
+        + ((float(tp) - cp) ** 2 + (float(tn) - cn) ** 2) / nr
+    )
+    best = int(np.argmax(score))
+    return _one_row(
+        split_cents=int(qv2[best]),
+        n_left=int(cp[best] + cn[best]),
+        pos_left=int(cp[best]),
+        score=_rf(float(score[best]), 6),
+    )
+
+
+SQL_DECISION_STUMP = """
+WITH g AS (
+  SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS q,
+         CAST(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END
+              AS BIGINT) AS pos
+  FROM orders
+),
+grid AS (
+  SELECT q, CAST(SUM(pos) AS BIGINT) AS p,
+         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS ng
+  FROM g GROUP BY q
+),
+tot AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS tp, CAST(SUM(ng) AS BIGINT) AS tn
+  FROM grid
+),
+cum AS (
+  SELECT q,
+         CAST(SUM(p) OVER (ORDER BY q) AS BIGINT) AS cp,
+         CAST(SUM(ng) OVER (ORDER BY q) AS BIGINT) AS cn
+  FROM grid
+),
+scored AS (
+  SELECT q, cp, cn,
+         (CAST(cp*cp + cn*cn AS DOUBLE) / CAST(cp + cn AS DOUBLE))
+         + (CAST((tot.tp - cp)*(tot.tp - cp)
+                 + (tot.tn - cn)*(tot.tn - cn) AS DOUBLE)
+            / CAST(tot.tp + tot.tn - cp - cn AS DOUBLE)) AS score
+  FROM cum, tot
+  WHERE cp + cn < tot.tp + tot.tn
+)
+SELECT q AS split_cents,
+       cp + cn AS n_left,
+       cp AS pos_left,
+       ROUND(score, 6) AS score
+FROM scored ORDER BY score DESC, q ASC LIMIT 1
+"""
+
+QUERIES["decision_stump"] = (q_decision_stump, SQL_DECISION_STUMP)

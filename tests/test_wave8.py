@@ -486,3 +486,138 @@ def test_moran_i_smooth_vs_random(ray_session, tmp_path):
         edges, values, node="node", x="x", limit_bytes=0
     ).to_pydict()
     assert forced == out
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["partial_corr", "cronbach_alpha", "js_divergence", "decision_stump"],
+)
+def test_dual_path_equality_batch3(ray_session, qname):
+    from patito_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES[qname][0]
+    assert fn(SF).equals(fn(SF, limit_bytes=0)), qname
+
+
+def _lineitem_xyz(price, qty, disc):
+    n = len(price)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(np.arange(n), pa.int64()),
+            "l_partkey": pa.array(np.zeros(n, np.int64)),
+            "l_suppkey": pa.array(np.zeros(n, np.int64)),
+            "l_linenumber": pa.array(np.ones(n, np.int32), pa.int32()),
+            "l_quantity": pa.array(np.asarray(qty, np.float64)),
+            "l_extendedprice": pa.array(np.asarray(price, np.float64)),
+            "l_discount": pa.array(np.asarray(disc, np.float64)),
+            "l_tax": pa.array(np.zeros(n, np.float64)),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                np.zeros(n, np.int64), pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+
+
+def test_partial_corr_confounder_planted(ray_session, tmp_path):
+    """x and y correlate only THROUGH the confounder z: raw r_xy is
+    strong but the partial correlation controlling z collapses toward
+    0. Checked against an independent numpy partial-corr evaluation."""
+    from patito_ray.pipelines.q_wave7 import q_partial_corr
+
+    rng = np.random.default_rng(5)
+    n = 400
+    z = rng.integers(0, 11, n)  # discount cents 0..10
+    x = 1000.0 + 500.0 * z + rng.integers(0, 200, n)  # price
+    y = 5.0 + 2.0 * z + rng.integers(0, 4, n)  # quantity
+    _write(
+        tmp_path,
+        "lineitem",
+        _lineitem_xyz(x.astype(float), y.astype(float), z / 100.0),
+    )
+    out = q_partial_corr(str(tmp_path)).to_pydict()
+    xg = np.floor(x).astype(np.int64).astype(np.float64)
+    yg = np.floor(y + 0.5).astype(np.int64).astype(np.float64)
+    zg = z.astype(np.float64)
+    rxy = np.corrcoef(xg, yg)[0, 1]
+    rxz = np.corrcoef(xg, zg)[0, 1]
+    ryz = np.corrcoef(yg, zg)[0, 1]
+    rp_brute = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert out["n"] == [n]
+    assert abs(out["r_xy"][0] - rxy) < 1e-4
+    assert abs(out["r_partial"][0] - rp_brute) < 1e-4
+    assert out["r_xy"][0] > 0.6 and abs(out["r_partial"][0]) < 0.2
+
+
+def test_cronbach_alpha_extremes(ray_session, tmp_path):
+    """Items that are exact shifts of one base series => perfectly
+    consistent scale: var_j identical, var_total = 49*var => alpha ==
+    1.0 exactly. Independent random items => alpha well below 0.5."""
+    from patito_ray.pipelines.q_wave7 import q_cronbach_alpha
+
+    day = list(range(28))
+    base = [10.0, 17.0, 13.0, 21.0]  # per-week base
+    price = [base[d // 7] + float((d + 4) % 7) for d in day]
+    _write(tmp_path, "lineitem", _lineitem_table(day, price))
+    out = q_cronbach_alpha(str(tmp_path)).to_pydict()
+    assert out["n_weeks"] == [4]
+    assert out["alpha"] == [1.0]
+
+    rnd = tmp_path / "rnd"
+    rnd.mkdir()
+    rng = np.random.default_rng(8)
+    price2 = (rng.integers(100, 10000, 28) / 100.0).tolist()
+    _write(rnd, "lineitem", _lineitem_table(day, price2))
+    out2 = q_cronbach_alpha(str(rnd)).to_pydict()
+    assert out2["alpha"][0] < 0.5
+
+
+def test_js_divergence_extremes(ray_session, tmp_path):
+    """Identical type mixes in both halves => JS == 0; fully disjoint
+    mixes => JS == ln 2 (quantized: 0.693147)."""
+    from patito_ray.pipelines.q_wave7 import q_js_divergence
+
+    ts, uid, val, et = [], [], [], []
+    for i in range(50):  # same mix in [0,99] and [100,199]
+        for half in (0, 100):
+            ts.append(half + i)
+            uid.append(0)
+            val.append(1.0)
+            et.append("a" if i % 2 else "b")
+    ts += [0, 199]  # pin the window ends deterministically
+    uid += [0, 0]
+    val += [1.0, 1.0]
+    et += ["a", "b"]
+    # drop the pins' skew by replacing: keep simple — recompute below
+    _write(tmp_path, "events", _events_table(ts[:-2], uid[:-2], val[:-2],
+                                             et[:-2]))
+    out = q_js_divergence(str(tmp_path)).to_pydict()
+    assert out["js"] == [0.0]
+
+    dis = tmp_path / "dis"
+    dis.mkdir()
+    ts2 = list(range(40)) + list(range(60, 100))
+    et2 = ["a"] * 40 + ["b"] * 40
+    _write(dis, "events",
+           _events_table(ts2, [0] * 80, [1.0] * 80, et2))
+    out2 = q_js_divergence(str(dis)).to_pydict()
+    assert out2["n1"] == [40] and out2["n2"] == [40]
+    assert out2["js"] == [0.693147]
+
+
+def test_decision_stump_separable_planted(ray_session, tmp_path):
+    """Perfectly separable labels: every URGENT order is cheaper than
+    every other order => the best split sits on the most expensive
+    urgent order, purity is total (score == n)."""
+    from patito_ray.pipelines.q_wave7 import q_decision_stump
+
+    prio = ["1-URGENT"] * 12 + ["3-MEDIUM"] * 20
+    price = [1000.0 + 10.0 * i for i in range(12)] + [
+        5000.0 + 10.0 * i for i in range(20)
+    ]
+    _write(tmp_path, "orders", _orders_table(prio, price))
+    out = q_decision_stump(str(tmp_path)).to_pydict()
+    assert out["split_cents"] == [round((1000.0 + 110.0) * 100)]
+    assert out["n_left"] == [12] and out["pos_left"] == [12]
+    assert out["score"] == [32.0]
