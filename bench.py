@@ -398,6 +398,22 @@ def run_bench() -> dict:
         "ljung_box",
         "adf_test",
         "grouped_changepoint",
+        # --- wave 8 (round 4, cont.) ---
+        "mcnemar_test",
+        "cochran_armitage",
+        "weekday_anova",
+        "grouped_runs",
+        "jonckheere",
+        "durbin_watson",
+        "cohen_kappa",
+        "gk_gamma",
+        "friedman_test",
+        "cross_corr_lag",
+        "moran_docs",
+        "partial_corr",
+        "cronbach_alpha",
+        "js_divergence",
+        "decision_stump",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]
