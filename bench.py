@@ -414,6 +414,9 @@ def run_bench() -> dict:
         "cronbach_alpha",
         "js_divergence",
         "decision_stump",
+        "km_survival",
+        "logrank_test",
+        "rfm_segments",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -4098,3 +4098,624 @@ FROM scored ORDER BY score DESC, q ASC LIMIT 1
 """
 
 QUERIES["decision_stump"] = (q_decision_stump, SQL_DECISION_STUMP)
+
+
+def _user_survival_grid(sf_dir: str, limit_bytes: int | None = None):
+    """Shared survival spine: time-to-first-PURCHASE per user, in a
+    (dur, churn, g1) -> count grid (calendar-bounded). dur = days from
+    the user's first event to their first purchase (event, churn=1) or
+    to their last event (right-censored, churn=0); g1 = the user
+    joined in the first half of the observation window. Per-user
+    extrema ride ONE min-merge (max and the purchase-min via negation/
+    sentinel); the count grid is a second tiny merge. Driver state is
+    O(#days)."""
+    import polars as pl
+
+    from patito_ray.stages.agg import (
+        collect_table,
+        merge_partial_mins,
+        merge_partial_sums,
+    )
+
+    SENT = (1 << 63) - 1
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        buy = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        pmn = np.where(buy, us, SENT)
+        return (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_pylist(),
+                    "mn": us,
+                    "negmx": -us,
+                    "pmn": pmn,
+                }
+            )
+            .group_by("user_id")
+            .agg(
+                pl.col("mn").min(),
+                pl.col("negmx").min(),
+                pl.col("pmn").min(),
+            )
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    users = merge_partial_mins(
+        ds.map_batches(per_user, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        ["mn", "negmx", "pmn"],
+        **_kw,
+    )
+    grid_sch = pa.schema(
+        [("dur", pa.int64()), ("churn", pa.int64()), ("g1", pa.int64()),
+         ("c", pa.int64())]
+    )
+
+    def _grid_from(mn, mx, pmn, w0, w1):
+        ev = pmn != SENT
+        dur = np.where(ev, pmn - mn, mx - mn) // _US_PER_DAY
+        g1 = (mn <= (w0 + w1) // 2).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {"dur": dur, "churn": ev.astype(np.int64), "g1": g1}
+            )
+            .group_by(["dur", "churn", "g1"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+            .cast(grid_sch)
+        )
+
+    if isinstance(users, pa.Table):
+        if users.num_rows == 0:
+            return grid_sch.empty_table()
+        mn = users.column("mn").to_numpy(zero_copy_only=False)
+        mx = -users.column("negmx").to_numpy(zero_copy_only=False)
+        pmn = users.column("pmn").to_numpy(zero_copy_only=False)
+        return _grid_from(mn, mx, pmn, int(mn.min()), int(mx.max()))
+
+    users = users.materialize()
+
+    def window_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("w0", pa.int64()),
+                         ("negw1", pa.int64())])
+        if t.num_rows == 0 or "negmx" not in t.column_names:
+            return sch.empty_table()
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "w0": pa.array(
+                    [int(t.column("mn").to_numpy(zero_copy_only=False).min())],
+                    pa.int64(),
+                ),
+                "negw1": pa.array(
+                    [int(t.column("negmx").to_numpy(zero_copy_only=False).min())],
+                    pa.int64(),
+                ),
+            },
+            schema=sch,
+        )
+
+    wm = merge_partial_mins(
+        users.map_batches(window_partial, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        ["w0", "negw1"],
+        limit_bytes=1 << 20,
+    )
+    if not isinstance(wm, pa.Table):
+        wm = collect_table(wm)
+    if wm.num_rows == 0:
+        return grid_sch.empty_table()
+    w0 = int(wm.column("w0")[0].as_py())
+    w1 = -int(wm.column("negw1")[0].as_py())
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "mn" not in t.column_names:
+            return grid_sch.empty_table()
+        mn = t.column("mn").to_numpy(zero_copy_only=False)
+        mx = -t.column("negmx").to_numpy(zero_copy_only=False)
+        pmn = t.column("pmn").to_numpy(zero_copy_only=False)
+        return _grid_from(mn, mx, pmn, w0, w1)
+
+    merged = merge_partial_sums(
+        users.map_batches(grid_partial, batch_format="pyarrow", batch_size=None),
+        ["dur", "churn", "g1"],
+        ["c"],
+        limit_bytes=1 << 20,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(merged, empty_schema=grid_sch)
+    return merged
+
+
+def q_km_survival(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Kaplan-Meier curve for time-to-first-purchase (days from a
+    user's first event to their first purchase; never-buyers are
+    right-censored at their last event). The sequential product S_k = S_{k-1} * (1 - d/n) is
+    BIT-EXACT against the oracle's WITH RECURSIVE twin (identical IEEE
+    expression in identical row order — the EWMA precedent); d and the
+    at-risk suffix sums are exact integers from the survival grid."""
+    grid = _user_survival_grid(sf_dir, limit_bytes)
+    if grid.num_rows == 0:
+        return pa.schema(
+            [("dur_days", pa.int64()), ("deaths", pa.int64()),
+             ("at_risk", pa.int64()), ("survival", pa.float64())]
+        ).empty_table()
+    import polars as pl
+
+    g = (
+        pl.from_arrow(grid)
+        .group_by("dur")
+        .agg(
+            (pl.col("c") * pl.col("churn")).sum().alias("d"),
+            pl.col("c").sum().alias("tot"),
+        )
+        .sort("dur")
+    )
+    dur = g["dur"].to_numpy()
+    d = g["d"].to_numpy()
+    tot = g["tot"].to_numpy()
+    at_risk = tot[::-1].cumsum()[::-1]
+    s = 1.0
+    rows = {"dur_days": [], "deaths": [], "at_risk": [], "survival": []}
+    for t, dd, n in zip(dur.tolist(), d.tolist(), at_risk.tolist()):
+        if dd == 0:
+            continue
+        s = s * (1.0 - float(dd) / float(n))
+        rows["dur_days"].append(int(t))
+        rows["deaths"].append(int(dd))
+        rows["at_risk"].append(int(n))
+        rows["survival"].append(_rf(s, 6))
+    return pa.table(
+        {
+            "dur_days": pa.array(rows["dur_days"], pa.int64()),
+            "deaths": pa.array(rows["deaths"], pa.int64()),
+            "at_risk": pa.array(rows["at_risk"], pa.int64()),
+            "survival": pa.array(rows["survival"], pa.float64()),
+        }
+    )
+
+
+_SQL_SURVIVAL_GRID = """
+w AS (SELECT epoch_us(MIN(ts)) AS w0, epoch_us(MAX(ts)) AS w1 FROM events),
+u AS (
+  SELECT user_id, epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pmn
+  FROM events GROUP BY user_id
+),
+durs AS (
+  SELECT CASE WHEN pmn IS NOT NULL THEN (pmn - mn) // 86400000000
+              ELSE (mx - mn) // 86400000000 END AS dur,
+         CASE WHEN pmn IS NOT NULL THEN 1 ELSE 0 END AS churn,
+         CASE WHEN mn <= (SELECT (w0 + w1)//2 FROM w) THEN 1 ELSE 0 END AS g1
+  FROM u
+)
+"""
+SQL_KM_SURVIVAL = f"""
+WITH RECURSIVE
+{_SQL_SURVIVAL_GRID},
+grid AS (
+  SELECT dur, CAST(SUM(churn) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS tot
+  FROM durs GROUP BY dur
+),
+ar AS (
+  SELECT dur, d,
+         CAST(SUM(tot) OVER (ORDER BY dur DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n
+  FROM grid
+),
+steps AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY dur) AS i, dur, d, n
+  FROM ar WHERE d > 0
+),
+km(i, dur, d, n, s) AS (
+  SELECT i, dur, d, n, 1.0 * (1.0 - CAST(d AS DOUBLE)/n)
+  FROM steps WHERE i = 1
+  UNION ALL
+  SELECT e.i, e.dur, e.d, e.n, km.s * (1.0 - CAST(e.d AS DOUBLE)/e.n)
+  FROM steps e JOIN km ON e.i = km.i + 1
+)
+SELECT dur AS dur_days, d AS deaths, n AS at_risk,
+       ROUND(s, 6) AS survival
+FROM km ORDER BY dur_days
+"""
+
+QUERIES["km_survival"] = (q_km_survival, SQL_KM_SURVIVAL)
+
+
+def q_logrank_test(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Log-rank test: do early joiners reach their first purchase
+    at a different rate than late joiners? Hypergeometric per-event-time terms E = d*n1/n and
+    V = d*(n1/n)*((n-n1)/n)*((n-d)/(n-1)) quantize to the integer
+    1e-9 grid per term (order-free integer summation on both engines);
+    O1 = sum d1 is exact. chi2 assembles from the grid integers with
+    one final float expression."""
+    grid = _user_survival_grid(sf_dir, limit_bytes)
+    if grid.num_rows == 0:
+        return _one_row(o1=0, e1_nano=0, v_nano=0, chi2=None)
+    import polars as pl
+
+    g = (
+        pl.from_arrow(grid)
+        .group_by("dur")
+        .agg(
+            (pl.col("c") * pl.col("churn")).sum().alias("d"),
+            (pl.col("c") * pl.col("churn") * pl.col("g1")).sum().alias("d1"),
+            pl.col("c").sum().alias("tot"),
+            (pl.col("c") * pl.col("g1")).sum().alias("tot1"),
+        )
+        .sort("dur")
+    )
+    d = g["d"].to_numpy()
+    d1 = g["d1"].to_numpy()
+    tot = g["tot"].to_numpy()
+    tot1 = g["tot1"].to_numpy()
+    n = tot[::-1].cumsum()[::-1]
+    n1 = tot1[::-1].cumsum()[::-1]
+    o1 = 0
+    e_nano = 0
+    v_nano = 0
+    for dd, dd1, nn, nn1 in zip(
+        d.tolist(), d1.tolist(), n.tolist(), n1.tolist()
+    ):
+        if dd == 0:
+            continue
+        o1 += int(dd1)
+        e_nano += int(
+            np.floor(float(dd) * float(nn1) / float(nn) * 1e9 + 0.5)
+        )
+        if nn > 1:
+            v_nano += int(
+                np.floor(
+                    float(dd)
+                    * (float(nn1) / float(nn))
+                    * (float(nn - nn1) / float(nn))
+                    * (float(nn - dd) / float(nn - 1))
+                    * 1e9
+                    + 0.5
+                )
+            )
+    chi2 = (
+        None
+        if v_nano <= 0
+        else _rf(
+            (float(o1) - float(e_nano) / 1e9)
+            * (float(o1) - float(e_nano) / 1e9)
+            / (float(v_nano) / 1e9),
+            6,
+        )
+    )
+    return _one_row(o1=o1, e1_nano=e_nano, v_nano=v_nano, chi2=chi2)
+
+
+SQL_LOGRANK_TEST = f"""
+WITH
+{_SQL_SURVIVAL_GRID},
+grid AS (
+  SELECT dur, CAST(SUM(churn) AS BIGINT) AS d,
+         CAST(SUM(churn*g1) AS BIGINT) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS tot,
+         CAST(SUM(g1) AS BIGINT) AS tot1
+  FROM durs GROUP BY dur
+),
+ar AS (
+  SELECT dur, d, d1,
+         CAST(SUM(tot) OVER (ORDER BY dur DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n,
+         CAST(SUM(tot1) OVER (ORDER BY dur DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n1
+  FROM grid
+),
+terms AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(CAST(FLOOR(CAST(d AS DOUBLE)*n1/n * 1e9 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS e1_nano,
+         CAST(SUM(CASE WHEN n > 1 THEN
+                CAST(FLOOR(CAST(d AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE)/n)
+                           * (CAST(n - n1 AS DOUBLE)/n)
+                           * (CAST(n - d AS DOUBLE)/(n - 1)) * 1e9 + 0.5)
+                     AS BIGINT) ELSE 0 END) AS BIGINT) AS v_nano
+  FROM ar WHERE d > 0
+)
+SELECT o1, e1_nano, v_nano,
+       CASE WHEN v_nano <= 0 THEN NULL
+            ELSE ROUND(
+              (CAST(o1 AS DOUBLE) - CAST(e1_nano AS DOUBLE)/1e9)
+              * (CAST(o1 AS DOUBLE) - CAST(e1_nano AS DOUBLE)/1e9)
+              / (CAST(v_nano AS DOUBLE)/1e9), 6) END AS chi2
+FROM terms
+"""
+
+QUERIES["logrank_test"] = (q_logrank_test, SQL_LOGRANK_TEST)
+
+
+def q_rfm_segments(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """RFM segmentation: per-user Recency (days since last event),
+    Frequency (event count), Monetary (cents sum), each cut into
+    terciles at the SELECTION quantiles (smallest value whose
+    cumulative user count reaches ceil(n/3) / ceil(2n/3) — bit-exact
+    integer rank arithmetic, the established selection-quantile
+    precedent), then the 27-cell segment histogram. Scale shape: one
+    per-user min+sum merge, one (metric, value)-grid count merge for
+    the cuts (grid-bounded), one 27-row bucket merge — the per-user
+    table never lands on the driver."""
+    import polars as pl
+
+    from patito_ray.stages.agg import (
+        collect_table,
+        merge_partial_mins,
+        merge_partial_sums,
+    )
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def per_user_sums(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(t.column("value")).to_numpy(zero_copy_only=False)
+        cents = np.where(
+            valid, np.floor(np.nan_to_num(val, nan=0.0) * 100.0 + 0.5), 0.0
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_pylist(),
+                    "freq": np.ones(len(us), dtype=np.int64),
+                    "mon": cents,
+                    "negmx": -us,
+                }
+            )
+            .group_by("user_id")
+            .agg(
+                pl.col("freq").sum(),
+                pl.col("mon").sum(),
+                pl.col("negmx").min(),
+            )
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    # one pass emits BOTH sum-mergeable and min-mergeable columns; the
+    # two merges share the materialized partials
+    parts = ds.map_batches(
+        per_user_sums, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    sums = merge_partial_sums(parts, ["user_id"], ["freq", "mon"], **_kw)
+    mins = merge_partial_mins(parts, ["user_id"], ["negmx"], **_kw)
+    usch_s = pa.schema(
+        [("user_id", pa.int64()), ("freq", pa.int64()), ("mon", pa.int64())]
+    )
+    usch_m = pa.schema([("user_id", pa.int64()), ("negmx", pa.int64())])
+    import ray.data as rd
+
+    if isinstance(sums, pa.Table):
+        sums = rd.from_arrow(sums.select(["user_id", "freq", "mon"]) if
+                             sums.num_rows else usch_s.empty_table())
+    else:
+        sums = sums.map_batches(
+            lambda t: t.select(["user_id", "freq", "mon"])
+            if t.num_rows and "user_id" in t.column_names
+            else usch_s.empty_table(),
+            batch_format="pyarrow", batch_size=None,
+        )
+    if isinstance(mins, pa.Table):
+        mins = rd.from_arrow(mins.select(["user_id", "negmx"]) if
+                             mins.num_rows else usch_m.empty_table())
+    else:
+        mins = mins.map_batches(
+            lambda t: t.select(["user_id", "negmx"])
+            if t.num_rows and "user_id" in t.column_names
+            else usch_m.empty_table(),
+            batch_format="pyarrow", batch_size=None,
+        )
+
+    # co-locate the three per-user metrics (same key, one exchange)
+    from patito_ray.stages.join import copartition_apply
+
+    def attach(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        sch = pa.schema(
+            [("user_id", pa.int64()), ("freq", pa.int64()),
+             ("mon", pa.int64()), ("negmx", pa.int64())]
+        )
+        if lt.num_rows == 0:
+            return sch.empty_table()
+        kn = rt.column("user_id2").to_numpy(zero_copy_only=False)
+        kv = rt.column("negmx").to_numpy(zero_copy_only=False)
+        o = np.argsort(kn)
+        kn, kv = kn[o], kv[o]
+        keys = lt.column("user_id").to_numpy(zero_copy_only=False)
+        vv = kv[np.searchsorted(kn, keys)]
+        return pa.table(
+            {
+                "user_id": lt.column("user_id"),
+                "freq": lt.column("freq"),
+                "mon": lt.column("mon"),
+                "negmx": pa.array(vv.astype(np.int64)),
+            },
+            schema=sch,
+        )
+
+    mins2 = mins.map_batches(
+        lambda t: t.rename_columns(["user_id2", "negmx"])
+        if t.num_rows else pa.schema(
+            [("user_id2", pa.int64()), ("negmx", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow", batch_size=None,
+    )
+    users = copartition_apply(sums, mins2, "user_id", "user_id2", attach)
+    users = users.materialize()
+
+    # window end for recency
+    def wmax(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("negw", pa.int64())])
+        if t.num_rows == 0 or "negmx" not in t.column_names:
+            return sch.empty_table()
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "negw": pa.array(
+                 [int(t.column("negmx").to_numpy(zero_copy_only=False).min())],
+                 pa.int64())},
+            schema=sch,
+        )
+
+    wm = merge_partial_mins(
+        users.map_batches(wmax, batch_format="pyarrow", batch_size=None),
+        ["k"], ["negw"], limit_bytes=1 << 20,
+    )
+    if not isinstance(wm, pa.Table):
+        wm = collect_table(wm)
+    out_sch = pa.schema(
+        [("r", pa.int64()), ("f", pa.int64()), ("m", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+    if wm.num_rows == 0:
+        return out_sch.empty_table()
+    w1 = -int(wm.column("negw")[0].as_py())
+
+    # metric-value grid for the cuts
+    gsch = pa.schema(
+        [("metric", pa.int64()), ("v", pa.int64()), ("c", pa.int64())]
+    )
+
+    def grid_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "freq" not in t.column_names:
+            return gsch.empty_table()
+        rec = (w1 + t.column("negmx").to_numpy(zero_copy_only=False)) \
+            // _US_PER_DAY
+        fr = t.column("freq").to_numpy(zero_copy_only=False)
+        mo = t.column("mon").to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "metric": np.repeat(np.arange(3, dtype=np.int64), len(rec)),
+                    "v": np.concatenate([rec, fr, mo]).astype(np.int64),
+                    "c": np.ones(3 * len(rec), dtype=np.int64),
+                }
+            )
+            .group_by(["metric", "v"])
+            .agg(pl.col("c").sum())
+            .to_arrow()
+            .cast(gsch)
+        )
+
+    grid = merge_partial_sums(
+        users.map_batches(grid_partial, batch_format="pyarrow", batch_size=None),
+        ["metric", "v"], ["c"], limit_bytes=1 << 26,
+    )
+    if not isinstance(grid, pa.Table):
+        grid = collect_table(grid, empty_schema=gsch)
+    if grid.num_rows == 0:
+        return out_sch.empty_table()
+    cuts = {}
+    n_users = 0
+    for mtr in range(3):
+        mask = pc.equal(grid.column("metric"), mtr)
+        sub = grid.filter(mask)
+        v = sub.column("v").to_numpy(zero_copy_only=False)
+        c = sub.column("c").to_numpy(zero_copy_only=False)
+        o = np.argsort(v)
+        v, c = v[o], c[o]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        n_users = n
+        r1 = (n + 2) // 3
+        r2 = (2 * n + 2) // 3
+        cuts[mtr] = (
+            int(v[np.searchsorted(cum, r1)]),
+            int(v[np.searchsorted(cum, r2)]),
+        )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "freq" not in t.column_names:
+            return out_sch.empty_table()
+        rec = (w1 + t.column("negmx").to_numpy(zero_copy_only=False)) \
+            // _US_PER_DAY
+        fr = t.column("freq").to_numpy(zero_copy_only=False)
+        mo = t.column("mon").to_numpy(zero_copy_only=False)
+
+        def bk(vals, mtr):
+            c1, c2 = cuts[mtr]
+            return (vals > c1).astype(np.int64) + (vals > c2).astype(np.int64)
+
+        return (
+            pl.DataFrame(
+                {"r": bk(rec, 0), "f": bk(fr, 1), "m": bk(mo, 2)}
+            )
+            .group_by(["r", "f", "m"])
+            .agg(pl.len().cast(pl.Int64).alias("n_users"))
+            .to_arrow()
+            .cast(out_sch)
+        )
+
+    seg = merge_partial_sums(
+        users.map_batches(bucket_partial, batch_format="pyarrow", batch_size=None),
+        ["r", "f", "m"], ["n_users"], limit_bytes=1 << 26,
+    )
+    if not isinstance(seg, pa.Table):
+        seg = collect_table(seg, empty_schema=out_sch)
+    import polars as _pl
+
+    return _pl.from_arrow(seg).sort(["r", "f", "m"]).to_arrow().cast(out_sch)
+
+
+SQL_RFM_SEGMENTS = """
+WITH w AS (SELECT epoch_us(MAX(ts)) AS w1 FROM events),
+u AS (
+  SELECT user_id,
+         ((SELECT w1 FROM w) - epoch_us(MAX(ts))) // 86400000000 AS rec,
+         CAST(COUNT(*) AS BIGINT) AS fr,
+         CAST(SUM(CASE WHEN value IS NOT NULL
+                       THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS mo
+  FROM events GROUP BY user_id
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+cuts AS (
+  SELECT
+    (SELECT MIN(v) FROM (SELECT rec AS v,
+        SUM(1) OVER (ORDER BY rec ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum FROM u) x
+     WHERE cum >= (SELECT (n + 2)//3 FROM nn)) AS r1,
+    (SELECT MIN(v) FROM (SELECT rec AS v,
+        SUM(1) OVER (ORDER BY rec ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum FROM u) x
+     WHERE cum >= (SELECT (2*n + 2)//3 FROM nn)) AS r2,
+    (SELECT MIN(v) FROM (SELECT fr AS v,
+        SUM(1) OVER (ORDER BY fr ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum FROM u) x
+     WHERE cum >= (SELECT (n + 2)//3 FROM nn)) AS f1,
+    (SELECT MIN(v) FROM (SELECT fr AS v,
+        SUM(1) OVER (ORDER BY fr ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum FROM u) x
+     WHERE cum >= (SELECT (2*n + 2)//3 FROM nn)) AS f2,
+    (SELECT MIN(v) FROM (SELECT mo AS v,
+        SUM(1) OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum FROM u) x
+     WHERE cum >= (SELECT (n + 2)//3 FROM nn)) AS m1,
+    (SELECT MIN(v) FROM (SELECT mo AS v,
+        SUM(1) OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum FROM u) x
+     WHERE cum >= (SELECT (2*n + 2)//3 FROM nn)) AS m2
+)
+SELECT
+  CAST(CASE WHEN u.rec > cuts.r1 THEN 1 ELSE 0 END
+       + CASE WHEN u.rec > cuts.r2 THEN 1 ELSE 0 END AS BIGINT) AS r,
+  CAST(CASE WHEN u.fr > cuts.f1 THEN 1 ELSE 0 END
+       + CASE WHEN u.fr > cuts.f2 THEN 1 ELSE 0 END AS BIGINT) AS f,
+  CAST(CASE WHEN u.mo > cuts.m1 THEN 1 ELSE 0 END
+       + CASE WHEN u.mo > cuts.m2 THEN 1 ELSE 0 END AS BIGINT) AS m,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u, cuts
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+QUERIES["rfm_segments"] = (q_rfm_segments, SQL_RFM_SEGMENTS)

@@ -621,3 +621,119 @@ def test_decision_stump_separable_planted(ray_session, tmp_path):
     assert out["split_cents"] == [round((1000.0 + 110.0) * 100)]
     assert out["n_left"] == [12] and out["pos_left"] == [12]
     assert out["score"] == [32.0]
+
+
+@pytest.mark.parametrize(
+    "qname", ["km_survival", "logrank_test", "rfm_segments"]
+)
+def test_dual_path_equality_batch4(ray_session, qname):
+    from patito_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES[qname][0]
+    assert fn(SF).equals(fn(SF, limit_bytes=0)), qname
+
+
+def test_km_survival_textbook(ray_session, tmp_path):
+    """Hand-computed KM curve: purchases at days 1, 2, 2, 4 plus one
+    censored user (last event day 3, no purchase):
+    S(1)=4/5=0.8, S(2)=0.8*(1-2/4)=0.4, S(4)=0.4*(1-1/1)=0."""
+    from patito_ray.pipelines.q_wave7 import q_km_survival
+
+    ts, uid, val, et = [], [], [], []
+
+    def ev(u, d, typ):
+        ts.append(d * DAY_US + u)  # +u keeps timestamps distinct
+        uid.append(u)
+        val.append(1.0)
+        et.append(typ)
+
+    for u, pday in ((0, 1), (1, 2), (2, 2), (3, 4)):
+        ev(u, 0, "view")
+        ev(u, pday, "purchase")
+    ev(4, 0, "view")  # censored at day 3
+    ev(4, 3, "view")
+    _write(tmp_path, "events", _events_table(ts, uid, val, et))
+    out = q_km_survival(str(tmp_path)).to_pylist()
+    assert [(r["dur_days"], r["deaths"], r["at_risk"]) for r in out] == [
+        (1, 1, 5),
+        (2, 2, 4),
+        (4, 1, 1),
+    ]
+    assert [r["survival"] for r in out] == [0.8, 0.4, 0.0]
+
+
+def test_logrank_symmetric_zero_and_separated(ray_session, tmp_path):
+    """Identical duration profiles in the early and late cohort =>
+    d1 = d*n1/n exactly at every step => chi2 == 0. A fully separated
+    planted effect (early cohort buys day 1, late cohort day 6) =>
+    chi2 large."""
+    from patito_ray.pipelines.q_wave7 import q_logrank_test
+
+    ts, uid, val, et = [], [], [], []
+
+    def ev(u, d_us, typ):
+        ts.append(d_us)
+        uid.append(u)
+        val.append(1.0)
+        et.append(typ)
+
+    # window [0, 20d]; early join day 0, late join day 11 (> mid=10d)
+    # both cohorts: 2 users purchase after 1 day, 2 after 3 days
+    u = 0
+    for base in (0, 11 * DAY_US):
+        for pd in (1, 1, 3, 3):
+            ev(u, base, "view")
+            ev(u, base + pd * DAY_US, "purchase")
+            u += 1
+    ev(98, 0, "view")
+    ev(99, 20 * DAY_US, "view")  # pin both window ends (censored)
+    _write(tmp_path, "events", _events_table(ts, uid, val, et))
+    out = q_logrank_test(str(tmp_path)).to_pydict()
+    assert out["chi2"] == [0.0]
+
+    sep = tmp_path / "sep"
+    sep.mkdir()
+    ts, uid, val, et = [], [], [], []
+    u = 0
+    for base, pd in ((0, 1), (11 * DAY_US, 6)):
+        for _ in range(6):
+            ev(u, base, "view")
+            ev(u, base + pd * DAY_US, "purchase")
+            u += 1
+    ev(98, 0, "view")
+    ev(99, 20 * DAY_US, "view")
+    _write(sep, "events", _events_table(ts, uid, val, et))
+    out2 = q_logrank_test(str(sep)).to_pydict()
+    assert out2["chi2"][0] > 5.0
+
+
+def test_rfm_segments_planted_diagonal(ray_session, tmp_path):
+    """Three users engineered to take ranks 1/2/3 in ALL of recency,
+    frequency and monetary => the diagonal segments (0,0,0), (1,1,1),
+    (2,2,2), one user each."""
+    from patito_ray.pipelines.q_wave7 import q_rfm_segments
+
+    ts, uid, val, et = [], [], [], []
+
+    def ev(u, d, v):
+        ts.append(d * DAY_US)
+        uid.append(u)
+        val.append(v)
+        et.append("view")
+
+    # user0: rec 0d, 2 events, 10.00 total
+    ev(0, 10, 4.0)
+    ev(0, 10, 6.0)
+    # user1: rec 1d, 3 events, 20.00 total
+    for v in (5.0, 7.0, 8.0):
+        ev(1, 9, v)
+    # user2: rec 2d, 4 events, 30.00 total
+    for v in (6.0, 7.0, 8.0, 9.0):
+        ev(2, 8, v)
+    _write(tmp_path, "events", _events_table(ts, uid, val, et))
+    out = q_rfm_segments(str(tmp_path)).to_pylist()
+    assert out == [
+        {"r": 0, "f": 0, "m": 0, "n_users": 1},
+        {"r": 1, "f": 1, "m": 1, "n_users": 1},
+        {"r": 2, "f": 2, "m": 2, "n_users": 1},
+    ]
