@@ -3080,18 +3080,23 @@ def q_jonckheere(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
     qs = np.unique(q)
     mat = np.zeros((qs.size, k), dtype=np.int64)
     mat[np.searchsorted(qs, q), np.fromiter((lidx[v] for v in w), np.int64)] = c
-    pref = [0] * k  # strictly-below running counts, python ints
-    jt2 = 0
-    for row in mat:
-        below = 0  # 2*sum_{i<j} pref_i + sum_{i<j} c_i, built incrementally
-        for j in range(k):
-            cj = int(row[j])
-            if j > 0 and cj:
-                jt2 += cj * below
-            below += 2 * pref[j] + cj
-        for j in range(k):
-            pref[j] += int(row[j])
     n_i = [int(mat[:, j].sum()) for j in range(k)]
+    n_tot = sum(n_i)
+    # vectorized pair assembly: per ordered level pair (i<j), one int64
+    # dot product c_j . (2*prefix_excl_i + c_i). Each dot is bounded by
+    # 2*n_i*n_j, so int64 is safe while n < ~2e9 — loud guard, same
+    # class as the spearman moment guard.
+    if n_tot >= 2_000_000_000:
+        raise ValueError(
+            "jonckheere: vectorized int64 pair sums overflow past ~2e9 "
+            f"rows (got {n_tot}) — shard the input or extend to object "
+            "accumulation"
+        )
+    pref_excl = np.cumsum(mat, axis=0) - mat  # strictly-below per level
+    jt2 = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            jt2 += int(np.dot(mat[:, j], 2 * pref_excl[:, i] + mat[:, i]))
     n = sum(n_i)
     e2 = sum(
         n_i[i] * n_i[j] for i in range(k) for j in range(i + 1, k)
