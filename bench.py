@@ -417,6 +417,9 @@ def run_bench() -> dict:
         "km_survival",
         "logrank_test",
         "rfm_segments",
+        "holt_winters",
+        "mann_kendall",
+        "odds_ratio",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -4724,3 +4724,230 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 QUERIES["rfm_segments"] = (q_rfm_segments, SQL_RFM_SEGMENTS)
+
+
+def q_holt_winters(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Holt double-exponential smoothing (alpha=0.3, beta=0.2) of the
+    daily revenue cents series, initialized l_1=c_1, b_1=c_2-c_1. The
+    driver fold runs the identical per-step IEEE expressions as the
+    oracle's WITH RECURSIVE twin in the identical row order (the EWMA
+    precedent: sequential state is oracle-able bit-exactly). Returns
+    the final level/trend and the 7-day-ahead forecast."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    n = int(day.size)
+    if n < 2:
+        return _one_row(n_days=n, level=None, trend=None, forecast7=None)
+    vals = [float(int(v)) for v in cents.tolist()]
+    lvl = vals[0]
+    tr = vals[1] - vals[0]
+    for c in vals[1:]:
+        prev = lvl
+        lvl = 0.3 * c + 0.7 * (lvl + tr)
+        tr = 0.2 * (lvl - prev) + 0.8 * tr
+    return _one_row(
+        n_days=n,
+        level=_rf(lvl, 6),
+        trend=_rf(tr, 6),
+        forecast7=_rf(lvl + 7.0 * tr, 6),
+    )
+
+
+SQL_HOLT_WINTERS = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY 1
+),
+seq AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, CAST(c AS DOUBLE) AS c
+  FROM daily
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seq),
+hw(i, lvl, tr) AS (
+  SELECT 1, (SELECT c FROM seq WHERE i = 1),
+         (SELECT c FROM seq WHERE i = 2) - (SELECT c FROM seq WHERE i = 1)
+  UNION ALL
+  SELECT s.i,
+         0.3*s.c + 0.7*(hw.lvl + hw.tr),
+         0.2*((0.3*s.c + 0.7*(hw.lvl + hw.tr)) - hw.lvl) + 0.8*hw.tr
+  FROM seq s JOIN hw ON s.i = hw.i + 1
+)
+SELECT nn.n AS n_days,
+       CASE WHEN nn.n < 2 THEN NULL ELSE ROUND(f.lvl, 6) END AS level,
+       CASE WHEN nn.n < 2 THEN NULL ELSE ROUND(f.tr, 6) END AS trend,
+       CASE WHEN nn.n < 2 THEN NULL ELSE ROUND(f.lvl + 7.0*f.tr, 6)
+       END AS forecast7
+FROM nn, (SELECT lvl, tr FROM hw ORDER BY i DESC LIMIT 1) f
+"""
+
+QUERIES["holt_winters"] = (q_holt_winters, SQL_HOLT_WINTERS)
+
+
+def q_mann_kendall(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Mann-Kendall monotone-trend test of the daily revenue series:
+    S = sum over day pairs of sign(c_later - c_earlier), exact
+    integers (the daily table is calendar-bounded so the pair scan is
+    a driver numpy kernel over the one merged exchange; the oracle
+    replays the O(d^2) self-join). Tie-corrected variance stays on the
+    integer grid (var18 = n(n-1)(2n+5) - sum t(t-1)(2t+5)); z applies
+    the standard continuity correction with one float expression."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    n = int(day.size)
+    if n < 2:
+        return _one_row(n_days=n, s=0, z=None)
+    c = cents  # already sorted by day
+    s = 0
+    chunk = 1024
+    for i in range(0, n, chunk):
+        block = c[i : i + chunk]
+        # pairs (t, u) with t in block, u > t
+        for off, v in enumerate(block.tolist()):
+            rest = c[i + off + 1 :]
+            s += int((rest > v).sum()) - int((rest < v).sum())
+    vu, tv = np.unique(c, return_counts=True)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tv.tolist()
+    )
+    if var18 <= 0:
+        z = None
+    elif s > 0:
+        z = _rf(float(s - 1) / float(np.sqrt(var18 / 18.0)), 6)
+    elif s < 0:
+        z = _rf(float(s + 1) / float(np.sqrt(var18 / 18.0)), 6)
+    else:
+        z = 0.0
+    return _one_row(n_days=n, s=s, z=z)
+
+
+SQL_MANN_KENDALL = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t*(t-1)*(2*t+5)), 0) AS BIGINT) AS corr
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY c)
+)
+SELECT nn.n AS n_days, pairs.s AS s,
+       CASE WHEN nn.n*(nn.n-1)*(2*nn.n+5) - ties.corr <= 0 THEN NULL
+            WHEN pairs.s > 0 THEN ROUND(CAST(pairs.s - 1 AS DOUBLE)
+                 / sqrt(CAST(nn.n*(nn.n-1)*(2*nn.n+5) - ties.corr
+                             AS DOUBLE)/18.0), 6)
+            WHEN pairs.s < 0 THEN ROUND(CAST(pairs.s + 1 AS DOUBLE)
+                 / sqrt(CAST(nn.n*(nn.n-1)*(2*nn.n+5) - ties.corr
+                             AS DOUBLE)/18.0), 6)
+            ELSE 0.0 END AS z
+FROM nn, pairs, ties
+"""
+
+QUERIES["mann_kendall"] = (q_mann_kendall, SQL_MANN_KENDALL)
+
+
+def q_odds_ratio(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Odds ratio of the cohen_kappa 2x2 (high-value activity vs error
+    encounters per user) with a 95% Wald CI on the log scale. The four
+    cell counts are exact; OR is one float ratio; ln(OR) and the
+    1.96*SE term quantize to the 1e-9 grid before combining (absorbs
+    libm ulp skew between numpy and DuckDB ln/sqrt)."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        a = (np.nan_to_num(val, nan=0.0) > 150.0).astype(np.int64)
+        b = pc.equal(t.column("event_type"), "error").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {"user_id": t.column("user_id").to_pylist(), "a": a, "b": b}
+            )
+            .group_by("user_id")
+            .agg(pl.col("a").sum(), pl.col("b").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        ["a", "b"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("user_id", pa.int64()), ("a", pa.int64()), ("b", pa.int64())]
+            ),
+        )
+    a = merged.column("a").to_numpy(zero_copy_only=False) > 0
+    b = merged.column("b").to_numpy(zero_copy_only=False) > 0
+    n11 = int((a & b).sum())
+    n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum())
+    n00 = int((~a & ~b).sum())
+    if min(n11, n10, n01, n00) == 0:
+        return _one_row(n11=n11, n10=n10, n01=n01, n00=n00,
+                        odds=None, ci_lo=None, ci_hi=None)
+    odds = float(n11 * n00) / float(n10 * n01)
+    lnor_nano = int(np.floor(np.log(odds) * 1e9 + 0.5))
+    se_nano = int(
+        np.floor(
+            1.96
+            * np.sqrt(1.0 / n11 + 1.0 / n10 + 1.0 / n01 + 1.0 / n00)
+            * 1e9
+            + 0.5
+        )
+    )
+    return _one_row(
+        n11=n11, n10=n10, n01=n01, n00=n00,
+        odds=_rf(odds, 6),
+        ci_lo=_rf(float(lnor_nano - se_nano) / 1e9, 6),
+        ci_hi=_rf(float(lnor_nano + se_nano) / 1e9, 6),
+    )
+
+
+SQL_ODDS_RATIO = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(SUM(a*b) AS BIGINT) AS n11,
+         CAST(SUM(a*(1-b)) AS BIGINT) AS n10,
+         CAST(SUM((1-a)*b) AS BIGINT) AS n01,
+         CAST(SUM((1-a)*(1-b)) AS BIGINT) AS n00
+  FROM u
+),
+q AS (
+  SELECT n11, n10, n01, n00,
+         CAST(n11*n00 AS DOUBLE) / CAST(n10*n01 AS DOUBLE) AS odds,
+         CAST(FLOOR(ln(CAST(n11*n00 AS DOUBLE)/CAST(n10*n01 AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT) AS lnor_nano,
+         CAST(FLOOR(1.96 * sqrt(1.0/n11 + 1.0/n10 + 1.0/n01 + 1.0/n00)
+                    * 1e9 + 0.5) AS BIGINT) AS se_nano
+  FROM c WHERE n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0
+)
+SELECT c.n11, c.n10, c.n01, c.n00,
+       ROUND(q.odds, 6) AS odds,
+       ROUND(CAST(q.lnor_nano - q.se_nano AS DOUBLE)/1e9, 6) AS ci_lo,
+       ROUND(CAST(q.lnor_nano + q.se_nano AS DOUBLE)/1e9, 6) AS ci_hi
+FROM c LEFT JOIN q ON q.n11 = c.n11
+"""
+
+QUERIES["odds_ratio"] = (q_odds_ratio, SQL_ODDS_RATIO)

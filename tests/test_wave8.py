@@ -737,3 +737,96 @@ def test_rfm_segments_planted_diagonal(ray_session, tmp_path):
         {"r": 1, "f": 1, "m": 1, "n_users": 1},
         {"r": 2, "f": 2, "m": 2, "n_users": 1},
     ]
+
+
+@pytest.mark.parametrize(
+    "qname", ["holt_winters", "mann_kendall", "odds_ratio"]
+)
+def test_dual_path_equality_batch5(ray_session, qname):
+    from patito_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES[qname][0]
+    assert fn(SF).equals(fn(SF, limit_bytes=0)), qname
+
+
+def test_holt_winters_tracks_linear_ramp(ray_session, tmp_path):
+    """On an exact linear ramp c_t = a + b*t the Holt recursion is
+    invariant: level == c_t and trend == b at every step (algebraic
+    fixed point), so the outputs are known exactly."""
+    from patito_ray.pipelines.q_wave7 import q_holt_winters
+
+    day = list(range(30))
+    price = [(1000.0 + 25.0 * d) / 100.0 for d in day]  # cents ramp b=25
+    _write(tmp_path, "lineitem", _lineitem_table(day, price))
+    out = q_holt_winters(str(tmp_path)).to_pydict()
+    assert out["n_days"] == [30]
+    assert out["level"] == [1000.0 + 25.0 * 29]
+    assert out["trend"] == [25.0]
+    assert out["forecast7"] == [1000.0 + 25.0 * 29 + 7 * 25.0]
+
+    const = tmp_path / "const"
+    const.mkdir()
+    _write(const, "lineitem", _lineitem_table(day, [5.0] * 30))
+    out2 = q_holt_winters(str(const)).to_pydict()
+    assert out2["level"] == [500.0]
+    assert out2["trend"] == [0.0]
+    assert out2["forecast7"] == [500.0]
+
+
+def test_mann_kendall_monotone_extremes(ray_session, tmp_path):
+    """Strictly increasing daily revenue => S = n(n-1)/2 (every pair
+    concordant); strictly decreasing => the exact negation."""
+    from patito_ray.pipelines.q_wave7 import q_mann_kendall
+
+    day = list(range(25))
+    up = [(100.0 + d) / 100.0 for d in day]
+    _write(tmp_path, "lineitem", _lineitem_table(day, up))
+    out = q_mann_kendall(str(tmp_path)).to_pydict()
+    assert out["s"] == [25 * 24 // 2]
+    assert out["z"][0] > 4.0
+
+    dn = tmp_path / "dn"
+    dn.mkdir()
+    _write(dn, "lineitem", _lineitem_table(day, up[::-1]))
+    out2 = q_mann_kendall(str(dn)).to_pydict()
+    assert out2["s"] == [-(25 * 24 // 2)]
+    assert out2["z"][0] < -4.0
+
+
+def test_odds_ratio_planted_table(ray_session, tmp_path):
+    """Hand-planted 2x2 (n11=10, n10=5, n01=4, n00=8): OR = 80/20 = 4,
+    CI bounds match an independent numpy Wald evaluation."""
+    from patito_ray.pipelines.q_wave7 import q_odds_ratio
+
+    ts, uid, val, et = [], [], [], []
+    u = 0
+
+    def user(a, b):
+        nonlocal u
+        ts.append(u)
+        uid.append(u)
+        val.append(200.0 if a else 1.0)
+        et.append("view")
+        ts.append(u)
+        uid.append(u)
+        val.append(1.0)
+        et.append("error" if b else "click")
+        u += 1
+
+    for _ in range(10):
+        user(True, True)
+    for _ in range(5):
+        user(True, False)
+    for _ in range(4):
+        user(False, True)
+    for _ in range(8):
+        user(False, False)
+    _write(tmp_path, "events", _events_table(ts, uid, val, et))
+    out = q_odds_ratio(str(tmp_path)).to_pydict()
+    assert (out["n11"], out["n10"], out["n01"], out["n00"]) == (
+        [10], [5], [4], [8]
+    )
+    assert out["odds"] == [4.0]
+    se = 1.96 * np.sqrt(1 / 10 + 1 / 5 + 1 / 4 + 1 / 8)
+    assert abs(out["ci_lo"][0] - (np.log(4.0) - se)) < 1e-5
+    assert abs(out["ci_hi"][0] - (np.log(4.0) + se)) < 1e-5
