@@ -420,6 +420,9 @@ def run_bench() -> dict:
         "holt_winters",
         "mann_kendall",
         "odds_ratio",
+        "page_hinkley",
+        "dispersion_index",
+        "price_index",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

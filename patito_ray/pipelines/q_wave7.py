@@ -4951,3 +4951,325 @@ FROM c LEFT JOIN q ON q.n11 = c.n11
 """
 
 QUERIES["odds_ratio"] = (q_odds_ratio, SQL_ODDS_RATIO)
+
+
+def q_page_hinkley(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Page-Hinkley drift detector over the daily revenue cents series
+    (delta=0, lambda=5e7 cents): running-mean + cumulative-deviation
+    recursion with a tracked minimum and an alarm counter. Sequential
+    state, so the oracle is a WITH RECURSIVE twin running the
+    identical IEEE expressions in the identical row order (EWMA/Holt
+    precedent); no summation-order hazard exists by construction."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    n = int(day.size)
+    if n == 0:
+        return _one_row(n_days=0, u=None, min_u=None, alarms=None)
+    lam = 5e7
+    vals = [float(int(v)) for v in cents.tolist()]
+    m = vals[0]
+    u = -0.0
+    minu = u
+    alarms = 0
+    for i, c in enumerate(vals[1:], start=2):
+        m = m + (c - m) / float(i)
+        u = u + (c - m)
+        minu = min(minu, u)
+        if u - minu > lam:
+            alarms += 1
+    return _one_row(
+        n_days=n, u=_rf(u, 6), min_u=_rf(minu, 6), alarms=alarms
+    )
+
+
+SQL_PAGE_HINKLEY = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY 1
+),
+seq AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, CAST(c AS DOUBLE) AS c
+  FROM daily
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seq),
+ph(i, m, u, minu, alarms) AS (
+  SELECT 1, (SELECT c FROM seq WHERE i = 1),
+         CAST(-0.0 AS DOUBLE), CAST(-0.0 AS DOUBLE), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT s.i,
+         ph.m + (s.c - ph.m)/s.i,
+         ph.u + (s.c - (ph.m + (s.c - ph.m)/s.i)),
+         LEAST(ph.minu, ph.u + (s.c - (ph.m + (s.c - ph.m)/s.i))),
+         ph.alarms + CASE WHEN
+           (ph.u + (s.c - (ph.m + (s.c - ph.m)/s.i)))
+           - LEAST(ph.minu, ph.u + (s.c - (ph.m + (s.c - ph.m)/s.i)))
+           > 5e7 THEN 1 ELSE 0 END
+  FROM seq s JOIN ph ON s.i = ph.i + 1
+)
+SELECT nn.n AS n_days,
+       ROUND(f.u, 6) AS u, ROUND(f.minu, 6) AS min_u, f.alarms AS alarms
+FROM nn, (SELECT u, minu, alarms FROM ph ORDER BY i DESC LIMIT 1) f
+"""
+
+QUERIES["page_hinkley"] = (q_page_hinkley, SQL_PAGE_HINKLEY)
+
+
+def q_dispersion_index(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Index of dispersion (variance-to-mean ratio) of the daily count
+    series per event type — the Poisson overdispersion probe. VMR =
+    (n*sum(c^2) - S^2) / ((n-1)*S): exact integers until ONE float
+    division; chi2 = (n-1)*VMR shares the grid."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return (
+            pl.DataFrame(
+                {
+                    "event_type": t.column("event_type").to_pylist(),
+                    "day": us // _US_PER_DAY,
+                }
+            )
+            .group_by(["event_type", "day"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+        )
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(ds, ["event_type", "day"], ["c"], **_kw)
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("event_type", pa.string()), ("day", pa.int64()),
+                 ("c", pa.int64())]
+            ),
+        )
+    et = np.asarray(merged.column("event_type").to_pylist())
+    cnt = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    types, nds, vmrs, chis = [], [], [], []
+    for g in sorted(set(et.tolist())):
+        c = cnt[et == g]
+        n = int(c.size)
+        s = int(c.sum())
+        sq = int((c * c).sum())
+        types.append(g)
+        nds.append(n)
+        if n < 2 or s == 0:
+            vmrs.append(None)
+            chis.append(None)
+        else:
+            vmrs.append(_rf(float(n * sq - s * s) / float((n - 1) * s), 6))
+            chis.append(_rf(float(n * sq - s * s) / float(s), 6))
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_days": pa.array(nds, pa.int64()),
+            "vmr": pa.array(vmrs, pa.float64()),
+            "chi2": pa.array(chis, pa.float64()),
+        }
+    )
+
+
+SQL_DISPERSION_INDEX = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c*c) AS BIGINT) AS sq
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       CASE WHEN n < 2 OR s = 0 THEN NULL
+            ELSE ROUND(CAST(n*sq - s*s AS DOUBLE)
+                       / CAST((n-1)*s AS DOUBLE), 6) END AS vmr,
+       CASE WHEN n < 2 OR s = 0 THEN NULL
+            ELSE ROUND(CAST(n*sq - s*s AS DOUBLE) / CAST(s AS DOUBLE), 6)
+       END AS chi2
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["dispersion_index"] = (q_dispersion_index, SQL_DISPERSION_INDEX)
+
+
+def q_price_index(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Laspeyres / Paasche / Fisher price indices between the first and
+    second half of the ship-date window, over parts present in BOTH
+    periods. Per (part, half) the exchange carries exact integer
+    (qty units, cents) partials; the per-part rational price terms
+    C1*Q0/Q1 and C0*Q1/Q0 quantize to the 1e-9 grid (summed as
+    integers — order-free), the spend sums stay exact, and the three
+    indices are assembled from grid integers with identical float
+    expressions."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+
+    def mm(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("mn", pa.int64()),
+                         ("mx", pa.int64())])
+        us = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if us.size == 0:
+            return sch.empty_table()
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "mn": pa.array([-int(us.min())], pa.int64()),
+             "mx": pa.array([int(us.max())], pa.int64())},
+            schema=sch,
+        )
+
+    mmt = collect_table(
+        ds.map_batches(mm, batch_format="pyarrow", batch_size=None),
+        empty_schema=pa.schema(
+            [("k", pa.int64()), ("mn", pa.int64()), ("mx", pa.int64())]
+        ),
+    )
+    if mmt.num_rows == 0:
+        return _one_row(n_parts=0, laspeyres=None, paasche=None, fisher=None)
+    mn = -int(pc.max(mmt.column("mn")).as_py())
+    mx = int(pc.max(mmt.column("mx")).as_py())
+    mid = (mn + mx) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        qty = np.floor(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame(
+                {
+                    "pk": t.column("l_partkey").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                    "h": (us > mid).astype(np.int64),
+                    "q": qty,
+                    "c": cents,
+                }
+            )
+            .group_by(["pk", "h"])
+            .agg(pl.col("q").sum(), pl.col("c").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["pk", "h"],
+        ["q", "c"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema(
+                [("pk", pa.int64()), ("h", pa.int64()),
+                 ("q", pa.int64()), ("c", pa.int64())]
+            ),
+        )
+    per = {}
+    for p, h, q, c in zip(
+        merged.column("pk").to_pylist(),
+        merged.column("h").to_pylist(),
+        merged.column("q").to_pylist(),
+        merged.column("c").to_pylist(),
+    ):
+        per.setdefault(int(p), {})[int(h)] = (int(q), int(c))
+    lasp_nano = 0
+    paa_nano = 0
+    c0_sum = 0
+    c1_sum = 0
+    n_parts = 0
+    for p, hs in sorted(per.items()):
+        if 0 not in hs or 1 not in hs:
+            continue
+        q0, c0 = hs[0]
+        q1, c1 = hs[1]
+        if q0 <= 0 or q1 <= 0:
+            continue
+        n_parts += 1
+        c0_sum += c0
+        c1_sum += c1
+        lasp_nano += int(np.floor(float(c1) * q0 / q1 * 1e9 + 0.5))
+        paa_nano += int(np.floor(float(c0) * q1 / q0 * 1e9 + 0.5))
+    if n_parts == 0 or c0_sum == 0 or paa_nano == 0:
+        return _one_row(n_parts=n_parts, laspeyres=None, paasche=None,
+                        fisher=None)
+    lasp = float(lasp_nano) / 1e9 / float(c0_sum)
+    paa = float(c1_sum) / (float(paa_nano) / 1e9)
+    return _one_row(
+        n_parts=n_parts,
+        laspeyres=_rf(lasp, 6),
+        paasche=_rf(paa, 6),
+        fisher=_rf(float(np.sqrt(lasp * paa)), 6),
+    )
+
+
+SQL_PRICE_INDEX = """
+WITH mm AS (
+  SELECT epoch_us(MIN(l_shipdate)) AS mn, epoch_us(MAX(l_shipdate)) AS mx
+  FROM lineitem
+),
+g AS (
+  SELECT l_partkey AS part,
+         CASE WHEN epoch_us(l_shipdate) > (SELECT (mn + mx)//2 FROM mm)
+              THEN 1 ELSE 0 END AS h,
+         CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+matched AS (
+  SELECT a.part, a.q AS q0, a.c AS c0, b.q AS q1, b.c AS c1
+  FROM g a JOIN g b ON b.part = a.part AND a.h = 0 AND b.h = 1
+  WHERE a.q > 0 AND b.q > 0
+),
+terms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(c0) AS HUGEINT) AS c0_sum,
+         CAST(SUM(c1) AS HUGEINT) AS c1_sum,
+         CAST(SUM(CAST(FLOOR(CAST(c1 AS DOUBLE)*q0/q1 * 1e9 + 0.5)
+                       AS HUGEINT)) AS HUGEINT) AS lasp_nano,
+         CAST(SUM(CAST(FLOOR(CAST(c0 AS DOUBLE)*q1/q0 * 1e9 + 0.5)
+                       AS HUGEINT)) AS HUGEINT) AS paa_nano
+  FROM matched
+)
+SELECT n_parts,
+       CASE WHEN n_parts = 0 OR c0_sum = 0 OR paa_nano = 0 THEN NULL
+            ELSE ROUND(CAST(lasp_nano AS DOUBLE)/1e9
+                       / CAST(c0_sum AS DOUBLE), 6) END AS laspeyres,
+       CASE WHEN n_parts = 0 OR c0_sum = 0 OR paa_nano = 0 THEN NULL
+            ELSE ROUND(CAST(c1_sum AS DOUBLE)
+                       / (CAST(paa_nano AS DOUBLE)/1e9), 6) END AS paasche,
+       CASE WHEN n_parts = 0 OR c0_sum = 0 OR paa_nano = 0 THEN NULL
+            ELSE ROUND(sqrt((CAST(lasp_nano AS DOUBLE)/1e9
+                             / CAST(c0_sum AS DOUBLE))
+                            * (CAST(c1_sum AS DOUBLE)
+                               / (CAST(paa_nano AS DOUBLE)/1e9))), 6)
+       END AS fisher
+FROM terms
+"""
+
+QUERIES["price_index"] = (q_price_index, SQL_PRICE_INDEX)

@@ -830,3 +830,93 @@ def test_odds_ratio_planted_table(ray_session, tmp_path):
     se = 1.96 * np.sqrt(1 / 10 + 1 / 5 + 1 / 4 + 1 / 8)
     assert abs(out["ci_lo"][0] - (np.log(4.0) - se)) < 1e-5
     assert abs(out["ci_hi"][0] - (np.log(4.0) + se)) < 1e-5
+
+
+@pytest.mark.parametrize(
+    "qname", ["page_hinkley", "dispersion_index", "price_index"]
+)
+def test_dual_path_equality_batch6(ray_session, qname):
+    from patito_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES[qname][0]
+    assert fn(SF).equals(fn(SF, limit_bytes=0)), qname
+
+
+def test_page_hinkley_shift_vs_stable(ray_session, tmp_path):
+    """A planted 2e8-cent level shift at day 20 must raise alarms; a
+    constant series must end with u == 0 and zero alarms."""
+    from patito_ray.pipelines.q_wave7 import q_page_hinkley
+
+    day = list(range(40))
+    shifted = [10.0 if d < 20 else 2_000_000.0 for d in day]
+    _write(tmp_path, "lineitem", _lineitem_table(day, shifted))
+    out = q_page_hinkley(str(tmp_path)).to_pydict()
+    assert out["n_days"] == [40]
+    assert out["alarms"][0] >= 1
+    assert out["u"][0] - out["min_u"][0] > 5e7
+
+    stable = tmp_path / "stable"
+    stable.mkdir()
+    _write(stable, "lineitem", _lineitem_table(day, [10.0] * 40))
+    out2 = q_page_hinkley(str(stable)).to_pydict()
+    assert out2["alarms"] == [0]
+    assert out2["u"] == [0.0] and out2["min_u"] == [0.0]
+
+
+def test_dispersion_index_planted(ray_session, tmp_path):
+    """Constant daily counts => VMR == 0 (underdispersed); a 1,3
+    alternating series of 10 days => VMR = 100/180 exactly."""
+    from patito_ray.pipelines.q_wave7 import q_dispersion_index
+
+    ts, uid, val, et = [], [], [], []
+
+    def add(etype, d, count):
+        for i in range(count):
+            ts.append(d * DAY_US + i * US)
+            uid.append(0)
+            val.append(1.0)
+            et.append(etype)
+
+    for d in range(10):
+        add("const", d, 2)
+        add("alt", d, 3 if d % 2 else 1)
+    _write(tmp_path, "events", _events_table(ts, uid, val, et))
+    rows = {r["event_type"]: r for r in
+            q_dispersion_index(str(tmp_path)).to_pylist()}
+    assert rows["const"]["vmr"] == 0.0
+    assert rows["alt"]["vmr"] == round(100 / 180, 6)
+    assert rows["alt"]["chi2"] == 5.0  # (10*50-400)/20
+
+
+def test_price_index_hand_computed(ray_session, tmp_path):
+    """Two parts, hand-computed indices: A's unit price doubles
+    (1.00 -> 2.00), B's stays 1.00 => Laspeyres 2400/1400, Paasche
+    1800/1300."""
+    from patito_ray.pipelines.q_wave7 import q_price_index
+
+    n = 4
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(np.arange(n), pa.int64()),
+            "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "l_suppkey": pa.array(np.zeros(n, np.int64)),
+            "l_linenumber": pa.array(np.ones(n, np.int32), pa.int32()),
+            "l_quantity": pa.array([10.0, 5.0, 4.0, 8.0], pa.float64()),
+            "l_extendedprice": pa.array([10.0, 10.0, 4.0, 8.0], pa.float64()),
+            "l_discount": pa.array(np.zeros(n, np.float64)),
+            "l_tax": pa.array(np.zeros(n, np.float64)),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                np.array([0, 10, 0, 10], np.int64) * DAY_US, pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    _write(tmp_path, "lineitem", t)
+    out = q_price_index(str(tmp_path)).to_pydict()
+    lasp = (1000 * 10 / 5 + 800 * 4 / 8) / 1400
+    paa = 1800 / (1000 * 5 / 10 + 400 * 8 / 4)
+    assert out["n_parts"] == [2]
+    assert abs(out["laspeyres"][0] - lasp) < 1e-6
+    assert abs(out["paasche"][0] - paa) < 1e-6
+    assert abs(out["fisher"][0] - np.sqrt(lasp * paa)) < 1e-6
