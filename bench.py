@@ -423,6 +423,8 @@ def run_bench() -> dict:
         "page_hinkley",
         "dispersion_index",
         "price_index",
+        "bowley_skew",
+        "seasonal_strength",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -5273,3 +5273,156 @@ FROM terms
 """
 
 QUERIES["price_index"] = (q_price_index, SQL_PRICE_INDEX)
+
+
+def q_bowley_skew(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Bowley (quartile) skewness of order totalprice on the cents
+    grid: the three SELECTION quartiles (smallest value whose
+    cumulative count reaches ceil(n/4) / ceil(n/2) / ceil(3n/4)) are
+    bit-exact integers (selection-quantile precedent — no
+    interpolation, no rounding), and (q3 + q1 - 2*q2)/(q3 - q1) is ONE
+    float expression."""
+    import polars as pl
+
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return (
+            pl.DataFrame({"q": q, "c": np.ones(len(q), dtype=np.int64)})
+            .group_by("q")
+            .agg(pl.col("c").sum())
+            .to_arrow()
+        )
+
+    _kw = {} if limit_bytes is None else {"limit_bytes": limit_bytes}
+    merged = merge_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["q"],
+        ["c"],
+        **_kw,
+    )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(
+            merged,
+            empty_schema=pa.schema([("q", pa.int64()), ("c", pa.int64())]),
+        )
+    if merged.num_rows == 0:
+        return _one_row(n=0, q1=None, q2=None, q3=None, bowley=None)
+    qv = merged.column("q").to_numpy(zero_copy_only=False)
+    c = merged.column("c").to_numpy(zero_copy_only=False)
+    o = np.argsort(qv)
+    qv, c = qv[o], c[o]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    ranks = [(n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4]
+    q1, q2, q3 = (int(qv[np.searchsorted(cum, r)]) for r in ranks)
+    bowley = (
+        None
+        if q3 == q1
+        else _rf(float(q3 + q1 - 2 * q2) / float(q3 - q1), 6)
+    )
+    return _one_row(n=n, q1=q1, q2=q2, q3=q3, bowley=bowley)
+
+
+SQL_BOWLEY_SKEW = """
+WITH g AS (
+  SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT q, SUM(c) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+  FROM g
+),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+cuts AS (
+  SELECT
+    (SELECT MIN(q) FROM w
+     WHERE cum >= (SELECT (n + 3)//4 FROM nn)) AS q1,
+    (SELECT MIN(q) FROM w
+     WHERE cum >= (SELECT (n + 1)//2 FROM nn)) AS q2,
+    (SELECT MIN(q) FROM w
+     WHERE cum >= (SELECT (3*n + 3)//4 FROM nn)) AS q3
+)
+SELECT nn.n AS n, cuts.q1, cuts.q2, cuts.q3,
+       CASE WHEN cuts.q3 = cuts.q1 THEN NULL
+            ELSE ROUND(CAST(cuts.q3 + cuts.q1 - 2*cuts.q2 AS DOUBLE)
+                       / CAST(cuts.q3 - cuts.q1 AS DOUBLE), 6)
+       END AS bowley
+FROM nn, cuts
+"""
+
+QUERIES["bowley_skew"] = (q_bowley_skew, SQL_BOWLEY_SKEW)
+
+
+def q_seasonal_strength(sf_dir: str, limit_bytes: int | None = None) -> pa.Table:
+    """Weekday seasonal strength of the daily revenue series:
+    1 - SSW/SST over the (day+4)%7 grouping (the variance-explained
+    companion of weekday_anova). Every moment is an exact integer;
+    the per-group sg^2/ng terms and the final ratio are the identical
+    float expression on both engines."""
+    day, cents = _daily_lineitem_cents(sf_dir, limit_bytes)
+    n = int(day.size)
+    if n < 2:
+        return _one_row(n_days=n, strength=None)
+    dow = (day + 4) % 7
+    s_all = 0
+    sq_all = 0
+    sb = 0.0
+    for g in range(7):
+        m = dow == g
+        ng = int(m.sum())
+        if ng == 0:
+            continue
+        sg = sum(int(v) for v in cents[m].tolist())
+        qg = sum(int(v) * int(v) for v in cents[m].tolist())
+        s_all += sg
+        sq_all += qg
+        sb += float(sg) * float(sg) / float(ng)
+    sst = float(sq_all) - float(s_all) * float(s_all) / float(n)
+    ssw = float(sq_all) - sb
+    strength = None if sst <= 0 else _rf(1.0 - ssw / sst, 6)
+    return _one_row(n_days=n, strength=strength)
+
+
+SQL_SEASONAL_STRENGTH = """
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS c
+  FROM lineitem GROUP BY 1
+),
+g AS (
+  SELECT dayofweek(d) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(c) AS HUGEINT) AS sg,
+         CAST(SUM(CAST(c AS HUGEINT)*c) AS HUGEINT) AS qg
+  FROM daily GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(sg) AS HUGEINT) AS s_all,
+         CAST(SUM(qg) AS HUGEINT) AS sq_all,
+         SUM(CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)/CAST(ng AS DOUBLE)) AS sb
+  FROM g
+)
+SELECT n AS n_days,
+       CASE WHEN n < 2 OR CAST(sq_all AS DOUBLE)
+                 - CAST(s_all AS DOUBLE)*CAST(s_all AS DOUBLE)
+                   /CAST(n AS DOUBLE) <= 0 THEN NULL
+            ELSE ROUND(1.0 - (CAST(sq_all AS DOUBLE) - sb)
+                             / (CAST(sq_all AS DOUBLE)
+                                - CAST(s_all AS DOUBLE)*CAST(s_all AS DOUBLE)
+                                  /CAST(n AS DOUBLE)), 6)
+       END AS strength
+FROM agg
+"""
+
+QUERIES["seasonal_strength"] = (q_seasonal_strength, SQL_SEASONAL_STRENGTH)

@@ -920,3 +920,62 @@ def test_price_index_hand_computed(ray_session, tmp_path):
     assert abs(out["laspeyres"][0] - lasp) < 1e-6
     assert abs(out["paasche"][0] - paa) < 1e-6
     assert abs(out["fisher"][0] - np.sqrt(lasp * paa)) < 1e-6
+
+
+@pytest.mark.parametrize("qname", ["bowley_skew", "seasonal_strength"])
+def test_dual_path_equality_batch7(ray_session, qname):
+    from patito_ray.pipelines.queries import QUERIES
+
+    fn = QUERIES[qname][0]
+    assert fn(SF).equals(fn(SF, limit_bytes=0)), qname
+
+
+def test_bowley_skew_planted(ray_session, tmp_path):
+    """A symmetric value set => bowley == 0; a hand-planted skewed set
+    has known selection quartiles (n=8: ranks 2,4,6)."""
+    from patito_ray.pipelines.q_wave7 import q_bowley_skew
+
+    sym = [100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0]
+    _write(tmp_path, "orders", _orders_table(["1-X"] * 7, sym))
+    out = q_bowley_skew(str(tmp_path)).to_pydict()
+    assert (out["q1"], out["q2"], out["q3"]) == ([20000], [40000], [60000])
+    assert out["bowley"] == [0.0]
+
+    sk = tmp_path / "sk"
+    sk.mkdir()
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0]  # n=8
+    _write(sk, "orders", _orders_table(["1-X"] * 8, vals))
+    out2 = q_bowley_skew(str(sk)).to_pydict()
+    # ranks ceil(11/4)=2, ceil(9/2)=4, ceil(27/4)=6 -> 200, 400, 600
+    assert (out2["q1"], out2["q2"], out2["q3"]) == ([200], [400], [600])
+    assert out2["bowley"] == [0.0]  # quartiles ignore the outlier
+    # push the skew INSIDE the quartile range
+    sk2 = tmp_path / "sk2"
+    sk2.mkdir()
+    vals2 = [1.0, 1.0, 1.0, 2.0, 2.0, 10.0, 20.0, 30.0]
+    _write(sk2, "orders", _orders_table(["1-X"] * 8, vals2))
+    out3 = q_bowley_skew(str(sk2)).to_pydict()
+    q1, q2, q3 = out3["q1"][0], out3["q2"][0], out3["q3"][0]
+    assert (q1, q2, q3) == (100, 200, 1000)
+    assert out3["bowley"][0] == round((q3 + q1 - 2 * q2) / (q3 - q1), 6)
+    assert out3["bowley"][0] > 0.5  # right skew
+
+
+def test_seasonal_strength_extremes(ray_session, tmp_path):
+    """A pure repeating weekday pattern (zero within-weekday variance)
+    => strength == 1; identical multisets per weekday => 0."""
+    from patito_ray.pipelines.q_wave7 import q_seasonal_strength
+
+    day = list(range(28))
+    pure = [float(1 + ((d + 4) % 7)) * 10.0 for d in day]
+    _write(tmp_path, "lineitem", _lineitem_table(day, pure))
+    out = q_seasonal_strength(str(tmp_path)).to_pydict()
+    assert out["n_days"] == [28]
+    assert out["strength"] == [1.0]
+
+    nul = tmp_path / "nul"
+    nul.mkdir()
+    flat = [1.0 if d < 7 else 2.0 for d in range(14)]
+    _write(nul, "lineitem", _lineitem_table(list(range(14)), flat))
+    out2 = q_seasonal_strength(str(nul)).to_pydict()
+    assert out2["strength"] == [0.0]
