@@ -2196,10 +2196,20 @@ def moran_i(
             b = t.column(dst).to_numpy(zero_copy_only=False).astype(np.int64)
             keep = a != b
             a, b = a[keep], b[keep]
-            if len(a) == 0:
+            if len(a) == 0 or len(d["kn"]) == 0:
                 return edge_sch.empty_table()
-            xs = d["kv"][np.searchsorted(d["kn"], a)]
-            xd = d["kv"][np.searchsorted(d["kn"], b)]
+            # inner-join semantics: an endpoint absent from the values
+            # table drops the edge (matches the SQL oracle's JOIN) —
+            # a raw searchsorted would read a neighbor's value or raise
+            # IndexError at the insertion end.
+            hi = len(d["kn"]) - 1
+            ia = np.minimum(np.searchsorted(d["kn"], a), hi)
+            ib = np.minimum(np.searchsorted(d["kn"], b), hi)
+            ok = (d["kn"][ia] == a) & (d["kn"][ib] == b)
+            if not ok.any():
+                return edge_sch.empty_table()
+            xs = d["kv"][ia[ok]]
+            xd = d["kv"][ib[ok]]
             return _edge_moments(xs, xd)
 
         em = merge_partial_sums(
@@ -2236,16 +2246,24 @@ def moran_i(
 
         def attach(lt: pa.Table, rt: pa.Table) -> pa.Table:
             kcol, vcol = rt.column_names[0], rt.column_names[1]
-            if lt.num_rows == 0:
-                cols = list(lt.column_names) + [vcol]
-                return pa.schema([(c, pa.int64()) for c in cols]).empty_table()
+            out_cols = list(lt.column_names) + [vcol]
+            empty = pa.schema([(c, pa.int64()) for c in out_cols]).empty_table()
+            if lt.num_rows == 0 or rt.num_rows == 0:
+                return empty
             kn = rt.column(kcol).to_numpy(zero_copy_only=False)
             kv = rt.column(vcol).to_numpy(zero_copy_only=False)
             o = np.argsort(kn)
             kn, kv = kn[o], kv[o]
             join_on = "es" if kcol == "an" else "ed"
             keys = lt.column(join_on).to_numpy(zero_copy_only=False)
-            vv = kv[np.searchsorted(kn, keys)]
+            # inner-join semantics (see edge_partial): drop edges whose
+            # endpoint is missing from the values side.
+            idx = np.minimum(np.searchsorted(kn, keys), len(kn) - 1)
+            ok = kn[idx] == keys
+            if not ok.any():
+                return empty
+            lt = lt.filter(pa.array(ok))
+            vv = kv[idx[ok]]
             return lt.append_column(vcol, pa.array(vv.astype(np.int64)))
 
         with_xs = copartition_apply(

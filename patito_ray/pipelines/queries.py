@@ -37,6 +37,7 @@ from patito_ray.pipelines.q_wave4 import *  # noqa: F401,F403,E402
 from patito_ray.pipelines.q_wave5 import *  # noqa: F401,F403,E402
 from patito_ray.pipelines.q_wave6 import *  # noqa: F401,F403,E402
 from patito_ray.pipelines.q_wave7 import *  # noqa: F401,F403,E402
+from patito_ray.pipelines.q_wave8 import *  # noqa: F401,F403,E402
 
 # star imports skip underscore names; tests/scripts import some of
 # them from this module, so re-export each chunk's private top-levels

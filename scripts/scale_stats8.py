@@ -151,7 +151,7 @@ def main() -> None:
         .map_batches(order_batch, batch_format="pyarrow", batch_size=None)
         .write_parquet(f"{odir}/orders.parquet")
     )
-    from patito_ray.pipelines.q_wave7 import q_decision_stump, q_jonckheere
+    from patito_ray.pipelines.q_wave8 import q_decision_stump, q_jonckheere
 
     t0 = time.time()
     jt = q_jonckheere(odir).to_pydict()
@@ -222,7 +222,7 @@ def main() -> None:
         .map_batches(user_batch, batch_format="pyarrow", batch_size=None)
         .write_parquet(f"{edir}/events.parquet")
     )
-    from patito_ray.pipelines.q_wave7 import q_km_survival, q_logrank_test
+    from patito_ray.pipelines.q_wave8 import q_km_survival, q_logrank_test
 
     t0 = time.time()
     km = q_km_survival(edir).to_pylist()

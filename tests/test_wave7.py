@@ -483,16 +483,24 @@ def test_harmonic_centrality_histogram(ray_session):
 def test_audience_overlap_brute(ray_session, tmp_path):
     from patito_ray.pipelines.q_wave7 import q_audience_overlap
 
-    uid = [1, 1, 1, 2, 2, 3, 4, 4]
-    et = ["click", "view", "click", "view", "purchase", "click", "error", "signup"]
+    uid = [1, 1, 1, 2, 2, 3, 4, 4, 5, 1]
+    # the last two rows carry an event type OUTSIDE _AUD_TYPES: both
+    # engines must EXCLUDE them (SQL CASE-without-ELSE yields NULL;
+    # the Ray side filters instead of raising KeyError) — user 5 has
+    # only unknown events and must not appear in any audience.
+    et = [
+        "click", "view", "click", "view", "purchase", "click", "error",
+        "signup", "future_type", "future_type",
+    ]
+    n = len(uid)
     t = pa.table(
         {
-            "event_id": pa.array(np.arange(8), pa.int64()),
-            "ts": pa.array(np.arange(8), pa.int64()).cast(pa.timestamp("us")),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(np.arange(n), pa.int64()).cast(pa.timestamp("us")),
             "user_id": pa.array(uid, pa.int64()),
             "event_type": pa.array(et, pa.string()),
-            "value": pa.array([1.0] * 8, pa.float64()),
-            "props": pa.array([""] * 8, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
         }
     )
     pq.write_table(t, f"{tmp_path}/events.parquet")

@@ -52,7 +52,7 @@ def _events_table(ts_us, user_id, value, event_type=None):
 def test_mcnemar_planted(ray_session, tmp_path):
     """Hand-planted discordant pairs: b=3 (h1-only converters), c=2
     (h2-only), so chi2 = (3-2)^2/5 = 0.2 exactly."""
-    from patito_ray.pipelines.q_wave7 import q_mcnemar_test
+    from patito_ray.pipelines.q_wave8 import q_mcnemar_test
 
     ts, uid, val = [], [], []
     # window [0, 100] us -> mid = 50
@@ -105,7 +105,7 @@ def _orders_table(priorities, prices):
 def test_cochran_armitage_no_trend_is_zero(ray_session, tmp_path):
     """Equal conversion rate at every ordered level => the trend
     numerator N*Swr - R*Swn is exactly 0 => z2 == 0.0."""
-    from patito_ray.pipelines.q_wave7 import q_cochran_armitage
+    from patito_ray.pipelines.q_wave8 import q_cochran_armitage
 
     prio, price = [], []
     for w in range(1, 6):
@@ -122,7 +122,7 @@ def test_cochran_armitage_no_trend_is_zero(ray_session, tmp_path):
 def test_cochran_armitage_trend_vs_brute(ray_session, tmp_path):
     """Planted monotone trend (r_w = w of n=10 at level w) compared to
     an independent float evaluation of the closed form."""
-    from patito_ray.pipelines.q_wave7 import q_cochran_armitage
+    from patito_ray.pipelines.q_wave8 import q_cochran_armitage
 
     prio, price = [], []
     for w in range(1, 6):
@@ -166,7 +166,7 @@ def _lineitem_table(day, price):
 def test_weekday_anova_null_case_is_zero(ray_session, tmp_path):
     """Every weekday sees the identical multiset of daily totals
     {100, 200} cents => between-group SS is exactly 0 => F == 0.0."""
-    from patito_ray.pipelines.q_wave7 import q_weekday_anova
+    from patito_ray.pipelines.q_wave8 import q_weekday_anova
 
     day = list(range(14))  # two full weeks
     price = [1.0 if d < 7 else 2.0 for d in day]
@@ -180,7 +180,7 @@ def test_weekday_anova_null_case_is_zero(ray_session, tmp_path):
 def test_weekday_anova_vs_brute(ray_session, tmp_path):
     """Random daily totals on the cents grid vs an independent numpy
     one-way ANOVA over the (day+4)%7 weekday grouping."""
-    from patito_ray.pipelines.q_wave7 import q_weekday_anova
+    from patito_ray.pipelines.q_wave8 import q_weekday_anova
 
     rng = np.random.default_rng(11)
     day = np.arange(35)
@@ -207,7 +207,7 @@ def test_grouped_runs_planted_sequences(ray_session, tmp_path):
     """'alt' alternates its daily count 1,3,1,3,... => maximum number
     of runs (10); 'blk' is 5 low days then 5 high => exactly 2 runs.
     Both z values follow the analytic Wald-Wolfowitz moments."""
-    from patito_ray.pipelines.q_wave7 import q_grouped_runs
+    from patito_ray.pipelines.q_wave8 import q_grouped_runs
 
     ts, uid, val, et = [], [], [], []
 
@@ -259,7 +259,7 @@ def test_dual_path_equality_batch2(ray_session, qname):
 def test_jonckheere_perfect_separation(ray_session, tmp_path):
     """Values strictly increase with level => EVERY cross-level pair is
     concordant: 2JT == 2*sum_{i<j} n_i n_j, its maximum."""
-    from patito_ray.pipelines.q_wave7 import q_jonckheere
+    from patito_ray.pipelines.q_wave8 import q_jonckheere
 
     prio, price = [], []
     n_i = [4, 6, 5, 3, 7]
@@ -281,7 +281,7 @@ def test_jonckheere_identical_groups_near_zero(ray_session, tmp_path):
     """Identical value multiset at every level => 2JT equals its
     expectation exactly (every cross pair contributes its tie-average)
     => z == 0."""
-    from patito_ray.pipelines.q_wave7 import q_jonckheere
+    from patito_ray.pipelines.q_wave8 import q_jonckheere
 
     prio, price = [], []
     for w in range(1, 6):
@@ -300,7 +300,7 @@ def test_durbin_watson_planted(ray_session, tmp_path):
     """Alternating daily revenue => strong negative serial correlation
     (DW > 3); a monotone ramp => strong positive (DW < 0.5). Exact
     value checked against an independent numpy evaluation."""
-    from patito_ray.pipelines.q_wave7 import q_durbin_watson
+    from patito_ray.pipelines.q_wave8 import q_durbin_watson
 
     day = list(range(40))
     alt = [1.0 if d % 2 else 3.0 for d in day]
@@ -323,7 +323,7 @@ def test_durbin_watson_planted(ray_session, tmp_path):
 def test_cohen_kappa_agreement_extremes(ray_session, tmp_path):
     """Perfect agreement => kappa == 1; an exactly balanced
     independent 2x2 (all four cells equal) => kappa == 0."""
-    from patito_ray.pipelines.q_wave7 import q_cohen_kappa
+    from patito_ray.pipelines.q_wave8 import q_cohen_kappa
 
     # perfect agreement: 5 users with both flags, 5 with neither
     ts, uid, val, et = [], [], [], []
@@ -363,7 +363,7 @@ def test_cohen_kappa_agreement_extremes(ray_session, tmp_path):
 
 def test_gk_gamma_monotone_extremes(ray_session, tmp_path):
     """Band == level-1 exactly => gamma == 1; band reversed => -1."""
-    from patito_ray.pipelines.q_wave7 import q_gk_gamma
+    from patito_ray.pipelines.q_wave8 import q_gk_gamma
 
     prio = [f"{w}-LEVEL" for w in range(1, 6) for _ in range(4)]
     up = [100_000.0 * (w - 1) + 50_000.0 for w in range(1, 6) for _ in range(4)]
@@ -385,7 +385,7 @@ def test_friedman_perfect_agreement(ray_session, tmp_path):
     """Every week ranks the weekdays identically (strict weekday
     effect) => the Friedman statistic hits its analytic maximum
     n*(k-1) = 4 weeks * 6 = 24 exactly."""
-    from patito_ray.pipelines.q_wave7 import q_friedman_test
+    from patito_ray.pipelines.q_wave8 import q_friedman_test
 
     day = list(range(28))
     price = [float(1 + ((d + 4) % 7)) * 10.0 for d in day]
@@ -399,7 +399,7 @@ def test_friedman_null_is_zero(ray_session, tmp_path):
     """A weekday-independent pattern whose per-week rank sums come out
     equal across weekdays => S' == 0 => statistic == 0 (needs the
     weekday assignment rotated per week so rank sums balance)."""
-    from patito_ray.pipelines.q_wave7 import q_friedman_test
+    from patito_ray.pipelines.q_wave8 import q_friedman_test
 
     # 7 weeks; week w gives the day with dow == (d+4)%7 value
     # depending on (dow - w) % 7 -> a latin square: every weekday
@@ -420,7 +420,7 @@ def test_cross_corr_lag_planted_shift(ray_session, tmp_path):
     """Purchases are exactly the view series shifted +3 days with one
     dominant spike => best_lag == 3 and r_best is the known integer
     dot product."""
-    from patito_ray.pipelines.q_wave7 import q_cross_corr_lag
+    from patito_ray.pipelines.q_wave8 import q_cross_corr_lag
 
     ts, uid, val, et = [], [], [], []
 
@@ -488,6 +488,57 @@ def test_moran_i_smooth_vs_random(ray_session, tmp_path):
     assert forced == out
 
 
+def test_moran_i_dangling_endpoints_dropped(ray_session):
+    """An edge endpoint absent from the values table is DROPPED (the
+    SQL oracle's inner-join semantics) on both the broadcast and the
+    forced-copartition attach — previously a raw searchsorted could
+    silently read a neighboring node's value or raise IndexError."""
+    import ray.data as rd
+
+    from patito_ray.functions.graph import moran_i
+
+    n = 50
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    # add dangling edges: one endpoint beyond every known node (the
+    # searchsorted insertion-at-end case) and one in-range-but-missing
+    src_d = np.concatenate([src, [0, 7]])
+    dst_d = np.concatenate([dst, [9999, 10_000]])
+    values = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(n, dtype=np.int64)),
+                "x": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+    )
+    clean = moran_i(
+        rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})),
+        values,
+        node="node",
+        x="x",
+    ).to_pydict()
+    dangling = moran_i(
+        rd.from_arrow(
+            pa.table({"src": pa.array(src_d), "dst": pa.array(dst_d)})
+        ),
+        values,
+        node="node",
+        x="x",
+    ).to_pydict()
+    assert dangling == clean
+    forced = moran_i(
+        rd.from_arrow(
+            pa.table({"src": pa.array(src_d), "dst": pa.array(dst_d)})
+        ),
+        values,
+        node="node",
+        x="x",
+        limit_bytes=0,
+    ).to_pydict()
+    assert forced == clean
+
+
 @pytest.mark.parametrize(
     "qname",
     ["partial_corr", "cronbach_alpha", "js_divergence", "decision_stump"],
@@ -524,7 +575,7 @@ def test_partial_corr_confounder_planted(ray_session, tmp_path):
     """x and y correlate only THROUGH the confounder z: raw r_xy is
     strong but the partial correlation controlling z collapses toward
     0. Checked against an independent numpy partial-corr evaluation."""
-    from patito_ray.pipelines.q_wave7 import q_partial_corr
+    from patito_ray.pipelines.q_wave8 import q_partial_corr
 
     rng = np.random.default_rng(5)
     n = 400
@@ -554,7 +605,7 @@ def test_cronbach_alpha_extremes(ray_session, tmp_path):
     """Items that are exact shifts of one base series => perfectly
     consistent scale: var_j identical, var_total = 49*var => alpha ==
     1.0 exactly. Independent random items => alpha well below 0.5."""
-    from patito_ray.pipelines.q_wave7 import q_cronbach_alpha
+    from patito_ray.pipelines.q_wave8 import q_cronbach_alpha
 
     day = list(range(28))
     base = [10.0, 17.0, 13.0, 21.0]  # per-week base
@@ -576,7 +627,7 @@ def test_cronbach_alpha_extremes(ray_session, tmp_path):
 def test_js_divergence_extremes(ray_session, tmp_path):
     """Identical type mixes in both halves => JS == 0; fully disjoint
     mixes => JS == ln 2 (quantized: 0.693147)."""
-    from patito_ray.pipelines.q_wave7 import q_js_divergence
+    from patito_ray.pipelines.q_wave8 import q_js_divergence
 
     ts, uid, val, et = [], [], [], []
     for i in range(50):  # same mix in [0,99] and [100,199]
@@ -610,7 +661,7 @@ def test_decision_stump_separable_planted(ray_session, tmp_path):
     """Perfectly separable labels: every URGENT order is cheaper than
     every other order => the best split sits on the most expensive
     urgent order, purity is total (score == n)."""
-    from patito_ray.pipelines.q_wave7 import q_decision_stump
+    from patito_ray.pipelines.q_wave8 import q_decision_stump
 
     prio = ["1-URGENT"] * 12 + ["3-MEDIUM"] * 20
     price = [1000.0 + 10.0 * i for i in range(12)] + [
@@ -637,7 +688,7 @@ def test_km_survival_textbook(ray_session, tmp_path):
     """Hand-computed KM curve: purchases at days 1, 2, 2, 4 plus one
     censored user (last event day 3, no purchase):
     S(1)=4/5=0.8, S(2)=0.8*(1-2/4)=0.4, S(4)=0.4*(1-1/1)=0."""
-    from patito_ray.pipelines.q_wave7 import q_km_survival
+    from patito_ray.pipelines.q_wave8 import q_km_survival
 
     ts, uid, val, et = [], [], [], []
 
@@ -667,7 +718,7 @@ def test_logrank_symmetric_zero_and_separated(ray_session, tmp_path):
     d1 = d*n1/n exactly at every step => chi2 == 0. A fully separated
     planted effect (early cohort buys day 1, late cohort day 6) =>
     chi2 large."""
-    from patito_ray.pipelines.q_wave7 import q_logrank_test
+    from patito_ray.pipelines.q_wave8 import q_logrank_test
 
     ts, uid, val, et = [], [], [], []
 
@@ -711,7 +762,7 @@ def test_rfm_segments_planted_diagonal(ray_session, tmp_path):
     """Three users engineered to take ranks 1/2/3 in ALL of recency,
     frequency and monetary => the diagonal segments (0,0,0), (1,1,1),
     (2,2,2), one user each."""
-    from patito_ray.pipelines.q_wave7 import q_rfm_segments
+    from patito_ray.pipelines.q_wave8 import q_rfm_segments
 
     ts, uid, val, et = [], [], [], []
 
@@ -753,7 +804,7 @@ def test_holt_winters_tracks_linear_ramp(ray_session, tmp_path):
     """On an exact linear ramp c_t = a + b*t the Holt recursion is
     invariant: level == c_t and trend == b at every step (algebraic
     fixed point), so the outputs are known exactly."""
-    from patito_ray.pipelines.q_wave7 import q_holt_winters
+    from patito_ray.pipelines.q_wave8 import q_holt_winters
 
     day = list(range(30))
     price = [(1000.0 + 25.0 * d) / 100.0 for d in day]  # cents ramp b=25
@@ -776,7 +827,7 @@ def test_holt_winters_tracks_linear_ramp(ray_session, tmp_path):
 def test_mann_kendall_monotone_extremes(ray_session, tmp_path):
     """Strictly increasing daily revenue => S = n(n-1)/2 (every pair
     concordant); strictly decreasing => the exact negation."""
-    from patito_ray.pipelines.q_wave7 import q_mann_kendall
+    from patito_ray.pipelines.q_wave8 import q_mann_kendall
 
     day = list(range(25))
     up = [(100.0 + d) / 100.0 for d in day]
@@ -796,7 +847,7 @@ def test_mann_kendall_monotone_extremes(ray_session, tmp_path):
 def test_odds_ratio_planted_table(ray_session, tmp_path):
     """Hand-planted 2x2 (n11=10, n10=5, n01=4, n00=8): OR = 80/20 = 4,
     CI bounds match an independent numpy Wald evaluation."""
-    from patito_ray.pipelines.q_wave7 import q_odds_ratio
+    from patito_ray.pipelines.q_wave8 import q_odds_ratio
 
     ts, uid, val, et = [], [], [], []
     u = 0
@@ -845,7 +896,7 @@ def test_dual_path_equality_batch6(ray_session, qname):
 def test_page_hinkley_shift_vs_stable(ray_session, tmp_path):
     """A planted 2e8-cent level shift at day 20 must raise alarms; a
     constant series must end with u == 0 and zero alarms."""
-    from patito_ray.pipelines.q_wave7 import q_page_hinkley
+    from patito_ray.pipelines.q_wave8 import q_page_hinkley
 
     day = list(range(40))
     shifted = [10.0 if d < 20 else 2_000_000.0 for d in day]
@@ -866,7 +917,7 @@ def test_page_hinkley_shift_vs_stable(ray_session, tmp_path):
 def test_dispersion_index_planted(ray_session, tmp_path):
     """Constant daily counts => VMR == 0 (underdispersed); a 1,3
     alternating series of 10 days => VMR = 100/180 exactly."""
-    from patito_ray.pipelines.q_wave7 import q_dispersion_index
+    from patito_ray.pipelines.q_wave8 import q_dispersion_index
 
     ts, uid, val, et = [], [], [], []
 
@@ -892,7 +943,7 @@ def test_price_index_hand_computed(ray_session, tmp_path):
     """Two parts, hand-computed indices: A's unit price doubles
     (1.00 -> 2.00), B's stays 1.00 => Laspeyres 2400/1400, Paasche
     1800/1300."""
-    from patito_ray.pipelines.q_wave7 import q_price_index
+    from patito_ray.pipelines.q_wave8 import q_price_index
 
     n = 4
     t = pa.table(
@@ -933,7 +984,7 @@ def test_dual_path_equality_batch7(ray_session, qname):
 def test_bowley_skew_planted(ray_session, tmp_path):
     """A symmetric value set => bowley == 0; a hand-planted skewed set
     has known selection quartiles (n=8: ranks 2,4,6)."""
-    from patito_ray.pipelines.q_wave7 import q_bowley_skew
+    from patito_ray.pipelines.q_wave8 import q_bowley_skew
 
     sym = [100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0]
     _write(tmp_path, "orders", _orders_table(["1-X"] * 7, sym))
@@ -964,7 +1015,7 @@ def test_bowley_skew_planted(ray_session, tmp_path):
 def test_seasonal_strength_extremes(ray_session, tmp_path):
     """A pure repeating weekday pattern (zero within-weekday variance)
     => strength == 1; identical multisets per weekday => 0."""
-    from patito_ray.pipelines.q_wave7 import q_seasonal_strength
+    from patito_ray.pipelines.q_wave8 import q_seasonal_strength
 
     day = list(range(28))
     pure = [float(1 + ((d + 4) % 7)) * 10.0 for d in day]
