@@ -431,6 +431,9 @@ def run_bench() -> dict:
         "price_index",
         "bowley_skew",
         "seasonal_strength",
+        # --- round 5 ---
+        "decimal_revenue",
+        "unigram_tokens",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

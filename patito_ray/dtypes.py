@@ -15,6 +15,7 @@ binary type).
 from __future__ import annotations
 
 import datetime
+import decimal
 import enum
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Literal, Union, get_args, get_origin
@@ -24,6 +25,7 @@ import pyarrow as pa
 # Categories used for "valid dtype" membership checks.
 INTEGER = "integer"
 FLOAT = "float"
+DECIMAL = "decimal"
 BOOL = "bool"
 STRING = "string"
 BINARY = "binary"
@@ -140,6 +142,14 @@ def resolve_annotation(annotation: Any) -> ResolvedType:
         return ResolvedType(STRING, pa.string(), nullable=nullable)
     if annotation is bytes:
         return ResolvedType(BINARY, pa.binary(), nullable=nullable)
+    if annotation is decimal.Decimal:
+        # beyond-reference (the reference RAISES on pl.Decimal —
+        # _pydantic/dtypes/dtypes.py:245-248 TODO): exact fixed-point
+        # money columns. No default precision/scale is assumed — the
+        # model must pin the physical layout with Field(dtype=
+        # pa.decimal128(p, s)), caught by the existing no-default-dtype
+        # compile error otherwise.
+        return ResolvedType(DECIMAL, None, nullable=nullable)
     if annotation is datetime.datetime:
         return ResolvedType(DATETIME, pa.timestamp("us"), nullable=nullable)
     if annotation is datetime.date:
@@ -185,6 +195,8 @@ def valid_dtype(category: str, resolved: ResolvedType, actual: pa.DataType) -> b
         return t.is_integer(actual)
     if category == FLOAT:
         return t.is_floating(actual) and not t.is_float16(actual)
+    if category == DECIMAL:
+        return t.is_decimal(actual)
     if category == BOOL:
         return t.is_boolean(actual)
     if category == STRING:

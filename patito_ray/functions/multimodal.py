@@ -259,7 +259,10 @@ def sample_audio_frames(ds: Any, frames: int = 4, concurrency: int = 4, fake: bo
 
 
 def synth_media_batch(
-    batch: pa.Table, id_col: str = "doc_id", media: str = "both"
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    media: str = "both",
+    containers: "tuple[str, ...]" = ("png", "bmp", "jpeg"),
 ) -> pa.Table:
     """Deterministic media payloads from an id column: a small RGB PNG
     (gradient + id-seeded phase) and a short PCM WAV (id-keyed sine).
@@ -283,11 +286,12 @@ def synth_media_batch(
             img[:, :, 0] = ((xx / 16 + phase) * 255) % 256
             img[:, :, 1] = ((yy / 12 + phase / 2) * 255) % 256
             img[:, :, 2] = (i % 256)
-            # container mix like a real crawl: PNG / BMP / JPEG by id
-            m = i % 3
-            if m == 0:
+            # container mix like a real crawl (``containers`` lets the
+            # A/B attribution harness isolate the JPEG-arm decode cost)
+            m = containers[i % len(containers)]
+            if m == "png":
                 images.append(cx.encode_png(img))
-            elif m == 1:
+            elif m == "bmp":
                 images.append(cx.encode_bmp(img))
             else:
                 images.append(cx.encode_jpeg(img, quality=90))

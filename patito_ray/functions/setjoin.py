@@ -111,6 +111,59 @@ def _df_map(reps: Any, text_col: str, n: int) -> tuple[np.ndarray, np.ndarray]:
     return h[order], df[order].astype(np.int64)
 
 
+#: default pre-flight candidate budget: ~50M candidate verifications is
+#: minutes of work; past it the corpus is almost certainly the dense
+#: tiny-vocab regime where the exact join is Ω(output) and MinHash is
+#: the right tool.
+_DEFAULT_MAX_CANDIDATES = 50_000_000
+
+
+def _estimate_candidate_volume(rows_ds: Any) -> int:
+    """Exact candidate-pair volume Σ_key C(count, 2) of the prefix
+    blocking, from one (key -> count) partial merge (exchange bounded
+    by the distinct-prefix-key vocabulary, never by pairs). This is
+    precisely the number of per-key pairs `_bucket_pairs` would
+    enumerate, so it prices the detonation BEFORE any pair forms."""
+    import polars as pl
+
+    from patito_ray.stages.agg import merge_partial_sums
+
+    sch = pa.schema([("key", pa.int64()), ("c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sch.empty_table()
+        return (
+            pl.DataFrame({"key": t.column("key").to_numpy(zero_copy_only=False)})
+            .group_by("key")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+            .cast(sch)
+        )
+
+    merged = merge_partial_sums(
+        rows_ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["key"],
+        ["c"],
+    )
+    if isinstance(merged, pa.Table):
+        c = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return int((c * (c - 1) // 2).sum())
+    vol_sch = pa.schema([("v", pa.int64())])
+
+    def vol(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return vol_sch.empty_table()
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array([int((c * (c - 1) // 2).sum())])},
+                        schema=vol_sch)
+
+    parts = merged.map_batches(
+        vol, batch_format="pyarrow", batch_size=None
+    ).take_all()  # one 8-byte row per block
+    return int(sum(r["v"] for r in parts))
+
+
 def jaccard_threshold_pairs(
     ds: Any,
     id_col: str = "doc_id",
@@ -120,6 +173,7 @@ def jaccard_threshold_pairs(
     max_bucket: int | None = None,
     max_collision_keys: int = 10_000_000,
     num_partitions: int | None = None,
+    max_candidates: int | None = _DEFAULT_MAX_CANDIDATES,
 ) -> Any:
     """All id pairs whose lowercased RE2-token (``shingle_n=1``) or
     word-n-gram set Jaccard is >= ``threshold`` ->
@@ -136,7 +190,14 @@ def jaccard_threshold_pairs(
     corpora. On realistic web text (large vocab, sparse similarity)
     rare-token prefixes keep candidate volume near the true pair count
     — see ``scripts/scale_setjoin.py``. Set ``max_bucket`` to trade
-    exactness for a hard per-bucket bound."""
+    exactness for a hard per-bucket bound.
+
+    ``max_candidates`` is the round-5 pre-flight guard: after the
+    prefix pass (one vocabulary-bounded count merge, ZERO pairs
+    formed) the exact candidate volume Σ_key C(count, 2) is computed;
+    above the budget the join raises loudly, pointing at the MinHash
+    path, instead of detonating quadratically on a dense corpus.
+    ``max_candidates=None`` opts into unbounded exact cost."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     unbounded = max_bucket is None
@@ -204,6 +265,18 @@ def jaccard_threshold_pairs(
     rows_ds = reps.map_batches(
         prefix_rows, batch_format="pyarrow", batch_size=None
     ).materialize()
+    if max_candidates is not None:
+        est = _estimate_candidate_volume(rows_ds)
+        if est > max_candidates:
+            raise ValueError(
+                f"jaccard_threshold_pairs pre-flight: the prefix blocking "
+                f"would form ~{est:,} candidate pairs (> max_candidates="
+                f"{max_candidates:,}) — this corpus is in the dense "
+                f"tiny-vocab regime where the EXACT join is Ω(output). "
+                f"Use the approximate MinHash path "
+                f"(dedup.minhash_candidate_pairs / dedup_near) or pass "
+                f"max_candidates=None / a larger budget to accept the cost."
+            )
     hits, n_keys = _colliding_subset(rows_ds, max_collision_keys)
     pairs = _bucket_pairs(hits, id_col, max_bucket, n_keys_hint=n_keys)
     rep_pairs = verify_pairs_dataset(

@@ -15,6 +15,7 @@ get a small recursive codec. Bound values that are not JSON-native
 from __future__ import annotations
 
 import datetime
+import decimal
 import json
 from typing import Any
 
@@ -59,6 +60,10 @@ def dtype_to_json(t: pa.DataType | None) -> Any:
         return {"kind": "time32", "unit": t.unit}
     if pa.types.is_duration(t):
         return {"kind": "duration", "unit": t.unit}
+    if pa.types.is_decimal128(t):
+        return {"kind": "decimal128", "precision": t.precision, "scale": t.scale}
+    if pa.types.is_decimal256(t):
+        return {"kind": "decimal256", "precision": t.precision, "scale": t.scale}
     if pa.types.is_list(t):
         return {"kind": "list", "item": dtype_to_json(t.value_type)}
     if pa.types.is_large_list(t):
@@ -98,6 +103,10 @@ def dtype_from_json(d: Any) -> pa.DataType | None:
         return pa.time32(d["unit"])
     if kind == "duration":
         return pa.duration(d["unit"])
+    if kind == "decimal128":
+        return pa.decimal128(d["precision"], d["scale"])
+    if kind == "decimal256":
+        return pa.decimal256(d["precision"], d["scale"])
     if kind == "list":
         return pa.list_(dtype_from_json(d["item"]))
     if kind == "large_list":
@@ -127,6 +136,8 @@ def _value_to_json(v: Any) -> Any:
         import base64
 
         return {"$b": base64.b64encode(v).decode()}
+    if isinstance(v, decimal.Decimal):
+        return {"$dec": str(v)}
     return v
 
 
@@ -144,6 +155,8 @@ def _value_from_json(v: Any) -> Any:
             import base64
 
             return base64.b64decode(v["$b"])
+        if "$dec" in v:
+            return decimal.Decimal(v["$dec"])
     return v
 
 

@@ -641,6 +641,24 @@ def _example_value(spec: ColumnSpec) -> Any:
         if "multipleOf" in b:
             return float(b["multipleOf"])
         return 0.5
+    if cat == _dt.DECIMAL:
+        import decimal as _decimal
+
+        t = spec.default_dtype
+        scale = getattr(t, "scale", 0) or 0
+        quantum = _decimal.Decimal(1).scaleb(-scale)
+        lo = b.get("minimum", b.get("exclusiveMinimum"))
+        hi = b.get("maximum", b.get("exclusiveMaximum"))
+        v = _decimal.Decimal(0)
+        if lo is not None:
+            v = _decimal.Decimal(str(lo))
+            if "exclusiveMinimum" in b and "minimum" not in b:
+                v += quantum
+        elif hi is not None:
+            v = _decimal.Decimal(str(hi))
+            if "exclusiveMaximum" in b and "maximum" not in b:
+                v -= quantum
+        return v.quantize(quantum)
     if cat == _dt.BOOL:
         return False
     if cat == _dt.STRING or cat == _dt.ANY:

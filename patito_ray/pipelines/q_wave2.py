@@ -2700,7 +2700,7 @@ def q_json_props_agg(sf_dir: str) -> Any:
 
 SQL_JSON_PROPS_AGG = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n
 FROM events
 GROUP BY event_type

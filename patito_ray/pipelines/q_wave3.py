@@ -1030,14 +1030,24 @@ def q_top_unshipped_orders(sf_dir: str) -> Any:
             )
         )
 
-    out = (
+    joined = (
         pl.from_arrow(top)
         .join(pl.from_arrow(open_orders), left_on="l_orderkey", right_on="o_orderkey")
-        .with_columns((pl.col("rev4").cast(pl.Float64) / 10000.0).alias("revenue"))
-        .select(["l_orderkey", "revenue", "o_orderdate"])
+        .select(["l_orderkey", "rev4", "o_orderdate"])
         .to_arrow()
     )
-    return out
+    # polars' columnar scalar division compiles to a reciprocal
+    # MULTIPLY (x * 1/10000.0) — 1 ulp off DuckDB's true division on
+    # ~half of all values, hash-fatal; pc.divide is a real IEEE divide
+    return pa.table(
+        {
+            "l_orderkey": joined.column("l_orderkey"),
+            "revenue": pc.divide(
+                pc.cast(joined.column("rev4"), pa.float64()), 10000.0
+            ),
+            "o_orderdate": joined.column("o_orderdate"),
+        }
+    )
 
 
 SQL_TOP_UNSHIPPED_ORDERS = """
@@ -2113,7 +2123,12 @@ def q_jaccard_join(sf_dir: str) -> Any:
     from patito_ray.functions.setjoin import jaccard_threshold_pairs
 
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
-    out = jaccard_threshold_pairs(ds, threshold=0.8, shingle_n=1)
+    # the synthetic documents table IS the dense tiny-vocab corpus the
+    # pre-flight guard exists for; the oracle query opts into the exact
+    # Ω(output) cost explicitly
+    out = jaccard_threshold_pairs(
+        ds, threshold=0.8, shingle_n=1, max_candidates=None
+    )
     return _lazy_norm(
         out,
         pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),

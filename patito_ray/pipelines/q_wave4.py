@@ -177,9 +177,10 @@ def q_weighted_stats(sf_dir: str) -> Any:
 
 SQL_WEIGHTED_STATS = """
 SELECT l_returnflag,
-       SUM(CAST(l_quantity AS BIGINT)) AS w,
-       SUM(CAST(l_quantity AS BIGINT)
-           * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS wsum_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w,
+       CAST(SUM(CAST(l_quantity AS BIGINT)
+                * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS wsum_cents,
        CAST(SUM(CAST(l_quantity AS BIGINT)
                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
        / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0 AS wavg_price
@@ -707,7 +708,7 @@ w AS (
   FROM iv
 )
 SELECT user_id,
-       SUM(GREATEST(e - GREATEST(s, COALESCE(pcm, s)), 0)) AS covered_us
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pcm, s)), 0)) AS BIGINT) AS covered_us
 FROM w GROUP BY user_id
 """
 
@@ -1289,7 +1290,7 @@ WITH w AS (
   FROM events
 )
 SELECT COALESCE(channel, 'none') AS channel, COUNT(*) AS n,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM w WHERE event_type = 'purchase' GROUP BY 1
 """
 

@@ -2853,3 +2853,123 @@ FROM agg
 """
 
 QUERIES["seasonal_strength"] = (q_seasonal_strength, SQL_SEASONAL_STRENGTH)
+
+
+def q_decimal_revenue(sf_dir: str) -> pa.Table:
+    """Beyond-reference decimal128 surface (the reference raises on
+    pl.Decimal — _pydantic/dtypes/dtypes.py:245-248): per-returnflag
+    revenue on EXACT decimal arithmetic. Each batch casts the float
+    price onto decimal128(12,2) (the corpus prices live on the cents
+    grid, so the cast is unambiguous on both engines) and emits its
+    decimal partial sum as an unscaled-int partial row; the driver
+    folds Python Decimals (exact, associative). The exchange is one
+    ~16 B row per (batch, flag) — flag cardinality is 3."""
+    import decimal as _dec
+
+    ds = _rp(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    part_sch = pa.schema([("l_returnflag", pa.string()), ("s", pa.string())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_sch.empty_table()
+        import polars as pl
+
+        dec = pc.cast(
+            t.column("l_extendedprice"), pa.decimal128(12, 2), safe=False
+        )
+        flags = []
+        sums = []
+        tt = pa.table({"f": t.column("l_returnflag"), "d": dec})
+        for f in pc.unique(tt.column("f")).to_pylist():
+            sub = tt.filter(pc.equal(tt.column("f"), f))
+            flags.append(f)
+            sums.append(str(pc.sum(sub.column("d")).as_py()))
+        return pa.table({"l_returnflag": flags, "s": sums}, schema=part_sch)
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # one tiny row per (batch, flag)
+    acc: dict[str, _dec.Decimal] = {}
+    for r in rows:
+        acc[r["l_returnflag"]] = acc.get(
+            r["l_returnflag"], _dec.Decimal(0)
+        ) + _dec.Decimal(r["s"])
+    flags = sorted(acc)
+    q = _dec.Decimal("0.01")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "revenue_dec": pa.array(
+                [str(acc[f].quantize(q)) for f in flags], pa.string()
+            ),
+        }
+    )
+
+
+SQL_DECIMAL_REVENUE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+         AS revenue_dec
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["decimal_revenue"] = (q_decimal_revenue, SQL_DECIMAL_REVENUE)
+
+
+def q_unigram_tokens(sf_dir: str) -> pa.Table:
+    """Unigram-LM (SentencePiece-style) tokenizer: train a piece
+    vocabulary over documents.text (hard-EM over the distinct-word
+    table — functions/unigram.py), then encode the corpus with the
+    actor-pool stage and report the total piece count plus the top
+    multi-char pieces. Rows-only: SQL cannot express the EM/Viterbi
+    recursion (verified instead by the pure-Python reference parity
+    suite in tests/test_unigram.py)."""
+    from patito_ray.functions.unigram import (
+        train_unigram,
+        unigram_encode_dataset,
+    )
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    model = train_unigram(
+        ds, vocab_size=160, seed_size=1500, max_piece_len=8, em_rounds=2
+    )
+    enc = unigram_encode_dataset(
+        _rp(sf_dir, "documents", ["doc_id", "text"]),
+        model,
+        ids=False,
+        out_col="n_pieces",
+    )
+    sch = pa.schema([("k", pa.int64()), ("n", pa.int64())])
+    parts = enc.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array(
+                    [int(pc.sum(t.column("n_pieces")).as_py() or 0)], pa.int64()
+                ),
+            },
+            schema=sch,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    tot = merge_partial_sums(parts, ["k"], ["n"], limit_bytes=1 << 30)
+    if not isinstance(tot, pa.Table):
+        tot = collect_table(tot, empty_schema=sch)
+    n_total = int(tot.column("n")[0].as_py()) if tot.num_rows else 0
+    multi = model.filter(
+        pc.greater(pc.utf8_length(model.column("piece")), 1)
+    ).slice(0, 20)
+    k = multi.num_rows
+    return pa.table(
+        {
+            "piece": multi.column("piece"),
+            "logp": _ra(multi.column("logp"), 6),
+            "total_pieces": pa.array([n_total] * k, pa.int64()),
+            "vocab_size": pa.array([model.num_rows] * k, pa.int64()),
+        }
+    )
+
+
+QUERIES["unigram_tokens"] = (q_unigram_tokens, None)

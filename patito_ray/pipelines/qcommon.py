@@ -56,11 +56,15 @@ def _apply(final: Any, fn: Callable[[pa.Table], pa.Table]) -> Any:
 
 
 def _r(arr: Any, nd: int) -> Any:
-    """DuckDB-compatible rounding: ROUND on DOUBLE is half-AWAY-from-
-    zero, while pc.round/np.round default to half-to-even — a dyadic
-    midpoint (e.g. an avg with a power-of-two count) would differ in
-    the last digit and hash-mismatch the oracle."""
-    return pc.round(arr, ndigits=nd, round_mode="half_towards_infinity")
+    """DuckDB-bit-identical rounding: floor(|x|·10^nd + ½)/10^nd with
+    the sign restored — DuckDB's own DOUBLE ROUND algorithm (verified
+    bit-equal on 8k random values at nd ≤ 6). Round 5 retired the old
+    pc.round(half_towards_infinity) body: at money magnitudes pc.round
+    RETURNS ITS INPUT (527868276.59000003 stays …03), so a 1-ulp
+    summation-order skew in the pre-round double survived rounding and
+    hash-mismatched the oracle, while the floor formula collapses both
+    inputs to the same post-round double."""
+    return _ra(arr, nd)
 
 
 def _rf(v: float, nd: int) -> float:
@@ -72,14 +76,26 @@ def _rf(v: float, nd: int) -> float:
 
 def _ra(arr: Any, nd: int) -> Any:
     """Vectorized `_rf` — bit-exact with DuckDB's DOUBLE ROUND
-    (floor(|x|*10^nd + 0.5)/10^nd). At nd >= 9, `_r`'s pc.round
+    (floor(|x|*10^nd + 0.5)/10^nd). At nd >= 9, pc.round's
     half_towards_infinity lands one ulp AWAY from DuckDB's quotient
     (e.g. 3e-4: pc.round returns the input, DuckDB returns the nearest
-    double to the decimal) — hash-fatal; use this for high-precision
-    columns."""
+    double to the decimal) — hash-fatal. Nulls stay NULLS (to_numpy
+    turns them into NaN, which SQL ROUND(NULL) would report as NULL —
+    the mask restores them)."""
     f = 10.0 ** nd
-    x = (arr.to_numpy(zero_copy_only=False) if not isinstance(arr, np.ndarray) else arr).astype(np.float64)
-    return pa.array(np.copysign(np.floor(np.abs(x) * f + 0.5), x) / f, type=pa.float64())
+    if isinstance(arr, np.ndarray):
+        return pa.array(
+            np.copysign(np.floor(np.abs(arr.astype(np.float64)) * f + 0.5), arr) / f,
+            type=pa.float64(),
+        )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    out = np.copysign(np.floor(np.abs(x) * f + 0.5), x) / f
+    if arr.null_count:
+        mask = np.asarray(pc.is_null(arr))
+        return pa.array(out, type=pa.float64(), mask=mask)
+    return pa.array(out, type=pa.float64())
 
 
 def _lazy_norm(ds: Any, schema: pa.Schema, round_col: str | None = None, nd: int = 4) -> Any:

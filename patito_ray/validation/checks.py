@@ -163,7 +163,14 @@ def check_batch(
 
         deferred_struct = cs.is_struct or cs.is_list_of_struct
         if not deferred_struct and cs.resolved is not None:
-            if not _dt.valid_dtype(cs.category, cs.resolved, actual_type):
+            if cs.dtype_forced and cs.default_dtype is not None:
+                # Field(dtype=...) pins the EXACT physical dtype
+                # (reference semantics: a forced dtype narrows the
+                # valid set to itself — pydantic.py Field dtype kwarg);
+                # the annotation family check applies otherwise
+                if actual_type != cs.default_dtype:
+                    p.schema_errors.add((loc, "dtype", str(actual_type)))
+            elif not _dt.valid_dtype(cs.category, cs.resolved, actual_type):
                 p.schema_errors.add((loc, "dtype", str(actual_type)))
 
         # enum / allowed values (validators.py:407-439)

@@ -1,0 +1,91 @@
+"""Out-of-core evidence run (VERDICT r4 item 5): full webpage
+validation over a corpus LARGER than the object store, recording wall
+time, throughput, driver RSS, and object-store spill stats.
+
+The 100x-scale claim rests on every exchange being bounded; this run
+measures it under real memory pressure instead of arguing it: 300M
+pages (~41 GB parquet, ~3x the configured object store below)
+streaming through the fused validation pass including the uniqueness
+blob exchange.
+
+Run: taskset -c 0-15 python scripts/scale_oom.py [n_pages] [store_gb]
+"""
+
+from __future__ import annotations
+
+import os
+import resource
+import sys
+import time
+
+N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000_000
+STORE_GB = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
+NCPU = 16
+
+
+def main() -> None:
+    os.environ.setdefault("POLARS_MAX_THREADS", str(NCPU))
+    try:
+        os.sched_setaffinity(0, set(range(NCPU)))
+    except OSError:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import ensure_corpus  # cached deterministic corpus
+
+    from patito_ray.generate import CORPUS_VERSION  # noqa: F401
+
+    t0 = time.time()
+    corpus = ensure_corpus(N_PAGES)
+    t_gen = time.time() - t0
+    size_gb = sum(
+        os.path.getsize(f"{corpus}/{f}") for f in os.listdir(corpus)
+    ) / 2**30
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        logging_level="ERROR",
+        object_store_memory=int(STORE_GB * 2**30),
+        runtime_env={"env_vars": {"POLARS_MAX_THREADS": "2"}},
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as rd
+
+    from patito_ray.pipelines.webpage import validate_webpages
+
+    t0 = time.time()
+    summary = validate_webpages(
+        rd.read_parquet(corpus, override_num_blocks=8 * NCPU)
+    )
+    wall = time.time() - t0
+    assert summary["row_count"] == N_PAGES, summary
+
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+    from ray._private.internal_api import memory_summary
+
+    stats = memory_summary(stats_only=True)
+    spilled = [ln for ln in stats.splitlines() if "Spilled" in ln or "spill" in ln.lower()]
+    print(
+        f"\npages={N_PAGES:,} parquet={size_gb:.1f}GB store={STORE_GB}GB "
+        f"gen={t_gen:.0f}s"
+    )
+    print(
+        f"validated in {wall:.1f}s = {N_PAGES/wall/1e6:.2f}M rows/s "
+        f"(num_cpus={NCPU}); driver peak RSS {rss_gb:.2f} GB"
+    )
+    print("spill stats:", spilled or ["(no spill lines)"])
+    print(stats)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

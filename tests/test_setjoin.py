@@ -102,3 +102,52 @@ def test_jaccard_join_threshold_guard(ray_session):
     )
     with pytest.raises(ValueError, match="threshold"):
         jaccard_threshold_pairs(ds, threshold=0.0)
+
+
+def test_jaccard_join_preflight_raises_on_dense_corpus(ray_session):
+    """Round-5 guard: a dense tiny-vocab corpus (every doc shares the
+    same few tokens, candidates ~ C(n,2)) must raise the pre-flight
+    ValueError pointing at the MinHash path BEFORE any pair forms —
+    while an explicit max_candidates=None opt-in still runs exactly."""
+    import ray.data as rd
+
+    n = 60  # C(60,2) = 1770 candidates per shared prefix token
+    # each doc distinct (identity_groups would compact exact dups)
+    texts = [f"alpha beta gamma delta u{i}" for i in range(n)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="minhash"):
+        jaccard_threshold_pairs(ds, threshold=0.8, max_candidates=100)
+
+    # opt-out still exact: at threshold 0.6 every pair shares 4 of 6
+    # tokens (jaccard 2/3), so all C(n,2) pairs qualify
+    out = _collect(
+        jaccard_threshold_pairs(ds, threshold=0.6, max_candidates=None)
+    )
+    assert len(out) == n * (n - 1) // 2
+    assert all(abs(j - 2.0 / 3.0) < 1e-9 for j in out.values())
+
+
+def test_jaccard_join_preflight_sparse_corpus_unaffected(ray_session):
+    """Rare-token regime: disjoint vocabularies produce zero colliding
+    prefixes, so the default budget never triggers."""
+    import ray.data as rd
+
+    n = 40
+    texts = [f"u{i}a u{i}b u{i}c u{i}d" for i in range(n)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    out = _collect(jaccard_threshold_pairs(ds, threshold=0.8))
+    assert out == {}
