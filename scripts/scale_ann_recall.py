@@ -87,12 +87,12 @@ def main() -> None:
         t_brute = time.time() - t0
         truth = {}
         for r in brute.to_pylist():
-            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
 
         def recall(res) -> float:
             got = {}
             for r in res.to_pylist():
-                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
             return float(
                 np.mean([
                     len(got.get(q, set()) & truth[q]) / len(truth[q])

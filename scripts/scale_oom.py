@@ -31,18 +31,36 @@ def main() -> None:
         pass
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import ensure_corpus  # cached deterministic corpus
+    from bench import BENCH_TMP
 
-    from patito_ray.generate import CORPUS_VERSION  # noqa: F401
+    from patito_ray.generate import CORPUS_VERSION, write_webpages
 
+    # bench's cache layout, but blocks scale with n (fixed 64 blocks at
+    # 300M rows makes ~5M-row generation tasks that look hung under
+    # host thrash — the round-3 blocks=256 lesson)
+    corpus = f"{BENCH_TMP}/webpages_{N_PAGES}_v{CORPUS_VERSION}"
+    marker = f"{corpus}/_SUCCESS"
     t0 = time.time()
-    corpus = ensure_corpus(N_PAGES)
+    import ray
+
+    if not os.path.exists(marker):
+        import shutil
+
+        if os.path.isdir(corpus):
+            shutil.rmtree(corpus)
+        os.makedirs(BENCH_TMP, exist_ok=True)
+        # generation gets its own Ray session (full-size object store);
+        # the pressured session below re-inits with the small one
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 logging_level="ERROR")
+        write_webpages(corpus, N_PAGES, blocks=max(64, N_PAGES // 1_000_000))
+        with open(marker, "w") as f:
+            f.write("ok")
+        ray.shutdown()
     t_gen = time.time() - t0
     size_gb = sum(
         os.path.getsize(f"{corpus}/{f}") for f in os.listdir(corpus)
     ) / 2**30
-
-    import ray
 
     ray.init(
         address="local",

@@ -1389,6 +1389,53 @@ def test_ivf_topk_recall(ray_session):
     assert recall >= 0.8, recall
 
 
+def test_ivf_default_nprobe_recall_clustered(ray_session):
+    """The defaults (n_probe=8) are justified by the realistic regime
+    (scripts/scale_ann_recall.py — mixture-of-Gaussians on the unit
+    sphere): recall@10 >= 0.95 at a 256-centroid-equivalent probe
+    fraction. Mirrors the BASELINE.md clustered-recall table at small
+    scale (20k vectors, 64 centroids, same probe fraction 1/32..1/8)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n, d, n_clusters = 20_000, 32, 60
+    centers = rng.standard_normal((n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = rng.integers(0, n_clusters, n)
+    vecs = centers[which] + 0.25 * rng.standard_normal((n, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8).materialize()
+    qids = np.arange(50, dtype=np.int64)
+    qvecs = vecs[rng.choice(n, 50, replace=False)] + 0.05 * rng.standard_normal(
+        (50, d)
+    )
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    exact = f_sim.topk_cosine(ds, qids, qvecs, k=10)
+    centroids, assigned = f_sim.ivf_build(ds, n_centroids=64, sample_size=8000)
+    assigned = assigned.materialize()
+    want = set(
+        zip(exact.column("query_id").to_pylist(),
+            exact.column("neighbor_id").to_pylist())
+    )
+    approx = f_sim.topk_cosine_ivf(
+        assigned, centroids, qids, qvecs, k=10, n_probe=8
+    )
+    got = set(
+        zip(approx.column("query_id").to_pylist(),
+            approx.column("neighbor_id").to_pylist())
+    )
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, recall
+
+
 def test_winnow_fingerprints_guarantee():
     """Winnowing guarantee: shared token runs >= w+k-1 produce a shared
     fingerprint; disjoint texts share nothing; short docs contribute."""
