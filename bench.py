@@ -434,6 +434,7 @@ def run_bench() -> dict:
         # --- round 5 ---
         "decimal_revenue",
         "unigram_tokens",
+        "index_near_dups",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

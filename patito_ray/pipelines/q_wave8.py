@@ -2973,3 +2973,84 @@ def q_unigram_tokens(sf_dir: str) -> pa.Table:
 
 
 QUERIES["unigram_tokens"] = (q_unigram_tokens, None)
+
+
+def q_index_near_dups(sf_dir: str) -> Any:
+    """Persisted incremental MinHash-LSH index end-to-end: build the
+    index over the EVEN documents (one streaming pass, range-
+    partitioned band keys on disk), query the ODD documents against it
+    (partition-pruned reads, nothing corpus-sized moves), then
+    exact-verify the candidates — pairs with word-3-gram jaccard >=
+    0.8. At bands=32/r=4 candidate recall is > 1-1e-12, so the result
+    equals the oracle's exhaustive odd x even cross scan
+    (functions/minhashindex.py)."""
+    from patito_ray.functions.dedup import verify_pairs_dataset
+    from patito_ray.functions.minhashindex import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    def side(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids & 1) == parity))
+
+        return fn
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    even = ds.map_batches(side(0), batch_format="pyarrow", batch_size=None)
+    odd = ds.map_batches(side(1), batch_format="pyarrow", batch_size=None)
+    idx_dir = _tmp_dir("mhidx", sf_dir)
+    build_minhash_index(even, idx_dir, bands=32, overwrite=True)
+    cand = query_minhash_index(idx_dir, odd, max_bucket=10_000)
+    if isinstance(cand, pa.Table):
+        import ray.data as rd
+
+        cand = rd.from_arrow(cand)
+    verified = verify_pairs_dataset(
+        _rp(sf_dir, "documents", ["doc_id", "text"]),
+        cand,
+        threshold=0.8,
+        shingle_n=3,
+    )
+    return _lazy_norm(
+        verified,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]),
+        round_col="jaccard",
+    )
+
+
+SQL_INDEX_NEAR_DUPS = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ts FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i, len(ts) AS n
+  FROM tok
+),
+g3 AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram,
+         i, n
+  FROM flat WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+long_grams AS (
+  SELECT doc_id, list(DISTINCT gram) AS gs FROM g3 WHERE i + 2 <= n GROUP BY doc_id
+),
+grams AS (
+  SELECT t.doc_id,
+         COALESCE(lg.gs,
+                  CASE WHEN len(t.ts) >= 1 THEN [array_to_string(t.ts, ' ')]
+                       ELSE [] END) AS gs
+  FROM tok t LEFT JOIN long_grams lg ON t.doc_id = lg.doc_id
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.gs, y.gs)) AS ni,
+         len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS nu
+  FROM grams x JOIN grams y ON x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+)
+SELECT a, b, ROUND(CAST(ni AS DOUBLE) / nu, 4) AS jaccard
+FROM cand WHERE nu > 0 AND CAST(ni AS DOUBLE) / nu >= 0.8
+"""
+
+QUERIES["index_near_dups"] = (q_index_near_dups, SQL_INDEX_NEAR_DUPS)

@@ -88,20 +88,30 @@ def main() -> None:
     assert summary["row_count"] == N_PAGES, summary
 
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
-    from ray._private.internal_api import memory_summary
 
-    stats = memory_summary(stats_only=True)
-    spilled = [ln for ln in stats.splitlines() if "Spilled" in ln or "spill" in ln.lower()]
+    # spill evidence straight from the session dir (grpc-free):
+    # spilled objects land under <session>/ray_spilled_objects*; raylet
+    # logs carry the "Spilled N MiB, M objects" counters
+    import glob
+
+    sess = ray._private.worker._global_node.get_session_dir_path()
+    spill_files = glob.glob(f"{sess}/**/ray_spilled_objects*/*", recursive=True)
+    spill_gb = sum(os.path.getsize(f) for f in spill_files) / 2**30
+    spill_lines: list[str] = []
+    for lf in glob.glob(f"{sess}/logs/raylet.out"):
+        with open(lf, errors="replace") as fh:
+            spill_lines += [ln.strip() for ln in fh if "Spilled" in ln][-3:]
     print(
         f"\npages={N_PAGES:,} parquet={size_gb:.1f}GB store={STORE_GB}GB "
         f"gen={t_gen:.0f}s"
     )
     print(
         f"validated in {wall:.1f}s = {N_PAGES/wall/1e6:.2f}M rows/s "
-        f"(num_cpus={NCPU}); driver peak RSS {rss_gb:.2f} GB"
+        f"(num_cpus={NCPU}); driver peak RSS {rss_gb:.2f} GB; "
+        f"spilled {spill_gb:.2f} GB across {len(spill_files)} files"
     )
-    print("spill stats:", spilled or ["(no spill lines)"])
-    print(stats)
+    for ln in spill_lines[-3:]:
+        print("raylet:", ln[:200])
     ray.shutdown()
 
 

