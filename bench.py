@@ -435,6 +435,7 @@ def run_bench() -> dict:
         "decimal_revenue",
         "unigram_tokens",
         "index_near_dups",
+        "pq_search",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

@@ -3054,3 +3054,33 @@ FROM cand WHERE nu > 0 AND CAST(ni AS DOUBLE) / nu >= 0.8
 """
 
 QUERIES["index_near_dups"] = (q_index_near_dups, SQL_INDEX_NEAR_DUPS)
+
+
+def q_pq_search(sf_dir: str) -> pa.Table:
+    """Product-quantized ANN end-to-end (functions/pq.py): train
+    per-subspace codebooks on a bounded sample, compress the corpus to
+    m-byte codes (one map_batches), answer a wide ADC candidate list
+    from codes alone, exact-rerank the bounded candidate subset.
+    Rows-only: the ADC stage is approximate by design (the exactness
+    property and recall bounds live in tests/test_pq.py)."""
+    import numpy as np
+
+    from patito_ray.functions.pq import pq_encode, pq_search, pq_train
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 3)),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+    q.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    qvecs = np.array([r["embedding"] for r in q], dtype=np.float64)
+    books = pq_train(ds, m=8, k=64, sample_size=20_000)
+    enc = pq_encode(ds, books).materialize()
+    return pq_search(
+        enc, books, qids, qvecs, k=5, rerank_ds=ds, rerank_factor=10
+    )
+
+
+QUERIES["pq_search"] = (q_pq_search, None)
