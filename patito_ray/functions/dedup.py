@@ -2428,9 +2428,10 @@ def fuzzy_link(
     survives the pair exchange at zero extra width), candidates form
     via the partitioned key-run scan, and same-side pairs are dropped
     BEFORE the payload join — the expensive exact-verify exchange only
-    ever carries cross-corpus candidates. At bands=32/r=4 the candidate
-    recall for j >= 0.8 is > 1-1e-12, so the verified set equals an
-    exhaustive cross scan.
+    ever carries cross-corpus candidates. At bands=32/r=4 the per-pair
+    candidate miss probability at j=0.8 is (1-0.8^4)^32 ~ 5e-8
+    (vanishing for higher jaccard), so the verified set equals an
+    exhaustive cross scan up to that probability.
     """
     import pyarrow.compute as _pc
 

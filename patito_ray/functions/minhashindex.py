@@ -20,13 +20,15 @@ records (num_perm, bands, partition bits, refresh counter).
 Verification: candidates from the index equal
 ``minhash_candidate_pairs`` restricted to new x old (pytest); the
 ``index_near_dups`` query exact-verifies candidates and matches an
-exhaustive SQL jaccard cross-scan at bands=32 (recall > 1-1e-12 at
-j >= 0.8, the fuzzy_link argument).
+exhaustive SQL jaccard cross-scan at bands=32 (per-pair miss
+probability (1-0.8^4)^32 ~ 5e-8 at j = 0.8, vanishing for higher
+jaccard).
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 from typing import Any
@@ -36,6 +38,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from patito_ray.functions.dedup import _splitmix, band_rows
+
+_LOG = logging.getLogger(__name__)
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -110,7 +114,13 @@ def build_minhash_index(
             .to_arrow()
         )
         final = os.path.join(tmp, f"part-{pid:05d}.parquet")
-        hidden = os.path.join(tmp, f".tmp-{pid:05d}")
+        # mkstemp: duplicate/speculative attempts of the same group get
+        # DISTINCT hidden tmp files — no interleaved writes can ever be
+        # published by the atomic rename
+        import tempfile
+
+        fd, hidden = tempfile.mkstemp(prefix=f".tmp-{pid:05d}-", dir=tmp)
+        os.close(fd)
         pq.write_table(body, hidden)
         os.replace(hidden, final)
         return pa.table(
@@ -151,19 +161,29 @@ def _meta(index_dir: str) -> dict:
 def query_minhash_index(
     index_dir: str,
     new_docs: Any,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str | None = None,
+    text_col: str | None = None,
     max_bucket: int = 200,
 ) -> Any:
     """Candidate near-dup pairs of NEW docs against the indexed corpus
     -> Dataset[a:int64 (new id), b:int64 (indexed id)] distinct.
+
+    ``id_col``/``text_col`` default to the names the index was BUILT
+    with (recorded in ``_INDEX.json``) — pass them only when the new
+    batch uses different column names.
 
     The new side's (key, id) rows collect to the driver (bounded:
     |new batch| x bands x 16 B — the INCREMENT is the small side by
     definition); its keys select index partitions by range (pruning:
     only those files are opened) with an ``is_in`` row-group filter,
     and each index batch hash-joins against the broadcast new table.
-    Nothing corpus-sized moves."""
+    Nothing corpus-sized moves.
+
+    ``max_bucket`` is the hot-key guard (minhash_candidate_pairs
+    contract): a band key with more than ``max_bucket`` rows on EITHER
+    side is dropped with a logged warning before any pair forms — a
+    boilerplate-heavy key would otherwise emit |new| x |indexed| pairs
+    in one join."""
     import glob
 
     import polars as pl
@@ -172,6 +192,8 @@ def query_minhash_index(
 
     meta = _meta(index_dir)
     bits = meta["partition_bits"]
+    id_col = meta["id_col"] if id_col is None else id_col
+    text_col = meta["text_col"] if text_col is None else text_col
 
     parts = [
         t
@@ -190,6 +212,24 @@ def query_minhash_index(
     new_rows = (
         pl.from_arrow(pa.concat_tables(parts)).unique().to_arrow()
     )
+    # new-side hot keys: exact counts are driver-local already
+    kcnt = (
+        pl.from_arrow(new_rows)
+        .group_by("key")
+        .len()
+        .filter(pl.col("len") > max_bucket)
+    )
+    if kcnt.height:
+        _LOG.warning(
+            "query_minhash_index: dropping %d band keys with > %d new-side "
+            "rows (hot-key guard)", kcnt.height, max_bucket,
+        )
+        hot = pa.array(kcnt["key"].to_list(), pa.int64())
+        new_rows = new_rows.filter(
+            pc.invert(pc.is_in(new_rows.column("key"), value_set=hot))
+        )
+        if new_rows.num_rows == 0:
+            return empty
     keys = new_rows.column("key").to_numpy(zero_copy_only=False)
     pids = np.unique(_pid_of(keys, bits))
     files = [
@@ -204,7 +244,45 @@ def query_minhash_index(
 
     idx = clean_read_parquet(
         files, filter=pc.field("key").isin(pa.array(np.unique(keys), pa.int64()))
+    ).materialize()  # consumed twice: hot-key count pass + join pass
+
+    # indexed-side hot keys: one vocabulary-bounded count merge over
+    # the (already key-filtered) subset
+    from patito_ray.stages.agg import collect_table, merge_partial_sums
+
+    cnt_sch = pa.schema([("key", pa.int64()), ("c", pa.int64())])
+
+    def count_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return cnt_sch.empty_table()
+        return (
+            pl.from_arrow(t.select(["key"]))
+            .group_by("key")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+            .cast(cnt_sch)
+        )
+
+    merged = merge_partial_sums(
+        idx.map_batches(count_keys, batch_format="pyarrow", batch_size=None),
+        ["key"],
+        ["c"],
     )
+    if not isinstance(merged, pa.Table):
+        merged = collect_table(merged, empty_schema=cnt_sch)
+    hot_old = merged.filter(pc.greater(merged.column("c"), max_bucket))
+    if hot_old.num_rows:
+        _LOG.warning(
+            "query_minhash_index: dropping %d band keys with > %d indexed "
+            "rows (hot-key guard)", hot_old.num_rows, max_bucket,
+        )
+        new_rows = new_rows.filter(
+            pc.invert(
+                pc.is_in(new_rows.column("key"), value_set=hot_old.column("key"))
+            )
+        )
+        if new_rows.num_rows == 0:
+            return empty
     ref = ray.put(new_rows)
 
     def join(t: pa.Table) -> pa.Table:
@@ -316,7 +394,14 @@ def refresh_minhash_index(index_dir: str, new_docs: Any) -> dict[str, Any]:
             before = existing.num_rows
         merged = pl.concat(frames).unique().sort(["key", "doc_id"]).to_arrow()
         merged = merged.replace_schema_metadata({"refresh_id": rid})
-        tmp = f"{index_dir}/.tmp-{p:05d}"
+        # mkstemp in the LIVE index dir: two concurrent attempts of the
+        # same fold (zombie worker + retry) write distinct hidden files
+        # and each publishes a complete one atomically; dataset reads
+        # skip dot-files, so orphans cannot poison queries
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(prefix=f".tmp-{p:05d}-", dir=index_dir)
+        os.close(fd)
         pq.write_table(merged, tmp)
         os.replace(tmp, path)
         return merged.num_rows - before

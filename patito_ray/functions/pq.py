@@ -193,11 +193,12 @@ def pq_search(
         )
         # pq_search never excludes self-matches (query ids are not
         # assumed to live in the corpus id space) — keep the rerank
-        # pass consistent with the ADC pass
+        # pass consistent with the ADC pass; and both modes return the
+        # SAME columns (query_id, neighbor_id, rank)
         return topk_cosine(
             sub, query_ids, query_vecs, k=k, id_col=id_col, vec_col=vec_col,
             exclude_self=False,
-        )
+        ).select(["query_id", "neighbor_id", "rank"])
 
     qv = _unit(np.asarray(query_vecs, dtype=np.float64))
     m, kk, sub = codebooks.shape
@@ -237,6 +238,32 @@ def pq_search(
         )
 
     partials = encoded.map_batches(score, batch_format="pyarrow", batch_size=None)
+    if len(np.asarray(query_ids)) >= 1024:
+        # many queries: the per-row driver heap would dominate — reuse
+        # the distributed grouped-top-k finalize (same ordering
+        # contract: score desc, neighbor_id asc), the topk_cosine
+        # "auto" branch's shape
+        from patito_ray.stages.topk import grouped_top_k
+
+        topk_ds = grouped_top_k(
+            partials, group="query_id", value="score", k=k, tie="neighbor_id"
+        )
+        tables = [
+            t.select(["query_id", "neighbor_id", "rank"])
+            for t in topk_ds.iter_batches(batch_format="pyarrow")
+            if t.num_rows
+        ]
+        if not tables:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(tables).sort_by(
+            [("query_id", "ascending"), ("rank", "ascending")]
+        )
     heaps: dict[int, list] = {int(q): [] for q in np.asarray(query_ids)}
     for b in partials.iter_batches(batch_format="pyarrow"):
         for row in b.to_pylist():

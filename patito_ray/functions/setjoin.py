@@ -118,12 +118,15 @@ def _df_map(reps: Any, text_col: str, n: int) -> tuple[np.ndarray, np.ndarray]:
 _DEFAULT_MAX_CANDIDATES = 50_000_000
 
 
-def _estimate_candidate_volume(rows_ds: Any) -> int:
-    """Exact candidate-pair volume Σ_key C(count, 2) of the prefix
-    blocking, from one (key -> count) partial merge (exchange bounded
-    by the distinct-prefix-key vocabulary, never by pairs). This is
-    precisely the number of per-key pairs `_bucket_pairs` would
-    enumerate, so it prices the detonation BEFORE any pair forms."""
+def _estimate_candidate_volume(rows_ds: Any, cap: int = 2**62) -> int:
+    """Exact candidate-pair volume Σ_key C(min(count, cap), 2) of the
+    prefix blocking, from one (key -> count) partial merge (exchange
+    bounded by the distinct-prefix-key vocabulary, never by pairs).
+    With ``cap`` set to the caller's ``max_bucket`` this is precisely
+    the number of per-key pairs `_bucket_pairs` will enumerate (it
+    truncates buckets at max_bucket), so it prices the detonation
+    BEFORE any pair forms — and a finite max_bucket that already
+    bounds the cost does not spuriously trip the guard."""
     import polars as pl
 
     from patito_ray.stages.agg import merge_partial_sums
@@ -148,6 +151,7 @@ def _estimate_candidate_volume(rows_ds: Any) -> int:
     )
     if isinstance(merged, pa.Table):
         c = merged.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.minimum(c, cap)
         return int((c * (c - 1) // 2).sum())
     vol_sch = pa.schema([("v", pa.int64())])
 
@@ -155,6 +159,7 @@ def _estimate_candidate_volume(rows_ds: Any) -> int:
         if t.num_rows == 0 or "c" not in t.column_names:
             return vol_sch.empty_table()
         c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.minimum(c, cap)
         return pa.table({"v": pa.array([int((c * (c - 1) // 2).sum())])},
                         schema=vol_sch)
 
@@ -266,7 +271,7 @@ def jaccard_threshold_pairs(
         prefix_rows, batch_format="pyarrow", batch_size=None
     ).materialize()
     if max_candidates is not None:
-        est = _estimate_candidate_volume(rows_ds)
+        est = _estimate_candidate_volume(rows_ds, cap=max_bucket)
         if est > max_candidates:
             raise ValueError(
                 f"jaccard_threshold_pairs pre-flight: the prefix blocking "

@@ -651,12 +651,19 @@ def _example_value(spec: ColumnSpec) -> Any:
         hi = b.get("maximum", b.get("exclusiveMaximum"))
         v = _decimal.Decimal(0)
         if lo is not None:
-            v = _decimal.Decimal(str(lo))
-            if "exclusiveMinimum" in b and "minimum" not in b:
+            # quantize TOWARD the feasible side: a minimum off the
+            # scale grid (ge=0.005 at scale 2) must round UP, or the
+            # example violates the model's own bound
+            v = _decimal.Decimal(str(lo)).quantize(
+                quantum, rounding=_decimal.ROUND_CEILING
+            )
+            if "exclusiveMinimum" in b and "minimum" not in b and v <= _decimal.Decimal(str(lo)):
                 v += quantum
         elif hi is not None:
-            v = _decimal.Decimal(str(hi))
-            if "exclusiveMaximum" in b and "maximum" not in b:
+            v = _decimal.Decimal(str(hi)).quantize(
+                quantum, rounding=_decimal.ROUND_FLOOR
+            )
+            if "exclusiveMaximum" in b and "maximum" not in b and v >= _decimal.Decimal(str(hi)):
                 v -= quantum
         return v.quantize(quantum)
     if cat == _dt.BOOL:

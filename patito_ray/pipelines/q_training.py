@@ -421,7 +421,7 @@ def q_simhash(sf_dir: str) -> pa.Table:
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     """MinHash-LSH near-dup pairs, fully distributed (worker-side pair
     formation + distributed exact-Jaccard verify). bands=32 (r=4) puts
-    candidate recall at >1-1e-12 for j>=0.8, so the verified set equals
+    per-pair candidate miss probability ~5e-8 at j=0.8, so the verified set equals
     the oracle's exhaustive >=0.8 scan."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     pairs_ds = f_dedup.minhash_candidate_pairs(ds, num_perm=128, bands=32)

@@ -2244,7 +2244,7 @@ def q_fuzzy_link(sf_dir: str) -> pa.Table:
     """Cross-corpus fuzzy linkage: documents split by doc_id parity
     into two "corpora", linked by exact word-3-gram Jaccard >= 0.8 via
     the MinHash-LSH spine (same-side candidates dropped before the
-    payload exchange). bands=32/r=4 recall > 1-1e-12 at j>=0.8, so the
+    payload exchange). bands=32/r=4 per-pair miss probability ~5e-8 at j=0.8, so the
     result equals the oracle's exhaustive cross scan."""
     def side(parity: int):
         def fn(t: pa.Table) -> pa.Table:

@@ -443,7 +443,7 @@ def q_dedup_near_best(sf_dir: str) -> Any:
     """Near-dedup keeping each duplicate cluster's BEST member — here
     the longest document (score = n_chars, ties -> min doc_id) — the
     "keep the highest-quality copy" form curation pipelines want.
-    bands=32 (r=4) candidate recall > 1-1e-12 at j>=0.8, so clusters
+    bands=32 (r=4) per-pair miss probability ~5e-8 at j=0.8 ((1-0.8^4)^32), so clusters
     equal the oracle's exhaustive-scan transitive closure."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     kept = f_dedup.dedup_near_best(

@@ -2981,7 +2981,8 @@ def q_index_near_dups(sf_dir: str) -> Any:
     partitioned band keys on disk), query the ODD documents against it
     (partition-pruned reads, nothing corpus-sized moves), then
     exact-verify the candidates — pairs with word-3-gram jaccard >=
-    0.8. At bands=32/r=4 candidate recall is > 1-1e-12, so the result
+    0.8. At bands=32/r=4 the per-pair miss probability at j=0.8 is
+    (1-0.8^4)^32 ~ 5e-8 (vanishing for higher jaccard), so the result
     equals the oracle's exhaustive odd x even cross scan
     (functions/minhashindex.py)."""
     from patito_ray.functions.dedup import verify_pairs_dataset

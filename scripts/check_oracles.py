@@ -68,10 +68,9 @@ def _canon_col(s: pd.Series) -> list[bytes]:
             if pd.isna(v):
                 out.append(b"\x00")
             else:
-                f = float(v)
-                if f == 0.0:
-                    f = 0.0  # collapse -0.0 (engines differ on ROUND sign)
-                out.append(b"f" + struct.pack("<d", f))
+                # fully bitwise, including the sign of zero: both the
+                # _ra formula and DuckDB ROUND preserve -0.0 (probed)
+                out.append(b"f" + struct.pack("<d", float(v)))
         return out
     # object / string / mixed: per-value tagging
     import datetime as _dt
@@ -85,10 +84,7 @@ def _canon_col(s: pd.Series) -> list[bytes]:
         if isinstance(v, (int, np.integer)):
             return b"i%d" % int(v)
         if isinstance(v, (float, np.floating)):
-            f = float(v)
-            if f == 0.0:
-                f = 0.0
-            return b"f" + struct.pack("<d", f)
+            return b"f" + struct.pack("<d", float(v))
         if isinstance(v, _dec.Decimal):
             return b"d" + str(v.normalize()).encode()
         if isinstance(v, str):
@@ -96,7 +92,11 @@ def _canon_col(s: pd.Series) -> list[bytes]:
         if isinstance(v, bytes):
             return b"y" + v
         if isinstance(v, _dt.datetime):
-            return b"t%d" % int(v.timestamp() * 1_000_000)
+            # naive datetimes are UTC epoch values here (the typed
+            # datetime64 path treats them that way); v.timestamp()
+            # would apply the HOST timezone and float-truncate
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return b"t%d" % ((v - epoch) // _dt.timedelta(microseconds=1))
         if isinstance(v, _dt.date):
             return b"t%d" % (
                 (v - _dt.date(1970, 1, 1)).days * 86_400_000_000

@@ -176,3 +176,22 @@ def test_spec_json_round_trip():
     assert cs.default_dtype == pa.decimal128(12, 2)
     assert cs.bounds == {"minimum": D("0.50")}
     assert cs.unique and cs.category == _dt.DECIMAL
+
+
+def test_example_value_off_grid_bound_rounds_feasible():
+    """A minimum off the scale grid rounds TOWARD feasibility (review
+    finding r5): ge=0.005 at scale 2 must produce 0.01, not 0.00."""
+
+    class M(pr.Model):
+        amount: decimal.Decimal = pr.Field(
+            dtype=pa.decimal128(12, 2), ge=D("0.005")
+        )
+
+    assert M.example_value("amount") == D("0.01")
+
+    class Mx(pr.Model):
+        amount: decimal.Decimal = pr.Field(
+            dtype=pa.decimal128(12, 2), le=D("-0.005")
+        )
+
+    assert Mx.example_value("amount") == D("-0.01")

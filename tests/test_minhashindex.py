@@ -143,3 +143,49 @@ def test_build_overwrite_guard(ray_session, tmp_path):
     os.makedirs(d)
     with pytest.raises(FileExistsError):
         build_minhash_index(_docs([1], ["a b c"]), d)
+
+
+def test_query_hot_key_guard(ray_session, tmp_path):
+    """A band key carried by more than max_bucket docs on either side
+    is dropped (logged) before any pair forms — the boilerplate-key
+    blowup guard (review finding r5)."""
+    n = 30
+    # every doc IDENTICAL -> every band key is shared by all docs
+    texts = ["the same boilerplate page text here"] * n
+    old = _docs(list(range(0, n, 2)), [texts[i] for i in range(0, n, 2)])
+    new = _docs(list(range(1, n, 2)), [texts[i] for i in range(1, n, 2)])
+    idx = str(tmp_path / "mh_hot")
+    build_minhash_index(old, idx, bands=8)
+    out = query_minhash_index(idx, new, max_bucket=5)
+    pairs = out.to_pylist() if hasattr(out, "to_pylist") else out.take_all()
+    assert pairs == []  # all keys hot -> dropped, loudly
+    # with a permissive cap the same query pairs everything
+    out2 = query_minhash_index(idx, new, max_bucket=1000)
+    pairs2 = out2.to_pylist() if hasattr(out2, "to_pylist") else out2.take_all()
+    assert len(pairs2) == (n // 2) ** 2
+
+
+def test_query_uses_built_column_names(ray_session, tmp_path):
+    """query_minhash_index defaults to the id/text column names the
+    index was built with (review finding r5)."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "page_id": pa.array([1, 2], pa.int64()),
+            "body": pa.array(["alpha beta gamma delta", "other words here now"]),
+        }
+    )
+    idx = str(tmp_path / "mh_cols")
+    build_minhash_index(
+        rd.from_arrow(t), idx, id_col="page_id", text_col="body", bands=8
+    )
+    q = pa.table(
+        {
+            "page_id": pa.array([99], pa.int64()),
+            "body": pa.array(["alpha beta gamma delta"]),
+        }
+    )
+    out = query_minhash_index(idx, rd.from_arrow(q))
+    pairs = out.to_pylist() if hasattr(out, "to_pylist") else out.take_all()
+    assert (99, 1) in {(r["a"], r["b"]) for r in pairs}

@@ -151,3 +151,31 @@ def test_jaccard_join_preflight_sparse_corpus_unaffected(ray_session):
     )
     out = _collect(jaccard_threshold_pairs(ds, threshold=0.8))
     assert out == {}
+
+
+def test_jaccard_join_preflight_respects_max_bucket(ray_session):
+    """A finite max_bucket already bounds enumeration, so the capped
+    estimate must not spuriously trip the default budget (review
+    finding r5): the same dense corpus that raises uncapped runs fine
+    with a tight per-bucket cap."""
+    import ray.data as rd
+
+    n = 60
+    texts = [f"alpha beta gamma delta u{i}" for i in range(n)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="minhash"):
+        jaccard_threshold_pairs(ds, threshold=0.6, max_candidates=100)
+    # capped mode: estimate uses min(count, max_bucket) and passes
+    out = _collect(
+        jaccard_threshold_pairs(
+            ds, threshold=0.6, max_bucket=5, max_candidates=100
+        )
+    )
+    assert isinstance(out, dict)  # ran (lossy by contract, no raise)
