@@ -436,6 +436,7 @@ def run_bench() -> dict:
         "unigram_tokens",
         "index_near_dups",
         "pq_search",
+        "embeddings_checks",
     ]
     for name in bench_queries:
         fn, _sql = QUERIES[name]

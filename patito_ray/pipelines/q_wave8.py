@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import patito_ray as pr
+
 from patito_ray.pipelines.qcommon import (  # noqa: F401
     QUERIES,
     _apply,
@@ -3085,3 +3087,46 @@ def q_pq_search(sf_dir: str) -> pa.Table:
 
 
 QUERIES["pq_search"] = (q_pq_search, None)
+
+
+class _EmbeddingRow(pr.Model):
+    """Typed contract for the embeddings table: unique vector ids,
+    fixed dimensionality via a list_len constraint (V11 over a LIST
+    column), label in [0, 9]."""
+
+    vec_id: int = pr.Field(unique=True)
+    embedding: "list[float]" = pr.Field(
+        constraints=[pr.col("embedding").list.len() == 64]
+    )
+    label: int = pr.Field(ge=0, le=9)
+
+
+def q_embeddings_checks(sf_dir: str) -> pa.Table:
+    """Validation counters over the embeddings table through the fused
+    pass — exercises list-column dtype checking, a list_len constraint,
+    bounds on an int32 column and the uniqueness blob exchange in one
+    streaming pass (the documents_checks shape)."""
+    ds = _rp(sf_dir, "embeddings")
+    rep = pr.validate_report(ds, _EmbeddingRow)
+    m = rep.merged
+    return _one_row(
+        row_count=rep.row_count,
+        vec_id_dups=m.dup_counts.get("vec_id", 0),
+        dim_viol=m.constraint_fail.get("embedding", 0),
+        label_oob=m.bounds_fail.get("label", 0),
+        emb_nulls=m.null_counts.get("embedding", 0),
+    )
+
+
+SQL_EMBEDDINGS_CHECKS = """
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+       (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS c FROM embeddings GROUP BY vec_id)
+        WHERE c > 1) AS vec_id_dups,
+       CAST(COUNT(*) FILTER (len(embedding) <> 64) AS BIGINT) AS dim_viol,
+       CAST(COUNT(*) FILTER (label < 0 OR label > 9) AS BIGINT) AS label_oob,
+       CAST(COUNT(*) FILTER (embedding IS NULL) AS BIGINT) AS emb_nulls
+FROM embeddings
+"""
+
+QUERIES["embeddings_checks"] = (q_embeddings_checks, SQL_EMBEDDINGS_CHECKS)

@@ -1030,3 +1030,30 @@ def test_seasonal_strength_extremes(ray_session, tmp_path):
     _write(nul, "lineitem", _lineitem_table(list(range(14)), flat))
     out2 = q_seasonal_strength(str(nul)).to_pydict()
     assert out2["strength"] == [0.0]
+
+
+def test_embeddings_checks_planted(ray_session, tmp_path):
+    """Planted violations (the corpus itself is clean): duplicate
+    vec_id, wrong dimension, out-of-range label, null embedding —
+    every counter fires with the exact count."""
+    import pyarrow.parquet as pq
+
+    from patito_ray.pipelines.q_wave8 import q_embeddings_checks
+
+    emb = [[float(i)] * 64 for i in range(6)]
+    emb[2] = [1.0] * 63  # wrong dim
+    emb[4] = None  # null embedding
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 1, 3, 4, 5], pa.int64()),  # dup 1
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+            "label": pa.array([0, 9, 3, 10, 2, -1], pa.int32()),  # 2 oob
+        }
+    )
+    pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+    out = q_embeddings_checks(str(tmp_path)).to_pydict()
+    assert out["row_count"] == [6]
+    assert out["vec_id_dups"] == [2]  # both rows of the duplicated key
+    assert out["label_oob"] == [2]
+    assert out["emb_nulls"] == [1]
+    assert out["dim_viol"] == [1]
